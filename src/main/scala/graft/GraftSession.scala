@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session defaults for the graft engine.
+  *
+  * local[32] here stands in for a multi-executor cluster; every setting is
+  * one that also makes sense at 1000 executors (AQE on, modest shuffle
+  * partition count locally — on a real cluster this would be sized to
+  * ~2-3x total cores or governed by AQE coalescing).
+  */
+object GraftSession {
+  def builder(master: String = "local[32]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Create (or reuse) a session with graft functions registered. */
+  def getOrCreate(master: String = "local[32]"): SparkSession = {
+    val s = builder(master).getOrCreate()
+    graft.functions.VectorFunctions.register(s)
+    s
+  }
+
+  /** Read one of the driver-generated test tables from a sf directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

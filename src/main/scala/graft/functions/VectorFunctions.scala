@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+
+/** Column-level API over the Catalyst vector expressions, mirroring the
+  * reference's SQL surface (`l2sq_dist`, `cos_dist`, `hamming_dist` and
+  * the `<->`/`<=>`/`<+>` operators listed in
+  * `/root/reference/lantern_cli/src/external_index/cli.rs:97-123`).
+  */
+object VectorFunctions {
+  private[graft] def col(e: Expression): Column =
+    org.apache.spark.sql.graftshim.GraftShims.column(e)
+  private[graft] def expr(c: Column): Expression =
+    org.apache.spark.sql.graftshim.GraftShims.expression(c)
+
+  /** Cast to ARRAY<FLOAT> so integer/double array literals are accepted;
+    * a float→float cast is eliminated by Catalyst's SimplifyCasts.
+    */
+  private def f(c: Column): Expression = Cast(expr(c), ArrayType(FloatType))
+  private def i(c: Column): Expression = Cast(expr(c), ArrayType(IntegerType))
+
+  def l2sq_dist(a: Column, b: Column): Column = col(L2SqDistance(f(a), f(b)))
+  def cos_dist(a: Column, b: Column): Column = col(CosineDistance(f(a), f(b)))
+  def inner_product(a: Column, b: Column): Column =
+    col(InnerProduct(f(a), f(b)))
+  def l1_dist(a: Column, b: Column): Column = col(L1Distance(f(a), f(b)))
+  def hamming_dist(a: Column, b: Column): Column =
+    col(HammingDistance(i(a), i(b)))
+  def vector_norm(a: Column): Column = col(VectorNorm(f(a)))
+  def vector_normalize(a: Column): Column = col(NormalizeVector(f(a)))
+
+  /** Register all functions for SQL use (`SELECT l2sq_dist(a, b) ...`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    def cf(e: Expression): Expression = Cast(e, ArrayType(FloatType))
+    def ci(e: Expression): Expression = Cast(e, ArrayType(IntegerType))
+    one("l2sq_dist", e => L2SqDistance(cf(e(0)), cf(e(1))))
+    one("cos_dist", e => CosineDistance(cf(e(0)), cf(e(1))))
+    one("inner_product", e => InnerProduct(cf(e(0)), cf(e(1))))
+    one("l1_dist", e => L1Distance(cf(e(0)), cf(e(1))))
+    one("hamming_dist", e => HammingDistance(ci(e(0)), ci(e(1))))
+    one("vector_norm", e => VectorNorm(cf(e.head)))
+    one("vector_normalize", e => NormalizeVector(cf(e.head)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+class VectorFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 6.0f, 8.0f)),
+    (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))
+  ).toDF("a", "b")
+
+  test("l2sq_dist matches hand computation") {
+    val r = df.select(V.l2sq_dist($"a", $"b")).as[Double].collect()
+    assert(r(0) === 9.0 + 16.0 + 25.0)
+    assert(r(1) === 1.0)
+  }
+
+  test("inner_product and l1_dist") {
+    val r = df.select(V.inner_product($"a", $"b"), V.l1_dist($"a", $"b"))
+      .as[(Double, Double)].collect()
+    assert(r(0)._1 === 4.0 + 12.0 + 24.0)
+    assert(r(0)._2 === 3.0 + 4.0 + 5.0)
+  }
+
+  test("cos_dist: parallel vectors → 0, zero vector → NaN") {
+    val d = Seq((Array(1f, 2f), Array(2f, 4f))).toDF("a", "b")
+      .select(V.cos_dist($"a", $"b")).as[Double].head()
+    assert(math.abs(d) < 1e-12)
+    val nan = df.where($"a"(0) === 0f)
+      .select(V.cos_dist($"a", $"b")).as[Double].head()
+    assert(nan.isNaN)
+  }
+
+  test("hamming_dist counts differing elements") {
+    val r = Seq((Array(1, 0, 1, 1), Array(1, 1, 1, 0))).toDF("a", "b")
+      .select(V.hamming_dist($"a", $"b")).as[Long].head()
+    assert(r === 2L)
+  }
+
+  test("vector_norm and normalize") {
+    val d = Seq(Tuple1(Array(3f, 4f))).toDF("a")
+    assert(d.select(V.vector_norm($"a")).as[Double].head() === 5.0)
+    val n = d.select(V.vector_normalize($"a")).as[Array[Float]].head()
+    assert(math.abs(n(0) - 0.6f) < 1e-6 && math.abs(n(1) - 0.8f) < 1e-6)
+    // zero vector passes through
+    val z = Seq(Tuple1(Array(0f, 0f))).toDF("a")
+      .select(V.vector_normalize($"a")).as[Array[Float]].head()
+    assert(z.toSeq == Seq(0f, 0f))
+  }
+
+  test("SQL registration works") {
+    val r = spark.sql(
+      "SELECT l2sq_dist(array(1.0, 2.0), array(3.0, 2.0)) AS d").head().getDouble(0)
+    assert(r === 4.0)
+  }
+
+  test("dimension mismatch raises") {
+    val bad = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(V.l2sq_dist($"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+  }
+
+  test("distances on real embeddings table are finite and symmetric-ish") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val self = emb.select(V.l2sq_dist($"embedding", $"embedding").as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(self === 0.0)
+  }
+}
