@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs graft.Verify at a given SF dir, then executes each oracle SQL in
+DuckDB over the same parquet tables and compares: schema (column names,
+sorted), row count, and values (exact for ints/strings, near-exact for
+floats). Reports per-query PASS/FAIL. Run while iterating so the driver's
+CORRECTNESS_r{N}.json holds no surprises.
+
+Usage: python3 local_verify.py [sf_dir] [out_dir] [--skip-spark]
+"""
+import json
+import math
+import subprocess
+import sys
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_spark():
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        sys.exit(1)
+    # surface per-query failures printed by Verify
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+
+def norm(v):
+    if hasattr(v, "tolist") and not hasattr(v, "ndim") or (
+            hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0):
+        v = list(v.tolist() if hasattr(v, "tolist") else v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if hasattr(v, "item"):
+        return norm(v.item())
+    return v
+
+
+def compare(name, sql, con):
+    try:
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchdf()
+    except Exception as e:
+        return f"FAIL {name}: no spark output ({e})"
+    try:
+        oracle_df = con.execute(sql).fetchdf()
+    except Exception as e:
+        return f"FAIL {name}: oracle sql error: {e}"
+    sc = sorted(spark_df.columns)
+    oc = sorted(oracle_df.columns)
+    if sc != oc:
+        return f"FAIL {name}: schema {sc} vs {oc}"
+    spark_df = spark_df[sc]
+    oracle_df = oracle_df[oc]
+    if len(spark_df) != len(oracle_df):
+        return f"FAIL {name}: rows {len(spark_df)} vs {len(oracle_df)}"
+    srows = [tuple(norm(v) for v in row) for row in spark_df.itertuples(index=False)]
+    orows = [tuple(norm(v) for v in row) for row in oracle_df.itertuples(index=False)]
+    mism = sum(1 for a, b in zip(srows, orows) if a != b)
+    if mism:
+        for a, b in zip(srows, orows):
+            if a != b:
+                return (f"FAIL {name}: {mism}/{len(srows)} rows differ; "
+                        f"first: spark={a} oracle={b}")
+    return f"PASS {name} ({len(srows)} rows)"
+
+
+def main():
+    if "--skip-spark" not in sys.argv:
+        run_spark()
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')")
+    oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracles.items()):
+        res = compare(name, sql, con)
+        print(res)
+        fails += res.startswith("FAIL")
+    print(f"== {len(oracles) - fails}/{len(oracles)} queries match")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

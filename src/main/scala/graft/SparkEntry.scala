@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-domain query modules under graft.queries. Every
+  * entry in `queries` is an operator from SURVEY §2 (or a training-data
+  * pipeline extension); entries with a DuckDB-expressible equivalent also
+  * appear in `oracleSql` with IDENTICAL output column names.
+  */
 object SparkEntry {
+  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
+      Map[String, String])] = Seq(
+    (_root_.graft.queries.RelationalQueries.queries,
+      _root_.graft.queries.RelationalQueries.oracleSql)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    queries("q_pricing_summary")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base = modules.map(_._1).reduce(_ ++ _)
+    // Register SQL functions on first use so query bodies may use spark.sql.
+    base.map { case (k, fn) =>
+      k -> ((s: SparkSession, dir: String) => {
+        graft.functions.VectorFunctions.register(s); fn(s, dir)
+      })
+    }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
 }

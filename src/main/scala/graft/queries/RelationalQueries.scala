@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage (SURVEY §2.2-§2.7): scans, filters,
+  * projections, joins (update-by-key, semi, anti, star), aggregations,
+  * window top-k, sorts/limits, set ops.
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares against
+  * DuckDB running the same SQL):
+  *  - every query ends in a total ORDER BY (unique sort key) so row order
+  *    is engine-independent;
+  *  - double sums/avgs go through DECIMAL (exact, associative, so
+  *    partial-aggregation order cannot change the result) and are cast
+  *    back to DOUBLE at the end;
+  *  - no double→string casts (engines format differently).
+  *
+  * Scale notes: all aggregations here are partial-agg friendly (map-side
+  * combine), the star join broadcasts the small dims, and every filter/
+  * projection is a plain Catalyst expression that pushes into the parquet
+  * scan. Nothing materializes on the driver.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // $"x" column-interpolator, session-independent.
+  private implicit class ColName(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
+  /** Exact decimal sum of a double column, returned as DOUBLE. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-group: pricing summary (partial-agg, 6 groups). SURVEY §2.4.
+    "q_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // P1: filter pushed to scan. SURVEY §2.2 P1.
+    "q_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .where($"o_orderstatus" === "F" && $"o_totalprice" > 50000)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")),
+
+    // P5: uniform (pk::text, col::text) projection. embeddings/mod.rs:86-93.
+    "q_projection_cast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where($"l_linenumber" === 1)
+        .select($"l_orderkey".cast("string").as("pk"),
+          $"l_partkey".cast("string").as("src"))
+        .orderBy($"pk", $"src")),
+
+    // P8: limit pushdown. embeddings/mod.rs:479-483.
+    "q_limit_pushdown" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+        .orderBy($"o_orderkey")
+        .limit(10)),
+
+    // §2.6: global top-k → TakeOrderedAndProject.
+    "q_topk_global" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(20)),
+
+    // §2.5: per-group top-k via window (the kNN shape, J3).
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          row_number().over(w).as("rn"))
+        .where($"rn" <= 3)
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // Star join with broadcast dims (region/nation/customer are tiny).
+    "q_star_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // J1/S8: update-by-key join (MERGE shape: COPY temp + UPDATE ... FROM).
+    "q_update_by_key" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val updates = orders.where($"o_orderstatus" === "O")
+        .groupBy($"o_custkey".as("u_custkey"))
+        .agg(max($"o_totalprice").as("mx"))
+      orders.join(broadcast(updates), $"o_custkey" === $"u_custkey", "left")
+        .select($"o_orderkey",
+          coalesce($"mx", $"o_totalprice").as("price"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // P4: id-IN batch filter → left semi join. daemon/types.rs:130-137.
+    "q_semi_join" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where($"o_totalprice" > 100000)
+        .select($"o_custkey")
+      customer.join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // P3: missing-rows catch-up filter → anti join. daemon/helpers.rs:375-381.
+    "q_anti_missing" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select($"l_orderkey")
+      orders.join(li, $"o_orderkey" === $"l_orderkey", "left_anti")
+        .select($"o_orderkey", $"o_custkey")
+        .orderBy($"o_orderkey")
+    }),
+
+    // §2.7: set ops (recall-intersection analog on keys).
+    "q_set_intersect" -> ((s, dir) => {
+      val eventUsers = t(s, dir, "events").select($"user_id".as("k")).distinct()
+      val custKeys = t(s, dir, "customer")
+        .select($"c_custkey".cast("long").as("k")).distinct()
+      eventUsers.intersect(custKeys).orderBy($"k")
+    }),
+
+    // A7-style stats per group with exact decimal sums.
+    "q_event_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          min($"value").cast("double").as("mn"),
+          max($"value").cast("double").as("mx"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("sm"))
+        .orderBy($"event_type")),
+
+    // A1: count estimation (progress denominators), multi-table.
+    "q_counts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(count(lit(1)).as("n_lineitem"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supp"))
+    }),
+
+    // A6: ordered collect (json_agg analog) as a sorted array per group.
+    "q_collect_sorted" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(sort_array(collect_list($"o_orderstatus")).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")),
+
+    // X4-analog: deterministic sampling via key modulo (portable vs RANDOM()).
+    "q_sample_mod" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where($"l_orderkey" % 37 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")),
+
+    // D4-analog batch view: arrival-hour micro-batch aggregation.
+    "q_hourly_batches" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("batch_hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("sm"))
+        .orderBy($"batch_hour", $"event_type"))
+  )
+
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_projection_cast" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS pk, CAST(l_partkey AS VARCHAR) AS src
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY pk, src""".stripMargin,
+    "q_limit_pushdown" ->
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 10",
+    "q_topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_update_by_key" ->
+      """SELECT o.o_orderkey, coalesce(u.mx, o.o_totalprice) AS price
+        |FROM orders o LEFT JOIN (
+        |  SELECT o_custkey AS u_custkey, max(o_totalprice) AS mx
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) u
+        |ON o.o_custkey = u.u_custkey ORDER BY o.o_orderkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_missing" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT DISTINCT user_id AS k FROM events
+        |INTERSECT
+        |SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k FROM customer
+        |ORDER BY k""".stripMargin,
+    "q_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(min(value) AS DOUBLE) AS mn, CAST(max(value) AS DOUBLE) AS mx,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_counts" ->
+      """SELECT count(*) AS n_lineitem,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem""".stripMargin,
+    "q_collect_sorted" ->
+      """SELECT o_orderpriority, list_sort(list(o_orderstatus)) AS statuses,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sample_mod" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 37 = 0 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_hourly_batches" ->
+      """SELECT date_trunc('hour', ts) AS batch_hour, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm
+        |FROM events GROUP BY 1, 2 ORDER BY batch_hour, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Uniform access to the driver-generated test tables.
+  *
+  * `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
+  * parquet reader rejects; we read it as raw long nanos
+  * (spark.sql.legacy.parquet.nanosAsLong) and convert to a microsecond
+  * timestamp — lossless for this data and consistent with how DuckDB
+  * presents the same column.
+  */
+object Tables {
+  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else {
+      s.read.parquet(s"$dir/$name.parquet")
+    }
+}
