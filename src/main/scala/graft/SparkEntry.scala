@@ -13,7 +13,9 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (_root_.graft.queries.RelationalQueries.queries,
-      _root_.graft.queries.RelationalQueries.oracleSql)
+      _root_.graft.queries.RelationalQueries.oracleSql),
+    (_root_.graft.queries.VectorQueries.queries,
+      _root_.graft.queries.VectorQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Exact (brute-force) kNN and recall — the Spark-native answer to the
+  * reference's ANN tooling (SURVEY J3/J4/X5-X7: ground-truth generation
+  * `index_autotune/mod.rs:189-219`, recall `:238-249`).
+  *
+  * Plan shape: corpus stays partitioned; the (small) query set is
+  * broadcast into a cross join; distances are computed by codegen'd
+  * expressions; the bounded `TopKByScore` aggregate does map-side top-k
+  * so the shuffle carries only k rows per (query, partition). At 100 TB
+  * corpus scale this is embarrassingly parallel with no corpus shuffle.
+  */
+object Knn {
+  def distance(metric: String)(a: Column, b: Column): Column = metric match {
+    case "l2sq" => VectorFunctions.l2sq_dist(a, b)
+    case "cos" => VectorFunctions.cos_dist(a, b)
+    case "l1" => VectorFunctions.l1_dist(a, b)
+    // smaller = better everywhere, so negate the inner product
+    case "dot" => -VectorFunctions.inner_product(a, b)
+    case m => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
+  /** Aggregate column: top-k smallest (score, id) pairs. */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    VectorFunctions.col(
+      TopKByScore(VectorFunctions.expr(score), VectorFunctions.expr(id), k)
+        .toAggregateExpression())
+
+  /** For every row of `queries`, the `k` nearest rows of `corpus`.
+    *
+    * @param corpus  (idCol: BIGINT, vecCol: ARRAY<FLOAT>) — arbitrarily large
+    * @param queries (idCol: BIGINT, vecCol: ARRAY<FLOAT>) — small, broadcast
+    * @return (qid, nid, rank, dist) — rank 1..k by (dist, nid)
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, metric: String = "l2sq"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).cast("long").as("qid"), col(vecCol).as("qvec")))
+    val c = corpus.select(
+      col(idCol).cast("long").as("nid"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(q).select(
+      col("qid"), col("nid"),
+      distance(metric)(col("cvec"), col("qvec")).as("dist"))
+    scored
+      .groupBy(col("qid"))
+      .agg(topk_by_score(col("dist"), col("nid"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("qid"), col("nn.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
+  }
+
+  /** Mean recall@k of `result` against `truth`, both shaped
+    * (qid, nid, rank): |truth ∩ result| / k per query.
+    * Reference: `index_autotune/mod.rs:238-249`.
+    */
+  def recall(truth: DataFrame, result: DataFrame, k: Int): DataFrame = {
+    val t = truth.where(col("rank") <= k).select(col("qid"), col("nid"))
+    val r = result.where(col("rank") <= k).select(col("qid"), col("nid"))
+    t.join(r, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg((count(lit(1)) / k).as("recall"))
+  }
+}

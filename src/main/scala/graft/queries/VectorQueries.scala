@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+import graft.operators.Knn
+
+/** Vector operator coverage (SURVEY §2.8 F15, §2.3 J3/J4, §2.2 P6,
+  * §2.11 X5-X7): distances, norms, subvector slices, brute-force kNN,
+  * recall.
+  *
+  * Oracle parity: the DuckDB side re-states every distance as the SAME
+  * index-ordered double fold the Catalyst expressions compute
+  * (list_transform + list_sum over casts to DOUBLE), so full-precision
+  * ORDER BY ranks agree bit-for-bit; only displayed distances are
+  * rounded.
+  */
+object VectorQueries {
+  private implicit class ColName(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
+  // DuckDB fragment: index-ordered double fold of (a[i]-b[i])^2 etc.
+  private def dkL2sq(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))^2))"
+  private def dkDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def dkNormSq(a: String) = dkDot(a, a)
+  private def dkCos(a: String, b: String) =
+    s"(1 - ${dkDot(a, b)} / sqrt(${dkNormSq(a)} * ${dkNormSq(b)}))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F15 / vector_norm over the embeddings table.
+    "q_vec_norm" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", round(V.vector_norm($"embedding"), 4).as("nrm"))
+        .orderBy($"vec_id")),
+
+    // P6: subvector slice pushed as projection. pq/codebook.rs:177-186.
+    "q_vec_slice" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", slice($"embedding", 1, 8).as("sub"))
+        .orderBy($"vec_id")),
+
+    // F15: all three metrics against an anchor vector (vec_id = 0).
+    "q_dist_anchor" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val anchor = broadcast(
+        emb.where($"vec_id" === 0).select($"embedding".as("anchor")))
+      emb.crossJoin(anchor).select(
+        $"vec_id",
+        round(V.l2sq_dist($"embedding", $"anchor"), 4).as("l2sq"),
+        round(V.cos_dist($"embedding", $"anchor"), 4).as("cos"),
+        round(V.inner_product($"embedding", $"anchor"), 4).as("dot"))
+        .orderBy($"vec_id")
+    }),
+
+    // J3/X5: exact kNN ground truth, 10 query points, k=10, l2sq.
+    "q_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      Knn.topK(emb, queries, "vec_id", "embedding", k = 10)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // J4/X7: recall of cos-metric kNN against l2sq ground truth.
+    "q_knn_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val truth = Knn.topK(emb, queries, "vec_id", "embedding", 10, "l2sq")
+      val result = Knn.topK(emb, queries, "vec_id", "embedding", 10, "cos")
+      Knn.recall(truth, result, 10).orderBy($"qid")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_vec_norm" ->
+      s"""SELECT vec_id, round(sqrt(${dkNormSq("embedding")}), 4) AS nrm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_vec_slice" ->
+      "SELECT vec_id, embedding[1:8] AS sub FROM embeddings ORDER BY vec_id",
+    "q_dist_anchor" ->
+      s"""WITH a AS (SELECT embedding AS anchor FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         | round(${dkL2sq("e.embedding", "a.anchor")}, 4) AS l2sq,
+         | round(${dkCos("e.embedding", "a.anchor")}, 4) AS cos,
+         | round(${dkDot("e.embedding", "a.anchor")}, 4) AS dot
+         |FROM embeddings e, a ORDER BY e.vec_id""".stripMargin,
+    "q_knn" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.embedding", "q.qe")} AS d
+         |  FROM embeddings c, q),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_knn_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |l2 AS (
+         |  SELECT * FROM (
+         |    SELECT q.qid, c.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY ${dkL2sq("c.embedding", "q.qe")}, c.vec_id) AS rk
+         |    FROM embeddings c, q) WHERE rk <= 10),
+         |cs AS (
+         |  SELECT * FROM (
+         |    SELECT q.qid, c.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY ${dkCos("c.embedding", "q.qe")}, c.vec_id) AS rk
+         |    FROM embeddings c, q) WHERE rk <= 10)
+         |SELECT l2.qid, CAST(count(*) AS DOUBLE) / 10 AS recall
+         |FROM l2 JOIN cs ON l2.qid = cs.qid AND l2.nid = cs.nid
+         |GROUP BY l2.qid ORDER BY l2.qid""".stripMargin
+  )
+}

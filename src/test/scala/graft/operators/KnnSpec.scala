@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("self is always nearest with dist 0 under l2sq") {
+    val queries = emb.where($"vec_id" < 5)
+    val r = Knn.topK(emb, queries, "vec_id", "embedding", 3)
+    val first = r.where($"rank" === 1).select($"qid", $"nid", $"dist")
+      .as[(Long, Long, Double)].collect()
+    assert(first.length === 5)
+    first.foreach { case (q, n, d) => assert(q === n && d === 0.0) }
+  }
+
+  test("topK returns exactly k ranked rows per query, dist ascending") {
+    val queries = emb.where($"vec_id" < 3)
+    val r = Knn.topK(emb, queries, "vec_id", "embedding", 7).collect()
+    assert(r.length === 21)
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to 7))
+      val dists = sorted.map(_.getDouble(3)).toSeq
+      assert(dists === dists.sorted)
+    }
+  }
+
+  test("TopK aggregate matches window ranking (ties broken by id)") {
+    val queries = emb.where($"vec_id" < 10)
+    val agg = Knn.topK(emb, queries, "vec_id", "embedding", 10)
+      .select($"qid", $"nid", $"rank")
+    // window-based reference plan
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{VectorFunctions => V}
+    val q = queries.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val pairs = emb.crossJoin(broadcast(q))
+      .select($"qid", $"vec_id".as("nid"),
+        V.l2sq_dist($"embedding", $"qvec").as("dist"))
+    val w = Window.partitionBy($"qid").orderBy($"dist", $"nid")
+    val win = pairs.select($"qid", $"nid", row_number().over(w).as("rank"))
+      .where($"rank" <= 10)
+    assert(agg.except(win).count() === 0 && win.except(agg).count() === 0)
+  }
+
+  test("recall of identical result sets is 1.0") {
+    val queries = emb.where($"vec_id" < 4)
+    val t = Knn.topK(emb, queries, "vec_id", "embedding", 5)
+    val rec = Knn.recall(t, t, 5).select($"recall").as[Double].collect()
+    assert(rec.length === 4 && rec.forall(_ === 1.0))
+  }
+
+  test("dot metric ranks by largest inner product") {
+    val queries = emb.where($"vec_id" === 0)
+    val r = Knn.topK(emb, queries, "vec_id", "embedding", 2, "dot")
+      .where($"rank" === 1).select($"nid").as[Long].head()
+    assert(r === 0L) // unit vectors: self-dot = 1 is max
+  }
+}
