@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit hashing primitives for the dedup suite
+  * (MinHash, SimHash, rolling fingerprints). Everything is seed-stable
+  * and executor-independent so results are reproducible across runs and
+  * cluster sizes. Hash family: FNV-1a base hash + a murmur-style avalanche
+  * mix keyed by the hash index — standard MinHash construction
+  * (Broder 1997, "On the resemblance and containment of documents").
+  */
+object TextHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a over UTF-8 bytes. */
+  def fnv1a(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates hash functions per index. */
+  def mix64(zIn: Long): Long = {
+    var z = zIn + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hashWithSeed(base: Long, seed: Long): Long = mix64(base ^ mix64(seed))
+}
+
+/** `minhash_signature(tokens, numHashes, seed)` → ARRAY<BIGINT>.
+  * One pass over the token array per row; k decorrelated min-hashes.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val base = TextHash.fnv1a(arr.getUTF8String(i))
+        var j = 0
+        while (j < numHashes) {
+          val h = TextHash.hashWithSeed(base, seed * 0x51_7c_c1_b7L + j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `simhash64(tokens)` → BIGINT. Charikar 2002 similarity hash: sum of
+  * +/-1 per bit over token hashes; near-identical token multisets give
+  * near-identical bit patterns (small hamming distance).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = TextHash.fnv1a(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `rolling_fingerprint(text, window)` → BIGINT. Minimum of a polynomial
+  * rolling hash over all `window`-byte substrings (Rabin-Karp style;
+  * the reference's document-fingerprinting analog). Whole-text hash when
+  * text is shorter than the window.
+  */
+case class RollingFingerprint(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "rolling_fingerprint"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint requires STRING, got ${t.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val B = 257L
+    if (bytes.length <= window) {
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+      TextHash.mix64(h)
+    } else {
+      // B^(window-1) for the roll-off term
+      var pow = 1L
+      var i = 0
+      while (i < window - 1) { pow *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < window) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+      var min = TextHash.mix64(h)
+      i = window
+      while (i < bytes.length) {
+        h = (h - (bytes(i - window) & 0xffL) * pow) * B + (bytes(i) & 0xffL)
+        val m = TextHash.mix64(h)
+        if (java.lang.Long.compareUnsigned(m, min) < 0) min = m
+        i += 1
+      }
+      min
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `cosine_lsh_bucket(vec, numBits, seed)` → BIGINT. Random-hyperplane
+  * LSH (Charikar 2002): bit j = sign of <vec, plane_j> where plane_j is a
+  * deterministic pseudo-random +/-1 vector derived from (seed, j, i).
+  * Vectors with low cosine distance collide with high probability; used
+  * to bucket candidates before exact verification at scale.
+  */
+case class CosineLshBucket(child: Expression, numBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(numBits > 0 && numBits <= 63, "numBits in [1, 63]")
+  override def prettyName: String = "cosine_lsh_bucket"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cosine_lsh_bucket requires ARRAY<FLOAT>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < numBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((TextHash.hashWithSeed(j.toLong << 32 | i, seed) & 1L) == 1L) 1.0 else -1.0
+        dot += arr.getFloat(i) * sign
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard (exact), MinHash-LSH (approximate, scale path),
+  * SimHash, and embedding-cosine near-dup (exact + LSH-bucketed).
+  *
+  * Scale design: the exact pairwise methods exist as correctness oracles
+  * and for small candidate sets; the LSH variants are the 100 TB path —
+  * they shuffle by band/bucket key only, so cost is O(n · bands) plus
+  * candidate verification, never O(n²). All hashes are seed-stable.
+  */
+object Dedup {
+
+  /** Exact duplicate grouping by md5 of a text column.
+    * Output: (id, kept_id, cnt) — kept_id is the smallest id sharing the
+    * same text; cnt the group size. Rows with kept_id != id are dups.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val groups = df.groupBy(h.as("h"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("cnt"))
+    df.select(col(idCol), h.as("h"))
+      .join(groups, "h")
+      .select(col(idCol), col("kept_id"), col("cnt"))
+  }
+
+  /** Distinct word-n-gram shingles per id: (id, shingles ARRAY<STRING>). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      T.word_shingles(col(textCol), n).as("shingles"))
+
+  private def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    inter / (size(sa) + size(sb) - inter)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (i < j, jac >= tau).
+    * Plan: explode shingles → self equi-join on shingle (shuffle by
+    * shingle) → pair counts → Jaccard. `maxShingleFreq` drops shingles
+    * occurring in more than that many docs — the standard skew guard at
+    * scale (hot shingles generate O(f²) candidate pairs and contribute
+    * only to pairs that share many other shingles anyway).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh0 = shingleSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("shingles")).as("g"))
+    val sh = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("g")).agg(count(lit(1)).as("df_g"))
+          .where(col("df_g") > cap).select(col("g"))
+        sh0.join(hot, Seq("g"), "left_anti")
+      case None => sh0
+    }
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(cnt.select(col("id").as("i"), col("n_sh").as("na")), "i")
+      .join(cnt.select(col("id").as("j"), col("n_sh").as("nb")), "j")
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** MinHash-LSH near-dup pairs — the scale path for jaccardPairs.
+    * shingle → k minhashes → `bands` band keys → bucket join on
+    * (band, key) → exact Jaccard verification on candidates only.
+    * Output identical in shape/content to jaccardPairs when LSH recall
+    * is 1 at tau (bands/rows chosen so P[collide | jac>=tau] ≈ 1).
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      tau: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sigs = sets.select(col("id"), col("shingles"),
+      T.minhash_signature(col("shingles"), numHashes, seed).as("sig"))
+    // band key = hash of the band's slice of the signature
+    val bandKeys = sigs.select(col("id"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bkey"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bkey"))
+    val cands = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("i"), col("shingles").as("sa")), "i")
+      .join(sets.select(col("id").as("j"), col("shingles").as("sb")), "j")
+      .select(col("i"), col("j"), jaccard(col("sa"), col("sb")).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash over word tokens, banded
+    * into 4 x 16-bit chunks (pigeonhole: hamming <= 3 implies at least
+    * one equal chunk), verified by exact bit_count(xor).
+    */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = df.select(col(idCol).as("id"),
+      T.simhash64(split(col(textCol), " ")).as("sim"))
+    val chunks = sims.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
+        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xffffL))
+          .as("ckey"))): _*)).as("cc"))
+      .select(col("id"), col("sim"), col("cc.chunk"), col("cc.ckey"))
+    val cands = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.sim").as("sa"), col("b.sim").as("sb"))
+      .distinct()
+    cands.select(col("i"), col("j"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact embedding-cosine near-dup pairs (i < j, cos_dist <= tau).
+    * O(n²) — correctness baseline / small-set use.
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"), V.cos_dist(col("va"), col("vb")).as("cd"))
+      .where(col("cd") <= tau)
+  }
+
+  /** LSH-bucketed embedding near-dup: random-hyperplane bucket join,
+    * then exact verification — the scale path for embeddingDupPairs.
+    * Multiple probes (seeds) raise recall; candidates are unioned.
+    */
+  def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, numBits: Int = 12, probes: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = base.select(col("id"), col("v"),
+      explode(array((0 until probes).map(p =>
+        struct(lit(p).as("probe"),
+          graft.functions.TextFunctions
+            .cosine_lsh_bucket(col("v"), numBits, seed + p)
+            .as("bucket"))): _*)).as("pb"))
+      .select(col("id"), col("v"), col("pb.probe"), col("pb.bucket"))
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.probe") === col("b.probe") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("i", "j")
+    cands.select(col("i"), col("j"),
+        V.cos_dist(col("va"), col("vb")).as("cd"))
+      .where(col("cd") <= tau)
+  }
+}

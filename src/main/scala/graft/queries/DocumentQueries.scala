@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, TextAnalysis => TA}
+
+/** Training-data pipeline coverage over the documents/embeddings tables:
+  * text analysis (stats, quality, language-ID, fingerprints), and the
+  * dedup suite (exact, n-gram Jaccard, MinHash-LSH, SimHash,
+  * embedding-cosine).
+  */
+object DocumentQueries {
+  private implicit class ColName(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+  import OracleFrag.dkCos
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def viaSql(s: SparkSession, dir: String, sql: String): DataFrame = {
+    docs(s, dir).createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text stats: token/char/punct/stopword counting.
+    "q_text_stats" -> ((s, dir) =>
+      viaSql(s, dir, TA.statsSql(TA.SparkDialect))),
+
+    // Quality scoring in [0,1].
+    "q_quality_score" -> ((s, dir) =>
+      viaSql(s, dir, TA.qualitySql(TA.SparkDialect))),
+
+    // Language-ID heuristic (stopword voting).
+    "q_langid" -> ((s, dir) =>
+      viaSql(s, dir, TA.langidSql(TA.SparkDialect))),
+
+    // md5 document fingerprint.
+    "q_fingerprint" -> ((s, dir) =>
+      viaSql(s, dir, TA.fingerprintSql(TA.SparkDialect))),
+
+    // P2/P7: the reference's usable-text ignore filter, grouped counts.
+    "q_ignore_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .where(T.usable_text($"text") && trim($"text") =!= "")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+        .orderBy($"lang")),
+
+    // Exact dedup by content hash (id → kept representative + group size).
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")),
+
+    // Exact word-3-gram Jaccard near-dup pairs at tau=0.5.
+    "q_jaccard_dups" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, tau = 0.5)
+        .select($"i", $"j", round($"jac", 3).as("jac"))
+        .orderBy($"i", $"j")),
+
+    // MinHash-LSH near-dup pairs; parameters give ~certain recall at
+    // jac>=0.5, so the exact-Jaccard oracle applies.
+    "q_minhash_dups" -> ((s, dir) =>
+      Dedup.minhashDupPairs(docs(s, dir), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 16, tau = 0.5)
+        .select($"i", $"j", round($"jac", 3).as("jac"))
+        .orderBy($"i", $"j")),
+
+    // SimHash near-dup pairs (no SQL oracle: bespoke 64-bit hashing).
+    "q_simhash_dups" -> ((s, dir) =>
+      Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
+        .orderBy($"i", $"j")),
+
+    // Exact embedding-cosine near-dup pairs.
+    "q_embdup_cos" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.55)
+        .select($"i", $"j", round($"cd", 4).as("cd"))
+        .orderBy($"i", $"j"))
+  )
+
+  private val jaccardOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      |  FROM w WHERE len(ws) >= 3)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 3) AS jac
+      |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> TA.statsSql(TA.DuckDialect),
+    "q_quality_score" -> TA.qualitySql(TA.DuckDialect),
+    "q_langid" -> TA.langidSql(TA.DuckDialect),
+    "q_fingerprint" -> TA.fingerprintSql(TA.DuckDialect),
+    "q_ignore_filter" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS chars FROM documents
+        |WHERE text IS NOT NULL AND text != ''
+        |  AND text != 'Error: Summary failed (llm)' AND trim(text) != ''
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT d.doc_id, g.kept_id, g.cnt FROM documents d JOIN (
+        |  SELECT md5(text) AS h, min(doc_id) AS kept_id, count(*) AS cnt
+        |  FROM documents GROUP BY 1) g
+        |ON md5(d.text) = g.h ORDER BY d.doc_id""".stripMargin,
+    "q_jaccard_dups" -> jaccardOracle,
+    "q_minhash_dups" -> jaccardOracle,
+    "q_embdup_cos" ->
+      s"""SELECT a.vec_id AS i, b.vec_id AS j,
+         | round(${dkCos("a.embedding", "b.embedding")}, 4) AS cd
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${dkCos("a.embedding", "b.embedding")} <= 0.55
+         |ORDER BY i, j""".stripMargin
+  )
+}

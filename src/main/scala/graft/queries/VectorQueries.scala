@@ -21,16 +21,7 @@ object VectorQueries {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
 
-  // DuckDB fragment: index-ordered double fold of (a[i]-b[i])^2 etc.
-  private def dkL2sq(a: String, b: String) =
-    s"list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))^2))"
-  private def dkDot(a: String, b: String) =
-    s"list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def dkNormSq(a: String) = dkDot(a, a)
-  private def dkCos(a: String, b: String) =
-    s"(1 - ${dkDot(a, b)} / sqrt(${dkNormSq(a)} * ${dkNormSq(b)}))"
+  import OracleFrag.{dkL2sq, dkDot, dkNormSq, dkCos}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F15 / vector_norm over the embeddings table.

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docsData = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2L, "completely different content about spark query engines and scale"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (4L, "")
+  )
+  private def docs = docsData.toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g(0L) === (0L, 2L) && g(3L) === (0L, 2L))
+    assert(g(1L) === (1L, 1L) && g(2L) === (2L, 1L))
+  }
+
+  test("word_shingles produces distinct n-grams; short text → empty") {
+    val sh = Seq(("a b c d", 1L), ("a b", 2L)).toDF("text", "id")
+      .select(T.word_shingles($"text", 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) === Seq("a b c", "b c d"))
+    assert(sh(1) === Seq.empty)
+  }
+
+  test("jaccardPairs finds near-identical pair and exact-dup pair") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .select($"i", $"j", $"jac").as[(Long, Long, Double)].collect().toSet
+    val keys = pairs.map(p => (p._1, p._2))
+    assert(keys.contains((0L, 3L))) // identical → jac 1.0
+    assert(keys.contains((0L, 1L)) && keys.contains((1L, 3L))) // one-word diff
+    assert(!keys.exists(k => k._1 == 2L || k._2 == 2L))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 1.0)
+  }
+
+  test("minhashDupPairs agrees with exact jaccardPairs on this data") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashDupPairs(docs, "doc_id", "text", 3, 128, 16, 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(mh === exact)
+  }
+
+  test("jaccardPairs with maxShingleFreq drops hot-shingle contribution") {
+    // all three docs share shingle "x y z"; cap=2 removes it
+    val d = Seq((0L, "x y z a"), (1L, "x y z b"), (2L, "x y z c"))
+      .toDF("doc_id", "text")
+    val noCap = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, None).count()
+    val cap = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, Some(2)).count()
+    assert(noCap === 3L && cap === 0L)
+  }
+
+  test("simhashDupPairs: near-identical texts have small hamming") {
+    // 100-token docs where one token differs: simhash margins are wide
+    // enough that the diff flips only a few bits (hamming 5 here).
+    val base = (0 until 100).map(i => s"tok$i")
+    val longDocs = Seq(
+      (0L, base.mkString(" ")),
+      (1L, base.updated(50, "changed").mkString(" ")),
+      (2L, (0 until 100).map(i => s"other$i").mkString(" ")),
+      (3L, base.mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.simhashDupPairs(longDocs, "doc_id", "text", maxHamming = 8)
+      .select($"i", $"j", $"hamming").as[(Long, Long, Int)].collect()
+    val m = r.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 3L)) === 0) // identical text → identical simhash
+    assert(m.contains((0L, 1L)) && m((0L, 1L)) <= 8)
+    assert(!m.contains((0L, 2L)) && !m.contains((1L, 2L)))
+  }
+
+  test("embedding LSH finds genuinely near vectors with high recall") {
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def perturb(v: Array[Float], eps: Float): Array[Float] = {
+      val w = v.map(x => x + eps * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum).toFloat
+      w.map(_ / n)
+    }
+    val base = (0 until 50).map(_ => unit(32))
+    // ids 1000+i are near-dups of i (cos_dist ~ 0.005)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v), (1000L + i, perturb(v, 0.05f)))
+    }
+    val df = rows.toDF("id", "vec")
+    val exact = Dedup.embeddingDupPairs(df, "id", "vec", 0.05)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 45) // the planted pairs
+    val lsh = Dedup.embeddingDupPairsLsh(df, "id", "vec", 0.05,
+      numBits = 12, probes = 6).select($"i", $"j")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verification removes false positives
+    assert(lsh.size >= (exact.size * 0.8).toInt) // high recall
+  }
+
+  test("rolling_fingerprint is stable and shift-tolerant") {
+    // The fingerprint is the min rolling hash over 16-byte windows; a
+    // long shared core dominates, so near-identical docs collide.
+    val core = "the shared core content block which is quite long " +
+      "and stable across documents " * 3
+    val d = Seq(
+      ("alpha " + core, 1L),
+      ("omega intro " + core, 2L),
+      ("entirely unrelated text with nothing shared at all ok", 3L)
+    ).toDF("text", "id")
+    val fps = d.select($"id", T.rolling_fingerprint($"text", 16).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    // min-of-rolling-hash over a shared 16-byte window → equal fingerprints
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+}
