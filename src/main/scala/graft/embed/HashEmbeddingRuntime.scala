@@ -1,0 +1,82 @@
+package graft.embed
+
+import graft.functions.TextHash
+
+/** Deterministic no-network embedding model: normalized bag-of-words of
+  * per-token pseudo-random unit directions (FIXTURES.md §2's
+  * "hash-based pseudo-embedding"). Texts sharing tokens get high cosine
+  * similarity, so semantic-shape tests (near-dup recovery, kNN) behave
+  * like a real model while remaining bit-reproducible everywhere.
+  * Failed/empty inputs yield the reference's failed sentinel
+  * `[-1.0 x dim]` (`ort_runtime.rs:956-997`) so downstream jobs do not
+  * reprocess them.
+  */
+object HashEmbeddingRuntime extends EmbeddingRuntime {
+  override def name: String = "hash"
+
+  override def dimOf(model: String): Int = ModelRegistry(model).dim
+
+  def embedOne(text: String, dim: Int): Array[Float] = {
+    val toks = Tokenizer.tokenize(text)
+    if (toks.isEmpty) return Array.fill(dim)(-1.0f)
+    val acc = new Array[Double](dim)
+    toks.foreach { tok =>
+      val base = TextHash.fnv1a(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+      var j = 0
+      while (j < dim) {
+        // uniform in [-1, 1) from the j-th decorrelated hash
+        val h = TextHash.hashWithSeed(base, j.toLong)
+        acc(j) += (h.toDouble / Long.MaxValue.toDouble)
+        j += 1
+      }
+    }
+    val norm = math.sqrt(acc.map(x => x * x).sum)
+    if (norm == 0.0) Array.fill(dim)(-1.0f)
+    else acc.map(x => (x / norm).toFloat)
+  }
+
+  override def process(model: String, inputs: Seq[String])
+      : EmbeddingResult = {
+    val dim = dimOf(model)
+    var tokens = 0L
+    val embs = inputs.map { in =>
+      tokens += Tokenizer.countTokens(if (in == null) "" else in)
+      embedOne(if (in == null) "" else in, dim)
+    }
+    EmbeddingResult(embs, tokens)
+  }
+}
+
+/** ONNX runtime surface (F1/F4-F6). The container has no onnxruntime
+  * native library and no network egress, so session construction is a
+  * clearly marked stub; the surrounding machinery — model registry,
+  * pooling math (Pooling), memory-capped batch sizing
+  * (maxBatchForMemory, the `ort_runtime.rs:362-442` formula), and the
+  * pipeline plumbing — is real and unit-tested.
+  */
+object OnnxEmbeddingRuntime extends EmbeddingRuntime {
+  override def name: String = "ort"
+  override def dimOf(model: String): Int = ModelRegistry(model).dim
+
+  /** Transformer memory formula `((4·R·N²·D²)+R·N·S·(S+2D))·8 ·1.2` →
+    * largest batch fitting `availableBytes`
+    * (`ort_runtime.rs:362-442`).
+    */
+  def maxBatchForMemory(availableBytes: Long, seqLen: Long, hidden: Long,
+      layers: Long = 12L): Long = {
+    def cost(r: Long): Double =
+      ((4.0 * r * seqLen * seqLen * hidden * hidden / hidden) // attention
+        + r.toDouble * layers * seqLen * (seqLen + 2.0 * hidden)) * 8.0 * 1.2
+    var r = 1L
+    while (cost(r + 1) <= availableBytes.toDouble) r += 1
+    r
+  }
+
+  override def process(model: String, inputs: Seq[String])
+      : EmbeddingResult =
+    throw new UnsupportedOperationException(
+      "ONNX session unavailable in this environment (no onnxruntime " +
+        "native lib, zero egress). Use runtime 'hash' for deterministic " +
+        "local embedding; pooling math is in graft.embed.Pooling.")
+}

@@ -1,0 +1,136 @@
+package graft.embed
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class EmbedSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hash embeddings are deterministic, unit-norm, token-sensitive") {
+    val a = HashEmbeddingRuntime.embedOne("hello world", 64)
+    val b = HashEmbeddingRuntime.embedOne("hello world", 64)
+    assert(a.toSeq === b.toSeq)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    val c = HashEmbeddingRuntime.embedOne("hello there", 64)
+    assert(a.toSeq !== c.toSeq)
+    // shared tokens → positive similarity vs unrelated text
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val d = HashEmbeddingRuntime.embedOne("zzz qqq vvv", 64)
+    assert(cos(a, c) > cos(a, d))
+  }
+
+  test("empty/whitespace text yields the failed sentinel [-1 x dim]") {
+    assert(HashEmbeddingRuntime.embedOne("", 8).toSeq ===
+      Seq.fill(8)(-1.0f))
+  }
+
+  test("process counts tokens with the BPE-ish regex") {
+    val r = HashEmbeddingRuntime.process("hash/bow-64",
+      Seq("Hello world!", "a b c"))
+    assert(r.embeddings.size === 2)
+    assert(r.processedTokens === 3L + 3L) // Hello, world, ! / a, b, c
+  }
+
+  test("Tokenizer.truncate respects token budget") {
+    val t = "one two three four five"
+    assert(Tokenizer.truncate(t, 3) === "one two three")
+    assert(Tokenizer.truncate(t, 99) === t)
+  }
+
+  test("groupByTokenBudget packs greedily") {
+    val groups = Tokenizer.groupByTokenBudget(
+      Seq("a b", "c d", "e f", "g"), budget = 4)
+    assert(groups === Seq(Seq("a b", "c d"), Seq("e f", "g")))
+  }
+
+  test("pooling: cls / mean-with-mask / splade on a hand-built tensor") {
+    // batch=1, seq=3, hidden=2
+    val out = Array(Array(
+      Array(1.0f, -2.0f), Array(3.0f, 4.0f), Array(100.0f, 100.0f)))
+    val mask = Array(Array(1, 1, 0)) // last position padded
+    assert(Pooling.cls(out).head.toSeq === Seq(1.0f, -2.0f))
+    assert(Pooling.meanWithMask(out, mask).head.toSeq === Seq(2.0f, 1.0f))
+    val sp = Pooling.spladeReluLogMax(out, mask).head
+    assert(math.abs(sp(0) - math.log1p(3.0)) < 1e-6) // max(relu) = 3
+    assert(math.abs(sp(1) - math.log1p(4.0)) < 1e-6)
+  }
+
+  test("embedColumn adds embeddings, skips unusable rows in place") {
+    val df = Seq(
+      (1L, "good text"),
+      (2L, ""),
+      (3L, "Error: Summary failed (llm)"),
+      (4L, "more good text")
+    ).toDF("id", "text")
+    val out = EmbeddingPipeline.embedColumn(df, "text", "emb",
+      "hash/bow-64", HashEmbeddingRuntime, batchSize = 2)
+    val rows = out.orderBy($"id").collect()
+    assert(rows.length === 4)
+    assert(!rows(0).isNullAt(2) && rows(0).getLong(3) === 2L)
+    assert(rows(1).isNullAt(2) && rows(1).getLong(3) === 0L)
+    assert(rows(2).isNullAt(2))
+    assert(!rows(3).isNullAt(2))
+  }
+
+  test("createEmbeddings mirrors the reference's e2e assertions") {
+    // FIXTURES.md §1: N rows, 0 null embeddings among usable, usage
+    val n = 200
+    val df = (0 until n).map(i => (i.toLong, s"Title $i")).toDF("id", "title")
+    val (out, usage) = EmbeddingPipeline.createEmbeddings(
+      spark, df, "id", "title", "emb", "hash/bow-64", HashEmbeddingRuntime)
+    assert(usage.processedRows === n)
+    assert(usage.processedTokens === 2L * n) // "Title", "<digits>"
+    assert(out.where($"emb".isNull).count() === 0)
+    assert(out.count() === n)
+  }
+
+  test("openai runtime: packs by token budget, parses response, retries") {
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    var failures = 2
+    val fake = new HttpTransport {
+      override def post(url: String, headers: Map[String, String],
+          body: String): String = {
+        if (failures > 0) { failures -= 1; throw new java.io.IOException("flaky") }
+        calls += body
+        val n = "\"".r.findAllIn(body).size // crude: count inputs
+        val inputs = body.split("\"input\":\\[")(1).count(_ == ',') + 1
+        (1 to inputs).map(i => s"""{"embedding":[0.1,0.2,0.$i]}""")
+          .mkString("""{"data":[""", ",", "]}")
+      }
+    }
+    val rt = new OpenAiEmbeddingRuntime(fake, maxTokens = 4)
+    val r = rt.process("openai/text-embedding-3-small",
+      Seq("a b", "c d", "e f"))
+    assert(r.embeddings.size === 3)
+    assert(r.embeddings.head.length === 3)
+    assert(calls.size === 2) // budget 4 → groups of 2 + 1
+  }
+
+  test("cohere runtime: fixed 96-input chunks") {
+    var calls = 0
+    val fake = new HttpTransport {
+      override def post(url: String, headers: Map[String, String],
+          body: String): String = {
+        calls += 1
+        val inputs = body.split("\"texts\":\\[")(1).count(_ == ',') + 1
+        (1 to inputs).map(_ => "[0.5,0.5]")
+          .mkString("""{"embeddings":[""", ",", "]}")
+      }
+    }
+    val rt = new CohereEmbeddingRuntime(fake)
+    val r = rt.process("cohere/embed-english-v3.0",
+      (1 to 200).map(i => s"t$i"))
+    assert(r.embeddings.size === 200)
+    assert(calls === 3) // ceil(200/96)
+  }
+
+  test("memory-capped batch formula is monotone in available memory") {
+    val small = OnnxEmbeddingRuntime.maxBatchForMemory(
+      64L << 20, seqLen = 128, hidden = 384)
+    val big = OnnxEmbeddingRuntime.maxBatchForMemory(
+      1L << 30, seqLen = 128, hidden = 384)
+    assert(small >= 1 && big > small)
+  }
+}
