@@ -19,7 +19,9 @@ object SparkEntry {
     (_root_.graft.queries.DocumentQueries.queries,
       _root_.graft.queries.DocumentQueries.oracleSql),
     (_root_.graft.queries.EmbedQueries.queries,
-      _root_.graft.queries.EmbedQueries.oracleSql)
+      _root_.graft.queries.EmbedQueries.oracleSql),
+    (_root_.graft.queries.PqQueries.queries,
+      _root_.graft.queries.PqQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

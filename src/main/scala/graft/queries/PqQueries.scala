@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+import graft.operators.ProductQuantizer
+
+/** Product-quantization coverage (SURVEY §2.10 Q1-Q9).
+  *
+  * `q_pq_assign_fixed` pins the codebook to a deterministic non-fitted
+  * construction (slices of the first 16 vectors) so the argmin
+  * assignment operator itself is DuckDB-oracle-checkable; the fitted
+  * k-means queries are rows-only (no k-means in the oracle engine) and
+  * their invariants live in PqSpec.
+  */
+object PqQueries {
+  private implicit class ColName(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+  import OracleFrag.dkL2sq
+
+  private val Splits = 8
+  private val FixedCentroids = 16
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Codebook from the first FixedCentroids vectors' slices. */
+  private def fixedCodebook(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val sub = dim / Splits
+    val splitCols = (0 until Splits).map(sp =>
+      struct(lit(sp).as("subvector_id"), $"vec_id".cast("int").as("centroid_id"),
+        slice($"embedding", sp * sub + 1, sub).as("c")))
+    emb(s, dir).where($"vec_id" < FixedCentroids)
+      .select(explode(array(splitCols: _*)).as("r"))
+      .select($"r.subvector_id", $"r.centroid_id", $"r.c")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q7 argmin assignment against the fixed codebook (oracle-checked).
+    "q_pq_assign_fixed" -> ((s, dir) =>
+      ProductQuantizer.quantizeColumn(
+        emb(s, dir).select($"vec_id", $"embedding"),
+        "embedding", "codes", fixedCodebook(s, dir))
+        .select($"vec_id", $"codes".cast("array<int>").as("codes"))
+        .orderBy($"vec_id")),
+
+    // Q5 fitted codebook (rows-only; shape checked in PqSpec too).
+    "q_pq_codebook" -> ((s, dir) =>
+      ProductQuantizer.fitCodebook(emb(s, dir), "vec_id", "embedding",
+        clusters = 16, splits = Splits, maxIter = 10)
+        .orderBy($"subvector_id", $"centroid_id")),
+
+    // Q7/Q8 full pipeline: fit → quantize (rows-only).
+    "q_pq_quantize" -> ((s, dir) => {
+      val e = emb(s, dir).select($"vec_id", $"embedding")
+      val cb = ProductQuantizer.fitCodebook(e, "vec_id", "embedding",
+        clusters = 16, splits = Splits, maxIter = 10)
+      ProductQuantizer.quantizeColumn(e, "embedding", "v_pq", cb)
+        .select($"vec_id", $"v_pq")
+        .orderBy($"vec_id")
+    }),
+
+    // Reconstruction quality summary (rows-only single row).
+    "q_pq_reconstruction" -> ((s, dir) => {
+      val e = emb(s, dir).select($"vec_id", $"embedding")
+      val cb = ProductQuantizer.fitCodebook(e, "vec_id", "embedding",
+        clusters = 16, splits = Splits, maxIter = 10)
+      val q = ProductQuantizer.quantizeColumn(e, "embedding", "v_pq", cb)
+      val d = ProductQuantizer.dequantizeColumn(q, "v_pq", "v_hat", cb)
+      d.agg(
+        count(lit(1)).as("n"),
+        round(avg(V.l2sq_dist($"embedding", $"v_hat")), 3).as("avg_mse"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = {
+    val sub = 8
+    val svA = "a_sv"
+    val svB = "b_c"
+    Map(
+      "q_pq_assign_fixed" ->
+        s"""WITH sp AS (SELECT unnest(range(0, $Splits)) AS split_id),
+           |cb AS (
+           |  SELECT sp.split_id, CAST(vec_id AS INT) AS centroid_id,
+           |         embedding[sp.split_id*$sub+1 : sp.split_id*$sub+$sub] AS $svB
+           |  FROM embeddings, sp WHERE vec_id < $FixedCentroids),
+           |sub AS (
+           |  SELECT e.vec_id, sp.split_id,
+           |         embedding[sp.split_id*$sub+1 : sp.split_id*$sub+$sub] AS $svA
+           |  FROM embeddings e, sp),
+           |scored AS (
+           |  SELECT sub.vec_id, sub.split_id, cb.centroid_id,
+           |    row_number() OVER (PARTITION BY sub.vec_id, sub.split_id
+           |      ORDER BY ${dkL2sq(svA, svB)}, cb.centroid_id) AS rn
+           |  FROM sub JOIN cb ON sub.split_id = cb.split_id)
+           |SELECT vec_id,
+           |  list(CAST(centroid_id AS INT) ORDER BY split_id) AS codes
+           |FROM scored WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    )
+  }
+}
