@@ -74,6 +74,17 @@ object DocumentQueries {
       Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
         .orderBy($"i", $"j")),
 
+    // Multimodal plumbing: binary payloads (text bytes stand in for
+    // media here) → batched feature extraction with the stub decoder.
+    "q_multimodal_features" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("media"))
+      graft.multimodal.Multimodal
+        .mediaFeatures(d, "media", "feat", dim = 16)
+        .select($"doc_id", $"feat")
+        .orderBy($"doc_id")
+    }),
+
     // Exact embedding-cosine near-dup pairs.
     "q_embdup_cos" -> ((s, dir) =>
       Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"),
