@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index-autotune analog (SURVEY §2.11 X4-X9,
+  * `lantern_cli/src/index_autotune/`). Spark has no online HNSW (north
+  * star: online ANN is out of scope), so each grid variant measures the
+  * EXACT top-k path — recall against brute-force ground truth (always
+  * 100), per-variant wall latency, and "build time" (ground-truth
+  * materialization). The reference's grid, early-stop, and
+  * best-variant selection logic are preserved so a future ANN backend
+  * slots straight in.
+  */
+object Autotune {
+
+  /** The published tuning grid (`index_autotune/mod.rs:329-360`). */
+  case class Variant(m: Int, efConstruction: Int, ef: Int)
+  val grid: Seq[Variant] = Seq(
+    Variant(6, 32, 64), Variant(8, 40, 64), Variant(12, 48, 64),
+    Variant(16, 60, 76), Variant(32, 96, 96), Variant(48, 128, 128))
+
+  case class Result(experimentId: Int, m: Int, efConstruction: Int,
+      ef: Int, recall: Double, latencyMs: Double, buildTimeMs: Double)
+
+  /** X4-X7: sample corpus, 10 query points, k-NN recall/latency per
+    * variant; early stop at recall >= 99.9 (`mod.rs:476-478`).
+    */
+  def run(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+      sampleN: Int = 10000, nQueries: Int = 10,
+      metric: String = "l2sq", targetRecall: Double = 99.9)
+      : Seq[Result] = {
+    val corpus = df.select(col(idCol), col(vecCol)).limit(sampleN).cache()
+    try {
+      // deterministic "random" query points: hash-ranked sample (X5)
+      val queries = corpus
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nQueries).cache()
+      val t0 = System.nanoTime()
+      val truth = Knn.topK(corpus, queries, idCol, vecCol, k, metric)
+        .cache()
+      truth.count()
+      val buildMs = (System.nanoTime() - t0) / 1e6
+
+      val results = Seq.newBuilder[Result]
+      var stopped = false
+      grid.zipWithIndex.foreach { case (v, i) =>
+        if (!stopped) {
+          val t1 = System.nanoTime()
+          val res = Knn.topK(corpus, queries, idCol, vecCol, k, metric)
+          val recall = Knn.recall(truth, res, k)
+            .agg(avg(col("recall"))).head().getDouble(0) * 100.0
+          val latency = (System.nanoTime() - t1) / 1e6 / nQueries
+          results += Result(i, v.m, v.efConstruction, v.ef, recall,
+            latency, buildMs)
+          if (recall >= targetRecall) stopped = true // mod.rs:476-478
+        }
+      }
+      results.result()
+    } finally corpus.unpersist()
+  }
+
+  /** X8: pick min-latency among variants meeting the target recall;
+    * fall back to max recall (`index_autotune/mod.rs:162-187`).
+    */
+  def bestVariant(results: Seq[Result], targetRecall: Double = 99.9)
+      : Result = {
+    val ok = results.filter(_.recall >= targetRecall)
+    if (ok.nonEmpty) ok.minBy(r => (r.latencyMs, r.buildTimeMs))
+    else results.maxBy(_.recall)
+  }
+
+  /** X9: persist results in the reference's autotune_results schema
+    * (`daemon/autotune_jobs.rs:47-56`).
+    */
+  def toDF(spark: SparkSession, results: Seq[Result]): DataFrame = {
+    import spark.implicits._
+    results.toDF()
+      .select(col("experimentId").as("experiment_id"), col("m"),
+        col("efConstruction").as("efc"), col("ef"),
+        round(col("recall"), 1).as("recall"),
+        col("latencyMs").as("latency"),
+        col("buildTimeMs").as("build_time"))
+  }
+}

@@ -41,35 +41,60 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs (i < j, jac >= tau).
-    * Plan: explode shingles → self equi-join on shingle (shuffle by
-    * shingle) → pair counts → Jaccard. `maxShingleFreq` drops shingles
-    * occurring in more than that many docs — the standard skew guard at
-    * scale (hot shingles generate O(f²) candidate pairs and contribute
-    * only to pairs that share many other shingles anyway).
+    *
+    * Scale design — PPJoin-style prefix filtering (Xiao et al. 2008,
+    * "Efficient Similarity Joins for Near Duplicate Detection"): order
+    * each doc's shingles by ascending global document frequency; a pair
+    * with jac >= tau MUST share at least one shingle among each doc's
+    * first (n - ceil(tau*n) + 1) rarest shingles, so the candidate join
+    * runs only on those prefixes (rare shingles → tiny join fan-out,
+    * no hot-key explosion), and candidates are verified exactly via
+    * array intersection. Output is identical to the naive self-join —
+    * no false negatives — at a fraction of the shuffle.
+    *
+    * `maxShingleFreq` additionally drops shingles above a document
+    * frequency cap BEFORE pairing (approximation for adversarial
+    * corpora; None = exact).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingleSets(df, idCol, textCol, n)
-      .select(col("id"), explode(col("shingles")).as("g"))
-    val sh = maxShingleFreq match {
-      case Some(cap) =>
-        val hot = sh0.groupBy(col("g")).agg(count(lit(1)).as("df_g"))
-          .where(col("df_g") > cap).select(col("g"))
-        sh0.join(hot, Seq("g"), "left_anti")
-      case None => sh0
-    }
-    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    pairs
-      .join(cnt.select(col("id").as("i"), col("n_sh").as("na")), "i")
-      .join(cnt.select(col("id").as("j"), col("n_sh").as("nb")), "j")
-      .select(col("i"), col("j"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .as("jac"))
+    val sets0 = shingleSets(df, idCol, textCol, n)
+    val exploded0 = sets0.select(col("id"), explode(col("shingles")).as("g"))
+    // global document frequency per shingle (+ optional hot-shingle cap)
+    val dfreq0 = exploded0.groupBy(col("g"))
+      .agg(count(lit(1)).as("df_g"))
+    val dfreq = maxShingleFreq.fold(dfreq0)(cap =>
+      dfreq0.where(col("df_g") <= cap))
+    val exploded = exploded0.join(dfreq, "g")
+    // per doc: shingles ordered rare-first; keep the filtering prefix
+    // persisted: referenced by the prefix self-join AND verification,
+    // which would otherwise recompute the whole shingle pipeline 4x
+    val ordered = exploded
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df_g"), col("g"))))
+        .as("ordered"))
+      .select(col("id"), col("ordered.g").as("shingles"),
+        size(col("ordered")).as("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = ordered.select(col("id"), col("n_sh"),
+      slice(col("shingles"), lit(1),
+        (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int"))
+        .as("prefix"))
+      .select(col("id"), col("n_sh"), explode(col("prefix")).as("g"))
+    // length filter: jac >= tau requires tau*na <= nb <= na/tau
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("b.n_sh") >= lit(tau) * col("a.n_sh") &&
+          col("a.n_sh") >= lit(tau) * col("b.n_sh"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    // exact verification on candidates only
+    val sets = ordered.select(col("id"), col("shingles"))
+    cands
+      .join(sets.select(col("id").as("i"), col("shingles").as("sa")), "i")
+      .join(sets.select(col("id").as("j"), col("shingles").as("sb")), "j")
+      .select(col("i"), col("j"), jaccard(col("sa"), col("sb")).as("jac"))
       .where(col("jac") >= tau)
   }
 
@@ -85,6 +110,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(col("id"), col("shingles"),
       T.minhash_signature(col("shingles"), numHashes, seed).as("sig"))
     // band key = hash of the band's slice of the signature
@@ -92,6 +118,7 @@ object Dedup {
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * r + 1, r)).as("bkey"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
@@ -133,8 +160,9 @@ object Dedup {
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
-    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cached.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = cached.select(col(idCol).as("j"), col(vecCol).as("vb"))
     a.join(b, col("i") < col("j"))
       .select(col("i"), col("j"), V.cos_dist(col("va"), col("vb")).as("cd"))
       .where(col("cd") <= tau)
@@ -148,6 +176,7 @@ object Dedup {
       tau: Double, numBits: Int = 12, probes: Int = 4,
       seed: Long = 42L): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = base.select(col("id"), col("v"),
       explode(array((0 until probes).map(p =>
         struct(lit(p).as("probe"),

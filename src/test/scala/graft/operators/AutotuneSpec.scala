@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class AutotuneSpec extends SparkSuite {
+
+  test("exact search recalls 100 and early-stops at the first variant") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val rs = Autotune.run(emb, "vec_id", "embedding", k = 5,
+      sampleN = 200, nQueries = 5)
+    assert(rs.size === 1) // early stop at recall >= 99.9
+    assert(rs.head.recall === 100.0)
+    assert(rs.head.m === 6 && rs.head.efConstruction === 32)
+  }
+
+  test("bestVariant: min latency among passing, else max recall") {
+    val rs = Seq(
+      Autotune.Result(0, 6, 32, 64, 100.0, 5.0, 1.0),
+      Autotune.Result(1, 8, 40, 64, 100.0, 3.0, 1.0),
+      Autotune.Result(2, 12, 48, 64, 98.0, 1.0, 1.0))
+    assert(Autotune.bestVariant(rs).experimentId === 1)
+    val low = rs.map(r => r.copy(recall = r.recall - 50))
+    assert(Autotune.bestVariant(low).experimentId === 0) // max recall
+  }
+
+  test("results DF matches the reference autotune_results schema") {
+    val df = Autotune.toDF(spark,
+      Seq(Autotune.Result(0, 6, 32, 64, 100.0, 1.0, 2.0)))
+    assert(df.columns.toSeq ===
+      Seq("experiment_id", "m", "efc", "ef", "recall", "latency",
+        "build_time"))
+    assert(df.head().getDouble(4) === 100.0)
+  }
+}
