@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the scale
+  * path for similarity search over embedding columns (brute-force
+  * `Knn.topK` is the exact baseline; SURVEY §7.1 extensions).
+  *
+  * Standard IVF construction (Jégou et al. 2011, "Product Quantization
+  * for Nearest Neighbor Search"): k-means coarse centroids partition
+  * the corpus into cells; a query probes only the `nprobe` nearest
+  * cells. In Spark terms: the corpus is bucketed by `cell_id` once at
+  * build time; search joins the (tiny, broadcast) query→cell
+  * assignments against only the probed cells, so scan volume per query
+  * is ~nprobe/nCells of the corpus — at 1000 executors the probe join
+  * prunes partitions instead of touching 100 TB.
+  *
+  * Optionally combine with PQ codes (IVF-PQ): `searchAdc` scores
+  * candidates with asymmetric-distance lookup tables over u8 codes
+  * instead of raw vectors — 64x less data motion for 64-dim floats.
+  */
+object IvfIndex {
+
+  case class Model(centroids: Array[Array[Float]], assigned: DataFrame,
+      idCol: String, vecCol: String)
+
+  /** Build: coarse k-means (reusing the PQ Lloyd with splits=1), then
+    * assign every row to its nearest cell and bucket by cell.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      maxIter: Int = 10, seed: Long = 42L): Model = {
+    val cb = ProductQuantizer.fitCodebook(df, idCol, vecCol,
+      clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
+    val local = ProductQuantizer.localize(cb)(0)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(local)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val assigned = df
+      .withColumn("cell_id", cellU(col(vecCol)))
+      .repartition(col("cell_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Model(local, assigned, idCol, vecCol)
+  }
+
+  /** Cells each query must probe: the nprobe nearest centroids. Small
+    * (|queries| x nprobe rows) → broadcast into the candidate join.
+    */
+  private def probeCells(model: Model, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val probesU = udf((v: Seq[Float]) => {
+      val q = v.toArray
+      bc.value.zipWithIndex
+        .map { case (c, i) =>
+          var acc = 0.0; var d = 0
+          while (d < q.length) {
+            val x = q(d).toDouble - c(d); acc += x * x; d += 1
+          }
+          (acc, i)
+        }
+        .sortBy(identity).take(nprobe).map(_._2)
+    })
+    queries.select(col(model.idCol).cast("long").as("qid"),
+        col(model.vecCol).as("qvec"),
+        explode(probesU(col(model.vecCol))).as("cell_id"))
+  }
+
+  /** ANN top-k: probe nprobe cells, exact distances within candidates,
+    * bounded top-k aggregation. Same output shape as `Knn.topK`.
+    */
+  def search(model: Model, queries: DataFrame, k: Int, nprobe: Int,
+      metric: String = "l2sq"): DataFrame = {
+    val probes = broadcast(probeCells(model, queries, nprobe))
+    val corpus = model.assigned.select(col("cell_id"),
+      col(model.idCol).cast("long").as("nid"),
+      col(model.vecCol).as("cvec"))
+    val scored = corpus.join(probes, "cell_id")
+      .select(col("qid"), col("nid"),
+        Knn.distance(metric)(col("cvec"), col("qvec")).as("dist"))
+    scored.groupBy(col("qid"))
+      .agg(Knn.topk_by_score(col("dist"), col("nid"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("qid"), col("nn.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
+  }
+
+  /** IVF-PQ: score candidates by asymmetric distance (ADC) over PQ
+    * codes. Per query, a lookup table LUT[split][code] =
+    * l2sq(query_subvector, centroid) is built from the (broadcast)
+    * codebook; candidate distance is a table-sum over its u8 codes —
+    * no float vectors move through the probe join.
+    *
+    * @param quantized corpus with `pqCol` ARRAY<TINYINT> (from
+    *   `ProductQuantizer.quantizeColumn`) and cell assignments
+    *   (`build` the model over the SAME vectors first).
+    */
+  def searchAdc(model: Model, quantized: DataFrame, pqCol: String,
+      codebook: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = ProductQuantizer.localize(codebook)
+    val cbBc = spark.sparkContext.broadcast(cb)
+    val subdims = cb.map(_.head.length)
+    val starts = subdims.scanLeft(0)(_ + _)
+    val lutU = udf((q: Seq[Float]) => {
+      val qa = q.toArray
+      val book = cbBc.value
+      book.indices.map { s =>
+        val lo = starts(s)
+        book(s).map { c =>
+          var acc = 0.0; var d = 0
+          while (d < c.length) {
+            val x = qa(lo + d).toDouble - c(d); acc += x * x; d += 1
+          }
+          acc
+        }.toSeq
+      }.toSeq
+    })
+    val probes = broadcast(
+      probeCells(model, queries, nprobe)
+        .withColumn("lut", lutU(col("qvec")))
+        .drop("qvec"))
+    val corpus = quantized.select(col("cell_id"),
+      col(model.idCol).cast("long").as("nid"), col(pqCol).as("codes"))
+    val adcU = udf((lut: Seq[Seq[Double]], codes: Seq[Byte]) => {
+      var acc = 0.0; var s = 0
+      while (s < codes.length) { acc += lut(s)(codes(s) & 0xff); s += 1 }
+      acc
+    })
+    val scored = corpus.join(probes, "cell_id")
+      .select(col("qid"), col("nid"),
+        adcU(col("lut"), col("codes")).as("dist"))
+    scored.groupBy(col("qid"))
+      .agg(Knn.topk_by_score(col("dist"), col("nid"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("qid"), col("nn.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
+  }
+}

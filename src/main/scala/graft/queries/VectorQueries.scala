@@ -58,6 +58,31 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF ANN with full probing — must reproduce exact kNN, so it
+    // shares the exact oracle (the scale path degrades gracefully).
+    "q_ivf_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val model = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nCells = 16, maxIter = 5)
+      graft.operators.IvfIndex.search(model, queries, k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // IVF partial probing: recall vs exact per query (rows-only —
+    // deterministic but depends on the seeded k-means cells).
+    "q_ivf_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val model = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nCells = 16, maxIter = 5)
+      val truth = Knn.topK(emb, queries, "vec_id", "embedding", 10)
+      val approx = graft.operators.IvfIndex
+        .search(model, queries, k = 10, nprobe = 4)
+      Knn.recall(truth, approx, 10).orderBy($"qid")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -68,7 +93,20 @@ object VectorQueries {
     })
   )
 
+  private lazy val knnOracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.embedding", "q.qe")} AS d
+       |  FROM embeddings c, q),
+       |ranked AS (
+       |  SELECT qid, nid, d,
+       |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+       |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_ivf_knn" -> knnOracle,
     "q_vec_norm" ->
       s"""SELECT vec_id, round(sqrt(${dkNormSq("embedding")}), 4) AS nrm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
@@ -81,17 +119,7 @@ object VectorQueries {
          | round(${dkCos("e.embedding", "a.anchor")}, 4) AS cos,
          | round(${dkDot("e.embedding", "a.anchor")}, 4) AS dot
          |FROM embeddings e, a ORDER BY e.vec_id""".stripMargin,
-    "q_knn" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.embedding", "q.qe")} AS d
-         |  FROM embeddings c, q),
-         |ranked AS (
-         |  SELECT qid, nid, d,
-         |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
-         |  FROM scored)
-         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
-         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_knn" -> knnOracle,
     "q_knn_recall" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |l2 AS (

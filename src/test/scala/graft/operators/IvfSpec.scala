@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val queries = emb.where($"vec_id" < 10)
+  private lazy val model = IvfIndex.build(emb, "vec_id", "embedding",
+    nCells = 16, maxIter = 5)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
+
+  test("probing ALL cells reproduces exact kNN") {
+    val exact = pairs(Knn.topK(emb, queries, "vec_id", "embedding", 10))
+    val full = pairs(IvfIndex.search(model, queries, k = 10, nprobe = 16))
+    assert(full === exact)
+  }
+
+  test("partial probing keeps high recall at a fraction of the scan") {
+    val exact = pairs(Knn.topK(emb, queries, "vec_id", "embedding", 10))
+    val ivf = pairs(IvfIndex.search(model, queries, k = 10, nprobe = 4))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(ivf.subsetOf(exact) || recall > 0.5) // sane approximation
+    assert(recall >= 0.5, s"recall $recall too low")
+    // self is in its own cell → always found
+    val self = IvfIndex.search(model, queries, 1, 1)
+      .where($"rank" === 1).select($"qid", $"nid")
+      .as[(Long, Long)].collect()
+    assert(self.forall { case (q, n) => q == n })
+  }
+
+  test("IVF-PQ ADC search approximates exact ranking") {
+    val cb = ProductQuantizer.fitCodebook(emb, "vec_id", "embedding",
+      clusters = 32, splits = 8, maxIter = 10)
+    val quantized = ProductQuantizer.quantizeColumn(
+      model.assigned, "embedding", "codes", cb)
+    val adc = pairs(IvfIndex.searchAdc(model, quantized, "codes", cb,
+      queries, k = 10, nprobe = 16))
+    val exact = pairs(Knn.topK(emb, queries, "vec_id", "embedding", 10))
+    val overlap = (adc & exact).size.toDouble / exact.size
+    assert(overlap >= 0.3, s"ADC overlap $overlap implausibly low")
+    // ADC distances are reconstructions: top-1 should still be self
+    // for most queries (quantization error is symmetric)
+    val top1 = IvfIndex.searchAdc(model, quantized, "codes", cb,
+      queries, 1, 16).select($"qid", $"nid").as[(Long, Long)].collect()
+    assert(top1.count { case (q, n) => q == n } >= 5)
+  }
+}
