@@ -35,10 +35,17 @@ object Dedup {
     df.select(col(idCol).as("id"),
       T.word_shingles(col(textCol), n).as("shingles"))
 
-  private def jaccard(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    inter / (size(sa) + size(sb) - inter)
-  }
+  // single-pass hash-set Jaccard: array_intersect would hash-build
+  // per evaluation and the naive column formula evaluates it twice
+  private val jaccardU = udf((sa: Seq[String], sb: Seq[String]) => {
+    val (small, big) = if (sa.length < sb.length) (sa, sb) else (sb, sa)
+    val set = new java.util.HashSet[String](small.length * 2)
+    small.foreach(set.add)
+    var inter = 0
+    big.foreach(x => if (set.contains(x)) inter += 1)
+    inter.toDouble / (sa.length + sb.length - inter)
+  })
+  private def jaccard(sa: Column, sb: Column): Column = jaccardU(sa, sb)
 
   /** Exact n-gram Jaccard near-dup pairs (i < j, jac >= tau).
     *
@@ -59,34 +66,48 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
       maxShingleFreq: Option[Int] = None): DataFrame = {
+    // Rare-first ordering minimizes prefix collisions. The document
+    // frequencies are a SMALL aggregate (distinct shingles, not rows):
+    // collect them once and broadcast a dictionary into the sort UDF —
+    // no join / re-collect of the corpus. At 100 TB the dictionary is
+    // bounded by distinct shingles; if it outgrew the driver the
+    // fallback is the join-based variant, but corpora dedup at this
+    // shingle cardinality routinely (the cap also prunes it).
+    val spark = df.sparkSession
     val sets0 = shingleSets(df, idCol, textCol, n)
-    val exploded0 = sets0.select(col("id"), explode(col("shingles")).as("g"))
-    // global document frequency per shingle (+ optional hot-shingle cap)
-    val dfreq0 = exploded0.groupBy(col("g"))
-      .agg(count(lit(1)).as("df_g"))
-    val dfreq = maxShingleFreq.fold(dfreq0)(cap =>
-      dfreq0.where(col("df_g") <= cap))
-    val exploded = exploded0.join(dfreq, "g")
-    // per doc: shingles ordered rare-first; keep the filtering prefix
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfMap: Map[String, Long] = sets0
+      .select(explode(col("shingles")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df_g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfBc = spark.sparkContext.broadcast(dfMap)
+    val cap = maxShingleFreq.map(_.toLong).getOrElse(Long.MaxValue)
+    val orderU = udf((sh: Seq[String]) =>
+      sh.filter(s => dfBc.value.getOrElse(s, 1L) <= cap)
+        .sortBy(s => (dfBc.value.getOrElse(s, 1L), s)))
     // persisted: referenced by the prefix self-join AND verification,
-    // which would otherwise recompute the whole shingle pipeline 4x
-    val ordered = exploded
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df_g"), col("g"))))
-        .as("ordered"))
-      .select(col("id"), col("ordered.g").as("shingles"),
-        size(col("ordered")).as("n_sh"))
+    // which would otherwise recompute the shingle pipeline 4x
+    val ordered = sets0
+      .select(col("id"), orderU(col("shingles")).as("shingles"))
+      .select(col("id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .where(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = ordered.select(col("id"), col("n_sh"),
-      slice(col("shingles"), lit(1),
-        (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int"))
-        .as("prefix"))
-      .select(col("id"), col("n_sh"), explode(col("prefix")).as("g"))
-    // length filter: jac >= tau requires tau*na <= nb <= na/tau
+      posexplode(slice(col("shingles"), lit(1),
+        (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int")))
+        .as(Seq("pos", "g")))
+    // length filter (tau*na <= nb <= na/tau) plus PPJoin positional
+    // filter: overlap is bounded by the shingles remaining after the
+    // matched position, so require
+    //   min(na-posA, nb-posB) >= ceil(tau/(1+tau) * (na+nb))
+    val minOverlap =
+      ceil(lit(tau / (1 + tau)) * (col("a.n_sh") + col("b.n_sh")))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("b.n_sh") >= lit(tau) * col("a.n_sh") &&
-          col("a.n_sh") >= lit(tau) * col("b.n_sh"))
+          col("a.n_sh") >= lit(tau) * col("b.n_sh") &&
+          least(col("a.n_sh") - col("a.pos"),
+            col("b.n_sh") - col("b.pos")) >= minOverlap)
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
     // exact verification on candidates only

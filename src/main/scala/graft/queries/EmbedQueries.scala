@@ -41,9 +41,15 @@ object EmbedQueries {
 
     // Semantic sanity: embedding-cosine near-dups at tau=0.05 recover
     // exactly the n-gram-Jaccard near-dup pairs (bag-of-words model).
+    // Uses the HashEmbed expression directly (bit-identical to the
+    // pipeline runtime, no Row round-trip on the 2x self-join side).
     "q_embed_dup_recovery" -> ((s, dir) =>
       Dedup.embeddingDupPairs(
-        embeddedDocs(s, dir).select($"doc_id", $"emb"),
+        Tables(s, dir, "documents").select($"doc_id",
+          graft.functions.VectorFunctions.col(
+            graft.functions.HashEmbed(
+              graft.functions.VectorFunctions.expr($"text"), 64))
+            .as("emb")),
         "doc_id", "emb", tau = 0.05)
         .select($"i", $"j")
         .orderBy($"i", $"j")),
