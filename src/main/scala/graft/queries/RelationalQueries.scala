@@ -178,6 +178,19 @@ object RelationalQueries {
         .select($"l_orderkey", $"l_linenumber", $"l_quantity")
         .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")),
 
+    // Gap-based sessionization (flatMapGroupsWithState operator run in
+    // batch mode); totals omitted so output is float-order independent.
+    "q_sessionize" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+        .select($"user_id", $"ts", $"event_type", $"value")
+        .as(org.apache.spark.sql.Encoders.product[
+          graft.streaming.EventStreams.Event])
+      graft.streaming.EventStreams.sessionize(events, gapMs = 3600 * 1000)
+        .toDF()
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .orderBy($"user_id", $"session_start")
+    }),
+
     // D4-analog batch view: arrival-hour micro-batch aggregation.
     "q_hourly_batches" -> ((s, dir) =>
       t(s, dir, "events")
@@ -258,6 +271,22 @@ object RelationalQueries {
     "q_sample_mod" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey % 37 = 0 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 1 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_hourly_batches" ->
       """SELECT date_trunc('hour', ts) AS batch_hour, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm

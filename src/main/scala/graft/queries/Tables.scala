@@ -16,7 +16,9 @@ object Tables {
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer div: col/1000 would be double division and round the
+        // odd microsecond differently than DuckDB's ns truncation
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {
       s.read.parquet(s"$dir/$name.parquet")
     }

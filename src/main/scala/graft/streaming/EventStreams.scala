@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the events-shaped table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference daemon only does arrival-time micro-batching (SURVEY
+  * §2.9: "no watermarks / event-time windows"); a training-data
+  * pipeline needs real event-time semantics, so these are part of the
+  * beyond-reference surface: watermarked tumbling windows (late data
+  * dropped deterministically) and gap-based sessionization with
+  * explicit state (KeyValueGroupedDataset.flatMapGroupsWithState).
+  * Both operate identically on batch DataFrames (windowedCounts is
+  * oracle-checkable via q_hourly_batches' shape).
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts/sums with a watermark; in
+    * streaming mode emits only finalized windows (append mode).
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sm"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sm"))
+
+  case class Event(user_id: Long, ts: Instant, event_type: String,
+      value: Double)
+  case class Session(user_id: Long, session_start: Instant,
+      session_end: Instant, n_events: Long, total_value: Double)
+
+  /** Microsecond epoch — java.sql.Timestamp.getTime would truncate to
+    * milliseconds and lose parquet's microsecond precision.
+    */
+  private def micros(i: Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def fromMicros(us: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+
+  private case class SessionState(start: Long, end: Long, n: Long,
+      total: Double)
+
+  /** Gap-based sessionization: consecutive events of a user belong to
+    * one session while gaps stay under `gapMs`. Works on a streaming
+    * Dataset (event-time timeout closes sessions at watermark) AND on
+    * batch input (all sessions emitted at once).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          // batch semantics: fold the user's events in time order,
+          // emitting a session whenever the gap exceeds gapMs
+          val sorted = it.toSeq.sortBy(e => micros(e.ts))
+          val out = Seq.newBuilder[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(s) if t - s.end <= gapMs * 1000L =>
+                cur = Some(s.copy(end = t, n = s.n + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                out += Session(userId, fromMicros(s.start),
+                  fromMicros(s.end), s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            out += Session(userId, fromMicros(s.start),
+              fromMicros(s.end), s.n, s.total)
+          }
+          state.remove()
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class EventStreamsSpec extends SparkSuite {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+  private def tsi(min: Int): java.time.Instant = ts(min).toInstant
+
+  test("windowedCounts over a memory stream emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+      (ts(11), "click", 4.0), (ts(25), "view", 8.0))
+    q.processAllAvailable()
+    // watermark now at 00:20 → the 00:00 window is finalized
+    mem.addData((ts(40), "view", 16.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select($"window_start", $"event_type", $"n", $"sm")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows.contains((ts(0), "click", 2L, 3.0)))
+    assert(rows.contains((ts(10), "click", 1L, 4.0)))
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    mem.addData((ts(1), "click", 1.0), (ts(30), "click", 1.0))
+    q.processAllAvailable()
+    // ts(2) is far behind the 00:25 watermark → dropped
+    mem.addData((ts(2), "click", 99.0), (ts(45), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("late_out")
+      .where($"window_start" === ts(0)).select($"n").as[Long].collect()
+    assert(w0.toSeq === Seq(1L)) // late row did not reopen the window
+  }
+
+  test("sessionize groups events by gap per user (batch)") {
+    val events = Seq(
+      Event(1L, tsi(0), "a", 1.0), Event(1L, tsi(2), "a", 2.0),
+      Event(1L, tsi(20), "a", 4.0), // > 10 min gap → new session
+      Event(2L, tsi(5), "b", 8.0)
+    ).toDS()
+    val sessions = EventStreams.sessionize(events, gapMs = 10 * 60 * 1000)
+      .collect().sortBy(s => (s.user_id, s.session_start.toEpochMilli))
+    assert(sessions.length === 3)
+    assert(sessions(0) === Session(1L, tsi(0), tsi(2), 2, 3.0))
+    assert(sessions(1) === Session(1L, tsi(20), tsi(20), 1, 4.0))
+    assert(sessions(2) === Session(2L, tsi(5), tsi(5), 1, 8.0))
+  }
+
+  test("sessionize over the real events table produces sane sessions") {
+    val events = graft.queries.Tables(spark, sf0001, "events")
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .as[Event]
+    val sessions = EventStreams.sessionize(events, gapMs = 3600 * 1000)
+    val n = sessions.count()
+    val users = events.select($"user_id").distinct().count()
+    assert(n >= users) // at least one session per active user
+    val agg = sessions.agg(sum($"n_events")).as[Long].head()
+    assert(agg === events.count()) // every event lands in one session
+  }
+}
