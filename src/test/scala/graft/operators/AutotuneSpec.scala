@@ -23,6 +23,20 @@ class AutotuneSpec extends SparkSuite {
     assert(Autotune.bestVariant(low).experimentId === 0) // max recall
   }
 
+  test("IndexParams validation mirrors the reference ranges (F9)") {
+    IndexParams().validate()
+    IndexParams(m = 2, efConstruction = 400, ef = 1, dim = 2000).validate()
+    intercept[IllegalArgumentException] { IndexParams(m = 1).validate() }
+    intercept[IllegalArgumentException] { IndexParams(m = 129).validate() }
+    intercept[IllegalArgumentException] {
+      IndexParams(efConstruction = 401).validate()
+    }
+    intercept[IllegalArgumentException] { IndexParams(dim = 2001).validate() }
+    intercept[IllegalArgumentException] {
+      IndexParams(metric = "ip").validate()
+    }
+  }
+
   test("results DF matches the reference autotune_results schema") {
     val df = Autotune.toDF(spark,
       Seq(Autotune.Result(0, 6, 32, 64, 100.0, 1.0, 2.0)))

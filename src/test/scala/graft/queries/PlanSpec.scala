@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSuite
+import graft.SparkEntry
+
+/** Guards the plan shapes the engine is designed around: filters and
+  * projections reaching the parquet scan, small dims broadcast, partial
+  * (map-side) aggregation before exchanges, TakeOrderedAndProject for
+  * global top-k. A regression here is a scale regression even when
+  * results stay correct.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+    assert(p.contains("GreaterThan(o_totalprice,50000.0)"))
+    // only the 3 needed columns are read
+    assert(p.contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"))
+  }
+
+  test("star join broadcasts all three dimension tables") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("semi join is a broadcast left-semi") {
+    val p = plan("q_semi_join")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("Broadcast"))
+  }
+
+  test("pricing summary does map-side partial aggregation") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("partial_"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject") {
+    val p = plan("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("kNN aggregates partially before the shuffle, queries broadcast") {
+    val p = plan("q_knn")
+    assert(p.contains("partial_topk_by_score") ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("projection-only query reads only projected columns") {
+    val p = plan("q_projection_cast")
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int>"))
+  }
+}
