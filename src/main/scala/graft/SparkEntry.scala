@@ -24,10 +24,14 @@ object SparkEntry {
       _root_.graft.queries.PqQueries.oracleSql)
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's headline capability: add an embedding
+    * column to a table (README.md:30-44) — here over the documents
+    * table with the deterministic local model, then kNN-searched.
+    */
   def entry(spark: SparkSession): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    queries("q_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q_embed_docs")(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -21,6 +21,12 @@ object TextFunctions {
       seed: Long = 42L): Column =
     c(CosineLshBucket(e(vec), numBits, seed))
 
+  /** Deterministic hash bag-of-words embedding as a projection
+    * expression (bit-identical to HashEmbeddingRuntime.embedOne).
+    */
+  def hash_embedding(text: Column, dim: Int = 64): Column =
+    c(HashEmbed(e(text), dim))
+
   /** Distinct word n-gram shingles of single-space-joined words.
     * Returns an empty array when there are fewer than n words.
     * Implemented as a Scala UDF: measured ~5x faster than the
@@ -59,5 +65,6 @@ object TextFunctions {
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     one("simhash64", e => SimHash64(e.head))
     one("rolling_fingerprint", e => RollingFingerprint(e.head, 16))
+    one("hash_embedding", e => HashEmbed(e.head, 64))
   }
 }

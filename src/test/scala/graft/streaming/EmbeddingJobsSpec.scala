@@ -55,6 +55,12 @@ class EmbeddingJobsSpec extends SparkSuite {
     assert(usage2 === 30L) // 10 incremental, not 30 reprocessed
     val cur = currentTable(spark, store.get(job.spec.id).spec)
     assert(cur.count() === 30 && cur.where($"emb".isNull).count() === 0)
+    // exactly-once restart semantics (test_daemon_embedding_job_resume
+    // analog): a third drain with NO new data must process nothing
+    EmbeddingJobs.run(spark, store, job.spec.id)
+    val usage3 = spark.read.parquet(job.spec.usageDir)
+      .agg(sum($"rows")).as[Long].head()
+    assert(usage3 === 30L)
   }
 
   test("cancel blocks the run and surfaces 'Job cancelled'; resume clears") {
