@@ -14,7 +14,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory",
@@ -25,10 +26,14 @@ object Bench {
     graft.functions.TextFunctions.register(spark)
 
     // JVM/codegen warm-up on the smallest SF so per-query numbers
-    // measure the plan, not first-use compilation.
-    try SparkEntry.queries("q_pricing_summary")(
-      spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => }
+    // measure the plan, not first-use compilation: one relational
+    // query, plus the dedup path (shingle/minhash UDFs + TopK
+    // aggregate are the JIT-heaviest code).
+    Seq("q_pricing_summary", "q_jaccard_dups", "q_knn").foreach { q =>
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -37,7 +42,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // operators persist internal intermediates; drop them so each
+        // query is measured standalone without cross-query eviction
+        spark.catalog.clearCache()
+        name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
