@@ -33,25 +33,48 @@ object Knn {
 
   /** For every row of `queries`, the `k` nearest rows of `corpus`.
     *
-    * @param corpus  (idCol: BIGINT, vecCol: ARRAY<FLOAT>) — arbitrarily large
-    * @param queries (idCol: BIGINT, vecCol: ARRAY<FLOAT>) — small, broadcast
+    * Integral ids take the bounded-aggregate path (map-side top-k, the
+    * scale plan); TEXT/UUID ids (the reference supports both as pks,
+    * `daemon_embeddings_test_with_db.rs:1120,1178`) fall back to a
+    * window ranking, which shuffles all pairs — fine for moderate
+    * query sets, and the id type is the caller's signal.
+    *
+    * @param corpus  (idCol, vecCol: ARRAY<FLOAT>) — arbitrarily large
+    * @param queries (idCol, vecCol: ARRAY<FLOAT>) — small, broadcast
     * @return (qid, nid, rank, dist) — rank 1..k by (dist, nid)
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, metric: String = "l2sq"): DataFrame = {
+    val integral = corpus.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
     val q = broadcast(queries.select(
-      col(idCol).cast("long").as("qid"), col(vecCol).as("qvec")))
-    val c = corpus.select(
-      col(idCol).cast("long").as("nid"), col(vecCol).as("cvec"))
+      col(idCol).as("qid"), col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"))
     val scored = c.crossJoin(q).select(
       col("qid"), col("nid"),
       distance(metric)(col("cvec"), col("qvec")).as("dist"))
-    scored
-      .groupBy(col("qid"))
-      .agg(topk_by_score(col("dist"), col("nid"), k).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
-      .select(col("qid"), col("nn.id").as("nid"),
-        (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
+    if (integral) {
+      scored
+        .select(col("qid").cast("long").as("qid"),
+          col("nid").cast("long").as("nid"), col("dist"))
+        .groupBy(col("qid"))
+        .agg(topk_by_score(col("dist"), col("nid"), k).as("nn"))
+        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("qid"), col("nn.id").as("nid"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("nn.score").as("dist"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+      scored
+        .select(col("qid"), col("nid"), col("dist"),
+          row_number().over(w).as("rank"))
+        .where(col("rank") <= k)
+    }
   }
 
   /** Mean recall@k of `result` against `truth`, both shaped

@@ -86,6 +86,19 @@ class EmbedSpec extends SparkSuite {
     assert(out.count() === n)
   }
 
+  test("createEmbeddings supports TEXT and UUID primary keys") {
+    // daemon_embeddings_test_with_db.rs:1120,1178 analog
+    val uuids = (0 until 20).map(i =>
+      (java.util.UUID.nameUUIDFromBytes(Array(i.toByte)).toString,
+        s"Row $i"))
+    val df = uuids.toDF("pk", "title")
+    val (out, usage) = EmbeddingPipeline.createEmbeddings(
+      spark, df, "pk", "title", "emb", "hash/bow-64", HashEmbeddingRuntime)
+    assert(usage.processedRows === 20)
+    assert(out.where($"emb".isNull).count() === 0)
+    assert(out.select($"pk").distinct().count() === 20)
+  }
+
   test("openai runtime: packs by token budget, parses response, retries") {
     val calls = scala.collection.mutable.ArrayBuffer[String]()
     var failures = 2

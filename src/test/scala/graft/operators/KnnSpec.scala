@@ -54,6 +54,25 @@ class KnnSpec extends SparkSuite {
     assert(rec.length === 4 && rec.forall(_ === 1.0))
   }
 
+  test("string ids use the window fallback with identical semantics") {
+    val strEmb = emb.select(concat(lit("id-"), $"vec_id").as("vec_id"),
+      $"embedding")
+    val queries = strEmb.where($"vec_id".isin("id-0", "id-1"))
+    val r = Knn.topK(strEmb, queries, "vec_id", "embedding", 5)
+    assert(r.count() === 10)
+    val first = r.where($"rank" === 1)
+      .select($"qid", $"nid").as[(String, String)].collect()
+    first.foreach { case (q, n) => assert(q === n) } // self nearest
+    // agrees with the long-id aggregate path modulo the id prefix
+    val longR = Knn.topK(emb, emb.where($"vec_id" < 2), "vec_id",
+      "embedding", 5).select(concat(lit("id-"), $"qid"),
+        concat(lit("id-"), $"nid"), $"rank")
+      .as[(String, String, Int)].collect().toSet
+    val strR = r.select($"qid", $"nid", $"rank")
+      .as[(String, String, Int)].collect().toSet
+    assert(strR === longR)
+  }
+
   test("dot metric ranks by largest inner product") {
     val queries = emb.where($"vec_id" === 0)
     val r = Knn.topK(emb, queries, "vec_id", "embedding", 2, "dot")
