@@ -1,0 +1,145 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashEmbeddingRuntime
+import graft.operators.Knn
+
+/** Minimal REST facade over the engine (SURVEY §2.12), built on the
+  * JDK's HttpServer — no extra dependencies. Endpoints mirror the
+  * reference's surface (`http_server/`):
+  *
+  *   GET  /collections                 → registered table names
+  *   GET  /collections/{name}          → schema + row count
+  *   PUT  /collections/{name}          → bulk insert (JSON lines body)
+  *   POST /collections/{name}/search   → kNN: {"vector":[...]} or
+  *                                       {"text":"...","model":"hash/bow-64"},
+  *                                       optional "k", "vector_column",
+  *                                       "id_column", "metric"
+  *
+  * Serving is driver-side and intended for control-plane/testing use —
+  * the reference's 1 GB JSON bulk paths stay Spark jobs.
+  */
+class HttpApi(spark: SparkSession, port: Int = 0) {
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def jsonField(body: String, key: String): Option[String] = {
+    val str = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    val num = ("\"" + key + "\"\\s*:\\s*([0-9.eE+-]+)").r
+    str.findFirstMatchIn(body).map(_.group(1))
+      .orElse(num.findFirstMatchIn(body).map(_.group(1)))
+  }
+
+  private def jsonFloatArray(body: String, key: String)
+      : Option[Array[Float]] = {
+    val arr = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+    arr.findFirstMatchIn(body).map(_.group(1).split(",")
+      .filter(_.trim.nonEmpty).map(_.trim.toFloat))
+  }
+
+  private def tableOr404(ex: HttpExchange, name: String)
+      : Option[DataFrame] =
+    if (spark.catalog.tableExists(name)) Some(spark.table(name))
+    else { respond(ex, 404, s"""{"error":"no collection $name"}"""); None }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    val parts = path.split("/").filter(_.nonEmpty)
+    (method, parts.toList) match {
+      case ("GET", List("collections")) =>
+        val names = spark.catalog.listTables().collect().map(_.name)
+        respond(ex, 200,
+          names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+
+      case ("GET", List("collections", name)) =>
+        tableOr404(ex, name).foreach { df =>
+          val cols = df.schema.fields.map(f =>
+            s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+            .mkString("[", ",", "]")
+          respond(ex, 200,
+            s"""{"name":"$name","columns":$cols,"rows":${df.count()}}""")
+        }
+
+      case ("PUT", List("collections", name)) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          import spark.implicits._
+          val ds = spark.createDataset(
+            body.linesIterator.filter(_.trim.nonEmpty).toSeq)
+          val rows = spark.read.schema(df.schema).json(ds)
+          rows.write.insertInto(name)
+          respond(ex, 200, s"""{"inserted":${rows.count()}}""")
+        }
+
+      case ("POST", List("collections", name, "search")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val k = jsonField(body, "k").map(_.toDouble.toInt).getOrElse(10)
+          val vecCol = jsonField(body, "vector_column")
+            .getOrElse("embedding")
+          val idCol = jsonField(body, "id_column").getOrElse("vec_id")
+          val metric = jsonField(body, "metric").getOrElse("l2sq")
+          val vec: Option[Array[Float]] = jsonFloatArray(body, "vector")
+            .orElse(jsonField(body, "text").map { t =>
+              val model = jsonField(body, "model").getOrElse("hash/bow-64")
+              HashEmbeddingRuntime.embedOne(t,
+                graft.embed.ModelRegistry(model).dim)
+            })
+          vec match {
+            case None =>
+              respond(ex, 400,
+                """{"error":"need \"vector\" or \"text\""}""")
+            case Some(v) =>
+              val queries = spark.createDataFrame(
+                java.util.List.of(org.apache.spark.sql.Row(0L, v)),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField(idCol,
+                    org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField(vecCol,
+                    org.apache.spark.sql.types.ArrayType(
+                      org.apache.spark.sql.types.FloatType)))))
+              val res = Knn.topK(df, queries, idCol, vecCol, k, metric)
+                .orderBy(col("rank")).collect()
+              val items = res.map(r =>
+                s"""{"id":${r.get(1)},"rank":${r.getInt(2)},"distance":${r.getDouble(3)}}""")
+                .mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+          }
+        }
+
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    }
+  } catch {
+    case e: Throwable =>
+      respond(ex, 500,
+        s"""{"error":"${e.getMessage.replace("\"", "'")}"}""")
+  }
+
+  def start(): HttpApi = {
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+}
