@@ -83,6 +83,23 @@ object VectorQueries {
       Knn.recall(truth, approx, 10).orderBy($"qid")
     }),
 
+    // IVF-PQ: ADC search over u8 codes (rows-only: seeded k-means).
+    "q_ivfpq_adc" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val model = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nCells = 16, maxIter = 5)
+      val cb = graft.operators.ProductQuantizer.fitCodebook(
+        emb, "vec_id", "embedding", clusters = 32, splits = 8,
+        maxIter = 10)
+      val quantized = graft.operators.ProductQuantizer.quantizeColumn(
+        model.assigned, "embedding", "codes", cb)
+      graft.operators.IvfIndex.searchAdc(model, quantized, "codes", cb,
+        queries, k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: the LSH paths must stay near-linear where the exact
+  * pairwise paths are quadratic. Synthetic 20k-doc corpus (40x the
+  * sf0.1 bench corpus rows) with planted near-dups; asserts
+  * correctness of the found pairs and wall-time sanity — this is the
+  * evidence that the "100 TB path" operators do sub-quadratic work,
+  * not a microbenchmark.
+  */
+class ScaleSmokeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val nDocs = 20000
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 2000).map(i => s"w$i")
+    val base = (0 until nDocs).map { i =>
+      val words = (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+    // plant 50 near-dups: doc 100k+i = doc i with one word changed
+    val dups = (0 until 50).map { i =>
+      val words = base(i)._2.split(' ')
+      (100000L + i, words.updated(30, "CHANGED").mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+      .repartition(32)
+      .persist()
+  }
+
+  test("MinHash-LSH finds all planted near-dups in a 20k corpus") {
+    corpus.count()
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashDupPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 16, tau = 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    val planted = (0 until 50).map(i => (i.toLong, 100000L + i)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing ${planted.diff(pairs).size} planted pairs")
+    // random 60-word docs over a 2000-word vocab share few trigrams
+    assert(pairs.size < planted.size + 50, s"too many pairs: ${pairs.size}")
+    info(f"minhash over ${corpus.count()} docs: $secs%.1f s")
+    assert(secs < 120.0)
+  }
+
+  test("SimHash banding finds the planted near-dups too") {
+    val pairs = Dedup.simhashDupPairs(corpus, "doc_id", "text",
+      maxHamming = 8).select($"i", $"j").as[(Long, Long)].collect().toSet
+    val planted = (0 until 50).map(i => (i.toLong, 100000L + i)).toSet
+    val found = planted.intersect(pairs)
+    // banding is probabilistic per doc; near-total recall expected
+    assert(found.size >= 45, s"recall ${found.size}/50 too low")
+  }
+
+  test("IVF probes a fraction of a 20k-vector corpus with good recall") {
+    val vecs = corpus.where($"doc_id" < 20000)
+      .select($"doc_id".as("vec_id"),
+        graft.functions.TextFunctions.hash_embedding($"text", 64)
+          .as("embedding"))
+      .persist()
+    vecs.count()
+    val queries = vecs.where($"vec_id" < 10)
+    val model = IvfIndex.build(vecs, "vec_id", "embedding",
+      nCells = 64, maxIter = 5)
+    val exact = Knn.topK(vecs, queries, "vec_id", "embedding", 10)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex.search(model, queries, 10, nprobe = 16)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@10 with 16/64 cells: $recall%.2f")
+    assert(recall >= 0.6)
+    vecs.unpersist()
+  }
+}
