@@ -21,6 +21,17 @@ class EmbedSpec extends SparkSuite {
     assert(cos(a, c) > cos(a, d))
   }
 
+  test("golden vectors pinned (FIXTURES §2): hash model is frozen") {
+    // regenerated once and pinned; a change here silently alters every
+    // rows-only embedding query the driver records
+    val g1 = HashEmbeddingRuntime.embedOne("Hello world!", 8)
+    assert(g1.toSeq === Seq(-0.06039507f, 0.43446168f, -0.031043006f,
+      -0.3101359f, -0.032333005f, 0.76193416f, -0.3217519f, 0.15916702f))
+    val g2 = HashEmbeddingRuntime.embedOne("the fast key order sort", 8)
+    assert(g2.toSeq === Seq(-0.27732202f, 0.0323947f, -0.15320425f,
+      0.09461525f, -0.7961406f, 0.42522684f, -0.08280902f, 0.2609683f))
+  }
+
   test("empty/whitespace text yields the failed sentinel [-1 x dim]") {
     assert(HashEmbeddingRuntime.embedOne("", 8).toSeq ===
       Seq.fill(8)(-1.0f))
