@@ -119,9 +119,14 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
                       org.apache.spark.sql.types.FloatType)))))
               val res = Knn.topK(df, queries, idCol, vecCol, k, metric)
                 .orderBy(col("rank")).collect()
-              val items = res.map(r =>
-                s"""{"id":${r.get(1)},"rank":${r.getInt(2)},"distance":${r.getDouble(3)}}""")
-                .mkString("[", ",", "]")
+              val items = res.map { r =>
+                val id = r.get(1) match {
+                  case s: String =>
+                    "\"" + graft.util.Json.escape(s) + "\""
+                  case other => other.toString
+                }
+                s"""{"id":$id,"rank":${r.getInt(2)},"distance":${r.getDouble(3)}}"""
+              }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"results":$items}""")
           }
         }
@@ -130,8 +135,9 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
     }
   } catch {
     case e: Throwable =>
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
       respond(ex, 500,
-        s"""{"error":"${e.getMessage.replace("\"", "'")}"}""")
+        s"""{"error":"${graft.util.Json.escape(msg)}"}""")
   }
 
   def start(): HttpApi = {

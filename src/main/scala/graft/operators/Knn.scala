@@ -71,8 +71,8 @@ object Knn {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
       scored
-        .select(col("qid"), col("nid"), col("dist"),
-          row_number().over(w).as("rank"))
+        .select(col("qid"), col("nid"),
+          row_number().over(w).as("rank"), col("dist"))
         .where(col("rank") <= k)
     }
   }

@@ -70,27 +70,31 @@ object EmbeddingJobs {
     private def path(id: Long) = Paths.get(dir, s"job_$id.json")
 
     private def ser(st: JobState): String = {
-      def opt(o: Option[String]) = o.map("\"" + _ + "\"").getOrElse("null")
+      def esc(v: String) = graft.util.Json.escape(v)
+      def opt(o: Option[String]) =
+        o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
       val s = st.spec
-      s"""{"id":${s.id},"sourceDir":"${s.sourceDir}","pkCol":"${s.pkCol}",
-         |"srcCol":"${s.srcCol}","outCol":"${s.outCol}","model":"${s.model}",
-         |"runtime":"${s.runtime}","workDir":"${s.workDir}",
-         |"createdAt":"${st.createdAt}",
+      s"""{"id":${s.id},"sourceDir":"${esc(s.sourceDir)}","pkCol":"${esc(s.pkCol)}",
+         |"srcCol":"${esc(s.srcCol)}","outCol":"${esc(s.outCol)}","model":"${esc(s.model)}",
+         |"runtime":"${esc(s.runtime)}","workDir":"${esc(s.workDir)}",
+         |"createdAt":"${esc(st.createdAt)}",
          |"initStartedAt":${opt(st.initStartedAt)},
          |"initFinishedAt":${opt(st.initFinishedAt)},
          |"canceledAt":${opt(st.canceledAt)},
          |"failedAt":${opt(st.failedAt)},
-         |"error":${opt(st.error.map(_.replace("\"", "'")))},
+         |"error":${opt(st.error)},
          |"progress":${st.progress}}""".stripMargin.replace("\n", "")
     }
 
     private def field(json: String, key: String): Option[String] = {
-      val m = ("\"" + key + "\":(\"((?:[^\"])*)\"|null|[0-9]+)").r
+      // value pattern tolerates escaped characters inside strings
+      val m = ("\"" + key + "\":(\"((?:[^\"\\\\]|\\\\.)*)\"|null|[0-9]+)").r
         .findFirstMatchIn(json)
       m.flatMap { g =>
         val raw = g.group(1)
         if (raw == "null") None
-        else Some(Option(g.group(2)).getOrElse(raw))
+        else Some(Option(g.group(2)).map(graft.util.Json.unescape)
+          .getOrElse(raw))
       }
     }
 

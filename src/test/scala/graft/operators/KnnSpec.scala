@@ -71,6 +71,8 @@ class KnnSpec extends SparkSuite {
     val strR = r.select($"qid", $"nid", $"rank")
       .as[(String, String, Int)].collect().toSet
     assert(strR === longR)
+    // both id paths expose the SAME column order (positional readers)
+    assert(r.columns.toSeq === Seq("qid", "nid", "rank", "dist"))
   }
 
   test("dot metric ranks by largest inner product") {

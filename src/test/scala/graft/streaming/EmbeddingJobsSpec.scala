@@ -98,6 +98,15 @@ class EmbeddingJobsSpec extends SparkSuite {
     assert(u.agg(sum($"tokens")).as[Long].head() === 32L)
   }
 
+  test("job state with quotes/backslashes round-trips losslessly") {
+    val (base, store) = freshDirs()
+    val j = store.add(base + "/src", "id", "text", "emb", "hash/bow-64")
+    val weird = "fail at C:\\data \"quoted\" path\nline2"
+    store.update(j.spec.id)(_.copy(error = Some(weird),
+      failedAt = Some("t")))
+    assert(store.get(j.spec.id).error === Some(weird))
+  }
+
   test("jobs listing and state machine ordering") {
     val (base, store) = freshDirs()
     writeSource(base, 0 until 2, "p0")
