@@ -77,10 +77,14 @@ object EmbeddingPipeline {
     val acc = spark.sparkContext.longAccumulator(s"tokens_$outCol")
     val base = filter.fold(df)(f => df.where(expr(f)))
     val limited = limit.fold(base)(base.limit)
+    // persisted: without it the count action AND the caller's first
+    // action on `out` would BOTH run the embedding pass — double API
+    // calls/billing on HTTP runtimes and a doubled token accumulator
     val embedded = embedColumn(limited, srcCol, outCol, model, runtime,
       batchSize, Some(acc))
       .where(col(outCol).isNotNull)
       .select(col(pkCol), col(outCol), col(outCol + "_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // merge back (J1): left join preserves unembedded rows with nulls
     val out = df.join(embedded, Seq(pkCol), "left")
     val rows = embedded.count() // one action; also materializes acc

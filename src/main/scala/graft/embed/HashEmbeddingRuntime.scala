@@ -65,6 +65,8 @@ object OnnxEmbeddingRuntime extends EmbeddingRuntime {
     */
   def maxBatchForMemory(availableBytes: Long, seqLen: Long, hidden: Long,
       layers: Long = 12L): Long = {
+    require(seqLen > 0 && hidden > 0 && layers > 0,
+      "seqLen/hidden/layers must be positive")
     def cost(r: Long): Double =
       ((4.0 * r * seqLen * seqLen * hidden * hidden / hidden) // attention
         + r.toDouble * layers * seqLen * (seqLen + 2.0 * hidden)) * 8.0 * 1.2

@@ -22,13 +22,13 @@ object VectorExprUtil {
     if (n != m) throw new IllegalArgumentException(
       s"vector dimension mismatch: $n vs $m")
 
-  /** Shared Java snippet: dimension check. */
-  def dimCheckCode(a: String, b: String): String =
+  /** Shared Java snippet: dimension check into a caller-fresh local. */
+  def dimCheckCode(n: String, a: String, b: String): String =
     s"""
-       |int n = $a.numElements();
-       |if (n != $b.numElements()) {
+       |int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
        |  throw new IllegalArgumentException("vector dimension mismatch: " +
-       |    n + " vs " + $b.numElements());
+       |    $n + " vs " + $b.numElements());
        |}
        |""".stripMargin
 }
@@ -63,14 +63,19 @@ case class L2SqDistance(left: Expression, right: Expression)
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      VectorExprUtil.dimCheckCode(a, b) +
+      // all locals fresh-named: with non-nullable inputs the snippet is
+      // emitted flat in the enclosing scope, where fixed names would
+      // collide across expressions and break whole-stage codegen
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      VectorExprUtil.dimCheckCode(n, a, b) +
       s"""
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
-         |  acc += d * d;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
          |""".stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -92,13 +97,15 @@ case class InnerProduct(left: Expression, right: Expression)
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      VectorExprUtil.dimCheckCode(a, b) +
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      VectorExprUtil.dimCheckCode(n, a, b) +
       s"""
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
          |""".stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -123,15 +130,19 @@ case class CosineDistance(left: Expression, right: Expression)
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      VectorExprUtil.dimCheckCode(a, b) +
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      VectorExprUtil.dimCheckCode(n, a, b) +
       s"""
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = 1.0 - dot / java.lang.Math.sqrt(na * nb);
+         |${ev.value} = 1.0 - $dot / java.lang.Math.sqrt($na * $nb);
          |""".stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -153,13 +164,15 @@ case class L1Distance(left: Expression, right: Expression)
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      VectorExprUtil.dimCheckCode(a, b) +
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      VectorExprUtil.dimCheckCode(n, a, b) +
       s"""
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += java.lang.Math.abs((double) $a.getFloat(i) - (double) $b.getFloat(i));
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Math.abs((double) $a.getFloat($i) - (double) $b.getFloat($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
          |""".stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -195,13 +208,15 @@ case class HammingDistance(left: Expression, right: Expression)
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      VectorExprUtil.dimCheckCode(a, b) +
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      VectorExprUtil.dimCheckCode(n, a, b) +
       s"""
-         |long acc = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.getInt(i) != $b.getInt(i)) acc++;
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getInt($i) != $b.getInt($i)) $acc++;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
          |""".stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -222,16 +237,19 @@ case class VectorNorm(child: Expression)
     math.sqrt(acc)
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
       s"""
-         |double acc = 0.0;
-         |int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  acc += x * x;
+         |double $acc = 0.0;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  $acc += $x * $x;
          |}
-         |${ev.value} = java.lang.Math.sqrt(acc);
-         |""".stripMargin)
+         |${ev.value} = java.lang.Math.sqrt($acc);
+         |""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

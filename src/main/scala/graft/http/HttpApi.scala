@@ -125,7 +125,9 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
                     "\"" + graft.util.Json.escape(s) + "\""
                   case other => other.toString
                 }
-                s"""{"id":$id,"rank":${r.getInt(2)},"distance":${r.getDouble(3)}}"""
+                val d = r.getDouble(3)
+                val dist = if (d.isNaN || d.isInfinite) "null" else d.toString
+                s"""{"id":$id,"rank":${r.getInt(2)},"distance":$dist}"""
               }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"results":$items}""")
           }

@@ -13,6 +13,12 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   * and for small candidate sets; the LSH variants are the 100 TB path —
   * they shuffle by band/bucket key only, so cost is O(n · bands) plus
   * candidate verification, never O(n²). All hashes are seed-stable.
+  *
+  * Lifecycle note: operators persist shared intermediates (their
+  * self-joins would otherwise recompute lineage per branch); the
+  * returned DataFrames depend on those blocks, so callers running many
+  * dedups in one session should `spark.catalog.clearCache()` between
+  * them once results are consumed (Bench/Verify do).
   */
 object Dedup {
 
@@ -100,12 +106,18 @@ object Dedup {
     // filter: overlap is bounded by the shingles remaining after the
     // matched position, so require
     //   min(na-posA, nb-posB) >= ceil(tau/(1+tau) * (na+nb))
+    // 1e-9 slack: the bounds hold mathematically at jac == tau, but
+    // tau/(1+tau) and tau*n are rounded doubles — without slack a pair
+    // sitting exactly on the boundary could be dropped (the exact
+    // verification still decides membership, so slack costs only a
+    // few extra candidates)
     val minOverlap =
-      ceil(lit(tau / (1 + tau)) * (col("a.n_sh") + col("b.n_sh")))
+      ceil(lit(tau / (1 + tau)) * (col("a.n_sh") + col("b.n_sh")) -
+        lit(1e-9))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          col("b.n_sh") >= lit(tau) * col("a.n_sh") &&
-          col("a.n_sh") >= lit(tau) * col("b.n_sh") &&
+          col("b.n_sh") >= lit(tau) * col("a.n_sh") - lit(1e-9) &&
+          col("a.n_sh") >= lit(tau) * col("b.n_sh") - lit(1e-9) &&
           least(col("a.n_sh") - col("a.pos"),
             col("b.n_sh") - col("b.pos")) >= minOverlap)
       .select(col("a.id").as("i"), col("b.id").as("j"))

@@ -32,6 +32,15 @@ object IvfIndex {
     */
   def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
       maxIter: Int = 10, seed: Long = 42L): Model = {
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => ()
+      case t => throw new IllegalArgumentException(
+        s"IvfIndex requires an integral id column (got " +
+          s"${t.simpleString}); map TEXT/UUID ids to a surrogate key " +
+          "or use Knn.topK, which supports them directly")
+    }
     val cb = ProductQuantizer.fitCodebook(df, idCol, vecCol,
       clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
     val local = ProductQuantizer.localize(cb)(0)

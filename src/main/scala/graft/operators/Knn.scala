@@ -54,9 +54,13 @@ object Knn {
     val q = broadcast(queries.select(
       col(idCol).as("qid"), col(vecCol).as("qvec")))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"))
+    // NaN distances (e.g. cos_dist with a zero-norm vector) are
+    // excluded up front so both ranking paths agree (a NaN would
+    // permanently occupy a TopKBuffer slot but sort last in a window).
     val scored = c.crossJoin(q).select(
       col("qid"), col("nid"),
       distance(metric)(col("cvec"), col("qvec")).as("dist"))
+      .where(!isnan(col("dist")))
     if (integral) {
       scored
         .select(col("qid").cast("long").as("qid"),
@@ -78,14 +82,17 @@ object Knn {
   }
 
   /** Mean recall@k of `result` against `truth`, both shaped
-    * (qid, nid, rank): |truth ∩ result| / k per query.
+    * (qid, nid, rank): |truth ∩ result| / k per query. Every truth
+    * query appears in the output — a query with zero overlap scores
+    * 0.0 rather than silently vanishing from the mean.
     * Reference: `index_autotune/mod.rs:238-249`.
     */
   def recall(truth: DataFrame, result: DataFrame, k: Int): DataFrame = {
     val t = truth.where(col("rank") <= k).select(col("qid"), col("nid"))
-    val r = result.where(col("rank") <= k).select(col("qid"), col("nid"))
-    t.join(r, Seq("qid", "nid"), "left_semi")
+    val r = result.where(col("rank") <= k)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    t.join(r, Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
-      .agg((count(lit(1)) / k).as("recall"))
+      .agg((sum(coalesce(col("hit"), lit(0))) / k).as("recall"))
   }
 }

@@ -117,7 +117,7 @@ object ProductQuantizer {
     require(clusters <= rowCount,
       s"clusters $clusters must be <= rows $rowCount (pq/mod.rs:150-155)")
 
-    val initRows = base0
+    val initRows = base
       .orderBy(xxhash64(col("id"), lit(seed + 1)), col("id"))
       .limit(clusters)
       .select(col("v")).collect().map(_.getSeq[Float](0).toArray)

@@ -25,6 +25,11 @@ object ScaleJoins {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 1, "salts must be > 1")
+    // right/full outer would duplicate unmatched small-side rows
+    // (the small side is replicated per salt)
+    require(Set("inner", "left", "left_outer", "leftouter")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

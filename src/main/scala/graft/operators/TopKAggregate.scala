@@ -47,6 +47,8 @@ final class TopKBuffer(val k: Int) {
   }
 
   def insert(score: Double, id: Long): Unit = {
+    if (score.isNaN) return // NaN compares false both ways: it could
+    // enter while size < k but never be evicted
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1; siftUp(size - 1)
     } else if (worse(scores(0), ids(0), score, id)) {

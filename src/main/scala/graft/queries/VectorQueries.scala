@@ -149,8 +149,8 @@ object VectorQueries {
          |    SELECT q.qid, c.vec_id AS nid,
          |      row_number() OVER (PARTITION BY q.qid ORDER BY ${dkCos("c.embedding", "q.qe")}, c.vec_id) AS rk
          |    FROM embeddings c, q) WHERE rk <= 10)
-         |SELECT l2.qid, CAST(count(*) AS DOUBLE) / 10 AS recall
-         |FROM l2 JOIN cs ON l2.qid = cs.qid AND l2.nid = cs.nid
+         |SELECT l2.qid, CAST(count(cs.nid) AS DOUBLE) / 10 AS recall
+         |FROM l2 LEFT JOIN cs ON l2.qid = cs.qid AND l2.nid = cs.nid
          |GROUP BY l2.qid ORDER BY l2.qid""".stripMargin
   )
 }

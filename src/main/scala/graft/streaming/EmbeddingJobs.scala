@@ -224,7 +224,7 @@ object EmbeddingJobs {
         store.update(id)(_.copy(
           failedAt = Some(Instant.now().toString),
           error = Some(Option(e.getMessage).getOrElse(e.toString)
-            .linesIterator.next())))
+            .linesIterator.nextOption().getOrElse(e.getClass.getName))))
         if (e.getMessage != null && e.getMessage.contains("Job cancelled"))
           "canceled"
         else "failed"

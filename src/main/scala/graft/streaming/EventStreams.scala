@@ -51,12 +51,18 @@ object EventStreams {
       total: Double)
 
   /** Gap-based sessionization: consecutive events of a user belong to
-    * one session while gaps stay under `gapMs`. Works on a streaming
-    * Dataset (event-time timeout closes sessions at watermark) AND on
-    * batch input (all sessions emitted at once).
+    * one session while gaps stay under `gapMs`. BATCH semantics: each
+    * invocation sees a user's complete history and emits final
+    * sessions. A streaming version needs event-time timeouts to hold
+    * open sessions across micro-batches — not implemented yet, so
+    * streaming input is rejected rather than silently fragmenting
+    * sessions at batch boundaries.
     */
   def sessionize(events: Dataset[Event], gapMs: Long)
       : Dataset[Session] = {
+    require(!events.isStreaming,
+      "sessionize is batch-only (streaming would fragment sessions " +
+        "at micro-batch boundaries); aggregate the source dir per drain")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)

@@ -57,6 +57,30 @@ class VectorFunctionsSpec extends SparkSuite {
     assert(r === 4.0)
   }
 
+  test("multiple distance expressions codegen together (fresh locals)") {
+    // non-nullable inputs make nullSafeCodeGen emit snippets flat in
+    // the enclosing scope: fixed local names would collide and Janino
+    // would reject the generated class. CODEGEN_ONLY turns the silent
+    // interpreter fallback into a hard failure.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql(
+        """SELECT l2sq_dist(array(1.0, 2.0), array(3.0, 4.0)) AS a,
+          |       cos_dist(array(1.0, 2.0), array(1.0, 2.0)) AS b,
+          |       inner_product(array(1.0, 2.0), array(3.0, 4.0)) AS c,
+          |       l1_dist(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+          |       vector_norm(array(3.0, 4.0)) AS e,
+          |       hamming_dist(array(1, 0), array(1, 1)) AS f""".stripMargin)
+        .head()
+      assert(r.getDouble(0) === 8.0)
+      assert(math.abs(r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(2) === 11.0)
+      assert(r.getDouble(3) === 4.0)
+      assert(r.getDouble(4) === 5.0)
+      assert(r.getLong(5) === 1L)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("dimension mismatch raises") {
     val bad = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
     val e = intercept[Exception] {
