@@ -58,6 +58,19 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // F15 hamming: sign-bit vectors of embeddings vs the anchor's.
+    "q_sign_hamming" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val signs = emb.select($"vec_id",
+        transform($"embedding",
+          x => when(x > 0f, 1).otherwise(0)).as("sgn"))
+      val anchor = broadcast(signs.where($"vec_id" === 0)
+        .select($"sgn".as("asgn")))
+      signs.crossJoin(anchor).select($"vec_id",
+        V.hamming_dist($"sgn", $"asgn").as("hd"))
+        .orderBy($"vec_id")
+    }),
+
     // IVF ANN with full probing — must reproduce exact kNN, so it
     // shares the exact oracle (the scale path degrades gracefully).
     "q_ivf_knn" -> ((s, dir) => {
@@ -123,6 +136,16 @@ object VectorQueries {
        |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_sign_hamming" ->
+      """WITH sg AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS sgn
+        |  FROM embeddings),
+        |a AS (SELECT sgn AS asgn FROM sg WHERE vec_id = 0)
+        |SELECT sg.vec_id,
+        |  list_sum(list_transform(range(1, len(sg.sgn)+1),
+        |    i -> CASE WHEN sg.sgn[i] != a.asgn[i] THEN 1 ELSE 0 END)) AS hd
+        |FROM sg, a ORDER BY sg.vec_id""".stripMargin,
     "q_ivf_knn" -> knnOracle,
     "q_vec_norm" ->
       s"""SELECT vec_id, round(sqrt(${dkNormSq("embedding")}), 4) AS nrm

@@ -47,22 +47,22 @@ object EventStreams {
     Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
       Math.floorMod(us, 1000000L) * 1000L)
 
-  private case class SessionState(start: Long, end: Long, n: Long,
+  private[streaming] case class SessionState(start: Long, end: Long, n: Long,
       total: Double)
 
   /** Gap-based sessionization: consecutive events of a user belong to
     * one session while gaps stay under `gapMs`. BATCH semantics: each
     * invocation sees a user's complete history and emits final
-    * sessions. A streaming version needs event-time timeouts to hold
-    * open sessions across micro-batches — not implemented yet, so
-    * streaming input is rejected rather than silently fragmenting
-    * sessions at batch boundaries.
+    * sessions. For unbounded input use `sessionizeStream`, which holds
+    * open sessions in state across micro-batches; this variant rejects
+    * streaming input rather than silently fragmenting sessions at
+    * batch boundaries.
     */
   def sessionize(events: Dataset[Event], gapMs: Long)
       : Dataset[Session] = {
     require(!events.isStreaming,
-      "sessionize is batch-only (streaming would fragment sessions " +
-        "at micro-batch boundaries); aggregate the source dir per drain")
+      "sessionize is batch-only; use sessionizeStream for unbounded " +
+        "input (event-time timeouts close sessions at the watermark)")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -95,6 +95,58 @@ object EventStreams {
           }
           state.remove()
           out.result().iterator
+      }
+  }
+
+  /** Streaming sessionization: open sessions live in per-user state
+    * across micro-batches and are closed (emitted) when the event-time
+    * watermark passes session_end + gap — so a session spanning many
+    * micro-batches is emitted exactly once, merged. Input must carry a
+    * watermark on `ts` (set `watermarkDelay`); late events beyond it
+    * are dropped by the engine.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    require(events.isStreaming,
+      "sessionizeStream needs streaming input; use sessionize for batch")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, fromMicros(s.start),
+              fromMicros(s.end), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => micros(e.ts))
+            val out = Seq.newBuilder[Session]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapMs * 1000L =>
+                  cur = Some(s.copy(end = t, n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  out += Session(userId, fromMicros(s.start),
+                    fromMicros(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close once the watermark passes the gap boundary
+              state.setTimeoutTimestamp(s.end / 1000L + gapMs)
+            }
+            out.result().iterator
+          }
       }
   }
 }

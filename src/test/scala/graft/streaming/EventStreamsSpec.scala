@@ -68,6 +68,42 @@ class EventStreamsSpec extends SparkSuite {
     assert(sessions(2) === Session(2L, tsi(5), tsi(5), 1, 8.0))
   }
 
+  test("sessionizeStream merges a session spanning micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    import org.apache.spark.sql.Encoders
+    val events = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+      .as(Encoders.product[Event])
+    val q = EventStreams.sessionizeStream(events, gapMs = 10 * 60 * 1000,
+      watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // batch 1: user 1 starts a session; user 2 isolated event.
+    // max event time stays at 3 min so the 1-minute watermark (2 min)
+    // is below batch 2's 4-minute event
+    mem.addData((1L, ts(0), "a", 1.0), (1L, ts(2), "a", 2.0),
+      (2L, ts(3), "b", 8.0))
+    q.processAllAvailable()
+    // batch 2: user 1 CONTINUES the same session (within the 10 min
+    // gap) — a batch-per-batch folder would fragment it here
+    mem.addData((1L, ts(4), "a", 4.0))
+    q.processAllAvailable()
+    // batch 3: far-future event advances the watermark past
+    // session_end + gap → timeouts fire and emit closed sessions
+    mem.addData((3L, ts(59), "c", 0.0))
+    q.processAllAvailable()
+    mem.addData((3L, Timestamp.valueOf("2026-01-01 02:00:00"), "c", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_out")
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+      .filter(_._1 == 1L)
+    assert(sessions.length === 1, s"fragmented: ${sessions.toSeq}")
+    assert(sessions.head === ((1L, ts(0), ts(4), 3L, 7.0)))
+  }
+
   test("sessionize over the real events table produces sane sessions") {
     val events = graft.queries.Tables(spark, sf0001, "events")
       .select($"user_id", $"ts", $"event_type", $"value")
