@@ -278,24 +278,3 @@ case class NormalizeVector(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
-
-/** Sub-vector slice by element index range [start, start+len), 0-based.
-  * Reference: PQ subvector projection `pq/codebook.rs:177-186`.
-  * (Thin wrapper over Catalyst's Slice exists via functions.slice; this is
-  * the float-typed variant used by PQ internals to avoid re-boxing.)
-  */
-case class FloatSlice(child: Expression, start: Int, len: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  override def prettyName: String = "float_slice"
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val out = new Array[Float](len)
-    var i = 0
-    while (i < len) { out(i) = a.getFloat(start + i); i += 1 }
-    new GenericArrayData(out)
-  }
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}

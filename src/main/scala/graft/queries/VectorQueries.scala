@@ -36,6 +36,14 @@ object VectorQueries {
         .select($"vec_id", slice($"embedding", 1, 8).as("sub"))
         .orderBy($"vec_id")),
 
+    // F15: vector_normalize round-trip (unit inputs scaled first so
+    // the operation is non-trivial).
+    "q_vec_normalize" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", V.vector_normalize(
+          transform($"embedding", x => x * 3.0f)).as("nv"))
+        .orderBy($"vec_id")),
+
     // F15: all three metrics against an anchor vector (vec_id = 0).
     "q_dist_anchor" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -152,6 +160,14 @@ object VectorQueries {
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_vec_slice" ->
       "SELECT vec_id, embedding[1:8] AS sub FROM embeddings ORDER BY vec_id",
+    "q_vec_normalize" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x * CAST(3.0 AS FLOAT) AS FLOAT)) AS e
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  list_transform(e, x -> CAST(CAST(x AS DOUBLE) / sqrt(${OracleFrag.dkNormSq("e")}) AS FLOAT)) AS nv
+         |FROM sc ORDER BY vec_id""".stripMargin,
     "q_dist_anchor" ->
       s"""WITH a AS (SELECT embedding AS anchor FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,
