@@ -94,9 +94,32 @@ object ProductQuantizer {
     * fixed seeds). Returns (subvector_id INT, centroid_id INT,
     * c ARRAY<FLOAT>) — `pq/setup.rs:27`'s schema.
     */
+  // fitCodebook is deterministic in (input plan, params); repeated
+  // fits over the same table (PQ + IVF queries share corpora) return
+  // the memoized codebook, whose rows are driver-local — no lineage,
+  // unaffected by cache clearing. Bounded; verified by sameResult to
+  // rule out semanticHash collisions.
+  private val fitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int, Int, Int, Double, Long, Option[Int]),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
   def fitCodebook(df: DataFrame, idCol: String, vecCol: String,
       clusters: Int, splits: Int, maxIter: Int = 20, tol: Double = 0.1,
       seed: Long = 42L, datasetLimit: Option[Int] = None): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    val key = (plan.semanticHash(), vecCol, clusters, splits, maxIter,
+      tol, seed, datasetLimit)
+    val hit = fitMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan)) return hit._2
+    val result = fitCodebookUncached(df, idCol, vecCol, clusters, splits,
+      maxIter, tol, seed, datasetLimit)
+    if (fitMemo.size < 64) fitMemo.put(key, (plan, result))
+    result
+  }
+
+  private def fitCodebookUncached(df: DataFrame, idCol: String,
+      vecCol: String, clusters: Int, splits: Int, maxIter: Int,
+      tol: Double, seed: Long, datasetLimit: Option[Int]): DataFrame = {
     require(clusters >= 1 && clusters <= 256,
       s"clusters must be in [1, 256] (u8 codes), got $clusters")
     datasetLimit.foreach(l => require(l >= clusters,
