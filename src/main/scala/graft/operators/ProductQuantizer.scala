@@ -94,27 +94,35 @@ object ProductQuantizer {
     * fixed seeds). Returns (subvector_id INT, centroid_id INT,
     * c ARRAY<FLOAT>) — `pq/setup.rs:27`'s schema.
     */
-  // fitCodebook is deterministic in (input plan, params); repeated
-  // fits over the same table (PQ + IVF queries share corpora) return
-  // the memoized codebook, whose rows are driver-local — no lineage,
-  // unaffected by cache clearing. Bounded; verified by sameResult to
-  // rule out semanticHash collisions.
+  // fitCodebook is deterministic in (input plan, idCol, vecCol,
+  // params); repeated fits over the same table (PQ + IVF queries share
+  // corpora) reuse the memoized centroid ROWS — plain driver-local
+  // data, so the returned DataFrame is rebuilt on the CALLER's session
+  // (safe across session restarts) and immune to cache clearing.
+  // Bounded; sameResult guards against semanticHash collisions.
   private val fitMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int, Int, Int, Double, Long, Option[Int]),
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+    (Int, String, String, Int, Int, Int, Double, Long, Option[Int]),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[(Int, Int, Seq[Float])])]()
 
   def fitCodebook(df: DataFrame, idCol: String, vecCol: String,
       clusters: Int, splits: Int, maxIter: Int = 20, tol: Double = 0.1,
       seed: Long = 42L, datasetLimit: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val plan = df.queryExecution.analyzed
-    val key = (plan.semanticHash(), vecCol, clusters, splits, maxIter,
-      tol, seed, datasetLimit)
+    val key = (plan.semanticHash(), idCol, vecCol, clusters, splits,
+      maxIter, tol, seed, datasetLimit)
     val hit = fitMemo.get(key)
-    if (hit != null && hit._1.sameResult(plan)) return hit._2
+    if (hit != null && hit._1.sameResult(plan)) {
+      return hit._2.toDF("subvector_id", "centroid_id", "c")
+    }
     val result = fitCodebookUncached(df, idCol, vecCol, clusters, splits,
       maxIter, tol, seed, datasetLimit)
-    if (fitMemo.size < 64) fitMemo.put(key, (plan, result))
-    result
+    val rows = result.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
+    if (fitMemo.size < 64) fitMemo.put(key, (plan, rows))
+    rows.toDF("subvector_id", "centroid_id", "c")
   }
 
   private def fitCodebookUncached(df: DataFrame, idCol: String,

@@ -166,7 +166,9 @@ object VectorQueries {
          |    list_transform(embedding, x -> CAST(x * CAST(3.0 AS FLOAT) AS FLOAT)) AS e
          |  FROM embeddings)
          |SELECT vec_id,
-         |  list_transform(e, x -> CAST(CAST(x AS DOUBLE) / sqrt(${OracleFrag.dkNormSq("e")}) AS FLOAT)) AS nv
+         |  CASE WHEN ${OracleFrag.dkNormSq("e")} = 0 THEN e
+         |       ELSE list_transform(e, x -> CAST(CAST(x AS DOUBLE) / sqrt(${OracleFrag.dkNormSq("e")}) AS FLOAT))
+         |  END AS nv
          |FROM sc ORDER BY vec_id""".stripMargin,
     "q_dist_anchor" ->
       s"""WITH a AS (SELECT embedding AS anchor FROM embeddings WHERE vec_id = 0)

@@ -98,55 +98,56 @@ object EventStreams {
       }
   }
 
-  /** Streaming sessionization: open sessions live in per-user state
-    * across micro-batches and are closed (emitted) when the event-time
-    * watermark passes session_end + gap — so a session spanning many
-    * micro-batches is emitted exactly once, merged. Input must carry a
-    * watermark on `ts` (set `watermarkDelay`); late events beyond it
-    * are dropped by the engine.
+  /** Streaming sessionization with correct out-of-order handling:
+    * per-user state holds a LIST of candidate sessions; each incoming
+    * event (the engine admits anything newer than the watermark, in
+    * any order) is inserted as a singleton and the list re-coalesced
+    * by the gap rule (merging can extend a session backwards OR
+    * forwards, and can fuse two sessions an out-of-order event
+    * bridges). A session is emitted only once the watermark passes
+    * session_end + gap — i.e. when no admissible event can still
+    * touch it — so every session is emitted exactly once, final.
     */
   def sessionizeStream(events: Dataset[Event], gapMs: Long,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     require(events.isStreaming,
       "sessionizeStream needs streaming input; use sessionize for batch")
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[List[SessionState], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event],
-            state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, fromMicros(s.start),
-              fromMicros(s.end), s.n, s.total))
-          } else {
-            val sorted = it.toSeq.sortBy(e => micros(e.ts))
-            val out = Seq.newBuilder[Session]
-            var cur: Option[SessionState] = state.getOption
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              cur match {
-                case Some(s) if t - s.end <= gapMs * 1000L =>
-                  cur = Some(s.copy(end = t, n = s.n + 1,
-                    total = s.total + e.value))
-                case Some(s) =>
-                  out += Session(userId, fromMicros(s.start),
-                    fromMicros(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+            state: GroupState[List[SessionState]]) =>
+          val existing = state.getOption.getOrElse(Nil)
+          // insert events as singletons, then coalesce by gap
+          val singletons = it.map(e =>
+            SessionState(micros(e.ts), micros(e.ts), 1, e.value)).toList
+          val merged = (existing ++ singletons)
+            .sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[SessionState]) {
+              case (acc @ (prev :: rest), cur)
+                  if cur.start - prev.end <= gapUs =>
+                prev.copy(end = math.max(prev.end, cur.end),
+                  n = prev.n + cur.n,
+                  total = prev.total + cur.total) :: rest
+              case (acc, cur) => cur :: acc
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close once the watermark passes the gap boundary
-              state.setTimeoutTimestamp(s.end / 1000L + gapMs)
-            }
-            out.result().iterator
+            .reverse
+          // emit sessions no admissible event can still touch
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // flush the earliest-finishing open session at its horizon
+            state.setTimeoutTimestamp(
+              open.map(_.end).min / 1000L + gapMs)
           }
+          closed.iterator.map(s => Session(userId, fromMicros(s.start),
+            fromMicros(s.end), s.n, s.total))
       }
   }
 }

@@ -104,6 +104,39 @@ class EventStreamsSpec extends SparkSuite {
     assert(sessions.head === ((1L, ts(0), ts(4), 3L, 7.0)))
   }
 
+  test("sessionizeStream merges out-of-order events across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    import org.apache.spark.sql.Encoders
+    val events = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+      .as(Encoders.product[Event])
+    val q = EventStreams.sessionizeStream(events, gapMs = 10 * 60 * 1000,
+      watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    // batch 1: events at 10 and 5 min (already out of order in-batch)
+    mem.addData((1L, ts(10), "a", 1.0), (1L, ts(5), "a", 2.0))
+    q.processAllAvailable()
+    // batch 2: OUT-OF-ORDER event at 2 min (watermark is far behind,
+    // so the engine admits it); must extend the session backwards,
+    // not regress its end
+    mem.addData((1L, ts(2), "a", 4.0))
+    q.processAllAvailable()
+    // advance watermark beyond end+gap to flush
+    mem.addData((9L, Timestamp.valueOf("2026-01-01 02:00:00"), "z", 0.0))
+    q.processAllAvailable()
+    mem.addData((9L, Timestamp.valueOf("2026-01-01 03:00:00"), "z", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_ooo")
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+      .filter(_._1 == 1L)
+    assert(sessions.length === 1, s"got: ${sessions.toSeq}")
+    assert(sessions.head === ((1L, ts(2), ts(10), 3L, 7.0)))
+  }
+
   test("sessionize over the real events table produces sane sessions") {
     val events = graft.queries.Tables(spark, sf0001, "events")
       .select($"user_id", $"ts", $"event_type", $"value")
