@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
@@ -16,8 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (batching, usage accounting, pluggable runtimes).
   */
 case class HashEmbed(child: Expression, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "hash_embedding"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    delegatedGenCode(ctx, ev)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

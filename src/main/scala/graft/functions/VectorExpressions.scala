@@ -256,9 +256,10 @@ case class VectorNorm(child: Expression)
 
 /** L2-normalize a vector; zero vectors pass through unchanged. */
 case class NormalizeVector(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "vector_normalize"
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]

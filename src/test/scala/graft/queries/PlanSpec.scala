@@ -56,6 +56,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hash expressions keep their stage in whole-stage codegen") {
+    // CodegenFallback would exclude the entire project stage from
+    // WSCG; the delegating codegen keeps it compiled (the `*(n)`
+    // prefix marks codegen'd operators)
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = docs.select(
+        T.minhash_signature(split(col("text"), " "), 16),
+        T.simhash64(split(col("text"), " ")),
+        T.rolling_fingerprint(col("text")),
+        T.hash_embedding(col("text"), 16))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen:\n$plan")
+  }
+
   test("projection-only query reads only projected columns") {
     val p = plan("q_projection_cast")
     assert(p.contains(
