@@ -69,9 +69,52 @@ object Dedup {
     * frequency cap BEFORE pairing (approximation for adversarial
     * corpora; None = exact).
     */
+  // jaccardPairs is deterministic in (input plan, params) and its
+  // result is small (the near-duplicate pairs); memoize the collected
+  // rows (session-safe: the DataFrame is rebuilt on the caller's
+  // session) so the three registry queries sharing the documents
+  // corpus run the similarity join once. Results above the row cap
+  // are not memoized (collect guard for adversarial corpora).
+  private val pairMemoCap = 200000
+  private val pairMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int, Double, Option[Int]),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[(Long, Long, Double)])]()
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
       maxShingleFreq: Option[Int] = None): DataFrame = {
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val idIsLong = df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val plan = if (idIsLong) df.queryExecution.analyzed else null
+    val key = if (idIsLong)
+      (plan.semanticHash(), idCol, textCol, n, tau, maxShingleFreq)
+    else null
+    if (idIsLong) {
+      val hit = pairMemo.get(key)
+      if (hit != null && hit._1.sameResult(plan)) {
+        return hit._2.toDF("i", "j", "jac")
+      }
+    }
+    val result = jaccardPairsUncached(df, idCol, textCol, n, tau,
+      maxShingleFreq)
+    if (idIsLong) {
+      val rows = result.limit(pairMemoCap + 1).collect()
+      if (rows.length <= pairMemoCap && pairMemo.size < 16) {
+        val data = rows.map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        pairMemo.put(key, (plan, data))
+        return data.toDF("i", "j", "jac")
+      }
+    }
+    result
+  }
+
+  private def jaccardPairsUncached(df: DataFrame, idCol: String,
+      textCol: String, n: Int, tau: Double,
+      maxShingleFreq: Option[Int]): DataFrame = {
     // Rare-first ordering minimizes prefix collisions. The document
     // frequencies are a SMALL aggregate (distinct shingles, not rows):
     // collect them once and broadcast a dictionary into the sort UDF —
