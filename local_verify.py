@@ -67,6 +67,23 @@ def compare(name, sql, con):
         return f"FAIL {name}: schema {sc} vs {oc}"
     spark_df = spark_df[sc]
     oracle_df = oracle_df[oc]
+    # The driver's comparator sorts rows before hashing; replicate so a
+    # crash there (e.g. unhashable ndarray cells) is caught locally.
+    try:
+        spark_df = spark_df.sort_values(by=sc, kind="mergesort")
+        oracle_df = oracle_df.sort_values(by=oc, kind="mergesort")
+    except Exception as e:
+        return f"FAIL {name}: driver-style sort crashes: {type(e).__name__}: {e}"
+    # The driver hashes values including their representation; a dtype
+    # KIND divergence (e.g. DuckDB HUGEINT -> float64 vs Spark int64,
+    # so 5.0 vs 5) fails its hash even when values are equal. Width-only
+    # differences (int32 vs int64) hash identically (verified r01).
+    sdt = [t.kind for t in spark_df.dtypes]
+    odt = [t.kind for t in oracle_df.dtypes]
+    if sdt != odt:
+        return (f"FAIL {name}: dtype kinds differ: "
+                f"spark={dict(zip(sc, map(str, spark_df.dtypes)))} "
+                f"oracle={dict(zip(oc, map(str, oracle_df.dtypes)))}")
     if len(spark_df) != len(oracle_df):
         return f"FAIL {name}: rows {len(spark_df)} vs {len(oracle_df)}"
     srows = [tuple(norm(v) for v in row) for row in spark_df.itertuples(index=False)]

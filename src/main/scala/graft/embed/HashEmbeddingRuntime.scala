@@ -59,21 +59,29 @@ object OnnxEmbeddingRuntime extends EmbeddingRuntime {
   override def name: String = "ort"
   override def dimOf(model: String): Int = ModelRegistry(model).dim
 
-  /** Transformer memory formula `((4·R·N²·D²)+R·N·S·(S+2D))·8 ·1.2` →
-    * largest batch fitting `availableBytes`
-    * (`ort_runtime.rs:362-442`).
+  /** Per-input transformer memory estimate: with L layers, N attention
+    * heads of dimension Dh and sequence length S,
+    * `((4·L·N²·Dh²) + L·N·S·(S+2·Dh)) · 8 bytes · 1.2 overhead`
+    * (`ort_runtime.rs:370-399` get_required_memory; model term is
+    * batch-independent).
     */
-  def maxBatchForMemory(availableBytes: Long, seqLen: Long, hidden: Long,
+  def requiredMemoryBytes(seqLen: Long, heads: Long, headDim: Long,
       layers: Long = 12L): Long = {
-    require(seqLen > 0 && hidden > 0 && layers > 0,
-      "seqLen/hidden/layers must be positive")
-    def cost(r: Long): Double =
-      ((4.0 * r * seqLen * seqLen * hidden * hidden / hidden) // attention
-        + r.toDouble * layers * seqLen * (seqLen + 2.0 * hidden)) * 8.0 * 1.2
-    var r = 1L
-    while (cost(r + 1) <= availableBytes.toDouble) r += 1
-    r
+    require(seqLen > 0 && heads > 0 && headDim > 0 && layers > 0,
+      "seqLen/heads/headDim/layers must be positive")
+    val model = 4.0 * layers * heads * heads * headDim * headDim
+    val activations =
+      layers.toDouble * heads * seqLen * (seqLen + 2.0 * headDim)
+    ((model + activations) * 8.0 * 1.2).toLong
   }
+
+  /** Max batch = `max(1, available / per-input-memory)`
+    * (`ort_runtime.rs:401-442` chunk_session_input).
+    */
+  def maxBatchForMemory(availableBytes: Long, seqLen: Long, heads: Long,
+      headDim: Long, layers: Long = 12L): Long =
+    math.max(1L,
+      availableBytes / requiredMemoryBytes(seqLen, heads, headDim, layers))
 
   override def process(model: String, inputs: Seq[String])
       : EmbeddingResult =

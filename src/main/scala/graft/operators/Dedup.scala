@@ -181,7 +181,7 @@ object Dedup {
     * is 1 at tau (bands/rows chosen so P[collide | jac>=tau] ≈ 1).
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 64,
       tau: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands

@@ -61,11 +61,13 @@ object DocumentQueries {
         .select($"i", $"j", round($"jac", 3).as("jac"))
         .orderBy($"i", $"j")),
 
-    // MinHash-LSH near-dup pairs; parameters give ~certain recall at
-    // jac>=0.5, so the exact-Jaccard oracle applies.
+    // MinHash-LSH near-dup pairs. 64 bands x 2 rows: P[band collision |
+    // jac=0.5] = 1-(1-0.5^2)^64 ~= 1-1e-8, so recall at tau=0.5 is
+    // certain for practical purposes and the exact-Jaccard oracle
+    // applies (candidates are exact-verified, so precision is exact).
     "q_minhash_dups" -> ((s, dir) =>
       Dedup.minhashDupPairs(docs(s, dir), "doc_id", "text",
-        n = 3, numHashes = 128, bands = 16, tau = 0.5)
+        n = 3, numHashes = 128, bands = 64, tau = 0.5)
         .select($"i", $"j", round($"jac", 3).as("jac"))
         .orderBy($"i", $"j")),
 
@@ -85,13 +87,15 @@ object DocumentQueries {
 
     // Multimodal plumbing: binary payloads (text bytes stand in for
     // media here) → batched feature extraction with the stub decoder.
+    // Features exploded to (doc_id, pos, val) for the gate comparator.
     "q_multimodal_features" -> ((s, dir) => {
       val d = docs(s, dir)
         .select($"doc_id", $"text".cast("binary").as("media"))
       graft.multimodal.Multimodal
         .mediaFeatures(d, "media", "feat", dim = 16)
-        .select($"doc_id", $"feat")
-        .orderBy($"doc_id")
+        .select($"doc_id", posexplode($"feat"))
+        .toDF("doc_id", "pos", "val")
+        .orderBy($"doc_id", $"pos")
     }),
 
     // Exact embedding-cosine near-dup pairs.
@@ -153,7 +157,7 @@ object DocumentQueries {
     "q_langid" -> TA.langidSql(TA.DuckDialect),
     "q_fingerprint" -> TA.fingerprintSql(TA.DuckDialect),
     "q_ignore_filter" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS chars FROM documents
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents
         |WHERE text IS NOT NULL AND text != ''
         |  AND text != 'Error: Summary failed (llm)' AND trim(text) != ''
         |GROUP BY lang ORDER BY lang""".stripMargin,

@@ -24,11 +24,13 @@ object EmbedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §3.2 headline: add an embedding column to a table (rows-only
-    // check: bespoke hash model has no SQL equivalent).
+    // check: bespoke hash model has no SQL equivalent). Exploded to
+    // (doc_id, pos, val) for the gate comparator.
     "q_embed_docs" -> ((s, dir) =>
       embeddedDocs(s, dir)
-        .select($"doc_id", $"emb")
-        .orderBy($"doc_id")),
+        .select($"doc_id", posexplode($"emb"))
+        .toDF("doc_id", "pos", "val")
+        .orderBy($"doc_id", $"pos")),
 
     // A5: usage accounting — embeds, then aggregates the per-row token
     // counts the runtime reports. Oracle-checkable because the stand-in
@@ -92,7 +94,7 @@ object EmbedQueries {
   val oracleSql: Map[String, String] = Map(
     "q_embed_usage" ->
       """SELECT lang, count(*) AS n,
-        | sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))) AS tokens
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))) AS BIGINT) AS tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_embed_dup_recovery" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -40,18 +40,23 @@ object PqQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q7 argmin assignment against the fixed codebook (oracle-checked).
+    // Codes exploded to (vec_id, pos, code): the gate comparator can't
+    // hash array cells.
     "q_pq_assign_fixed" -> ((s, dir) =>
       ProductQuantizer.quantizeColumn(
         emb(s, dir).select($"vec_id", $"embedding"),
         "embedding", "codes", fixedCodebook(s, dir))
-        .select($"vec_id", $"codes".cast("array<int>").as("codes"))
-        .orderBy($"vec_id")),
+        .select($"vec_id", posexplode($"codes".cast("array<int>")))
+        .toDF("vec_id", "pos", "code")
+        .orderBy($"vec_id", $"pos")),
 
     // Q5 fitted codebook (rows-only; shape checked in PqSpec too).
     "q_pq_codebook" -> ((s, dir) =>
       ProductQuantizer.fitCodebook(emb(s, dir), "vec_id", "embedding",
         clusters = 16, splits = Splits, maxIter = 10)
-        .orderBy($"subvector_id", $"centroid_id")),
+        .select($"subvector_id", $"centroid_id", posexplode($"c"))
+        .toDF("subvector_id", "centroid_id", "pos", "val")
+        .orderBy($"subvector_id", $"centroid_id", $"pos")),
 
     // Q7/Q8 full pipeline: fit → quantize (rows-only).
     "q_pq_quantize" -> ((s, dir) => {
@@ -59,8 +64,9 @@ object PqQueries {
       val cb = ProductQuantizer.fitCodebook(e, "vec_id", "embedding",
         clusters = 16, splits = Splits, maxIter = 10)
       ProductQuantizer.quantizeColumn(e, "embedding", "v_pq", cb)
-        .select($"vec_id", $"v_pq")
-        .orderBy($"vec_id")
+        .select($"vec_id", posexplode($"v_pq".cast("array<int>")))
+        .toDF("vec_id", "pos", "code")
+        .orderBy($"vec_id", $"pos")
     }),
 
     // Reconstruction quality summary (rows-only single row).
@@ -96,9 +102,9 @@ object PqQueries {
            |    row_number() OVER (PARTITION BY sub.vec_id, sub.split_id
            |      ORDER BY ${dkL2sq(svA, svB)}, cb.centroid_id) AS rn
            |  FROM sub JOIN cb ON sub.split_id = cb.split_id)
-           |SELECT vec_id,
-           |  list(CAST(centroid_id AS INT) ORDER BY split_id) AS codes
-           |FROM scored WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+           |SELECT vec_id, CAST(split_id AS INT) AS pos,
+           |  CAST(centroid_id AS INT) AS code
+           |FROM scored WHERE rn = 1 ORDER BY vec_id, pos""".stripMargin
     )
   }
 }

@@ -163,11 +163,14 @@ object RelationalQueries {
         countDistinct($"l_suppkey").as("n_supp"))
     }),
 
-    // A6: ordered collect (json_agg analog) as a sorted array per group.
+    // A6: ordered collect (json_agg analog) as a sorted array per group,
+    // rendered to a string (the gate comparator can't hash array cells;
+    // statuses are strings so joining is formatting-safe).
     "q_collect_sorted" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy($"o_orderpriority")
-        .agg(sort_array(collect_list($"o_orderstatus")).as("statuses"),
+        .agg(concat_ws(",", sort_array(collect_list($"o_orderstatus")))
+          .as("statuses"),
           count(lit(1)).as("n"))
         .orderBy($"o_orderpriority")),
 
@@ -265,7 +268,8 @@ object RelationalQueries {
         | count(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem""".stripMargin,
     "q_collect_sorted" ->
-      """SELECT o_orderpriority, list_sort(list(o_orderstatus)) AS statuses,
+      """SELECT o_orderpriority,
+        | array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sample_mod" ->

@@ -31,18 +31,22 @@ object VectorQueries {
         .orderBy($"vec_id")),
 
     // P6: subvector slice pushed as projection. pq/codebook.rs:177-186.
+    // Output exploded to (vec_id, pos, val): the gate comparator can't
+    // hash array cells.
     "q_vec_slice" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
-        .select($"vec_id", slice($"embedding", 1, 8).as("sub"))
-        .orderBy($"vec_id")),
+        .select($"vec_id", posexplode(slice($"embedding", 1, 8)))
+        .toDF("vec_id", "pos", "val")
+        .orderBy($"vec_id", $"pos")),
 
     // F15: vector_normalize round-trip (unit inputs scaled first so
-    // the operation is non-trivial).
+    // the operation is non-trivial); exploded for the gate.
     "q_vec_normalize" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
-        .select($"vec_id", V.vector_normalize(
-          transform($"embedding", x => x * 3.0f)).as("nv"))
-        .orderBy($"vec_id")),
+        .select($"vec_id", posexplode(V.vector_normalize(
+          transform($"embedding", x => x * 3.0f))))
+        .toDF("vec_id", "pos", "val")
+        .orderBy($"vec_id", $"pos")),
 
     // F15: all three metrics against an anchor vector (vec_id = 0).
     "q_dist_anchor" -> ((s, dir) => {
@@ -151,25 +155,31 @@ object VectorQueries {
         |  FROM embeddings),
         |a AS (SELECT sgn AS asgn FROM sg WHERE vec_id = 0)
         |SELECT sg.vec_id,
-        |  list_sum(list_transform(range(1, len(sg.sgn)+1),
-        |    i -> CASE WHEN sg.sgn[i] != a.asgn[i] THEN 1 ELSE 0 END)) AS hd
+        |  CAST(list_sum(list_transform(range(1, len(sg.sgn)+1),
+        |    i -> CASE WHEN sg.sgn[i] != a.asgn[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hd
         |FROM sg, a ORDER BY sg.vec_id""".stripMargin,
     "q_ivf_knn" -> knnOracle,
     "q_vec_norm" ->
       s"""SELECT vec_id, round(sqrt(${dkNormSq("embedding")}), 4) AS nrm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_vec_slice" ->
-      "SELECT vec_id, embedding[1:8] AS sub FROM embeddings ORDER BY vec_id",
+      """SELECT vec_id, CAST(unnest(range(0, 8)) AS INT) AS pos,
+        | unnest(embedding[1:8]) AS val
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
     "q_vec_normalize" ->
       s"""WITH sc AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x * CAST(3.0 AS FLOAT) AS FLOAT)) AS e
-         |  FROM embeddings)
-         |SELECT vec_id,
-         |  CASE WHEN ${OracleFrag.dkNormSq("e")} = 0 THEN e
-         |       ELSE list_transform(e, x -> CAST(CAST(x AS DOUBLE) / sqrt(${OracleFrag.dkNormSq("e")}) AS FLOAT))
-         |  END AS nv
-         |FROM sc ORDER BY vec_id""".stripMargin,
+         |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id,
+         |    CASE WHEN ${OracleFrag.dkNormSq("e")} = 0 THEN e
+         |         ELSE list_transform(e, x -> CAST(CAST(x AS DOUBLE) / sqrt(${OracleFrag.dkNormSq("e")}) AS FLOAT))
+         |    END AS nv
+         |  FROM sc)
+         |SELECT vec_id, CAST(unnest(range(0, len(nv))) AS INT) AS pos,
+         | unnest(nv) AS val
+         |FROM nv ORDER BY vec_id, pos""".stripMargin,
     "q_dist_anchor" ->
       s"""WITH a AS (SELECT embedding AS anchor FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

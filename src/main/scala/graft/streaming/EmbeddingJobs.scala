@@ -188,18 +188,25 @@ object EmbeddingJobs {
             spec.srcCol, spec.outCol, spec.model, runtime)
             .where(col(spec.outCol).isNotNull)
             .select(col(spec.pkCol), col(spec.outCol),
-              col(spec.outCol + "_tokens").as("tokens"),
-              lit(batchId).as("batch_id"))
+              col(spec.outCol + "_tokens").as("tokens"))
             .persist()
           try {
             val usage = embedded.agg(
               count(lit(1)).as("rows"), sum(col("tokens")).as("tokens"))
-              .select(lit(spec.id).as("job_id"), lit(batchId).as("batch_id"),
-                col("rows"), col("tokens")).collect().head
+              .select(lit(spec.id).as("job_id"), col("rows"), col("tokens"))
+              .collect().head
+            // batchId-scoped overwrite (batch ids are unique across
+            // restarts of one checkpoint): a replay after a crash
+            // between these writes and the checkpoint commit rewrites
+            // the same directories instead of appending duplicates, so
+            // output stays exactly-once and D10 metering never
+            // double-counts. batch_id returns as a partition column.
             embedded.drop("tokens")
-              .write.mode("append").parquet(spec.outputDir)
-            spark.createDataFrame(java.util.List.of(usage),
-              usage.schema).write.mode("append").parquet(spec.usageDir)
+              .write.mode("overwrite")
+              .parquet(s"${spec.outputDir}/batch_id=$batchId")
+            spark.createDataFrame(java.util.List.of(usage), usage.schema)
+              .write.mode("overwrite")
+              .parquet(s"${spec.usageDir}/batch_id=$batchId")
           } finally embedded.unpersist()
           ()
         }

@@ -150,11 +150,19 @@ class EmbedSpec extends SparkSuite {
     assert(calls === 3) // ceil(200/96)
   }
 
-  test("memory-capped batch formula is monotone in available memory") {
+  test("memory-capped batch formula matches the reference computation") {
+    // bge-small-ish: 12 layers, 12 heads of dim 32, seq 128
+    val perInput = OnnxEmbeddingRuntime.requiredMemoryBytes(
+      seqLen = 128, heads = 12, headDim = 32)
+    val expected = (((4.0 * 12 * 12 * 12 * 32 * 32)
+      + 12.0 * 12 * 128 * (128 + 2 * 32)) * 8.0 * 1.2).toLong
+    assert(perInput === expected)
     val small = OnnxEmbeddingRuntime.maxBatchForMemory(
-      64L << 20, seqLen = 128, hidden = 384)
+      64L << 20, seqLen = 128, heads = 12, headDim = 32)
     val big = OnnxEmbeddingRuntime.maxBatchForMemory(
-      1L << 30, seqLen = 128, hidden = 384)
+      1L << 30, seqLen = 128, heads = 12, headDim = 32)
+    assert(small === math.max(1L, (64L << 20) / perInput))
+    assert(big === math.max(1L, (1L << 30) / perInput))
     assert(small >= 1 && big > small)
   }
 }
