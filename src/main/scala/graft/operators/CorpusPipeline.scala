@@ -33,9 +33,22 @@ object CorpusPipeline {
     // redundancy being removed); materialize it once so the expensive
     // similarity join executes exactly once instead of re-running
     // inside the final anti-join's lineage.
-    val dups = Dedup.jaccardPairs(usable, "doc_id", "text",
+    //
+    // Pairs are computed on the UNFILTERED input and then restricted
+    // to usable ids: Jaccard depends only on each document's text, so
+    // pairs(filtered corpus) == pairs(full corpus) ∩ usable×usable,
+    // and the full-corpus result is shared (memoized) with direct
+    // jaccardPairs callers over the same input — one similarity join
+    // per corpus per JVM instead of one per filter variant.
+    val dups = Dedup.jaccardPairs(docs, "doc_id", "text",
       n = shingleN, tau = tau)
-    val removedRows = dups.select(col("j").as("doc_id")).distinct()
+    val usableIds = usable.select(col("doc_id"))
+    val removedRows = dups
+      .join(usableIds.withColumnRenamed("doc_id", "i"), Seq("i"),
+        "left_semi")
+      .join(usableIds.withColumnRenamed("doc_id", "j"), Seq("j"),
+        "left_semi")
+      .select(col("j").as("doc_id")).distinct()
       .collect()
     val removed = spark.createDataFrame(
       java.util.Arrays.asList(removedRows: _*),

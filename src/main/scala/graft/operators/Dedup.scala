@@ -88,7 +88,12 @@ object Dedup {
     import spark0.implicits._
     val idIsLong = df.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
-    val plan = if (idIsLong) df.queryExecution.analyzed else null
+    // Normalize to the two columns actually read and key the memo on
+    // the OPTIMIZED plan: projection collapsing makes callers that
+    // differ only in carried-along columns (raw table vs select)
+    // share one memo entry — one similarity join per corpus per JVM.
+    val dfn = df.select(col(idCol), col(textCol))
+    val plan = if (idIsLong) dfn.queryExecution.optimizedPlan else null
     val key = if (idIsLong)
       (plan.semanticHash(), idCol, textCol, n, tau, maxShingleFreq)
     else null
@@ -98,7 +103,7 @@ object Dedup {
         return hit._2.toDF("i", "j", "jac")
       }
     }
-    val result = jaccardPairsUncached(df, idCol, textCol, n, tau,
+    val result = jaccardPairsUncached(dfn, idCol, textCol, n, tau,
       maxShingleFreq)
     if (idIsLong) {
       val rows = result.limit(pairMemoCap + 1).collect()
@@ -187,25 +192,47 @@ object Dedup {
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sets.select(col("id"), col("shingles"),
+    val sigs = sets.select(col("id"),
       T.minhash_signature(col("shingles"), numHashes, seed).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band key = hash of the band's slice of the signature
     val bandKeys = sigs.select(col("id"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * r + 1, r)).as("bkey"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    cands
+    // Signature prefilter before the expensive shingle verification:
+    // the match fraction of the k signature slots estimates jac, so
+    // require est >= tau/2. For a true pair (jac >= tau) Hoeffding
+    // gives P[est < tau/2] <= exp(-2·k·(tau/2)²) — k=128, tau=0.5 →
+    // ~1e-7, negligible next to the banding miss itself — while
+    // low-jac band collisions (the bulk of candidates at small r) are
+    // dropped using the 1 KB signatures instead of multi-KB shingle
+    // arrays + hash-set intersection.
+    val estTau = tau / 2
+    val sigPass = cands
+      .join(sigs.select(col("id").as("i"), col("sig").as("ga")), "i")
+      .join(sigs.select(col("id").as("j"), col("sig").as("gb")), "j")
+      .where(sigMatchFrac(col("ga"), col("gb")) >= estTau)
+      .select(col("i"), col("j"))
+    sigPass
       .join(sets.select(col("id").as("i"), col("shingles").as("sa")), "i")
       .join(sets.select(col("id").as("j"), col("shingles").as("sb")), "j")
       .select(col("i"), col("j"), jaccard(col("sa"), col("sb")).as("jac"))
       .where(col("jac") >= tau)
   }
+
+  // fraction of equal slots between two equal-length minhash signatures
+  private val sigMatchFrac = udf((a: Seq[Long], b: Seq[Long]) => {
+    var m = 0
+    var k = 0
+    while (k < a.length) { if (a(k) == b(k)) m += 1; k += 1 }
+    m.toDouble / a.length
+  })
 
   /** SimHash near-dup pairs: 64-bit simhash over word tokens, banded
     * into 4 x 16-bit chunks (pigeonhole: hamming <= 3 implies at least
