@@ -117,6 +117,69 @@ object Dedup {
     result
   }
 
+  /** Distinct word-n-gram shingles per id, as 64-bit FNV-1a hashes:
+    * (id, hs ARRAY<BIGINT>). One pass per row — words are hashed
+    * incrementally into each shingle (FNV is byte-sequential, so this
+    * equals hashing the joined string) without materializing shingle
+    * strings. The dedup chain downstream (frequency map, prefix join,
+    * verification) then moves 8-byte longs instead of multi-byte
+    * strings. Hash collisions merge two shingles at ~m²/2⁶⁵
+    * probability for m distinct shingles — immaterial at any corpus
+    * size this engine targets.
+    */
+  def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val space = ' '.toByte
+    val shingleU = udf((t: String) => {
+      if (t == null) Array.empty[Long]
+      else {
+        val w = t.split(' ')
+        if (w.length < n) Array.empty[Long]
+        else {
+          val wb = w.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val set = new scala.collection.mutable.LinkedHashSet[Long]
+          var i = 0
+          while (i <= w.length - n) {
+            var h = graft.functions.TextHash.FnvOffset
+            var k = i
+            while (k < i + n) {
+              val bytes = wb(k)
+              var b = 0
+              while (b < bytes.length) {
+                h ^= (bytes(b) & 0xffL)
+                h *= graft.functions.TextHash.FnvPrime
+                b += 1
+              }
+              if (k < i + n - 1) {
+                h ^= (space & 0xffL)
+                h *= graft.functions.TextHash.FnvPrime
+              }
+              k += 1
+            }
+            set += h
+            i += 1
+          }
+          set.toArray
+        }
+      }
+    })
+    df.select(col(idCol).as("id"), shingleU(col(textCol)).as("hs"))
+  }
+
+  // sort-merge Jaccard over hashed shingle sets: no boxing, no string
+  // hashing; sorting 2 small long arrays beats a hash set here
+  private val jaccardHashedU = udf((sa: Seq[Long], sb: Seq[Long]) => {
+    val a = sa.toArray; java.util.Arrays.sort(a)
+    val b = sb.toArray; java.util.Arrays.sort(b)
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  })
+
   private def jaccardPairsUncached(df: DataFrame, idCol: String,
       textCol: String, n: Int, tau: Double,
       maxShingleFreq: Option[Int]): DataFrame = {
@@ -128,26 +191,26 @@ object Dedup {
     // fallback is the join-based variant, but corpora dedup at this
     // shingle cardinality routinely (the cap also prunes it).
     val spark = df.sparkSession
-    val sets0 = shingleSets(df, idCol, textCol, n)
+    val sets0 = hashedShingleSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfMap: Map[String, Long] = sets0
-      .select(explode(col("shingles")).as("g"))
+    val dfMap: Map[Long, Long] = sets0
+      .select(explode(col("hs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df_g"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dfBc = spark.sparkContext.broadcast(dfMap)
     val cap = maxShingleFreq.map(_.toLong).getOrElse(Long.MaxValue)
-    val orderU = udf((sh: Seq[String]) =>
-      sh.filter(s => dfBc.value.getOrElse(s, 1L) <= cap)
-        .sortBy(s => (dfBc.value.getOrElse(s, 1L), s)))
+    val orderU = udf((hs: Seq[Long]) =>
+      hs.filter(h => dfBc.value.getOrElse(h, 1L) <= cap)
+        .sortBy(h => (dfBc.value.getOrElse(h, 1L), h)))
     // persisted: referenced by the prefix self-join AND verification,
     // which would otherwise recompute the shingle pipeline 4x
     val ordered = sets0
-      .select(col("id"), orderU(col("shingles")).as("shingles"))
-      .select(col("id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .select(col("id"), orderU(col("hs")).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).as("n_sh"))
       .where(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = ordered.select(col("id"), col("n_sh"),
-      posexplode(slice(col("shingles"), lit(1),
+      posexplode(slice(col("hs"), lit(1),
         (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int")))
         .as(Seq("pos", "g")))
     // length filter (tau*na <= nb <= na/tau) plus PPJoin positional
@@ -170,12 +233,13 @@ object Dedup {
             col("b.n_sh") - col("b.pos")) >= minOverlap)
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    // exact verification on candidates only
-    val sets = ordered.select(col("id"), col("shingles"))
+    // exact verification on candidates only (sort-merge over hashes)
+    val sets = ordered.select(col("id"), col("hs"))
     cands
-      .join(sets.select(col("id").as("i"), col("shingles").as("sa")), "i")
-      .join(sets.select(col("id").as("j"), col("shingles").as("sb")), "j")
-      .select(col("i"), col("j"), jaccard(col("sa"), col("sb")).as("jac"))
+      .join(sets.select(col("id").as("i"), col("hs").as("sa")), "i")
+      .join(sets.select(col("id").as("j"), col("hs").as("sb")), "j")
+      .select(col("i"), col("j"),
+        jaccardHashedU(col("sa"), col("sb")).as("jac"))
       .where(col("jac") >= tau)
   }
 
