@@ -41,6 +41,9 @@ object TextHash {
 
 /** `minhash_signature(tokens, numHashes, seed)` → ARRAY<BIGINT>.
   * One pass over the token array per row; k decorrelated min-hashes.
+  * Accepts ARRAY<STRING> tokens (FNV-1a hashed here) or ARRAY<BIGINT>
+  * of pre-computed FNV-1a token hashes (e.g. from
+  * `Dedup.hashedShingleSets`) — both produce identical signatures.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with EvalDelegatingCodegen {
@@ -51,10 +54,16 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     delegatedGenCode(ctx, ev)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val preHashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_signature requires ARRAY<STRING>, got ${t.simpleString}")
+      s"minhash_signature requires ARRAY<STRING> or ARRAY<BIGINT>, " +
+        s"got ${t.simpleString}")
   }
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -62,7 +71,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val base = TextHash.fnv1a(arr.getUTF8String(i))
+        val base =
+          if (preHashed) arr.getLong(i)
+          else TextHash.fnv1a(arr.getUTF8String(i))
         var j = 0
         while (j < numHashes) {
           val h = TextHash.hashWithSeed(base, seed * 0x51_7c_c1_b7L + j)

@@ -41,18 +41,6 @@ object Dedup {
     df.select(col(idCol).as("id"),
       T.word_shingles(col(textCol), n).as("shingles"))
 
-  // single-pass hash-set Jaccard: array_intersect would hash-build
-  // per evaluation and the naive column formula evaluates it twice
-  private val jaccardU = udf((sa: Seq[String], sb: Seq[String]) => {
-    val (small, big) = if (sa.length < sb.length) (sa, sb) else (sb, sa)
-    val set = new java.util.HashSet[String](small.length * 2)
-    small.foreach(set.add)
-    var inter = 0
-    big.foreach(x => if (set.contains(x)) inter += 1)
-    inter.toDouble / (sa.length + sb.length - inter)
-  })
-  private def jaccard(sa: Column, sb: Column): Column = jaccardU(sa, sb)
-
   /** Exact n-gram Jaccard near-dup pairs (i < j, jac >= tau).
     *
     * Scale design — PPJoin-style prefix filtering (Xiao et al. 2008,
@@ -254,10 +242,12 @@ object Dedup {
       tau: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sets = shingleSets(df, idCol, textCol, n)
+    val sets = hashedShingleSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures from the pre-hashed shingles — identical values to
+    // the string path (same FNV-1a bases), minus the string traffic
     val sigs = sets.select(col("id"),
-      T.minhash_signature(col("shingles"), numHashes, seed).as("sig"))
+      T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band key = hash of the band's slice of the signature
     val bandKeys = sigs.select(col("id"),
@@ -284,9 +274,10 @@ object Dedup {
       .where(sigMatchFrac(col("ga"), col("gb")) >= estTau)
       .select(col("i"), col("j"))
     sigPass
-      .join(sets.select(col("id").as("i"), col("shingles").as("sa")), "i")
-      .join(sets.select(col("id").as("j"), col("shingles").as("sb")), "j")
-      .select(col("i"), col("j"), jaccard(col("sa"), col("sb")).as("jac"))
+      .join(sets.select(col("id").as("i"), col("hs").as("sa")), "i")
+      .join(sets.select(col("id").as("j"), col("hs").as("sb")), "j")
+      .select(col("i"), col("j"),
+        jaccardHashedU(col("sa"), col("sb")).as("jac"))
       .where(col("jac") >= tau)
   }
 
