@@ -20,7 +20,14 @@ object CorpusPipeline {
   def cleanCorpus(spark: SparkSession, docs: DataFrame,
       minQuality: Double = 0.5, tau: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
-    val usable = docs
+    // Spread small single-file inputs across cores before the
+    // regex-heavy quality stage (a no-op at scale, where the input
+    // already has >= cores partitions).
+    val target = spark.sparkContext.defaultParallelism
+    val docsP =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val usable = docsP
       .where(T.usable_text(col("text")) && trim(col("text")) =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -94,13 +94,19 @@ object Dedup {
     val result = jaccardPairsUncached(dfn, idCol, textCol, n, tau,
       maxShingleFreq)
     if (idIsLong) {
-      val rows = result.limit(pairMemoCap + 1).collect()
-      if (rows.length <= pairMemoCap && pairMemo.size < 16) {
-        val data = rows.map(r =>
-          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-        pairMemo.put(key, (plan, data))
-        return data.toDF("i", "j", "jac")
-      }
+      // count-from-cache, then collect: a limit(cap).collect() here
+      // would run Spark's incremental take (1, 4, 16, ... partitions),
+      // re-executing the verification stage once per round
+      val cached = result.persist()
+      try {
+        val cnt = cached.count()
+        if (cnt <= pairMemoCap && pairMemo.size < 16) {
+          val data = cached.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          pairMemo.put(key, (plan, data))
+          return data.toDF("i", "j", "jac")
+        }
+      } finally cached.unpersist()
     }
     result
   }
@@ -117,6 +123,15 @@ object Dedup {
     */
   def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    // Small inputs (e.g. one parquet file) arrive as a single
+    // partition, which would serialize the shingle hashing on one
+    // core; spread them first. At scale inputs already have >= cores
+    // partitions and this is a no-op (no shuffle added).
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val dfp =
+      if (df.rdd.getNumPartitions < target)
+        df.repartition(target)
+      else df
     val space = ' '.toByte
     val shingleU = udf((t: String) => {
       if (t == null) Array.empty[Long]
@@ -151,7 +166,7 @@ object Dedup {
         }
       }
     })
-    df.select(col(idCol).as("id"), shingleU(col(textCol)).as("hs"))
+    dfp.select(col(idCol).as("id"), shingleU(col(textCol)).as("hs"))
   }
 
   // sort-merge Jaccard over hashed shingle sets: no boxing, no string
