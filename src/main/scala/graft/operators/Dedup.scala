@@ -257,15 +257,15 @@ object Dedup {
       tau: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    // One persisted relation carries both the hashed shingles and the
+    // signature (computed from the SAME pre-hashed FNV-1a bases the
+    // string path would use — identical values, no string traffic).
     val sets = hashedShingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // signatures from the pre-hashed shingles — identical values to
-    // the string path (same FNV-1a bases), minus the string traffic
-    val sigs = sets.select(col("id"),
-      T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
+      .select(col("id"), col("hs"),
+        T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band key = hash of the band's slice of the signature
-    val bandKeys = sigs.select(col("id"),
+    val bandKeys = sets.select(col("id"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * r + 1, r)).as("bkey"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bkey"))
@@ -280,17 +280,16 @@ object Dedup {
     // gives P[est < tau/2] <= exp(-2·k·(tau/2)²) — k=128, tau=0.5 →
     // ~1e-7, negligible next to the banding miss itself — while
     // low-jac band collisions (the bulk of candidates at small r) are
-    // dropped using the 1 KB signatures instead of multi-KB shingle
-    // arrays + hash-set intersection.
+    // dropped on the 1 KB signatures. Both checks run in one pair of
+    // joins (the And short-circuits, so jaccard is only computed on
+    // signature survivors).
     val estTau = tau / 2
-    val sigPass = cands
-      .join(sigs.select(col("id").as("i"), col("sig").as("ga")), "i")
-      .join(sigs.select(col("id").as("j"), col("sig").as("gb")), "j")
+    cands
+      .join(sets.select(col("id").as("i"), col("hs").as("sa"),
+        col("sig").as("ga")), "i")
+      .join(sets.select(col("id").as("j"), col("hs").as("sb"),
+        col("sig").as("gb")), "j")
       .where(sigMatchFrac(col("ga"), col("gb")) >= estTau)
-      .select(col("i"), col("j"))
-    sigPass
-      .join(sets.select(col("id").as("i"), col("hs").as("sa")), "i")
-      .join(sets.select(col("id").as("j"), col("hs").as("sb")), "j")
       .select(col("i"), col("j"),
         jaccardHashedU(col("sa"), col("sb")).as("jac"))
       .where(col("jac") >= tau)
