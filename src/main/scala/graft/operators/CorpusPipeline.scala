@@ -23,11 +23,7 @@ object CorpusPipeline {
     // Spread small single-file inputs across cores before the
     // regex-heavy quality stage (a no-op at scale, where the input
     // already has >= cores partitions).
-    val target = spark.sparkContext.defaultParallelism
-    val docsP =
-      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
-      else docs
-    val usable = docsP
+    val usable = Repartitioning.spreadSmallScan(docs)
       .where(T.usable_text(col("text")) && trim(col("text")) =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

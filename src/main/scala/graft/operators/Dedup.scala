@@ -93,20 +93,24 @@ object Dedup {
     }
     val result = jaccardPairsUncached(dfn, idCol, textCol, n, tau,
       maxShingleFreq)
-    if (idIsLong) {
+    if (idIsLong && pairMemo.size < 16) {
       // count-from-cache, then collect: a limit(cap).collect() here
       // would run Spark's incremental take (1, 4, 16, ... partitions),
       // re-executing the verification stage once per round
       val cached = result.persist()
-      try {
-        val cnt = cached.count()
-        if (cnt <= pairMemoCap && pairMemo.size < 16) {
+      val cnt = cached.count()
+      if (cnt <= pairMemoCap) {
+        try {
           val data = cached.collect().map(r =>
             (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
           pairMemo.put(key, (plan, data))
           return data.toDF("i", "j", "jac")
-        }
-      } finally cached.unpersist()
+        } finally cached.unpersist()
+      }
+      // over the memo cap: hand back the STILL-PERSISTED result so the
+      // materialization is not thrown away (operators persist internal
+      // intermediates by contract; callers clearCache() when done)
+      return cached
     }
     result
   }
@@ -123,15 +127,7 @@ object Dedup {
     */
   def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    // Small inputs (e.g. one parquet file) arrive as a single
-    // partition, which would serialize the shingle hashing on one
-    // core; spread them first. At scale inputs already have >= cores
-    // partitions and this is a no-op (no shuffle added).
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val dfp =
-      if (df.rdd.getNumPartitions < target)
-        df.repartition(target)
-      else df
+    val dfp = Repartitioning.spreadSmallScan(df)
     val space = ' '.toByte
     val shingleU = udf((t: String) => {
       if (t == null) Array.empty[Long]
@@ -260,7 +256,13 @@ object Dedup {
     // One persisted relation carries both the hashed shingles and the
     // signature (computed from the SAME pre-hashed FNV-1a bases the
     // string path would use — identical values, no string traffic).
+    // Shingle-less docs (< n words) are dropped BEFORE banding — they
+    // cannot be near-dups, and their all-Long.MaxValue signatures
+    // would otherwise band-collide with each other in every band,
+    // a quadratic blowup on short-doc-heavy corpora (the exact path
+    // has the same n_sh > 0 guard).
     val sets = hashedShingleSets(df, idCol, textCol, n)
+      .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"),
         T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -275,15 +277,21 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
     // Signature prefilter before the expensive shingle verification:
-    // the match fraction of the k signature slots estimates jac, so
-    // require est >= tau/2. For a true pair (jac >= tau) Hoeffding
-    // gives P[est < tau/2] <= exp(-2·k·(tau/2)²) — k=128, tau=0.5 →
-    // ~1e-7, negligible next to the banding miss itself — while
-    // low-jac band collisions (the bulk of candidates at small r) are
-    // dropped on the 1 KB signatures. Both checks run in one pair of
-    // joins (the And short-circuits, so jaccard is only computed on
-    // signature survivors).
-    val estTau = tau / 2
+    // the match fraction of the k signature slots estimates jac. The
+    // threshold backs off from tau by a Hoeffding margin sized for a
+    // <= 1e-7 false-drop probability per true pair:
+    //   delta = sqrt(ln(1e7) / (2k))  →  P[est < tau - delta | jac >=
+    //   tau] <= exp(-2·k·delta²) = 1e-7,
+    // negligible next to the banding miss itself. k=128, tau=0.5 →
+    // threshold 0.25. For small k the margin widens (k=16 → delta
+    // 0.71, threshold clamps to 0 and the filter is a no-op), so the
+    // "output identical to jaccardPairs" contract never degrades with
+    // caller-chosen numHashes. Low-jac band collisions (the bulk of
+    // candidates at small r) are dropped on the 1 KB signatures. Both
+    // checks run in one pair of joins (the And short-circuits, so
+    // jaccard is only computed on signature survivors).
+    val estTau = math.max(0.0,
+      tau - math.sqrt(math.log(1e7) / (2.0 * numHashes)))
     cands
       .join(sets.select(col("id").as("i"), col("hs").as("sa"),
         col("sig").as("ga")), "i")

@@ -28,8 +28,11 @@ import graft.embed.{EmbeddingPipeline, EmbeddingRuntime}
   *  - retry/backoff (D7) → Spark task retries + failed-state restart;
   *  - cancellation (D8) → cooperative check per micro-batch, surfacing
   *    the reference's "Job cancelled" error;
-  *  - usage metering (D10) → a usage parquet appended per batch
-  *    (job_id, batch_id, rows, tokens).
+  *  - usage metering (D10) → one usage row per batch with columns
+  *    (job_id, rows, tokens), laid out in `batch_id=N` partition
+  *    directories (batch_id returns as a partition column on read);
+  *    the same layout holds for the embedding output. Batch-scoped
+  *    overwrite makes checkpoint replays idempotent.
   *
   * Status state machine is the reference's CASE over init timestamps
   * (`lantern_extras/src/daemon.rs:197-234`):
@@ -218,9 +221,12 @@ object EmbeddingJobs {
       val total = spark.read.option("recursiveFileLookup", "true")
         .parquet(spec.sourceDir).count()
       val done =
+        // AnalysisException = no output yet (zero-row source); any
+        // other failure must propagate to the failed-state path rather
+        // than silently reporting 0 progress
         try spark.read.parquet(spec.outputDir)
           .select(col(spec.pkCol)).distinct().count()
-        catch { case _: Throwable => 0L }
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       val pct = if (total == 0) 100 else ((done * 100) / total).toInt
       store.update(id)(_.copy(
         initFinishedAt = Some(Instant.now().toString),
@@ -245,9 +251,12 @@ object EmbeddingJobs {
     val source = spark.read.option("recursiveFileLookup", "true")
       .parquet(spec.sourceDir)
     val out =
+      // AnalysisException = job has produced no output yet; genuine
+      // read failures (corrupt/mixed layouts) must surface, not turn
+      // into silently all-NULL embeddings
       try spark.read.parquet(spec.outputDir)
       catch {
-        case _: Throwable =>
+        case _: org.apache.spark.sql.AnalysisException =>
           return source.withColumn(spec.outCol,
             lit(null).cast("array<float>"))
       }

@@ -49,6 +49,42 @@ class DedupSpec extends SparkSuite {
     assert(mh === exact)
   }
 
+  test("minhash default banding recovers BORDERLINE pairs (jac ~ tau)") {
+    // Pairs engineered to sit just above tau=0.5 — the regime where
+    // 16x8 banding had only ~6% recall. Sliding 40-word windows over a
+    // shared word sequence: (0,1) overlap 26/50 → jac 0.52; (1,2)
+    // 25/46 → 0.543; (0,2) 13/58 → 0.224 (below tau, must be
+    // excluded).
+    val words = (0 until 60).map(i => s"w$i")
+    val mk = (lo: Int, hi: Int) => words.slice(lo, hi).mkString(" ")
+    val d = Seq(
+      (0L, mk(0, 40)),   // shingles s0..s37 (38)
+      (1L, mk(12, 52)),  // shingles s12..s49 (38)
+      (2L, mk(25, 60)),  // shingles s25..s57 (33)
+      (3L, mk(0, 40))    // exact dup of 0
+    ).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    // sanity: the borderline pair IS in the exact set
+    assert(exact.contains((0L, 1L)) && exact.contains((0L, 3L)))
+    // default banding (64 x 2) + signature prefilter must match exactly
+    val mh = Dedup.minhashDupPairs(d, "doc_id", "text", n = 3, tau = 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(mh === exact)
+  }
+
+  test("minhash drops shingle-less docs instead of banding them together") {
+    // docs with < n words hash to empty shingle sets; they must not
+    // pair with each other (empty signatures would otherwise collide
+    // in every band)
+    val d = Seq((0L, "a b"), (1L, "x y"), (2L, ""),
+      (3L, "the quick brown fox jumps"), (4L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashDupPairs(d, "doc_id", "text", 3, 128, 64, 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(mh === Set((3L, 4L)))
+  }
+
   test("jaccardPairs with maxShingleFreq drops hot-shingle contribution") {
     // all three docs share shingle "x y z"; cap=2 removes it
     val d = Seq((0L, "x y z a"), (1L, "x y z b"), (2L, "x y z c"))
