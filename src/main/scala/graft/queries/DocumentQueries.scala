@@ -103,7 +103,34 @@ object DocumentQueries {
       Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", tau = 0.55)
         .select($"i", $"j", round($"cd", 4).as("cd"))
-        .orderBy($"i", $"j"))
+        .orderBy($"i", $"j")),
+
+    // Corpus length distribution per language (training-data QA:
+    // exact interpolated percentiles, partial-agg via percentile's
+    // native aggregation buffer).
+    "q_doc_percentiles" -> ((s, dir) =>
+      viaSql(s, dir,
+        """SELECT lang,
+          | percentile(n_chars, 0.25) AS p25,
+          | percentile(n_chars, 0.5) AS p50,
+          | percentile(n_chars, 0.75) AS p75,
+          | percentile(n_chars, 0.95) AS p95,
+          | count(*) AS n
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Stratified deterministic sampling: every 10th document per
+    // language by id-rank — the portable analog of per-stratum
+    // ORDER BY RANDOM() sampling (X4), reproducible across engines
+    // and cluster sizes.
+    "q_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+      docs(s, dir)
+        .select($"doc_id", $"lang", row_number().over(w).as("rn"))
+        .where($"rn" % 10 === 1)
+        .select($"doc_id", $"lang", $"rn")
+        .orderBy($"doc_id")
+    })
   )
 
   private val jaccardOracle =
@@ -173,6 +200,22 @@ object DocumentQueries {
          | round(${dkCos("a.embedding", "b.embedding")}, 4) AS cd
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${dkCos("a.embedding", "b.embedding")} <= 0.55
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+    // quantile_cont and Spark's percentile use the same linear
+    // interpolation — verified bit-identical at sf0.01/0.1
+    "q_doc_percentiles" ->
+      """SELECT lang,
+        | quantile_cont(n_chars, 0.25) AS p25,
+        | quantile_cont(n_chars, 0.5) AS p50,
+        | quantile_cont(n_chars, 0.75) AS p75,
+        | quantile_cont(n_chars, 0.95) AS p95,
+        | count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn % 10 = 1 ORDER BY doc_id""".stripMargin
   )
 }
