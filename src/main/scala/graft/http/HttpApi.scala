@@ -15,16 +15,30 @@ import graft.operators.Knn
   * JDK's HttpServer — no extra dependencies. Endpoints mirror the
   * reference's surface (`http_server/`):
   *
-  *   GET  /collections                 → registered table names
-  *   GET  /collections/{name}          → schema + row count
-  *   PUT  /collections/{name}          → bulk insert (JSON lines body)
-  *   POST /collections/{name}/search   → kNN: {"vector":[...]} or
+  *   GET    /collections               → registered table names
+  *   POST   /collections               → create: {"name":"t"} with the
+  *                                       reference's default schema
+  *                                       (id BIGINT, vector ARRAY<FLOAT>,
+  *                                       data STRING, metadata STRING —
+  *                                       `collection.rs:190-198`), or
+  *                                       {"name":"t","columns":{"c":"type"}}
+  *   GET    /collections/{name}        → schema + row count
+  *   PUT    /collections/{name}        → bulk insert (JSON lines body)
+  *   DELETE /collections/{name}        → drop collection
+  *   POST   /collections/{name}/search → kNN: {"vector":[...]} or
   *                                       {"text":"...","model":"hash/bow-64"},
   *                                       optional "k", "vector_column",
   *                                       "id_column", "metric"
+  *   POST   /collections/{name}/pq     → run the PQ pipeline (Q1-Q8):
+  *                                       optional "vector_column",
+  *                                       "id_column", "clusters",
+  *                                       "splits"; registers
+  *                                       {name}_codebook and {name}_pq
   *
   * Serving is driver-side and intended for control-plane/testing use —
-  * the reference's 1 GB JSON bulk paths stay Spark jobs.
+  * the reference's 1 GB JSON bulk paths stay Spark jobs. Index
+  * endpoints are intentionally absent: online HNSW serving is outside
+  * Spark's model (north star); search IS the exact-kNN answer.
   */
 class HttpApi(spark: SparkSession, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -55,8 +69,18 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
 
   private def tableOr404(ex: HttpExchange, name: String)
       : Option[DataFrame] =
-    if (spark.catalog.tableExists(name)) Some(spark.table(name))
+    if (validIdent(name) && spark.catalog.tableExists(name))
+      Some(spark.table(name))
     else { respond(ex, 404, s"""{"error":"no collection $name"}"""); None }
+
+  // names and column types reach SQL text — admit identifiers and a
+  // type whitelist only (the reference quotes table names instead;
+  // same injection posture)
+  private def validIdent(s: String): Boolean =
+    s.matches("[A-Za-z_][A-Za-z0-9_]{0,63}")
+  private val allowedTypes = Set("bigint", "int", "smallint", "float",
+    "double", "string", "boolean", "timestamp", "date", "binary",
+    "array<float>", "array<int>", "array<tinyint>", "array<string>")
 
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
@@ -67,6 +91,75 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
         val names = spark.catalog.listTables().collect().map(_.name)
         respond(ex, 200,
           names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+
+      case ("POST", List("collections")) =>
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        jsonField(body, "name") match {
+          case Some(name) if validIdent(name) =>
+            if (spark.catalog.tableExists(name))
+              respond(ex, 409, s"""{"error":"collection $name exists"}""")
+            else {
+              val colsObj = ("\"columns\"\\s*:\\s*\\{([^}]*)\\}").r
+                .findFirstMatchIn(body).map(_.group(1))
+              val pairs = colsObj match {
+                case None =>
+                  // reference default schema, collection.rs:190-198
+                  Seq("id" -> "bigint", "vector" -> "array<float>",
+                    "data" -> "string", "metadata" -> "string")
+                case Some(obj) =>
+                  "\"([A-Za-z_][A-Za-z0-9_]*)\"\\s*:\\s*\"([^\"]+)\"".r
+                    .findAllMatchIn(obj)
+                    .map(m => m.group(1) -> m.group(2).toLowerCase).toSeq
+              }
+              if (pairs.isEmpty ||
+                  !pairs.forall { case (c, t) =>
+                    validIdent(c) && allowedTypes(t) })
+                respond(ex, 400, """{"error":"invalid columns"}""")
+              else {
+                val ddl = pairs.map { case (c, t) => s"$c $t" }
+                  .mkString(", ")
+                spark.sql(s"CREATE TABLE $name ($ddl) USING parquet")
+                respond(ex, 201, s"""{"created":"$name"}""")
+              }
+            }
+          case _ =>
+            respond(ex, 400, """{"error":"need a valid \"name\""}""")
+        }
+
+      case ("DELETE", List("collections", name)) =>
+        tableOr404(ex, name).foreach { _ =>
+          spark.sql(s"DROP TABLE $name")
+          respond(ex, 200, s"""{"dropped":"$name"}""")
+        }
+
+      case ("POST", List("collections", name, "pq")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val vecCol = jsonField(body, "vector_column")
+            .getOrElse("embedding")
+          val idCol = jsonField(body, "id_column").getOrElse("vec_id")
+          val clusters = jsonField(body, "clusters")
+            .map(_.toDouble.toInt).getOrElse(16)
+          val splits = jsonField(body, "splits")
+            .map(_.toDouble.toInt).getOrElse(8)
+          if (!df.columns.contains(vecCol) || !df.columns.contains(idCol))
+            respond(ex, 400,
+              s"""{"error":"need columns $idCol and $vecCol"}""")
+          else {
+            val cb = graft.operators.ProductQuantizer.fitCodebook(
+              df, idCol, vecCol, clusters, splits)
+            val quantized = graft.operators.ProductQuantizer
+              .quantizeColumn(df, vecCol, s"${vecCol}_pq", cb)
+            cb.createOrReplaceTempView(s"${name}_codebook")
+            quantized.createOrReplaceTempView(s"${name}_pq")
+            respond(ex, 200,
+              s"""{"codebook":"${name}_codebook","rows":${cb.count()},
+                 |"quantized":"${name}_pq"}""".stripMargin
+                .replace("\n", ""))
+          }
+        }
 
       case ("GET", List("collections", name)) =>
         tableOr404(ex, name).foreach { df =>

@@ -24,6 +24,10 @@ class HttpApiSpec extends SparkSuite {
       .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
+  private def delete(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+
   test("GET /collections lists registered tables") {
     val r = get("/collections")
     assert(r.statusCode() === 200)
@@ -56,5 +60,37 @@ class HttpApiSpec extends SparkSuite {
     assert(get("/collections/nope").statusCode() === 404)
     val r = post("/collections/embeddings/search", """{"k":3}""")
     assert(r.statusCode() === 400)
+  }
+
+  test("POST /collections creates with the reference default schema") {
+    val r = post("/collections", """{"name":"apitest_default"}""")
+    assert(r.statusCode() === 201)
+    val desc = get("/collections/apitest_default")
+    assert(desc.body().contains("\"name\":\"vector\"")
+      && desc.body().contains("\"type\":\"array<float>\""))
+    assert(post("/collections", """{"name":"apitest_default"}""")
+      .statusCode() === 409)
+    assert(delete("/collections/apitest_default").statusCode() === 200)
+    assert(get("/collections/apitest_default").statusCode() === 404)
+  }
+
+  test("POST /collections validates names and column types") {
+    assert(post("/collections", """{"name":"x; DROP TABLE y"}""")
+      .statusCode() === 400)
+    val r = post("/collections",
+      """{"name":"apitest_bad","columns":{"c":"array<map<int,int>>"}}""")
+    assert(r.statusCode() === 400)
+  }
+
+  test("POST /collections/{name}/pq runs the PQ pipeline") {
+    val r = post("/collections/embeddings/pq",
+      """{"clusters":8,"splits":4}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"codebook\":\"embeddings_codebook\""))
+    // 8 clusters x 4 splits = 32 codebook rows
+    assert(r.body().contains("\"rows\":32"))
+    val q = spark.table("embeddings_pq")
+    assert(q.count() === 500)
+    assert(q.columns.contains("embedding_pq"))
   }
 }
