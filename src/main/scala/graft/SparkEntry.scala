@@ -21,7 +21,9 @@ object SparkEntry {
     (_root_.graft.queries.EmbedQueries.queries,
       _root_.graft.queries.EmbedQueries.oracleSql),
     (_root_.graft.queries.PqQueries.queries,
-      _root_.graft.queries.PqQueries.oracleSql)
+      _root_.graft.queries.PqQueries.oracleSql),
+    (_root_.graft.queries.CorpusQueries.queries,
+      _root_.graft.queries.CorpusQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sub-document (span-level) duplication analysis: which word n-gram
+  * spans of a document also occur in OTHER documents. This is the
+  * RefinedWeb/Gopher-style passage-dedup signal — document-level dedup
+  * (see [[Dedup]]) misses boilerplate passages repeated across many
+  * otherwise-distinct documents.
+  *
+  * Spans ride as 64-bit FNV-1a hashes from [[Dedup.hashedShingleSets]]
+  * (one UDF pass per row, no gram strings materialized), so the shuffle
+  * moves 8-byte longs. Shapes at scale:
+  *   - shared-gram detection = groupBy(gramHash) count — partial
+  *     aggregation caps map output at one row per distinct gram per
+  *     partition;
+  *   - the join back is a left-semi-shaped LEFT join on the gram hash;
+  *     AQE broadcasts the shared set when it is small.
+  */
+object SpanDedup {
+
+  /** Per-document span-duplication stats: distinct n-gram count, how
+    * many of those grams appear in at least one other document, and the
+    * duplicated fraction (4-decimal portable rounding). Documents with
+    * fewer than n words emit no row (they have no spans).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = Dedup.hashedShingleSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("hs")).as("gh"))
+    // Grams are distinct per doc, so count(*) per gram == distinct docs.
+    val shared = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("docs"))
+      .where(col("docs") > 1)
+      .select(col("gh"), lit(1L).as("isdup"))
+    grams.join(shared, Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("grams"),
+        sum(coalesce(col("isdup"), lit(0L))).as("dup_grams"))
+      .select(col("id"), col("grams"), col("dup_grams"),
+        (floor(col("dup_grams").cast("double") / col("grams").cast("double")
+          * 10000 + 0.5) / 10000).as("dup_frac"))
+  }
+
+  /** Benchmark-contamination check: for every training document (rows
+    * NOT in the eval set), the fraction of its distinct word n-grams
+    * that appear anywhere in the eval set — the standard pre-training
+    * decontamination scan. The eval gram set is tiny relative to the
+    * corpus, so it is explicitly broadcast: the training side is never
+    * shuffled.
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      n: Int, isEval: org.apache.spark.sql.Column): DataFrame = {
+    val tagged = df.withColumn("_is_eval", isEval)
+    val evalGrams = Dedup.hashedShingleSets(
+        tagged.where(col("_is_eval")), idCol, textCol, n)
+      .select(explode(col("hs")).as("gh"))
+      .distinct()
+      .select(col("gh"), lit(1L).as("hit"))
+    val trainGrams = Dedup.hashedShingleSets(
+        tagged.where(!col("_is_eval")), idCol, textCol, n)
+      .select(col("id"), explode(col("hs")).as("gh"))
+    trainGrams.join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("eval_grams"))
+      .select(col("id"), col("grams"), col("eval_grams"),
+        (floor(col("eval_grams").cast("double") / col("grams").cast("double")
+          * 10000 + 0.5) / 10000).as("contam_frac"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats => CS, SpanDedup, TextAnalysis => TA}
+
+/** Training-data corpus QA beyond per-document scoring: repetition
+  * signals, vocabulary stats, span-level (passage) duplication, and
+  * benchmark-contamination scanning.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def viaSql(s: SparkSession, dir: String, sql: String): DataFrame = {
+    docs(s, dir).createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  /** Span size for passage dedup / contamination: 8 words, the common
+    * passage-dedup gram size (large enough that shared spans mean real
+    * duplication, small enough to catch partial overlap).
+    */
+  private val SpanN = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style per-document repetition signals.
+    "q_repetition" -> ((s, dir) =>
+      viaSql(s, dir, CS.repetitionSql(TA.SparkDialect))),
+
+    // Whole-corpus vocabulary stats (one row).
+    "q_vocab_stats" -> ((s, dir) =>
+      viaSql(s, dir, CS.vocabSql(TA.SparkDialect))),
+
+    // Corpus top-20 words: partial agg + TakeOrderedAndProject.
+    "q_top_words" -> ((s, dir) =>
+      viaSql(s, dir, CS.topWordsSql(TA.SparkDialect))),
+
+    // Passage-level duplication: fraction of each doc's word-8-grams
+    // shared with at least one other document.
+    "q_span_dedup" -> ((s, dir) =>
+      SpanDedup.dupSpanStats(docs(s, dir), "doc_id", "text", SpanN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Decontamination scan: train docs vs the doc_id%97==0 "benchmark"
+    // slice; eval gram set broadcast, train side never shuffled.
+    "q_contamination" -> ((s, dir) =>
+      SpanDedup.contamination(docs(s, dir), "doc_id", "text", SpanN,
+          col("doc_id") % 97 === 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")))
+  )
+
+  /** Shared CTE for the span oracles: per-doc DISTINCT word-8-grams as
+    * strings (the Spark side moves FNV-1a hashes of the same grams —
+    * collision odds ~m²/2⁶⁵, immaterial; see Dedup.hashedShingleSets).
+    */
+  private val gramsCte =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${SpanN - 2}),
+       |    i -> array_to_string(list_slice(ws, i, i + ${SpanN - 1}), ' '))) AS gram
+       |  FROM w WHERE len(ws) >= $SpanN))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_repetition" -> CS.repetitionSql(TA.DuckDialect),
+    "q_vocab_stats" -> CS.vocabSql(TA.DuckDialect),
+    "q_top_words" -> CS.topWordsSql(TA.DuckDialect),
+    "q_span_dedup" ->
+      s"""WITH $gramsCte,
+         |sh AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)
+         |SELECT doc_id, count(*) AS grams,
+         |  CAST(sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+         |  floor(CAST(sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_frac
+         |FROM g LEFT JOIN sh s ON g.gram = s.gram
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      s"""WITH $gramsCte,
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS grams,
+         |  CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS eval_grams,
+         |  floor(CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS contam_frac
+         |FROM g LEFT JOIN ev e ON g.gram = e.gram
+         |WHERE g.doc_id % 97 != 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
