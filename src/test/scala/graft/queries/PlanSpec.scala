@@ -77,4 +77,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains(
       "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int>"))
   }
+
+  test("contamination broadcasts the eval gram set (train never shuffled to it)") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval join not broadcast:\n$p")
+  }
+
+  test("top-words plans as partial agg + TakeOrderedAndProject") {
+    val p = plan("q_top_words")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_"))
+  }
+
+  test("repetition aggregations are partial (map-side combine per word)") {
+    val p = plan("q_repetition")
+    assert(p.contains("partial_"))
+  }
 }
