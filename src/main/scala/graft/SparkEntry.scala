@@ -23,7 +23,9 @@ object SparkEntry {
     (_root_.graft.queries.PqQueries.queries,
       _root_.graft.queries.PqQueries.oracleSql),
     (_root_.graft.queries.CorpusQueries.queries,
-      _root_.graft.queries.CorpusQueries.oracleSql)
+      _root_.graft.queries.CorpusQueries.oracleSql),
+    (_root_.graft.queries.TemporalQueries.queries,
+      _root_.graft.queries.TemporalQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Temporal join operators over the events table: as-of join (latest
+  * prior event attribution) and windowed range join — the two joins
+  * Spark lacks natively, re-expressed in shuffle-bounded shapes. The
+  * DuckDB oracles use that engine's NATIVE ASOF / inequality joins, so
+  * the gate cross-checks two independent implementations.
+  */
+object TemporalQueries {
+  private implicit class ColName(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
+  private val WindowSec = 3600L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Attribution: each click joined to the user's most recent view at
+    // or before it (inclusive backward as-of).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val views = ev.where($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"event_id").as("view_id"))
+      AsOfJoin.backward(clicks, views, "user_id", "ts", Seq("view_id"))
+        .select($"event_id", $"user_id", $"ts", $"view_id",
+          (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))
+        .orderBy($"event_id")
+    }),
+
+    // All view→click pairs per user within one hour (bucket-banded
+    // equi-join; never a per-key cross product).
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      RangeJoin.pairsWithin(
+          ev.where($"event_type" === "view"),
+          ev.where($"event_type" === "click"),
+          "user_id", "ts", "event_id", windowUs = WindowSec * 1000000L)
+        .orderBy($"i", $"j")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, v.view_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_range_join" ->
+      s"""SELECT a.event_id AS i, b.event_id AS j,
+         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+         |FROM events a JOIN events b
+         |  ON a.user_id = b.user_id
+         |  AND a.event_type = 'view' AND b.event_type = 'click'
+         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL $WindowSec SECONDS
+         |ORDER BY i, j""".stripMargin
+  )
+}
