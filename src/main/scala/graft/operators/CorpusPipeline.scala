@@ -12,8 +12,8 @@ import graft.functions.{TextFunctions => T}
   * the kept documents with their quality score.
   *
   * Every stage is partition-parallel (the dup stage is the PPJoin
-  * prefix-filtered join); nothing materializes on the driver beyond
-  * the shingle-frequency dictionary.
+  * prefix-filtered join); nothing materializes on the driver — the
+  * duplicate-pair set and removed-id set stay DataFrames end to end.
   */
 object CorpusPipeline {
 
@@ -32,36 +32,30 @@ object CorpusPipeline {
     val quality = spark.sql(
       TextAnalysis.qualitySql(TextAnalysis.SparkDialect, view))
 
-    // The duplicate-pair set is tiny relative to the corpus (it IS the
-    // redundancy being removed); materialize it once so the expensive
-    // similarity join executes exactly once instead of re-running
-    // inside the final anti-join's lineage.
-    //
     // Pairs are computed on the UNFILTERED input and then restricted
     // to usable ids: Jaccard depends only on each document's text, so
     // pairs(filtered corpus) == pairs(full corpus) ∩ usable×usable,
-    // and the full-corpus result is shared (memoized) with direct
-    // jaccardPairs callers over the same input — one similarity join
-    // per corpus per JVM instead of one per filter variant.
+    // and the full-corpus result is shared (memoized + persisted) with
+    // direct jaccardPairs callers over the same input — one similarity
+    // join per corpus per JVM instead of one per filter variant.
+    //
+    // The removed-id set stays a DataFrame end to end: web-scale
+    // corpora are 30-50 % duplicates, so at 100 TB this set is
+    // billions of ids — it must never pass through the driver. AQE
+    // broadcasts the anti-join side when it turns out small.
     val dups = Dedup.jaccardPairs(docs, "doc_id", "text",
       n = shingleN, tau = tau)
     val usableIds = usable.select(col("doc_id"))
-    val removedRows = dups
+    val removed = dups
       .join(usableIds.withColumnRenamed("doc_id", "i"), Seq("i"),
         "left_semi")
       .join(usableIds.withColumnRenamed("doc_id", "j"), Seq("j"),
         "left_semi")
       .select(col("j").as("doc_id")).distinct()
-      .collect()
-    val removed = spark.createDataFrame(
-      java.util.Arrays.asList(removedRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          usable.schema("doc_id").dataType))))
 
     usable
       .join(quality, "doc_id")
       .where(col("quality") >= minQuality)
-      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .join(removed, Seq("doc_id"), "left_anti")
   }
 }

@@ -57,61 +57,46 @@ object Dedup {
     * frequency cap BEFORE pairing (approximation for adversarial
     * corpora; None = exact).
     */
-  // jaccardPairs is deterministic in (input plan, params) and its
-  // result is small (the near-duplicate pairs); memoize the collected
-  // rows (session-safe: the DataFrame is rebuilt on the caller's
-  // session) so the three registry queries sharing the documents
-  // corpus run the similarity join once. Results above the row cap
-  // are not memoized (collect guard for adversarial corpora).
-  private val pairMemoCap = 200000
+  // jaccardPairs is deterministic in (input plan, params); memoize the
+  // PERSISTED result DataFrame (never driver-collected rows — the pair
+  // set of a web-scale corpus is billions of ids and must stay
+  // distributed) so the registry queries sharing the documents corpus
+  // run the similarity join once per JVM. A memo hit whose cache block
+  // was dropped (caller clearCache) is re-persisted and re-materialized
+  // from lineage — correctness never depends on the cache.
   private val pairMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, String, Int, Double, Option[Int]),
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Seq[(Long, Long, Double)])]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val spark0 = df.sparkSession
-    import spark0.implicits._
-    val idIsLong = df.schema(idCol).dataType ==
-      org.apache.spark.sql.types.LongType
     // Normalize to the two columns actually read and key the memo on
     // the OPTIMIZED plan: projection collapsing makes callers that
     // differ only in carried-along columns (raw table vs select)
     // share one memo entry — one similarity join per corpus per JVM.
     val dfn = df.select(col(idCol), col(textCol))
-    val plan = if (idIsLong) dfn.queryExecution.optimizedPlan else null
-    val key = if (idIsLong)
-      (plan.semanticHash(), idCol, textCol, n, tau, maxShingleFreq)
-    else null
-    if (idIsLong) {
-      val hit = pairMemo.get(key)
-      if (hit != null && hit._1.sameResult(plan)) {
-        return hit._2.toDF("i", "j", "jac")
+    val plan = dfn.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, textCol, n, tau, maxShingleFreq)
+    val hit = pairMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq df.sparkSession)) {
+      val memoized = hit._2
+      if (memoized.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) {
+        memoized.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        memoized.count()
       }
+      return memoized
     }
     val result = jaccardPairsUncached(dfn, idCol, textCol, n, tau,
       maxShingleFreq)
-    if (idIsLong && pairMemo.size < 16) {
-      // count-from-cache, then collect: a limit(cap).collect() here
-      // would run Spark's incremental take (1, 4, 16, ... partitions),
-      // re-executing the verification stage once per round
-      val cached = result.persist()
-      val cnt = cached.count()
-      if (cnt <= pairMemoCap) {
-        try {
-          val data = cached.collect().map(r =>
-            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-          pairMemo.put(key, (plan, data))
-          return data.toDF("i", "j", "jac")
-        } finally cached.unpersist()
-      }
-      // over the memo cap: hand back the STILL-PERSISTED result so the
-      // materialization is not thrown away (operators persist internal
-      // intermediates by contract; callers clearCache() when done)
-      return cached
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize eagerly so the expensive similarity join runs once,
+    // not per downstream branch
+    result.count()
+    if (pairMemo.size < 16) pairMemo.put(key, (plan, result))
     result
   }
 
@@ -179,32 +164,57 @@ object Dedup {
     inter.toDouble / (a.length + b.length - inter)
   })
 
+  // Driver-dictionary cutoff for rare-first ordering: below this many
+  // distinct shingles the document-frequency map is collected and
+  // broadcast (fast, shuffle-free); above it the ordering switches to
+  // the join-based path automatically. Test hook: overridable so specs
+  // can force the join path on small fixtures.
+  private[graft] val DictCapDefault = 2000000L
+  @volatile private[graft] var dictCapOverride: Option[Long] = None
+
   private def jaccardPairsUncached(df: DataFrame, idCol: String,
       textCol: String, n: Int, tau: Double,
       maxShingleFreq: Option[Int]): DataFrame = {
     // Rare-first ordering minimizes prefix collisions. The document
-    // frequencies are a SMALL aggregate (distinct shingles, not rows):
-    // collect them once and broadcast a dictionary into the sort UDF —
-    // no join / re-collect of the corpus. At 100 TB the dictionary is
-    // bounded by distinct shingles; if it outgrew the driver the
-    // fallback is the join-based variant, but corpora dedup at this
-    // shingle cardinality routinely (the cap also prunes it).
+    // frequencies are an aggregate over DISTINCT shingles (not rows):
+    // when that aggregate is small it is broadcast into the sort UDF;
+    // when it outgrows the driver cap (100 TB corpora: distinct
+    // n-grams dwarf any driver) ordering falls back to a join +
+    // array_sort — same output, fully distributed.
     val spark = df.sparkSession
     val sets0 = hashedShingleSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfMap: Map[Long, Long] = sets0
+    val docFreq = sets0
       .select(explode(col("hs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df_g"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dfBc = spark.sparkContext.broadcast(dfMap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinctShingles = docFreq.count()
     val cap = maxShingleFreq.map(_.toLong).getOrElse(Long.MaxValue)
-    val orderU = udf((hs: Seq[Long]) =>
-      hs.filter(h => dfBc.value.getOrElse(h, 1L) <= cap)
-        .sortBy(h => (dfBc.value.getOrElse(h, 1L), h)))
+    val dictCap = dictCapOverride.getOrElse(DictCapDefault)
     // persisted: referenced by the prefix self-join AND verification,
     // which would otherwise recompute the shingle pipeline 4x
-    val ordered = sets0
-      .select(col("id"), orderU(col("hs")).as("hs"))
+    val ordered = (if (distinctShingles <= dictCap) {
+      val dfMap: Map[Long, Long] = docFreq
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dfBc = spark.sparkContext.broadcast(dfMap)
+      val orderU = udf((hs: Seq[Long]) =>
+        hs.filter(h => dfBc.value.getOrElse(h, 1L) <= cap)
+          .sortBy(h => (dfBc.value.getOrElse(h, 1L), h)))
+      sets0.select(col("id"), orderU(col("hs")).as("hs"))
+    } else {
+      // join-based ordering: explode → join doc frequency → regroup,
+      // sorting (df_g, g) ascending exactly like the dictionary path.
+      // Shuffles the shingle stream twice but never materializes the
+      // dictionary anywhere.
+      val freq = if (maxShingleFreq.isDefined)
+        docFreq.where(col("df_g") <= cap) else docFreq
+      sets0.select(col("id"), explode(col("hs")).as("g"))
+        .join(freq, "g")
+        .groupBy(col("id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("df_g"), col("g")))),
+          x => x("g")).as("hs"))
+    })
       .select(col("id"), col("hs"), size(col("hs")).as("n_sh"))
       .where(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

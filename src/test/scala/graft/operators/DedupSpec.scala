@@ -94,6 +94,39 @@ class DedupSpec extends SparkSuite {
     assert(noCap === 3L && cap === 0L)
   }
 
+  test("join-based rare-first ordering (dict over cap) matches dict path") {
+    // Force the distributed ordering path by setting the driver
+    // dictionary cap to 0 — the output contract is identical to the
+    // broadcast-dictionary path. Fixture is unique to this test so the
+    // plan-keyed memo cannot serve a dict-path result.
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (12L, "totally unrelated words about distributed query planning"),
+      (13L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    Dedup.dictCapOverride = Some(0L)
+    try {
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.5)
+        .select($"i", $"j", $"jac").as[(Long, Long, Double)].collect().toSet
+      val keys = pairs.map(p => (p._1, p._2))
+      assert(keys === Set((10L, 11L), (10L, 13L), (11L, 13L)))
+      assert(pairs.find(p => (p._1, p._2) == (10L, 13L)).get._3 === 1.0)
+    } finally Dedup.dictCapOverride = None
+  }
+
+  test("join-based ordering honors maxShingleFreq cap") {
+    val d = Seq((20L, "p q r s"), (21L, "p q r t"), (22L, "p q r u"))
+      .toDF("doc_id", "text")
+    Dedup.dictCapOverride = Some(0L)
+    try {
+      // all three docs share shingle "p q r"; cap=2 removes it
+      val capped = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, Some(2))
+        .count()
+      assert(capped === 0L)
+    } finally Dedup.dictCapOverride = None
+  }
+
   test("simhashDupPairs: near-identical texts have small hamming") {
     // 100-token docs where one token differs: simhash margins are wide
     // enough that the diff flips only a few bits (hamming 5 here).

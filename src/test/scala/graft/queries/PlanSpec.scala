@@ -83,6 +83,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval join not broadcast:\n$p")
   }
 
+  test("clean-corpus keeps the dup/removed sets distributed (no LocalTableScan)") {
+    // Regression guard for the 100 TB posture: the duplicate-pair set
+    // and removed-id set must never round-trip through the driver — a
+    // LocalTableScan in this plan means someone collected them.
+    val p = plan("q_clean_corpus")
+    assert(!p.contains("LocalTableScan"), s"driver-materialized set:\n$p")
+  }
+
   test("top-words plans as partial agg + TakeOrderedAndProject") {
     val p = plan("q_top_words")
     assert(p.contains("TakeOrderedAndProject"))
