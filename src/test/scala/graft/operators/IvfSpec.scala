@@ -14,6 +14,25 @@ class IvfSpec extends SparkSuite {
   private def pairs(df: org.apache.spark.sql.DataFrame) =
     df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
 
+  test("search prunes unprobed cells at the storage layer") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val p = IvfIndex.search(model, queries, k = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), s"no partition pruning:\n$p")
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(p).isDefined,
+      s"probe IN filter not pushed to partitions:\n$p")
+    // the on-disk index really is hive-partitioned by cell
+    val dirs = new java.io.File(model.indexPath).listFiles()
+    assert(dirs != null && dirs.exists(_.getName.startsWith("cell_id=")))
+  }
+
+  test("build memoizes the model per (corpus, params)") {
+    val again = IvfIndex.build(emb, "vec_id", "embedding",
+      nCells = 16, maxIter = 5)
+    assert(again eq model) // same Model instance — one write, N searches
+  }
+
   test("probing ALL cells reproduces exact kNN") {
     val exact = pairs(Knn.topK(emb, queries, "vec_id", "embedding", 10))
     val full = pairs(IvfIndex.search(model, queries, k = 10, nprobe = 16))

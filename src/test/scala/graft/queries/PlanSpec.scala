@@ -83,6 +83,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval join not broadcast:\n$p")
   }
 
+  test("IVF search reads only probed cells (PartitionFilters on cell_id)") {
+    // The inverted file is parquet partitioned by cell_id; the probe
+    // set must reach the scan as a partition filter so unprobed cells
+    // are never read — compute pruning alone is not IVF at 100 TB.
+    val p = plan("q_ivf_knn")
+    assert(p.contains("PartitionFilters: ["), s"no partition pruning:\n$p")
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(p).isDefined,
+      s"probe IN filter not pushed to partitions:\n$p")
+  }
+
   test("clean-corpus keeps the dup/removed sets distributed (no LocalTableScan)") {
     // Regression guard for the 100 TB posture: the duplicate-pair set
     // and removed-id set must never round-trip through the driver — a
