@@ -346,15 +346,42 @@ object Dedup {
   }
 
   /** Exact embedding-cosine near-dup pairs (i < j, cos_dist <= tau).
-    * O(n²) — correctness baseline / small-set use.
+    *
+    * Exact threshold joins with tau near the bulk of the distance
+    * distribution are inherently quadratic COMPUTE (in high dimension
+    * distances concentrate, so no bucketing can separate pairs at
+    * 0.5499 from 0.5503 without evaluating them) — what a scale-honest
+    * implementation controls is the SHAPE: this is a blocked self-join
+    * (rows hashed into `blocks` groups, one task per block pair), so
+    * no full-table broadcast, per-task memory is (n/blocks)² bounded,
+    * and work spreads evenly over the cluster. Raise `blocks` with
+    * corpus size (replication per row is O(blocks)). For the
+    * sub-quadratic tight-dup regime use embeddingDupPairsLsh.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      tau: Double): DataFrame = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cached.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = cached.select(col(idCol).as("j"), col(vecCol).as("vb"))
-    a.join(b, col("i") < col("j"))
-      .select(col("i"), col("j"), V.cos_dist(col("va"), col("vb")).as("cd"))
+      tau: Double, blocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blockPairs = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+        .toDF("ba", "bb"))
+    val a = base.select(col("id").as("i"), col("v").as("va"),
+      col("blk").as("ba"))
+    val b = base.select(col("id").as("j"), col("v").as("vb"),
+      col("blk").as("bb"))
+    // each unordered pair appears exactly once: block pairs are
+    // enumerated with ba <= bb, same-block pairs keep i < j, and
+    // cross-block pairs are canonicalized to (min, max) — cos_dist is
+    // symmetric (same fold both ways), so the value is unaffected
+    a.join(blockPairs, "ba").join(b, Seq("bb"))
+      .where(col("ba") =!= col("bb") || col("i") < col("j"))
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"),
+        V.cos_dist(col("va"), col("vb")).as("cd"))
       .where(col("cd") <= tau)
   }
 

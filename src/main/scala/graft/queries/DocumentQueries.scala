@@ -98,12 +98,42 @@ object DocumentQueries {
         .orderBy($"doc_id", $"pos")
     }),
 
-    // Exact embedding-cosine near-dup pairs.
+    // Exact embedding-cosine near-dup pairs. tau=0.55 sits inside the
+    // bulk of this table's distance distribution (nearest non-pair is
+    // 0.0004 beyond the threshold at sf0.1), so NO sub-quadratic
+    // method can be exact here — the registered implementation is the
+    // blocked self-join: quadratic compute in a shape that distributes
+    // (no full-table broadcast, per-task memory bounded by the block
+    // size). The sub-quadratic LSH path is registered separately on
+    // the tight-dup regime it is sound for (q_embdup_cos_lsh).
     "q_embdup_cos" -> ((s, dir) =>
       Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", tau = 0.55)
         .select($"i", $"j", round($"cd", 4).as("cd"))
         .orderBy($"i", $"j")),
+
+    // Scale path: hyperplane-LSH embedding dedup in its production
+    // regime — recovering corrupted near-copies (cos_dist ~ 1e-7
+    // planted by a float-exact 2^-10 perturbation of every 10th
+    // vector; nearest genuine pair is at 0.399, a ~6-decade margin).
+    // Recall is certain: a planted pair subtends theta <= 0.001 rad,
+    // so P[one 16-bit probe misses] <= 1-(1-0.001/pi)^16 ~ 0.0051 and
+    // P[all 4 probes miss] <= 7e-10 per pair. The oracle is the
+    // exact O(n²) join over the same derived corpus — LSH output must
+    // match it row for row.
+    "q_embdup_cos_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val pert = emb.where($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0,
+              (x.cast("double") * lit(1.0009765625d)).cast("float"))
+              .otherwise(x)).as("embedding"))
+      Dedup.embeddingDupPairsLsh(emb.unionAll(pert), "vec_id", "embedding",
+        tau = 0.01, numBits = 16, probes = 4)
+        .select($"i", $"j", round($"cd", 4).as("cd"))
+        .orderBy($"i", $"j")
+    }),
 
     // Corpus length distribution per language (training-data QA:
     // exact interpolated percentiles, partial-agg via percentile's
@@ -200,6 +230,23 @@ object DocumentQueries {
          | round(${dkCos("a.embedding", "b.embedding")}, 4) AS cd
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${dkCos("a.embedding", "b.embedding")} <= 0.55
+         |ORDER BY i, j""".stripMargin,
+    // double-exact perturbation: float24bits * (1+2^-10) fits in 53
+    // bits, so double multiply-then-round-to-REAL equals Spark's
+    // float-rounded result bit for bit
+    "q_embdup_cos_lsh" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(embedding, (x, i) -> CASE WHEN i = 1
+         |      THEN CAST(CAST(x AS DOUBLE) * 1.0009765625 AS REAL)
+         |      ELSE x END) AS embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS i, b.vec_id AS j,
+         | round(${dkCos("a.embedding", "b.embedding")}, 4) AS cd
+         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |WHERE ${dkCos("a.embedding", "b.embedding")} <= 0.01
          |ORDER BY i, j""".stripMargin,
     // quantile_cont and Spark's percentile use the same linear
     // interpolation — verified bit-identical at sf0.01/0.1
