@@ -71,7 +71,8 @@ object DocumentQueries {
         .select($"i", $"j", round($"jac", 3).as("jac"))
         .orderBy($"i", $"j")),
 
-    // SimHash near-dup pairs (no SQL oracle: bespoke 64-bit hashing).
+    // SimHash near-dup pairs, oracled by a full DuckDB restatement of
+    // the FNV-1a + bit-vote construction (see simhashOracle below).
     "q_simhash_dups" -> ((s, dir) =>
       Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
         .orderBy($"i", $"j")),
@@ -163,6 +164,51 @@ object DocumentQueries {
     })
   )
 
+  // DuckDB restatement of SimHash64 (TextHashExpressions.scala): FNV-1a
+  // over UTF-8 bytes (hex-decoded; wrapping 64-bit multiply emulated
+  // with HUGEINT mod 2^64 and mapped back to two's complement), +/-1
+  // bit votes, then the pair join. The chunk-equality disjunction
+  // mirrors the implementation's 4x16-bit pigeonhole banding: beyond
+  // hamming 3 the banding is a candidate FILTER, not just an
+  // optimization, so the oracle states it explicitly.
+  private val simhashOracle: String = {
+    val wrap = "((((CAST(xor(a, b) AS HUGEINT) * 1099511628211) % " +
+      "18446744073709551616) + 18446744073709551616) % 18446744073709551616)"
+    val step = s"CASE WHEN $wrap >= 9223372036854775808 " +
+      s"THEN $wrap - 18446744073709551616 ELSE $wrap END"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |fnv AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(-3750763034362895579 AS BIGINT),
+       |      list_transform(range(1, octet_length(encode(tok))+1), i ->
+       |        CAST(16*(instr('0123456789ABCDEF',
+       |            substr(hex(encode(tok)), 2*i-1, 1))-1)
+       |          + (instr('0123456789ABCDEF',
+       |            substr(hex(encode(tok)), 2*i, 1))-1) AS BIGINT))),
+       |    (a, b) -> CAST($step AS BIGINT)) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM fnv, (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+       |sim AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN
+       |    (CASE WHEN b = 63 THEN -9223372036854775808
+       |     ELSE 1::BIGINT << CAST(b AS INT) END)
+       |    ELSE 0 END) AS BIGINT) AS s
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 10
+       |  AND ((xor(a.s, b.s) & 65535) = 0
+       |    OR ((xor(a.s, b.s) >> 16) & 65535) = 0
+       |    OR ((xor(a.s, b.s) >> 32) & 65535) = 0
+       |    OR ((xor(a.s, b.s) >> 48) & 65535) = 0)
+       |ORDER BY i, j""".stripMargin
+  }
+
   private val jaccardOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, g FROM (
@@ -225,6 +271,7 @@ object DocumentQueries {
         |ON md5(d.text) = g.h ORDER BY d.doc_id""".stripMargin,
     "q_jaccard_dups" -> jaccardOracle,
     "q_minhash_dups" -> jaccardOracle,
+    "q_simhash_dups" -> simhashOracle,
     "q_embdup_cos" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
          | round(${dkCos("a.embedding", "b.embedding")}, 4) AS cd
