@@ -25,10 +25,16 @@ object Autotune {
 
   /** X4-X7: sample corpus, 10 query points, k-NN recall/latency per
     * variant; early stop at recall >= 99.9 (`mod.rs:476-478`).
+    * `onProgress` / `isCanceled` mirror the daemon's progress_callback
+    * and is_canceled hooks (`daemon/autotune_jobs.rs:70-76`): progress
+    * is reported per finished variant, and cancellation is checked
+    * between variants (raising the reference's "Job cancelled").
     */
   def run(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       sampleN: Int = 10000, nQueries: Int = 10,
-      metric: String = "l2sq", targetRecall: Double = 99.9)
+      metric: String = "l2sq", targetRecall: Double = 99.9,
+      onProgress: Int => Unit = _ => (),
+      isCanceled: () => Boolean = () => false)
       : Seq[Result] = {
     val corpus = df.select(col(idCol), col(vecCol)).limit(sampleN).cache()
     try {
@@ -45,6 +51,7 @@ object Autotune {
       var stopped = false
       grid.zipWithIndex.foreach { case (v, i) =>
         if (!stopped) {
+          if (isCanceled()) throw new RuntimeException("Job cancelled")
           val t1 = System.nanoTime()
           val res = Knn.topK(corpus, queries, idCol, vecCol, k, metric)
           val recall = Knn.recall(truth, res, k)
@@ -52,9 +59,11 @@ object Autotune {
           val latency = (System.nanoTime() - t1) / 1e6 / nQueries
           results += Result(i, v.m, v.efConstruction, v.ef, recall,
             latency, buildMs)
+          onProgress(((i + 1) * 100) / grid.size)
           if (recall >= targetRecall) stopped = true // mod.rs:476-478
         }
       }
+      onProgress(100)
       results.result()
     } finally corpus.unpersist()
   }

@@ -1,0 +1,208 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.Instant
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Autotune
+
+/** Daemon autotune jobs — the reference daemon's second job kind
+  * (`lantern_cli/src/daemon/autotune_jobs.rs`), alongside embedding
+  * jobs. A job names a parquet source (the "table"), a vector column,
+  * a distance operator, and (target_recall, k, n); the worker runs the
+  * autotune grid with per-variant progress reporting and cooperative
+  * cancellation, writes the results to the job's `autotune_results`
+  * parquet (RESULT_TABLE_DEFINITION analog, autotune_jobs.rs:48-57),
+  * and records the selected best variant. Status is the same
+  * timestamp CASE as embedding jobs (F12):
+  * failed > canceled > enabled > in_progress > queued.
+  */
+object AutotuneJobs {
+
+  /** JOB_TABLE_DEFINITION analog (autotune_jobs.rs:26-45): sourceDir is
+    * the "table", vecCol the "column", metric the "operator".
+    */
+  case class AutotuneSpec(id: Long, sourceDir: String, idCol: String,
+      vecCol: String, metric: String, targetRecall: Double, k: Int,
+      sampleN: Int, workDir: String) {
+    def resultsDir: String = s"$workDir/autotune_results"
+  }
+
+  case class AutotuneState(spec: AutotuneSpec, createdAt: String,
+      startedAt: Option[String] = None,
+      finishedAt: Option[String] = None,
+      canceledAt: Option[String] = None,
+      failedAt: Option[String] = None,
+      error: Option[String] = None,
+      progress: Int = 0,
+      best: Option[String] = None)
+
+  def status(st: AutotuneState): String =
+    if (st.failedAt.isDefined) "failed"
+    else if (st.canceledAt.isDefined) "canceled"
+    else if (st.finishedAt.isDefined) "enabled"
+    else if (st.startedAt.isDefined) "in_progress"
+    else "queued"
+
+  /** The reference's operator names (external_index/cli.rs UMetricKind)
+    * mapped onto the engine's distance-function keys.
+    */
+  def metricForOperator(op: String): String = op match {
+    case "dist_l2sq_ops" => "l2sq"
+    case "dist_cos_ops" => "cos"
+    case "dist_hamming_ops" => "hamming"
+    case other => other // already an engine metric name
+  }
+
+  /** One JSON file per job, atomically replaced (control-plane state,
+    * same layout discipline as EmbeddingJobs.JobStore).
+    */
+  final class AutotuneStore(dir: String) {
+    Files.createDirectories(Paths.get(dir))
+
+    private def path(id: Long) = Paths.get(dir, s"autotune_$id.json")
+
+    private def ser(st: AutotuneState): String = {
+      def esc(v: String) = graft.util.Json.escape(v)
+      def opt(o: Option[String]) =
+        o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
+      val s = st.spec
+      s"""{"id":${s.id},"sourceDir":"${esc(s.sourceDir)}","idCol":"${esc(s.idCol)}",
+         |"vecCol":"${esc(s.vecCol)}","metric":"${esc(s.metric)}",
+         |"targetRecall":${s.targetRecall},"k":${s.k},"sampleN":${s.sampleN},
+         |"workDir":"${esc(s.workDir)}",
+         |"createdAt":"${esc(st.createdAt)}",
+         |"startedAt":${opt(st.startedAt)},
+         |"finishedAt":${opt(st.finishedAt)},
+         |"canceledAt":${opt(st.canceledAt)},
+         |"failedAt":${opt(st.failedAt)},
+         |"error":${opt(st.error)},
+         |"progress":${st.progress},
+         |"best":${opt(st.best)}}""".stripMargin.replace("\n", "")
+    }
+
+    private def field(json: String, key: String): Option[String] = {
+      val m = ("\"" + key +
+        "\":(\"((?:[^\"\\\\]|\\\\.)*)\"|null|-?[0-9.]+)").r
+        .findFirstMatchIn(json)
+      m.flatMap { g =>
+        val raw = g.group(1)
+        if (raw == "null") None
+        else Some(Option(g.group(2)).map(graft.util.Json.unescape)
+          .getOrElse(raw))
+      }
+    }
+
+    private def deser(json: String): AutotuneState = {
+      def req(k: String) = field(json, k).get
+      AutotuneState(
+        AutotuneSpec(req("id").toLong, req("sourceDir"), req("idCol"),
+          req("vecCol"), req("metric"), req("targetRecall").toDouble,
+          req("k").toInt, req("sampleN").toInt, req("workDir")),
+        req("createdAt"), field(json, "startedAt"),
+        field(json, "finishedAt"), field(json, "canceledAt"),
+        field(json, "failedAt"), field(json, "error"),
+        req("progress").toInt, field(json, "best"))
+    }
+
+    def write(st: AutotuneState): Unit = {
+      val tmp = Paths.get(dir, s".autotune_${st.spec.id}.tmp")
+      Files.writeString(tmp, ser(st))
+      Files.move(tmp, path(st.spec.id), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def get(id: Long): AutotuneState = {
+      require(Files.exists(path(id)), s"no such autotune job: $id")
+      deser(Files.readString(path(id)))
+    }
+
+    def update(id: Long)(f: AutotuneState => AutotuneState): AutotuneState = {
+      val st = f(get(id)); write(st); st
+    }
+
+    def list(): Seq[AutotuneState] =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("autotune_"))
+        .map(p => deser(Files.readString(p)))
+        .toSeq.sortBy(_.spec.id)
+
+    private def nextId(): Long =
+      list().map(_.spec.id).foldLeft(0L)(math.max) + 1
+
+    /** The INSERT INTO autotune_jobs analog. `operator` accepts the
+      * reference's *_ops names or engine metric names.
+      */
+    def add(sourceDir: String, idCol: String, vecCol: String,
+        operator: String = "dist_l2sq_ops", targetRecall: Double = 99.9,
+        k: Int = 10, sampleN: Int = 10000,
+        workBase: String = null): AutotuneState = {
+      val id = nextId()
+      val work = Option(workBase).getOrElse(s"$dir/work_$id")
+      val st = AutotuneState(
+        AutotuneSpec(id, sourceDir, idCol, vecCol,
+          metricForOperator(operator), targetRecall, k, sampleN, work),
+        Instant.now().toString)
+      write(st); st
+    }
+
+    def cancel(id: Long): AutotuneState =
+      update(id)(_.copy(canceledAt = Some(Instant.now().toString)))
+    def resume(id: Long): AutotuneState =
+      update(id)(_.copy(canceledAt = None, failedAt = None, error = None))
+  }
+
+  /** Execute one autotune job to completion (the worker body,
+    * autotune_jobs.rs:86-200): run the grid with progress updates and
+    * cancellation checks, write results parquet, record best variant.
+    * Returns the terminal status.
+    */
+  def run(spark: SparkSession, store: AutotuneStore, id: Long): String = {
+    val st0 = store.get(id)
+    if (st0.canceledAt.isDefined) {
+      store.update(id)(_.copy(
+        failedAt = Some(Instant.now().toString),
+        error = Some("Job cancelled")))
+      return "canceled"
+    }
+    val spec = st0.spec
+    store.update(id)(_.copy(startedAt = Some(Instant.now().toString)))
+    try {
+      val df = spark.read.option("recursiveFileLookup", "true")
+        .parquet(spec.sourceDir)
+      val results = Autotune.run(df, spec.idCol, spec.vecCol,
+        k = spec.k, sampleN = spec.sampleN, metric = spec.metric,
+        targetRecall = spec.targetRecall,
+        onProgress = p => { store.update(id)(_.copy(progress = p)); () },
+        isCanceled = () => store.get(id).canceledAt.isDefined)
+      Autotune.toDF(spark, results)
+        .write.mode("overwrite").parquet(spec.resultsDir)
+      val best = Autotune.bestVariant(results, spec.targetRecall)
+      store.update(id)(_.copy(
+        finishedAt = Some(Instant.now().toString),
+        progress = 100,
+        best = Some(s"m=${best.m},efc=${best.efConstruction},ef=${best.ef}")))
+      "enabled"
+    } catch {
+      case e: Throwable =>
+        store.update(id)(_.copy(
+          failedAt = Some(Instant.now().toString),
+          error = Some(Option(e.getMessage).getOrElse(e.toString)
+            .linesIterator.nextOption().getOrElse(e.getClass.getName))))
+        if (e.getMessage != null && e.getMessage.contains("Job cancelled"))
+          "canceled"
+        else "failed"
+    }
+  }
+
+  /** Drain every queued job once (the daemon loop body under
+    * AvailableNow semantics — collect_pending_index_jobs analog).
+    */
+  def drain(spark: SparkSession, store: AutotuneStore): Seq[(Long, String)] =
+    store.list().filter(st => status(st) == "queued")
+      .map(st => st.spec.id -> run(spark, store, st.spec.id))
+}
