@@ -10,17 +10,19 @@ import org.apache.spark.sql.types._
   * (SURVEY S1-S3; record layout `dim:u32 LE` + `dim` elements,
   * `lantern_extras/src/dotvecs.rs:85-138`).
   *
-  * Implementation: Spark's binaryFile source + per-file decode — the
-  * file is the unit of parallelism, which matches how these benchmark
-  * archives ship (many moderate files). The formats are fixed-record
-  * once the first dim is read, so a splitting FileFormat is possible,
-  * but per-file parallelism is the right complexity until single files
-  * exceed partition size. Constant dimension is enforced per file, as
-  * in the reference (`dotvecs.rs:131-136`); `limit` mirrors the SRF
-  * count argument (`dotvecs.rs:126-128`).
+  * Implementation: the formats are fixed-record once the leading dim is
+  * read, so the reader probes each file's 4-byte header, derives the
+  * record size, and plans RECORD-ALIGNED BYTE-RANGE SPLITS (default
+  * 128 MB). Each task seeks to its range and decodes only that slice —
+  * a single multi-GB SIFT1B-scale file becomes many bounded-memory
+  * tasks instead of one whole-file buffer (the reference streams
+  * records for the same reason, `dotvecs.rs:85-138`). Constant
+  * dimension per file is enforced at plan time (size divisibility) AND
+  * per record during decode (`dotvecs.rs:131-136`); `limit` mirrors
+  * the SRF count argument (`dotvecs.rs:126-128`), applied per file.
   */
 object VecsFiles {
-  sealed trait ElemType {
+  sealed trait ElemType extends Serializable {
     def bytes: Int
     def sparkType: DataType
   }
@@ -28,63 +30,114 @@ object VecsFiles {
   case object I32 extends ElemType { val bytes = 4; val sparkType = IntegerType }
   case object U8 extends ElemType { val bytes = 1; val sparkType = ShortType }
 
-  private def decode(content: Array[Byte], elem: ElemType,
-      limit: Int): Seq[Seq[Any]] = {
+  val DefaultSplitBytes: Long = 128L << 20
+
+  // not `private`: the split Dataset's encoder codegen needs
+  // bytecode-public access to the class
+  private[sources] case class VecSplit(file: String, dim: Int,
+      startRec: Long, numRec: Long)
+
+  /** Decode one record-aligned slice; every record's dim header must
+    * match the probed file dim.
+    */
+  private def decodeSlice(content: Array[Byte], elem: ElemType,
+      expectedDim: Int, baseRec: Long): Iterator[(Long, Seq[Any])] = {
     val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
-    val out = Seq.newBuilder[Seq[Any]]
-    var expectedDim = -1
-    var n = 0
-    while (buf.remaining() >= 4 && (limit < 0 || n < limit)) {
+    val n = content.length / (4 + expectedDim * elem.bytes)
+    (0 until n).iterator.map { i =>
       val dim = buf.getInt()
-      if (dim <= 0) throw new IllegalArgumentException(
-        s"invalid vector dimension $dim at record $n")
-      if (expectedDim < 0) expectedDim = dim
-      else if (dim != expectedDim) throw new IllegalArgumentException(
-        s"varying dimension: $expectedDim then $dim at record $n")
-      if (buf.remaining() < dim * elem.bytes)
-        throw new IllegalArgumentException(
-          s"truncated record $n: need ${dim * elem.bytes} bytes, " +
-            s"have ${buf.remaining()}")
+      if (dim != expectedDim) throw new IllegalArgumentException(
+        s"varying dimension: $expectedDim then $dim at record " +
+          s"${baseRec + i}")
       val v: Seq[Any] = elem match {
         case F32 => Seq.fill(dim)(buf.getFloat())
         case I32 => Seq.fill(dim)(buf.getInt())
         case U8 => Seq.fill(dim)((buf.get() & 0xff).toShort)
       }
-      out += v
-      n += 1
+      (baseRec + i, v)
     }
-    out.result()
   }
 
   private def read(spark: SparkSession, path: String, elem: ElemType,
-      limit: Int): DataFrame = {
+      limit: Int, splitBytes: Long): DataFrame = {
+    require(splitBytes >= 16, s"splitBytes too small: $splitBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(hp)).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .flatMap(st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st))
+      .filterNot { st =>
+        val n = st.getPath.getName; n.startsWith("_") || n.startsWith(".")
+      }
+    require(statuses.nonEmpty, s"no vecs files at $path")
+    val splits = statuses.flatMap { st =>
+      val len = st.getLen
+      if (len == 0) Seq.empty[VecSplit]
+      else {
+        val header = new Array[Byte](4)
+        val in = fs.open(st.getPath)
+        try in.readFully(0L, header) finally in.close()
+        val dim = ByteBuffer.wrap(header)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        if (dim <= 0) throw new IllegalArgumentException(
+          s"invalid vector dimension $dim in ${st.getPath}")
+        val recBytes = 4L + dim.toLong * elem.bytes
+        if (len % recBytes != 0) throw new IllegalArgumentException(
+          s"${st.getPath}: $len bytes is not a whole number of " +
+            s"$recBytes-byte records (truncated or varying dimension)")
+        val totalRec =
+          if (limit >= 0) math.min(len / recBytes, limit.toLong)
+          else len / recBytes
+        val recsPerSplit = math.max(1L, splitBytes / recBytes)
+        (0L until totalRec by recsPerSplit).map(s => VecSplit(
+          st.getPath.toString, dim, s,
+          math.min(recsPerSplit, totalRec - s)))
+      }
+    }
     val schema = StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("idx", LongType, nullable = false),
       StructField("vector", ArrayType(elem.sparkType, containsNull = false),
         nullable = false)))
-    val bin = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    bin.flatMap { r =>
-      val file = r.getString(0)
-      decode(r.getAs[Array[Byte]](1), elem, limit).zipWithIndex.map {
-        case (v, i) => Row(file, i.toLong, v)
+    if (splits.isEmpty)
+      return spark.createDataFrame(java.util.List.of[Row](), schema)
+    val confSer = spark.sparkContext.broadcast(
+      org.apache.spark.sql.graftshim.GraftShims.serializableConf(conf))
+    val splitDS = spark.createDataset(splits)(
+      org.apache.spark.sql.Encoders.product[VecSplit])
+      .repartition(splits.size) // one bounded-memory decode per task
+    splitDS.flatMap { sp =>
+      val p = new org.apache.hadoop.fs.Path(sp.file)
+      val taskFs = p.getFileSystem(
+        org.apache.spark.sql.graftshim.GraftShims.confOf(confSer.value))
+      val recBytes = 4 + sp.dim * elem.bytes
+      val bytes = new Array[Byte]((recBytes * sp.numRec).toInt)
+      val in = taskFs.open(p)
+      try in.readFully(sp.startRec * recBytes, bytes) finally in.close()
+      decodeSlice(bytes, elem, sp.dim, sp.startRec).map {
+        case (idx, v) => Row(sp.file, idx, v)
       }
     }(enc)
   }
 
   /** S1: `.fvecs` → (file, idx, vector ARRAY<FLOAT>). */
-  def readFvecs(spark: SparkSession, path: String, limit: Int = -1)
-      : DataFrame = read(spark, path, F32, limit)
+  def readFvecs(spark: SparkSession, path: String, limit: Int = -1,
+      splitBytes: Long = DefaultSplitBytes): DataFrame =
+    read(spark, path, F32, limit, splitBytes)
 
   /** S2: `.ivecs` → ARRAY<INT>. */
-  def readIvecs(spark: SparkSession, path: String, limit: Int = -1)
-      : DataFrame = read(spark, path, I32, limit)
+  def readIvecs(spark: SparkSession, path: String, limit: Int = -1,
+      splitBytes: Long = DefaultSplitBytes): DataFrame =
+    read(spark, path, I32, limit, splitBytes)
 
   /** S3: `.bvecs` → u8 widened to ARRAY<SMALLINT> (`dotvecs.rs:65-83`). */
-  def readBvecs(spark: SparkSession, path: String, limit: Int = -1)
-      : DataFrame = read(spark, path, U8, limit)
+  def readBvecs(spark: SparkSession, path: String, limit: Int = -1,
+      splitBytes: Long = DefaultSplitBytes): DataFrame =
+    read(spark, path, U8, limit, splitBytes)
 
   /** Test/fixture writer (driver-side; fixtures are small). */
   def writeFvecs(path: String, vectors: Seq[Array[Float]]): Unit = {

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Hadoop Configuration is not Serializable; Spark's wrapper for
+    * shipping it to tasks is private[spark], so expose it here for the
+    * vecs split reader.
+    */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration)
+      : java.io.Serializable =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+  def confOf(s: java.io.Serializable)
+      : org.apache.hadoop.conf.Configuration =
+    s.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 }

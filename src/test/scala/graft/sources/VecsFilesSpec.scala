@@ -62,6 +62,25 @@ class VecsFilesSpec extends SparkSuite {
       e.getCause.getMessage.contains("truncated"))
   }
 
+  test("file larger than one decode buffer splits into bounded tasks") {
+    // 200 records of dim 8 = 36 bytes each; a 360-byte split budget
+    // yields 10 records per task → 20 record-aligned splits. Every
+    // value and every global index must survive the split decode.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(_ => Array.fill(8)(rnd.nextFloat()))
+    VecsFiles.writeFvecs(s"$dir/big.fvecs", vecs)
+    val df = VecsFiles.readFvecs(spark, s"$dir/big.fvecs",
+      splitBytes = 360)
+    assert(df.rdd.getNumPartitions === 20) // one split per task
+    val back = df.orderBy($"idx").select($"idx", $"vector")
+      .as[(Long, Seq[Float])].collect()
+    assert(back.map(_._1).toSeq === (0L until 200L))
+    assert(back.zip(vecs).forall { case ((_, a), b) => a == b.toSeq })
+    // limit composes with splitting (applied per file, before planning)
+    assert(VecsFiles.readFvecs(spark, s"$dir/big.fvecs", limit = 25,
+      splitBytes = 360).count() === 25)
+  }
+
   test("csv sink writes postgres-array-style embeddings") {
     val df = Seq((1L, Array(1.5f, -2.0f))).toDF("id", "emb")
     VecsFiles.writeCsvEmbeddings(df, "id", "emb", s"$dir/csvout")
