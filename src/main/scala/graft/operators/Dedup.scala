@@ -100,6 +100,35 @@ object Dedup {
     result
   }
 
+  // One shingle scan per (corpus, n) per JVM: the exact-Jaccard and
+  // MinHash paths (and cleanCorpus through them) all start from the
+  // same hashed shingle sets, so the UDF scan is memoized as a
+  // persisted DataFrame keyed on the optimized input plan. A hit whose
+  // cache block was dropped is re-persisted; correctness never depends
+  // on the cache.
+  private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
+  private def hashedShingleSetsShared(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val dfn = df.select(col(idCol), col(textCol))
+    val plan = dfn.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, textCol, n)
+    val hit = shingleMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq df.sparkSession)) {
+      val m = hit._2
+      if (m.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      return m
+    }
+    val built = hashedShingleSets(dfn, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (shingleMemo.size < 32) shingleMemo.put(key, (plan, built))
+    built
+  }
+
   /** Distinct word-n-gram shingles per id, as 64-bit FNV-1a hashes:
     * (id, hs ARRAY<BIGINT>). One pass per row — words are hashed
     * incrementally into each shingle (FNV is byte-sequential, so this
@@ -182,8 +211,7 @@ object Dedup {
     // n-grams dwarf any driver) ordering falls back to a join +
     // array_sort — same output, fully distributed.
     val spark = df.sparkSession
-    val sets0 = hashedShingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets0 = hashedShingleSetsShared(df, idCol, textCol, n)
     val docFreq = sets0
       .select(explode(col("hs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df_g"))
@@ -271,7 +299,7 @@ object Dedup {
     // would otherwise band-collide with each other in every band,
     // a quadratic blowup on short-doc-heavy corpora (the exact path
     // has the same n_sh > 0 guard).
-    val sets = hashedShingleSets(df, idCol, textCol, n)
+    val sets = hashedShingleSetsShared(df, idCol, textCol, n)
       .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"),
         T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
