@@ -72,12 +72,28 @@ object OnnxEmbeddingRuntime extends EmbeddingRuntime {
     System.getProperty("graft.onnx.modelDir",
       sys.env.getOrElse("GRAFT_ONNX_MODEL_DIR", "/tmp/graft-models"))
 
-  // per-JVM session cache (lazily initialized on executors)
+  // per-JVM session + tokenizer caches (lazily initialized on executors)
   @transient private lazy val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, OnnxSession]()
+  @transient private lazy val tokenizers =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Option[WordPieceTokenizer]]()
 
   private def sessionFor(model: String): OnnxSession =
     sessions.computeIfAbsent(model, m => OnnxSession.open(modelDir, m))
+
+  /** The model's real HF tokenizer when its tokenizer.json ships next
+    * to the model file (`ort_runtime.rs:328-343`); the regex stand-in
+    * otherwise.
+    */
+  private def tokenizerFor(model: String): Option[WordPieceTokenizer] =
+    tokenizers.computeIfAbsent(model, m => {
+      val p = java.nio.file.Paths.get(
+        s"$modelDir/${m.replace('/', '_')}.tokenizer.json")
+      if (java.nio.file.Files.exists(p))
+        Some(WordPieceTokenizer.fromFile(p.toString))
+      else None
+    })
 
   /** Registry dim when known, else the model file's declared hidden
     * dim (test models are not in the published registry).
@@ -86,25 +102,29 @@ object OnnxEmbeddingRuntime extends EmbeddingRuntime {
     ModelRegistry.get(model).map(_.dim)
       .getOrElse(sessionFor(model).hiddenDim)
 
-  /** Token ids: CLS + hashed word-piece ids + SEP, truncated to the
-    * model max (`ort_runtime.rs:328-343`; real HF vocab lookup swaps
-    * in behind the same shape).
+  /** Token ids: the model's real WordPiece tokenizer when its
+    * tokenizer.json is present, else CLS + hashed word ids + SEP from
+    * the regex stand-in — identical shape either way, truncated to the
+    * model max (`ort_runtime.rs:328-343`).
     */
-  private[embed] def encode(text: String): Array[Long] = {
-    val toks = Tokenizer.tokenize(if (text == null) "" else text)
-      .take(MaxSeqLen - 2)
-    val ids = new Array[Long](toks.length + 2)
-    ids(0) = ClsId
-    var i = 0
-    while (i < toks.length) {
-      val h = graft.functions.TextHash.fnv1a(
-        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
-      ids(i + 1) = 999L + Math.floorMod(h, 29000L) // vocab-range ids
-      i += 1
+  private[embed] def encode(model: String, text: String): Array[Long] =
+    tokenizerFor(model) match {
+      case Some(wp) => wp.encode(text, MaxSeqLen)
+      case None =>
+        val toks = Tokenizer.tokenize(if (text == null) "" else text)
+          .take(MaxSeqLen - 2)
+        val ids = new Array[Long](toks.length + 2)
+        ids(0) = ClsId
+        var i = 0
+        while (i < toks.length) {
+          val h = graft.functions.TextHash.fnv1a(
+            org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
+          ids(i + 1) = 999L + Math.floorMod(h, 29000L) // vocab-range ids
+          i += 1
+        }
+        ids(ids.length - 1) = SepId
+        ids
     }
-    ids(ids.length - 1) = SepId
-    ids
-  }
 
   /** Per-input transformer memory estimate: with L layers, N attention
     * heads of dimension Dh and sequence length S,
@@ -135,7 +155,7 @@ object OnnxEmbeddingRuntime extends EmbeddingRuntime {
     val session = sessionFor(model)
     val pooling = ModelRegistry.get(model).map(_.pooling)
       .getOrElse(PoolingStrategy.MeanWithMask)
-    val encoded = inputs.map(encode)
+    val encoded = inputs.map(encode(model, _))
     var tokens = 0L
     encoded.foreach(ids => tokens += ids.length)
     // memory-capped micro-batches (ort_runtime.rs:401-442): registry
