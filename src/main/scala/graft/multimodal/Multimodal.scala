@@ -54,16 +54,22 @@ object Multimodal {
     */
   object StubDecoder extends MediaDecoder {
     override def features(media: Array[Byte], dim: Int): Array[Float] = {
-      val acc = new Array[Double](dim)
+      // accumulate per-stripe hashes with WRAPPING LONG addition —
+      // order-insensitive and exact, so any independent engine (the
+      // DuckDB oracle) reproduces it bit-for-bit regardless of its
+      // aggregation order; doubles appear only in the final fixed-order
+      // 16-element projection/normalization
+      val acc = new Array[Long](dim)
       var i = 0
       while (i < media.length) {
         val h = TextHash.mix64((media(i) & 0xffL) ^ (i.toLong << 8))
-        acc(i % dim) += (h.toDouble / Long.MaxValue)
+        acc(i % dim) += h
         i += 1
       }
-      val norm = math.sqrt(acc.map(x => x * x).sum)
+      val proj = acc.map(a => a.toDouble / Long.MaxValue)
+      val norm = math.sqrt(proj.map(x => x * x).sum)
       if (norm == 0.0) Array.fill(dim)(-1.0f)
-      else acc.map(x => (x / norm).toFloat)
+      else proj.map(x => (x / norm).toFloat)
     }
 
     override def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] = {

@@ -88,7 +88,10 @@ object DocumentQueries {
 
     // Multimodal plumbing: binary payloads (text bytes stand in for
     // media here) → batched feature extraction with the stub decoder.
-    // Features exploded to (doc_id, pos, val) for the gate comparator.
+    // Features exploded to (doc_id, pos, val) and floor-rounded to 4
+    // decimals; the DuckDB oracle restates the full stripe-hash
+    // (mix64 over bytes, wrapping long accumulation, 16-dim
+    // normalize) — see multimodalOracle.
     "q_multimodal_features" -> ((s, dir) => {
       val d = docs(s, dir)
         .select($"doc_id", $"text".cast("binary").as("media"))
@@ -96,6 +99,8 @@ object DocumentQueries {
         .mediaFeatures(d, "media", "feat", dim = 16)
         .select($"doc_id", posexplode($"feat"))
         .toDF("doc_id", "pos", "val")
+        .select($"doc_id", $"pos",
+          (floor($"val".cast("double") * 10000 + 0.5) / 10000).as("val"))
         .orderBy($"doc_id", $"pos")
     }),
 
@@ -209,6 +214,82 @@ object DocumentQueries {
        |ORDER BY i, j""".stripMargin
   }
 
+  // DuckDB restatement of Multimodal.StubDecoder.features over the
+  // documents' UTF-8 bytes: splitmix64 (mix64) per byte emulated with
+  // HUGEINT wrap-multiplies and logical shifts, WRAPPING LONG stripe
+  // accumulation (order-insensitive by construction, so DuckDB's
+  // aggregation order cannot diverge), then the fixed-order 16-dim
+  // normalize and the float projection.
+  private val multimodalOracle: String = {
+    val T = "18446744073709551616"
+    val H = "9223372036854775808"
+    def wrapMul(z: String, c: Long): String = {
+      val m = s"((((CAST(($z) AS HUGEINT) * ($c)) % $T) + $T) % $T)"
+      s"CAST(CASE WHEN $m >= $H THEN $m - $T ELSE $m END AS BIGINT)"
+    }
+    def lshr(z: String, k: Int): String =
+      s"((($z) >> $k) & ${(1L << (64 - k)) - 1})"
+    val c1 = -7046029254386353131L // 0x9e3779b97f4a7c15 as signed
+    val c2 = -4658895280553007687L // 0xbf58476d1ce4e5b9
+    val c3 = -7723592293110705685L // 0x94d049bb133111eb
+    val z2 = wrapMul(s"xor(z1, ${lshr("z1", 30)})", c2)
+    val z3 = wrapMul(s"xor(z2, ${lshr("z2", 27)})", c3)
+    val h = s"xor(z3, ${lshr("z3", 31)})"
+    val accSigned = s"CASE WHEN sacc >= $H THEN sacc - $T ELSE sacc END"
+    s"""WITH pre AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |idx AS (
+       |  SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM pre WHERE n > 0),
+       |bytes AS (
+       |  SELECT doc_id, i - 1 AS i0,
+       |    CAST(16*(instr('0123456789ABCDEF',
+       |        substr(hx, CAST(2*i-1 AS INT), 1))-1)
+       |      + (instr('0123456789ABCDEF',
+       |        substr(hx, CAST(2*i AS INT), 1))-1) AS BIGINT) AS b
+       |  FROM idx),
+       |m1 AS (SELECT doc_id, i0, xor(b, i0 << 8) + ($c1) AS z1 FROM bytes),
+       |m2 AS (SELECT doc_id, i0, $z2 AS z2 FROM m1),
+       |m3 AS (SELECT doc_id, i0, $z3 AS z3 FROM m2),
+       |hv AS (SELECT doc_id, i0 % 16 AS pos, $h AS h FROM m3),
+       |acc0 AS (
+       |  SELECT doc_id, pos,
+       |    ((CAST(sum(CAST(h AS HUGEINT)) AS HUGEINT) % $T) + $T) % $T AS sacc
+       |  FROM hv GROUP BY doc_id, pos),
+       |grid AS (
+       |  SELECT p.doc_id, g.pos
+       |  FROM (SELECT DISTINCT doc_id FROM idx) p,
+       |       (SELECT unnest(range(0, 16)) AS pos) g),
+       |acc AS (
+       |  SELECT grid.doc_id, grid.pos,
+       |    COALESCE(CAST($accSigned AS BIGINT), 0) AS a
+       |  FROM grid LEFT JOIN acc0
+       |    ON acc0.doc_id = grid.doc_id AND acc0.pos = grid.pos),
+       |proj AS (
+       |  SELECT doc_id, pos,
+       |    CAST(a AS DOUBLE) / 9223372036854775807 AS x FROM acc),
+       |nrm AS (
+       |  SELECT doc_id,
+       |    sqrt(list_sum(list_transform(list(x ORDER BY pos), v -> v * v)))
+       |      AS norm
+       |  FROM proj GROUP BY doc_id),
+       |vals AS (
+       |  SELECT p.doc_id, CAST(p.pos AS INT) AS pos,
+       |    floor(CAST(CAST(p.x / n.norm AS REAL) AS DOUBLE) * 10000 + 0.5)
+       |      / 10000 AS val
+       |  FROM proj p JOIN nrm n ON n.doc_id = p.doc_id),
+       |sentinel AS (
+       |  SELECT doc_id, CAST(g.pos AS INT) AS pos, -1.0 AS val
+       |  FROM (SELECT doc_id FROM documents
+       |        WHERE text IS NULL OR octet_length(encode(text)) = 0) s,
+       |       (SELECT unnest(range(0, 16)) AS pos) g(pos))
+       |SELECT doc_id, pos, val FROM vals
+       |UNION ALL
+       |SELECT doc_id, pos, val FROM sentinel
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   private val jaccardOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, g FROM (
@@ -272,6 +353,7 @@ object DocumentQueries {
     "q_jaccard_dups" -> jaccardOracle,
     "q_minhash_dups" -> jaccardOracle,
     "q_simhash_dups" -> simhashOracle,
+    "q_multimodal_features" -> multimodalOracle,
     "q_embdup_cos" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
          | round(${dkCos("a.embedding", "b.embedding")}, 4) AS cd
