@@ -83,6 +83,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval join not broadcast:\n$p")
   }
 
+  test("exact embedding join is blocked: no full-table broadcast NLJ") {
+    // the blocked self-join shape: block-pair equi-joins, never a
+    // BroadcastNestedLoopJoin over the whole corpus (which would pin
+    // the full table in every executor at scale)
+    val p = plan("q_embdup_cos")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"corpus broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
   test("IVF search reads only probed cells (PartitionFilters on cell_id)") {
     // The inverted file is parquet partitioned by cell_id; the probe
     // set must reach the scan as a partition filter so unprobed cells
