@@ -87,6 +87,31 @@ class EmbeddingJobsSpec extends SparkSuite {
     assert(st === "failed" && err.nonEmpty)
   }
 
+  test("jobs run end to end on the ort runtime with a local model file") {
+    // daemon + ONNX seam integration: the job's runtime is 'ort' and a
+    // .graftonnx model file sits in the model dir — the same wiring a
+    // production deployment uses with a real .onnx + onnxruntime jar
+    val (base, store) = freshDirs()
+    writeSource(base, 0 until 12, "p0")
+    val dir = java.nio.file.Files.createTempDirectory("job-models").toString
+    graft.embed.GraftFileSession.write(
+      s"$dir/jobtest_m8.graftonnx", 8, 11L)
+    val old = System.getProperty("graft.onnx.modelDir")
+    System.setProperty("graft.onnx.modelDir", dir)
+    try {
+      val job = store.add(s"$base/src", "id", "text", "emb",
+        "jobtest/m8", runtime = "ort")
+      assert(EmbeddingJobs.run(spark, store, job.spec.id) === "enabled")
+      val cur = currentTable(spark, store.get(job.spec.id).spec)
+      assert(cur.count() === 12)
+      assert(cur.where($"emb".isNull).count() === 0)
+      assert(cur.select(size($"emb")).distinct().as[Int].head() === 8)
+    } finally {
+      if (old != null) System.setProperty("graft.onnx.modelDir", old)
+      else System.clearProperty("graft.onnx.modelDir")
+    }
+  }
+
   test("usage rows carry per-batch token counts") {
     val (base, store) = freshDirs()
     writeSource(base, 0 until 8, "p0")
