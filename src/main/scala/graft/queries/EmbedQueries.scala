@@ -23,13 +23,17 @@ object EmbedQueries {
       "text", "emb", "hash/bow-64", HashEmbeddingRuntime)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §3.2 headline: add an embedding column to a table (rows-only
-    // check: bespoke hash model has no SQL equivalent). Exploded to
-    // (doc_id, pos, val) for the gate comparator.
+    // §3.2 headline: add an embedding column to a table. Exploded to
+    // (doc_id, pos, val) and floor-rounded to 4 decimals; the DuckDB
+    // oracle restates the full hash model (FNV-1a token bases,
+    // splitmix64 per dimension, ordered fold, 64-dim normalize) — see
+    // embedDocsOracle.
     "q_embed_docs" -> ((s, dir) =>
       embeddedDocs(s, dir)
         .select($"doc_id", posexplode($"emb"))
         .toDF("doc_id", "pos", "val")
+        .select($"doc_id", $"pos",
+          (floor($"val".cast("double") * 10000 + 0.5) / 10000).as("val"))
         .orderBy($"doc_id", $"pos")),
 
     // A5: usage accounting — embeds, then aggregates the per-row token
@@ -91,7 +95,79 @@ object EmbedQueries {
     })
   )
 
+  // DuckDB restatement of HashEmbeddingRuntime.embedOne: FNV-1a token
+  // bases (hex-decoded UTF-8 bytes, wrapping multiply via HUGEINT),
+  // per-dimension splitmix64 with the 64 mix64(j) seeds precomputed as
+  // literals, document-ordered double fold, fixed-order 64-dim
+  // normalize, float projection. Output floor-rounds to 4 decimals on
+  // both sides.
+  private val embedDocsOracle: String = {
+    val T = "18446744073709551616"
+    val H = "9223372036854775808"
+    def wrapOp(z: String, c: Long, op: String): String = {
+      val m = s"((((CAST(($z) AS HUGEINT) $op ($c)) % $T) + $T) % $T)"
+      s"CAST(CASE WHEN $m >= $H THEN $m - $T ELSE $m END AS BIGINT)"
+    }
+    def lshr(z: String, k: Int): String =
+      s"((($z) >> $k) & ${(1L << (64 - k)) - 1})"
+    val c1 = -7046029254386353131L // 0x9e3779b97f4a7c15 as signed
+    val c2 = -4658895280553007687L // 0xbf58476d1ce4e5b9
+    val c3 = -7723592293110705685L // 0x94d049bb133111eb
+    val fnvStep = wrapOp("xor(a, b)", 0x100000001b3L, "*")
+    val z1 = wrapOp("xor(base, kj)", c1, "+")
+    val z2 = wrapOp(s"xor(z1, ${lshr("z1", 30)})", c2, "*")
+    val z3 = wrapOp(s"xor(z2, ${lshr("z2", 27)})", c3, "*")
+    val h = s"xor(z3, ${lshr("z3", 31)})"
+    val kList = (0 until 64)
+      .map(j => s"CAST(${graft.functions.TextHash.mix64(j.toLong)} AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val pat = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'"
+    s"""WITH docs_f AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE text IS NOT NULL AND text != ''
+       |    AND text != 'Error: Summary failed (llm)' AND trim(text) != ''),
+       |toks AS (
+       |  SELECT doc_id, unnest(range(1, len(rts)+1)) AS tpos,
+       |         unnest(rts) AS tok
+       |  FROM (SELECT doc_id, regexp_extract_all(text, $pat, 0) AS rts
+       |        FROM docs_f)),
+       |fnv AS (
+       |  SELECT doc_id, tpos, list_reduce(
+       |    list_prepend(CAST(${graft.functions.TextHash.FnvOffset} AS BIGINT),
+       |      list_transform(range(1, octet_length(encode(tok))+1), i ->
+       |        CAST(16*(instr('0123456789ABCDEF',
+       |            substr(hex(encode(tok)), CAST(2*i-1 AS INT), 1))-1)
+       |          + (instr('0123456789ABCDEF',
+       |            substr(hex(encode(tok)), CAST(2*i AS INT), 1))-1)
+       |          AS BIGINT))),
+       |    (a, b) -> $fnvStep) AS base
+       |  FROM toks),
+       |jk AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS j,
+       |              unnest($kList) AS kj),
+       |m1 AS (SELECT doc_id, tpos, j, $z1 AS z1 FROM fnv, jk),
+       |m2 AS (SELECT doc_id, tpos, j, $z2 AS z2 FROM m1),
+       |m3 AS (SELECT doc_id, tpos, j, $z3 AS z3 FROM m2),
+       |contrib AS (
+       |  SELECT doc_id, tpos, j,
+       |    CAST($h AS DOUBLE) / 9223372036854775807 AS c
+       |  FROM m3),
+       |acc AS (
+       |  SELECT doc_id, j, list_sum(list(c ORDER BY tpos)) AS a
+       |  FROM contrib GROUP BY doc_id, j),
+       |nrm AS (
+       |  SELECT doc_id,
+       |    sqrt(list_sum(list_transform(list(a ORDER BY j), v -> v * v)))
+       |      AS norm
+       |  FROM acc GROUP BY doc_id)
+       |SELECT acc.doc_id, acc.j AS pos,
+       |  floor(CAST(CAST(acc.a / nrm.norm AS REAL) AS DOUBLE) * 10000 + 0.5)
+       |    / 10000 AS val
+       |FROM acc JOIN nrm ON nrm.doc_id = acc.doc_id
+       |ORDER BY acc.doc_id, pos""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_embed_docs" -> embedDocsOracle,
     "q_embed_usage" ->
       """SELECT lang, count(*) AS n,
         | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))) AS BIGINT) AS tokens
