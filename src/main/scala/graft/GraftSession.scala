@@ -19,10 +19,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-  /** Create (or reuse) a session with graft functions registered. */
+  /** Create (or reuse) a session with ALL graft SQL surfaces
+    * registered: vector distance expressions, text-hash expressions
+    * (simhash64 / rolling_fingerprint / hash_embedding), and the
+    * text_embedding/clip_text functions (F1/F4).
+    */
   def getOrCreate(master: String = "local[32]"): SparkSession = {
     val s = builder(master).getOrCreate()
     graft.functions.VectorFunctions.register(s)
+    graft.functions.TextFunctions.register(s)
+    graft.embed.EmbeddingPipeline.register(s)
     s
   }
 
