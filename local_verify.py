@@ -97,17 +97,26 @@ def compare(name, sql, con):
     return f"PASS {name} ({len(srows)} rows)"
 
 
-def main():
-    if "--skip-spark" not in sys.argv:
-        run_spark()
+def fresh_con():
     con = duckdb.connect()
     for tbl in TABLES:
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')")
+    return con
+
+
+def main():
+    if "--skip-spark" not in sys.argv:
+        run_spark()
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     fails = 0
     for name, sql in sorted(oracles.items()):
+        # fresh connection per oracle: the bespoke-math oracles
+        # (embed-docs, multimodal) are memory-heavy at sf0.1 and a
+        # shared connection poisons later queries with OOM
+        con = fresh_con()
         res = compare(name, sql, con)
+        con.close()
         print(res)
         fails += res.startswith("FAIL")
     print(f"== {len(oracles) - fails}/{len(oracles)} queries match")

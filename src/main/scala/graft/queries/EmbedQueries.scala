@@ -67,7 +67,8 @@ object EmbedQueries {
     }),
 
     // §2.12 search path: embed a query text, brute-force top-k over the
-    // embedded corpus (rows-only: distances depend on the hash model).
+    // embedded corpus; oracled end to end (embedSearchOracle recomputes
+    // the corpus embeddings and the cos top-10 in DuckDB).
     "q_embed_search" -> ((s, dir) => {
       val corpus = embeddedDocs(s, dir).select($"doc_id", $"emb")
       val qvec = HashEmbeddingRuntime.embedOne(
@@ -101,7 +102,7 @@ object EmbedQueries {
   // literals, document-ordered double fold, fixed-order 64-dim
   // normalize, float projection. Output floor-rounds to 4 decimals on
   // both sides.
-  private val embedDocsOracle: String = {
+  private val hashEmbCtes: String = {
     val T = "18446744073709551616"
     val H = "9223372036854775808"
     def wrapOp(z: String, c: Long, op: String): String = {
@@ -158,16 +159,51 @@ object EmbedQueries {
        |  SELECT doc_id,
        |    sqrt(list_sum(list_transform(list(a ORDER BY j), v -> v * v)))
        |      AS norm
-       |  FROM acc GROUP BY doc_id)
+       |  FROM acc GROUP BY doc_id)""".stripMargin
+  }
+
+  private val embedDocsOracle: String =
+    s"""$hashEmbCtes
        |SELECT acc.doc_id, acc.j AS pos,
        |  floor(CAST(CAST(acc.a / nrm.norm AS REAL) AS DOUBLE) * 10000 + 0.5)
        |    / 10000 AS val
        |FROM acc JOIN nrm ON nrm.doc_id = acc.doc_id
        |ORDER BY acc.doc_id, pos""".stripMargin
+
+  // §2.12 search path: the same hash-model CTEs produce each doc's
+  // float embedding; the query vector (embedOne of the fixed query
+  // text) is embedded as exact double literals; cos distance is the
+  // dkCos index-ordered fold; top-10 by (dist, nid) matches
+  // Knn.topK's deterministic tie-break.
+  private val embedSearchOracle: String = {
+    val qv = HashEmbeddingRuntime.embedOne(
+      "the fast key order sort table scan", 64)
+    val qvLit = qv.map(f => java.lang.Double.toString(f.toDouble))
+      .mkString("[", ", ", "]")
+    s"""$hashEmbCtes,
+       |evec AS (
+       |  SELECT acc.doc_id,
+       |    list(CAST(acc.a / nrm.norm AS REAL) ORDER BY acc.j) AS e
+       |  FROM acc JOIN nrm ON nrm.doc_id = acc.doc_id
+       |  GROUP BY acc.doc_id),
+       |cosd AS (
+       |  SELECT doc_id AS nid,
+       |    (1 - list_sum(list_transform(range(1, 65),
+       |           i -> CAST(e[i] AS DOUBLE) * qv[i])) /
+       |      sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE)))
+       |        * list_sum(list_transform(range(1, 65),
+       |             i -> qv[i] * qv[i])))) AS cd
+       |  FROM evec, (SELECT $qvLit AS qv))
+       |SELECT nid, CAST(row_number() OVER (ORDER BY cd, nid) AS INT)
+       |    AS rank,
+       |  round(cd, 4) AS dist
+       |FROM cosd ORDER BY cd, nid LIMIT 10""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "q_embed_docs" -> embedDocsOracle,
+    "q_embed_search" -> embedSearchOracle,
     "q_embed_usage" ->
       """SELECT lang, count(*) AS n,
         | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))) AS BIGINT) AS tokens
