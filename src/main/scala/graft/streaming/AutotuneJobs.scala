@@ -205,4 +205,21 @@ object AutotuneJobs {
   def drain(spark: SparkSession, store: AutotuneStore): Seq[(Long, String)] =
     store.list().filter(st => status(st) == "queued")
       .map(st => st.spec.id -> run(spark, store, st.spec.id))
+
+  /** Continuous daemon: poll the store for queued jobs until `stop`
+    * (the notification listener + worker loop of autotune_jobs.rs —
+    * new job files are the notifications, as with embedding jobs'
+    * file-source CDC). Returns the total number of jobs executed.
+    */
+  def runDaemon(spark: SparkSession, store: AutotuneStore,
+      pollMs: Long = 1000, stop: () => Boolean): Long = {
+    var executed = 0L
+    while (!stop()) {
+      executed += drain(spark, store).size
+      val deadline = System.nanoTime() + pollMs * 1000000L
+      while (!stop() && System.nanoTime() < deadline)
+        Thread.sleep(math.min(pollMs, 25L))
+    }
+    executed
+  }
 }

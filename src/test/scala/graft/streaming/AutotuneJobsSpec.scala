@@ -64,6 +64,31 @@ class AutotuneJobsSpec extends SparkSuite {
     assert(status(st) === "failed" && st.error.nonEmpty)
   }
 
+  test("daemon loop picks up jobs added while it runs") {
+    val (_, store) = freshStore()
+    @volatile var stopFlag = false
+    val daemon = new Thread(() => {
+      AutotuneJobs.runDaemon(spark, store, pollMs = 50,
+        stop = () => stopFlag)
+      ()
+    })
+    daemon.start()
+    try {
+      // job added AFTER the daemon started — the poll must find it
+      val job = store.add(s"$sf0001/embeddings.parquet", "vec_id",
+        "embedding", operator = "dist_l2sq_ops", targetRecall = 95.0,
+        k = 5, sampleN = 500)
+      val deadline = System.currentTimeMillis() + 120000
+      while (status(store.get(job.spec.id)) != "enabled" &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(status(store.get(job.spec.id)) === "enabled")
+    } finally {
+      stopFlag = true
+      daemon.join(10000)
+      assert(!daemon.isAlive)
+    }
+  }
+
   test("store round-trips state through JSON and lists by id") {
     val (_, store) = freshStore()
     store.add("/a", "id", "v", "dist_l2sq_ops", 98.5, 5, 100)
