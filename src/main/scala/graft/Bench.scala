@@ -46,15 +46,21 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // a failed rep must never become the reported min — take the
+        // min over SUCCESSFUL reps; if every rep failed, report the
+        // summed wall time so the failure is visible, not flattering
         val times = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
-        name -> times.min
+        val good = times.filter(_._2).map(_._1)
+        name -> (if (good.nonEmpty) good.min else times.map(_._1).sum)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -107,13 +107,16 @@ object WordPieceTokenizer {
       .map(MiniJson.str).getOrElse("##")
     val maxChars = model.get("max_input_chars_per_word")
       .map(MiniJson.long(_).toInt).getOrElse(100)
+    // a missing/null normalizer means NO normalization (cased model) —
+    // only a normalizer object defaults its absent lowercase to true
+    // (BertNormalizer's own default)
     val lowercase = root.get("normalizer") match {
       case Some(n: Map[_, _]) =>
         MiniJson.obj(n).get("lowercase") match {
           case Some(b: java.lang.Boolean) => b.booleanValue()
           case _ => true
         }
-      case _ => true
+      case _ => false
     }
     new WordPieceTokenizer(vocab, unk, prefix, maxChars, lowercase)
   }

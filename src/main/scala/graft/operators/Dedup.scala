@@ -224,6 +224,9 @@ object Dedup {
     val ordered = (if (distinctShingles <= dictCap) {
       val dfMap: Map[Long, Long] = docFreq
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the dictionary replaces the DataFrame on this path — release
+      // its cache block instead of waiting for a caller clearCache
+      docFreq.unpersist()
       val dfBc = spark.sparkContext.broadcast(dfMap)
       val orderU = udf((hs: Seq[Long]) =>
         hs.filter(h => dfBc.value.getOrElse(h, 1L) <= cap)

@@ -32,9 +32,19 @@ object IvfIndex {
   // Builds are deterministic in (input plan, params); memoize the Model
   // so repeated searches over the same corpus (the registry trio, an
   // autotune sweep) share one k-means + one partitioned write per JVM.
+  // indexDir is part of the key: a caller asking for a durable path
+  // must not be served a memoized tmp-dir index.
   private val buildMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String, Int, Int, Long),
+    (Int, String, String, Int, Int, Long, Option[String]),
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Model)]()
+  // default index paths use a per-JVM directory + a build counter, so
+  // no two builds (this JVM or another on the same box) can clobber a
+  // live index directory; reuse across builds comes from the memo, not
+  // from path determinism
+  private val buildCounter = new java.util.concurrent.atomic.AtomicLong()
+  private lazy val tmpBase =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+      java.lang.ProcessHandle.current().pid()
 
   /** Build: coarse k-means (reusing the PQ Lloyd with splits=1), assign
     * every row to its nearest cell, and write the assignment as parquet
@@ -56,7 +66,8 @@ object IvfIndex {
     }
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
-    val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed)
+    val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed,
+      indexDir)
     val hit = buildMemo.get(key)
     if (hit != null && hit._1.sameResult(plan) &&
         (hit._2.assigned.sparkSession eq spark))
@@ -68,9 +79,8 @@ object IvfIndex {
     val cellU = udf((v: Seq[Float]) =>
       ProductQuantizer.nearestCentroid(bc.value, v.toArray))
     val path = indexDir.getOrElse(
-      s"${System.getProperty("java.io.tmpdir")}/graft-ivf/" +
-        f"ivf_${plan.semanticHash()}%08x_${idCol}_${vecCol}" +
-        s"_c${nCells}_i${maxIter}_s$seed")
+      s"$tmpBase/ivf_${buildCounter.getAndIncrement()}" +
+        s"_c${nCells}_s$seed")
     df.withColumn("cell_id", cellU(col(vecCol)))
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
@@ -121,8 +131,10 @@ object IvfIndex {
     */
   def search(model: Model, queries: DataFrame, k: Int, nprobe: Int,
       metric: String = "l2sq"): DataFrame = {
+    // probes are |queries| x nprobe rows — small enough that the one
+    // recomputation (pruning collect + join lineage) is cheaper than
+    // leaking a cached block per call
     val probes0 = probeCells(model, queries, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = broadcast(probes0)
     // cell_id IN (probed) reaches the scan as a PartitionFilter on the
     // cell-partitioned index — unprobed cells are never read
@@ -175,7 +187,6 @@ object IvfIndex {
     val probes0 = probeCells(model, queries, nprobe)
       .withColumn("lut", lutU(col("qvec")))
       .drop("qvec")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = broadcast(probes0)
     // same storage-level pruning as `search`: quantized is a projection
     // over the cell-partitioned index, so the IN filter still pushes

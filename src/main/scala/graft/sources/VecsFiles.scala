@@ -85,13 +85,19 @@ object VecsFiles {
         if (dim <= 0) throw new IllegalArgumentException(
           s"invalid vector dimension $dim in ${st.getPath}")
         val recBytes = 4L + dim.toLong * elem.bytes
+        if (recBytes > Int.MaxValue - 8) throw new IllegalArgumentException(
+          s"${st.getPath}: single record of $recBytes bytes exceeds " +
+            "the per-task decode buffer")
         if (len % recBytes != 0) throw new IllegalArgumentException(
           s"${st.getPath}: $len bytes is not a whole number of " +
             s"$recBytes-byte records (truncated or varying dimension)")
         val totalRec =
           if (limit >= 0) math.min(len / recBytes, limit.toLong)
           else len / recBytes
-        val recsPerSplit = math.max(1L, splitBytes / recBytes)
+        // a split's decode buffer is one Array[Byte]: cap records per
+        // split so numRec * recBytes always fits in Int
+        val recsPerSplit = math.max(1L,
+          math.min(splitBytes, Int.MaxValue - 8L) / recBytes)
         (0L until totalRec by recsPerSplit).map(s => VecSplit(
           st.getPath.toString, dim, s,
           math.min(recsPerSplit, totalRec - s)))

@@ -109,7 +109,10 @@ object AutotuneJobs {
         req("progress").toInt, field(json, "best"))
     }
 
-    def write(st: AutotuneState): Unit = {
+    // mutations synchronize on the store: the worker's progress writes
+    // and a user's cancel() race on the same read-modify-write file,
+    // and a lost cancel means the grid runs to completion
+    def write(st: AutotuneState): Unit = synchronized {
       val tmp = Paths.get(dir, s".autotune_${st.spec.id}.tmp")
       Files.writeString(tmp, ser(st))
       Files.move(tmp, path(st.spec.id), StandardCopyOption.ATOMIC_MOVE,
@@ -121,15 +124,17 @@ object AutotuneJobs {
       deser(Files.readString(path(id)))
     }
 
-    def update(id: Long)(f: AutotuneState => AutotuneState): AutotuneState = {
-      val st = f(get(id)); write(st); st
-    }
+    def update(id: Long)(f: AutotuneState => AutotuneState): AutotuneState =
+      synchronized { val st = f(get(id)); write(st); st }
 
-    def list(): Seq[AutotuneState] =
-      Files.list(Paths.get(dir)).iterator().asScala
+    def list(): Seq[AutotuneState] = {
+      val stream = Files.list(Paths.get(dir))
+      try stream.iterator().asScala
         .filter(_.getFileName.toString.startsWith("autotune_"))
         .map(p => deser(Files.readString(p)))
         .toSeq.sortBy(_.spec.id)
+      finally stream.close()
+    }
 
     private def nextId(): Long =
       list().map(_.spec.id).foldLeft(0L)(math.max) + 1
@@ -140,7 +145,7 @@ object AutotuneJobs {
     def add(sourceDir: String, idCol: String, vecCol: String,
         operator: String = "dist_l2sq_ops", targetRecall: Double = 99.9,
         k: Int = 10, sampleN: Int = 10000,
-        workBase: String = null): AutotuneState = {
+        workBase: String = null): AutotuneState = synchronized {
       val id = nextId()
       val work = Option(workBase).getOrElse(s"$dir/work_$id")
       val st = AutotuneState(
@@ -164,9 +169,10 @@ object AutotuneJobs {
   def run(spark: SparkSession, store: AutotuneStore, id: Long): String = {
     val st0 = store.get(id)
     if (st0.canceledAt.isDefined) {
-      store.update(id)(_.copy(
-        failedAt = Some(Instant.now().toString),
-        error = Some("Job cancelled")))
+      // canceledAt stays the terminal marker: the status CASE ranks
+      // failed above canceled, so recording failedAt here would
+      // misreport a user cancel as a failure
+      store.update(id)(_.copy(error = Some("Job cancelled")))
       return "canceled"
     }
     val spec = st0.spec
@@ -189,13 +195,15 @@ object AutotuneJobs {
       "enabled"
     } catch {
       case e: Throwable =>
-        store.update(id)(_.copy(
-          failedAt = Some(Instant.now().toString),
+        val canceled = e.getMessage != null &&
+          e.getMessage.contains("Job cancelled")
+        store.update(id)(s => s.copy(
+          failedAt =
+            if (canceled) s.failedAt
+            else Some(Instant.now().toString),
           error = Some(Option(e.getMessage).getOrElse(e.toString)
             .linesIterator.nextOption().getOrElse(e.getClass.getName))))
-        if (e.getMessage != null && e.getMessage.contains("Job cancelled"))
-          "canceled"
-        else "failed"
+        if (canceled) "canceled" else "failed"
     }
   }
 

@@ -113,7 +113,9 @@ object EmbeddingJobs {
         req("progress").toInt)
     }
 
-    def write(st: JobState): Unit = {
+    // mutations synchronize on the store: concurrent update-vs-cancel
+    // is a read-modify-write race that could drop the cancel
+    def write(st: JobState): Unit = synchronized {
       val tmp = Paths.get(dir, s".job_${st.spec.id}.tmp")
       Files.writeString(tmp, ser(st))
       Files.move(tmp, path(st.spec.id), StandardCopyOption.ATOMIC_MOVE,
@@ -125,15 +127,17 @@ object EmbeddingJobs {
       deser(Files.readString(path(id)))
     }
 
-    def update(id: Long)(f: JobState => JobState): JobState = {
-      val st = f(get(id)); write(st); st
-    }
+    def update(id: Long)(f: JobState => JobState): JobState =
+      synchronized { val st = f(get(id)); write(st); st }
 
-    def list(): Seq[JobState] =
-      Files.list(Paths.get(dir)).iterator().asScala
+    def list(): Seq[JobState] = {
+      val stream = Files.list(Paths.get(dir))
+      try stream.iterator().asScala
         .filter(_.getFileName.toString.startsWith("job_"))
         .map(p => deser(Files.readString(p)))
         .toSeq.sortBy(_.spec.id)
+      finally stream.close()
+    }
 
     private def nextId(): Long =
       list().map(_.spec.id).foldLeft(0L)(math.max) + 1
@@ -141,7 +145,7 @@ object EmbeddingJobs {
     /** F11: add_embedding_job. */
     def add(sourceDir: String, pkCol: String, srcCol: String,
         outCol: String, model: String, runtime: String = "hash",
-        workBase: String = null): JobState = {
+        workBase: String = null): JobState = synchronized {
       val id = nextId()
       val work = Option(workBase).getOrElse(s"$dir/work_$id")
       val st = JobState(
@@ -165,9 +169,10 @@ object EmbeddingJobs {
       maxFilesPerTrigger: Int = 8): String = {
     val st0 = store.get(id)
     if (st0.canceledAt.isDefined) {
-      store.update(id)(s => s.copy(
-        failedAt = Some(Instant.now().toString),
-        error = Some("Job cancelled")))
+      // keep canceledAt the terminal marker (failed outranks canceled
+      // in the status CASE, so writing failedAt would misreport a
+      // user cancel as a failure)
+      store.update(id)(_.copy(error = Some("Job cancelled")))
       return "canceled"
     }
     val spec = st0.spec
@@ -234,13 +239,15 @@ object EmbeddingJobs {
       "enabled"
     } catch {
       case e: Throwable =>
-        store.update(id)(_.copy(
-          failedAt = Some(Instant.now().toString),
+        val canceled = e.getMessage != null &&
+          e.getMessage.contains("Job cancelled")
+        store.update(id)(s => s.copy(
+          failedAt =
+            if (canceled) s.failedAt
+            else Some(Instant.now().toString),
           error = Some(Option(e.getMessage).getOrElse(e.toString)
             .linesIterator.nextOption().getOrElse(e.getClass.getName))))
-        if (e.getMessage != null && e.getMessage.contains("Job cancelled"))
-          "canceled"
-        else "failed"
+        if (canceled) "canceled" else "failed"
     }
   }
 

@@ -59,6 +59,18 @@ class WordPieceTokenizerSpec extends AnyFunSuite {
     assert(tok.encodeWords("123") === Seq(17L, 18L))
   }
 
+  test("missing/null normalizer means a cased model (no lowercasing)") {
+    val cased = tokenizerJson.replace(
+      """"normalizer": {"type": "BertNormalizer", "lowercase": true},""",
+      """"normalizer": null,""")
+    val p = Files.createTempFile("tok-cased", ".json")
+    Files.writeString(p, cased)
+    val ct = WordPieceTokenizer.fromFile(p.toString)
+    // vocab has only lowercase entries: cased input must NOT match
+    assert(ct.encodeWords("The QUICK fox") === Seq(1L, 1L, 12L))
+    assert(ct.encodeWords("the quick fox") === Seq(10L, 11L, 12L))
+  }
+
   test("encode frames with CLS/SEP and truncates at maxLen") {
     assert(tok.encode("the quick fox", 512).toSeq ===
       Seq(2L, 10L, 11L, 12L, 3L))
