@@ -1,9 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.Instant
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -59,14 +57,14 @@ object AutotuneJobs {
   }
 
   /** One JSON file per job, atomically replaced (control-plane state,
-    * same layout discipline as EmbeddingJobs.JobStore).
+    * shared plumbing with EmbeddingJobs.JobStore via JsonJobStore).
     */
-  final class AutotuneStore(dir: String) {
-    Files.createDirectories(Paths.get(dir))
+  final class AutotuneStore(dir: String)
+      extends JsonJobStore[AutotuneState](dir, "autotune_") {
 
-    private def path(id: Long) = Paths.get(dir, s"autotune_$id.json")
+    override protected def idOf(st: AutotuneState): Long = st.spec.id
 
-    private def ser(st: AutotuneState): String = {
+    override protected def ser(st: AutotuneState): String = {
       def esc(v: String) = graft.util.Json.escape(v)
       def opt(o: Option[String]) =
         o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
@@ -85,59 +83,18 @@ object AutotuneJobs {
          |"best":${opt(st.best)}}""".stripMargin.replace("\n", "")
     }
 
-    private def field(json: String, key: String): Option[String] = {
-      val m = ("\"" + key +
-        "\":(\"((?:[^\"\\\\]|\\\\.)*)\"|null|-?[0-9.]+)").r
-        .findFirstMatchIn(json)
-      m.flatMap { g =>
-        val raw = g.group(1)
-        if (raw == "null") None
-        else Some(Option(g.group(2)).map(graft.util.Json.unescape)
-          .getOrElse(raw))
-      }
-    }
-
-    private def deser(json: String): AutotuneState = {
-      def req(k: String) = field(json, k).get
+    override protected def deser(json: String): AutotuneState = {
+      def field(k: String) = JsonJobStore.field(json, k)
+      def req(k: String) = field(k).get
       AutotuneState(
         AutotuneSpec(req("id").toLong, req("sourceDir"), req("idCol"),
           req("vecCol"), req("metric"), req("targetRecall").toDouble,
           req("k").toInt, req("sampleN").toInt, req("workDir")),
-        req("createdAt"), field(json, "startedAt"),
-        field(json, "finishedAt"), field(json, "canceledAt"),
-        field(json, "failedAt"), field(json, "error"),
-        req("progress").toInt, field(json, "best"))
+        req("createdAt"), field("startedAt"),
+        field("finishedAt"), field("canceledAt"),
+        field("failedAt"), field("error"),
+        req("progress").toInt, field("best"))
     }
-
-    // mutations synchronize on the store: the worker's progress writes
-    // and a user's cancel() race on the same read-modify-write file,
-    // and a lost cancel means the grid runs to completion
-    def write(st: AutotuneState): Unit = synchronized {
-      val tmp = Paths.get(dir, s".autotune_${st.spec.id}.tmp")
-      Files.writeString(tmp, ser(st))
-      Files.move(tmp, path(st.spec.id), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-
-    def get(id: Long): AutotuneState = {
-      require(Files.exists(path(id)), s"no such autotune job: $id")
-      deser(Files.readString(path(id)))
-    }
-
-    def update(id: Long)(f: AutotuneState => AutotuneState): AutotuneState =
-      synchronized { val st = f(get(id)); write(st); st }
-
-    def list(): Seq[AutotuneState] = {
-      val stream = Files.list(Paths.get(dir))
-      try stream.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("autotune_"))
-        .map(p => deser(Files.readString(p)))
-        .toSeq.sortBy(_.spec.id)
-      finally stream.close()
-    }
-
-    private def nextId(): Long =
-      list().map(_.spec.id).foldLeft(0L)(math.max) + 1
 
     /** The INSERT INTO autotune_jobs analog. `operator` accepts the
       * reference's *_ops names or engine metric names.

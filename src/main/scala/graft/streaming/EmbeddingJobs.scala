@@ -1,9 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.Instant
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -67,12 +65,12 @@ object EmbeddingJobs {
   /** Driver-side job metadata store: one JSON file per job, atomically
     * replaced (D1's jobs table; content is tiny control-plane state).
     */
-  final class JobStore(dir: String) {
-    Files.createDirectories(Paths.get(dir))
+  final class JobStore(dir: String)
+      extends JsonJobStore[JobState](dir, "job_") {
 
-    private def path(id: Long) = Paths.get(dir, s"job_$id.json")
+    override protected def idOf(st: JobState): Long = st.spec.id
 
-    private def ser(st: JobState): String = {
+    override protected def ser(st: JobState): String = {
       def esc(v: String) = graft.util.Json.escape(v)
       def opt(o: Option[String]) =
         o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
@@ -89,58 +87,18 @@ object EmbeddingJobs {
          |"progress":${st.progress}}""".stripMargin.replace("\n", "")
     }
 
-    private def field(json: String, key: String): Option[String] = {
-      // value pattern tolerates escaped characters inside strings
-      val m = ("\"" + key + "\":(\"((?:[^\"\\\\]|\\\\.)*)\"|null|[0-9]+)").r
-        .findFirstMatchIn(json)
-      m.flatMap { g =>
-        val raw = g.group(1)
-        if (raw == "null") None
-        else Some(Option(g.group(2)).map(graft.util.Json.unescape)
-          .getOrElse(raw))
-      }
-    }
-
-    private def deser(json: String): JobState = {
-      def req(k: String) = field(json, k).get
+    override protected def deser(json: String): JobState = {
+      def field(k: String) = JsonJobStore.field(json, k)
+      def req(k: String) = field(k).get
       JobState(
         JobSpec(req("id").toLong, req("sourceDir"), req("pkCol"),
           req("srcCol"), req("outCol"), req("model"), req("runtime"),
           req("workDir")),
-        req("createdAt"), field(json, "initStartedAt"),
-        field(json, "initFinishedAt"), field(json, "canceledAt"),
-        field(json, "failedAt"), field(json, "error"),
+        req("createdAt"), field("initStartedAt"),
+        field("initFinishedAt"), field("canceledAt"),
+        field("failedAt"), field("error"),
         req("progress").toInt)
     }
-
-    // mutations synchronize on the store: concurrent update-vs-cancel
-    // is a read-modify-write race that could drop the cancel
-    def write(st: JobState): Unit = synchronized {
-      val tmp = Paths.get(dir, s".job_${st.spec.id}.tmp")
-      Files.writeString(tmp, ser(st))
-      Files.move(tmp, path(st.spec.id), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-
-    def get(id: Long): JobState = {
-      require(Files.exists(path(id)), s"no such job: $id")
-      deser(Files.readString(path(id)))
-    }
-
-    def update(id: Long)(f: JobState => JobState): JobState =
-      synchronized { val st = f(get(id)); write(st); st }
-
-    def list(): Seq[JobState] = {
-      val stream = Files.list(Paths.get(dir))
-      try stream.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("job_"))
-        .map(p => deser(Files.readString(p)))
-        .toSeq.sortBy(_.spec.id)
-      finally stream.close()
-    }
-
-    private def nextId(): Long =
-      list().map(_.spec.id).foldLeft(0L)(math.max) + 1
 
     /** F11: add_embedding_job. */
     def add(sourceDir: String, pkCol: String, srcCol: String,
