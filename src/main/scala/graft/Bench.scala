@@ -44,7 +44,14 @@ object Bench {
     spark.catalog.clearCache()
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional comma-separated query filter for focused profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // a failed rep must never become the reported min — take the
         // min over SUCCESSFUL reps; if every rep failed, report the

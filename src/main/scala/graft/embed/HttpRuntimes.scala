@@ -115,15 +115,26 @@ class OpenAiEmbeddingRuntime(transport: HttpTransport,
 
   private val http = HttpTransport.withRetry(transport)
 
+  // Real cl100k BPE when a ranks file is configured
+  // (-Dgraft.tiktoken.path); regex stand-in otherwise. The reference
+  // tokenizes OpenAI inputs with cl100k_base (`openai_runtime.rs:48-70`).
+  private def bpe: Option[BpeTokenizer] = BpeTokenizer.configured()
+  private def countFn: String => Int =
+    bpe.map(t => (s: String) => t.countTokens(s))
+      .getOrElse(Tokenizer.countTokens _)
+  private def truncateFn(s: String): String =
+    bpe.map(_.truncate(s, maxTokens))
+      .getOrElse(Tokenizer.truncate(s, maxTokens))
+
   override def process(model: String, inputs: Seq[String])
       : EmbeddingResult = {
     val apiModel = model.stripPrefix("openai/")
-    val truncated = inputs.map(Tokenizer.truncate(_, maxTokens))
-    val groups = Tokenizer.groupByTokenBudget(truncated, maxTokens)
+    val truncated = inputs.map(truncateFn)
+    val groups = Tokenizer.groupByTokenBudget(truncated, maxTokens, countFn)
     var tokens = 0L
     val embs = Seq.newBuilder[Array[Float]]
     groups.foreach { group =>
-      tokens += group.map(Tokenizer.countTokens).sum
+      tokens += group.map(countFn).sum.toLong
       val body = s"""{"model":"${MiniJson.escape(apiModel)}","input":${MiniJson.strArray(group)}}"""
       val resp = http.post(s"$baseUrl/v1/embeddings",
         Map("Authorization" -> s"Bearer $apiKey",

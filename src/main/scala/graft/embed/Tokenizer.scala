@@ -39,14 +39,14 @@ object Tokenizer {
     * `openai_runtime.rs:179-209`). An input alone over budget forms its
     * own group (it is truncated upstream).
     */
-  def groupByTokenBudget(inputs: Seq[String], budget: Int)
-      : Seq[Seq[String]] = {
+  def groupByTokenBudget(inputs: Seq[String], budget: Int,
+      count: String => Int = countTokens): Seq[Seq[String]] = {
     val groups = Seq.newBuilder[Seq[String]]
     var cur = Seq.newBuilder[String]
     var curTokens = 0L
     var curEmpty = true
     inputs.foreach { in =>
-      val t = countTokens(in)
+      val t = count(in)
       if (!curEmpty && curTokens + t > budget) {
         groups += cur.result(); cur = Seq.newBuilder[String]
         curTokens = 0; curEmpty = true

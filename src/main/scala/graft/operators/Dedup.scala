@@ -110,8 +110,8 @@ object Dedup {
     (Int, String, String, Int),
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
 
-  private def hashedShingleSetsShared(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+  private[operators] def hashedShingleSetsShared(df: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
     val dfn = df.select(col(idCol), col(textCol))
     val plan = dfn.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), idCol, textCol, n)
@@ -307,15 +307,48 @@ object Dedup {
       .select(col("id"), col("hs"),
         T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band key = hash of the band's slice of the signature
+    // Band keys in ONE UDF pass per row: the expression form (`bands`
+    // slice+hash Catalyst expressions) re-copies the signature array
+    // per band. The key is any 64-bit hash of the band's r signature
+    // slots — equal slices always collide regardless of the hash fn,
+    // and unequal-slice collisions only ADD candidates that exact
+    // verification removes, so the hash choice never affects output.
+    val bandKeysU = udf((sig: Seq[Long]) => {
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = graft.functions.TextHash.FnvOffset
+        var k = b * r
+        while (k < (b + 1) * r) {
+          val v = sig(k)
+          var byteI = 0
+          while (byteI < 8) {
+            h ^= (v >>> (byteI * 8)) & 0xffL
+            h *= graft.functions.TextHash.FnvPrime
+            byteI += 1
+          }
+          k += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      out
+    })
     val bandKeys = sets.select(col("id"),
-      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * r + 1, r)).as("bkey"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bkey"))
-    val cands = bandKeys.as("a").join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
+      posexplode(bandKeysU(col("sig"))).as(Seq("band", "bkey")))
+    // In-bucket pair expansion via groupBy + collect_list: one exchange
+    // (vs self-join's exchange + join), emitting each bucket's ordered
+    // pairs. A bucket's id list is one row — fine at any realistic
+    // bucket size (a B-id bucket yields B²/2 candidate pairs whatever
+    // the shape, so candidate volume, not the list, is the real bound).
+    val cands = bandKeys
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("i"), y.as("j")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
     // Signature prefilter before the expensive shingle verification:
     // the match fraction of the k signature slots estimates jac. The
@@ -358,8 +391,13 @@ object Dedup {
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // The chunk relation below is self-joined; without a persist the
+    // per-doc simhash (FNV per word + 64 bit-votes) is computed once
+    // per join branch. Persisting registers the plan with the cache
+    // manager, so repeated calls over the same corpus also reuse it.
     val sims = df.select(col(idCol).as("id"),
       T.simhash64(split(col(textCol), " ")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sims.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xffffL))

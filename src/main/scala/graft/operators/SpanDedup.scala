@@ -27,7 +27,10 @@ object SpanDedup {
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val grams = Dedup.hashedShingleSets(df, idCol, textCol, n)
+    // Shared memoized scan: the gram sets are read twice below (shared
+    // detection + join back) and again by contamination() over the same
+    // corpus — one persisted UDF pass instead of three.
+    val grams = Dedup.hashedShingleSetsShared(df, idCol, textCol, n)
       .select(col("id"), explode(col("hs")).as("gh"))
     // Grams are distinct per doc, so count(*) per gram == distinct docs.
     val shared = grams.groupBy(col("gh"))
@@ -52,14 +55,19 @@ object SpanDedup {
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
       n: Int, isEval: org.apache.spark.sql.Column): DataFrame = {
-    val tagged = df.withColumn("_is_eval", isEval)
-    val evalGrams = Dedup.hashedShingleSets(
-        tagged.where(col("_is_eval")), idCol, textCol, n)
+    // One shared full-corpus gram scan (memoized with dupSpanStats and
+    // the dedup chain), split into eval/train by a cheap (id, flag)
+    // join — gram hashing is per-document, so hashing the full corpus
+    // once and filtering equals hashing each side separately. The flag
+    // side carries two thin columns; AQE broadcasts it when small.
+    val sets = Dedup.hashedShingleSetsShared(df, idCol, textCol, n)
+    val flags = df.select(col(idCol).as("id"), isEval.as("_is_eval"))
+    val tagged = sets.join(flags, "id")
+    val evalGrams = tagged.where(col("_is_eval"))
       .select(explode(col("hs")).as("gh"))
       .distinct()
       .select(col("gh"), lit(1L).as("hit"))
-    val trainGrams = Dedup.hashedShingleSets(
-        tagged.where(!col("_is_eval")), idCol, textCol, n)
+    val trainGrams = tagged.where(!col("_is_eval"))
       .select(col("id"), explode(col("hs")).as("gh"))
     trainGrams.join(broadcast(evalGrams), Seq("gh"), "left")
       .groupBy(col("id"))
