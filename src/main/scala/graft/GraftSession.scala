@@ -24,8 +24,14 @@ object GraftSession {
     * (simhash64 / rolling_fingerprint / hash_embedding), and the
     * text_embedding/clip_text functions (F1/F4).
     */
-  def getOrCreate(master: String = "local[32]"): SparkSession = {
-    val s = builder(master).getOrCreate()
+  def getOrCreate(master: String = "local[32]"): SparkSession =
+    register(builder(master).getOrCreate())
+
+  /** Register every graft SQL surface on an EXISTING session — the
+    * entry point for a stock spark-shell (`GraftSession.register(spark)`)
+    * or any externally-built session.
+    */
+  def register(s: SparkSession): SparkSession = {
     graft.functions.VectorFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     graft.embed.EmbeddingPipeline.register(s)

@@ -25,7 +25,9 @@ object SparkEntry {
     (_root_.graft.queries.CorpusQueries.queries,
       _root_.graft.queries.CorpusQueries.oracleSql),
     (_root_.graft.queries.TemporalQueries.queries,
-      _root_.graft.queries.TemporalQueries.oracleSql)
+      _root_.graft.queries.TemporalQueries.oracleSql),
+    (_root_.graft.queries.SearchQueries.queries,
+      _root_.graft.queries.SearchQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

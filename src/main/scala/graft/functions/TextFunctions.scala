@@ -52,6 +52,15 @@ object TextFunctions {
     shingleU(text)
   }
 
+  /** Distinct word-n-gram FNV-1a hashes (first-occurrence order), the
+    * dedup chain's hot scan — a native expression over UTF-8 bytes (see
+    * ShingleHashes). `coalesce` preserves the former UDF's null → empty
+    * contract.
+    */
+  def shingle_hashes(text: Column, n: Int): Column =
+    coalesce(c(ShingleHashes(e(text), n)),
+      typedLit(Array.empty[Long]))
+
   /** The reference's common embedding ignore filter, reusable:
     * `utils/mod.rs:37-39` — NOT NULL, non-empty, not the LLM error
     * sentinel.
@@ -64,6 +73,7 @@ object TextFunctions {
     def one(name: String, builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     one("simhash64", e => SimHash64(e.head))
+    one("shingle_hashes", e => ShingleHashes(e.head, 3))
     one("rolling_fingerprint", e => RollingFingerprint(e.head, 16))
     one("hash_embedding", e => HashEmbed(e.head, 64))
   }

@@ -223,3 +223,90 @@ case class CosineLshBucket(child: Expression, numBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** `shingle_hashes(text, n)` → ARRAY<BIGINT>: distinct FNV-1a hashes of
+  * the text's word n-grams, in first-occurrence order. Byte-exact to
+  * splitting on single spaces (java String.split parity: interior empty
+  * words kept, trailing empties dropped) and hashing each space-joined
+  * n-gram — but computed directly over the UTF-8 bytes: rejoining a
+  * single-space split reproduces the original byte sequence, so each
+  * n-gram's hash is one FNV fold over the byte range
+  * [wordStart(i), wordEnd(i+n-1)) with zero string allocation. 0x20
+  * never occurs inside a multi-byte UTF-8 sequence, so byte-level
+  * splitting equals char-level. Replaces the Scala UDF on the dedup
+  * hot path (no Row conversion, no per-word arrays).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  require(n >= 1, "shingle size must be >= 1")
+  override def prettyName: String = "shingle_hashes"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    delegatedGenCode(ctx, ev)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires STRING, got ${t.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    // word boundaries: segments between single spaces (= spaces+1
+    // segments), then String.split parity: drop trailing empties, but
+    // "" still counts as one empty word
+    var wc = 0
+    var starts = new Array[Int](math.max(8, bytes.length / 4 + 1))
+    var ends = new Array[Int](starts.length)
+    def push(s: Int, e: Int): Unit = {
+      if (wc == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, wc * 2)
+        ends = java.util.Arrays.copyOf(ends, wc * 2)
+      }
+      starts(wc) = s; ends(wc) = e; wc += 1
+    }
+    var segStart = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20.toByte) { push(segStart, i); segStart = i + 1 }
+      i += 1
+    }
+    push(segStart, bytes.length)
+    while (wc > 0 && starts(wc - 1) == ends(wc - 1)) wc -= 1
+    if (bytes.length == 0) wc = 1 // "".split(' ') == [""]
+    val numWin = wc - n + 1
+    if (numWin <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // open-addressed dedup set (no boxing), first-occurrence order out
+    var cap = 8
+    while (cap < numWin * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](numWin)
+    var outN = 0
+    var w = 0
+    while (w < numWin) {
+      var h = TextHash.FnvOffset
+      var b = starts(w)
+      val end = ends(w + n - 1)
+      while (b < end) {
+        h ^= (bytes(b) & 0xffL); h *= TextHash.FnvPrime; b += 1
+      }
+      var idx = (TextHash.mix64(h) & (cap - 1)).toInt
+      var fresh = false
+      var done = false
+      while (!done) {
+        if (!used(idx)) { used(idx) = true; table(idx) = h
+          fresh = true; done = true }
+        else if (table(idx) == h) done = true
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (fresh) { out(outN) = h; outN += 1 }
+      w += 1
+    }
+    new GenericArrayData(
+      if (outN == numWin) out else java.util.Arrays.copyOf(out, outN))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

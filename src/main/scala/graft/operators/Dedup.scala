@@ -142,41 +142,8 @@ object Dedup {
   def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val dfp = Repartitioning.spreadSmallScan(df)
-    val space = ' '.toByte
-    val shingleU = udf((t: String) => {
-      if (t == null) Array.empty[Long]
-      else {
-        val w = t.split(' ')
-        if (w.length < n) Array.empty[Long]
-        else {
-          val wb = w.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val set = new scala.collection.mutable.LinkedHashSet[Long]
-          var i = 0
-          while (i <= w.length - n) {
-            var h = graft.functions.TextHash.FnvOffset
-            var k = i
-            while (k < i + n) {
-              val bytes = wb(k)
-              var b = 0
-              while (b < bytes.length) {
-                h ^= (bytes(b) & 0xffL)
-                h *= graft.functions.TextHash.FnvPrime
-                b += 1
-              }
-              if (k < i + n - 1) {
-                h ^= (space & 0xffL)
-                h *= graft.functions.TextHash.FnvPrime
-              }
-              k += 1
-            }
-            set += h
-            i += 1
-          }
-          set.toArray
-        }
-      }
-    })
-    dfp.select(col(idCol).as("id"), shingleU(col(textCol)).as("hs"))
+    dfp.select(col(idCol).as("id"),
+      T.shingle_hashes(col(textCol), n).as("hs"))
   }
 
   // sort-merge Jaccard over hashed shingle sets: no boxing, no string

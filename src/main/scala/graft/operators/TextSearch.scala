@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Full-text relevance scoring and hybrid (text + vector) retrieval —
+  * the retrieval primitives a training-data pipeline pairs with the
+  * vector search the reference ships (`lantern_cli` serves ANN only;
+  * production retrieval fuses it with lexical scoring).
+  *
+  * Scale shapes: term statistics are groupBy aggregates with map-side
+  * combine; only query-term postings survive the early filter; the
+  * global top-k is TakeOrderedAndProject (no global sort); ranks are
+  * assigned by a window over at most `kEach` pre-selected rows.
+  */
+object TextSearch {
+
+  /** Okapi BM25 scores for a bag-of-words query over
+    * whitespace-tokenized documents, one row per document containing at
+    * least one query term: (id, bm25).
+    *
+    * idf is the Lucene positive variant ln((N - df + 0.5)/(df + 0.5) + 1)
+    * with N = documents with at least one token. Per-word contributions
+    * are combined in `queryWords` order via conditional aggregates, so
+    * the floating-point sum order never depends on partitioning — the
+    * score is bit-identical across engines and cluster layouts.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryWords: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryWords.nonEmpty && queryWords.distinct == queryWords,
+      "queryWords must be non-empty and distinct")
+    val words = Repartitioning.spreadSmallScan(docs)
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+    val dl = words.groupBy(col("id")).agg(count(lit(1)).as("len"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avglen"))
+    val tf = words.where(col("word").isin(queryWords: _*))
+      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("df_w"))
+    val scored = tf
+      .join(dfw, "word")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("word"),
+        (log((col("n_docs").cast("double") - col("df_w") + lit(0.5)) /
+            (col("df_w") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+          .as("s"))
+    // one conditional-max column per query word, summed in word order
+    val perWord = queryWords.zipWithIndex.map { case (w, i) =>
+      max(when(col("word") === lit(w), col("s"))).as(s"s_$i")
+    }
+    val total = queryWords.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy(col("id"))
+      .agg(perWord.head, perWord.tail: _*)
+      .select(col("id"), total.as("bm25"))
+  }
+
+  /** Top-k BM25 hits as (id, rank, bm25 rounded to 4 decimals); rank by
+    * (score desc, id) — selection happens on the unrounded score, so
+    * the top-k set matches any engine computing the same doubles.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryWords: Seq[String], k: Int): DataFrame = {
+    val top = bm25(docs, idCol, textCol, queryWords)
+      .orderBy(col("bm25").desc, col("id")).limit(k)
+    top.select(col("id"),
+      row_number().over(
+        Window.orderBy(col("bm25").desc, col("id"))).as("rnk"),
+      (floor(col("bm25") * 10000 + 0.5) / 10000).as("bm25"))
+  }
+
+  /** Hybrid retrieval: fuse lexical BM25 and embedding-cosine rankings
+    * with reciprocal-rank fusion, rrf = Σ 1/(c + rank) over the two
+    * lists (Cormack/Clarke/Buettcher's parameter-free fusion; c = 60 is
+    * the published default). Returns the fused top `kOut` as
+    * (id, rrf, bm25_rank, cos_rank) with absent ranks null.
+    *
+    * Each branch pre-selects its own top `kEach` via
+    * TakeOrderedAndProject, so ranking windows only ever see `kEach`
+    * rows — the corpus is scanned, never globally sorted.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+      queryWords: Seq[String], embeddings: DataFrame, vecIdCol: String,
+      vecCol: String, queryVec: DataFrame, kEach: Int = 50, kOut: Int = 20,
+      c: Int = 60): DataFrame = {
+    val bmTop = bm25(docs, idCol, textCol, queryWords)
+      .orderBy(col("bm25").desc, col("id")).limit(kEach)
+      .select(col("id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("id"))).as("bm25_rank"))
+    // queryVec: one row, column "qv" — broadcast against the corpus
+    val cosTop = embeddings.crossJoin(broadcast(queryVec))
+      .select(col(vecIdCol).as("id"),
+        V.cos_dist(col(vecCol), col("qv")).as("cd"))
+      .orderBy(col("cd").asc, col("id")).limit(kEach)
+      .select(col("id"), row_number().over(
+        Window.orderBy(col("cd").asc, col("id"))).as("cos_rank"))
+    bmTop.join(cosTop, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(c) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("cos_rank")), lit(0.0)))
+          .as("rrf"),
+        col("bm25_rank"), col("cos_rank"))
+      .orderBy(col("rrf").desc, col("id")).limit(kOut)
+      .select(col("id"),
+        (floor(col("rrf") * 1000000 + 0.5) / 1000000).as("rrf"),
+        col("bm25_rank"), col("cos_rank"))
+  }
+}

@@ -121,4 +121,24 @@ class PlanSpec extends SparkSuite {
     val p = plan("q_repetition")
     assert(p.contains("partial_"))
   }
+
+  test("BM25 selects top-k without a global sort; stats broadcast") {
+    val p = plan("q_bm25_search")
+    // candidate selection is TakeOrderedAndProject over the scored
+    // docs; the rank window then only sees those k rows
+    assert(p.contains("TakeOrderedAndProject"))
+    // the 1-row corpus stats join is a broadcast, term agg is partial
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_"))
+  }
+
+  test("hybrid RRF pre-selects both branches via top-k, no global sort") {
+    val p = plan("q_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"each branch must TakeOrdered its top-kEach:\n$p")
+    // the one-row query vector joins by broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
 }
