@@ -447,4 +447,52 @@ object Dedup {
         V.cos_dist(col("va"), col("vb")).as("cd"))
       .where(col("cd") <= tau)
   }
+
+  /** Connected components over an undirected near-dup pair graph
+    * (columns i, j) — the duplicate-CLUSTER view of the pair output:
+    * every vertex maps to its component's minimum id, the canonical
+    * representative a pipeline keeps ("keep one per duplicate cluster",
+    * which pair-level removal only approximates on transitive chains).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own and its neighbors' labels — one edges ⋈ labels
+    * shuffle plus a groupBy per round, converging in O(component
+    * diameter) rounds. Near-dup clusters are near-cliques (diameter
+    * 1-2), so 2-3 rounds in practice; `maxRounds` bounds pathological
+    * chains, and the only driver-side value per round is the
+    * changed-label count scalar. Output: (id, component).
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20)
+      : DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist(lvl)
+    // localCheckpoint (not persist): each round's plan references the
+    // previous labels twice (union + join), so without lineage
+    // truncation the logical plan grows ~3^rounds and the driver dies
+    // on plan handling long before data does. On a cluster with
+    // executor-loss concerns, set a checkpoint dir and swap for
+    // checkpoint() — same shape.
+    var labels = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbr = edges
+        .join(labels.select(col("v").as("b"), col("l").as("nl")), "b")
+        .select(col("a").as("v"), col("nl").as("l"))
+      val next = labels.unionAll(nbr)
+        .groupBy(col("v")).agg(min(col("l")).as("l"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("v"), col("l").as("lp")), "v")
+        .where(col("l") =!= col("lp")).count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("id"), col("l").as("component"))
+  }
 }

@@ -71,6 +71,17 @@ object DocumentQueries {
         .select($"i", $"j", round($"jac", 3).as("jac"))
         .orderBy($"i", $"j")),
 
+    // Duplicate clusters: connected components over the exact-Jaccard
+    // pair graph — each doc labeled with its cluster's minimum id (the
+    // canonical representative). Oracle: the pair SQL + unrolled
+    // min-label propagation (cluster diameter here ≪ the 6 unrolled
+    // steps; the Spark side iterates to the true fixpoint).
+    "q_dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, tau = 0.5))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")),
+
     // SimHash near-dup pairs, oracled by a full DuckDB restatement of
     // the FNV-1a + bit-vote construction (see simhashOracle below).
     "q_simhash_dups" -> ((s, dir) =>
@@ -306,6 +317,40 @@ object DocumentQueries {
       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
       |ORDER BY i, j""".stripMargin
 
+  // Jaccard pair graph → connected components by K unrolled rounds of
+  // min-label propagation (each round: every vertex takes the min of
+  // its own and its neighbors' labels). K=6 covers any component of
+  // diameter <= 6; near-dup clusters are near-cliques (diameter 1-2).
+  private val componentsOracle: String = {
+    val k = 6
+    val steps = (1 to k).map { s =>
+      s"""l$s AS (SELECT x.v, min(x.l) AS l FROM (
+         |  SELECT v, l FROM l${s - 1}
+         |  UNION ALL
+         |  SELECT e.a AS v, p.l FROM e JOIN l${s - 1} p ON p.v = e.b) x
+         |  GROUP BY x.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, g FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+       |  FROM w WHERE len(ws) >= 3)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT i, j
+       |  FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+       |e AS (SELECT i AS a, j AS b FROM dup
+       |      UNION ALL SELECT j AS a, i AS b FROM dup),
+       |l0 AS (SELECT DISTINCT a AS v, a AS l FROM e),
+       |$steps
+       |SELECT v AS doc_id, l AS component FROM l$k ORDER BY doc_id""".stripMargin
+  }
+
   private val cleanCorpusOracle = {
     val qualityCte = TA.qualitySql(TA.DuckDialect, "docs_f")
     s"""WITH docs_f AS (
@@ -352,6 +397,7 @@ object DocumentQueries {
         |ON md5(d.text) = g.h ORDER BY d.doc_id""".stripMargin,
     "q_jaccard_dups" -> jaccardOracle,
     "q_minhash_dups" -> jaccardOracle,
+    "q_dedup_components" -> componentsOracle,
     "q_simhash_dups" -> simhashOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_embdup_cos" ->

@@ -125,6 +125,36 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Filtered kNN — the vector-db staple (metadata predicate + vector
+    // order): search only the corpus slice satisfying `label = 3`. The
+    // filter precedes the search, so the predicate pushes down to the
+    // parquet scan and the distance loop never touches pruned rows.
+    "q_knn_filtered" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val corpus = emb.where($"label" === 3)
+      Knn.topK(corpus, queries, "vec_id", "embedding", k = 5)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // kNN-graph construction: each node's 3 nearest OTHER nodes within
+    // its slice — the SemDeDup/clustering primitive. Exact top-(k+1)
+    // then self dropped and ranks renumbered; at corpus scale the same
+    // query set feeds IvfIndex.search so probed cells prune the scan.
+    "q_knn_graph" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val sub = emb.where($"label" === 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"rank")
+      Knn.topK(sub, sub, "vec_id", "embedding", k = 4)
+        .where($"nid" =!= $"qid")
+        .select($"qid", $"nid", row_number().over(w).as("rnk"),
+          round($"dist", 4).as("dist"))
+        .where($"rnk" <= 3)
+        .orderBy($"qid", $"rnk")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -188,6 +218,30 @@ object VectorQueries {
          | round(${dkDot("e.embedding", "a.anchor")}, 4) AS dot
          |FROM embeddings e, a ORDER BY e.vec_id""".stripMargin,
     "q_knn" -> knnOracle,
+    "q_knn_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.embedding", "q.qe")} AS d
+         |  FROM c, q),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_knn_graph" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         ${dkL2sq("b.embedding", "a.embedding")} AS d
+         |  FROM s a, s b WHERE b.vec_id != a.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rnk, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin,
     "q_knn_recall" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |l2 AS (
