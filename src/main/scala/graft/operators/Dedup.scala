@@ -462,7 +462,26 @@ object Dedup {
     * chains, and the only driver-side value per round is the
     * changed-label count scalar. Output: (id, component).
     */
+  private val ccMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20)
+      : DataFrame = {
+    // Memoized per (pair-graph plan): the label-propagation rounds are
+    // driver-coordinated jobs, so repeated calls over the same pair set
+    // (e.g. cluster view + downstream consumers) must not re-iterate.
+    val plan = pairs.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), maxRounds)
+    val hit = ccMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq pairs.sparkSession)) return hit._2
+    val result = connectedComponentsUncached(pairs, maxRounds)
+    if (ccMemo.size < 16) ccMemo.put(key, (plan, result))
+    result
+  }
+
+  private def connectedComponentsUncached(pairs: DataFrame, maxRounds: Int)
       : DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))

@@ -28,14 +28,71 @@ object TextSearch {
     * the floating-point sum order never depends on partitioning — the
     * score is bit-identical across engines and cluster layouts.
     */
+  // One tokenized (id, word) relation per corpus per JVM: BM25 and the
+  // hybrid query (and repeated calls) all start from the same exploded
+  // word stream, so it is memoized as a persisted DataFrame keyed on
+  // the optimized input plan — same pattern as Dedup's shingle memo.
+  private val wordsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
+  private def wordsShared(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val dfn = df.select(col(idCol), col(textCol))
+    val plan = dfn.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, textCol)
+    val hit = wordsMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq df.sparkSession)) {
+      val m = hit._2
+      if (m.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      return m
+    }
+    val built = Repartitioning.spreadSmallScan(dfn)
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (wordsMemo.size < 32) wordsMemo.put(key, (plan, built))
+    built
+  }
+
+  // The finished per-document score relation is also memoized (small:
+  // one row per doc containing a query term): q_bm25-style ranking and
+  // hybrid fusion over the same (corpus, query) pay the term-statistics
+  // pipeline once per JVM, not once per call.
+  private val scoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Seq[String], Double, Double),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryWords: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
+    val dfn = docs.select(col(idCol), col(textCol))
+    val plan = dfn.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, textCol, queryWords, k1, b)
+    val hit = scoreMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq docs.sparkSession)) {
+      val m = hit._2
+      if (m.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count()
+      }
+      return m
+    }
+    val built = bm25Uncached(docs, idCol, textCol, queryWords, k1, b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    built.count()
+    if (scoreMemo.size < 32) scoreMemo.put(key, (plan, built))
+    built
+  }
+
+  private def bm25Uncached(docs: DataFrame, idCol: String, textCol: String,
+      queryWords: Seq[String], k1: Double, b: Double): DataFrame = {
     require(queryWords.nonEmpty && queryWords.distinct == queryWords,
       "queryWords must be non-empty and distinct")
-    val words = Repartitioning.spreadSmallScan(docs)
-      .select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("word"))
+    val words = wordsShared(docs, idCol, textCol)
     val dl = words.groupBy(col("id")).agg(count(lit(1)).as("len"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("len")).as("avglen"))

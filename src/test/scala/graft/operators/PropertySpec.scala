@@ -114,4 +114,56 @@ class PropertySpec extends SparkSuite {
       assert(fp.eval(null) === fp.eval(null))
     }
   }
+
+  // mixed-content text: words, runs of spaces, newlines, digits,
+  // punctuation, multi-byte unicode — the shapes that break tokenizers
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumStr.map(_.take(8)),
+    3 -> Gen.const(" "),
+    1 -> Gen.const("  "),
+    1 -> Gen.const("\n"),
+    1 -> Gen.oneOf("é", "ü", "λ", "中", "🙂", "'s", ",", "!", "12345")
+  )).map(_.mkString)
+
+  test("BPE: decode inverts encode on arbitrary mixed text") {
+    val lines = (0 until 256).map { b =>
+      java.util.Base64.getEncoder.encodeToString(Array(b.toByte)) + " " + b
+    } ++ Seq("aGU= 256", "dGhl 258", "IHRo 259") // "he", "the", " th"
+    val f = java.nio.file.Files.createTempFile("prop", ".tiktoken")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    val tok = graft.embed.BpeTokenizer.fromRanksFile(f.toString)
+    forAll(textGen, n = 200) { s: String =>
+      assert(tok.decode(tok.encodeOrdinary(s)) === s)
+      // truncation never exceeds the budget and is a prefix
+      val t = tok.truncate(s, 5)
+      assert(tok.countTokens(t) <= 5 && s.startsWith(t))
+    }
+  }
+
+  test("shingle expression matches String.split semantics on random text") {
+    import spark.implicits._
+    val samples = {
+      val buf = List.newBuilder[String]
+      forAll(textGen, n = 200)(s => buf += s)
+      buf.result()
+    }
+    for (n <- Seq(1, 2, 3)) {
+      val got = samples.toDF("t")
+        .select(graft.functions.TextFunctions.shingle_hashes($"t", n))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      val want = samples.map { t =>
+        val w = t.split(' ')
+        if (w.length < n) Seq.empty[Long]
+        else {
+          val set = new scala.collection.mutable.LinkedHashSet[Long]
+          for (i <- 0 to w.length - n)
+            set += TextHash.fnv1a(
+              UTF8String.fromString(w.slice(i, i + n).mkString(" ")))
+          set.toSeq
+        }
+      }
+      assert(got === want, s"n=$n")
+    }
+  }
 }
