@@ -129,33 +129,68 @@ final class BpeTokenizer(
 
   def countTokens(text: String): Int = encodeOrdinary(text).size
 
-  /** Truncate to a token budget on real token boundaries (the
-    * reference truncates OpenAI inputs at 8190 cl100k tokens).
+  /** Truncate to a token budget by slicing the encoded token stream —
+    * exactly the reference's OpenAI behavior (encode, keep the first
+    * 8190 tokens, decode). Byte-level BPE concatenation is lossless, so
+    * the decoded prefix is always valid text; a single giant pre-token
+    * (base64 blob, unbroken letter run) is cut mid-piece instead of
+    * truncating to the empty string.
     */
   def truncate(text: String, maxTokens: Int): String = {
-    if (text == null || text.isEmpty) return text
-    val it = pattern.findAllIn(text)
-    var used = 0
-    var end = 0
-    var over = false
-    while (it.hasNext && !over) {
-      val piece = it.next()
-      val n = bytePairMerge(piece.getBytes(StandardCharsets.UTF_8)).size
-      if (used + n > maxTokens) over = true
-      else { used += n; end = it.end }
+    val (t, _) = truncateWithCount(text, maxTokens)
+    t
+  }
+
+  /** One-encode truncate + count: returns the (possibly cut) text and
+    * its token count, so callers metering usage and packing batches
+    * need not re-tokenize. If the token cut lands inside a multi-byte
+    * UTF-8 sequence (single-byte tokens of an emoji, say), the cut
+    * backs off token-by-token to the nearest clean code-point boundary
+    * — the result is always a true character prefix of the input.
+    */
+  def truncateWithCount(text: String, maxTokens: Int): (String, Int) = {
+    if (text == null || text.isEmpty) return (text, 0)
+    val ids = encodeOrdinary(text)
+    if (ids.size <= maxTokens) return (text, ids.size)
+    var k = maxTokens
+    while (k > 0) {
+      val buf = new java.io.ByteArrayOutputStream()
+      ids.take(k).foreach(id => buf.write(idToBytes(id).toArray))
+      val bytes = buf.toByteArray
+      if (endsOnCodePointBoundary(bytes))
+        return (new String(bytes, StandardCharsets.UTF_8), k)
+      k -= 1
     }
-    if (!over && used <= maxTokens) text else text.substring(0, end)
+    ("", 0)
+  }
+
+  // true when the byte array does not end mid-way through a multi-byte
+  // UTF-8 sequence
+  private def endsOnCodePointBoundary(bytes: Array[Byte]): Boolean = {
+    if (bytes.isEmpty) return true
+    val last = bytes(bytes.length - 1) & 0xff
+    if (last < 0x80) return true // ASCII tail
+    // walk back to the sequence's start byte (<= 3 continuation bytes)
+    var i = bytes.length - 1
+    while (i >= 0 && (bytes(i) & 0xc0) == 0x80) i -= 1
+    if (i < 0) return false // orphan continuation bytes
+    val start = bytes(i) & 0xff
+    val expected =
+      if (start >= 0xf0) 4 else if (start >= 0xe0) 3
+      else if (start >= 0xc0) 2 else return false
+    bytes.length - i == expected
   }
 }
 
 object BpeTokenizer {
 
   /** cl100k_base pre-tokenizer regex (public, from the tiktoken
-    * registry), in Java regex syntax. Possessive quantifiers are
-    * supported natively.
+    * registry), in Java regex syntax. (?U) makes \s match Unicode
+    * whitespace (U+00A0 etc.) like the reference tokenizer — Java's
+    * default \s is ASCII-only.
     */
   val Cl100kPattern: Regex =
-    ("""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}""" +
+    ("""(?U)(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}""" +
       """| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""").r
 
   /** cl100k_base special tokens (public registry constants). */

@@ -118,23 +118,39 @@ class OpenAiEmbeddingRuntime(transport: HttpTransport,
   // Real cl100k BPE when a ranks file is configured
   // (-Dgraft.tiktoken.path); regex stand-in otherwise. The reference
   // tokenizes OpenAI inputs with cl100k_base (`openai_runtime.rs:48-70`).
+  // Each input is tokenized ONCE: truncateWithCount returns the cut
+  // text plus its token count, and packing/usage reuse that count
+  // (bytePairMerge dominates the hot path — no re-encoding).
   private def bpe: Option[BpeTokenizer] = BpeTokenizer.configured()
-  private def countFn: String => Int =
-    bpe.map(t => (s: String) => t.countTokens(s))
-      .getOrElse(Tokenizer.countTokens _)
-  private def truncateFn(s: String): String =
-    bpe.map(_.truncate(s, maxTokens))
-      .getOrElse(Tokenizer.truncate(s, maxTokens))
+  private def prepare(s: String): (String, Int) = bpe match {
+    case Some(t) => t.truncateWithCount(s, maxTokens)
+    case None =>
+      val cut = Tokenizer.truncate(s, maxTokens)
+      (cut, Tokenizer.countTokens(cut))
+  }
 
   override def process(model: String, inputs: Seq[String])
       : EmbeddingResult = {
     val apiModel = model.stripPrefix("openai/")
-    val truncated = inputs.map(truncateFn)
-    val groups = Tokenizer.groupByTokenBudget(truncated, maxTokens, countFn)
+    val prepared = inputs.map(prepare)
+    // greedy packing under the token budget on the precomputed counts
+    val groups = Seq.newBuilder[Seq[(String, Int)]]
+    var cur = Seq.newBuilder[(String, Int)]
+    var curTokens = 0L
+    var curEmpty = true
+    prepared.foreach { case (in, t) =>
+      if (!curEmpty && curTokens + t > maxTokens) {
+        groups += cur.result(); cur = Seq.newBuilder[(String, Int)]
+        curTokens = 0; curEmpty = true
+      }
+      cur += ((in, t)); curTokens += t; curEmpty = false
+    }
+    if (!curEmpty) groups += cur.result()
     var tokens = 0L
     val embs = Seq.newBuilder[Array[Float]]
-    groups.foreach { group =>
-      tokens += group.map(countFn).sum.toLong
+    groups.result().foreach { groupWithCounts =>
+      val group = groupWithCounts.map(_._1)
+      tokens += groupWithCounts.map(_._2.toLong).sum
       val body = s"""{"model":"${MiniJson.escape(apiModel)}","input":${MiniJson.strArray(group)}}"""
       val resp = http.post(s"$baseUrl/v1/embeddings",
         Map("Authorization" -> s"Bearer $apiKey",

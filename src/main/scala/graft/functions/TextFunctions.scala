@@ -73,7 +73,17 @@ object TextFunctions {
     def one(name: String, builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     one("simhash64", e => SimHash64(e.head))
-    one("shingle_hashes", e => ShingleHashes(e.head, 3))
+    // shingle_hashes(text[, n]) — n must be an INT literal (it shapes
+    // the expression); a non-literal or wrong arity raises instead of
+    // silently defaulting.
+    one("shingle_hashes", {
+      case Seq(t) => ShingleHashes(t, 3)
+      case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+        ShingleHashes(t, n)
+      case args => throw new IllegalArgumentException(
+        "shingle_hashes(text[, n]) requires 1-2 args with literal INT n, " +
+          s"got ${args.size}")
+    })
     one("rolling_fingerprint", e => RollingFingerprint(e.head, 16))
     one("hash_embedding", e => HashEmbed(e.head, 64))
   }

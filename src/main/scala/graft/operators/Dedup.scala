@@ -301,21 +301,20 @@ object Dedup {
       }
       out
     })
+    // Candidate pairs via the band-key self-join: the exchange is
+    // REUSED across both sides (one shuffle of 8-byte keys) and pair
+    // expansion streams as join output rows. A groupBy+collect_list
+    // in-bucket expansion is one stage shorter but materializes a
+    // bucket's B²/2 pairs as a single array value in one row — a
+    // 50k-copy boilerplate cluster (dedup's target workload) would
+    // build a billion-struct array in one task. Streamed join rows
+    // spill; intra-row arrays don't.
     val bandKeys = sets.select(col("id"),
       posexplode(bandKeysU(col("sig"))).as(Seq("band", "bkey")))
-    // In-bucket pair expansion via groupBy + collect_list: one exchange
-    // (vs self-join's exchange + join), emitting each bucket's ordered
-    // pairs. A bucket's id list is one row — fine at any realistic
-    // bucket size (a B-id bucket yields B²/2 candidate pairs whatever
-    // the shape, so candidate volume, not the list, is the real bound).
-    val cands = bandKeys
-      .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("i"), y.as("j")))))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
+    val cands = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
     // Signature prefilter before the expensive shingle verification:
     // the match fraction of the k signature slots estimates jac. The

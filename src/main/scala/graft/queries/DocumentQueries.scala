@@ -319,12 +319,19 @@ object DocumentQueries {
 
   // Jaccard pair graph → connected components by K unrolled rounds of
   // min-label propagation (each round: every vertex takes the min of
-  // its own and its neighbors' labels). K=6 covers any component of
-  // diameter <= 6; near-dup clusters are near-cliques (diameter 1-2).
+  // its own and its neighbors' labels). K=12 covers any component of
+  // diameter <= 12 — near-dup clusters are near-cliques (diameter 1-2
+  // observed), but template-drift chains d1~d2~...~dk can stretch the
+  // diameter, so the margin is deliberately wide; the Spark side
+  // iterates to the true fixpoint regardless.
+  // MATERIALIZED is load-bearing: each step references the previous
+  // one twice (union + join), so DuckDB's default CTE inlining would
+  // expand 2^K copies of the whole pair pipeline — thousands of
+  // parquet re-opens (fd exhaustion) before any work happens.
   private val componentsOracle: String = {
-    val k = 6
+    val k = 12
     val steps = (1 to k).map { s =>
-      s"""l$s AS (SELECT x.v, min(x.l) AS l FROM (
+      s"""l$s AS MATERIALIZED (SELECT x.v, min(x.l) AS l FROM (
          |  SELECT v, l FROM l${s - 1}
          |  UNION ALL
          |  SELECT e.a AS v, p.l FROM e JOIN l${s - 1} p ON p.v = e.b) x
@@ -344,9 +351,9 @@ object DocumentQueries {
        |  SELECT i, j
        |  FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
        |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
-       |e AS (SELECT i AS a, j AS b FROM dup
+       |e AS MATERIALIZED (SELECT i AS a, j AS b FROM dup
        |      UNION ALL SELECT j AS a, i AS b FROM dup),
-       |l0 AS (SELECT DISTINCT a AS v, a AS l FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS l FROM e),
        |$steps
        |SELECT v AS doc_id, l AS component FROM l$k ORDER BY doc_id""".stripMargin
   }

@@ -42,10 +42,13 @@ object SearchQueries {
     })
   )
 
-  /** BM25 pipeline CTEs, shared by both oracles. Literal folds like
-    * (1.2 + 1.0) are written unevaluated so DuckDB performs the same
-    * double arithmetic the Scala side does with k1 + 1.0 — never
-    * pre-round a derived literal one engine computes.
+  /** BM25 pipeline CTEs, shared by both oracles. Every numeric literal
+    * is CAST(... AS DOUBLE): DuckDB otherwise folds bare decimal
+    * literals in exact DECIMAL arithmetic (1.2 + 1.0 = DECIMAL 2.2;
+    * tf * 2.2 = exact 6.6 → cast once at the end), which is 1 ulp off
+    * Spark's double-by-double fold for most tf values. The casts force
+    * the identical per-op double sequence (k1 + 1.0, tf * k1p1, ...)
+    * the Scala side computes.
     */
   private val words = QueryWords.map(w => s"'$w'").mkString(", ")
   private val condSum = QueryWords
@@ -61,9 +64,12 @@ object SearchQueries {
        |  WHERE word IN ($words) GROUP BY id, word),
        |dfw AS (SELECT word, count(*) AS df_w FROM tf GROUP BY word),
        |sc AS (SELECT tf.id, tf.word,
-       |  ln((n_docs - df_w + 0.5) / (df_w + 0.5) + 1.0)
-       |    * (tf * (1.2 + 1.0))
-       |    / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * len / avglen)) AS s
+       |  ln((n_docs - df_w + CAST(0.5 AS DOUBLE))
+       |      / (df_w + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+       |    * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |    / (tf + CAST(1.2 AS DOUBLE)
+       |        * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+       |          + CAST(0.75 AS DOUBLE) * len / avglen)) AS s
        |  FROM tf JOIN dfw USING (word) JOIN dl USING (id)
        |  CROSS JOIN stats),
        |agg AS (SELECT id, $condSum AS bm25 FROM sc GROUP BY id)""".stripMargin

@@ -74,19 +74,30 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(tok.countTokens(s) == tok.encodeOrdinary(s).size)
   }
 
-  test("truncate cuts on token boundaries within the budget") {
-    // "the the" -> pieces "the"(1 tok), " the"(1 tok)
+  test("truncate slices the encoded stream (reference behavior)") {
+    // "the the" -> ids [the, " the"] (2 tokens)
     assert(tok.truncate("the the", 1) == "the")
     assert(tok.truncate("the the", 2) == "the the")
     assert(tok.truncate("the the", 0) == "")
-    // budget mid-piece: " the" is atomic (1 token), nothing partial
     assert(tok.countTokens(tok.truncate("there there there", 3)) <= 3)
+    // a single giant piece is cut MID-piece, not dropped to ""
+    assert(tok.truncate("xxxxx", 2) == "xx")
+    // a cut landing inside a multi-byte char backs off to a clean
+    // code-point boundary: each emoji is 4 single-byte tokens
+    assert(tok.truncate("🙂🙂", 5) == "🙂")
+    val (t, n) = tok.truncateWithCount("🙂🙂", 5)
+    assert(t == "🙂" && n == 4)
   }
 
   test("cl100k pre-tokenizer: contractions, digits in <=3 runs, spaces") {
     val pieces = BpeTokenizer.Cl100kPattern.findAllIn("don't pay 12345")
       .toSeq
     assert(pieces == Seq("don", "'t", " pay", " ", "123", "45"))
+    // (?U): unicode whitespace (NBSP) is \s, so it splits punctuation
+    // runs instead of joining them (ASCII-only \s would tile
+    // "! !" as one punctuation piece)
+    assert(BpeTokenizer.Cl100kPattern.findAllIn("!\u00A0!").toSeq ==
+      Seq("!", "\u00A0", "!"))
   }
 
   test("all-256-byte invariant is enforced") {

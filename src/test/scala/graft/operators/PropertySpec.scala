@@ -135,9 +135,10 @@ class PropertySpec extends SparkSuite {
     val tok = graft.embed.BpeTokenizer.fromRanksFile(f.toString)
     forAll(textGen, n = 200) { s: String =>
       assert(tok.decode(tok.encodeOrdinary(s)) === s)
-      // truncation never exceeds the budget and is a prefix
-      val t = tok.truncate(s, 5)
-      assert(tok.countTokens(t) <= 5 && s.startsWith(t))
+      // truncation never exceeds the budget and is a character prefix
+      // (mid-piece cuts back off to clean code-point boundaries)
+      val (t, n) = tok.truncateWithCount(s, 5)
+      assert(n <= 5 && s.startsWith(t))
     }
   }
 
