@@ -155,6 +155,19 @@ object VectorQueries {
         .orderBy($"qid", $"rnk")
     }),
 
+    // X4-X9: the autotune sweep as a registry query — grid of variants
+    // over a hash-ranked sample, recall vs ground truth, results in the
+    // reference's autotune_results schema. targetRecall > 100 disables
+    // the early-stop so every grid variant reports (the default
+    // early-stops at the first >= 99.9 variant). Latency columns are
+    // wall-clock → rows-only check, no SQL oracle.
+    "q_autotune" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val res = graft.operators.Autotune.run(emb, "vec_id", "embedding",
+        k = 10, sampleN = 2000, nQueries = 10, targetRecall = 101.0)
+      graft.operators.Autotune.toDF(s, res).orderBy($"experiment_id")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
