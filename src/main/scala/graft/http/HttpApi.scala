@@ -29,6 +29,17 @@ import graft.operators.Knn
   *                                       {"text":"...","model":"hash/bow-64"},
   *                                       optional "k", "vector_column",
   *                                       "id_column", "metric"
+  *   POST   /collections/{name}/search_text
+  *                                     → BM25: {"query":"words ..."},
+  *                                       optional "k", "text_column",
+  *                                       "id_column"
+  *   POST   /collections/{name}/search_hybrid
+  *                                     → BM25 ⊕ cosine via RRF:
+  *                                       {"query":"...","vector":[...]}
+  *                                       (or "text"+"model"), optional
+  *                                       "vector_collection" when the
+  *                                       embeddings live in another
+  *                                       collection
   *   POST   /collections/{name}/pq     → run the PQ pipeline (Q1-Q8):
   *                                       optional "vector_column",
   *                                       "id_column", "clusters",
@@ -180,6 +191,81 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
           val rows = spark.read.schema(df.schema).json(ds)
           rows.write.insertInto(name)
           respond(ex, 200, s"""{"inserted":${rows.count()}}""")
+        }
+
+      // Lexical BM25 search over a text column — the text half of
+      // hybrid retrieval (TextSearch.bm25TopK).
+      case ("POST", List("collections", name, "search_text")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val k = jsonField(body, "k").map(_.toDouble.toInt).getOrElse(10)
+          val textCol = jsonField(body, "text_column").getOrElse("text")
+          val idCol = jsonField(body, "id_column").getOrElse("doc_id")
+          val q = jsonField(body, "query").getOrElse("")
+          val words = q.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+          if (words.isEmpty || !df.columns.contains(textCol) ||
+              !df.columns.contains(idCol))
+            respond(ex, 400,
+              s"""{"error":"need \\"query\\" and columns $idCol, $textCol"}""")
+          else {
+            val res = graft.operators.TextSearch
+              .bm25TopK(df, idCol, textCol, words, k)
+              .orderBy(col("rnk")).collect()
+            val items = res.map { r =>
+              s"""{"id":${r.get(0)},"rank":${r.getInt(1)},"bm25":${r.getDouble(2)}}"""
+            }.mkString("[", ",", "]")
+            respond(ex, 200, s"""{"results":$items}""")
+          }
+        }
+
+      // Hybrid retrieval: BM25 + embedding-cosine fused by RRF. Body:
+      // {"query":"words","vector":[...]} (or "text"+"model" to embed),
+      // optional k, columns. Joins the collection's text to a vector
+      // collection via {"vector_collection":"t2"} or uses this one.
+      case ("POST", List("collections", name, "search_hybrid")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val k = jsonField(body, "k").map(_.toDouble.toInt).getOrElse(10)
+          val textCol = jsonField(body, "text_column").getOrElse("text")
+          val idCol = jsonField(body, "id_column").getOrElse("doc_id")
+          val vecCol = jsonField(body, "vector_column")
+            .getOrElse("embedding")
+          val vecIdCol = jsonField(body, "vector_id_column")
+            .getOrElse(idCol)
+          val vecDfOpt = jsonField(body, "vector_collection") match {
+            case Some(vn) => tableOr404(ex, vn)
+            case None => Some(df)
+          }
+          vecDfOpt.foreach { vdf =>
+            val q = jsonField(body, "query").getOrElse("")
+            val words = q.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+            val vec: Option[Array[Float]] = jsonFloatArray(body, "vector")
+              .orElse(jsonField(body, "text").map { t =>
+                val model = jsonField(body, "model").getOrElse("hash/bow-64")
+                HashEmbeddingRuntime.embedOne(t,
+                  graft.embed.ModelRegistry(model).dim)
+              })
+            (words.nonEmpty, vec) match {
+              case (true, Some(v)) =>
+                import spark.implicits._
+                val qv = Seq(v).toDF("qv")
+                val res = graft.operators.TextSearch.hybridRrf(
+                    df, idCol, textCol, words, vdf, vecIdCol, vecCol, qv,
+                    kEach = math.max(k, 50), kOut = k)
+                  .collect()
+                val items = res.map { r =>
+                  val br = if (r.isNullAt(2)) "null" else r.getInt(2).toString
+                  val cr = if (r.isNullAt(3)) "null" else r.getInt(3).toString
+                  s"""{"id":${r.get(0)},"rrf":${r.getDouble(1)},"bm25_rank":$br,"cos_rank":$cr}"""
+                }.mkString("[", ",", "]")
+                respond(ex, 200, s"""{"results":$items}""")
+              case _ =>
+                respond(ex, 400,
+                  """{"error":"need \"query\" and \"vector\" (or \"text\")"}""")
+            }
+          }
         }
 
       case ("POST", List("collections", name, "search")) =>

@@ -82,6 +82,35 @@ class HttpApiSpec extends SparkSuite {
     assert(r.statusCode() === 400)
   }
 
+  test("POST search_text runs BM25 over a text collection") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_api")
+    val r = post("/collections/docs_api/search_text",
+      """{"query":"table scan fast","k":5}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"rank\":1") && r.body().contains("\"bm25\":"))
+    // missing query -> 400
+    assert(post("/collections/docs_api/search_text", "{}")
+      .statusCode() === 400)
+  }
+
+  test("POST search_hybrid fuses BM25 and cosine via RRF") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_api2")
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    val r = post("/collections/docs_api2/search_hybrid",
+      s"""{"query":"table scan fast","vector":[$vec],"k":5,
+         |"vector_collection":"embeddings","vector_id_column":"vec_id"}"""
+        .stripMargin.replace("\n", ""))
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"rrf\":"))
+    assert(r.body().contains("\"bm25_rank\":") &&
+      r.body().contains("\"cos_rank\":"))
+    // missing vector -> 400
+    assert(post("/collections/docs_api2/search_hybrid",
+      """{"query":"table"}""").statusCode() === 400)
+  }
+
   test("POST /collections/{name}/pq runs the PQ pipeline") {
     val r = post("/collections/embeddings/pq",
       """{"clusters":8,"splits":4}""")

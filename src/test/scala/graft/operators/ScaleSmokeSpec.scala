@@ -56,6 +56,39 @@ class ScaleSmokeSpec extends SparkSuite {
     assert(found.size >= 45, s"recall ${found.size}/50 too low")
   }
 
+  test("connected components scale: 60k-edge graph resolves in few rounds") {
+    // 10k chains of length 3 + one 1k-member clique + 50k random edges
+    // over 40k vertices — components must resolve without the logical
+    // plan or round count exploding (localCheckpoint truncation).
+    val rnd = new scala.util.Random(11)
+    val chains = (0 until 10000).flatMap { c =>
+      val b = 200000L + c * 3
+      Seq((b, b + 1), (b + 1, b + 2))
+    }
+    val clique = (1 until 1000).map(i => (500000L, 500000L + i))
+    val random = (0 until 50000).map { _ =>
+      val a = rnd.nextInt(40000).toLong
+      val b = rnd.nextInt(40000).toLong
+      (math.min(a, b), math.max(a, b) + 1)
+    }
+    val t0 = System.nanoTime()
+    val comp = Dedup.connectedComponents(
+      (chains ++ clique ++ random).toDF("i", "j"))
+    val byComp = comp.groupBy($"component").count()
+    val nComponents = byComp.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"components over ~61k edges: $nComponents comps in $secs%.1f s")
+    // every chain is its own component labeled by its head
+    val chainLabels = comp.where($"id" >= 200000L && $"id" < 500000L)
+      .where(($"id" - 200000L) % 3 === 0)
+      .where($"component" =!= $"id").count()
+    assert(chainLabels == 0, "chain heads must label their own component")
+    // the clique resolves to one component under its min id
+    assert(comp.where($"id" >= 500000L).where($"component" =!= 500000L)
+      .count() == 0)
+    assert(secs < 120.0)
+  }
+
   test("IVF probes a fraction of a 20k-vector corpus with good recall") {
     val vecs = corpus.where($"doc_id" < 20000)
       .select($"doc_id".as("vec_id"),
