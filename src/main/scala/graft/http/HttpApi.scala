@@ -78,6 +78,23 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
       .filter(_.trim.nonEmpty).map(_.trim.toFloat))
   }
 
+  // shared by /search and /search_hybrid: explicit "vector" wins,
+  // else "text" embedded with the (default hash/bow-64) model
+  private def resolveQueryVector(body: String): Option[Array[Float]] =
+    jsonFloatArray(body, "vector")
+      .orElse(jsonField(body, "text").map { t =>
+        val model = jsonField(body, "model").getOrElse("hash/bow-64")
+        HashEmbeddingRuntime.embedOne(t,
+          graft.embed.ModelRegistry(model).dim)
+      })
+
+  // render an id cell for a JSON response: strings quoted + escaped,
+  // numerics verbatim
+  private def jsonId(v: Any): String = v match {
+    case s: String => "\"" + graft.util.Json.escape(s) + "\""
+    case other => String.valueOf(other)
+  }
+
   private def tableOr404(ex: HttpExchange, name: String)
       : Option[DataFrame] =
     if (validIdent(name) && spark.catalog.tableExists(name))
@@ -204,16 +221,16 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
           val idCol = jsonField(body, "id_column").getOrElse("doc_id")
           val q = jsonField(body, "query").getOrElse("")
           val words = q.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-          if (words.isEmpty || !df.columns.contains(textCol) ||
-              !df.columns.contains(idCol))
+          if (words.isEmpty || !validIdent(textCol) || !validIdent(idCol) ||
+              !df.columns.contains(textCol) || !df.columns.contains(idCol))
             respond(ex, 400,
-              s"""{"error":"need \\"query\\" and columns $idCol, $textCol"}""")
+              """{"error":"need \"query\" and valid id/text columns"}""")
           else {
             val res = graft.operators.TextSearch
               .bm25TopK(df, idCol, textCol, words, k)
               .orderBy(col("rnk")).collect()
             val items = res.map { r =>
-              s"""{"id":${r.get(0)},"rank":${r.getInt(1)},"bm25":${r.getDouble(2)}}"""
+              s"""{"id":${jsonId(r.get(0))},"rank":${r.getInt(1)},"bm25":${r.getDouble(2)}}"""
             }.mkString("[", ",", "]")
             respond(ex, 200, s"""{"results":$items}""")
           }
@@ -241,13 +258,11 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
           vecDfOpt.foreach { vdf =>
             val q = jsonField(body, "query").getOrElse("")
             val words = q.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-            val vec: Option[Array[Float]] = jsonFloatArray(body, "vector")
-              .orElse(jsonField(body, "text").map { t =>
-                val model = jsonField(body, "model").getOrElse("hash/bow-64")
-                HashEmbeddingRuntime.embedOne(t,
-                  graft.embed.ModelRegistry(model).dim)
-              })
-            (words.nonEmpty, vec) match {
+            val colsOk = validIdent(textCol) && validIdent(idCol) &&
+              validIdent(vecCol) && validIdent(vecIdCol) &&
+              df.columns.contains(textCol) && df.columns.contains(idCol) &&
+              vdf.columns.contains(vecCol) && vdf.columns.contains(vecIdCol)
+            (words.nonEmpty && colsOk, resolveQueryVector(body)) match {
               case (true, Some(v)) =>
                 import spark.implicits._
                 val qv = Seq(v).toDF("qv")
@@ -258,12 +273,12 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
                 val items = res.map { r =>
                   val br = if (r.isNullAt(2)) "null" else r.getInt(2).toString
                   val cr = if (r.isNullAt(3)) "null" else r.getInt(3).toString
-                  s"""{"id":${r.get(0)},"rrf":${r.getDouble(1)},"bm25_rank":$br,"cos_rank":$cr}"""
+                  s"""{"id":${jsonId(r.get(0))},"rrf":${r.getDouble(1)},"bm25_rank":$br,"cos_rank":$cr}"""
                 }.mkString("[", ",", "]")
                 respond(ex, 200, s"""{"results":$items}""")
               case _ =>
                 respond(ex, 400,
-                  """{"error":"need \"query\" and \"vector\" (or \"text\")"}""")
+                  """{"error":"need \"query\", \"vector\" (or \"text\"), and valid columns on both collections"}""")
             }
           }
         }
@@ -277,12 +292,7 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
             .getOrElse("embedding")
           val idCol = jsonField(body, "id_column").getOrElse("vec_id")
           val metric = jsonField(body, "metric").getOrElse("l2sq")
-          val vec: Option[Array[Float]] = jsonFloatArray(body, "vector")
-            .orElse(jsonField(body, "text").map { t =>
-              val model = jsonField(body, "model").getOrElse("hash/bow-64")
-              HashEmbeddingRuntime.embedOne(t,
-                graft.embed.ModelRegistry(model).dim)
-            })
+          val vec: Option[Array[Float]] = resolveQueryVector(body)
           vec match {
             case None =>
               respond(ex, 400,

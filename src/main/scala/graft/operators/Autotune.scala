@@ -37,13 +37,13 @@ object Autotune {
       isCanceled: () => Boolean = () => false)
       : Seq[Result] = {
     val corpus = df.select(col(idCol), col(vecCol)).limit(sampleN).cache()
+    // deterministic "random" query points: hash-ranked sample (X5)
+    val queries = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nQueries).cache()
+    val t0 = System.nanoTime()
+    val truth = Knn.topK(corpus, queries, idCol, vecCol, k, metric)
+      .cache()
     try {
-      // deterministic "random" query points: hash-ranked sample (X5)
-      val queries = corpus
-        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nQueries).cache()
-      val t0 = System.nanoTime()
-      val truth = Knn.topK(corpus, queries, idCol, vecCol, k, metric)
-        .cache()
       truth.count()
       val buildMs = (System.nanoTime() - t0) / 1e6
 
@@ -65,7 +65,9 @@ object Autotune {
       }
       onProgress(100)
       results.result()
-    } finally corpus.unpersist()
+    } finally {
+      truth.unpersist(); queries.unpersist(); corpus.unpersist()
+    }
   }
 
   /** X8: pick min-latency among variants meeting the target recall;

@@ -81,10 +81,16 @@ object TextSearch {
       }
       return m
     }
-    val built = bm25Uncached(docs, idCol, textCol, queryWords, k1, b)
+    // Persist ONLY when the memo has room to own the entry: an
+    // unbounded caller (e.g. the HTTP API, where every distinct query
+    // string is a new key) must not leak orphaned cached relations
+    // once the memo is full.
+    val raw = bm25Uncached(docs, idCol, textCol, queryWords, k1, b)
+    if (scoreMemo.size >= 32) return raw
+    val built = raw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     built.count()
-    if (scoreMemo.size < 32) scoreMemo.put(key, (plan, built))
+    scoreMemo.put(key, (plan, built))
     built
   }
 
