@@ -27,7 +27,9 @@ object SparkEntry {
     (_root_.graft.queries.TemporalQueries.queries,
       _root_.graft.queries.TemporalQueries.oracleSql),
     (_root_.graft.queries.SearchQueries.queries,
-      _root_.graft.queries.SearchQueries.oracleSql)
+      _root_.graft.queries.SearchQueries.oracleSql),
+    (_root_.graft.queries.PipelineQueries.queries,
+      _root_.graft.queries.PipelineQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -513,4 +513,100 @@ object Dedup {
     edges.unpersist()
     labels.select(col("v").as("id"), col("l").as("component"))
   }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). Same output contract as [[connectedComponents]] —
+    * (id, component-min) — but converges in O(log² n) rounds regardless
+    * of component DIAMETER, where min-label propagation needs
+    * O(diameter) rounds. This is the scale path for chain-shaped dup
+    * graphs (template drift d1~d2~…~dk stretches near-dup components
+    * into long paths that defeat per-round propagation).
+    *
+    * Each phase is a partial-aggregated `groupBy` (per-node min
+    * neighbor: a power-law hub's edges collapse map-side to one row per
+    * partition) plus an equi-join on the node id that AQE can
+    * broadcast — the per-node min table is |V|, tiny next to |E| — or
+    * skew-split. Edges stay canonically ordered (hi, lo), so the state
+    * per round is ≤ the input edge count; `localCheckpoint` truncates
+    * lineage exactly like the propagation variant. Convergence is
+    * detected by an (edge-count, xor-of-edge-hashes) signature — two
+    * driver scalars per round, never edge data.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, maxRounds: Int = 50)
+      : DataFrame = {
+    val plan = pairs.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), maxRounds)
+    val hit = ccAltMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq pairs.sparkSession)) return hit._2
+    val result = ccAlternatingUncached(pairs, maxRounds)
+    if (ccAltMemo.size < 16) ccAltMemo.put(key, (plan, result))
+    result
+  }
+
+  private val ccAltMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
+  private def ccAlternatingUncached(pairs: DataFrame, maxRounds: Int)
+      : DataFrame = {
+    // Canonical (hi, lo) edge set, self-loops dropped (a vertex seen
+    // only in a self-pair labels to itself via the final left join).
+    var e = pairs
+      .select(greatest(col("i"), col("j")).as("x"),
+        least(col("i"), col("j")).as("y"))
+      .where(col("x") =!= col("y")).distinct()
+      .localCheckpoint(true)
+
+    // (count, xor of per-edge hashes): equal signatures ⇒ equal sets
+    // up to hash collision; a collision only costs extra rounds, not
+    // correctness, because star sets are fixpoints of both phases.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("x"), col("y"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // large-star: every node connects its LARGER neighbors to its min
+    // (m = min(N(u) ∪ {u})). Emitted edges (v, m) have v > u ≥ m, so
+    // the output is already canonical (hi, lo).
+    def largeStar(edges: DataFrame): DataFrame = {
+      val bidir = edges.select(col("x").as("u"), col("y").as("v"))
+        .unionAll(edges.select(col("y").as("u"), col("x").as("v")))
+      val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      bidir.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y")).distinct()
+    }
+
+    // small-star: keyed by the larger endpoint, every node connects its
+    // smaller neighbors (and itself) to its min neighbor.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy(col("x")).agg(min(col("y")).as("m"))
+      edges.join(mins, "x")
+        .select(col("y").as("x"), col("m").as("y"))
+        .unionAll(mins.select(col("x"), col("m").as("y")))
+        .where(col("x") =!= col("y")).distinct()
+    }
+
+    var last = sig(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val s = sig(e)
+      converged = s == last
+      last = s
+      round += 1
+    }
+
+    // Converged edge set is a union of stars (v, root); roots and
+    // self-pair-only vertices label to themselves.
+    val verts = pairs.select(col("i").as("id"))
+      .unionAll(pairs.select(col("j").as("id"))).distinct()
+    verts.join(e.select(col("x").as("id"), col("y").as("c")), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+  }
 }

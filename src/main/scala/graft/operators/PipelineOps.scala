@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.operators.TextAnalysis.{Dialect, SparkDialect}
+
+/** Training-data pipeline operators beyond scoring/dedup: rule-based
+  * quality gating (Gopher-style), token-sequence packing, deterministic
+  * domain mixing, and PII redaction.
+  *
+  * Like [[TextAnalysis]]/[[CorpusStats]], each operator is ONE SQL
+  * template rendered for Spark SQL and DuckDB so the correctness oracle
+  * runs the identical computation. On Spark every template compiles to a
+  * parquet scan + codegen'd expressions (plus, for packing, one window
+  * over the partition key) — no UDFs, no driver-side work, shapes that
+  * hold at 100 TB.
+  */
+object PipelineOps {
+
+  /** floor(x*1e4+0.5)/1e4 — the portable round (see TextAnalysis). */
+  private def r4(x: String): String =
+    s"floor(($x) * 10000 + 0.5) / 10000"
+
+  /** Replace ALL matches: Spark's regexp_replace is global by default;
+    * DuckDB replaces the first match unless passed the 'g' flag.
+    */
+  private def replaceAll(d: Dialect, col: String, pat: String,
+      rep: String): String =
+    if (d == SparkDialect) s"regexp_replace($col, '$pat', '$rep')"
+    else s"regexp_replace($col, '$pat', '$rep', 'g')"
+
+  /** Integer division (the `/` operator is double division in both
+    * engines and would round differently from truncation).
+    */
+  private def intDiv(d: Dialect, a: String, b: String): String =
+    if (d == SparkDialect) s"(($a) DIV ($b))" else s"(($a) // ($b))"
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, table A1
+    * adapted to this corpus): per-document token count, mean word
+    * length, alphabetic-word fraction, stopword hits, symbol ratio, and
+    * the resulting keep decision. Reference analog: the reference
+    * filters blank/error rows before embedding
+    * (lantern_cli/src/utils/mod.rs:37-39); this is the corpus-curation
+    * generalization.
+    *
+    * Rule thresholds are compared on UN-rounded doubles — both engines
+    * compute them with the identical operation order, so the compare is
+    * exact; the emitted ratio columns are floor-rounded for display.
+    */
+  def gopherQualitySql(d: Dialect, table: String = "documents"): String = {
+    val stop = TextAnalysis.stopCount(d, TextAnalysis.Stopwords.head._2)
+    s"""SELECT doc_id, tokens, $stopName AS stop_hits,
+       |  ${r4("mwl")} AS mean_word_len,
+       |  ${r4("af")} AS alpha_frac,
+       |  ${r4("sr")} AS symbol_ratio,
+       |  CAST(CASE WHEN tokens >= 20 AND tokens <= 100000
+       |    AND mwl >= 3.0 AND mwl <= 10.0
+       |    AND af >= 0.8 AND $stopName >= 2 AND sr <= 0.1
+       |    THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (
+       |  SELECT doc_id, tokens, $stopName,
+       |    CASE WHEN tokens = 0 THEN 0.0
+       |         ELSE CAST(nschars AS DOUBLE) / CAST(tokens AS DOUBLE) END AS mwl,
+       |    CASE WHEN tokens = 0 THEN 0.0
+       |         ELSE CAST(alpha_words AS DOUBLE) / CAST(tokens AS DOUBLE) END AS af,
+       |    CAST(symbols AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS sr,
+       |    text
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CASE WHEN length(trim(text)) = 0 THEN 0
+       |           ELSE ${d.size}(${d.split}(trim(text), ' ')) END AS tokens,
+       |      length(replace(trim(text), ' ', '')) AS nschars,
+       |      ${d.size}(${d.filter}(${d.split}(trim(text), ' '),
+       |        w -> regexp_extract(w, '[A-Za-z]', 0) != '')) AS alpha_words,
+       |      ${d.size}(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS symbols,
+       |      $stop AS $stopName
+       |    FROM $table) _i) _o
+       |ORDER BY doc_id""".stripMargin
+  }
+  private val stopName = "en_hits"
+
+  /** Token-sequence packing: concatenate documents (in stable doc_id
+    * order, independently per `source` shard) into fixed-length
+    * training sequences of `seqLen` tokens. Emits each document's
+    * global start offset within its shard, the sequence it starts in,
+    * and its offset inside that sequence — the bookkeeping a
+    * tokenize-and-pack pipeline materializes before writing examples.
+    *
+    * One window (partition by source, order by doc_id) = one shuffle by
+    * shard; shards pack independently, so a 100 TB corpus packs with
+    * per-shard parallelism and no global coordination.
+    */
+  def seqPackSql(d: Dialect, table: String = "documents",
+      seqLen: Int = 512): String =
+    s"""SELECT doc_id, source, tokens,
+       |  cum - tokens AS start_off,
+       |  CAST(${intDiv(d, "cum - tokens", seqLen.toString)} AS BIGINT) AS seq_id,
+       |  (cum - tokens) % $seqLen AS seq_off
+       |FROM (
+       |  SELECT doc_id, source, tokens,
+       |    CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CASE WHEN length(trim(text)) = 0 THEN 0
+       |           ELSE CAST(${d.size}(${d.split}(trim(text), ' ')) AS BIGINT)
+       |           END AS tokens
+       |    FROM $table) _t) _c
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** Deterministic domain mixing: per-source sampling rates applied via
+    * a multiplicative-hash uniform on doc_id, so the same row always
+    * gets the same draw (re-runs and retries are idempotent — the
+    * property that matters on a 1000-executor job). Even-indexed
+    * sources keep 80 %, odd-indexed 25 % — the up/down-weighting shape
+    * of a training-data domain mixture.
+    *
+    * The draw is exact BIGINT arithmetic in both engines (doc_id
+    * reduced mod 1e6 first, so the product stays far below 2^63 at any
+    * corpus size). A production pipeline would use xxhash64(doc_id) —
+    * same shape, engine-specific hash; the Knuth multiplier keeps the
+    * oracle portable.
+    */
+  def domainMixSql(d: Dialect, table: String = "documents"): String =
+    s"""SELECT doc_id, source, u
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CAST(substr(source, 4) AS BIGINT) AS src_idx,
+       |    ((doc_id % 1000000) * 2654435761) % 1000000 AS u
+       |  FROM $table) _t
+       |WHERE u < CASE WHEN src_idx % 2 = 0 THEN 800000 ELSE 250000 END
+       |ORDER BY doc_id""".stripMargin
+
+  /** PII redaction: mask digit runs (ids, phone-like tokens) and count
+    * email-shaped tokens, per row — the pre-training scrub pass. Pure
+    * regex (no backslash classes — the two parsers' escaping rules
+    * differ), global replacement via the dialect-correct flag.
+    */
+  def piiRedactSql(d: Dialect, table: String = "customer",
+      idCol: String = "c_custkey", textCol: String = "c_name"): String =
+    s"""SELECT $idCol,
+       |  ${replaceAll(d, textCol, "[0-9]+", "<ID>")} AS masked,
+       |  ${d.size}(regexp_extract_all($textCol, '[0-9]+', 0)) AS n_digit_runs,
+       |  length($textCol) - length(${replaceAll(d, textCol, "[0-9]", "")}) AS n_digits,
+       |  ${d.size}(regexp_extract_all($textCol,
+       |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', 0)) AS n_emails
+       |FROM $table ORDER BY $idCol""".stripMargin
+}

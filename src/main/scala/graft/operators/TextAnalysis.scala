@@ -32,7 +32,7 @@ object TextAnalysis {
       "hao"))
 
   /** Count of words from `words` in the space-split lowered text. */
-  private def stopCount(d: Dialect, words: Seq[String]): String = {
+  private[operators] def stopCount(d: Dialect, words: Seq[String]): String = {
     val inList = words.map(w => s"'$w'").mkString(", ")
     s"${d.size}(${d.filter}(${d.split}(lower(text), ' '), " +
       s"w -> w IN ($inList)))"

@@ -328,7 +328,7 @@ object DocumentQueries {
   // one twice (union + join), so DuckDB's default CTE inlining would
   // expand 2^K copies of the whole pair pipeline — thousands of
   // parquet re-opens (fd exhaustion) before any work happens.
-  private val componentsOracle: String = {
+  private[queries] val componentsOracleSql: String = {
     val k = 12
     val steps = (1 to k).map { s =>
       s"""l$s AS MATERIALIZED (SELECT x.v, min(x.l) AS l FROM (
@@ -404,7 +404,7 @@ object DocumentQueries {
         |ON md5(d.text) = g.h ORDER BY d.doc_id""".stripMargin,
     "q_jaccard_dups" -> jaccardOracle,
     "q_minhash_dups" -> jaccardOracle,
-    "q_dedup_components" -> componentsOracle,
+    "q_dedup_components" -> componentsOracleSql,
     "q_simhash_dups" -> simhashOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_embdup_cos" ->

@@ -35,6 +35,43 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L, 5L, 9L))
   }
 
+  private def ccAlt(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponentsAlternating(pairs.toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating: clique, chain, and pair match the propagation labels") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (20L, 21L))
+    assert(ccAlt(pairs) == cc(pairs))
+  }
+
+  test("alternating: 200-vertex path needs far fewer than diameter rounds") {
+    // Diameter 200: propagation needs ~200 rounds; large-star/small-star
+    // is O(log² n). maxRounds=12 would leave propagation wrong but must
+    // suffice here.
+    val pairs = (0L until 200L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponentsAlternating(
+      pairs.toDF("i", "j"), maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 201 && got.values.toSet == Set(0L))
+  }
+
+  test("alternating: seeded random graphs agree with propagation") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val pairs = (1 to 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccAlt(pairs) == cc(pairs))
+    }
+  }
+
+  test("alternating: self-pair-only vertex labels to itself") {
+    val got = ccAlt(Seq((7L, 7L), (1L, 2L)))
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("corpus pairs roll up consistently with pair-level removal") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+import graft.operators.{TextAnalysis => TA}
+
+/** Invariant tests for the pipeline-composition SQL templates; the
+  * cross-engine value check is local_verify / the driver's DuckDB gate.
+  */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def onDocs(sql: String): DataFrame = {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("documents")
+    spark.sql(sql)
+  }
+
+  test("gopher gate: keep flag agrees with recomputed rules") {
+    val rows = onDocs(PipelineOps.gopherQualitySql(TA.SparkDialect)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tokens = r.getInt(1)
+      val stops = r.getInt(2)
+      val mwl = r.getDouble(3)
+      val af = r.getDouble(4)
+      val sr = r.getDouble(5)
+      val keep = r.getInt(6)
+      // rounded columns are within 1e-4 of the rule inputs, so a strict
+      // re-check needs the margin
+      val expect = tokens >= 20 && tokens <= 100000 &&
+        mwl >= 3.0 - 1e-4 && mwl <= 10.0 + 1e-4 &&
+        af >= 0.8 - 1e-4 && stops >= 2 && sr <= 0.1 + 1e-4
+      if (keep == 1) assert(expect, s"kept row fails recheck: $r")
+    }
+    // the gate must actually split the corpus, not pass/drop everything
+    val kept = rows.count(_.getInt(6) == 1)
+    assert(kept > 0 && kept < rows.length, s"gate degenerate: $kept")
+  }
+
+  test("seq_pack: offsets are contiguous and consistent per source") {
+    val rows = onDocs(PipelineOps.seqPackSql(TA.SparkDialect, seqLen = 512))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      var cum = 0L
+      sorted.foreach { r =>
+        val tokens = r.getLong(2)
+        val startOff = r.getLong(3)
+        assert(startOff == cum, s"gap at $r")
+        assert(r.getLong(4) == startOff / 512)
+        assert(r.getLong(5) == startOff % 512)
+        cum += tokens
+      }
+    }
+  }
+
+  test("domain_mix: deterministic, and only passing draws survive") {
+    val a = onDocs(PipelineOps.domainMixSql(TA.SparkDialect)).collect()
+    val b = onDocs(PipelineOps.domainMixSql(TA.SparkDialect)).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val srcIdx = r.getString(1).drop(3).toLong
+      val u = r.getLong(2)
+      val cap = if (srcIdx % 2 == 0) 800000L else 250000L
+      assert(u < cap, s"row past its source cap: $r")
+      assert(u == (r.getLong(0) % 1000000L) * 2654435761L % 1000000L)
+    }
+    // both rates are exercised
+    val srcs = a.map(_.getString(1)).toSet
+    assert(srcs.exists(s => s.drop(3).toLong % 2 == 0) &&
+      srcs.exists(s => s.drop(3).toLong % 2 == 1))
+  }
+
+  test("pii_redact: masked output carries no digits, counts reconcile") {
+    spark.read.parquet(s"$sf0001/customer.parquet")
+      .createOrReplaceTempView("customer")
+    val rows = spark.sql(PipelineOps.piiRedactSql(TA.SparkDialect)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val masked = r.getString(1)
+      assert(!masked.exists(_.isDigit), s"unmasked digits: $r")
+      assert(r.getInt(2) >= 1) // Customer#NNNN always has one digit run
+      assert(r.getInt(3) >= r.getInt(2)) // digits >= runs
+    }
+  }
+
+  test("alternating components over corpus pairs match propagation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val a = Dedup.connectedComponentsAlternating(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+}
