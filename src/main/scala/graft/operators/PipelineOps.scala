@@ -129,6 +129,76 @@ object PipelineOps {
        |WHERE u < CASE WHEN src_idx % 2 = 0 THEN 800000 ELSE 250000 END
        |ORDER BY doc_id""".stripMargin
 
+  /** Generator over `[0, n)` usable in a select list: Spark allows one
+    * `explode` generator per select; DuckDB unnests a list inline.
+    * Callers guarantee n >= 1 (Spark's `sequence(0, -1)` would count
+    * DOWN, not produce an empty array).
+    */
+  private def explodeRange(d: Dialect, n: String): String =
+    if (d == SparkDialect) s"explode(sequence(0, ($n) - 1))"
+    else s"unnest(range(0, $n))"
+
+  /** `join(' ', arr[start .. start+len-1])`, 1-based start, clamped to
+    * the array end by both engines.
+    */
+  private def sliceJoin(d: Dialect, arr: String, start: String,
+      len: String): String =
+    if (d == SparkDialect)
+      s"array_join(slice($arr, $start, $len), ' ')"
+    else
+      s"array_to_string(list_slice($arr, $start, ($start) + ($len) - 1), ' ')"
+
+  /** Sliding-window document chunking — the RAG / context-window
+    * primitive: split each document into `chunkSize`-token windows every
+    * `stride` tokens (overlap = chunkSize - stride), emitting the chunk
+    * text and its token span. Zero-token documents produce zero chunks.
+    *
+    * Scale shape: scan → codegen'd split → one generator (explode) →
+    * project. No shuffle at all — chunking is embarrassingly parallel
+    * and the output is written partition-local. nchunks is exact integer
+    * arithmetic: ((n_tok - 1) DIV stride) + 1, so the last window starts
+    * at the last multiple of stride below n_tok and is truncated by the
+    * clamped slice.
+    */
+  def chunkSql(d: Dialect, table: String = "documents",
+      chunkSize: Int = 64, stride: Int = 48): String =
+    s"""SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(chunk_id * $stride AS INT) AS tok_start,
+       |  CAST(least($chunkSize, n_tok - chunk_id * $stride) AS INT) AS chunk_tokens,
+       |  ${sliceJoin(d, "w", s"chunk_id * $stride + 1", chunkSize.toString)} AS chunk_text
+       |FROM (
+       |  SELECT doc_id, w, n_tok,
+       |    ${explodeRange(d, s"${intDiv(d, "n_tok - 1", stride.toString)} + 1")} AS chunk_id
+       |  FROM (
+       |    SELECT doc_id, ${d.split}(trim(text), ' ') AS w,
+       |      CASE WHEN length(trim(text)) = 0 THEN 0
+       |           ELSE ${d.size}(${d.split}(trim(text), ' ')) END AS n_tok
+       |    FROM $table) _a
+       |  WHERE n_tok > 0) _b
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Adaptive per-source quality gate: keep the top half of every
+    * source shard by composite quality score. Thresholding by RANK
+    * (deterministic tie-break on doc_id) rather than by a computed
+    * median VALUE keeps the decision in exact integer arithmetic —
+    * a value threshold would hang the keep bit on the last ulp of two
+    * engines' interpolated medians.
+    *
+    * Scale shape: scan → codegen'd scoring → one window shuffle on
+    * source (the same partitioning a per-source writer needs anyway).
+    */
+  def adaptiveGateSql(d: Dialect, table: String = "documents"): String =
+    s"""SELECT doc_id, source, quality, CAST(rnk AS INT) AS rnk,
+       |  CAST(CASE WHEN rnk <= ${intDiv(d, "cnt + 1", "2")}
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (
+       |  SELECT doc_id, source, quality,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM ${TextAnalysis.qualityScored(d, table, "doc_id, source")}) _r
+       |ORDER BY doc_id""".stripMargin
+
   /** PII redaction: mask digit runs (ids, phone-like tokens) and count
     * email-shaped tokens, per row — the pre-training scrub pass. Pure
     * regex (no backslash classes — the two parsers' escaping rules

@@ -59,10 +59,22 @@ object TextAnalysis {
     * cross-engine bit equality.
     */
   def qualitySql(d: Dialect, table: String = "documents"): String =
-    // floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): both engines then
-    // use identical pure-double operations (their round() impls differ
-    // in the last decimal for ~1 in 500 values)
-    s"""SELECT doc_id, floor((
+    s"""SELECT doc_id, quality
+       |FROM ${qualityScored(d, table, "doc_id")}
+       |ORDER BY doc_id""".stripMargin
+
+  /** A subquery `(SELECT <carry cols>, quality FROM table) _q` scoring
+    * every row with the composite quality metric — shared by
+    * [[qualitySql]] and the adaptive per-source gate so both run the
+    * byte-identical scoring expression in both engines.
+    *
+    * floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): both engines then
+    * use identical pure-double operations (their round() impls differ
+    * in the last decimal for ~1 in 500 values).
+    */
+  private[operators] def qualityScored(d: Dialect, table: String,
+      carryCols: String): String =
+    s"""(SELECT $carryCols, floor((
        |  0.25 * least(CAST(ws AS DOUBLE) / 100, 1.0) +
        |  0.25 * (CASE WHEN ws = 0 THEN 0.0
        |          ELSE least(CAST(stop AS DOUBLE) * 5 / ws, 1.0) END) +
@@ -70,12 +82,12 @@ object TextAnalysis {
        |  0.25 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(ws, 1) / 8, 1.0)
        |) * 10000 + 0.5) / 10000 AS quality
        |FROM (
-       |  SELECT doc_id, text,
+       |  SELECT $carryCols, text,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE ${d.size}(${d.split}(trim(text), ' ')) END AS ws,
        |    ${stopCount(d, Stopwords.head._2)} AS stop,
        |    ${d.size}(regexp_extract_all(text, '[.,!?;:]', 0)) AS punct
-       |  FROM $table) ORDER BY doc_id""".stripMargin
+       |  FROM $table) _qi) _q""".stripMargin
 
   /** Stopword-voting language ID with a deterministic tie-break order
     * (en > de > fr > es > zh). Emits the per-language scores too.

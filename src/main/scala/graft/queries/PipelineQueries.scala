@@ -37,6 +37,16 @@ object PipelineQueries {
     "q_pii_redact" -> ((s, dir) =>
       viaSql(s, dir, "customer", PO.piiRedactSql(TA.SparkDialect))),
 
+    // Sliding-window chunking (RAG primitive): shuffle-free scan +
+    // explode; chunk text and token spans per document.
+    "q_chunk_docs" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.chunkSql(TA.SparkDialect))),
+
+    // Adaptive quality gate: keep the top half per source by composite
+    // quality, thresholded by rank (exact integer decision).
+    "q_adaptive_gate" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.adaptiveGateSql(TA.SparkDialect))),
+
     // Duplicate clusters via alternating large-star/small-star — the
     // O(log² n)-round path for high-diameter dup graphs. Same pair
     // graph and same oracle as q_dedup_components (both converge to
@@ -56,6 +66,8 @@ object PipelineQueries {
     "q_seq_pack" -> PO.seqPackSql(TA.DuckDialect),
     "q_domain_mix" -> PO.domainMixSql(TA.DuckDialect),
     "q_pii_redact" -> PO.piiRedactSql(TA.DuckDialect),
+    "q_chunk_docs" -> PO.chunkSql(TA.DuckDialect),
+    "q_adaptive_gate" -> PO.adaptiveGateSql(TA.DuckDialect),
     "q_dedup_components_lss" -> DocumentQueries.componentsOracleSql
   )
 }

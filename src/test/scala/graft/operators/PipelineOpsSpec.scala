@@ -97,4 +97,62 @@ class PipelineOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
   }
+
+  test("chunking: windows tile every document with the declared stride") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    val rows = spark.sql(
+      PipelineOps.chunkSql(TA.SparkDialect, chunkSize = 64, stride = 48))
+      .collect()
+    assert(rows.nonEmpty)
+    val nTok = docs.selectExpr("doc_id",
+      "size(split(trim(text), ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (docId, rs) =>
+      val n = nTok(docId)
+      val expected = (n - 1) / 48 + 1
+      assert(rs.length == expected, s"doc $docId: ${rs.length} != $expected")
+      rs.sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i)
+        assert(r.getInt(2) == i * 48) // tok_start
+        val expectLen = math.min(64, n - i * 48)
+        assert(r.getInt(3) == expectLen, s"doc $docId chunk $i len")
+        // chunk text has exactly chunk_tokens words
+        assert(r.getString(4).split(' ').length == expectLen)
+      }
+    }
+    // consecutive chunks overlap by chunkSize - stride tokens
+    val byDoc = rows.groupBy(_.getLong(0))
+    val multi = byDoc.filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture should produce multi-chunk docs")
+    multi.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aWords = a.getString(4).split(' ')
+          val bWords = b.getString(4).split(' ')
+          if (aWords.length == 64) // full window: 16-token overlap
+            assert(aWords.drop(48).sameElements(bWords.take(16)))
+        case _ => ()
+      }
+    }
+  }
+
+  test("adaptive gate: keeps exactly the top half per source by rank") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    val rows = spark.sql(PipelineOps.adaptiveGateSql(TA.SparkDialect))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val cnt = rs.length
+      val kept = rs.filter(_.getInt(4) == 1)
+      assert(kept.length == (cnt + 1) / 2, s"$src kept ${kept.length}/$cnt")
+      // every kept quality >= every dropped quality (rank threshold)
+      val minKept = kept.map(_.getDouble(2)).min
+      val dropped = rs.filter(_.getInt(4) == 0)
+      if (dropped.nonEmpty)
+        assert(dropped.map(_.getDouble(2)).max <= minKept + 1e-12)
+    }
+  }
 }
