@@ -274,33 +274,7 @@ object Dedup {
       .select(col("id"), col("hs"),
         T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band keys in ONE UDF pass per row: the expression form (`bands`
-    // slice+hash Catalyst expressions) re-copies the signature array
-    // per band. The key is any 64-bit hash of the band's r signature
-    // slots — equal slices always collide regardless of the hash fn,
-    // and unequal-slice collisions only ADD candidates that exact
-    // verification removes, so the hash choice never affects output.
-    val bandKeysU = udf((sig: Seq[Long]) => {
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var h = graft.functions.TextHash.FnvOffset
-        var k = b * r
-        while (k < (b + 1) * r) {
-          val v = sig(k)
-          var byteI = 0
-          while (byteI < 8) {
-            h ^= (v >>> (byteI * 8)) & 0xffL
-            h *= graft.functions.TextHash.FnvPrime
-            byteI += 1
-          }
-          k += 1
-        }
-        out(b) = h
-        b += 1
-      }
-      out
-    })
+    val bandKeysU = bandKeysUdf(bands, r)
     // Candidate pairs via the band-key self-join: the exchange is
     // REUSED across both sides (one shuffle of 8-byte keys) and pair
     // expansion streams as join output rows. A groupBy+collect_list
@@ -341,6 +315,98 @@ object Dedup {
       .select(col("i"), col("j"),
         jaccardHashedU(col("sa"), col("sb")).as("jac"))
       .where(col("jac") >= tau)
+  }
+
+  /** Band keys in ONE UDF pass per row: the expression form (`bands`
+    * slice+hash Catalyst expressions) re-copies the signature array
+    * per band. The key is any 64-bit hash of the band's r signature
+    * slots — equal slices always collide regardless of the hash fn,
+    * and unequal-slice collisions only ADD candidates that exact
+    * verification removes, so the hash choice never affects output.
+    */
+  private def bandKeysUdf(bands: Int, r: Int) = udf((sig: Seq[Long]) => {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = graft.functions.TextHash.FnvOffset
+      var k = b * r
+      while (k < (b + 1) * r) {
+        val v = sig(k)
+        var byteI = 0
+        while (byteI < 8) {
+          h ^= (v >>> (byteI * 8)) & 0xffL
+          h *= graft.functions.TextHash.FnvPrime
+          byteI += 1
+        }
+        k += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  })
+
+  /** Incremental (cross-corpus) near-dup detection: which `incoming`
+    * documents near-duplicate something already in `existing`? The
+    * ingest-time dedup shape — a new crawl batch lands and must be
+    * checked against the accumulated corpus WITHOUT re-pairing the
+    * corpus with itself.
+    *
+    * Same MinHash-LSH machinery as [[minhashDupPairs]], but the band
+    * join is incoming-bands ⋈ existing-bands (no self-join): the
+    * existing corpus is touched only through its band-key relation —
+    * the piece a production pipeline persists once as the "dedup
+    * index" and appends to per batch — and the shuffled payload is
+    * 8-byte keys. Candidates then verify exactly on hashed shingles,
+    * so output = the exact cross-Jaccard pairs at `tau` (up to banding
+    * recall, ~1 for tau >= 0.5 at 64x2). A small batch's band keys
+    * broadcast: AQE picks the broadcast side automatically.
+    *
+    * Output: (new_id, old_id, jac), one row per cross pair.
+    */
+  def crossCorpusDupPairs(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 64, tau: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def sigSets(df: DataFrame) =
+      hashedShingleSetsShared(df, idCol, textCol, n)
+        .where(size(col("hs")) > 0)
+        .select(col("id"), col("hs"),
+          T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val se = sigSets(existing)
+    val si = sigSets(incoming)
+    val bk = bandKeysUdf(bands, r)
+    def bandRel(sets: DataFrame, idOut: String) = sets.select(
+      col("id").as(idOut), posexplode(bk(col("sig"))).as(Seq("band", "bkey")))
+    val cands = bandRel(si, "new_id")
+      .join(bandRel(se, "old_id"), Seq("band", "bkey"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val estTau = math.max(0.0,
+      tau - math.sqrt(math.log(1e7) / (2.0 * numHashes)))
+    cands
+      .join(si.select(col("id").as("new_id"), col("hs").as("sa"),
+        col("sig").as("ga")), "new_id")
+      .join(se.select(col("id").as("old_id"), col("hs").as("sb"),
+        col("sig").as("gb")), "old_id")
+      .where(sigMatchFrac(col("ga"), col("gb")) >= estTau)
+      .select(col("new_id"), col("old_id"),
+        jaccardHashedU(col("sa"), col("sb")).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** The surviving half of [[crossCorpusDupPairs]]: `incoming` rows
+    * whose document does NOT near-duplicate the existing corpus — a
+    * left-anti join on the pair set, all distributed.
+    */
+  def dedupAgainst(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 64, tau: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val dups = crossCorpusDupPairs(existing, incoming, idCol, textCol,
+      n, numHashes, bands, tau, seed)
+      .select(col("new_id").as(idCol)).distinct()
+    incoming.join(dups, Seq(idCol), "left_anti")
   }
 
   // fraction of equal slots between two equal-length minhash signatures

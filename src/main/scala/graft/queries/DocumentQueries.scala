@@ -82,6 +82,21 @@ object DocumentQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy($"doc_id")),
 
+    // Incremental ingest dedup: a new batch (doc_id % 5 == 0) checked
+    // against the accumulated corpus (the rest) — cross-corpus
+    // MinHash-LSH banding + exact verification, no corpus self-join.
+    // Oracle: exact cross-side Jaccard pairs (banding recall ~1 at
+    // tau=0.5 with 64x2, as with q_minhash_dups).
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusDupPairs(
+        existing = d.where($"doc_id" % 5 =!= 0),
+        incoming = d.where($"doc_id" % 5 === 0),
+        "doc_id", "text", n = 3, tau = 0.5)
+        .select($"new_id", $"old_id", round($"jac", 3).as("jac"))
+        .orderBy($"new_id", $"old_id")
+    }),
+
     // SimHash near-dup pairs, oracled by a full DuckDB restatement of
     // the FNV-1a + bit-vote construction (see simhashOracle below).
     "q_simhash_dups" -> ((s, dir) =>
@@ -404,6 +419,24 @@ object DocumentQueries {
         |ON md5(d.text) = g.h ORDER BY d.doc_id""".stripMargin,
     "q_jaccard_dups" -> jaccardOracle,
     "q_minhash_dups" -> jaccardOracle,
+    // cross-side restatement of jaccardOracle: incoming (doc_id%5=0)
+    // paired only against the existing corpus (the rest)
+    "q_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+        |  GROUP BY 1, 2)
+        |SELECT new_id, old_id, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 3) AS jac
+        |FROM pairs JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = old_id
+        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+        |ORDER BY new_id, old_id""".stripMargin,
     "q_dedup_components" -> componentsOracleSql,
     "q_simhash_dups" -> simhashOracle,
     "q_multimodal_features" -> multimodalOracle,

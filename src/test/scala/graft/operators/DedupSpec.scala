@@ -189,4 +189,28 @@ class DedupSpec extends SparkSuite {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("crossCorpusDupPairs matches the cross slice of exact pairs") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val incoming = corpus.where($"doc_id" % 5 === 0)
+    val existing = corpus.where($"doc_id" % 5 =!= 0)
+    val cross = Dedup.crossCorpusDupPairs(existing, incoming,
+      "doc_id", "text", n = 3, tau = 0.5)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    // ground truth: full exact pair set restricted to cross-side pairs
+    val full = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      tau = 0.5).select($"i", $"j").as[(Long, Long)].collect()
+    val expected = full.flatMap { case (i, j) =>
+      if (i % 5 == 0 && j % 5 != 0) Some((i, j))
+      else if (j % 5 == 0 && i % 5 != 0) Some((j, i))
+      else None
+    }.toSet
+    assert(cross === expected)
+    assert(cross.nonEmpty, "fixture should contain cross-side dups")
+    // survivors = incoming minus flagged new ids, nothing else dropped
+    val survivors = Dedup.dedupAgainst(existing, incoming, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val incomingIds = incoming.select($"doc_id").as[Long].collect().toSet
+    assert(survivors === incomingIds -- cross.map(_._1))
+  }
 }
