@@ -513,6 +513,60 @@ object Dedup {
       .where(col("cd") <= tau)
   }
 
+  /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest anchor
+    * (= cluster), then within each cluster drop the larger id of every
+    * near-dup pair at cos_dist <= eps, keeping one representative per
+    * duplicate neighborhood. Reference capability analog: the
+    * reference's k-means machinery (`lantern_cli/src/pq/kmeans.rs`)
+    * clusters for PQ; SemDeDup is the same partition-then-compare idea
+    * applied to dedup.
+    *
+    * `anchors` plays the role of the k-means centroid set. It is
+    * collected to the driver — BY CONTRACT a bounded model (k rows,
+    * like ProductQuantizer's <= 256 centroids), NOT data — and
+    * broadcast inside a `transform` lambda, so cluster assignment is a
+    * pure projection over the scan: ZERO shuffle. The only exchange in
+    * the whole operator is the within-cluster self-join, and SemDeDup's
+    * premise is that k scales with corpus size (k ~ sqrt(n)) so
+    * clusters stay small and the per-cluster quadratic stays bounded.
+    *
+    * Output: (id, cluster, keep) — keep=0 iff some smaller-id member of
+    * the same cluster is within eps.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      anchors: DataFrame, anchorIdCol: String, anchorVecCol: String,
+      eps: Double): DataFrame = {
+    val V = graft.functions.VectorFunctions
+    val anchorRows = anchors
+      .select(col(anchorIdCol).cast("long"), col(anchorVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(anchorRows.nonEmpty, "anchor set must be non-empty")
+    val anchLit = typedlit(anchorRows)
+    // nearest anchor = array_min over (dist, aid) structs: struct
+    // ordering is lexicographic, so exact-distance ties break on the
+    // smaller anchor id — the same total order the SQL oracle's
+    // row_number() window uses.
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("m", array_min(transform(anchLit,
+        a => struct(V.cos_dist(col("v"), a.getField("_2")).as("d"),
+          a.getField("_1").as("aid")))))
+      .select(col("id"), col("v"), col("m.aid").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id") &&
+          V.cos_dist(col("a.v"), col("b.v")) <= eps)
+      .select(col("b.id").as("id")).distinct()
+    assigned.select(col("id"), col("cluster"))
+      .join(dropped.withColumn("drp", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("drp").isNotNull, lit(0)).otherwise(lit(1))
+          .cast("int").as("keep"))
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (columns i, j) — the duplicate-CLUSTER view of the pair output:
     * every vertex maps to its component's minimum id, the canonical

@@ -168,6 +168,20 @@ object VectorQueries {
       graft.operators.Autotune.toDF(s, res).orderBy($"experiment_id")
     }),
 
+    // SemDeDup (embedding-cluster dedup): nearest-anchor clustering
+    // (anchors = vec_id < 8, the bounded "centroid model") then
+    // within-cluster cosine near-dup removal at eps=0.55. Assignment
+    // is a shuffle-free projection; the only exchange is the
+    // per-cluster self-join.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Dedup.semDedup(emb, "vec_id", "embedding",
+        anchors = emb.where($"vec_id" < 8), "vec_id", "embedding",
+        eps = 0.55)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy($"vec_id")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -191,6 +205,29 @@ object VectorQueries {
        |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // full restatement of semDedup: nearest-anchor assignment via a
+    // row_number window ordered by (cos_dist, anchor id) — the same
+    // total order as the Spark side's array_min over (d, aid) structs —
+    // then within-cluster pair drop at the same eps
+    "q_semdedup" ->
+      s"""WITH anch AS (
+         |  SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |  WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, aid AS cluster, v FROM (
+         |    SELECT e.vec_id, a.aid, e.embedding AS v,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos("e.embedding", "a.av")}, a.aid) AS rk
+         |    FROM embeddings e CROSS JOIN anch a) _x
+         |  WHERE rk = 1),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id FROM asg x JOIN asg b
+         |  ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+         |  WHERE ${dkCos("x.v", "b.v")} <= 0.55)
+         |SELECT asg.vec_id, asg.cluster,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM asg LEFT JOIN drp d ON asg.vec_id = d.vec_id
+         |ORDER BY asg.vec_id""".stripMargin,
     "q_sign_hamming" ->
       """WITH sg AS (
         |  SELECT vec_id,

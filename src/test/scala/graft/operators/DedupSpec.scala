@@ -213,4 +213,41 @@ class DedupSpec extends SparkSuite {
     val incomingIds = incoming.select($"doc_id").as[Long].collect().toSet
     assert(survivors === incomingIds -- cross.map(_._1))
   }
+
+  test("semDedup: drops exactly the non-min members of near-dup pairs") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Dedup.semDedup(emb, "vec_id", "embedding",
+      anchors = emb.where($"vec_id" < 8), "vec_id", "embedding",
+      eps = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == emb.count())
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    val keep = out.map(t => t._1 -> t._3).toMap
+    // recompute ground truth with the exact pair primitive, restricted
+    // to same-cluster pairs
+    val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+      tau = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (i, j) => cluster(i) == cluster(j) }
+    val expectedDrops = pairs.map(_._2).toSet
+    assert(out.filter(_._3 == 0).map(_._1).toSet === expectedDrops)
+    assert(expectedDrops.nonEmpty, "fixture should contain emb dups")
+    // every vector is assigned to its genuinely nearest anchor
+    val anchors = emb.where($"vec_id" < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      1 - dot / math.sqrt(na * nb)
+    }
+    emb.collect().foreach { r =>
+      val id = r.getLong(0); val v = r.getSeq[Float](1).toArray
+      val best = anchors.map { case (aid, av) => (cos(v, av), aid) }.min._2
+      assert(cluster(id) == best, s"vec $id assigned ${cluster(id)} != $best")
+    }
+    assert(keep.values.count(_ == 0) > 0)
+  }
 }
