@@ -199,6 +199,77 @@ object PipelineOps {
        |  FROM ${TextAnalysis.qualityScored(d, table, "doc_id, source")}) _r
        |ORDER BY doc_id""".stripMargin
 
+  /** Generator over the inclusive range `[lo, hi]` in a select list. */
+  private def explodeSeq(d: Dialect, lo: String, hi: String): String =
+    if (d == SparkDialect) s"explode(sequence($lo, $hi))"
+    else s"unnest(range($lo, ($hi) + 1))"
+
+  /** 1-based array element access. */
+  private def elemAt(d: Dialect, arr: String, i: String): String =
+    if (d == SparkDialect) s"element_at($arr, $i)" else s"$arr[$i]"
+
+  /** CC-Net-style n-gram LM quality scoring (Wenzek et al. 2020): fit a
+    * word-bigram language model with add-one smoothing on a fixed
+    * training slice (doc_id % 10 < 3 — in production, a known-clean
+    * corpus like Wikipedia), then score EVERY document by its mean
+    * negative log-likelihood under that model; low-perplexity documents
+    * look like the clean slice, high-perplexity ones are filtered.
+    *
+    * Cross-engine exactness: each bigram's log-prob is quantized to an
+    * integer number of 1e-4 nats BEFORE aggregation —
+    * `floor(ln(p)*1e4 + 0.5)` as BIGINT — so the per-document sum is
+    * exact integer arithmetic and immune to both engines' float
+    * summation order; the mean divides two integers identically at the
+    * end. (Summing raw doubles would hash-diverge: Spark and DuckDB
+    * aggregate in different orders.)
+    *
+    * Scale shape: two groupBy aggregations over the train-slice bigram
+    * stream (partial-agg'd word counts), then two equi-joins of the
+    * corpus bigram stream against those counts — the model IS a
+    * DataFrame, never driver-resident, so a trillion-bigram count table
+    * shards like any other relation. AQE broadcasts the counts when
+    * they are small.
+    */
+  def lmPerplexitySql(d: Dialect, table: String = "documents"): String = {
+    // MATERIALIZED stops DuckDB's CTE inlining from re-expanding the
+    // bigram pipeline once per reference (train is referenced 3x);
+    // Spark SQL has no such keyword and reuses exchanges on its own.
+    val mat = if (d == SparkDialect) "" else " MATERIALIZED"
+    s"""WITH big AS$mat (
+       |${bigramStream(d, table)}),
+       |train AS$mat (SELECT * FROM big WHERE doc_id % 10 < 3),
+       |c2 AS (SELECT w1, w2, count(*) AS n2 FROM train GROUP BY w1, w2),
+       |c1 AS (SELECT w1, count(*) AS n1 FROM train GROUP BY w1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM (
+       |  SELECT w1 AS w FROM train UNION ALL SELECT w2 AS w FROM train) _u)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  floor(-CAST(sum(qq) AS DOUBLE) / count(*) + 0.5) / 10000 AS nll
+       |FROM (
+       |  SELECT b.doc_id,
+       |    CAST(floor(ln(
+       |      (CAST(COALESCE(c2.n2, 0) + 1 AS DOUBLE)) /
+       |      (CAST(COALESCE(c1.n1, 0) + vocab.v AS DOUBLE))
+       |    ) * 10000 + 0.5) AS BIGINT) AS qq
+       |  FROM big b
+       |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+       |  LEFT JOIN c1 ON b.w1 = c1.w1
+       |  CROSS JOIN vocab
+       |) _s
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Adjacent word pairs of every document: (doc_id, w1, w2) rows. */
+  private def bigramStream(d: Dialect, table: String): String =
+    s"""SELECT doc_id, ${elemAt(d, "w", "i - 1")} AS w1,
+       |  ${elemAt(d, "w", "i")} AS w2
+       |FROM (
+       |  SELECT doc_id, w, ${explodeSeq(d, "2", s"${d.size}(w)")} AS i
+       |  FROM (
+       |    SELECT doc_id, ${d.split}(trim(text), ' ') AS w
+       |    FROM $table WHERE ${d.size}(${d.split}(trim(text), ' ')) >= 2
+       |      AND length(trim(text)) > 0) _w) _p""".stripMargin
+
   /** PII redaction: mask digit runs (ids, phone-like tokens) and count
     * email-shaped tokens, per row — the pre-training scrub pass. Pure
     * regex (no backslash classes — the two parsers' escaping rules

@@ -47,6 +47,11 @@ object PipelineQueries {
     "q_adaptive_gate" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.adaptiveGateSql(TA.SparkDialect))),
 
+    // CC-Net-style bigram-LM scoring: fit on the doc_id%10<3 slice,
+    // score every doc by mean NLL (integer 1e-4-nat aggregation).
+    "q_lm_perplexity" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.lmPerplexitySql(TA.SparkDialect))),
+
     // Duplicate clusters via alternating large-star/small-star — the
     // O(log² n)-round path for high-diameter dup graphs. Same pair
     // graph and same oracle as q_dedup_components (both converge to
@@ -68,6 +73,7 @@ object PipelineQueries {
     "q_pii_redact" -> PO.piiRedactSql(TA.DuckDialect),
     "q_chunk_docs" -> PO.chunkSql(TA.DuckDialect),
     "q_adaptive_gate" -> PO.adaptiveGateSql(TA.DuckDialect),
+    "q_lm_perplexity" -> PO.lmPerplexitySql(TA.DuckDialect),
     "q_dedup_components_lss" -> DocumentQueries.componentsOracleSql
   )
 }

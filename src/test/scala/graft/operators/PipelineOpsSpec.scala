@@ -138,6 +138,26 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("lm perplexity: train slice scores no worse than held-out; " +
+      "nll bounded by smoothing floor") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    val rows = spark.sql(PipelineOps.lmPerplexitySql(TA.SparkDialect))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // every scored doc has >= 1 bigram and a positive, finite nll
+    rows.foreach { case (id, n, nll) =>
+      assert(n >= 1, s"doc $id")
+      assert(nll > 0 && nll < 100, s"doc $id nll=$nll")
+    }
+    // the model must fit its own training slice at least as well as
+    // unseen docs on average (a broken join would flatten this)
+    val (tr, te) = rows.partition(_._1 % 10 < 3)
+    val trMean = tr.map(_._3).sum / tr.length
+    val teMean = te.map(_._3).sum / te.length
+    assert(trMean <= teMean, s"train $trMean > heldout $teMean")
+  }
+
   test("adaptive gate: keeps exactly the top half per source by rank") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     docs.createOrReplaceTempView("documents")
