@@ -367,31 +367,56 @@ object Dedup {
   def crossCorpusDupPairs(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
       bands: Int = 64, tau: Double = 0.5, seed: Long = 42L): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     def sigSets(df: DataFrame) =
-      hashedShingleSetsShared(df, idCol, textCol, n)
-        .where(size(col("hs")) > 0)
-        .select(col("id"), col("hs"),
-          T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
+      signatureSets(df, idCol, textCol, n, numHashes, seed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val se = sigSets(existing)
-    val si = sigSets(incoming)
-    val bk = bandKeysUdf(bands, r)
+    dupPairsFromSets(sigSets(incoming), sigSets(existing),
+      "new_id", "old_id", numHashes, bands, tau, selfJoin = false)
+  }
+
+  /** The (id, hs, sig) relation minhash dedup runs on: pre-hashed
+    * shingle sets plus the MinHash signature, shingle-less docs
+    * dropped. This IS the persistable "dedup index" schema — a
+    * streaming/incremental pipeline appends these rows per batch and
+    * joins new batches against them (see
+    * [[graft.streaming.NearDupStream]]).
+    */
+  def signatureSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, seed: Long = 42L): DataFrame =
+    hashedShingleSetsShared(df, idCol, textCol, n)
+      .where(size(col("hs")) > 0)
+      .select(col("id"), col("hs"),
+        T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
+
+  /** Core LSH pair machinery over precomputed signature-set relations:
+    * band-key equi-join (left row id emitted as `leftIdOut`, right as
+    * `rightIdOut`), Hoeffding signature prefilter, exact hashed-shingle
+    * Jaccard verification at `tau`. With `selfJoin` the left relation
+    * is paired with itself under id < id ordering.
+    */
+  private[graft] def dupPairsFromSets(left: DataFrame, right: DataFrame,
+      leftIdOut: String, rightIdOut: String, numHashes: Int, bands: Int,
+      tau: Double, selfJoin: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val bk = bandKeysUdf(bands, numHashes / bands)
     def bandRel(sets: DataFrame, idOut: String) = sets.select(
       col("id").as(idOut), posexplode(bk(col("sig"))).as(Seq("band", "bkey")))
-    val cands = bandRel(si, "new_id")
-      .join(bandRel(se, "old_id"), Seq("band", "bkey"))
-      .select(col("new_id"), col("old_id")).distinct()
+    val lRel = bandRel(left, leftIdOut)
+    val rRel = bandRel(if (selfJoin) left else right, rightIdOut)
+    val joined = lRel.join(rRel, Seq("band", "bkey"))
+    val cands = (if (selfJoin)
+        joined.where(col(leftIdOut) < col(rightIdOut)) else joined)
+      .select(col(leftIdOut), col(rightIdOut)).distinct()
     val estTau = math.max(0.0,
       tau - math.sqrt(math.log(1e7) / (2.0 * numHashes)))
     cands
-      .join(si.select(col("id").as("new_id"), col("hs").as("sa"),
-        col("sig").as("ga")), "new_id")
-      .join(se.select(col("id").as("old_id"), col("hs").as("sb"),
-        col("sig").as("gb")), "old_id")
+      .join(left.select(col("id").as(leftIdOut), col("hs").as("sa"),
+        col("sig").as("ga")), leftIdOut)
+      .join((if (selfJoin) left else right)
+        .select(col("id").as(rightIdOut), col("hs").as("sb"),
+          col("sig").as("gb")), rightIdOut)
       .where(sigMatchFrac(col("ga"), col("gb")) >= estTau)
-      .select(col("new_id"), col("old_id"),
+      .select(col(leftIdOut), col(rightIdOut),
         jaccardHashedU(col("sa"), col("sb")).as("jac"))
       .where(col("jac") >= tau)
   }
