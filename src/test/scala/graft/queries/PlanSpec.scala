@@ -141,4 +141,44 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"))
   }
+
+  test("chunking is shuffle-free (scan -> generate, no exchange)") {
+    // the final orderBy is presentation-only; strip the top sort by
+    // planning the query body pre-sort via its physical plan: assert
+    // the only Exchange (if any) is the range partitioning for that
+    // sort, and no hash-partitioning exchange exists
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$p")
+    assert(p.contains("Generate explode") || p.contains("Generate "),
+      "chunk windows come from one generator")
+  }
+
+  test("adaptive gate shuffles once, on source (the writer partitioning)") {
+    val p = plan("q_adaptive_gate")
+    assert("hashpartitioning\\(source".r.findAllIn(p).size >= 1)
+    // scoring happens before the window: no second hash exchange key
+    assert(!"hashpartitioning\\(doc_id".r.findAllIn(p).hasNext,
+      s"no per-doc shuffle expected:\n$p")
+  }
+
+  test("semdedup cluster assignment is a pure projection (no join/shuffle " +
+      "before the cluster self-join)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val assigned = graft.operators.Dedup.semDedup(emb, "vec_id",
+      "embedding", emb.where(emb("vec_id") < 8), "vec_id", "embedding",
+      eps = 0.55)
+    val p = assigned.queryExecution.executedPlan.toString
+    // anchor model is a literal, not a joined relation: exactly the
+    // exchanges of the self-join + final left join appear, and no
+    // BroadcastNestedLoopJoin (which a cross-join assignment would use)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must not cross-join anchors:\n$p")
+  }
+
+  test("lm scoring aggregates counts partially before every exchange") {
+    val p = plan("q_lm_perplexity")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"bigram counts need map-side combine:\n$p")
+  }
 }
