@@ -52,6 +52,30 @@ object PipelineQueries {
     "q_lm_perplexity" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.lmPerplexitySql(TA.SparkDialect))),
 
+    // Capstone composite — the full prepare-training-corpus pipeline:
+    // Gopher rule gate → MinHash near-dup removal (keep min id) →
+    // deterministic domain mixing → sequence packing, one call. Each
+    // stage is the registry operator's exact machinery; the oracle
+    // restates the whole chain in DuckDB (with exact Jaccard standing
+    // in for MinHash, recall ~1 at tau=0.5 as with q_minhash_dups).
+    "q_prepare_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      docs.createOrReplaceTempView("documents")
+      val gateIds = s.sql(PO.gopherQualitySql(TA.SparkDialect))
+        .where($"keep" === 1).select($"doc_id")
+      val gated = docs.join(gateIds, "doc_id")
+        .select($"doc_id", $"source", $"text")
+      val dropIds = Dedup.minhashDupPairs(gated, "doc_id", "text",
+        tau = 0.5).select($"j".as("doc_id")).distinct()
+      val surv = gated.join(dropIds, Seq("doc_id"), "left_anti")
+      surv.createOrReplaceTempView("prep_surv")
+      val mixIds = s.sql(PO.domainMixSql(TA.SparkDialect, "prep_surv"))
+        .select($"doc_id")
+      surv.join(mixIds, "doc_id").createOrReplaceTempView("prep_mixed")
+      s.sql(PO.seqPackSql(TA.SparkDialect, "prep_mixed"))
+    }),
+
     // Duplicate clusters via alternating large-star/small-star — the
     // O(log² n)-round path for high-diameter dup graphs. Same pair
     // graph and same oracle as q_dedup_components (both converge to
@@ -66,7 +90,44 @@ object PipelineQueries {
     })
   )
 
+  /** Full-chain DuckDB restatement of q_prepare_corpus: gate CTE →
+    * exact-Jaccard drop set → survivor mix → packing, with the same
+    * dialect templates the Spark side runs where one exists.
+    */
+  private val prepareOracle: String = {
+    val gopher = PO.gopherQualitySql(TA.DuckDialect)
+    val mix = PO.domainMixSql(TA.DuckDialect, "prep_surv")
+    val pack = PO.seqPackSql(TA.DuckDialect, "prep_mixed")
+    s"""WITH gate AS ($gopher),
+       |gated AS (
+       |  SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN gate ON d.doc_id = gate.doc_id WHERE gate.keep = 1),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM gated),
+       |sh AS (SELECT DISTINCT doc_id, g FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+       |  FROM w WHERE len(ws) >= 3) _s),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |prs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT j FROM prs JOIN cnt ca ON ca.doc_id = i
+       |  JOIN cnt cb ON cb.doc_id = j
+       |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+       |prep_surv AS (
+       |  SELECT g.* FROM gated g LEFT JOIN dropped ON g.doc_id = dropped.j
+       |  WHERE dropped.j IS NULL),
+       |mixsel AS ($mix),
+       |prep_mixed AS (
+       |  SELECT s.doc_id, s.source, s.text FROM prep_surv s
+       |  JOIN mixsel ON s.doc_id = mixsel.doc_id)
+       |$pack""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_prepare_corpus" -> prepareOracle,
     "q_gopher_quality" -> PO.gopherQualitySql(TA.DuckDialect),
     "q_seq_pack" -> PO.seqPackSql(TA.DuckDialect),
     "q_domain_mix" -> PO.domainMixSql(TA.DuckDialect),
