@@ -168,6 +168,26 @@ object VectorQueries {
       graft.operators.Autotune.toDF(s, res).orderBy($"experiment_id")
     }),
 
+    // kNN-graph via the IVF index — the SCALE path for graph
+    // construction the brute-force q_knn_graph documents: queries are
+    // the slice itself, cells prune the scan per probe batch. Full
+    // probe here so the exact-graph oracle applies (as q_ivf_knn);
+    // production drops nprobe for the recall/cost trade.
+    "q_knn_graph_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val sub = emb.where($"label" === 0)
+      val model = graft.operators.IvfIndex.build(
+        sub, "vec_id", "embedding", nCells = 8, maxIter = 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"rank")
+      graft.operators.IvfIndex.search(model, sub, k = 4, nprobe = 8)
+        .where($"nid" =!= $"qid")
+        .select($"qid", $"nid", row_number().over(w).as("rnk"),
+          round($"dist", 4).as("dist"))
+        .where($"rnk" <= 3)
+        .orderBy($"qid", $"rnk")
+    }),
+
     // SemDeDup (embedding-cluster dedup): nearest-anchor clustering
     // (anchors = vec_id < 8, the bounded "centroid model") then
     // within-cluster cosine near-dup removal at eps=0.55. Assignment
@@ -203,6 +223,19 @@ object VectorQueries {
        |  FROM scored)
        |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
        |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin
+
+  private lazy val knnGraphOracle: String =
+    s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |         ${dkL2sq("b.embedding", "a.embedding")} AS d
+       |  FROM s a, s b WHERE b.vec_id != a.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, d,
+       |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rk AS INT) AS rnk, round(d, 4) AS dist
+       |FROM ranked WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // full restatement of semDedup: nearest-anchor assignment via a
@@ -280,18 +313,10 @@ object VectorQueries {
          |  FROM scored)
          |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rank""".stripMargin,
-    "q_knn_graph" ->
-      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
-         |scored AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |         ${dkL2sq("b.embedding", "a.embedding")} AS d
-         |  FROM s a, s b WHERE b.vec_id != a.vec_id),
-         |ranked AS (
-         |  SELECT qid, nid, d,
-         |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
-         |  FROM scored)
-         |SELECT qid, nid, CAST(rk AS INT) AS rnk, round(d, 4) AS dist
-         |FROM ranked WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // q_knn_graph_ivf shares the exact-graph oracle: full probe makes
+    // the IVF result identical to brute force (as q_ivf_knn).
+    "q_knn_graph_ivf" -> knnGraphOracle,
+    "q_knn_graph" -> knnGraphOracle,
     "q_knn_recall" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |l2 AS (
