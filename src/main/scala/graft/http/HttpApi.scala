@@ -189,6 +189,36 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
           }
         }
 
+      // Near-dup removal over a text column: MinHash pair discovery +
+      // keep-min survivors, registered as "<name>_dedup" — the REST
+      // face of the dedup job kind. Body: {"text_column":"text",
+      // "id_column":"doc_id","tau":0.5}.
+      case ("POST", List("collections", name, "dedup")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val textCol = jsonField(body, "text_column").getOrElse("text")
+          val idCol = jsonField(body, "id_column").getOrElse("doc_id")
+          val tau = jsonField(body, "tau").map(_.toDouble).getOrElse(0.5)
+          if (!df.columns.contains(textCol) || !df.columns.contains(idCol))
+            respond(ex, 400,
+              s"""{"error":"need columns $idCol and $textCol"}""")
+          else if (tau <= 0 || tau > 1)
+            respond(ex, 400, """{"error":"tau must be in (0, 1]"}""")
+          else {
+            val pairs = graft.operators.Dedup.minhashDupPairs(
+              df, idCol, textCol, tau = tau)
+            val dupIds = pairs.select(pairs("j").as(idCol)).distinct()
+            val survivors = df.join(dupIds, Seq(idCol), "left_anti")
+            survivors.createOrReplaceTempView(s"${name}_dedup")
+            val nDups = dupIds.count()
+            respond(ex, 200,
+              s"""{"survivors":"${name}_dedup","dropped":$nDups,
+                 |"rows":${df.count() - nDups}}""".stripMargin
+                .replace("\n", ""))
+          }
+        }
+
       case ("GET", List("collections", name)) =>
         tableOr404(ex, name).foreach { df =>
           val cols = df.schema.fields.map(f =>

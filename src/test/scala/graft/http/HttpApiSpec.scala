@@ -111,6 +111,23 @@ class HttpApiSpec extends SparkSuite {
       """{"query":"table"}""").statusCode() === 400)
   }
 
+  test("POST /collections/{name}/dedup removes near-dups and registers " +
+      "the survivor view") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_dedup_api")
+    val r = post("/collections/docs_dedup_api/dedup", """{"tau":0.5}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"survivors\":\"docs_dedup_api_dedup\""))
+    val surv = spark.table("docs_dedup_api_dedup")
+    val total = spark.table("docs_dedup_api").count()
+    assert(surv.count() < total) // fixture has planted dups
+    // parameter validation
+    assert(post("/collections/docs_dedup_api/dedup",
+      """{"tau":1.5}""").statusCode() === 400)
+    assert(post("/collections/docs_dedup_api/dedup",
+      """{"text_column":"nope"}""").statusCode() === 400)
+  }
+
   test("POST /collections/{name}/pq runs the PQ pipeline") {
     val r = post("/collections/embeddings/pq",
       """{"clusters":8,"splits":4}""")
