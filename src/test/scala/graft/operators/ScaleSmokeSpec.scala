@@ -108,4 +108,29 @@ class ScaleSmokeSpec extends SparkSuite {
     assert(recall >= 0.6)
     vecs.unpersist()
   }
+
+  test("incremental dedup: a 1k batch joins a 20k index sub-quadratically") {
+    // existing = the 20k base corpus; incoming = 1k fresh docs of which
+    // 50 near-dup existing docs (the planted 100k+i variants)
+    corpus.count()
+    val existing = corpus.where($"doc_id" < 100000L)
+    val incoming = corpus.where($"doc_id" >= 100000L)
+      .union(existing.where($"doc_id" >= 19000)
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          concat($"text", lit(" FRESHTAIL")).as("text")))
+    val t0 = System.nanoTime()
+    val flagged = Dedup.crossCorpusDupPairs(existing, incoming,
+      "doc_id", "text", tau = 0.5)
+      .select($"new_id").distinct().as[Long].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    // every planted variant is flagged against its original
+    val planted = (0 until 50).map(i => 100000L + i).toSet
+    assert(planted.subsetOf(flagged),
+      s"missing ${planted.diff(flagged).size} planted cross-dups")
+    // the +500000 rewrites share all but one shingle with originals —
+    // they near-dup the existing corpus too; nothing else may appear
+    assert(flagged.forall(id => id >= 100000L))
+    info(f"cross-corpus dedup 1k vs 20k: $secs%.1f s")
+    assert(secs < 60.0)
+  }
 }
