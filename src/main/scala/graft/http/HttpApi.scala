@@ -53,6 +53,10 @@ import graft.operators.Knn
   */
 class HttpApi(spark: SparkSession, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // survivor views created by /dedup, so a re-run on the same
+  // collection releases the previous view's cached blocks
+  private val dedupViews =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -206,16 +210,31 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
           else if (tau <= 0 || tau > 1)
             respond(ex, 400, """{"error":"tau must be in (0, 1]"}""")
           else {
-            val pairs = graft.operators.Dedup.minhashDupPairs(
-              df, idCol, textCol, tau = tau)
-            val dupIds = pairs.select(pairs("j").as(idCol)).distinct()
-            val survivors = df.join(dupIds, Seq(idCol), "left_anti")
-            survivors.createOrReplaceTempView(s"${name}_dedup")
-            val nDups = dupIds.count()
-            respond(ex, 200,
-              s"""{"survivors":"${name}_dedup","dropped":$nDups,
-                 |"rows":${df.count() - nDups}}""".stripMargin
-                .replace("\n", ""))
+            // own the caching explicitly (shared = false): the global
+            // shingle memo would pin one relation per distinct
+            // collection in this long-lived server. The survivor view
+            // is persisted + materialized so later SELECTs read the
+            // cache instead of re-running the LSH join (lineage stays
+            // intact — eviction degrades to recompute, not failure);
+            // re-running dedup on the same name releases the previous
+            // view's cache first.
+            val D = graft.operators.Dedup
+            val sets = D.signatureSets(df, idCol, textCol,
+              shared = false).persist()
+            try {
+              val dupIds = D.dupPairsFromSets(sets, sets, "i", "j",
+                numHashes = 128, bands = 64, tau = tau, selfJoin = true)
+                .select(col("j").as(idCol)).distinct()
+              val survivors = df.join(dupIds, Seq(idCol), "left_anti")
+                .persist()
+              val rows = survivors.count() // materialize while sets cached
+              Option(dedupViews.put(name, survivors))
+                .foreach(_.unpersist())
+              survivors.createOrReplaceTempView(s"${name}_dedup")
+              respond(ex, 200,
+                s"""{"survivors":"${name}_dedup","dropped":${df.count() - rows},
+                   |"rows":$rows}""".stripMargin.replace("\n", ""))
+            } finally sets.unpersist()
           }
         }
 

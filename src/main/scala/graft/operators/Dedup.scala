@@ -259,62 +259,14 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 64,
       tau: Double = 0.5, seed: Long = 42L): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     // One persisted relation carries both the hashed shingles and the
-    // signature (computed from the SAME pre-hashed FNV-1a bases the
-    // string path would use — identical values, no string traffic).
-    // Shingle-less docs (< n words) are dropped BEFORE banding — they
-    // cannot be near-dups, and their all-Long.MaxValue signatures
-    // would otherwise band-collide with each other in every band,
-    // a quadratic blowup on short-doc-heavy corpora (the exact path
-    // has the same n_sh > 0 guard).
-    val sets = hashedShingleSetsShared(df, idCol, textCol, n)
-      .where(size(col("hs")) > 0)
-      .select(col("id"), col("hs"),
-        T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
+    // signature; the banding/prefilter/verification machinery is the
+    // SAME dupPairsFromSets code path the cross-corpus and streaming
+    // operators run — one implementation of the recall-critical logic.
+    val sets = signatureSets(df, idCol, textCol, n, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandKeysU = bandKeysUdf(bands, r)
-    // Candidate pairs via the band-key self-join: the exchange is
-    // REUSED across both sides (one shuffle of 8-byte keys) and pair
-    // expansion streams as join output rows. A groupBy+collect_list
-    // in-bucket expansion is one stage shorter but materializes a
-    // bucket's B²/2 pairs as a single array value in one row — a
-    // 50k-copy boilerplate cluster (dedup's target workload) would
-    // build a billion-struct array in one task. Streamed join rows
-    // spill; intra-row arrays don't.
-    val bandKeys = sets.select(col("id"),
-      posexplode(bandKeysU(col("sig"))).as(Seq("band", "bkey")))
-    val cands = bandKeys.as("a").join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
-    // Signature prefilter before the expensive shingle verification:
-    // the match fraction of the k signature slots estimates jac. The
-    // threshold backs off from tau by a Hoeffding margin sized for a
-    // <= 1e-7 false-drop probability per true pair:
-    //   delta = sqrt(ln(1e7) / (2k))  →  P[est < tau - delta | jac >=
-    //   tau] <= exp(-2·k·delta²) = 1e-7,
-    // negligible next to the banding miss itself. k=128, tau=0.5 →
-    // threshold 0.25. For small k the margin widens (k=16 → delta
-    // 0.71, threshold clamps to 0 and the filter is a no-op), so the
-    // "output identical to jaccardPairs" contract never degrades with
-    // caller-chosen numHashes. Low-jac band collisions (the bulk of
-    // candidates at small r) are dropped on the 1 KB signatures. Both
-    // checks run in one pair of joins (the And short-circuits, so
-    // jaccard is only computed on signature survivors).
-    val estTau = math.max(0.0,
-      tau - math.sqrt(math.log(1e7) / (2.0 * numHashes)))
-    cands
-      .join(sets.select(col("id").as("i"), col("hs").as("sa"),
-        col("sig").as("ga")), "i")
-      .join(sets.select(col("id").as("j"), col("hs").as("sb"),
-        col("sig").as("gb")), "j")
-      .where(sigMatchFrac(col("ga"), col("gb")) >= estTau)
-      .select(col("i"), col("j"),
-        jaccardHashedU(col("sa"), col("sb")).as("jac"))
-      .where(col("jac") >= tau)
+    dupPairsFromSets(sets, sets, "i", "j", numHashes, bands, tau,
+      selfJoin = true)
   }
 
   /** Band keys in ONE UDF pass per row: the expression form (`bands`
@@ -375,24 +327,55 @@ object Dedup {
   }
 
   /** The (id, hs, sig) relation minhash dedup runs on: pre-hashed
-    * shingle sets plus the MinHash signature, shingle-less docs
-    * dropped. This IS the persistable "dedup index" schema — a
-    * streaming/incremental pipeline appends these rows per batch and
-    * joins new batches against them (see
-    * [[graft.streaming.NearDupStream]]).
+    * shingle sets plus the MinHash signature (computed from the SAME
+    * FNV-1a bases the string path would use — identical values, no
+    * string traffic). Shingle-less docs (< n words) are dropped BEFORE
+    * banding — they cannot be near-dups, and their all-Long.MaxValue
+    * signatures would otherwise band-collide with each other in every
+    * band, a quadratic blowup on short-doc-heavy corpora.
+    *
+    * This IS the persistable "dedup index" schema — a streaming/
+    * incremental pipeline appends these rows per batch and joins new
+    * batches against them (see [[graft.streaming.NearDupStream]]).
+    *
+    * `shared = false` bypasses the session-global shingle memo AND its
+    * cache registration: a stream processing unbounded distinct
+    * micro-batches must not leave one pinned relation per batch behind
+    * (the memo is sized for a session's repeated batch corpora, not a
+    * stream's one-shot batches).
     */
   def signatureSets(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 128, seed: Long = 42L): DataFrame =
-    hashedShingleSetsShared(df, idCol, textCol, n)
-      .where(size(col("hs")) > 0)
+      n: Int = 3, numHashes: Int = 128, seed: Long = 42L,
+      shared: Boolean = true): DataFrame = {
+    val hs =
+      if (shared) hashedShingleSetsShared(df, idCol, textCol, n)
+      else hashedShingleSets(df.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+    hs.where(size(col("hs")) > 0)
       .select(col("id"), col("hs"),
         T.minhash_signature(col("hs"), numHashes, seed).as("sig"))
+  }
 
   /** Core LSH pair machinery over precomputed signature-set relations:
     * band-key equi-join (left row id emitted as `leftIdOut`, right as
     * `rightIdOut`), Hoeffding signature prefilter, exact hashed-shingle
     * Jaccard verification at `tau`. With `selfJoin` the left relation
     * is paired with itself under id < id ordering.
+    *
+    * Candidates stream as join output rows (the band-key exchange is
+    * reused across both sides; one shuffle of 8-byte keys). A
+    * groupBy+collect_list in-bucket expansion would be one stage
+    * shorter but materializes a bucket's B²/2 pairs as one array value
+    * in one row — streamed join rows spill; intra-row arrays don't.
+    *
+    * The signature prefilter runs before the expensive shingle
+    * verification: the match fraction of the k signature slots
+    * estimates jac, and the threshold backs off from tau by a
+    * Hoeffding margin sized for a <= 1e-7 false-drop probability per
+    * true pair: delta = sqrt(ln(1e7) / (2k)). k=128, tau=0.5 →
+    * threshold 0.25; for small k the margin widens until the filter is
+    * a no-op, so the "output identical to exact pairs" contract never
+    * degrades with caller-chosen numHashes.
     */
   private[graft] def dupPairsFromSets(left: DataFrame, right: DataFrame,
       leftIdOut: String, rightIdOut: String, numHashes: Int, bands: Int,

@@ -114,8 +114,12 @@ object AutotuneJobs {
 
     def cancel(id: Long): AutotuneState =
       update(id)(_.copy(canceledAt = Some(Instant.now().toString)))
+    // startedAt/progress must reset too: a job failed or canceled
+    // MID-RUN still carries startedAt, and leaving it would park the
+    // resumed job in "in_progress" — which drain() never picks up
     def resume(id: Long): AutotuneState =
-      update(id)(_.copy(canceledAt = None, failedAt = None, error = None))
+      update(id)(_.copy(canceledAt = None, failedAt = None, error = None,
+        startedAt = None, progress = 0))
   }
 
   /** Execute one autotune job to completion (the worker body,

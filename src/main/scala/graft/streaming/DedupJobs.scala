@@ -89,8 +89,12 @@ object DedupJobs {
 
     def cancel(id: Long): DedupState =
       update(id)(_.copy(canceledAt = Some(Instant.now().toString)))
+    // startedAt/progress must reset too: a job failed or canceled
+    // MID-RUN still carries startedAt, and leaving it would park the
+    // resumed job in "in_progress" — which drain() never picks up
     def resume(id: Long): DedupState =
-      update(id)(_.copy(canceledAt = None, failedAt = None, error = None))
+      update(id)(_.copy(canceledAt = None, failedAt = None, error = None,
+        startedAt = None, progress = 0))
   }
 
   /** Execute one dedup job: pair discovery → pair write → survivor
@@ -120,6 +124,10 @@ object DedupJobs {
       val nDups = dupIds.count()
       corpus.join(dupIds, Seq(spec.idCol), "left_anti")
         .write.mode("overwrite").parquet(spec.survivorsDir)
+      // the dedup operators' documented session contract: both outputs
+      // are parquet now, so release the signature/shingle caches a
+      // long-lived daemon would otherwise accumulate one-per-job
+      spark.catalog.clearCache()
       store.update(id)(_.copy(
         finishedAt = Some(Instant.now().toString),
         progress = 100,

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -63,47 +61,62 @@ object NearDupStream {
       n: Int, numHashes: Int, bands: Int, tau: Double,
       seed: Long): Unit = {
     val spark = batch.sparkSession
-    val si = Dedup.signatureSets(batch, idCol, textCol, n, numHashes, seed)
+    // shared = false: the shingle memo would pin one cached relation
+    // per micro-batch forever (every batch is a distinct plan); this
+    // stream owns its caching explicitly instead
+    val si = Dedup.signatureSets(batch, idCol, textCol, n, numHashes,
+      seed, shared = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsDir = s"$indexDir/sets"
+    // exclude this batch's own directory when re-running after a
+    // crash: its rows would otherwise flag the batch against itself
+    val priorDirs = listBatchDirs(spark, setsDir).filter(
+      _ < f"batch_id=$batchId%012d")
+    val crossDups =
+      if (priorDirs.isEmpty) si.select(col("id")).limit(0)
+      else {
+        val se = spark.read.parquet(
+          priorDirs.map(d => s"$setsDir/$d"): _*)
+        Dedup.dupPairsFromSets(si, se, "new_id", "old_id",
+          numHashes, bands, tau, selfJoin = false)
+          .select(col("new_id").as("id")).distinct()
+      }
+    // within-batch: keep the smaller id of every near-dup pair
+    val withinDups = Dedup.dupPairsFromSets(si, si, "i", "j",
+      numHashes, bands, tau, selfJoin = true)
+      .select(col("j").as("id")).distinct()
+    // persisted: consumed by BOTH writes below — without this the
+    // cross-index band join (the batch's dominant cost) runs twice
+    val dupIds = crossDups.union(withinDups).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val setsDir = s"$indexDir/sets"
-      // exclude this batch's own directory when re-running after a
-      // crash: its rows would otherwise flag the batch against itself
-      val priorDirs = listBatchDirs(setsDir).filter(
-        _ < f"batch_id=$batchId%012d")
-      val crossDups =
-        if (priorDirs.isEmpty) si.select(col("id")).limit(0)
-        else {
-          val se = spark.read.parquet(
-            priorDirs.map(d => s"$setsDir/$d"): _*)
-          Dedup.dupPairsFromSets(si, se, "new_id", "old_id",
-            numHashes, bands, tau, selfJoin = false)
-            .select(col("new_id").as("id")).distinct()
-        }
-      // within-batch: keep the smaller id of every near-dup pair
-      val withinDups = Dedup.dupPairsFromSets(si, si, "i", "j",
-        numHashes, bands, tau, selfJoin = true)
-        .select(col("j").as("id")).distinct()
-      val dupIds = crossDups.union(withinDups).distinct()
       val survivors = batch.join(
         dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       survivors.write.mode("overwrite")
         .parquet(f"$outDir/batch_id=$batchId%012d")
-      si.join(dupIds.withColumnRenamed("id", "id"), Seq("id"), "left_anti")
+      si.join(dupIds, Seq("id"), "left_anti")
         .write.mode("overwrite")
         .parquet(f"$setsDir/batch_id=$batchId%012d")
-    } finally si.unpersist()
+    } finally {
+      dupIds.unpersist()
+      si.unpersist()
+    }
   }
 
-  private def listBatchDirs(setsDir: String): Seq[String] = {
-    val p = Paths.get(setsDir)
-    if (!Files.isDirectory(p)) return Seq.empty
-    val s = Files.list(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("batch_id=")).toSeq.sorted
-    } finally s.close()
+  /** List batch_id=N subdirectories through the Hadoop FileSystem of
+    * the index path — java.nio would silently see nothing on
+    * hdfs:///s3a:// roots, disabling cross-batch dedup.
+    */
+  private def listBatchDirs(spark: SparkSession,
+      setsDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(setsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .sorted
   }
 
   /** All surviving documents so far (union of batch outputs). */

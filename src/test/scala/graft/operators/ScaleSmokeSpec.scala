@@ -127,9 +127,11 @@ class ScaleSmokeSpec extends SparkSuite {
     val planted = (0 until 50).map(i => 100000L + i).toSet
     assert(planted.subsetOf(flagged),
       s"missing ${planted.diff(flagged).size} planted cross-dups")
-    // the +500000 rewrites share all but one shingle with originals —
-    // they near-dup the existing corpus too; nothing else may appear
-    assert(flagged.forall(id => id >= 100000L))
+    // the +500000 FRESHTAIL rewrites share all but the tail shingle
+    // with their originals — every one must be flagged too
+    val rewrites = (19000 until 20000).map(i => 500000L + i).toSet
+    assert(rewrites.subsetOf(flagged),
+      s"missing ${rewrites.diff(flagged).size} rewrite cross-dups")
     info(f"cross-corpus dedup 1k vs 20k: $secs%.1f s")
     assert(secs < 60.0)
   }

@@ -54,5 +54,12 @@ class DedupJobsSpec extends SparkSuite {
     assert(DedupJobs.run(spark, store, job.spec.id) === "failed")
     val st = store.get(job.spec.id)
     assert(status(st) === "failed" && st.error.isDefined)
+    // resume after a MID-RUN failure (startedAt set) must go back to
+    // queued — not park in "in_progress", which drain never picks up
+    store.resume(job.spec.id)
+    assert(status(store.get(job.spec.id)) === "queued")
+    val retried = DedupJobs.drain(spark, store)
+    assert(retried.map(_._1) === Seq(job.spec.id),
+      "drain must retry the resumed job")
   }
 }
