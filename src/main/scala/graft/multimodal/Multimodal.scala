@@ -11,12 +11,14 @@ import graft.functions.TextHash
   * mapPartitions (the Scala analog of mapInPandas: executor-side batch
   * loops, one decoder instance per partition).
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) is
-  * STUBBED behind `MediaDecoder` — this container ships no image/audio
-  * libraries — with a deterministic fake (`StubDecoder`) so the
-  * Spark-side plumbing (schema, batch shape, partitioning, size caps,
-  * failure sentinel) is real and fully tested. Swap `StubDecoder` for a
-  * real codec-backed implementation in production.
+  * Codec work sits behind `MediaDecoder`. IMAGE decoding is REAL:
+  * [[ImageIoDecoder]] rides the JDK's built-in javax.imageio codecs
+  * (PNG/JPEG/BMP/GIF/WBMP — decode, deterministic resize, frame
+  * sampling, luminance features). Audio/video codecs don't ship with
+  * the JDK, so those paths keep the deterministic `StubDecoder`
+  * (which also serves as the DuckDB-oracle-checkable reference for
+  * the feature plumbing); swap in a codec-backed `MediaDecoder` for
+  * them in production.
   *
   * Reference surfaces mirrored: `image_embedding`/`clip_image`
   * (F5/F6, `lantern_extras/src/embeddings.rs:139-150`), the 20 MB
@@ -93,6 +95,107 @@ object Multimodal {
         java.util.Arrays.copyOfRange(media, start,
           math.min(start + chunk, media.length))
       }
+    }
+  }
+
+  /** REAL image decoder over the JDK's javax.imageio (PNG, JPEG, BMP,
+    * GIF, WBMP — no external libraries): decode → deterministic
+    * nearest-pixel grid sampling → luminance features. This is the
+    * production implementation of the F5/F6 image path for the formats
+    * the JDK ships codecs for; `StubDecoder` remains only as the
+    * any-bytes fallback and the DuckDB-oracle-checkable reference.
+    *
+    * Determinism notes: pixel access uses exact integer grid sampling
+    * (`getRGB` at floor-scaled coordinates), never Graphics2D
+    * interpolation, so features are bit-stable across JVMs; resize
+    * re-encodes as PNG (lossless) with the same nearest-pixel rule.
+    * Undecodable payloads yield the failed sentinel [-1 x dim] — the
+    * same contract as oversized media (`ort_runtime.rs:956-997`).
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    private def decode(media: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(media)))
+      catch { case _: Exception => None }
+
+    override def features(media: Array[Byte], dim: Int): Array[Float] =
+      decode(media) match {
+        case None => Array.fill(dim)(-1.0f)
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          // grid big enough to give every feature cell its own pixel
+          val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+          val feats = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            val gx = i % g; val gy = i / g
+            val px = math.min((gx.toLong * w / g).toInt, w - 1)
+            val py = math.min((gy.toLong * h / g).toInt, h - 1)
+            val rgb = img.getRGB(px, py)
+            val r = (rgb >> 16) & 0xff
+            val gg = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            // integer ITU-R 601 luma in [0, 255000] — exact arithmetic
+            feats(i) = (r * 299 + gg * 587 + b * 114).toDouble / 255000.0
+            i += 1
+          }
+          val norm = math.sqrt(feats.map(x => x * x).sum)
+          if (norm == 0.0) feats.map(_ => 0.0f)
+          else feats.map(x => (x / norm).toFloat)
+      }
+
+    override def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] =
+      decode(media) match {
+        case None => Array.empty[Byte]
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val sw = img.getWidth; val sh = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val sx = math.min((x.toLong * sw / w).toInt, sw - 1)
+              val sy = math.min((y.toLong * sh / h).toInt, sh - 1)
+              out.setRGB(x, y, img.getRGB(sx, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+      }
+
+    /** Multi-image payloads (animated GIF) sample up to n frames,
+      * re-encoded PNG; single-image payloads yield that one frame.
+      */
+    override def sampleFrames(media: Array[Byte], n: Int)
+        : Seq[Array[Byte]] = {
+      val iis = try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      catch { case _: Exception => null }
+      if (iis == null) return Seq.empty
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val reader = readers.next()
+        reader.setInput(iis)
+        val total =
+          try reader.getNumImages(true) catch { case _: Exception => 1 }
+        val take = math.min(n, math.max(total, 1))
+        (0 until take).flatMap { f =>
+          // spread sampled frames evenly over the sequence
+          val idx = if (take == 1) 0 else (f.toLong * (total - 1) / (take - 1)).toInt
+          try {
+            val img = reader.read(idx)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Some(bos.toByteArray)
+          } catch { case _: Exception => None }
+        }
+      } finally iis.close()
     }
   }
 

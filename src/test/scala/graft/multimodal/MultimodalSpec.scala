@@ -72,4 +72,89 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.count() === 4)
     assert(feats.where(size($"emb") === 8).count() === 4)
   }
+
+  // ---- real JDK codec path (ImageIoDecoder) ----
+
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG decode drives luminance features") {
+    // left half black, right half white
+    val img = pngBytes(32, 32)((x, _) => if (x < 16) 0x000000 else 0xffffff)
+    val f = Multimodal.ImageIoDecoder.features(img, 16)
+    assert(f.length === 16)
+    // unit norm
+    assert(math.abs(f.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    // 16 features = 4x4 grid: each row has 2 dark then 2 bright cells
+    for (row <- 0 until 4) {
+      val cells = f.slice(row * 4, row * 4 + 4)
+      assert(cells(0) < 1e-6 && cells(1) < 1e-6, s"row $row left dark")
+      assert(cells(2) > 0.1f && cells(3) > 0.1f, s"row $row right bright")
+    }
+    // deterministic across calls
+    assert(Multimodal.ImageIoDecoder.features(img, 16).toSeq === f.toSeq)
+    // distinct images → distinct features
+    val inv = pngBytes(32, 32)((x, _) => if (x < 16) 0xffffff else 0x000000)
+    assert(Multimodal.ImageIoDecoder.features(inv, 16).toSeq !== f.toSeq)
+  }
+
+  test("ImageIoDecoder: undecodable bytes get the failed sentinel; " +
+      "BMP and JPEG also decode") {
+    val junk = Array.fill(128)(0x5a.toByte)
+    assert(Multimodal.ImageIoDecoder.features(junk, 8).toSeq ===
+      Seq.fill(8)(-1.0f))
+    for (fmt <- Seq("bmp", "jpg")) {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt codec")
+      val f = Multimodal.ImageIoDecoder.features(bos.toByteArray, 8)
+      assert(f.forall(_ >= 0f), s"$fmt decoded to sentinel")
+    }
+  }
+
+  test("ImageIoDecoder: resize re-encodes PNG at the target dims and " +
+      "preserves the pixel layout") {
+    val img = pngBytes(64, 32)((x, _) => if (x < 32) 0xff0000 else 0x0000ff)
+    val resized = Multimodal.ImageIoDecoder.resize(img, 16, 16)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth === 16 && back.getHeight === 16)
+    assert((back.getRGB(2, 8) & 0xffffff) === 0xff0000) // left stays red
+    assert((back.getRGB(13, 8) & 0xffffff) === 0x0000ff) // right stays blue
+  }
+
+  test("ImageIoDecoder: end-to-end through mediaFeatures over a DF") {
+    val rows = Seq(
+      (1L, pngBytes(16, 16)((_, _) => 0xffffff)),
+      (2L, pngBytes(16, 16)((_, _) => 0x000000)),
+      (3L, Array.fill(64)(0x00.toByte)) // undecodable
+    ).toDF("id", "media")
+    val out = Multimodal.mediaFeatures(rows, "media", "emb", 9,
+      decoder = Multimodal.ImageIoDecoder)
+      .select($"id", $"emb").as[(Long, Array[Float])].collect().toMap
+    assert(out(1L).forall(f => math.abs(f - 1.0f / 3) < 1e-4)) // uniform
+    assert(out(2L).forall(_ === 0f)) // all-black → zero (norm-0 guard)
+    assert(out(3L).toSeq === Seq.fill(9)(-1.0f)) // sentinel
+  }
+
+  test("ImageIoDecoder: sampleFrames yields a decodable frame for " +
+      "single-image payloads") {
+    val img = pngBytes(8, 8)((_, _) => 0x123456)
+    val frames = Multimodal.ImageIoDecoder.sampleFrames(img, 4)
+    assert(frames.length === 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames.head))
+    assert(back.getWidth === 8)
+    assert(Multimodal.ImageIoDecoder.sampleFrames(
+      Array.fill(10)(0x7f.toByte), 2).isEmpty)
+  }
 }
