@@ -11,14 +11,16 @@ import graft.functions.TextHash
   * mapPartitions (the Scala analog of mapInPandas: executor-side batch
   * loops, one decoder instance per partition).
   *
-  * Codec work sits behind `MediaDecoder`. IMAGE decoding is REAL:
-  * [[ImageIoDecoder]] rides the JDK's built-in javax.imageio codecs
-  * (PNG/JPEG/BMP/GIF/WBMP — decode, deterministic resize, frame
-  * sampling, luminance features). Audio/video codecs don't ship with
-  * the JDK, so those paths keep the deterministic `StubDecoder`
-  * (which also serves as the DuckDB-oracle-checkable reference for
-  * the feature plumbing); swap in a codec-backed `MediaDecoder` for
-  * them in production.
+  * Codec work sits behind `MediaDecoder`, and the JDK-covered formats
+  * are REAL: [[ImageIoDecoder]] rides javax.imageio (PNG/JPEG/BMP/
+  * GIF/WBMP — decode, deterministic resize, frame sampling, luminance
+  * features) and [[AudioDecoder]] rides javax.sound.sampled
+  * (WAV/AIFF/AU — PCM decode, mono-mix, RMS-energy features,
+  * resample, frame slicing). Compressed video and non-JDK codecs
+  * (MP4/H.264, MP3/OGG) ship no JDK decoder, so those payloads keep
+  * the deterministic `StubDecoder` (also the DuckDB-oracle-checkable
+  * reference for the feature plumbing); swap in a codec-backed
+  * `MediaDecoder` for them in production.
   *
   * Reference surfaces mirrored: `image_embedding`/`clip_image`
   * (F5/F6, `lantern_extras/src/embeddings.rs:139-150`), the 20 MB
@@ -197,6 +199,128 @@ object Multimodal {
         }
       } finally iis.close()
     }
+  }
+
+  /** REAL audio decoder over the JDK's javax.sound.sampled (WAV, AIFF,
+    * AU — the uncompressed formats the JDK ships codecs for): decode to
+    * 16-bit PCM, mono-mix, then per-window RMS energy features. Like
+    * [[ImageIoDecoder]], everything is exact integer/deterministic
+    * double arithmetic; undecodable payloads yield the failed sentinel.
+    *
+    * `resize(w, h)` reinterprets the image contract as "resample to
+    * w*h samples" (nearest-sample, re-encoded 16-bit mono WAV);
+    * `sampleFrames` slices the PCM stream into n equal windows,
+    * each re-encoded as standalone WAV.
+    */
+  object AudioDecoder extends MediaDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Decode to mono 16-bit samples; None if no JDK codec applies. */
+    private def pcm(media: Array[Byte]): Option[Array[Short]] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(media))
+        val src = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val dec = AudioSystem.getAudioInputStream(target, in)
+        val bytes = dec.readAllBytes()
+        val ch = target.getChannels
+        val n = bytes.length / (2 * ch)
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          // mono-mix channels with exact integer averaging
+          var sum = 0L
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            sum += ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            c += 1
+          }
+          out(i) = (sum / ch).toShort
+          i += 1
+        }
+        Some(out)
+      } catch { case _: Exception => None }
+
+    override def features(media: Array[Byte], dim: Int): Array[Float] =
+      pcm(media) match {
+        case None => Array.fill(dim)(-1.0f)
+        case Some(samples) if samples.isEmpty => Array.fill(dim)(-1.0f)
+        case Some(samples) =>
+          val feats = new Array[Double](dim)
+          var w = 0
+          while (w < dim) {
+            val start = (w.toLong * samples.length / dim).toInt
+            val end = math.max(
+              ((w + 1).toLong * samples.length / dim).toInt, start + 1)
+            var acc = 0.0
+            var i = start
+            while (i < math.min(end, samples.length)) {
+              val s = samples(i).toDouble / 32768.0
+              acc += s * s
+              i += 1
+            }
+            feats(w) = math.sqrt(acc / math.max(end - start, 1))
+            w += 1
+          }
+          val norm = math.sqrt(feats.map(x => x * x).sum)
+          if (norm == 0.0) feats.map(_ => 0.0f)
+          else feats.map(x => (x / norm).toFloat)
+      }
+
+    private def encodeWav(samples: Array[Short],
+        sampleRate: Float): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(i * 2) = (samples(i) & 0xff).toByte
+        bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate, 16, 1, 2, sampleRate, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    override def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] =
+      pcm(media) match {
+        case None => Array.empty[Byte]
+        case Some(samples) if samples.isEmpty => Array.empty[Byte]
+        case Some(samples) =>
+          val n = w * h
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) = samples(
+              math.min((i.toLong * samples.length / n).toInt,
+                samples.length - 1))
+            i += 1
+          }
+          encodeWav(out, 16000f)
+      }
+
+    override def sampleFrames(media: Array[Byte], n: Int)
+        : Seq[Array[Byte]] =
+      pcm(media) match {
+        case None => Seq.empty
+        case Some(samples) if samples.isEmpty => Seq.empty
+        case Some(samples) =>
+          val take = math.min(n, samples.length)
+          (0 until take).map { f =>
+            val start = (f.toLong * samples.length / take).toInt
+            val end = ((f + 1).toLong * samples.length / take).toInt
+            encodeWav(java.util.Arrays.copyOfRange(
+              samples, start, math.max(end, start + 1)), 16000f)
+          }
+      }
   }
 
   /** F5 analog: add a feature/embedding column for a BINARY media

@@ -146,6 +146,59 @@ class MultimodalSpec extends SparkSuite {
     assert(out(3L).toSeq === Seq.fill(9)(-1.0f)) // sentinel
   }
 
+  // ---- real JDK audio path (AudioDecoder) ----
+
+  private def wavBytes(samples: Array[Short], rate: Float = 16000f)
+      : Array[Byte] = {
+    import javax.sound.sampled._
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(i * 2) = (s & 0xff).toByte
+      bytes(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate,
+      16, 1, 2, rate, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioDecoder: real WAV decode drives RMS-energy features") {
+    // first half silence, second half full-scale square wave
+    val samples = Array.tabulate[Short](8000)(i =>
+      if (i < 4000) 0
+      else if ((i / 8) % 2 == 0) 30000 else -30000)
+    val wav = wavBytes(samples)
+    val f = Multimodal.AudioDecoder.features(wav, 8)
+    assert(f.length === 8)
+    assert(math.abs(f.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    assert(f.take(4).forall(_ < 1e-6), "silent half must be ~0")
+    assert(f.drop(4).forall(_ > 0.3f), "loud half must carry the energy")
+    // deterministic
+    assert(Multimodal.AudioDecoder.features(wav, 8).toSeq === f.toSeq)
+    // junk bytes → sentinel
+    assert(Multimodal.AudioDecoder.features(
+      Array.fill(64)(0x33.toByte), 4).toSeq === Seq.fill(4)(-1.0f))
+  }
+
+  test("AudioDecoder: resample and frame-slice round-trip as WAV") {
+    val samples = Array.tabulate[Short](4000)(i => (i % 100 * 300).toShort)
+    val wav = wavBytes(samples)
+    val resized = Multimodal.AudioDecoder.resize(wav, 40, 25) // 1000 samples
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(resized))
+    assert(back.getFrameLength === 1000)
+    val frames = Multimodal.AudioDecoder.sampleFrames(wav, 4)
+    assert(frames.length === 4)
+    frames.foreach { fr =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(fr))
+      assert(ais.getFrameLength === 1000) // 4000 / 4
+    }
+  }
+
   test("ImageIoDecoder: sampleFrames yields a decodable frame for " +
       "single-image payloads") {
     val img = pngBytes(8, 8)((_, _) => 0x123456)
