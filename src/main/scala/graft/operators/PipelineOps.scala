@@ -208,6 +208,39 @@ object PipelineOps {
   private def elemAt(d: Dialect, arr: String, i: String): String =
     if (d == SparkDialect) s"element_at($arr, $i)" else s"$arr[$i]"
 
+  /** Token-budget domain mixing — the token-weighted face of
+    * [[domainMixSql]]: every source shard contributes documents (in
+    * stable doc_id order) until its TOKEN budget is exhausted, the way
+    * a training mixture is actually specified ("x billion tokens of
+    * web, y of code"), rather than by row-sampling rates. Even-indexed
+    * sources get `budgetEven` tokens, odd-indexed `budgetOdd`.
+    *
+    * A document is kept iff it STARTS before its shard's budget
+    * boundary (cum - tokens < budget), so the boundary document that
+    * crosses the budget is included — the truncate-after semantics of
+    * sequence-packed corpora. Pure integer window arithmetic: one
+    * shuffle on source, exact in any engine.
+    */
+  def tokenBudgetMixSql(d: Dialect, table: String = "documents",
+      budgetEven: Int = 800, budgetOdd: Int = 300): String =
+    s"""SELECT doc_id, source, tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST(budget AS BIGINT) AS budget
+       |FROM (
+       |  SELECT doc_id, source, tokens,
+       |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+       |         THEN $budgetEven ELSE $budgetOdd END AS budget
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CASE WHEN length(trim(text)) = 0 THEN 0
+       |           ELSE CAST(${d.size}(${d.split}(trim(text), ' ')) AS BIGINT)
+       |           END AS tokens
+       |    FROM $table) _t) _c
+       |WHERE cum - tokens < budget
+       |ORDER BY source, doc_id""".stripMargin
+
   /** CC-Net-style n-gram LM quality scoring (Wenzek et al. 2020): fit a
     * word-bigram language model with add-one smoothing on a fixed
     * training slice (doc_id % 10 < 3 — in production, a known-clean

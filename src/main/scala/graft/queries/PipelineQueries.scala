@@ -47,6 +47,11 @@ object PipelineQueries {
     "q_adaptive_gate" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.adaptiveGateSql(TA.SparkDialect))),
 
+    // Token-budget mixing: every source contributes docs in doc_id
+    // order until its token budget is spent — exact integer windows.
+    "q_token_budget_mix" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.tokenBudgetMixSql(TA.SparkDialect))),
+
     // CC-Net-style bigram-LM scoring: fit on the doc_id%10<3 slice,
     // score every doc by mean NLL (integer 1e-4-nat aggregation).
     "q_lm_perplexity" -> ((s, dir) =>
@@ -135,6 +140,7 @@ object PipelineQueries {
     "q_chunk_docs" -> PO.chunkSql(TA.DuckDialect),
     "q_adaptive_gate" -> PO.adaptiveGateSql(TA.DuckDialect),
     "q_lm_perplexity" -> PO.lmPerplexitySql(TA.DuckDialect),
+    "q_token_budget_mix" -> PO.tokenBudgetMixSql(TA.DuckDialect),
     "q_dedup_components_lss" -> DocumentQueries.componentsOracleSql
   )
 }

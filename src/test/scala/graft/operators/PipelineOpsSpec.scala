@@ -138,6 +138,38 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("token-budget mix: shards stop at their budget boundary doc") {
+    val rows = onDocs(PipelineOps.tokenBudgetMixSql(TA.SparkDialect))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val budget = sorted.head._5
+      // every kept doc STARTS before the budget; the last one may
+      // cross it (truncate-after semantics)
+      sorted.foreach { case (_, _, tokens, cum, _) =>
+        assert(cum - tokens < budget, s"$src doc starts past budget")
+      }
+      // the run is a prefix: all but the last end within budget only
+      // if the next doc would start past it — i.e. last cum >= budget
+      // unless the shard ran out of docs entirely
+      val lastCum = sorted.last._4
+      if (lastCum < budget) {
+        // then every doc of the shard must have been kept
+        val all = onDocs(
+          s"SELECT count(*) c FROM documents WHERE source = '$src'")
+          .head().getLong(0)
+        assert(sorted.length == all, s"$src stopped before budget")
+      }
+    }
+    // budgets actually bind on the fixture (some doc was dropped)
+    val total = onDocs("SELECT count(*) c FROM documents")
+      .head().getLong(0)
+    assert(rows.length < total, "budget never bound — test is vacuous")
+  }
+
   test("lm perplexity: train slice scores no worse than held-out; " +
       "nll bounded by smoothing floor") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
