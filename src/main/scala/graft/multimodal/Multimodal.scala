@@ -16,11 +16,12 @@ import graft.functions.TextHash
   * GIF/WBMP — decode, deterministic resize, frame sampling, luminance
   * features) and [[AudioDecoder]] rides javax.sound.sampled
   * (WAV/AIFF/AU — PCM decode, mono-mix, RMS-energy features,
-  * resample, frame slicing). Compressed video and non-JDK codecs
-  * (MP4/H.264, MP3/OGG) ship no JDK decoder, so those payloads keep
-  * the deterministic `StubDecoder` (also the DuckDB-oracle-checkable
-  * reference for the feature plumbing); swap in a codec-backed
-  * `MediaDecoder` for them in production.
+  * resample, frame slicing), and [[AviMjpegDecoder]] walks RIFF/AVI
+  * containers to extract MJPEG frames (each a plain JPEG the JDK
+  * reads). Only codec-compressed formats with no JDK decoder
+  * (MP4/H.264, MP3/OGG) keep the deterministic `StubDecoder` (also
+  * the DuckDB-oracle-checkable reference for the feature plumbing);
+  * swap in a codec-backed `MediaDecoder` for them in production.
   *
   * Reference surfaces mirrored: `image_embedding`/`clip_image`
   * (F5/F6, `lantern_extras/src/embeddings.rs:139-150`), the 20 MB
@@ -321,6 +322,83 @@ object Multimodal {
               samples, start, math.max(end, start + 1)), 16000f)
           }
       }
+  }
+
+  /** REAL video frame extraction for MJPEG-in-AVI — the one video
+    * format decodable with zero external codecs, because each frame is
+    * a plain JPEG the JDK already reads. A minimal RIFF walker (public
+    * container spec: 'RIFF'/'LIST' chunks, frames in the 'movi' list
+    * as '##dc'/'##db' chunks) collects frame payloads; decoding,
+    * features, and resize then ride [[ImageIoDecoder]].
+    *
+    * `features` = the middle frame's image features (a cheap,
+    * deterministic whole-video signature); `sampleFrames` returns the
+    * raw JPEG payloads evenly sampled over the sequence (already
+    * decodable images, no re-encode); `resize` resizes the middle
+    * frame. Compressed codecs (H.264 etc.) have no JDK decoder and
+    * fall out as the failed sentinel.
+    */
+  object AviMjpegDecoder extends MediaDecoder {
+    /** All video-stream chunk payloads in on-disk order. */
+    private[multimodal] def frameChunks(avi: Array[Byte])
+        : Seq[Array[Byte]] = {
+      def u32(off: Int): Long =
+        (avi(off) & 0xffL) | ((avi(off + 1) & 0xffL) << 8) |
+          ((avi(off + 2) & 0xffL) << 16) | ((avi(off + 3) & 0xffL) << 24)
+      def fourcc(off: Int): String =
+        new String(avi, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def isFrame(cc: String): Boolean =
+        cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+          (cc.endsWith("dc") || cc.endsWith("db"))
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val cc = fourcc(off)
+          val size = u32(off + 4)
+          val dataStart = off + 8
+          val dataEnd = dataStart + size.toInt
+          if (size < 0 || dataEnd > end) return // corrupt — stop
+          if (cc == "RIFF" || cc == "LIST") {
+            // list type (4 bytes), then subchunks
+            if (dataStart + 4 <= end) walk(dataStart + 4, dataEnd)
+          } else if (isFrame(cc) && size > 0) {
+            out += java.util.Arrays.copyOfRange(avi, dataStart, dataEnd)
+          }
+          off = dataEnd + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      if (avi.length >= 12 && fourcc(0) == "RIFF") walk(0, avi.length)
+      out.toSeq
+    }
+
+    private def middle(avi: Array[Byte]): Option[Array[Byte]] = {
+      val fs = frameChunks(avi)
+      if (fs.isEmpty) None else Some(fs(fs.length / 2))
+    }
+
+    override def features(media: Array[Byte], dim: Int): Array[Float] =
+      middle(media) match {
+        case None => Array.fill(dim)(-1.0f)
+        case Some(frame) => ImageIoDecoder.features(frame, dim)
+      }
+
+    override def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] =
+      middle(media) match {
+        case None => Array.empty[Byte]
+        case Some(frame) => ImageIoDecoder.resize(frame, w, h)
+      }
+
+    override def sampleFrames(media: Array[Byte], n: Int)
+        : Seq[Array[Byte]] = {
+      val fs = frameChunks(media)
+      if (fs.isEmpty) return Seq.empty
+      val take = math.min(n, fs.length)
+      (0 until take).map { f =>
+        val idx = if (take == 1) 0 else (f.toLong * (fs.length - 1) / (take - 1)).toInt
+        fs(idx)
+      }
+    }
   }
 
   /** F5 analog: add a feature/embedding column for a BINARY media

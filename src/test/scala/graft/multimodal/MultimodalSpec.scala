@@ -146,6 +146,64 @@ class MultimodalSpec extends SparkSuite {
     assert(out(3L).toSeq === Seq.fill(9)(-1.0f)) // sentinel
   }
 
+  // ---- real MJPEG-AVI video path (AviMjpegDecoder) ----
+
+  /** Minimal valid RIFF/AVI: RIFF('AVI ') > LIST('movi') > 00dc chunks. */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val chunks = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      chunks.write("00dc".getBytes); chunks.write(u32(f.length))
+      chunks.write(f)
+      if (f.length % 2 == 1) chunks.write(0) // even padding
+    }
+    val movi = "movi".getBytes ++ chunks.toByteArray
+    val list = "LIST".getBytes ++ u32(movi.length) ++ movi
+    val body = "AVI ".getBytes ++ list
+    bos.write("RIFF".getBytes); bos.write(u32(body.length))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  private def jpegBytes(rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("AviMjpegDecoder: walks the RIFF container and decodes frames") {
+    val avi = aviBytes(Seq(
+      jpegBytes(0x000000), jpegBytes(0x808080), jpegBytes(0xffffff)))
+    val frames = Multimodal.AviMjpegDecoder.sampleFrames(avi, 3)
+    assert(frames.length === 3)
+    val lums = frames.map { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f))
+      img.getRGB(8, 8) & 0xff
+    }
+    assert(lums(0) < 40 && lums(2) > 215, s"frame order lost: $lums")
+    assert(lums(1) > 90 && lums(1) < 170)
+    // features come from the REAL middle frame (mid gray, not black)
+    val feat = Multimodal.AviMjpegDecoder.features(avi, 4)
+    assert(feat.forall(f => f > 0.49f && f < 0.51f)) // uniform unit-norm
+    // resize rides the image path
+    val resized = Multimodal.AviMjpegDecoder.resize(avi, 4, 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth === 4)
+    // junk → sentinel / empty
+    assert(Multimodal.AviMjpegDecoder.features(
+      Array.fill(64)(0x11.toByte), 4).toSeq === Seq.fill(4)(-1.0f))
+    assert(Multimodal.AviMjpegDecoder.sampleFrames(
+      Array.fill(64)(0x11.toByte), 2).isEmpty)
+  }
+
   // ---- real JDK audio path (AudioDecoder) ----
 
   private def wavBytes(samples: Array[Short], rate: Float = 16000f)
