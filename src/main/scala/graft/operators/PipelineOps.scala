@@ -208,6 +208,52 @@ object PipelineOps {
   private def elemAt(d: Dialect, arr: String, i: String): String =
     if (d == SparkDialect) s"element_at($arr, $i)" else s"$arr[$i]"
 
+  /** Z-order (Morton) interleave of two 16-bit keys — the multi-column
+    * data-CLUSTERING primitive: rows sorted/range-partitioned by the
+    * z-value keep BOTH dimensions locally dense, so parquet min/max
+    * stats prune file scans for predicates on either column (the
+    * lakehouse OPTIMIZE ZORDER BY layout, here as a pure expression).
+    * Emitted as a dual-dialect template: 16 fixed-order bit
+    * interleavings in exact integer arithmetic, so the oracle
+    * hash-matches.
+    *
+    * At 100 TB this is a WRITE-TIME choice:
+    * `df.repartitionByRange(n, $"z").sortWithinPartitions($"z")
+    * .write.parquet(...)` gives every file a tight z-range = a tight
+    * rectangle in (a, b) space.
+    */
+  def zorderSql(d: Dialect, table: String, idCol: String, aExpr: String,
+      bExpr: String): String = {
+    val shr =
+      if (d == SparkDialect) (x: String, i: Int) => s"shiftright($x, $i)"
+      else (x: String, i: Int) => s"($x >> $i)"
+    val terms = (0 until 16).flatMap { i =>
+      Seq(
+        s"(${shr("a16", i)} & 1) * ${1L << (2 * i)}",
+        s"(${shr("b16", i)} & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+    // min-max normalize each dimension to the full 16-bit range before
+    // interleaving: without it, a narrow-range column occupies only low
+    // bits and the wide column dominates every high bit — z degenerates
+    // to a plain sort on the wide column. Two aggregate scalars,
+    // broadcast-joined: fully distributed, no global window.
+    def scale(x: String, mn: String, mx: String): String =
+      s"CAST((($x) - $mn) * 65535 ${if (d == SparkDialect) "DIV" else "//"} " +
+        s"greatest($mx - $mn, 1) AS BIGINT)"
+    s"""SELECT $idCol, a16, b16, CAST($terms AS BIGINT) AS z
+       |FROM (
+       |  SELECT $idCol,
+       |    ${scale(aExpr, "ext.amin", "ext.amax")} AS a16,
+       |    ${scale(bExpr, "ext.bmin", "ext.bmax")} AS b16
+       |  FROM $table CROSS JOIN (
+       |    SELECT CAST(min($aExpr) AS BIGINT) AS amin,
+       |      CAST(max($aExpr) AS BIGINT) AS amax,
+       |      CAST(min($bExpr) AS BIGINT) AS bmin,
+       |      CAST(max($bExpr) AS BIGINT) AS bmax
+       |    FROM $table) ext) _k
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** Token-budget domain mixing — the token-weighted face of
     * [[domainMixSql]]: every source shard contributes documents (in
     * stable doc_id order) until its TOKEN budget is exhausted, the way

@@ -47,6 +47,12 @@ object PipelineQueries {
     "q_adaptive_gate" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.adaptiveGateSql(TA.SparkDialect))),
 
+    // Z-order clustering key over (custkey, orderkey) of orders —
+    // the multi-dim layout primitive for write-time file clustering.
+    "q_zorder_key" -> ((s, dir) =>
+      viaSql(s, dir, "orders", PO.zorderSql(TA.SparkDialect,
+        "orders", "o_orderkey", "o_custkey", "o_orderkey"))),
+
     // Token-budget mixing: every source contributes docs in doc_id
     // order until its token budget is spent — exact integer windows.
     "q_token_budget_mix" -> ((s, dir) =>
@@ -141,6 +147,8 @@ object PipelineQueries {
     "q_adaptive_gate" -> PO.adaptiveGateSql(TA.DuckDialect),
     "q_lm_perplexity" -> PO.lmPerplexitySql(TA.DuckDialect),
     "q_token_budget_mix" -> PO.tokenBudgetMixSql(TA.DuckDialect),
+    "q_zorder_key" -> PO.zorderSql(TA.DuckDialect,
+      "orders", "o_orderkey", "o_custkey", "o_orderkey"),
     "q_dedup_components_lss" -> DocumentQueries.componentsOracleSql
   )
 }

@@ -138,6 +138,32 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("zorder key: exact Morton interleave; sorting by z clusters " +
+      "both dimensions") {
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .createOrReplaceTempView("orders")
+    val rows = spark.sql(PipelineOps.zorderSql(TA.SparkDialect,
+      "orders", "o_orderkey", "o_custkey", "o_orderkey"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i =>
+        (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
+    rows.foreach { case (a, b, z) => assert(z == morton(a, b), s"($a,$b)") }
+    // locality: bucket the z-sorted rows; per-bucket spread in the a
+    // dimension must be far below the global spread (that's the whole
+    // point of the layout)
+    val sorted = rows.sortBy(_._3)
+    val nb = 16
+    val per = math.max(sorted.length / nb, 1)
+    val spreads = sorted.grouped(per).filter(_.length > 1).map { g =>
+      g.map(_._1).max - g.map(_._1).min
+    }.toSeq
+    val global = rows.map(_._1).max - rows.map(_._1).min
+    assert(spreads.sum.toDouble / spreads.length < global / 2.0,
+      s"z buckets don't cluster dim a: ${spreads.mkString(",")} vs $global")
+  }
+
   test("token-budget mix: shards stop at their budget boundary doc") {
     val rows = onDocs(PipelineOps.tokenBudgetMixSql(TA.SparkDialect))
       .collect().map(r =>
