@@ -116,11 +116,31 @@ object Multimodal {
     * same contract as oversized media (`ort_runtime.rs:956-997`).
     */
   object ImageIoDecoder extends MediaDecoder {
+    /** Decoded-dimension cap: the 20 MB payload cap bounds COMPRESSED
+      * bytes only — a few-hundred-KB PNG can declare 50000x50000 and
+      * would allocate ~10 GB decoded. Header dims are read cheaply
+      * before any pixel decode; oversized images fail to the sentinel.
+      */
+    val MaxDecodedPixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB RGBA
+
     private def decode(media: Array[Byte])
         : Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(media)))
-      catch { case _: Exception => None }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(media))
+        if (iis == null) return None
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+            if (w <= 0 || h <= 0 || w * h > MaxDecodedPixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case _: Exception => None }
 
     override def features(media: Array[Byte], dim: Int): Array[Float] =
       decode(media) match {
@@ -184,20 +204,26 @@ object Multimodal {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return Seq.empty
         val reader = readers.next()
-        reader.setInput(iis)
-        val total =
-          try reader.getNumImages(true) catch { case _: Exception => 1 }
-        val take = math.min(n, math.max(total, 1))
-        (0 until take).flatMap { f =>
-          // spread sampled frames evenly over the sequence
-          val idx = if (take == 1) 0 else (f.toLong * (total - 1) / (take - 1)).toInt
-          try {
-            val img = reader.read(idx)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            Some(bos.toByteArray)
-          } catch { case _: Exception => None }
-        }
+        try {
+          reader.setInput(iis)
+          val total =
+            try reader.getNumImages(true) catch { case _: Exception => 1 }
+          val take = math.min(n, math.max(total, 1))
+          (0 until take).flatMap { f =>
+            // spread sampled frames evenly over the sequence
+            val idx = if (take == 1) 0 else (f.toLong * (total - 1) / (take - 1)).toInt
+            try {
+              if (reader.getWidth(idx).toLong * reader.getHeight(idx)
+                  > MaxDecodedPixels) None
+              else {
+                val img = reader.read(idx)
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                Some(bos.toByteArray)
+              }
+            } catch { case _: Exception => None }
+          }
+        } finally reader.dispose()
       } finally iis.close()
     }
   }
@@ -216,8 +242,10 @@ object Multimodal {
   object AudioDecoder extends MediaDecoder {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
 
-    /** Decode to mono 16-bit samples; None if no JDK codec applies. */
-    private def pcm(media: Array[Byte]): Option[Array[Short]] =
+    /** Decode to (mono 16-bit samples, source sample rate); None if no
+      * JDK codec applies.
+      */
+    private def pcm(media: Array[Byte]): Option[(Array[Short], Float)] =
       try {
         val in = AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(media))
@@ -243,14 +271,14 @@ object Multimodal {
           out(i) = (sum / ch).toShort
           i += 1
         }
-        Some(out)
+        Some((out, src.getSampleRate))
       } catch { case _: Exception => None }
 
     override def features(media: Array[Byte], dim: Int): Array[Float] =
       pcm(media) match {
         case None => Array.fill(dim)(-1.0f)
-        case Some(samples) if samples.isEmpty => Array.fill(dim)(-1.0f)
-        case Some(samples) =>
+        case Some((samples, _)) if samples.isEmpty => Array.fill(dim)(-1.0f)
+        case Some((samples, _)) =>
           val feats = new Array[Double](dim)
           var w = 0
           while (w < dim) {
@@ -294,8 +322,8 @@ object Multimodal {
     override def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] =
       pcm(media) match {
         case None => Array.empty[Byte]
-        case Some(samples) if samples.isEmpty => Array.empty[Byte]
-        case Some(samples) =>
+        case Some((samples, _)) if samples.isEmpty => Array.empty[Byte]
+        case Some((samples, rate)) =>
           val n = w * h
           val out = new Array[Short](n)
           var i = 0
@@ -305,21 +333,27 @@ object Multimodal {
                 samples.length - 1))
             i += 1
           }
-          encodeWav(out, 16000f)
+          // resampling changes duration at the SOURCE rate: scale the
+          // header rate by the same factor so wall-clock duration (and
+          // perceived pitch) survive the round trip
+          val outRate = math.max(1f,
+            rate * n.toFloat / samples.length)
+          encodeWav(out, outRate)
       }
 
     override def sampleFrames(media: Array[Byte], n: Int)
         : Seq[Array[Byte]] =
       pcm(media) match {
         case None => Seq.empty
-        case Some(samples) if samples.isEmpty => Seq.empty
-        case Some(samples) =>
+        case Some((samples, _)) if samples.isEmpty => Seq.empty
+        case Some((samples, rate)) =>
           val take = math.min(n, samples.length)
           (0 until take).map { f =>
             val start = (f.toLong * samples.length / take).toInt
             val end = ((f + 1).toLong * samples.length / take).toInt
+            // frames are true slices at the source rate
             encodeWav(java.util.Arrays.copyOfRange(
-              samples, start, math.max(end, start + 1)), 16000f)
+              samples, start, math.max(end, start + 1)), rate)
           }
       }
   }
@@ -339,42 +373,56 @@ object Multimodal {
     * fall out as the failed sentinel.
     */
   object AviMjpegDecoder extends MediaDecoder {
-    /** All video-stream chunk payloads in on-disk order. */
-    private[multimodal] def frameChunks(avi: Array[Byte])
-        : Seq[Array[Byte]] = {
+    /** (offset, length) of every video-stream chunk payload, on-disk
+      * order — payloads are copied only when a frame is SELECTED, so
+      * features/resize (which keep one frame) never duplicate the
+      * whole file. Iterative worklist walk with ALL arithmetic in
+      * Long: crafted size fields near 2^32 can neither wrap to a
+      * non-advancing offset (hang) nor index negatively (crash), and
+      * nesting depth is heap-bounded, not stack-bounded — a malformed
+      * payload degrades to "no frames" (→ the failed sentinel), never
+      * to a stuck or killed task.
+      */
+    private[multimodal] def frameSpans(avi: Array[Byte])
+        : Seq[(Int, Int)] = {
       def u32(off: Int): Long =
         (avi(off) & 0xffL) | ((avi(off + 1) & 0xffL) << 8) |
           ((avi(off + 2) & 0xffL) << 16) | ((avi(off + 3) & 0xffL) << 24)
       def fourcc(off: Int): String =
         new String(avi, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       def isFrame(cc: String): Boolean =
         cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
           (cc.endsWith("dc") || cc.endsWith("db"))
-      def walk(start: Int, end: Int): Unit = {
-        var off = start
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      if (avi.length < 12 || fourcc(0) != "RIFF") return Seq.empty
+      val work = scala.collection.mutable.Stack[(Long, Long)]((0L, avi.length.toLong))
+      while (work.nonEmpty) {
+        var (off, end) = work.pop()
         while (off + 8 <= end) {
-          val cc = fourcc(off)
-          val size = u32(off + 4)
+          val cc = fourcc(off.toInt)
+          val size = u32(off.toInt + 4) // unsigned, in [0, 2^32)
           val dataStart = off + 8
-          val dataEnd = dataStart + size.toInt
-          if (size < 0 || dataEnd > end) return // corrupt — stop
-          if (cc == "RIFF" || cc == "LIST") {
-            // list type (4 bytes), then subchunks
-            if (dataStart + 4 <= end) walk(dataStart + 4, dataEnd)
-          } else if (isFrame(cc) && size > 0) {
-            out += java.util.Arrays.copyOfRange(avi, dataStart, dataEnd)
+          val dataEnd = dataStart + size // Long math: cannot wrap
+          if (dataEnd > end) { off = end } // corrupt — stop this level
+          else {
+            if (cc == "RIFF" || cc == "LIST") {
+              if (dataStart + 4 <= end) work.push((dataStart + 4, dataEnd))
+            } else if (isFrame(cc) && size > 0) {
+              out += ((dataStart.toInt, size.toInt))
+            }
+            off = dataEnd + (size & 1) // chunks pad to even
           }
-          off = dataEnd + (size.toInt & 1) // chunks pad to even
         }
       }
-      if (avi.length >= 12 && fourcc(0) == "RIFF") walk(0, avi.length)
       out.toSeq
     }
 
+    private def copySpan(avi: Array[Byte], span: (Int, Int)): Array[Byte] =
+      java.util.Arrays.copyOfRange(avi, span._1, span._1 + span._2)
+
     private def middle(avi: Array[Byte]): Option[Array[Byte]] = {
-      val fs = frameChunks(avi)
-      if (fs.isEmpty) None else Some(fs(fs.length / 2))
+      val fs = frameSpans(avi)
+      if (fs.isEmpty) None else Some(copySpan(avi, fs(fs.length / 2)))
     }
 
     override def features(media: Array[Byte], dim: Int): Array[Float] =
@@ -391,12 +439,12 @@ object Multimodal {
 
     override def sampleFrames(media: Array[Byte], n: Int)
         : Seq[Array[Byte]] = {
-      val fs = frameChunks(media)
+      val fs = frameSpans(media)
       if (fs.isEmpty) return Seq.empty
       val take = math.min(n, fs.length)
       (0 until take).map { f =>
         val idx = if (take == 1) 0 else (f.toLong * (fs.length - 1) / (take - 1)).toInt
-        fs(idx)
+        copySpan(media, fs(idx))
       }
     }
   }

@@ -94,8 +94,16 @@ object PipelineOps {
        |  cum - tokens AS start_off,
        |  CAST(${intDiv(d, "cum - tokens", seqLen.toString)} AS BIGINT) AS seq_id,
        |  (cum - tokens) % $seqLen AS seq_off
-       |FROM (
-       |  SELECT doc_id, source, tokens,
+       |FROM ${cumTokens(d, table)} _c
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** Shared by [[seqPackSql]] and [[tokenBudgetMixSql]]: per-document
+    * whitespace token counts with the per-source running total
+    * (PARTITION BY source ORDER BY doc_id) — ONE definition so the two
+    * operators can never disagree on tokenization.
+    */
+  private def cumTokens(d: Dialect, table: String): String =
+    s"""(SELECT doc_id, source, tokens,
        |    CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        |  FROM (
@@ -103,8 +111,7 @@ object PipelineOps {
        |      CASE WHEN length(trim(text)) = 0 THEN 0
        |           ELSE CAST(${d.size}(${d.split}(trim(text), ' ')) AS BIGINT)
        |           END AS tokens
-       |    FROM $table) _t) _c
-       |ORDER BY source, doc_id""".stripMargin
+       |    FROM $table) _t)""".stripMargin
 
   /** Deterministic domain mixing: per-source sampling rates applied via
     * a multiplicative-hash uniform on doc_id, so the same row always
@@ -237,9 +244,15 @@ object PipelineOps {
     // bits and the wide column dominates every high bit — z degenerates
     // to a plain sort on the wide column. Two aggregate scalars,
     // broadcast-joined: fully distributed, no global window.
+    //
+    // The scale runs in DOUBLE, not BIGINT: integer (x-mn)*65535 wraps
+    // for ranges past 2^63/65535 (epoch-nanos), silently in Spark and
+    // loudly in DuckDB — divergent engines. IEEE *,/ and floor are
+    // correctly rounded, so the double form is still bit-identical
+    // across engines for any input.
     def scale(x: String, mn: String, mx: String): String =
-      s"CAST((($x) - $mn) * 65535 ${if (d == SparkDialect) "DIV" else "//"} " +
-        s"greatest($mx - $mn, 1) AS BIGINT)"
+      s"CAST(floor(CAST(($x) - $mn AS DOUBLE) * 65535 / " +
+        s"CAST(greatest($mx - $mn, 1) AS DOUBLE)) AS BIGINT)"
     s"""SELECT $idCol, a16, b16, CAST($terms AS BIGINT) AS z
        |FROM (
        |  SELECT $idCol,
@@ -273,17 +286,10 @@ object PipelineOps {
        |  CAST(cum AS BIGINT) AS cum_tokens,
        |  CAST(budget AS BIGINT) AS budget
        |FROM (
-       |  SELECT doc_id, source, tokens,
-       |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  SELECT doc_id, source, tokens, cum,
        |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
        |         THEN $budgetEven ELSE $budgetOdd END AS budget
-       |  FROM (
-       |    SELECT doc_id, source,
-       |      CASE WHEN length(trim(text)) = 0 THEN 0
-       |           ELSE CAST(${d.size}(${d.split}(trim(text), ' ')) AS BIGINT)
-       |           END AS tokens
-       |    FROM $table) _t) _c
+       |  FROM ${cumTokens(d, table)} _ct) _c
        |WHERE cum - tokens < budget
        |ORDER BY source, doc_id""".stripMargin
 
