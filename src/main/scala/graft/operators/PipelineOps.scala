@@ -293,6 +293,25 @@ object PipelineOps {
        |WHERE cum - tokens < budget
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Deterministic train/val/test split (90/5/5): the same
+    * multiplicative-hash uniform as [[domainMixSql]] but with an
+    * additive decorrelation constant, so the split draw is independent
+    * of the mixing draw (a row downweighted by mixing is not thereby
+    * biased toward val/test). Idempotent at any scale: re-runs,
+    * retries, and late-arriving shards always agree on every row's
+    * split — the property that keeps eval sets leak-free.
+    */
+  def datasetSplitSql(d: Dialect, table: String = "documents"): String =
+    s"""SELECT doc_id, source, u,
+       |  CASE WHEN u < 900000 THEN 'train'
+       |       WHEN u < 950000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, source,
+       |    ((doc_id % 1000000) * 2654435761 + 40503) % 1000000 AS u
+       |  FROM $table) _t
+       |ORDER BY doc_id""".stripMargin
+
   /** CC-Net-style n-gram LM quality scoring (Wenzek et al. 2020): fit a
     * word-bigram language model with add-one smoothing on a fixed
     * training slice (doc_id % 10 < 3 — in production, a known-clean

@@ -58,6 +58,11 @@ object PipelineQueries {
     "q_token_budget_mix" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.tokenBudgetMixSql(TA.SparkDialect))),
 
+    // Deterministic 90/5/5 split assignment, decorrelated from the
+    // mixing draw — leak-free eval sets under retries and re-runs.
+    "q_dataset_split" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.datasetSplitSql(TA.SparkDialect))),
+
     // CC-Net-style bigram-LM scoring: fit on the doc_id%10<3 slice,
     // score every doc by mean NLL (integer 1e-4-nat aggregation).
     "q_lm_perplexity" -> ((s, dir) =>
@@ -149,6 +154,7 @@ object PipelineQueries {
     "q_token_budget_mix" -> PO.tokenBudgetMixSql(TA.DuckDialect),
     "q_zorder_key" -> PO.zorderSql(TA.DuckDialect,
       "orders", "o_orderkey", "o_custkey", "o_orderkey"),
+    "q_dataset_split" -> PO.datasetSplitSql(TA.DuckDialect),
     "q_dedup_components_lss" -> DocumentQueries.componentsOracleSql
   )
 }

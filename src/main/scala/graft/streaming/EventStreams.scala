@@ -23,6 +23,31 @@ object EventStreams {
   /** Tumbling event-time window counts/sums with a watermark; in
     * streaming mode emits only finalized windows (append mode).
     */
+  /** Stream-stream INTERVAL join: match each right-stream event to
+    * left-stream events with the same key that happened in
+    * [rightTime - horizon, rightTime] — the attribution shape
+    * (impression ⋈ click within N minutes). Both sides carry
+    * watermarks so Spark bounds the join state: a left event is
+    * dropped from state once no admissible right event can still
+    * arrive (leftWatermark + horizon), exactly the condition the
+    * interval predicate implies. Without the time-bound predicate this
+    * would be an unbounded-state cross join — the predicate IS the
+    * state eviction policy.
+    *
+    * Columns: left (key, ts, ...) ⋈ right (key, rts, ...) → inner join
+    * rows. Expects distinct column names on the two inputs.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      rightKeyCol: String, tsCol: String, rightTsCol: String,
+      horizon: String, delay: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark(tsCol, delay)
+    val r = right.withWatermark(rightTsCol, delay)
+    l.join(r,
+      expr(s"$keyCol = $rightKeyCol AND " +
+        s"$tsCol <= $rightTsCol AND " +
+        s"$tsCol >= $rightTsCol - INTERVAL $horizon"))
+  }
+
   def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events

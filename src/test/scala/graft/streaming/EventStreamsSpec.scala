@@ -148,4 +148,34 @@ class EventStreamsSpec extends SparkSuite {
     val agg = sessions.agg(sum($"n_events")).as[Long].head()
     assert(agg === events.count()) // every event lands in one session
   }
+
+  test("intervalJoin attributes right events to in-horizon left events " +
+      "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(min: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+    val imps = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    val joined = EventStreams.intervalJoin(
+      imps.toDF().toDF("imp_user", "imp_ts", "creative"),
+      clicks.toDF().toDF("clk_user", "clk_ts"),
+      "imp_user", "clk_user", "imp_ts", "clk_ts",
+      horizon = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // batch 0: impressions for users 1 and 2
+    imps.addData((1L, ts(1), "adA"), (2L, ts(2), "adB"))
+    q.processAllAvailable()
+    // batch 1: user 1 clicks in-horizon; user 2 clicks 15 min later
+    // (out of horizon); user 3 clicks with no impression at all
+    clicks.addData((1L, ts(5)), (2L, ts(17)), (3L, ts(6)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib")
+      .select($"imp_user", $"creative").as[(Long, String)].collect()
+    assert(rows.toSet === Set((1L, "adA")))
+  }
 }
