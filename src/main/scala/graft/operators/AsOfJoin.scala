@@ -66,6 +66,6 @@ object AsOfJoin {
     val leftOut = left.columns.map(col)
     val rightOut = col("_m")("_rts").as("asof_ts") +:
       rightCols.map(c => col("_m")(c).as(c))
-    out.select(leftOut ++ rightOut: _*)
+    out.select((leftOut ++ rightOut).toIndexedSeq: _*)
   }
 }
