@@ -85,9 +85,42 @@ object IvfIndex {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
     val assigned = spark.read.parquet(path)
+    // persist the centroid table next to the inverted file, so the
+    // index is a self-contained durable artifact (the reference's
+    // saved-index analog): any later session loads it without
+    // re-running k-means or touching the source corpus
+    locally {
+      import spark.implicits._
+      local.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_centroids")
+    }
     val model = Model(local, assigned, idCol, vecCol, path)
     if (buildMemo.size < 32) buildMemo.put(key, (plan, model))
     model
+  }
+
+  /** Reopen a durable index written by [[build]]: centroids from the
+    * sidecar table, assignment straight off the cell-partitioned
+    * parquet. No k-means, no corpus scan — the load cost is two
+    * metadata reads, which is what makes the index an artifact rather
+    * than a cache.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String): Model = {
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"no centroid sidecar under $path")
+    // _centroids sits inside the index dir; exclude it from the
+    // assignment read by listing only cell_id partition dirs
+    val assigned = spark.read
+      .option("basePath", path)
+      .parquet(s"$path/cell_id=*")
+    Model(cents, assigned, idCol, vecCol, path)
   }
 
   /** Restrict a cell-partitioned corpus to the cells a probe set

@@ -68,4 +68,27 @@ class IvfSpec extends SparkSuite {
       queries, 1, 16).select($"qid", $"nid").as[(Long, Long)].collect()
     assert(top1.count { case (q, n) => q == n } >= 5)
   }
+
+  test("a built index reloads as a durable artifact and searches " +
+      "identically — no k-means, no corpus scan") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString +
+      "/index"
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8,
+      maxIter = 5, indexDir = Some(dir))
+    val loaded = IvfIndex.load(spark, dir, "vec_id", "embedding")
+    assert(loaded.centroids.length === built.centroids.length)
+    assert(loaded.centroids.zip(built.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    val queries = emb.where($"vec_id" < 5)
+    def res(m: IvfIndex.Model) =
+      IvfIndex.search(m, queries, k = 5, nprobe = 8)
+        .select($"qid", $"nid", $"rank").as[(Long, Long, Int)]
+        .collect().toSet
+    assert(res(loaded) === res(built))
+    // the loaded assignment still prunes at the storage layer
+    val plan = IvfIndex.search(loaded, queries, 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cell_id"), "partition column lost on reload")
+  }
 }
