@@ -11,6 +11,7 @@ Usage: python3 local_verify.py [sf_dir] [out_dir] [--skip-spark]
 """
 import json
 import math
+import os
 import subprocess
 import sys
 
@@ -109,8 +110,17 @@ def main():
     if "--skip-spark" not in sys.argv:
         run_spark()
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    # GRAFT_VERIFY_SKIP=q_a,q_b excludes oracles (the bespoke-math
+    # restatements exhaust memory at sf0.1; they stay gated at sf0.01)
+    skip = set(filter(None,
+        os.environ.get("GRAFT_VERIFY_SKIP", "").split(",")))
+    if skip:
+        print(f"(skipping {len(skip & set(oracles))} oracles by env)")
     fails = 0
+    ran = 0
     for name, sql in sorted(oracles.items()):
+        if name in skip:
+            continue
         # fresh connection per oracle: the bespoke-math oracles
         # (embed-docs, multimodal) are memory-heavy at sf0.1 and a
         # shared connection poisons later queries with OOM
@@ -118,8 +128,9 @@ def main():
         res = compare(name, sql, con)
         con.close()
         print(res)
+        ran += 1
         fails += res.startswith("FAIL")
-    print(f"== {len(oracles) - fails}/{len(oracles)} queries match")
+    print(f"== {ran - fails}/{ran} queries match")
     sys.exit(1 if fails else 0)
 
 
