@@ -50,6 +50,21 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // Skew-salted dimension join: result must be IDENTICAL to the
+    // plain join (the oracle), salting only reshapes the shuffle — the
+    // gate proves the rewrite is semantics-preserving. Sums stay exact
+    // (integral doubles) so aggregation order cannot bite.
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "part")
+        .select($"p_partkey".as("l_partkey"), $"p_brand")
+      graft.operators.ScaleJoins.saltedJoin(li, dim, "l_partkey",
+        salts = 8)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty"))
+        .orderBy($"p_brand")
+    }),
+
     // P1: filter pushed to scan. SURVEY §2.2 P1.
     "q_filter_pushdown" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -205,6 +220,12 @@ object RelationalQueries {
 
 
   val oracleSql: Map[String, String] = Map(
+    // the PLAIN join: salting must be invisible in the result
+    "q_salted_join" ->
+      """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l.l_quantity) AS qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -42,6 +42,25 @@ object TemporalQueries {
           ev.where($"event_type" === "click"),
           "user_id", "ts", "event_id", windowUs = WindowSec * 1000000L)
         .orderBy($"i", $"j")
+    }),
+
+    // The STREAMING interval-join operator run on its batch face —
+    // same code path the attribution stream executes (watermarks are
+    // no-ops in batch), gated against a plain inequality-join oracle.
+    // 10-minute horizon, view inclusive-before click.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val views = ev.where($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id".as("vuser"),
+          $"ts".as("vts"))
+      val clicks = ev.where($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("cuser"),
+          $"ts".as("cts"))
+      graft.streaming.EventStreams.intervalJoin(views, clicks,
+        "vuser", "cuser", "vts", "cts", horizon = "10 minutes")
+        .select($"click_id", $"view_id",
+          (unix_micros($"cts") - unix_micros($"vts")).as("gap_us"))
+        .orderBy($"click_id", $"view_id")
     })
   )
 
@@ -64,6 +83,14 @@ object TemporalQueries {
          |  ON a.user_id = b.user_id
          |  AND a.event_type = 'view' AND b.event_type = 'click'
          |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL $WindowSec SECONDS
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+    "q_interval_join" ->
+      """SELECT b.event_id AS click_id, a.event_id AS view_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'click'
+        |  AND a.ts <= b.ts AND a.ts >= b.ts - INTERVAL 10 MINUTES
+        |ORDER BY click_id, view_id""".stripMargin
   )
 }
