@@ -167,4 +167,48 @@ class PropertySpec extends SparkSuite {
       assert(got === want, s"n=$n")
     }
   }
+
+  test("chunk windows tile any token count: starts at stride multiples, " +
+      "full coverage, declared lengths") {
+    forAll(Gen.choose(1, 500), Gen.choose(2, 64)) { (nTok, stride) =>
+      val chunkSize = stride + stride / 2 // overlap = stride/2
+      val nChunks = (nTok - 1) / stride + 1
+      val spans = (0 until nChunks).map { c =>
+        val start = c * stride
+        (start, math.min(chunkSize, nTok - start))
+      }
+      // every span non-empty and inside the doc
+      spans.foreach { case (s, len) =>
+        assert(len >= 1 && s + len <= nTok)
+      }
+      // coverage: union of spans is [0, nTok)
+      val covered = spans.flatMap { case (s, l) => s until (s + l) }.toSet
+      assert(covered === (0 until nTok).toSet, s"nTok=$nTok stride=$stride")
+    }
+  }
+
+  test("Morton interleave is a bijection on 16-bit pairs") {
+    forAll(Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))) {
+      case (a, b) =>
+        val z = (0 until 16).map(i =>
+          (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
+        // deinterleave recovers both halves exactly
+        val ra = (0 until 16).map(i => ((z >> (2 * i)) & 1) << i).sum
+        val rb = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1) << i).sum
+        assert(ra == a && rb == b, s"($a,$b) -> $z -> ($ra,$rb)")
+        assert(z >= 0 && z < (1L << 32))
+    }
+  }
+
+  test("90/5/5 split draw: bounded, deterministic, and decorrelated " +
+      "from the mixing draw") {
+    forAll(Gen.choose(0L, 10000000L)) { id =>
+      val u = ((id % 1000000L) * 2654435761L + 40503L) % 1000000L
+      val uMix = ((id % 1000000L) * 2654435761L) % 1000000L
+      assert(u >= 0 && u < 1000000L)
+      assert(u == ((id % 1000000L) * 2654435761L + 40503L) % 1000000L)
+      // the two draws are a constant shift apart mod 1e6 — never equal
+      assert(u != uMix)
+    }
+  }
 }
