@@ -122,4 +122,37 @@ object NearDupStream {
   /** All surviving documents so far (union of batch outputs). */
   def survivorsView(spark: SparkSession, outDir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+
+  /** Compact the signature index: merge every batch directory with
+    * id <= `upToBatch` into the single directory of the HIGHEST merged
+    * id, removing the rest — the small-files cure for a long-running
+    * stream (one dir per micro-batch otherwise).
+    *
+    * Safety contract: only call with `upToBatch` strictly BELOW the
+    * latest checkpoint-committed batch. foreachBatch replays only the
+    * last uncommitted batch, so no future replay can carry an id <=
+    * upToBatch — which is what keeps the replay self-exclusion rule
+    * (`dir < own`) correct after merging: the merged dir keeps the
+    * highest merged id, so it stays strictly below any replayable id.
+    * Returns the number of directories merged away (0 = nothing to do).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      upToBatch: Long): Int = {
+    val setsDir = s"$indexDir/sets"
+    val dirs = listBatchDirs(spark, setsDir)
+      .filter(_ <= f"batch_id=$upToBatch%012d")
+    if (dirs.length < 2) return 0
+    val target = dirs.last
+    val merged = spark.read.parquet(dirs.map(d => s"$setsDir/$d"): _*)
+    // stage into a sibling tmp dir, then swap: the merged write must
+    // never destroy source dirs before it has fully materialized
+    val fs = new org.apache.hadoop.fs.Path(setsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    dirs.foreach(d => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$setsDir/$d"), true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$setsDir/$target"))
+    dirs.length - 1
+  }
 }

@@ -58,6 +58,31 @@ class NearDupStreamSpec extends SparkSuite {
     assert(kept === Set(1L, 2L))
   }
 
+  test("index compaction merges batch dirs without changing dedup " +
+      "behavior") {
+    val (idx, out) = (tmp(), tmp())
+    def run(b: Long, docs: Seq[(Long, String)]): Unit =
+      NearDupStream.processBatch(docs.toDF("doc_id", "text"), b,
+        "doc_id", "text", idx, out, 3, 128, 64, 0.5, 42L)
+    run(0L, Seq((1L, docA)))
+    run(1L, Seq((2L, docC)))
+    run(2L, Seq((3L, "yet another completely fresh subject here now")))
+    // merge batches 0..1 (strictly below the latest committed batch 2)
+    val mergedAway = NearDupStream.compactIndex(spark, idx, upToBatch = 1L)
+    assert(mergedAway === 1)
+    val dirs = new java.io.File(s"$idx/sets").list().sorted
+    assert(dirs.toSeq === Seq("batch_id=000000000001",
+      "batch_id=000000000002"))
+    // dedup against the compacted index still works: near-dups of docs
+    // from BOTH merged batches are caught
+    run(3L, Seq((4L, docB), (5L, docC), (6L, "only novel content words")))
+    val kept = NearDupStream.survivorsView(spark, out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 6L))
+    // idempotent no-op when there is nothing left to merge below
+    assert(NearDupStream.compactIndex(spark, idx, 1L) === 0)
+  }
+
   test("stream agrees with the batch operator on the same corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
