@@ -97,6 +97,40 @@ object PipelineOps {
        |FROM ${cumTokens(d, table)} _c
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Ordered string concatenation within a group — Spark has no
+    * ORDER BY inside string_agg, so the sort rides an array_sort over
+    * (orderCol, text) structs; DuckDB uses its native ordered
+    * aggregate. Both produce the identical deterministic byte string.
+    */
+  private def orderedConcat(d: Dialect, textCol: String,
+      orderCol: String): String =
+    if (d == SparkDialect)
+      s"array_join(transform(array_sort(collect_list(" +
+        s"struct($orderCol, $textCol))), x -> x.$textCol), ' ')"
+    else s"string_agg($textCol, ' ' ORDER BY $orderCol)"
+
+  /** Materialized packed sequences — [[seqPackSql]] emits the
+    * bookkeeping (which sequence each document starts in); this emits
+    * the EXAMPLES: one row per (source, seq_id) with the documents
+    * concatenated in packing order, their count, and the token total.
+    * The groupBy reuses the same cumulative-token assignment, so the
+    * two views can never disagree about sequence membership.
+    */
+  def packExamplesSql(d: Dialect, table: String = "documents",
+      seqLen: Int = 512): String =
+    s"""SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tokens) AS BIGINT) AS seq_tokens,
+       |  ${orderedConcat(d, "text", "doc_id")} AS seq_text
+       |FROM (
+       |  SELECT c.doc_id, c.source, c.tokens,
+       |    ${intDiv(d, "c.cum - c.tokens", seqLen.toString)} AS seq_id,
+       |    t.text
+       |  FROM ${cumTokens(d, table)} c
+       |  JOIN $table t ON c.doc_id = t.doc_id) _s
+       |GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+
   /** Shared by [[seqPackSql]] and [[tokenBudgetMixSql]]: per-document
     * whitespace token counts with the per-source running total
     * (PARTITION BY source ORDER BY doc_id) — ONE definition so the two

@@ -53,6 +53,11 @@ object PipelineQueries {
       viaSql(s, dir, "orders", PO.zorderSql(TA.SparkDialect,
         "orders", "o_orderkey", "o_custkey", "o_orderkey"))),
 
+    // Materialized packed sequences: one row per (source, seq_id)
+    // with documents concatenated in packing order.
+    "q_pack_examples" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.packExamplesSql(TA.SparkDialect))),
+
     // Token-budget mixing: every source contributes docs in doc_id
     // order until its token budget is spent — exact integer windows.
     "q_token_budget_mix" -> ((s, dir) =>
@@ -155,6 +160,7 @@ object PipelineQueries {
     "q_zorder_key" -> PO.zorderSql(TA.DuckDialect,
       "orders", "o_orderkey", "o_custkey", "o_orderkey"),
     "q_dataset_split" -> PO.datasetSplitSql(TA.DuckDialect),
+    "q_pack_examples" -> PO.packExamplesSql(TA.DuckDialect),
     "q_dedup_components_lss" -> DocumentQueries.componentsOracleSql
   )
 }
