@@ -414,7 +414,10 @@ object Multimodal {
           }
         }
       }
-      out.toSeq
+      // the LIFO worklist visits sibling LISTs (interleaved 'rec '
+      // groups, OpenDML AVIX segments) in reverse — restore true
+      // on-disk order by offset so frame indices are temporal
+      out.sortBy(_._1).toSeq
     }
 
     private def copySpan(avi: Array[Byte], span: (Int, Int)): Array[Byte] =

@@ -327,13 +327,15 @@ object PipelineOps {
        |WHERE cum - tokens < budget
        |ORDER BY source, doc_id""".stripMargin
 
-  /** Deterministic train/val/test split (90/5/5): the same
-    * multiplicative-hash uniform as [[domainMixSql]] but with an
-    * additive decorrelation constant, so the split draw is independent
-    * of the mixing draw (a row downweighted by mixing is not thereby
-    * biased toward val/test). Idempotent at any scale: re-runs,
-    * retries, and late-arriving shards always agree on every row's
-    * split — the property that keeps eval sets leak-free.
+  /** Deterministic train/val/test split (90/5/5): a multiplicative-
+    * hash uniform like [[domainMixSql]]'s but under a DIFFERENT
+    * multiplier, so the split draw scatters any interval of the mixing
+    * draw across its own range (an additive constant would NOT do
+    * this: u_mix + c is perfectly correlated with u_mix, and splitting
+    * a mix-survivor set would then yield zero val/test rows).
+    * Idempotent at any scale: re-runs, retries, and late-arriving
+    * shards always agree on every row's split — the property that
+    * keeps eval sets leak-free.
     */
   def datasetSplitSql(d: Dialect, table: String = "documents"): String =
     s"""SELECT doc_id, source, u,
@@ -342,7 +344,7 @@ object PipelineOps {
        |       ELSE 'test' END AS split
        |FROM (
        |  SELECT doc_id, source,
-       |    ((doc_id % 1000000) * 2654435761 + 40503) % 1000000 AS u
+       |    ((doc_id % 1000000) * 2246822519 + 40503) % 1000000 AS u
        |  FROM $table) _t
        |ORDER BY doc_id""".stripMargin
 

@@ -142,17 +142,28 @@ object NearDupStream {
     val dirs = listBatchDirs(spark, setsDir)
       .filter(_ <= f"batch_id=$upToBatch%012d")
     if (dirs.length < 2) return 0
-    val target = dirs.last
+    // the compacted dir gets a NEW name ("<last>.c") that sorts right
+    // after its highest source and before the next batch id, so it is
+    // never renamed over a live source dir. Crash-safety argument: at
+    // every step the visible index contains AT LEAST all merged rows —
+    // before the rename the sources are untouched; after it, target +
+    // any not-yet-deleted sources merely duplicate rows, which the
+    // candidate distinct() absorbs. Nothing is ever lost.
+    val target = dirs.last + ".c"
     val merged = spark.read.parquet(dirs.map(d => s"$setsDir/$d"): _*)
-    // stage into a sibling tmp dir, then swap: the merged write must
-    // never destroy source dirs before it has fully materialized
     val fs = new org.apache.hadoop.fs.Path(setsDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.compact_tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
+    val targetPath = new org.apache.hadoop.fs.Path(s"$setsDir/$target")
+    // a leftover target from a crashed attempt still has its sources
+    // on disk (they are deleted only after a successful rename below),
+    // so replacing it cannot lose rows
+    if (fs.exists(targetPath)) fs.delete(targetPath, true)
+    require(fs.rename(tmp, targetPath),
+      s"compaction rename failed: $tmp -> $targetPath (index unchanged)")
     dirs.foreach(d => fs.delete(
       new org.apache.hadoop.fs.Path(s"$setsDir/$d"), true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$setsDir/$target"))
     dirs.length - 1
   }
 }

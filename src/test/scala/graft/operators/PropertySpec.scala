@@ -200,15 +200,23 @@ class PropertySpec extends SparkSuite {
     }
   }
 
-  test("90/5/5 split draw: bounded, deterministic, and decorrelated " +
-      "from the mixing draw") {
-    forAll(Gen.choose(0L, 10000000L)) { id =>
-      val u = ((id % 1000000L) * 2654435761L + 40503L) % 1000000L
-      val uMix = ((id % 1000000L) * 2654435761L) % 1000000L
-      assert(u >= 0 && u < 1000000L)
-      assert(u == ((id % 1000000L) * 2654435761L + 40503L) % 1000000L)
-      // the two draws are a constant shift apart mod 1e6 — never equal
-      assert(u != uMix)
-    }
+  test("90/5/5 split draw stays ~90/5/5 WITHIN the mix-survivor set " +
+      "(the decorrelation that actually matters)") {
+    // emulate both SQL draws over a dense id range, condition on the
+    // mixing keep-interval, and require the split fractions to survive
+    // the conditioning — a constant-shift draw fails this utterly
+    // (every mix survivor would land in 'train')
+    val ids = 0L until 200000L
+    def uMix(id: Long) = ((id % 1000000L) * 2654435761L) % 1000000L
+    def uSplit(id: Long) = ((id % 1000000L) * 2246822519L + 40503L) % 1000000L
+    val kept = ids.filter(id => uMix(id) < 800000L)
+    assert(kept.nonEmpty)
+    val splits = kept.groupBy { id =>
+      val u = uSplit(id)
+      if (u < 900000L) "train" else if (u < 950000L) "val" else "test"
+    }.view.mapValues(_.size.toDouble / kept.size).toMap
+    assert(math.abs(splits.getOrElse("train", 0.0) - 0.90) < 0.02, splits)
+    assert(math.abs(splits.getOrElse("val", 0.0) - 0.05) < 0.01, splits)
+    assert(math.abs(splits.getOrElse("test", 0.0) - 0.05) < 0.01, splits)
   }
 }

@@ -71,7 +71,7 @@ class NearDupStreamSpec extends SparkSuite {
     val mergedAway = NearDupStream.compactIndex(spark, idx, upToBatch = 1L)
     assert(mergedAway === 1)
     val dirs = new java.io.File(s"$idx/sets").list().sorted
-    assert(dirs.toSeq === Seq("batch_id=000000000001",
+    assert(dirs.toSeq === Seq("batch_id=000000000001.c",
       "batch_id=000000000002"))
     // dedup against the compacted index still works: near-dups of docs
     // from BOTH merged batches are caught
