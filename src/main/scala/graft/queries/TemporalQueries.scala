@@ -33,6 +33,22 @@ object TemporalQueries {
         .orderBy($"event_id")
     }),
 
+    // The tolerance-bounded as-of (pandas merge_asof semantics):
+    // matches older than 30 minutes become no-match nulls. Exercises
+    // the toleranceUs path of the same single-window operator.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val views = ev.where($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"event_id").as("view_id"))
+      AsOfJoin.backward(clicks, views, "user_id", "ts", Seq("view_id"),
+        toleranceUs = Some(1800L * 1000000L))
+        .select($"event_id", $"user_id", $"ts", $"view_id",
+          (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))
+        .orderBy($"event_id")
+    }),
+
     // All view→click pairs per user within one hour (bucket-banded
     // equi-join; never a per-key cross product).
     "q_range_join" -> ((s, dir) => {
@@ -76,6 +92,25 @@ object TemporalQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    // tolerance restated without ASOF: per click, the max in-window
+    // view ts, then the (unique per user+ts) view row joined back
+    "q_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts),
+        |m AS (
+        |  SELECT c.event_id, c.user_id, c.ts, max(v.ts) AS vts
+        |  FROM clicks c LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND v.ts <= c.ts
+        |    AND v.ts >= c.ts - INTERVAL 1800 SECONDS
+        |  GROUP BY c.event_id, c.user_id, c.ts)
+        |SELECT m.event_id, m.user_id, m.ts, v.view_id,
+        |  epoch_us(m.ts) - epoch_us(m.vts) AS gap_us
+        |FROM m LEFT JOIN views v
+        |  ON v.user_id = m.user_id AND v.ts = m.vts
+        |ORDER BY m.event_id""".stripMargin,
     "q_range_join" ->
       s"""SELECT a.event_id AS i, b.event_id AS j,
          |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
