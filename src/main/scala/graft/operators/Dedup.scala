@@ -532,12 +532,18 @@ object Dedup {
     *
     * `anchors` plays the role of the k-means centroid set. It is
     * collected to the driver — BY CONTRACT a bounded model (k rows,
-    * like ProductQuantizer's <= 256 centroids), NOT data — and
-    * broadcast inside a `transform` lambda, so cluster assignment is a
-    * pure projection over the scan: ZERO shuffle. The only exchange in
-    * the whole operator is the within-cluster self-join, and SemDeDup's
-    * premise is that k scales with corpus size (k ~ sqrt(n)) so
-    * clusters stay small and the per-cluster quadratic stays bounded.
+    * like ProductQuantizer's <= 256 centroids), NOT data — and shipped
+    * to executors as a `sparkContext.broadcast` variable read by the
+    * assignment UDF (the same pattern ProductQuantizer's Lloyd
+    * iterations use). The model never appears in the query plan: at
+    * SemDeDup's own stated regime (k ~ sqrt(n)) a plan-embedded anchor
+    * literal would have to be serialized into every task binary and
+    * walked by Catalyst's constant handling, which dies long before the
+    * compute does; torrent broadcast ships it once per executor
+    * instead. Cluster assignment is a pure projection over the scan:
+    * ZERO shuffle. The only exchange in the whole operator is the
+    * within-cluster self-join, and because k ~ sqrt(n) clusters stay
+    * small and the per-cluster quadratic stays bounded.
     *
     * Output: (id, cluster, keep) — keep=0 iff some smaller-id member of
     * the same cluster is within eps.
@@ -546,23 +552,50 @@ object Dedup {
       anchors: DataFrame, anchorIdCol: String, anchorVecCol: String,
       eps: Double): DataFrame = {
     val V = graft.functions.VectorFunctions
-    val anchorRows = anchors
+    val anchorRows: Array[(Long, Array[Float])] = anchors
       .select(col(anchorIdCol).cast("long"), col(anchorVecCol))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     require(anchorRows.nonEmpty, "anchor set must be non-empty")
-    val anchLit = typedlit(anchorRows)
-    // nearest anchor = array_min over (dist, aid) structs: struct
-    // ordering is lexicographic, so exact-distance ties break on the
-    // smaller anchor id — the same total order the SQL oracle's
-    // row_number() window uses.
+    val bc = df.sparkSession.sparkContext.broadcast(anchorRows)
+    // Nearest anchor over the broadcast model. The distance loop
+    // replicates CosineDistance.nullSafeEval term-for-term (same
+    // float->double widening, same left-to-right accumulation) so the
+    // doubles — and therefore the argmin decisions — are bit-identical
+    // to the previous expression-based assignment. Ties and NaNs follow
+    // Spark's struct-min total order: strictly-smaller distance wins
+    // (Double.compare puts NaN last), equal distances keep the smaller
+    // anchor id because anchors are scanned in ascending-id order —
+    // the same total order the SQL oracle's row_number() window uses.
+    val assignU = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val vec = v.toArray
+        val model = bc.value
+        var bestD = 0.0; var bestId = 0L; var first = true
+        var j = 0
+        while (j < model.length) {
+          val a = model(j)._2
+          require(a.length == vec.length,
+            s"dimension mismatch: ${vec.length} vs ${a.length}")
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < vec.length) {
+            val x = vec(i).toDouble; val y = a(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          val d = 1.0 - dot / math.sqrt(na * nb)
+          if (first || java.lang.Double.compare(d, bestD) < 0) {
+            bestD = d; bestId = model(j)._1; first = false
+          }
+          j += 1
+        }
+        java.lang.Long.valueOf(bestId)
+      }
+    }
     val assigned = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("m", array_min(transform(anchLit,
-        a => struct(V.cos_dist(col("v"), a.getField("_2")).as("d"),
-          a.getField("_1").as("aid")))))
-      .select(col("id"), col("v"), col("m.aid").as("cluster"))
+      .withColumn("cluster", assignU(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id") &&

@@ -169,11 +169,22 @@ class PlanSpec extends SparkSuite {
       "embedding", emb.where(emb("vec_id") < 8), "vec_id", "embedding",
       eps = 0.55)
     val p = assigned.queryExecution.executedPlan.toString
-    // anchor model is a literal, not a joined relation: exactly the
-    // exchanges of the self-join + final left join appear, and no
+    // anchor model is broadcast, not joined and not a plan literal: no
     // BroadcastNestedLoopJoin (which a cross-join assignment would use)
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"assignment must not cross-join anchors:\n$p")
+    // and the plan must not grow with the anchor count — a plan-embedded
+    // anchor array (typedlit) would be serialized into every task binary
+    // and walked by Catalyst; at SemDeDup's k ~ sqrt(n) regime that kills
+    // the driver. 8x the anchors must leave the plan text unchanged in
+    // size (modulo a few chars of differing expression ids).
+    val assignedBig = graft.operators.Dedup.semDedup(emb, "vec_id",
+      "embedding", emb.where(emb("vec_id") < 64), "vec_id", "embedding",
+      eps = 0.55)
+    val pBig = assignedBig.queryExecution.executedPlan.toString
+    assert(math.abs(pBig.length - p.length) < 200,
+      s"plan size must not scale with anchor count: " +
+        s"${p.length} chars @8 anchors vs ${pBig.length} @64")
   }
 
   test("lm scoring aggregates counts partially before every exchange") {
