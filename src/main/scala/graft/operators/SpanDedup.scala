@@ -46,12 +46,26 @@ object SpanDedup {
           * 10000 + 0.5) / 10000).as("dup_frac"))
   }
 
+  /** Above this many distinct eval grams the contamination join stops
+    * forcing a broadcast and falls back to a plain shuffle join — the
+    * same cap-then-degrade discipline as [[Dedup]]'s shingle
+    * dictionary. Real benchmark suites are small by nature, but a
+    * caller passing a large `isEval` slice must get a plan downgrade,
+    * not an executor OOM. Test hook: overridable so specs can force
+    * the fallback on small fixtures.
+    */
+  private[graft] val EvalGramCapDefault = 5000000L
+  @volatile private[graft] var evalGramCapOverride: Option[Long] = None
+
   /** Benchmark-contamination check: for every training document (rows
     * NOT in the eval set), the fraction of its distinct word n-grams
     * that appear anywhere in the eval set — the standard pre-training
     * decontamination scan. The eval gram set is tiny relative to the
-    * corpus, so it is explicitly broadcast: the training side is never
-    * shuffled.
+    * corpus, so it is explicitly broadcast and the training side is
+    * never shuffled; above [[EvalGramCapDefault]] distinct grams the
+    * broadcast hint is dropped and the join degrades to a shuffle —
+    * slower, but bounded by executor memory, not driver/broadcast
+    * limits.
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
       n: Int, isEval: org.apache.spark.sql.Column): DataFrame = {
@@ -67,9 +81,15 @@ object SpanDedup {
       .select(explode(col("hs")).as("gh"))
       .distinct()
       .select(col("gh"), lit(1L).as("hit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainGrams = tagged.where(!col("_is_eval"))
       .select(col("id"), explode(col("hs")).as("gh"))
-    trainGrams.join(broadcast(evalGrams), Seq("gh"), "left")
+    // the count reads the persisted set the join reuses, so sizing the
+    // plan costs one pass over the (small) eval side only
+    val cap = evalGramCapOverride.getOrElse(EvalGramCapDefault)
+    val evalSide =
+      if (evalGrams.count() <= cap) broadcast(evalGrams) else evalGrams
+    trainGrams.join(evalSide, Seq("gh"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("grams"),
         sum(coalesce(col("hit"), lit(0L))).as("eval_grams"))

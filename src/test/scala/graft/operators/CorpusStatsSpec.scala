@@ -74,4 +74,33 @@ class CorpusStatsSpec extends SparkSuite {
     assert(r(11L) === ((3L, 0L, 0.0)))
     assert(r(13L) === ((3L, 1L, 0.3333))) // shares p1..p8 with eval
   }
+
+  test("contamination above the eval-gram cap degrades to a shuffle " +
+      "join (no forced broadcast) with identical results") {
+    SpanDedup.evalGramCapOverride = Some(0L)
+    // a broadcast HINT overrides autoBroadcastJoinThreshold, so turning
+    // the threshold off makes any remaining broadcast in the plan a
+    // forced one — exactly what the cap must prevent
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = SpanDedup.contamination(docs, "doc_id", "text", n = 8,
+        isEval = col("doc_id") === 12L)
+      val p = out.queryExecution.executedPlan.toString
+      // the eval join is the LeftOuter on the gram hash; nested cached
+      // relations may legitimately contain broadcasts of id-flag sides
+      assert(!"BroadcastHashJoin \\[gh".r.findAllIn(p).hasNext,
+        s"capped eval set must not be force-broadcast:\n$p")
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[gh".r.findAllIn(p).hasNext,
+        s"eval join must degrade to a shuffle join:\n$p")
+      val r = out.collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+      assert(!r.contains(12L))
+      assert(r(11L) === ((3L, 0L, 0.0)))
+      assert(r(13L) === ((3L, 1L, 0.3333)))
+    } finally {
+      SpanDedup.evalGramCapOverride = None
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
