@@ -58,27 +58,40 @@ object PqQueries {
         .toDF("subvector_id", "centroid_id", "pos", "val")
         .orderBy($"subvector_id", $"centroid_id", $"pos")),
 
-    // Q7/Q8 full pipeline: fit → quantize (rows-only).
+    // Q7/Q8 quantize against the fixed codebook, emitting the packed
+    // PQ code WORD per vector (codes 0..15 in 4 bits × 8 splits = one
+    // 32-bit word) — the byte string a PQ index actually stores, and a
+    // pure-integer value DuckDB restates exactly. The fitted-codebook
+    // pipeline stays covered by q_pq_codebook (rows-only) + PqSpec.
     "q_pq_quantize" -> ((s, dir) => {
       val e = emb(s, dir).select($"vec_id", $"embedding")
-      val cb = ProductQuantizer.fitCodebook(e, "vec_id", "embedding",
-        clusters = 16, splits = Splits, maxIter = 10)
-      ProductQuantizer.quantizeColumn(e, "embedding", "v_pq", cb)
-        .select($"vec_id", posexplode($"v_pq".cast("array<int>")))
-        .toDF("vec_id", "pos", "code")
-        .orderBy($"vec_id", $"pos")
+      ProductQuantizer.quantizeColumn(e, "embedding", "v_pq",
+        fixedCodebook(s, dir))
+        .select($"vec_id",
+          (0 until Splits).map(i =>
+            shiftleft(element_at($"v_pq".cast("array<bigint>"), i + 1),
+              i * 4))
+            .reduce(_ + _).as("packed_code"))
     }),
 
-    // Reconstruction quality summary (rows-only single row).
+    // Q8 reconstruction error per vector, quantize → dequantize against
+    // the fixed codebook. Each dimension's squared error is floored to
+    // an integer number of 1e-6 units BEFORE summation, so the
+    // aggregate is exact integer arithmetic in any engine (raw double
+    // sums would hash-diverge on summation order). Vectors that ARE
+    // codebook rows (vec_id < 16) reconstruct exactly → err_q = 0.
     "q_pq_reconstruction" -> ((s, dir) => {
       val e = emb(s, dir).select($"vec_id", $"embedding")
-      val cb = ProductQuantizer.fitCodebook(e, "vec_id", "embedding",
-        clusters = 16, splits = Splits, maxIter = 10)
+      val cb = fixedCodebook(s, dir)
       val q = ProductQuantizer.quantizeColumn(e, "embedding", "v_pq", cb)
       val d = ProductQuantizer.dequantizeColumn(q, "v_pq", "v_hat", cb)
-      d.agg(
-        count(lit(1)).as("n"),
-        round(avg(V.l2sq_dist($"embedding", $"v_hat")), 3).as("avg_mse"))
+      d.select($"vec_id",
+        aggregate(
+          zip_with($"embedding", $"v_hat", (x, y) =>
+            floor(((x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))) * lit(1000000.0)
+              + lit(0.5)).cast("bigint")),
+          lit(0L), (acc, t) => acc + t).as("err_q"))
     })
   )
 
@@ -86,25 +99,50 @@ object PqQueries {
     val sub = 8
     val svA = "a_sv"
     val svB = "b_c"
+    // Shared restatement of the fixed codebook + argmin assignment; the
+    // three oracles differ only in what they emit from the rn=1 rows.
+    val base =
+      s"""WITH sp AS (SELECT unnest(range(0, $Splits)) AS split_id),
+         |cb AS (
+         |  SELECT sp.split_id, CAST(vec_id AS INT) AS centroid_id,
+         |         embedding[sp.split_id*$sub+1 : sp.split_id*$sub+$sub] AS $svB
+         |  FROM embeddings, sp WHERE vec_id < $FixedCentroids),
+         |sub AS (
+         |  SELECT e.vec_id, sp.split_id,
+         |         embedding[sp.split_id*$sub+1 : sp.split_id*$sub+$sub] AS $svA
+         |  FROM embeddings e, sp),
+         |scored AS (
+         |  SELECT sub.vec_id, sub.split_id, cb.centroid_id, $svA, $svB,
+         |    row_number() OVER (PARTITION BY sub.vec_id, sub.split_id
+         |      ORDER BY ${dkL2sq(svA, svB)}, cb.centroid_id) AS rn
+         |  FROM sub JOIN cb ON sub.split_id = cb.split_id)""".stripMargin
+    // per-dim squared error in exact-multiply form (never ^2: the two
+    // engines' pow() may differ in the last ulp; IEEE * cannot)
+    val sqTerm =
+      s"(CAST($svA[i] AS DOUBLE) - CAST($svB[i] AS DOUBLE)) * " +
+        s"(CAST($svA[i] AS DOUBLE) - CAST($svB[i] AS DOUBLE))"
     Map(
       "q_pq_assign_fixed" ->
-        s"""WITH sp AS (SELECT unnest(range(0, $Splits)) AS split_id),
-           |cb AS (
-           |  SELECT sp.split_id, CAST(vec_id AS INT) AS centroid_id,
-           |         embedding[sp.split_id*$sub+1 : sp.split_id*$sub+$sub] AS $svB
-           |  FROM embeddings, sp WHERE vec_id < $FixedCentroids),
-           |sub AS (
-           |  SELECT e.vec_id, sp.split_id,
-           |         embedding[sp.split_id*$sub+1 : sp.split_id*$sub+$sub] AS $svA
-           |  FROM embeddings e, sp),
-           |scored AS (
-           |  SELECT sub.vec_id, sub.split_id, cb.centroid_id,
-           |    row_number() OVER (PARTITION BY sub.vec_id, sub.split_id
-           |      ORDER BY ${dkL2sq(svA, svB)}, cb.centroid_id) AS rn
-           |  FROM sub JOIN cb ON sub.split_id = cb.split_id)
+        s"""$base
            |SELECT vec_id, CAST(split_id AS INT) AS pos,
            |  CAST(centroid_id AS INT) AS code
-           |FROM scored WHERE rn = 1 ORDER BY vec_id, pos""".stripMargin
+           |FROM scored WHERE rn = 1 ORDER BY vec_id, pos""".stripMargin,
+
+      "q_pq_quantize" ->
+        s"""$base
+           |SELECT vec_id,
+           |  CAST(sum(CAST(centroid_id AS BIGINT)
+           |    << (CAST(split_id AS INT) * 4)) AS BIGINT) AS packed_code
+           |FROM scored WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "q_pq_reconstruction" ->
+        s"""$base
+           |SELECT vec_id, CAST(sum(e) AS BIGINT) AS err_q
+           |FROM (
+           |  SELECT vec_id, list_sum(list_transform(range(1, len($svA)+1),
+           |    i -> CAST(floor($sqTerm * 1000000 + 0.5) AS BIGINT))) AS e
+           |  FROM scored WHERE rn = 1) _t
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin
     )
   }
 }
