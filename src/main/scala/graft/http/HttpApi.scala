@@ -50,8 +50,14 @@ import graft.operators.Knn
   * the reference's 1 GB JSON bulk paths stay Spark jobs. Index
   * endpoints are intentionally absent: online HNSW serving is outside
   * Spark's model (north star); search IS the exact-kNN answer.
+  *
+  * `auth`, when set, enables HTTP Basic authentication on every route
+  * (the reference's optional user/pass gate, `http_server/mod.rs:
+  * 62-75`): requests without the exact `Authorization: Basic` header
+  * get 401 + `WWW-Authenticate`. Credential compare is constant-time.
   */
-class HttpApi(spark: SparkSession, port: Int = 0) {
+class HttpApi(spark: SparkSession, port: Int = 0,
+    auth: Option[(String, String)] = None) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // survivor views created by /dedup, so a re-run on the same
   // collection releases the previous view's cached blocks
@@ -114,7 +120,28 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
     "double", "string", "boolean", "timestamp", "date", "binary",
     "array<float>", "array<int>", "array<tinyint>", "array<string>")
 
+  // the full expected header value, precomputed once; None = auth off
+  private val expectedAuth: Option[Array[Byte]] = auth.map { case (u, p) =>
+    ("Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$u:$p".getBytes(StandardCharsets.UTF_8)))
+      .getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def authorized(ex: HttpExchange): Boolean =
+    expectedAuth.forall { expect =>
+      Option(ex.getRequestHeaders.getFirst("Authorization")).exists(h =>
+        // MessageDigest.isEqual is constant-time — a plain == would
+        // leak the prefix length of a partially-correct credential
+        java.security.MessageDigest.isEqual(
+          h.getBytes(StandardCharsets.UTF_8), expect))
+    }
+
   private def handle(ex: HttpExchange): Unit = try {
+    if (!authorized(ex)) {
+      ex.getResponseHeaders.add("WWW-Authenticate", "Basic realm=\"graft\"")
+      respond(ex, 401, """{"error":"unauthorized"}""")
+      return
+    }
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
     val parts = path.split("/").filter(_.nonEmpty)
@@ -173,12 +200,17 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
             .getOrElse("embedding")
           val idCol = jsonField(body, "id_column").getOrElse("vec_id")
           val clusters = jsonField(body, "clusters")
-            .map(_.toDouble.toInt).getOrElse(16)
+            .map(c => scala.util.Try(c.toDouble.toInt).getOrElse(-1))
+            .getOrElse(16)
           val splits = jsonField(body, "splits")
-            .map(_.toDouble.toInt).getOrElse(8)
+            .map(s => scala.util.Try(s.toDouble.toInt).getOrElse(-1))
+            .getOrElse(8)
           if (!df.columns.contains(vecCol) || !df.columns.contains(idCol))
             respond(ex, 400,
               s"""{"error":"need columns $idCol and $vecCol"}""")
+          else if (clusters < 1 || clusters > 256 || splits < 1)
+            respond(ex, 400, """{"error":"clusters must be a number in """ +
+              """[1, 256], splits >= 1"}""")
           else {
             val cb = graft.operators.ProductQuantizer.fitCodebook(
               df, idCol, vecCol, clusters, splits)
@@ -203,12 +235,17 @@ class HttpApi(spark: SparkSession, port: Int = 0) {
             StandardCharsets.UTF_8)
           val textCol = jsonField(body, "text_column").getOrElse("text")
           val idCol = jsonField(body, "id_column").getOrElse("doc_id")
-          val tau = jsonField(body, "tau").map(_.toDouble).getOrElse(0.5)
+          // malformed numerics parse to NaN, which fails the range
+          // check below → 400, not a NumberFormatException-turned-500
+          val tau = jsonField(body, "tau")
+            .map(t => scala.util.Try(t.toDouble).getOrElse(Double.NaN))
+            .getOrElse(0.5)
           if (!df.columns.contains(textCol) || !df.columns.contains(idCol))
             respond(ex, 400,
               s"""{"error":"need columns $idCol and $textCol"}""")
-          else if (tau <= 0 || tau > 1)
-            respond(ex, 400, """{"error":"tau must be in (0, 1]"}""")
+          else if (!(tau > 0 && tau <= 1))
+            respond(ex, 400,
+              """{"error":"tau must be a number in (0, 1]"}""")
           else {
             // own the caching explicitly (shared = false): the global
             // shingle memo would pin one relation per distinct

@@ -139,4 +139,47 @@ class HttpApiSpec extends SparkSuite {
     assert(q.count() === 500)
     assert(q.columns.contains("embedding_pq"))
   }
+
+  test("malformed numeric parameters get 400, not 500") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_badnum_api")
+    for (bad <- Seq("\"abc\"", "\"1e\"", "\"\"")) {
+      val r = post("/collections/docs_badnum_api/dedup",
+        s"""{"tau":$bad}""")
+      assert(r.statusCode() === 400, s"tau=$bad → ${r.statusCode()}")
+      assert(r.body().contains("tau must be a number"))
+    }
+    assert(post("/collections/embeddings/pq",
+      """{"clusters":"abc"}""").statusCode() === 400)
+  }
+
+  test("basic auth: wrong or missing credentials get 401 + challenge, " +
+      "correct ones pass (reference http_server/mod.rs:62-75)") {
+    val secured = new HttpApi(spark, auth = Some(("alice", "s3cret")))
+      .start()
+    try {
+      val sbase = s"http://localhost:${secured.boundPort}"
+      def getAuth(header: Option[String]): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(sbase + "/collections"))
+          .GET()
+        header.foreach(h => b.header("Authorization", h))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      def basic(u: String, p: String): String =
+        "Basic " + java.util.Base64.getEncoder.encodeToString(
+          s"$u:$p".getBytes("UTF-8"))
+
+      val denied = getAuth(None)
+      assert(denied.statusCode() === 401)
+      assert(denied.headers().firstValue("WWW-Authenticate").isPresent)
+
+      assert(getAuth(Some(basic("alice", "wrong"))).statusCode() === 401)
+      assert(getAuth(Some(basic("mallory", "s3cret"))).statusCode() === 401)
+      assert(getAuth(Some("Bearer nope")).statusCode() === 401)
+
+      val ok = getAuth(Some(basic("alice", "s3cret")))
+      assert(ok.statusCode() === 200)
+      assert(ok.body().contains("\"embeddings\""))
+    } finally secured.stop()
+  }
 }
