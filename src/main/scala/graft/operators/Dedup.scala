@@ -16,11 +16,43 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   *
   * Lifecycle note: operators persist shared intermediates (their
   * self-joins would otherwise recompute lineage per branch); the
-  * returned DataFrames depend on those blocks, so callers running many
-  * dedups in one session should `spark.catalog.clearCache()` between
-  * them once results are consumed (Bench/Verify do).
+  * returned DataFrames depend on those blocks. Callers running many
+  * dedups in one long-lived session should call [[releaseCaches]]
+  * between them once results are consumed — it unpersists exactly the
+  * relations these operators cached (Bench/Verify use the blunter
+  * session-wide `spark.catalog.clearCache()`, which is fine when the
+  * session is theirs alone).
   */
 object Dedup {
+
+  // Registry of every relation the dedup operators persist (memoized
+  // or per-call), so a long-lived shared session can release exactly
+  // these caches and nothing else — a session-wide clearCache() would
+  // also evict other components' materialized state (e.g. HttpApi's
+  // survivor views, whose contract is that later SELECTs read cache).
+  private val trackedCaches =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame,
+        java.lang.Boolean]())
+
+  private def trackCache(df: DataFrame): DataFrame = {
+    trackedCaches.add(df); df
+  }
+
+  /** Unpersist every relation the dedup operators cached in this JVM
+    * and reset the plan memos. Targeted alternative to
+    * `spark.catalog.clearCache()` for long-lived shared sessions
+    * (daemons, HTTP servers): other components' caches survive.
+    * Correctness never depends on these caches — a memoized plan whose
+    * block was dropped re-persists from lineage on next use.
+    */
+  def releaseCaches(): Unit = {
+    val it = trackedCaches.iterator()
+    while (it.hasNext) { it.next().unpersist(); it.remove() }
+    pairMemo.clear()
+    shingleMemo.clear()
+    ccMemo.clear()
+  }
 
   /** Exact duplicate grouping by md5 of a text column.
     * Output: (id, kept_id, cnt) — kept_id is the smallest id sharing the
@@ -92,7 +124,7 @@ object Dedup {
     }
     val result = jaccardPairsUncached(dfn, idCol, textCol, n, tau,
       maxShingleFreq)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     // materialize eagerly so the expensive similarity join runs once,
     // not per downstream branch
     result.count()
@@ -120,11 +152,11 @@ object Dedup {
         (hit._2.sparkSession eq df.sparkSession)) {
       val m = hit._2
       if (m.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
       return m
     }
     val built = hashedShingleSets(dfn, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     if (shingleMemo.size < 32) shingleMemo.put(key, (plan, built))
     built
   }
@@ -182,7 +214,7 @@ object Dedup {
     val docFreq = sets0
       .select(explode(col("hs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df_g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     val distinctShingles = docFreq.count()
     val cap = maxShingleFreq.map(_.toLong).getOrElse(Long.MaxValue)
     val dictCap = dictCapOverride.getOrElse(DictCapDefault)
@@ -215,7 +247,7 @@ object Dedup {
     })
       .select(col("id"), col("hs"), size(col("hs")).as("n_sh"))
       .where(col("n_sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     val prefix = ordered.select(col("id"), col("n_sh"),
       posexplode(slice(col("hs"), lit(1),
         (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int")))
@@ -264,7 +296,7 @@ object Dedup {
     // SAME dupPairsFromSets code path the cross-corpus and streaming
     // operators run — one implementation of the recall-critical logic.
     val sets = signatureSets(df, idCol, textCol, n, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     dupPairsFromSets(sets, sets, "i", "j", numHashes, bands, tau,
       selfJoin = true)
   }
@@ -315,13 +347,19 @@ object Dedup {
     * broadcast: AQE picks the broadcast side automatically.
     *
     * Output: (new_id, old_id, jac), one row per cross pair.
+    *
+    * Caching: both signature-set relations are persisted (each side is
+    * read by the band join AND exact verification) and registered with
+    * the operator cache registry — call [[releaseCaches]] after the
+    * pair output is consumed, or repeated calls in a long-lived
+    * session accumulate two pinned relations per call.
     */
   def crossCorpusDupPairs(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
       bands: Int = 64, tau: Double = 0.5, seed: Long = 42L): DataFrame = {
     def sigSets(df: DataFrame) =
       signatureSets(df, idCol, textCol, n, numHashes, seed)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     dupPairsFromSets(sigSets(incoming), sigSets(existing),
       "new_id", "old_id", numHashes, bands, tau, selfJoin = false)
   }
@@ -437,7 +475,7 @@ object Dedup {
     // manager, so repeated calls over the same corpus also reuse it.
     val sims = df.select(col(idCol).as("id"),
       T.simhash64(split(col(textCol), " ")).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     val chunks = sims.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xffffL))
@@ -474,7 +512,7 @@ object Dedup {
     val base = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     val blockPairs = broadcast(
       (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
         .toDF("ba", "bb"))
@@ -502,7 +540,7 @@ object Dedup {
       tau: Double, numBits: Int = 12, probes: Int = 4,
       seed: Long = 42L): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     val bucketed = base.select(col("id"), col("v"),
       explode(array((0 until probes).map(p =>
         struct(lit(p).as("probe"),
@@ -596,7 +634,7 @@ object Dedup {
     val assigned = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cluster", assignU(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id") &&
           V.cos_dist(col("a.v"), col("b.v")) <= eps)
@@ -646,7 +684,7 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
-      .persist(lvl)
+      .persist(lvl).transform(trackCache)
     // localCheckpoint (not persist): each round's plan references the
     // previous labels twice (union + join), so without lineage
     // truncation the logical plan grows ~3^rounds and the driver dies

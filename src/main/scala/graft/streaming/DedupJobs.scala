@@ -124,10 +124,12 @@ object DedupJobs {
       val nDups = dupIds.count()
       corpus.join(dupIds, Seq(spec.idCol), "left_anti")
         .write.mode("overwrite").parquet(spec.survivorsDir)
-      // the dedup operators' documented session contract: both outputs
-      // are parquet now, so release the signature/shingle caches a
-      // long-lived daemon would otherwise accumulate one-per-job
-      spark.catalog.clearCache()
+      // both outputs are parquet now: release exactly the relations the
+      // dedup operators cached for this job. A session-wide
+      // clearCache() here would also evict unrelated components'
+      // materialized state (HttpApi survivor views, concurrent jobs'
+      // memos) in a shared long-lived session.
+      Dedup.releaseCaches()
       store.update(id)(_.copy(
         finishedAt = Some(Instant.now().toString),
         progress = 100,

@@ -250,4 +250,27 @@ class DedupSpec extends SparkSuite {
     }
     assert(keep.values.count(_ == 0) > 0)
   }
+
+  test("releaseCaches unpersists only the dedup-created relations — " +
+      "a foreign component's cache survives") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // a foreign cache, standing in for e.g. an HttpApi survivor view
+    val foreign = docs.where($"doc_id" < 50)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    foreign.count()
+    try {
+      Dedup.minhashDupPairs(docs, "doc_id", "text", tau = 0.5).count()
+      val cachedDuring = spark.sparkContext.getPersistentRDDs.size
+      assert(cachedDuring >= 2,
+        s"expected dedup + foreign caches, saw $cachedDuring")
+      Dedup.releaseCaches()
+      assert(foreign.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "foreign cache must survive a dedup release")
+      // re-running after a release still works (memos rebuilt)
+      assert(Dedup.minhashDupPairs(docs, "doc_id", "text", tau = 0.5)
+        .count() > 0)
+      Dedup.releaseCaches()
+    } finally foreign.unpersist()
+  }
 }
