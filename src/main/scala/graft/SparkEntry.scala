@@ -29,7 +29,9 @@ object SparkEntry {
     (_root_.graft.queries.SearchQueries.queries,
       _root_.graft.queries.SearchQueries.oracleSql),
     (_root_.graft.queries.PipelineQueries.queries,
-      _root_.graft.queries.PipelineQueries.oracleSql)
+      _root_.graft.queries.PipelineQueries.oracleSql),
+    (_root_.graft.queries.SourceQueries.queries,
+      _root_.graft.queries.SourceQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

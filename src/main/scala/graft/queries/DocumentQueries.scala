@@ -97,6 +97,24 @@ object DocumentQueries {
         .orderBy($"new_id", $"old_id")
     }),
 
+    // Streaming near-dup replay: the corpus arrives as 3 ordered
+    // batches (doc_id % 3); each batch dedups against the persisted
+    // signature index of EARLIER SURVIVORS, then within itself — the
+    // exact per-batch path NearDupStream's foreachBatch runs (one code
+    // path, invoked via replayBatches). Oracle: the sequential
+    // windowed cross-corpus restatement in exact Jaccard (banding
+    // recall ~1 at tau=0.5, as established by q_minhash_dups).
+    "q_dedup_stream_replay" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_replay").toString
+      graft.streaming.NearDupStream.replayBatches(
+        (0 until 3).map(b => d.where(pmod($"doc_id", lit(3)) === b)),
+        "doc_id", "text", s"$root/index", s"$root/out", tau = 0.5)
+        .select($"doc_id", $"batch_id".cast("int").as("batch_id"))
+        .orderBy($"doc_id")
+    }),
+
     // SimHash near-dup pairs, oracled by a full DuckDB restatement of
     // the FNV-1a + bit-vote construction (see simhashOracle below).
     "q_simhash_dups" -> ((s, dir) =>
@@ -437,6 +455,51 @@ object DocumentQueries {
         |FROM pairs JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = old_id
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
         |ORDER BY new_id, old_id""".stripMargin,
+    // Sequential 3-batch replay: near-dup pair graph (exact Jaccard,
+    // both directions), then batch 0 dedups within itself, batch 1
+    // against batch-0 SURVIVORS + itself, batch 2 against survivors of
+    // both + itself — the windowed restatement of the streaming index
+    // semantics (index holds survivors only; within-batch uses the
+    // full batch).
+    "q_dedup_stream_replay" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS MATERIALIZED (
+        |  SELECT i, j FROM prs
+        |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+        |d0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |d1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |d2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        |s0 AS MATERIALIZED (SELECT doc_id FROM d0 WHERE doc_id NOT IN (
+        |  SELECT pr.j FROM pr JOIN d0 a ON pr.i = a.doc_id
+        |  JOIN d0 b ON pr.j = b.doc_id WHERE pr.i < pr.j)),
+        |s1 AS MATERIALIZED (SELECT doc_id FROM d1 WHERE doc_id NOT IN (
+        |  SELECT pr.i FROM pr JOIN d1 x ON pr.i = x.doc_id
+        |  JOIN s0 y ON pr.j = y.doc_id
+        |  UNION
+        |  SELECT pr.j FROM pr JOIN d1 a ON pr.i = a.doc_id
+        |  JOIN d1 b ON pr.j = b.doc_id WHERE pr.i < pr.j)),
+        |s2 AS (SELECT doc_id FROM d2 WHERE doc_id NOT IN (
+        |  SELECT pr.i FROM pr JOIN d2 x ON pr.i = x.doc_id
+        |  JOIN (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1) y
+        |    ON pr.j = y.doc_id
+        |  UNION
+        |  SELECT pr.j FROM pr JOIN d2 a ON pr.i = a.doc_id
+        |  JOIN d2 b ON pr.j = b.doc_id WHERE pr.i < pr.j))
+        |SELECT doc_id, batch_id FROM (
+        |  SELECT doc_id, 0 AS batch_id FROM s0
+        |  UNION ALL SELECT doc_id, 1 FROM s1
+        |  UNION ALL SELECT doc_id, 2 FROM s2) _u
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_components" -> componentsOracleSql,
     "q_simhash_dups" -> simhashOracle,
     "q_multimodal_features" -> multimodalOracle,

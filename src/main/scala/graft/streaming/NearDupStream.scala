@@ -123,6 +123,26 @@ object NearDupStream {
   def survivorsView(spark: SparkSession, outDir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(outDir)
 
+  /** Replay a fixed sequence of batches through the EXACT streaming
+    * per-batch path (same `processBatch`, same index layout) and return
+    * the survivors with their batch id — the batch face of the stream,
+    * used by backfills, tests, and the correctness gate. Stream and
+    * replay can never disagree: they are one code path.
+    */
+  def replayBatches(batches: Seq[DataFrame], idCol: String,
+      textCol: String, indexDir: String, outDir: String, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 64, tau: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      processBatch(b, i.toLong, idCol, textCol, indexDir, outDir,
+        n, numHashes, bands, tau, seed)
+    }
+    // the batch_id=N survivor dirs are hive-partitioned: discovery
+    // returns batch_id as a partition column
+    batches.head.sparkSession.read.parquet(outDir)
+  }
+
   /** Compact the signature index: merge every batch directory with
     * id <= `upToBatch` into the single directory of the HIGHEST merged
     * id, removing the rest — the small-files cure for a long-running
