@@ -50,6 +50,14 @@ object Multimodal {
     def resize(media: Array[Byte], w: Int, h: Int): Array[Byte]
     /** Sample up to n frames from a video payload. */
     def sampleFrames(media: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** Decode to an INTEGER luminance grid (gw × gh, row-major) for
+      * perceptual hashing — exact integers, because the hash bits are
+      * order comparisons that must be reproducible across engines
+      * (a float pipeline could flip a bit in the last ulp). None =
+      * undecodable payload; such rows take no part in image dedup.
+      */
+    def grayGrid(media: Array[Byte], gw: Int, gh: Int)
+        : Option[Array[Long]] = None
   }
 
   /** Deterministic stand-in: features are stripe-hash projections of
@@ -98,6 +106,25 @@ object Multimodal {
         java.util.Arrays.copyOfRange(media, start,
           math.min(start + chunk, media.length))
       }
+    }
+
+    /** Deterministic fake grid: the same wrapping-long stripe-hash
+      * accumulation as [[features]], WITHOUT the float normalization —
+      * the raw signed accumulators ARE the "luminance" values, exact
+      * integers an independent engine restates bit-for-bit (the
+      * q_image_dedup oracle does).
+      */
+    override def grayGrid(media: Array[Byte], gw: Int, gh: Int)
+        : Option[Array[Long]] = {
+      val dim = gw * gh
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < media.length) {
+        val h = TextHash.mix64((media(i) & 0xffL) ^ (i.toLong << 8))
+        acc(i % dim) += h
+        i += 1
+      }
+      Some(acc)
     }
   }
 
@@ -166,6 +193,32 @@ object Multimodal {
           val norm = math.sqrt(feats.map(x => x * x).sum)
           if (norm == 0.0) feats.map(_ => 0.0f)
           else feats.map(x => (x / norm).toFloat)
+      }
+
+    /** Exact integer luma grid: the same floor-scaled nearest-pixel
+      * sampling as [[features]], with ITU-R 601 luma kept as the raw
+      * integer r*299 + g*587 + b*114 in [0, 255000] — no floats
+      * anywhere, so perceptual-hash bit comparisons are exact.
+      */
+    override def grayGrid(media: Array[Byte], gw: Int, gh: Int)
+        : Option[Array[Long]] =
+      decode(media).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Long](gw * gh)
+        var gy = 0
+        while (gy < gh) {
+          var gx = 0
+          while (gx < gw) {
+            val px = math.min((gx.toLong * w / gw).toInt, w - 1)
+            val py = math.min((gy.toLong * h / gh).toInt, h - 1)
+            val rgb = img.getRGB(px, py)
+            out(gy * gw + gx) = ((rgb >> 16) & 0xff) * 299L +
+              ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+            gx += 1
+          }
+          gy += 1
+        }
+        out
       }
 
     override def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -433,6 +486,14 @@ object Multimodal {
         case None => Array.fill(dim)(-1.0f)
         case Some(frame) => ImageIoDecoder.features(frame, dim)
       }
+
+    /** Video perceptual hash = the middle keyframe's image grid, so
+      * near-identical clips (re-encodes, watermarks) dedup with the
+      * same dHash machinery as stills.
+      */
+    override def grayGrid(media: Array[Byte], gw: Int, gh: Int)
+        : Option[Array[Long]] =
+      middle(media).flatMap(ImageIoDecoder.grayGrid(_, gw, gh))
 
     override def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] =
       middle(media) match {

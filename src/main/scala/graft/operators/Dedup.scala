@@ -476,6 +476,22 @@ object Dedup {
     val sims = df.select(col(idCol).as("id"),
       T.simhash64(split(col(textCol), " ")).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
+    hammingDupPairs(sims, "id", "sim", maxHamming)
+  }
+
+  /** Hamming-near pairs (i < j, hamming <= maxHamming) over ANY 64-bit
+    * fingerprint column — the chunk-pigeonhole join simhash uses,
+    * reusable by other 64-bit perceptual hashes (image dHash/aHash).
+    * Candidates share at least one of the 4 16-bit chunks (guaranteed
+    * complete for maxHamming <= 3; above that a recall-raising
+    * heuristic, as with SimHash at 10) and are verified exactly by
+    * bit_count(xor). Null fingerprints (undecodable payloads) are
+    * excluded. Shuffle is by 16-bit chunk key: bucketed, never n².
+    */
+  def hammingDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val sims = df.select(col(idCol).as("id"), col(hashCol).as("sim"))
+      .where(col(hashCol).isNotNull)
     val chunks = sims.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xffffL))

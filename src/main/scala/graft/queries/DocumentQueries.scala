@@ -148,6 +148,22 @@ object DocumentQueries {
         .orderBy($"doc_id", $"pos")
     }),
 
+    // Perceptual image dedup: binary payloads → integer luminance grid
+    // → dHash64 → hamming-banded pair join (the SimHash chunk
+    // machinery). Gate face runs the deterministic stub grid (text
+    // bytes as media, like q_multimodal_features) so DuckDB restates
+    // the FULL chain — stripe-hash grid, dHash bits, 16-bit chunk
+    // banding, exact hamming verify; the REAL javax.imageio path runs
+    // the same code over decoded pixels (MultimodalSpec: two
+    // near-identical PNGs land within hamming 3).
+    "q_image_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).where(length($"text") > 0)
+        .select($"doc_id", $"text".cast("binary").as("media"))
+      graft.multimodal.PerceptualHash
+        .imageDupPairs(d, "doc_id", "media", maxHamming = 3)
+        .orderBy($"i", $"j")
+    }),
+
     // Exact embedding-cosine near-dup pairs. tau=0.55 sits inside the
     // bulk of this table's distance distribution (nearest non-pair is
     // 0.0004 beyond the threshold at sf0.1), so NO sub-quadratic
@@ -264,6 +280,88 @@ object DocumentQueries {
   // accumulation (order-insensitive by construction, so DuckDB's
   // aggregation order cannot diverge), then the fixed-order 16-dim
   // normalize and the float projection.
+  /** Full restatement of the stub-decoder dHash dedup chain: mix64
+    * stripe accumulation into a 72-cell signed-long grid (the same
+    * wrapping arithmetic as multimodalOracle, at grid size), dHash
+    * bits as exact integer comparisons of horizontally adjacent cells,
+    * 4×16-bit chunk keys, pigeonhole candidate join, exact hamming
+    * verification — the byte-for-byte mirror of
+    * PerceptualHash.imageDupPairs over StubDecoder.grayGrid.
+    */
+  private val imageDedupOracle: String = {
+    val T = "18446744073709551616"
+    val H = "9223372036854775808"
+    def wrapMul(z: String, c: Long): String = {
+      val m = s"((((CAST(($z) AS HUGEINT) * ($c)) % $T) + $T) % $T)"
+      s"CAST(CASE WHEN $m >= $H THEN $m - $T ELSE $m END AS BIGINT)"
+    }
+    def lshr(z: String, k: Int): String =
+      s"((($z) >> $k) & ${(1L << (64 - k)) - 1})"
+    val c1 = -7046029254386353131L
+    val c2 = -4658895280553007687L
+    val c3 = -7723592293110705685L
+    val z2 = wrapMul(s"xor(z1, ${lshr("z1", 30)})", c2)
+    val z3 = wrapMul(s"xor(z2, ${lshr("z2", 27)})", c3)
+    val h = s"xor(z3, ${lshr("z3", 31)})"
+    val accSigned = s"CASE WHEN sacc >= $H THEN sacc - $T ELSE sacc END"
+    s"""WITH pre AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       |idx AS (
+       |  SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM pre),
+       |bytes AS (
+       |  SELECT doc_id, i - 1 AS i0,
+       |    CAST(16*(instr('0123456789ABCDEF',
+       |        substr(hx, CAST(2*i-1 AS INT), 1))-1)
+       |      + (instr('0123456789ABCDEF',
+       |        substr(hx, CAST(2*i AS INT), 1))-1) AS BIGINT) AS b
+       |  FROM idx),
+       |m1 AS (SELECT doc_id, i0, xor(b, i0 << 8) + ($c1) AS z1 FROM bytes),
+       |m2 AS (SELECT doc_id, i0, $z2 AS z2 FROM m1),
+       |m3 AS (SELECT doc_id, i0, $z3 AS z3 FROM m2),
+       |hv AS (SELECT doc_id, i0 % 72 AS pos, $h AS h FROM m3),
+       |acc0 AS (
+       |  SELECT doc_id, pos,
+       |    ((CAST(sum(CAST(h AS HUGEINT)) AS HUGEINT) % $T) + $T) % $T AS sacc
+       |  FROM hv GROUP BY doc_id, pos),
+       |grid AS (
+       |  SELECT p.doc_id, g.pos
+       |  FROM (SELECT doc_id FROM pre) p,
+       |       (SELECT unnest(range(0, 72)) AS pos) g),
+       |acc AS MATERIALIZED (
+       |  SELECT grid.doc_id, grid.pos,
+       |    COALESCE(CAST($accSigned AS BIGINT), 0) AS a
+       |  FROM grid LEFT JOIN acc0
+       |    ON acc0.doc_id = grid.doc_id AND acc0.pos = grid.pos),
+       |bits AS MATERIALIZED (
+       |  SELECT l.doc_id,
+       |    CAST((l.pos // 9) * 8 + (l.pos % 9) AS INT) AS b,
+       |    CASE WHEN r.a > l.a THEN 1 ELSE 0 END AS bit
+       |  FROM acc l JOIN acc r
+       |    ON r.doc_id = l.doc_id AND r.pos = l.pos + 1
+       |  WHERE l.pos % 9 < 8),
+       |chunks AS (
+       |  SELECT doc_id, CAST(b // 16 AS INT) AS chunk,
+       |    CAST(sum(CAST(bit AS BIGINT) << CAST(b % 16 AS INT)) AS BIGINT)
+       |      AS ckey
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT c.i, c.j,
+       |    CAST(sum(CASE WHEN bi.bit != bj.bit THEN 1 ELSE 0 END) AS INT)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN bits bi ON bi.doc_id = c.i
+       |  JOIN bits bj ON bj.doc_id = c.j AND bj.b = bi.b
+       |  GROUP BY 1, 2)
+       |SELECT i, j, hamming FROM ham WHERE hamming <= 3
+       |ORDER BY i, j""".stripMargin
+  }
+
   private val multimodalOracle: String = {
     val T = "18446744073709551616"
     val H = "9223372036854775808"
@@ -503,6 +601,7 @@ object DocumentQueries {
     "q_dedup_components" -> componentsOracleSql,
     "q_simhash_dups" -> simhashOracle,
     "q_multimodal_features" -> multimodalOracle,
+    "q_image_dedup" -> imageDedupOracle,
     "q_embdup_cos" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
          | round(${dkCos("a.embedding", "b.embedding")}, 4) AS cd

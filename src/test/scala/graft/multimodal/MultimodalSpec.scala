@@ -268,4 +268,67 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.ImageIoDecoder.sampleFrames(
       Array.fill(10)(0x7f.toByte), 2).isEmpty)
   }
+
+  // ---- perceptual hashing (dHash/aHash) over real decoded pixels ----
+
+  // a gradient-rich base image: brightness varies with x and y so the
+  // dHash gradient bits carry real structure
+  private def gradientPng(tweak: (Int, Int) => Int): Array[Byte] =
+    pngBytes(64, 64) { (x, y) =>
+      val v = math.min(255, (x * 3 + y) + tweak(x, y))
+      (v << 16) | (v << 8) | v
+    }
+
+  test("dHash: near-identical PNGs land within hamming 3; a distinct " +
+      "image does not") {
+    val base = gradientPng((_, _) => 0)
+    // a mild local edit: +6 brightness in one 6x6 patch (a watermark)
+    val edited = gradientPng((x, y) =>
+      if (x >= 20 && x < 26 && y >= 20 && y < 26) 6 else 0)
+    val distinct = pngBytes(64, 64)((x, y) =>
+      if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff)
+    def dh(png: Array[Byte]): Long = PerceptualHash.dHash64(
+      Multimodal.ImageIoDecoder.grayGrid(png, 9, 8).get)
+    val (hb, he, hd) = (dh(base), dh(edited), dh(distinct))
+    assert(java.lang.Long.bitCount(hb ^ he) <= 3,
+      s"near-dup hamming ${java.lang.Long.bitCount(hb ^ he)}")
+    assert(java.lang.Long.bitCount(hb ^ hd) > 10,
+      s"distinct hamming ${java.lang.Long.bitCount(hb ^ hd)}")
+    // aHash agrees on the near-dup relation
+    def ah(png: Array[Byte]): Long = PerceptualHash.aHash64(
+      Multimodal.ImageIoDecoder.grayGrid(png, 8, 8).get)
+    assert(java.lang.Long.bitCount(ah(base) ^ ah(edited)) <= 3)
+  }
+
+  test("imageDupPairs finds the re-encoded near-dup through the real " +
+      "decoder and skips undecodable payloads") {
+    val base = gradientPng((_, _) => 0)
+    val edited = gradientPng((x, y) =>
+      if (x >= 20 && x < 26 && y >= 20 && y < 26) 6 else 0)
+    val distinct = pngBytes(64, 64)((x, y) =>
+      if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff)
+    val junk = Array.fill(64)(0x5a.toByte)
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, base),
+        org.apache.spark.sql.Row(2L, edited),
+        org.apache.spark.sql.Row(3L, distinct),
+        org.apache.spark.sql.Row(4L, junk)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType))))
+    val pairs = PerceptualHash.imageDupPairs(df, "id", "media",
+      maxHamming = 3, decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("video perceptual hash: middle MJPEG frame drives the grid") {
+    // reuse the AVI fixture builder if frames decode; a non-AVI payload
+    // yields None (no crash)
+    assert(Multimodal.AviMjpegDecoder.grayGrid(
+      Array.fill(32)(1.toByte), 9, 8).isEmpty)
+  }
 }
