@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar (per-dimension int8) vector quantization — the storage
+  * compression an embedding corpus needs at 100 TB: 4x less scan I/O
+  * than float32 with a per-dimension affine model, the standard SQ8
+  * scheme vector stores pair with coarse indexes (reference capability
+  * analog: the PQ/quantize_vector surface, `lantern_extras/src/pq.rs`;
+  * SQ8 is its codebook-free sibling for when recall must stay near
+  * exact).
+  *
+  * Model = per-dimension (min, max) over the corpus — DIM rows, a
+  * bounded model like the PQ codebook, NEVER data-sized. Fitting is
+  * one partial-aggregated pass (posexplode → groupBy(pos) min/max:
+  * map-side combine reduces every partition to DIM rows before the
+  * one exchange). Quantization/dequantization are pure projections
+  * against the broadcast model — zero shuffle, whole-stage codegen
+  * (built-in `transform`/`zip_with` lambdas, no UDFs).
+  *
+  * Exactness: code = floor((x - mn) * 255 / (mx - mn) + 0.5) computed
+  * in double — IEEE -, *, /, floor are correctly rounded, so any
+  * engine reproduces the codes bit-for-bit (the q_vec_scalar_quant
+  * oracle does). Degenerate dimensions (mx == mn) code to 0.
+  */
+object ScalarQuantizer {
+
+  /** Per-dimension model: (pos INT, mn DOUBLE, mx DOUBLE). */
+  def fit(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+
+  /** Collect the DIM-row model into literal arrays (bounded by vector
+    * dimension, not corpus size).
+    */
+  private def localize(model: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = model.select(col("pos"), col("mn"), col("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Add `outCol` = ARRAY<SMALLINT> of per-dim codes in [0, 255]. */
+  def quantize(df: DataFrame, vecCol: String, outCol: String,
+      model: DataFrame): DataFrame = {
+    val (mn, mx) = localize(model)
+    df.withColumn(outCol,
+      transform(col(vecCol), (x, i) => {
+        val lo = element_at(typedlit(mn.toSeq), i + 1)
+        val hi = element_at(typedlit(mx.toSeq), i + 1)
+        when(hi > lo,
+          floor((x.cast("double") - lo) * lit(255.0) / (hi - lo)
+            + lit(0.5)))
+          .otherwise(lit(0.0))
+          .cast("smallint")
+      }))
+  }
+
+  /** Reconstruct float vectors from codes: x̂ = mn + code/255 * (mx-mn). */
+  def dequantize(df: DataFrame, codeCol: String, outCol: String,
+      model: DataFrame): DataFrame = {
+    val (mn, mx) = localize(model)
+    df.withColumn(outCol,
+      transform(col(codeCol), (c, i) => {
+        val lo = element_at(typedlit(mn.toSeq), i + 1)
+        val hi = element_at(typedlit(mx.toSeq), i + 1)
+        (lo + c.cast("double") / lit(255.0) * (hi - lo)).cast("float")
+      }))
+  }
+}

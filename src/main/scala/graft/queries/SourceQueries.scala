@@ -21,19 +21,52 @@ object SourceQueries {
 
   private val FixtureRows = 256
 
+  /** Bounded fixture slice (FixtureRows vectors, a model-sized collect
+    * like the PQ codebook, NOT corpus-sized), in vec_id order so
+    * record index == vec_id rank.
+    */
+  private def fixtureVecs(s: SparkSession, dir: String)
+      : Seq[Array[Float]] = {
+    val emb = Tables(s, dir, "embeddings")
+    emb.where($"vec_id" < FixtureRows).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fvecs_decode" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      // bounded fixture slice (FixtureRows vectors, a model-sized
-      // collect like the PQ codebook, NOT corpus-sized), written in
-      // vec_id order so record index == vec_id rank
-      val vecs = emb.where($"vec_id" < FixtureRows).orderBy($"vec_id")
-        .select($"embedding").collect()
-        .map(_.getSeq[Float](0).toArray).toSeq
       val tmp = java.nio.file.Files.createTempDirectory("graft_fvecs")
       val file = tmp.resolve("fixture.fvecs").toString
-      VecsFiles.writeFvecs(file, vecs)
+      VecsFiles.writeFvecs(file, fixtureVecs(s, dir))
       VecsFiles.readFvecs(s, file, splitBytes = 4096)
+        .select($"idx", posexplode($"vector"))
+        .toDF("idx", "pos", "val")
+    }),
+
+    // S2: ints derived as floor(x*1000) — exact double arithmetic both
+    // engines restate — written as a real .ivecs file, decoded back
+    // through the same multi-split reader (I32 element path).
+    "q_ivecs_decode" -> ((s, dir) => {
+      val ints = fixtureVecs(s, dir)
+        .map(_.map(x => math.floor(x.toDouble * 1000).toInt))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivecs")
+      val file = tmp.resolve("fixture.ivecs").toString
+      VecsFiles.writeIvecs(file, ints)
+      VecsFiles.readIvecs(s, file, splitBytes = 4096)
+        .select($"idx", posexplode($"vector"))
+        .toDF("idx", "pos", "val")
+    }),
+
+    // S3: u8 = floor(x*1000) mod 256, written as .bvecs, decoded back
+    // through the U8 path (which widens to SMALLINT, dotvecs.rs:65-83).
+    "q_bvecs_decode" -> ((s, dir) => {
+      val bytes = fixtureVecs(s, dir)
+        .map(_.map(x => (math.floor(x.toDouble * 1000).toInt & 0xff)
+          .toByte))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bvecs")
+      val file = tmp.resolve("fixture.bvecs").toString
+      VecsFiles.writeBvecs(file, bytes)
+      VecsFiles.readBvecs(s, file, splitBytes = 1024)
         .select($"idx", posexplode($"vector"))
         .toDF("idx", "pos", "val")
     })
@@ -46,6 +79,29 @@ object SourceQueries {
     "q_fvecs_decode" ->
       s"""SELECT idx, CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
          |  unnest(embedding) AS val
+         |FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |    AS idx, embedding
+         |  FROM embeddings WHERE vec_id < $FixtureRows) _e
+         |ORDER BY idx, pos""".stripMargin,
+
+    "q_ivecs_decode" ->
+      s"""SELECT idx, CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+         |  CAST(unnest(list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS INT))) AS INT)
+         |    AS val
+         |FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |    AS idx, embedding
+         |  FROM embeddings WHERE vec_id < $FixtureRows) _e
+         |ORDER BY idx, pos""".stripMargin,
+
+    // two's-complement & 0xff == ((v % 256) + 256) % 256 on the int
+    "q_bvecs_decode" ->
+      s"""SELECT idx, CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+         |  CAST(unnest(list_transform(embedding,
+         |    x -> ((CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) % 256)
+         |      + 256) % 256)) AS SMALLINT) AS val
          |FROM (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
          |    AS idx, embedding

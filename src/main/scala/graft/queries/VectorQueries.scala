@@ -39,6 +39,20 @@ object VectorQueries {
         .toDF("vec_id", "pos", "val")
         .orderBy($"vec_id", $"pos")),
 
+    // Scalar int8 quantization (SQ8): per-dimension affine codes — the
+    // 4x storage compression an embedding corpus runs at scale. Fit is
+    // one partial-agg pass to a DIM-row model; coding is a pure
+    // codegen'd projection (see ScalarQuantizer). Exploded for the
+    // gate; codes are exact integers in both engines.
+    "q_vec_scalar_quant" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.ScalarQuantizer.fit(emb, "embedding")
+      graft.operators.ScalarQuantizer.quantize(
+        emb.select($"vec_id", $"embedding"), "embedding", "sq", model)
+        .select($"vec_id", posexplode($"sq".cast("array<int>")))
+        .toDF("vec_id", "pos", "code")
+    }),
+
     // F15: vector_normalize round-trip (unit inputs scaled first so
     // the operation is non-trivial); exploded for the gate.
     "q_vec_normalize" -> ((s, dir) =>
@@ -279,6 +293,25 @@ object VectorQueries {
       """SELECT vec_id, CAST(unnest(range(0, 8)) AS INT) AS pos,
         | unnest(embedding[1:8]) AS val
         |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    // same op order as ScalarQuantizer.quantize: (x-mn)*255/(mx-mn)+0.5
+    // — IEEE -, *, /, floor are correctly rounded, so the doubles (and
+    // the floored codes) agree bit-for-bit
+    "q_vec_scalar_quant" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT)
+        |    AS pos, unnest(embedding) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+        |    max(CAST(v AS DOUBLE)) AS mx
+        |  FROM x GROUP BY pos)
+        |SELECT x.vec_id, x.pos,
+        |  CAST(CASE WHEN m.mx > m.mn
+        |    THEN floor((CAST(x.v AS DOUBLE) - m.mn) * 255 / (m.mx - m.mn)
+        |      + 0.5)
+        |    ELSE 0 END AS INT) AS code
+        |FROM x JOIN m ON m.pos = x.pos
+        |ORDER BY x.vec_id, x.pos""".stripMargin,
     "q_vec_normalize" ->
       s"""WITH sc AS (
          |  SELECT vec_id,

@@ -156,6 +156,16 @@ object VecsFiles {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
   }
 
+  def writeIvecs(path: String, vectors: Seq[Array[Int]]): Unit = {
+    val total = vectors.map(v => 4 + 4 * v.length).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    vectors.foreach { v =>
+      buf.putInt(v.length)
+      v.foreach(buf.putInt)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+  }
+
   def writeBvecs(path: String, vectors: Seq[Array[Byte]]): Unit = {
     val total = vectors.map(v => 4 + v.length).sum
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)

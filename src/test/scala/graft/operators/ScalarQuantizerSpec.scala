@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ScalarQuantizerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("codes stay in [0, 255]; corpus min/max hit the rails") {
+    val model = ScalarQuantizer.fit(emb, "embedding")
+    val q = ScalarQuantizer.quantize(emb, "embedding", "sq", model)
+      .select(explode($"sq").as("c"))
+    val mm = q.agg(min($"c"), max($"c")).head()
+    assert(mm.getShort(0) === 0)
+    assert(mm.getShort(1) === 255)
+    assert(q.where($"c" < 0 || $"c" > 255).count() === 0)
+  }
+
+  test("dequantize bounds the per-dimension error by half a step") {
+    val model = ScalarQuantizer.fit(emb, "embedding")
+    val q = ScalarQuantizer.quantize(emb, "embedding", "sq", model)
+    val d = ScalarQuantizer.dequantize(q, "sq", "back", model)
+    // max |x - x̂| per dim <= (mx - mn) / 255 / 2 (+ float cast slop)
+    val spans = model.select(max($"mx" - $"mn")).head().getDouble(0)
+    val maxErr = d.select(explode(
+        zip_with($"embedding", $"back",
+          (a, b) => abs(a.cast("double") - b.cast("double")))).as("e"))
+      .agg(max($"e")).head().getDouble(0)
+    assert(maxErr <= spans / 255.0 / 2.0 + 1e-6,
+      s"maxErr $maxErr vs bound ${spans / 255.0 / 2.0}")
+  }
+
+  test("degenerate (constant) dimension codes to 0 and reconstructs " +
+      "the constant") {
+    val df = Seq((1L, Seq(1.0f, 7.5f)), (2L, Seq(2.0f, 7.5f)))
+      .toDF("id", "v")
+    val model = ScalarQuantizer.fit(df, "v")
+    val q = ScalarQuantizer.quantize(df, "v", "sq", model)
+    assert(q.select($"sq"(1)).as[Short].collect().toSet === Set(0.toShort))
+    val back = ScalarQuantizer.dequantize(q, "sq", "b", model)
+      .select($"b"(1)).as[Float].collect().toSet
+    assert(back === Set(7.5f))
+  }
+
+  test("quantization is a projection: no shuffle after the model fit") {
+    val model = ScalarQuantizer.fit(emb, "embedding")
+    model.count() // fit's exchange happens here, not in quantize
+    val q = ScalarQuantizer.quantize(emb, "embedding", "sq", model)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"quantize must be shuffle-free:\n$p")
+  }
+}
