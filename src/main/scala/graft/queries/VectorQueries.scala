@@ -53,6 +53,27 @@ object VectorQueries {
         .toDF("vec_id", "pos", "code")
     }),
 
+    // kNN over the SQ8-COMPRESSED corpus: queries stay full-precision,
+    // neighbors are scored against the dequantized codes — the search
+    // face of scalar quantization (4x less corpus I/O than float32).
+    // Reconstruction is deterministic, so unlike IVF recall this is
+    // exactly oracle-checkable: DuckDB restates fit → code → decode →
+    // brute-force top-k.
+    "q_sq_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.ScalarQuantizer.fit(emb, "embedding")
+      val codes = graft.operators.ScalarQuantizer.quantize(
+        emb.select($"vec_id", $"embedding"), "embedding", "sq", model)
+        .select($"vec_id", $"sq")
+      val rec = graft.operators.ScalarQuantizer.dequantize(
+        codes, "sq", "vhat", model).select($"vec_id", $"vhat")
+      val queries = emb.where($"vec_id" < 10)
+        .select($"vec_id", $"embedding".as("vhat"))
+      Knn.topK(rec, queries, "vec_id", "vhat", k = 10)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // F15: vector_normalize round-trip (unit inputs scaled first so
     // the operation is non-trivial); exploded for the gate.
     "q_vec_normalize" -> ((s, dir) =>
@@ -293,6 +314,42 @@ object VectorQueries {
       """SELECT vec_id, CAST(unnest(range(0, 8)) AS INT) AS pos,
         | unnest(embedding[1:8]) AS val
         |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    // fit → code → decode → brute-force top-k, all restated; the
+    // reconstruction mirrors ScalarQuantizer.dequantize's op order
+    // (mn + code/255*(mx-mn), REAL cast), so distances agree exactly
+    "q_sq_knn" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT)
+         |    AS pos, unnest(embedding) AS v
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+         |    max(CAST(v AS DOUBLE)) AS mx
+         |  FROM x GROUP BY pos),
+         |codes AS (
+         |  SELECT x.vec_id, x.pos, m.mn, m.mx,
+         |    CASE WHEN m.mx > m.mn
+         |      THEN floor((CAST(x.v AS DOUBLE) - m.mn) * 255
+         |        / (m.mx - m.mn) + 0.5)
+         |      ELSE 0 END AS code
+         |  FROM x JOIN m ON m.pos = x.pos),
+         |rec AS (
+         |  SELECT vec_id,
+         |    list(CAST(mn + code / 255 * (mx - mn) AS REAL)
+         |      ORDER BY pos) AS vhat
+         |  FROM codes GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.vhat", "q.qe")} AS d
+         |  FROM rec c, q),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+
     // same op order as ScalarQuantizer.quantize: (x-mn)*255/(mx-mn)+0.5
     // — IEEE -, *, /, floor are correctly rounded, so the doubles (and
     // the floored codes) agree bit-for-bit
