@@ -279,3 +279,77 @@ case class NormalizeVector(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Scalar-quantize (SQ8) a float vector against a per-dimension affine
+  * model: code_i = floor((x_i - mn_i) * 255 / (mx_i - mn_i) + 0.5),
+  * 0 for degenerate dimensions. The model arrays are bounded by the
+  * vector dimension (a model, never data) and travel as constant
+  * references in the compiled stage. EvalDelegatingCodegen keeps the
+  * surrounding scan/project pipeline in whole-stage codegen — at
+  * 100 TB the encode touches every vector of the corpus, so falling
+  * out of WSCG here would de-compile the entire write stage.
+  * Capability analog of the reference's quantize_vector surface
+  * (`lantern_extras/src/pq.rs`), codebook-free variant.
+  */
+case class Sq8Encode(child: Expression, mins: Array[Double],
+    maxs: Array[Double]) extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "sq8_encode"
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    VectorExprUtil.requireSameDim(n, mins.length)
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val lo = mins(i); val hi = maxs(i)
+      out(i) =
+        if (hi > lo)
+          math.floor((a.getFloat(i).toDouble - lo) * 255.0 / (hi - lo)
+            + 0.5).toShort
+        else 0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Inverse of [[Sq8Encode]]: x̂_i = mn_i + code_i / 255 * (mx_i - mn_i),
+  * cast to float — the exact op order the q_sq_knn oracle restates.
+  */
+case class Sq8Decode(child: Expression, mins: Array[Double],
+    maxs: Array[Double]) extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "sq8_decode"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ShortType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<SMALLINT>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    VectorExprUtil.requireSameDim(n, mins.length)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val lo = mins(i); val hi = maxs(i)
+      out(i) = (lo + a.getShort(i).toDouble / 255.0 * (hi - lo)).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

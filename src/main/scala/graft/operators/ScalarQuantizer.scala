@@ -42,31 +42,24 @@ object ScalarQuantizer {
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 
-  /** Add `outCol` = ARRAY<SMALLINT> of per-dim codes in [0, 255]. */
+  /** Add `outCol` = ARRAY<SMALLINT> of per-dim codes in [0, 255].
+    * Native codegen-friendly expression (not an array HOF, which would
+    * drop the whole stage out of whole-stage codegen).
+    */
   def quantize(df: DataFrame, vecCol: String, outCol: String,
       model: DataFrame): DataFrame = {
     val (mn, mx) = localize(model)
-    df.withColumn(outCol,
-      transform(col(vecCol), (x, i) => {
-        val lo = element_at(typedlit(mn.toSeq), i + 1)
-        val hi = element_at(typedlit(mx.toSeq), i + 1)
-        when(hi > lo,
-          floor((x.cast("double") - lo) * lit(255.0) / (hi - lo)
-            + lit(0.5)))
-          .otherwise(lit(0.0))
-          .cast("smallint")
-      }))
+    df.withColumn(outCol, graft.functions.VectorFunctions.col(
+      graft.functions.Sq8Encode(
+        graft.functions.VectorFunctions.expr(col(vecCol)), mn, mx)))
   }
 
   /** Reconstruct float vectors from codes: x̂ = mn + code/255 * (mx-mn). */
   def dequantize(df: DataFrame, codeCol: String, outCol: String,
       model: DataFrame): DataFrame = {
     val (mn, mx) = localize(model)
-    df.withColumn(outCol,
-      transform(col(codeCol), (c, i) => {
-        val lo = element_at(typedlit(mn.toSeq), i + 1)
-        val hi = element_at(typedlit(mx.toSeq), i + 1)
-        (lo + c.cast("double") / lit(255.0) * (hi - lo)).cast("float")
-      }))
+    df.withColumn(outCol, graft.functions.VectorFunctions.col(
+      graft.functions.Sq8Decode(
+        graft.functions.VectorFunctions.expr(col(codeCol)), mn, mx)))
   }
 }

@@ -45,12 +45,17 @@ class ScalarQuantizerSpec extends SparkSuite {
     assert(back === Set(7.5f))
   }
 
-  test("quantization is a projection: no shuffle after the model fit") {
+  test("quantization is a codegen'd projection: no shuffle after the " +
+      "model fit, stage stays in whole-stage codegen") {
     val model = ScalarQuantizer.fit(emb, "embedding")
     model.count() // fit's exchange happens here, not in quantize
     val q = ScalarQuantizer.quantize(emb, "embedding", "sq", model)
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"),
       s"quantize must be shuffle-free:\n$p")
+    // the '*' marks a WholeStageCodegen'd operator; an array HOF (or a
+    // CodegenFallback expression) would de-compile the whole stage
+    assert("\\*\\(\\d+\\) Project .*sq8_encode".r.findFirstIn(p).isDefined,
+      s"sq8_encode must ride a compiled Project:\n$p")
   }
 }
