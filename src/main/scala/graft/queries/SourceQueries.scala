@@ -21,6 +21,10 @@ object SourceQueries {
 
   private val FixtureRows = 256
 
+  // fixed (not per-run-random) so the static oracle SQL can reference
+  // it; each Verify run overwrites before the oracle reads
+  private val CsvSinkPath = "/tmp/graft_csv_sink"
+
   /** Bounded fixture slice (FixtureRows vectors, a model-sized collect
     * like the PQ codebook, NOT corpus-sized), in vec_id order so
     * record index == vec_id rank.
@@ -55,6 +59,22 @@ object SourceQueries {
       VecsFiles.readIvecs(s, file, splitBytes = 4096)
         .select($"idx", posexplode($"vector"))
         .toDF("idx", "pos", "val")
+    }),
+
+    // S9: the CSV embedding sink, verified CROSS-ENGINE — Spark writes
+    // the reference's `id,"{v1,...,vn}"` format (embeddings/mod.rs:
+    // 386-415) to a fixed path and emits the source values; the DuckDB
+    // oracle independently parses that CSV back to floats. A hash
+    // match proves the textual encoding round-trips exactly (Java
+    // shortest-repr float printing ↔ DuckDB correctly-rounded parse).
+    "q_csv_sink" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .where($"vec_id" < FixtureRows)
+        .select($"vec_id", $"embedding")
+      VecsFiles.writeCsvEmbeddings(emb, "vec_id", "embedding",
+        CsvSinkPath)
+      emb.select($"vec_id", posexplode($"embedding"))
+        .toDF("vec_id", "pos", "val")
     }),
 
     // S3: u8 = floor(x*1000) mod 256, written as .bvecs, decoded back
@@ -95,6 +115,21 @@ object SourceQueries {
          |    AS idx, embedding
          |  FROM embeddings WHERE vec_id < $FixtureRows) _e
          |ORDER BY idx, pos""".stripMargin,
+
+    // independent parse of the sink's actual bytes: strip the braces,
+    // split on commas, correctly-rounded text→REAL per element
+    "q_csv_sink" ->
+      s"""SELECT CAST(column0 AS BIGINT) AS vec_id,
+         |  CAST(unnest(range(0, len(p))) AS INT) AS pos,
+         |  CAST(unnest(list_transform(p, x -> CAST(x AS REAL))) AS REAL)
+         |    AS val
+         |FROM (
+         |  SELECT column0,
+         |    string_split(substr(column1, 2, length(column1) - 2), ',')
+         |      AS p
+         |  FROM read_csv('$CsvSinkPath/*.csv', header=false,
+         |    columns={'column0': 'BIGINT', 'column1': 'VARCHAR'})) _c
+         |ORDER BY vec_id, pos""".stripMargin,
 
     // two's-complement & 0xff == ((v % 256) + 256) % 256 on the int
     "q_bvecs_decode" ->
