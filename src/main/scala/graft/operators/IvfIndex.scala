@@ -241,4 +241,95 @@ object IvfIndex {
       .select(col("qid"), col("nn.id").as("nid"),
         (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
   }
+
+  private val sq8BuildMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int, Int, Long, Option[String]),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      (Model, Array[Double], Array[Double]))]()
+
+  /** IVF over SQ8-COMPRESSED cells: the inverted file stores int8
+    * codes instead of float vectors, so a probe reads ~4x fewer bytes
+    * from each probed cell on top of skipping unprobed cells entirely
+    * — the composed I/O story for a 100 TB embedding corpus. Cell
+    * assignment (k-means on the ORIGINAL floats, full-precision
+    * centroids) is unchanged; only the stored payload is quantized.
+    * Returns the model plus the per-dimension (min, max) scalar model
+    * (bounded by dim; persisted as a `_sqmodel` sidecar so `loadSq8`
+    * reopens the artifact without the source corpus).
+    */
+  def buildSq8(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      maxIter: Int = 10, seed: Long = 42L,
+      indexDir: Option[String] = None)
+      : (Model, Array[Double], Array[Double]) = {
+    val spark = df.sparkSession
+    val plan = df.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed,
+      indexDir)
+    val hit = sq8BuildMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2._1.assigned.sparkSession eq spark))
+      return hit._2
+    val sqModel = ScalarQuantizer.fit(df, vecCol)
+    val rows = sqModel.collect().sortBy(_.getInt(0))
+    val mn = rows.map(_.getDouble(1)); val mx = rows.map(_.getDouble(2))
+    // float model: same coarse quantizer as the uncompressed index
+    val cb = ProductQuantizer.fitCodebook(df, idCol, vecCol,
+      clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
+    val local = ProductQuantizer.localize(cb)(0)
+    val bc = spark.sparkContext.broadcast(local)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val path = indexDir.getOrElse(
+      s"$tmpBase/ivfsq_${buildCounter.getAndIncrement()}" +
+        s"_c${nCells}_s$seed")
+    import spark.implicits._
+    ScalarQuantizer.quantize(df, vecCol, "sq",
+        spark.createDataset(rows.toSeq.map(r =>
+          (r.getInt(0), r.getDouble(1), r.getDouble(2))))
+          .toDF("pos", "mn", "mx"))
+      .withColumn("cell_id", cellU(col(vecCol)))
+      .select(col(idCol), col("sq"), col("cell_id"))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    val assigned = spark.read.parquet(path)
+    locally {
+      local.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_centroids")
+      mn.indices.map(i => (i, mn(i), mx(i))).toDF("pos", "mn", "mx")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_sqmodel")
+    }
+    val result = (Model(local, assigned, idCol, "sq", path), mn, mx)
+    if (sq8BuildMemo.size < 32) sq8BuildMemo.put(key, (plan, result))
+    result
+  }
+
+  /** ANN top-k over an SQ8 index: probe cells as in [[search]], decode
+    * candidates' codes with the codegen'd Sq8Decode, exact distances
+    * against the full-precision query. Unprobed cells stay unread AND
+    * probed cells move int8 codes, not floats.
+    */
+  def searchSq8(model: Model, mins: Array[Double], maxs: Array[Double],
+      queries: DataFrame, queryVecCol: String, k: Int, nprobe: Int,
+      metric: String = "l2sq"): DataFrame = {
+    val qm = Model(model.centroids, model.assigned, model.idCol,
+      queryVecCol, model.indexPath)
+    val probes0 = probeCells(qm, queries, nprobe)
+    val probes = broadcast(probes0)
+    val corpus = pruneToProbedCells(model.assigned, probes0)
+      .select(col("cell_id"),
+        col(model.idCol).cast("long").as("nid"),
+        VectorFunctions.col(graft.functions.Sq8Decode(
+          VectorFunctions.expr(col("sq")), mins, maxs)).as("cvec"))
+    val scored = corpus.join(probes, "cell_id")
+      .select(col("qid"), col("nid"),
+        Knn.distance(metric)(col("cvec"), col("qvec")).as("dist"))
+    scored.groupBy(col("qid"))
+      .agg(Knn.topk_by_score(col("dist"), col("nid"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("qid"), col("nn.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
+  }
 }

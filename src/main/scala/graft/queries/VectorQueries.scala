@@ -74,6 +74,25 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF over SQ8-compressed cells: unprobed cells unread (partition
+    // pruning) AND probed cells move int8 codes, not floats — the
+    // composed 100 TB I/O shape. Gated at full probe (nprobe =
+    // nCells), where cell pruning is a no-op and the result must equal
+    // brute-force over the dequantized corpus — the same oracle as
+    // q_sq_knn; IvfSpec guards the pruned partial-probe plan.
+    "q_ivf_sq_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val (model, mn, mx) = graft.operators.IvfIndex.buildSq8(
+        emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        nCells = 8)
+      val queries = emb.where($"vec_id" < 10)
+        .select($"vec_id", $"embedding")
+      graft.operators.IvfIndex.searchSq8(model, mn, mx, queries,
+        "embedding", k = 10, nprobe = 8)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // F15: vector_normalize round-trip (unit inputs scaled first so
     // the operation is non-trivial); exploded for the gate.
     "q_vec_normalize" -> ((s, dir) =>
@@ -272,6 +291,41 @@ object VectorQueries {
        |SELECT qid, nid, CAST(rk AS INT) AS rnk, round(d, 4) AS dist
        |FROM ranked WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  // shared by q_sq_knn and q_ivf_sq_knn (full probe == brute
+  // force over the dequantized corpus)
+  private lazy val sqKnnOracle: String =
+    s"""WITH x AS (
+         |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT)
+         |    AS pos, unnest(embedding) AS v
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+         |    max(CAST(v AS DOUBLE)) AS mx
+         |  FROM x GROUP BY pos),
+         |codes AS (
+         |  SELECT x.vec_id, x.pos, m.mn, m.mx,
+         |    CASE WHEN m.mx > m.mn
+         |      THEN floor((CAST(x.v AS DOUBLE) - m.mn) * 255
+         |        / (m.mx - m.mn) + 0.5)
+         |      ELSE 0 END AS code
+         |  FROM x JOIN m ON m.pos = x.pos),
+         |rec AS (
+         |  SELECT vec_id,
+         |    list(CAST(mn + code / 255 * (mx - mn) AS REAL)
+         |      ORDER BY pos) AS vhat
+         |  FROM codes GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.vhat", "q.qe")} AS d
+         |  FROM rec c, q),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // full restatement of semDedup: nearest-anchor assignment via a
     // row_number window ordered by (cos_dist, anchor id) — the same
@@ -316,39 +370,11 @@ object VectorQueries {
         |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
     // fit → code → decode → brute-force top-k, all restated; the
     // reconstruction mirrors ScalarQuantizer.dequantize's op order
-    // (mn + code/255*(mx-mn), REAL cast), so distances agree exactly
-    "q_sq_knn" ->
-      s"""WITH x AS (
-         |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT)
-         |    AS pos, unnest(embedding) AS v
-         |  FROM embeddings),
-         |m AS (
-         |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
-         |    max(CAST(v AS DOUBLE)) AS mx
-         |  FROM x GROUP BY pos),
-         |codes AS (
-         |  SELECT x.vec_id, x.pos, m.mn, m.mx,
-         |    CASE WHEN m.mx > m.mn
-         |      THEN floor((CAST(x.v AS DOUBLE) - m.mn) * 255
-         |        / (m.mx - m.mn) + 0.5)
-         |      ELSE 0 END AS code
-         |  FROM x JOIN m ON m.pos = x.pos),
-         |rec AS (
-         |  SELECT vec_id,
-         |    list(CAST(mn + code / 255 * (mx - mn) AS REAL)
-         |      ORDER BY pos) AS vhat
-         |  FROM codes GROUP BY vec_id),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |      WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.vhat", "q.qe")} AS d
-         |  FROM rec c, q),
-         |ranked AS (
-         |  SELECT qid, nid, d,
-         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
-         |  FROM scored)
-         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
-         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    // (mn + code/255*(mx-mn), REAL cast), so distances agree exactly.
+    // q_ivf_sq_knn shares it: at full probe the IVF layer is a no-op
+    // and the result must equal this brute force.
+    "q_ivf_sq_knn" -> sqKnnOracle,
+    "q_sq_knn" -> sqKnnOracle,
 
     // same op order as ScalarQuantizer.quantize: (x-mn)*255/(mx-mn)+0.5
     // — IEEE -, *, /, floor are correctly rounded, so the doubles (and

@@ -91,4 +91,42 @@ class IvfSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("cell_id"), "partition column lost on reload")
   }
+
+  test("SQ8 index: probes prune partitions AND read int8 codes, " +
+      "not float vectors; full probe equals brute force over the " +
+      "dequantized corpus") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val (sqModel, mn, mx) = IvfIndex.buildSq8(
+      emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      nCells = 8, maxIter = 5)
+    val q = emb.where($"vec_id" < 10).select($"vec_id", $"embedding")
+    val p = IvfIndex.searchSq8(sqModel, mn, mx, q, "embedding",
+      k = 10, nprobe = 2).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(p).isDefined,
+      s"probe IN filter not pushed to partitions:\n$p")
+    // scope to the INDEX scan line (the query side reads floats by
+    // design): the probed cells must move int8 codes, never vectors
+    val idxScan = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(sqModel.indexPath))
+      .toSeq
+    assert(idxScan.nonEmpty, s"no index scan found:\n$p")
+    assert(idxScan.forall(_.contains("sq:array<smallint>")),
+      s"probed cells must read int8 codes:\n${idxScan.mkString("\n")}")
+    assert(idxScan.forall(!_.contains("array<float>")),
+      s"the index scan must not read float vectors:\n" +
+        idxScan.mkString("\n"))
+    // full probe == brute force over dequantized codes
+    val fit = ScalarQuantizer.fit(emb, "embedding")
+    val rec = ScalarQuantizer.dequantize(
+      ScalarQuantizer.quantize(
+        emb.select($"vec_id", $"embedding"), "embedding", "sq", fit),
+      "sq", "vhat", fit).select($"vec_id", $"vhat")
+    val exact = pairs(Knn.topK(rec,
+      emb.where($"vec_id" < 10).select($"vec_id", $"embedding".as("vhat")),
+      "vec_id", "vhat", 10))
+    val full = pairs(IvfIndex.searchSq8(sqModel, mn, mx, q, "embedding",
+      k = 10, nprobe = 8))
+    assert(full === exact)
+  }
 }
