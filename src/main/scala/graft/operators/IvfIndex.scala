@@ -306,6 +306,30 @@ object IvfIndex {
     result
   }
 
+  /** Reopen a durable SQ8 index written by [[buildSq8]]: centroids and
+    * the scalar model from their sidecars, codes straight off the
+    * cell-partitioned parquet — no k-means, no quantization pass, no
+    * source corpus. Symmetric with [[load]].
+    */
+  def loadSq8(spark: SparkSession, path: String, idCol: String)
+      : (Model, Array[Double], Array[Double]) = {
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"no centroid sidecar under $path")
+    val sq = spark.read.parquet(s"$path/_sqmodel")
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(sq.nonEmpty, s"no scalar-model sidecar under $path")
+    val assigned = spark.read
+      .option("basePath", path)
+      .parquet(s"$path/cell_id=*")
+    (Model(cents, assigned, idCol, "sq", path),
+      sq.map(_._2), sq.map(_._3))
+  }
+
   /** ANN top-k over an SQ8 index: probe cells as in [[search]], decode
     * candidates' codes with the codegen'd Sq8Decode, exact distances
     * against the full-precision query. Unprobed cells stay unread AND

@@ -129,4 +129,23 @@ class IvfSpec extends SparkSuite {
       k = 10, nprobe = 8))
     assert(full === exact)
   }
+
+  test("SQ8 index reloads as a durable artifact (centroid + scalar " +
+      "sidecars) and searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq").toString +
+      "/index"
+    val (built, mn, mx) = IvfIndex.buildSq8(
+      emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      nCells = 8, maxIter = 5, indexDir = Some(dir))
+    val (loaded, lmn, lmx) = IvfIndex.loadSq8(spark, dir, "vec_id")
+    assert(lmn.toSeq === mn.toSeq && lmx.toSeq === mx.toSeq)
+    assert(loaded.centroids.zip(built.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    val q = emb.where($"vec_id" < 5).select($"vec_id", $"embedding")
+    def res(m: IvfIndex.Model, a: Array[Double], b: Array[Double]) =
+      IvfIndex.searchSq8(m, a, b, q, "embedding", k = 5, nprobe = 8)
+        .select($"qid", $"nid", $"rank").as[(Long, Long, Int)]
+        .collect().toSet
+    assert(res(loaded, lmn, lmx) === res(built, mn, mx))
+  }
 }

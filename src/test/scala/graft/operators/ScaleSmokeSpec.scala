@@ -135,4 +135,28 @@ class ScaleSmokeSpec extends SparkSuite {
     info(f"cross-corpus dedup 1k vs 20k: $secs%.1f s")
     assert(secs < 60.0)
   }
+
+  test("perceptual image dedup bands a 20k binary corpus " +
+      "sub-quadratically (stub grid; same join as production)") {
+    corpus.count()
+    // media payloads = text bytes; planted 100k+i docs differ from doc
+    // i by one word mid-payload, which under the stub's per-byte
+    // stripe hashing decorrelates the grid — so the only guaranteed
+    // hamming-0 twins are EXACT byte duplicates, planted here
+    val media = corpus.select($"doc_id",
+        $"text".cast("binary").as("media"))
+      .union(corpus.where($"doc_id" < 50).select(
+        ($"doc_id" + 900000L).as("doc_id"),
+        $"text".cast("binary").as("media")))
+    val t0 = System.nanoTime()
+    val pairs = graft.multimodal.PerceptualHash
+      .imageDupPairs(media, "doc_id", "media", maxHamming = 3)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    val planted = (0 until 50).map(i => (i.toLong, 900000L + i)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing ${planted.diff(pairs).size} planted byte-dups")
+    info(f"image dedup over ${media.count()} payloads: $secs%.1f s")
+    assert(secs < 60.0)
+  }
 }
