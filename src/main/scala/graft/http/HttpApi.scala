@@ -192,6 +192,34 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           respond(ex, 200, s"""{"dropped":"$name"}""")
         }
 
+      // Scalar int8 quantization (SQ8): fit the per-dimension model and
+      // register {name}_sqmodel / {name}_sq8 views — the codebook-free
+      // sibling of /pq for 4x storage compression at near-exact recall.
+      // Body: {"vector_column":"embedding","id_column":"vec_id"}.
+      case ("POST", List("collections", name, "sq8")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val vecCol = jsonField(body, "vector_column")
+            .getOrElse("embedding")
+          val idCol = jsonField(body, "id_column").getOrElse("vec_id")
+          if (!df.columns.contains(vecCol) || !df.columns.contains(idCol))
+            respond(ex, 400,
+              s"""{"error":"need columns $idCol and $vecCol"}""")
+          else {
+            val SQ = graft.operators.ScalarQuantizer
+            val model = SQ.fit(df, vecCol)
+            val coded = SQ.quantize(df, vecCol, s"${vecCol}_sq8", model)
+              .drop(vecCol)
+            model.createOrReplaceTempView(s"${name}_sqmodel")
+            coded.createOrReplaceTempView(s"${name}_sq8")
+            respond(ex, 200,
+              s"""{"model":"${name}_sqmodel","dims":${model.count()},
+                 |"quantized":"${name}_sq8"}""".stripMargin
+                .replace("\n", ""))
+          }
+        }
+
       case ("POST", List("collections", name, "pq")) =>
         tableOr404(ex, name).foreach { df =>
           val body = new String(ex.getRequestBody.readAllBytes(),

@@ -140,6 +140,25 @@ class HttpApiSpec extends SparkSuite {
     assert(q.columns.contains("embedding_pq"))
   }
 
+  test("POST /collections/{name}/sq8 registers the scalar model and " +
+      "the quantized view") {
+    val r = post("/collections/embeddings/sq8", """{}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"model\":\"embeddings_sqmodel\""))
+    assert(r.body().contains("\"dims\":64"))
+    val q = spark.table("embeddings_sq8")
+    assert(q.count() === 500)
+    assert(q.columns.contains("embedding_sq8") &&
+      !q.columns.contains("embedding"))
+    // codes land in [0, 255]
+    import org.apache.spark.sql.functions._
+    val mm = q.select(explode(col("embedding_sq8")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(mm.getShort(0) >= 0 && mm.getShort(1) <= 255)
+    assert(post("/collections/embeddings/sq8",
+      """{"vector_column":"nope"}""").statusCode() === 400)
+  }
+
   test("malformed numeric parameters get 400, not 500") {
     spark.read.parquet(s"$sf0001/documents.parquet")
       .createOrReplaceTempView("docs_badnum_api")
