@@ -35,7 +35,7 @@ object Dedup {
       new java.util.concurrent.ConcurrentHashMap[DataFrame,
         java.lang.Boolean]())
 
-  private def trackCache(df: DataFrame): DataFrame = {
+  private[operators] def trackCache(df: DataFrame): DataFrame = {
     trackedCaches.add(df); df
   }
 

@@ -62,10 +62,10 @@ object SpanDedup {
     * that appear anywhere in the eval set — the standard pre-training
     * decontamination scan. The eval gram set is tiny relative to the
     * corpus, so it is explicitly broadcast and the training side is
-    * never shuffled; above [[EvalGramCapDefault]] distinct grams the
-    * broadcast hint is dropped and the join degrades to a shuffle —
-    * slower, but bounded by executor memory, not driver/broadcast
-    * limits.
+    * never shuffled; when the eval side's word-count bound exceeds
+    * [[EvalGramCapDefault]] the broadcast hint is dropped and the join
+    * degrades to a shuffle — slower, but bounded by executor memory,
+    * not driver/broadcast limits.
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
       n: Int, isEval: org.apache.spark.sql.Column): DataFrame = {
@@ -77,18 +77,30 @@ object SpanDedup {
     val sets = Dedup.hashedShingleSetsShared(df, idCol, textCol, n)
     val flags = df.select(col(idCol).as("id"), isEval.as("_is_eval"))
     val tagged = sets.join(flags, "id")
+    // Persisted: read by the join AND re-read if the caller keeps the
+    // result lazy across actions; registered with the operator cache
+    // registry so releaseCaches() drops it in long-lived sessions.
     val evalGrams = tagged.where(col("_is_eval"))
       .select(explode(col("hs")).as("gh"))
       .distinct()
       .select(col("gh"), lit(1L).as("hit"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Dedup.trackCache)
     val trainGrams = tagged.where(!col("_is_eval"))
       .select(col("id"), explode(col("hs")).as("gh"))
-    // the count reads the persisted set the join reuses, so sizing the
-    // plan costs one pass over the (small) eval side only
+    // Broadcast sizing uses a conservative bound computable WITHOUT the
+    // gram pipeline: a doc of w words has at most w distinct n-grams,
+    // so summing whitespace tokens over the eval rows alone (a thin
+    // pruned scan of the small side) upper-bounds the distinct eval
+    // gram count. Counting the materialized gram set itself would
+    // schedule the full corpus gram-hash job ahead of the main join
+    // purely to size the plan — pure added latency on every call.
     val cap = evalGramCapOverride.getOrElse(EvalGramCapDefault)
+    val evalGramBound = df.where(isEval)
+      .agg(coalesce(sum(size(split(col(textCol), "\\s+"))), lit(0L)))
+      .head.getLong(0)
     val evalSide =
-      if (evalGrams.count() <= cap) broadcast(evalGrams) else evalGrams
+      if (evalGramBound <= cap) broadcast(evalGrams) else evalGrams
     trainGrams.join(evalSide, Seq("gh"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("grams"),
