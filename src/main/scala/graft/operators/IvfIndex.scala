@@ -194,10 +194,16 @@ object IvfIndex {
     * @param quantized corpus with `pqCol` ARRAY<TINYINT> (from
     *   `ProductQuantizer.quantizeColumn`) and cell assignments
     *   (`build` the model over the SAME vectors first).
+    * @param lutScale when set, each LUT entry is the sum of PER-DIM
+    *   squared differences quantized to integer units of 1/lutScale
+    *   (floor(d²·scale + 0.5)) — the integer-accumulation ADC variant
+    *   (cf. faiss/SCANN int LUTs). Distances become exact integer
+    *   sums, order-independent across engines and partitionings, so
+    *   the face is restatable by any SQL engine bit-for-bit.
     */
   def searchAdc(model: Model, quantized: DataFrame, pqCol: String,
       codebook: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, lutScale: Option[Double] = None): DataFrame = {
     val spark = queries.sparkSession
     val cb = ProductQuantizer.localize(codebook)
     val cbBc = spark.sparkContext.broadcast(cb)
@@ -210,8 +216,16 @@ object IvfIndex {
         val lo = starts(s)
         book(s).map { c =>
           var acc = 0.0; var d = 0
-          while (d < c.length) {
-            val x = qa(lo + d).toDouble - c(d); acc += x * x; d += 1
+          lutScale match {
+            case Some(u) =>
+              while (d < c.length) {
+                val x = qa(lo + d).toDouble - c(d)
+                acc += math.floor(x * x * u + 0.5); d += 1
+              }
+            case None =>
+              while (d < c.length) {
+                val x = qa(lo + d).toDouble - c(d); acc += x * x; d += 1
+              }
           }
           acc
         }.toSeq

@@ -26,8 +26,11 @@ object PqQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** Codebook from the first FixedCentroids vectors' slices. */
-  private def fixedCodebook(s: SparkSession, dir: String): DataFrame = {
+  /** Codebook from the first FixedCentroids vectors' slices. Shared
+    * with VectorQueries' q_ivfpq_adc_fixed, which scores ADC against
+    * the same deterministic construction.
+    */
+  private[queries] def fixedCodebook(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val sub = dim / Splits
     val splitCols = (0 until Splits).map(sp =>
@@ -95,27 +98,30 @@ object PqQueries {
     })
   )
 
+  // Shared restatement of the fixed codebook + argmin assignment; the
+  // oracles here (and q_ivfpq_adc_fixed in VectorQueries) differ only
+  // in what they emit from the rn=1 rows.
+  private val SubDim = 8
+  private[queries] lazy val fixedAssignBase: String =
+    s"""WITH sp AS (SELECT unnest(range(0, $Splits)) AS split_id),
+       |cb AS (
+       |  SELECT sp.split_id, CAST(vec_id AS INT) AS centroid_id,
+       |         embedding[sp.split_id*$SubDim+1 : sp.split_id*$SubDim+$SubDim] AS b_c
+       |  FROM embeddings, sp WHERE vec_id < $FixedCentroids),
+       |sub AS (
+       |  SELECT e.vec_id, sp.split_id,
+       |         embedding[sp.split_id*$SubDim+1 : sp.split_id*$SubDim+$SubDim] AS a_sv
+       |  FROM embeddings e, sp),
+       |scored AS (
+       |  SELECT sub.vec_id, sub.split_id, cb.centroid_id, a_sv, b_c,
+       |    row_number() OVER (PARTITION BY sub.vec_id, sub.split_id
+       |      ORDER BY ${dkL2sq("a_sv", "b_c")}, cb.centroid_id) AS rn
+       |  FROM sub JOIN cb ON sub.split_id = cb.split_id)""".stripMargin
+
   val oracleSql: Map[String, String] = {
-    val sub = 8
     val svA = "a_sv"
     val svB = "b_c"
-    // Shared restatement of the fixed codebook + argmin assignment; the
-    // three oracles differ only in what they emit from the rn=1 rows.
-    val base =
-      s"""WITH sp AS (SELECT unnest(range(0, $Splits)) AS split_id),
-         |cb AS (
-         |  SELECT sp.split_id, CAST(vec_id AS INT) AS centroid_id,
-         |         embedding[sp.split_id*$sub+1 : sp.split_id*$sub+$sub] AS $svB
-         |  FROM embeddings, sp WHERE vec_id < $FixedCentroids),
-         |sub AS (
-         |  SELECT e.vec_id, sp.split_id,
-         |         embedding[sp.split_id*$sub+1 : sp.split_id*$sub+$sub] AS $svA
-         |  FROM embeddings e, sp),
-         |scored AS (
-         |  SELECT sub.vec_id, sub.split_id, cb.centroid_id, $svA, $svB,
-         |    row_number() OVER (PARTITION BY sub.vec_id, sub.split_id
-         |      ORDER BY ${dkL2sq(svA, svB)}, cb.centroid_id) AS rn
-         |  FROM sub JOIN cb ON sub.split_id = cb.split_id)""".stripMargin
+    val base = fixedAssignBase
     // per-dim squared error in exact-multiply form (never ^2: the two
     // engines' pow() may differ in the last ulp; IEEE * cannot)
     val sqTerm =

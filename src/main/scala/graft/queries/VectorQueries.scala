@@ -162,20 +162,25 @@ object VectorQueries {
       Knn.recall(truth, approx, 10).orderBy($"qid")
     }),
 
-    // IVF-PQ: ADC search over u8 codes (rows-only: seeded k-means).
-    "q_ivfpq_adc" -> ((s, dir) => {
+    // IVF-PQ ADC over u8 codes, hash-oracled: codes come from the FIXED
+    // codebook (first-16-vector slices, the q_pq_assign_fixed trick),
+    // every cell is probed (full probe ⇒ the k-means cell layout cannot
+    // change the result), and the LUT is integer-quantized
+    // (lutScale=1e6 ⇒ distances are order-independent integer sums both
+    // engines compute identically). The fitted-codebook ADC path stays
+    // exercised by IvfSpec.
+    "q_ivfpq_adc_fixed" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.where($"vec_id" < 10)
       val model = graft.operators.IvfIndex.build(
         emb, "vec_id", "embedding", nCells = 16, maxIter = 5)
-      val cb = graft.operators.ProductQuantizer.fitCodebook(
-        emb, "vec_id", "embedding", clusters = 32, splits = 8,
-        maxIter = 10)
+      val cb = PqQueries.fixedCodebook(s, dir)
       val quantized = graft.operators.ProductQuantizer.quantizeColumn(
         model.assigned, "embedding", "codes", cb)
       graft.operators.IvfIndex.searchAdc(model, quantized, "codes", cb,
-        queries, k = 10, nprobe = 16)
-        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        queries, k = 10, nprobe = 16, lutScale = Some(1e6))
+        .select($"qid", $"nid", $"rank",
+          $"dist".cast("bigint").as("dist_q"))
         .orderBy($"qid", $"rank")
     }),
 
@@ -361,6 +366,34 @@ object VectorQueries {
         |    i -> CASE WHEN sg.sgn[i] != a.asgn[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hd
         |FROM sg, a ORDER BY sg.vec_id""".stripMargin,
     "q_ivf_knn" -> knnOracle,
+    // full restatement of the fixed-codebook ADC face: argmin codes
+    // (shared base), per-(query,split,centroid) integer-quantized LUT
+    // (per-dim floor(d²·1e6 + 0.5), matching searchAdc's lutScale
+    // branch term-for-term), candidate distance = integer sum of the 8
+    // looked-up LUT cells, top-10 with (dist, nid) tie-break.
+    "q_ivfpq_adc_fixed" ->
+      s"""${PqQueries.fixedAssignBase},
+         |q AS (SELECT vec_id AS qid, split_id, a_sv AS q_sv
+         |      FROM sub WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT q.qid, cb.split_id, cb.centroid_id,
+         |    list_sum(list_transform(range(1, len(q.q_sv)+1),
+         |      i -> CAST(floor(
+         |        (CAST(q.q_sv[i] AS DOUBLE) - CAST(cb.b_c[i] AS DOUBLE))
+         |        * (CAST(q.q_sv[i] AS DOUBLE) - CAST(cb.b_c[i] AS DOUBLE))
+         |        * 1000000 + 0.5) AS BIGINT))) AS dq
+         |  FROM q JOIN cb ON q.split_id = cb.split_id),
+         |adc AS (
+         |  SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dq) AS BIGINT) AS dist_q
+         |  FROM (SELECT vec_id, split_id, centroid_id AS code FROM scored
+         |        WHERE rn = 1) c
+         |  JOIN lut l ON c.split_id = l.split_id AND c.code = l.centroid_id
+         |  GROUP BY l.qid, c.vec_id),
+         |ranked AS (SELECT qid, nid, dist_q,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist_q, nid) AS rk
+         |  FROM adc)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, dist_q
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
     "q_vec_norm" ->
       s"""SELECT vec_id, round(sqrt(${dkNormSq("embedding")}), 4) AS nrm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
