@@ -520,7 +520,18 @@ object Dedup {
     * and work spreads evenly over the cluster. Raise `blocks` with
     * corpus size (replication per row is O(blocks)). For the
     * sub-quadratic tight-dup regime use embeddingDupPairsLsh.
+    *
+    * Corpora above [[ExactEmbDupMaxRowsDefault]] rows are REFUSED:
+    * above that size the quadratic compute is never the right call at
+    * cluster scale, and a pipeline should fail loudly at plan time
+    * rather than burn a fleet on it. Tests/oracles that genuinely want
+    * the exact face on a bounded slice raise the guard via
+    * [[exactEmbDupMaxRowsOverride]].
     */
+  private[graft] val ExactEmbDupMaxRowsDefault = 100000L
+  @volatile private[graft] var exactEmbDupMaxRowsOverride: Option[Long] =
+    None
+
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       tau: Double, blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
@@ -529,6 +540,20 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
+    // The guard count materializes the persisted base the join reads
+    // anyway (unlike a side-channel sizing pass, nothing is wasted) —
+    // and an O(n) count is noise against the O(n²) job it gates.
+    val limit =
+      exactEmbDupMaxRowsOverride.getOrElse(ExactEmbDupMaxRowsDefault)
+    val nRows = base.count()
+    if (nRows > limit) {
+      base.unpersist()
+      throw new IllegalArgumentException(
+        s"embeddingDupPairs is inherently O(n²) and refuses corpora " +
+          s"over $limit rows (got $nRows). Use embeddingDupPairsLsh — " +
+          "the bucketed scale path with exact verification — or raise " +
+          "Dedup.exactEmbDupMaxRowsOverride for a bounded slice.")
+    }
     val blockPairs = broadcast(
       (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
         .toDF("ba", "bb"))

@@ -173,6 +173,23 @@ class DedupSpec extends SparkSuite {
     assert(lsh.size >= (exact.size * 0.8).toInt) // high recall
   }
 
+  test("embeddingDupPairs refuses corpora above the O(n²) guard and " +
+      "names the LSH scale path") {
+    val df = (0 until 20).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("id", "vec")
+    Dedup.exactEmbDupMaxRowsOverride = Some(10L)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.embeddingDupPairs(df, "id", "vec", 0.5)
+      }
+      assert(e.getMessage.contains("embeddingDupPairsLsh"))
+      assert(e.getMessage.contains("O(n²)"))
+    } finally Dedup.exactEmbDupMaxRowsOverride = None
+    // under the default guard the same corpus plans normally
+    assert(Dedup.embeddingDupPairs(df, "id", "vec", 0.5).columns
+      .toSeq === Seq("i", "j", "cd"))
+  }
+
   test("rolling_fingerprint is stable and shift-tolerant") {
     // The fingerprint is the min rolling hash over 16-byte windows; a
     // long shared core dominates, so near-identical docs collide.
