@@ -156,10 +156,6 @@ object TextSearch {
       queryWords: Seq[String], embeddings: DataFrame, vecIdCol: String,
       vecCol: String, queryVec: DataFrame, kEach: Int = 50, kOut: Int = 20,
       c: Int = 60): DataFrame = {
-    val bmTop = bm25(docs, idCol, textCol, queryWords)
-      .orderBy(col("bm25").desc, col("id")).limit(kEach)
-      .select(col("id"), row_number().over(
-        Window.orderBy(col("bm25").desc, col("id"))).as("bm25_rank"))
     // queryVec: one row, column "qv" — broadcast against the corpus
     val cosTop = embeddings.crossJoin(broadcast(queryVec))
       .select(col(vecIdCol).as("id"),
@@ -167,6 +163,24 @@ object TextSearch {
       .orderBy(col("cd").asc, col("id")).limit(kEach)
       .select(col("id"), row_number().over(
         Window.orderBy(col("cd").asc, col("id"))).as("cos_rank"))
+    hybridRrfRanked(docs, idCol, textCol, queryWords, cosTop, kOut, c)
+  }
+
+  /** Hybrid RRF with a PLUGGABLE vector branch: `cosRanked` is any
+    * (id, cos_rank) relation — typically `IvfIndex.search` output, so
+    * the vector candidates come off the cell-partitioned index (probed
+    * cells only, PartitionFilters at the scan) instead of a full
+    * corpus scan. The fusion math is byte-identical to [[hybridRrf]];
+    * at full probe the two produce the same rows.
+    */
+  def hybridRrfRanked(docs: DataFrame, idCol: String, textCol: String,
+      queryWords: Seq[String], cosRanked: DataFrame, kOut: Int = 20,
+      c: Int = 60, kEach: Int = 50): DataFrame = {
+    val bmTop = bm25(docs, idCol, textCol, queryWords)
+      .orderBy(col("bm25").desc, col("id")).limit(kEach)
+      .select(col("id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("id"))).as("bm25_rank"))
+    val cosTop = cosRanked.select(col("id"), col("cos_rank"))
     bmTop.join(cosTop, Seq("id"), "full_outer")
       .select(col("id"),
         (coalesce(lit(1.0) / (lit(c) + col("bm25_rank")), lit(0.0)) +

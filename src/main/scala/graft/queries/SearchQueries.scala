@@ -39,6 +39,26 @@ object SearchQueries {
           emb, "vec_id", "embedding", qv)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // The query a RAG user actually runs: BM25 fused with vector
+    // candidates served by the IVF INDEX (probed cells only — the
+    // scan carries a cell_id PartitionFilter) instead of a full corpus
+    // scan. Full probe ≡ exact cosine top-50, so the q_hybrid_rrf
+    // oracle restates this face verbatim; at scale nprobe < nCells
+    // trades recall for reading ~nprobe/nCells of the corpus.
+    "q_hybrid_rrf_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nCells = 16, maxIter = 5)
+      val ranked = graft.operators.IvfIndex.search(
+        model, emb.where(col("vec_id") === 0), k = 50, nprobe = 16,
+        metric = "cos")
+        .select(col("nid").as("id"), col("rank").as("cos_rank"))
+      TextSearch.hybridRrfRanked(docs(s, dir), "doc_id", "text",
+          QueryWords, ranked)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
     })
   )
 
@@ -82,7 +102,14 @@ object SearchQueries {
          |  row_number() OVER (ORDER BY bm25 DESC, id) AS rnk,
          |  floor(bm25 * 10000 + 0.5) / 10000 AS bm25
          |FROM t ORDER BY rnk""".stripMargin,
-    "q_hybrid_rrf" ->
+    "q_hybrid_rrf" -> hybridRrfSql,
+    // q_hybrid_rrf_ivf probes every cell (full probe ≡ exact cosine
+    // top-50), so the exact-scan oracle restates it verbatim — the IVF
+    // layer changes what the scan READS, never what the query returns.
+    "q_hybrid_rrf_ivf" -> hybridRrfSql
+  )
+
+  private lazy val hybridRrfSql: String =
       s"""WITH $bm25Cte,
          |bt AS (SELECT id, bm25 FROM agg ORDER BY bm25 DESC, id LIMIT 50),
          |br AS (SELECT id,
@@ -102,5 +129,4 @@ object SearchQueries {
          |SELECT id AS doc_id, floor(rrf * 1000000 + 0.5) / 1000000 AS rrf,
          |  bm25_rank, cos_rank
          |FROM g ORDER BY rrf DESC, doc_id""".stripMargin
-  )
 }

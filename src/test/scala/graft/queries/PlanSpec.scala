@@ -103,6 +103,16 @@ class PlanSpec extends SparkSuite {
       s"probe IN filter not pushed to partitions:\n$p")
   }
 
+  test("IVF-backed hybrid retrieval prunes the vector branch's scan") {
+    // The RAG-shaped composite (BM25 + IVF vector candidates fused by
+    // RRF): the vector branch must read off the cell-partitioned index
+    // with the probe IN filter at the scan, same as q_ivf_knn.
+    val p = plan("q_hybrid_rrf_ivf")
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(p).isDefined,
+      s"vector branch not partition-pruned:\n$p")
+  }
+
   test("clean-corpus keeps the dup/removed sets distributed (no LocalTableScan)") {
     // Regression guard for the 100 TB posture: the duplicate-pair set
     // and removed-id set must never round-trip through the driver — a
