@@ -261,6 +261,26 @@ object VectorQueries {
         .orderBy($"vec_id")
     }),
 
+    // Recall of kNN-over-SQ8-codes vs exact float kNN — quantifies the
+    // compression/recall trade the operator exists for. Fully oracled:
+    // unlike the IVF twin there is no k-means anywhere, so DuckDB
+    // restates fit → code → decode → both rankings → recall exactly.
+    "q_sq_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.ScalarQuantizer.fit(emb, "embedding")
+      val codes = graft.operators.ScalarQuantizer.quantize(
+        emb.select($"vec_id", $"embedding"), "embedding", "sq", model)
+        .select($"vec_id", $"sq")
+      val rec = graft.operators.ScalarQuantizer.dequantize(
+        codes, "sq", "vhat", model).select($"vec_id", $"vhat")
+      val queries = emb.where($"vec_id" < 10)
+      val truth = Knn.topK(emb, queries, "vec_id", "embedding", 10)
+      val approx = Knn.topK(rec,
+        queries.select($"vec_id", $"embedding".as("vhat")),
+        "vec_id", "vhat", 10)
+      Knn.recall(truth, approx, 10).orderBy($"qid")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -296,10 +316,10 @@ object VectorQueries {
        |SELECT qid, nid, CAST(rk AS INT) AS rnk, round(d, 4) AS dist
        |FROM ranked WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin
 
-  // shared by q_sq_knn and q_ivf_sq_knn (full probe == brute
-  // force over the dequantized corpus)
-  private lazy val sqKnnOracle: String =
-    s"""WITH x AS (
+  // fit → code → decode restatement shared by q_sq_knn, q_ivf_sq_knn
+  // and q_sq_recall; mirrors ScalarQuantizer op order exactly.
+  private lazy val sqRecCte: String =
+    s"""x AS (
          |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT)
          |    AS pos, unnest(embedding) AS v
          |  FROM embeddings),
@@ -318,7 +338,12 @@ object VectorQueries {
          |  SELECT vec_id,
          |    list(CAST(mn + code / 255 * (mx - mn) AS REAL)
          |      ORDER BY pos) AS vhat
-         |  FROM codes GROUP BY vec_id),
+         |  FROM codes GROUP BY vec_id)""".stripMargin
+
+  // shared by q_sq_knn and q_ivf_sq_knn (full probe == brute
+  // force over the dequantized corpus)
+  private lazy val sqKnnOracle: String =
+    s"""WITH $sqRecCte,
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
          |      WHERE vec_id < 10),
          |scored AS (
@@ -408,6 +433,24 @@ object VectorQueries {
     // and the result must equal this brute force.
     "q_ivf_sq_knn" -> sqKnnOracle,
     "q_sq_knn" -> sqKnnOracle,
+    // exact float top-10 vs SQ8-reconstructed top-10, per-query overlap
+    "q_sq_recall" ->
+      s"""WITH $sqRecCte,
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |ex AS (SELECT * FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.embedding", "q.qe")}, c.vec_id) AS rk
+         |  FROM embeddings c, q) WHERE rk <= 10),
+         |sq AS (SELECT * FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.vhat", "q.qe")}, c.vec_id) AS rk
+         |  FROM rec c, q) WHERE rk <= 10)
+         |SELECT ex.qid, CAST(count(sq.nid) AS DOUBLE) / 10 AS recall
+         |FROM ex LEFT JOIN sq ON ex.qid = sq.qid AND ex.nid = sq.nid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
 
     // same op order as ScalarQuantizer.quantize: (x-mn)*255/(mx-mn)+0.5
     // — IEEE -, *, /, floor are correctly rounded, so the doubles (and

@@ -45,6 +45,15 @@ class ScalarQuantizerSpec extends SparkSuite {
     assert(back === Set(7.5f))
   }
 
+  test("kNN over SQ8 codes keeps recall >= 0.9 vs exact kNN (sf0.01)") {
+    // The compression/recall trade the operator exists for: 8-bit
+    // per-dim codes must not visibly degrade top-10 neighbor quality.
+    val recalls = graft.SparkEntry.queries("q_sq_recall")(spark, sf001)
+      .select($"recall").as[Double].collect()
+    assert(recalls.length === 10)
+    assert(recalls.forall(_ >= 0.9), s"low SQ8 recall: ${recalls.toSeq}")
+  }
+
   test("quantization is a codegen'd projection: no shuffle after the " +
       "model fit, stage stays in whole-stage codegen") {
     val model = ScalarQuantizer.fit(emb, "embedding")
