@@ -4,13 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Index-autotune analog (SURVEY §2.11 X4-X9,
-  * `lantern_cli/src/index_autotune/`). Spark has no online HNSW (north
-  * star: online ANN is out of scope), so each grid variant measures the
-  * EXACT top-k path — recall against brute-force ground truth (always
-  * 100), per-variant wall latency, and "build time" (ground-truth
-  * materialization). The reference's grid, early-stop, and
-  * best-variant selection logic are preserved so a future ANN backend
-  * slots straight in.
+  * `lantern_cli/src/index_autotune/`). Two sweeps:
+  *
+  *   - [[run]] keeps the reference's published HNSW grid API-compatible
+  *     (Spark has no online HNSW — north star — so each variant
+  *     measures the EXACT top-k path; recall is always 100).
+  *   - [[runIvf]] targets the index family that actually exists here:
+  *     (nCells, nprobe) over IVF, the axes governing its
+  *     recall/latency/build trade.
+  *
+  * Grid iteration, early-stop, best-variant selection, and the
+  * results schema mirror the reference throughout.
   */
 object Autotune {
 
@@ -78,6 +82,97 @@ object Autotune {
     val ok = results.filter(_.recall >= targetRecall)
     if (ok.nonEmpty) ok.minBy(r => (r.latencyMs, r.buildTimeMs))
     else results.maxBy(_.recall)
+  }
+
+  // ---- IVF-targeted sweep -------------------------------------------
+  // The reference's grid searches HNSW build params; the index family
+  // that exists HERE is IVF(-SQ8), so this sweep searches the axes that
+  // actually govern its recall/latency/build trade: coarse cell count
+  // (build-time k-means granularity) and probe width (query-time I/O).
+
+  case class IvfVariant(nCells: Int, nprobe: Int)
+
+  /** Small-to-wide sweep; within one nCells the build is shared (the
+    * IvfIndex memo), so the grid costs |distinct nCells| builds.
+    */
+  val ivfGrid: Seq[IvfVariant] = Seq(
+    IvfVariant(8, 1), IvfVariant(8, 4), IvfVariant(16, 2),
+    IvfVariant(16, 4), IvfVariant(16, 16), IvfVariant(32, 8))
+
+  case class IvfResult(experimentId: Int, nCells: Int, nprobe: Int,
+      recall: Double, latencyMs: Double, buildTimeMs: Double)
+
+  /** Sweep (nCells, nprobe): per variant, recall of IVF search vs the
+    * brute-force ground truth, query latency, and the (memo-amortized)
+    * index build time for its cell count. Early stop and cancellation
+    * mirror [[run]].
+    */
+  def runIvf(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+      sampleN: Int = 10000, nQueries: Int = 10,
+      metric: String = "l2sq", targetRecall: Double = 99.9,
+      maxIter: Int = 5, seed: Long = 42L,
+      onProgress: Int => Unit = _ => (),
+      isCanceled: () => Boolean = () => false): Seq[IvfResult] = {
+    val corpus = df.select(col(idCol), col(vecCol)).limit(sampleN).cache()
+    val queries = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nQueries).cache()
+    val truth = Knn.topK(corpus, queries, idCol, vecCol, k, metric)
+      .cache()
+    try {
+      truth.count()
+      val buildMs = scala.collection.mutable.Map[Int, Double]()
+      def modelFor(nCells: Int): IvfIndex.Model = {
+        val t = System.nanoTime()
+        val m = IvfIndex.build(corpus, idCol, vecCol, nCells,
+          maxIter = maxIter, seed = seed)
+        buildMs.getOrElseUpdate(nCells, (System.nanoTime() - t) / 1e6)
+        m
+      }
+      val results = Seq.newBuilder[IvfResult]
+      var stopped = false
+      ivfGrid.zipWithIndex.foreach { case (v, i) =>
+        if (!stopped) {
+          if (isCanceled()) throw new RuntimeException("Job cancelled")
+          val model = modelFor(v.nCells)
+          val t1 = System.nanoTime()
+          val res = IvfIndex.search(model, queries, k, v.nprobe, metric)
+          val recall = Knn.recall(truth, res, k)
+            .agg(avg(col("recall"))).head().getDouble(0) * 100.0
+          val latency = (System.nanoTime() - t1) / 1e6 / nQueries
+          results += IvfResult(i, v.nCells, v.nprobe, recall, latency,
+            buildMs(v.nCells))
+          onProgress(((i + 1) * 100) / ivfGrid.size)
+          if (recall >= targetRecall) stopped = true
+        }
+      }
+      onProgress(100)
+      results.result()
+    } finally {
+      truth.unpersist(); queries.unpersist(); corpus.unpersist()
+    }
+  }
+
+  /** X8 selection over the IVF sweep: cheapest query meeting the
+    * target, ties to the cheaper build; else max recall.
+    */
+  def bestIvfVariant(results: Seq[IvfResult],
+      targetRecall: Double = 99.9): IvfResult = {
+    val ok = results.filter(_.recall >= targetRecall)
+    if (ok.nonEmpty) ok.minBy(r => (r.latencyMs, r.buildTimeMs))
+    else results.maxBy(_.recall)
+  }
+
+  /** IVF sweep results in the autotune_results shape (the HNSW param
+    * columns replaced by this family's axes).
+    */
+  def ivfToDF(spark: SparkSession, results: Seq[IvfResult]): DataFrame = {
+    import spark.implicits._
+    results.toDF()
+      .select(col("experimentId").as("experiment_id"),
+        col("nCells").as("n_cells"), col("nprobe"),
+        round(col("recall"), 1).as("recall"),
+        col("latencyMs").as("latency"),
+        col("buildTimeMs").as("build_time"))
   }
 
   /** X9: persist results in the reference's autotune_results schema

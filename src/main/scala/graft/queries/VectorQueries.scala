@@ -227,6 +227,18 @@ object VectorQueries {
       graft.operators.Autotune.toDF(s, res).orderBy($"experiment_id")
     }),
 
+    // X4-X9 over the index family that exists here: sweep
+    // (n_cells, nprobe), recall vs brute-force truth, query latency,
+    // build time per cell count (memo-amortized). Latency/build are
+    // wall-clock → rows-only check; bounds live in AutotuneSpec.
+    "q_autotune_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val res = graft.operators.Autotune.runIvf(emb, "vec_id",
+        "embedding", k = 10, sampleN = 2000, nQueries = 10,
+        targetRecall = 101.0)
+      graft.operators.Autotune.ivfToDF(s, res).orderBy($"experiment_id")
+    }),
+
     // kNN-graph via the IVF index — the SCALE path for graph
     // construction the brute-force q_knn_graph documents: queries are
     // the slice itself, cells prune the scan per probe batch. Full

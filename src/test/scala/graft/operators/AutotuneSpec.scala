@@ -37,6 +37,34 @@ class AutotuneSpec extends SparkSuite {
     }
   }
 
+  test("IVF sweep: full grid reports, recall rises with nprobe, " +
+      "full probe recalls 100, builds amortize per cell count") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val rs = Autotune.runIvf(emb, "vec_id", "embedding", k = 5,
+      sampleN = 500, nQueries = 5, targetRecall = 101.0)
+    assert(rs.size === Autotune.ivfGrid.size) // 101 disables early stop
+    // (16,16) is a full probe == exact search
+    val full = rs.find(r => r.nCells === 16 && r.nprobe === 16).get
+    assert(full.recall === 100.0)
+    // within nCells=16, wider probes can only help
+    val n16 = rs.filter(_.nCells === 16).sortBy(_.nprobe).map(_.recall)
+    assert(n16 === n16.sorted, s"recall not monotone in nprobe: $n16")
+    // the two nCells=16 variants share one build (the IvfIndex memo)
+    assert(rs.filter(_.nCells === 16).map(_.buildTimeMs).distinct.size === 1)
+    val best = Autotune.bestIvfVariant(rs, targetRecall = 99.9)
+    assert(best.recall >= 99.9 || best.recall === rs.map(_.recall).max)
+  }
+
+  test("IVF sweep results DF carries the family's axes in the " +
+      "autotune_results shape") {
+    val df = Autotune.ivfToDF(spark,
+      Seq(Autotune.IvfResult(0, 16, 4, 97.5, 1.0, 2.0)))
+    assert(df.columns.toSeq ===
+      Seq("experiment_id", "n_cells", "nprobe", "recall", "latency",
+        "build_time"))
+    assert(df.head().getDouble(3) === 97.5)
+  }
+
   test("results DF matches the reference autotune_results schema") {
     val df = Autotune.toDF(spark,
       Seq(Autotune.Result(0, 6, 32, 64, 100.0, 1.0, 2.0)))
