@@ -310,11 +310,16 @@ case class Sq8Encode(child: Expression, mins: Array[Double],
     var i = 0
     while (i < n) {
       val lo = mins(i); val hi = maxs(i)
+      // clamp to [0,255]: quantize(df, model) is public API and a
+      // mismatched model would otherwise wrap via Double.toShort into
+      // negative codes that silently corrupt decode (standard SQ8
+      // saturates out-of-range inputs)
       out(i) =
-        if (hi > lo)
-          math.floor((a.getFloat(i).toDouble - lo) * 255.0 / (hi - lo)
-            + 0.5).toShort
-        else 0
+        if (hi > lo) {
+          val c = math.floor((a.getFloat(i).toDouble - lo) * 255.0
+            / (hi - lo) + 0.5)
+          math.min(255.0, math.max(0.0, c)).toShort
+        } else 0
       i += 1
     }
     new GenericArrayData(out)

@@ -58,6 +58,15 @@ object Multimodal {
       */
     def grayGrid(media: Array[Byte], gw: Int, gh: Int)
         : Option[Array[Long]] = None
+    /** Both perceptual-hash grids (9x8 for dHash, 8x8 for aHash) in
+      * one call. Decoders that pay a real pixel decode override this
+      * to decode ONCE and sample both grids from the decoded image;
+      * the default is for cheap synthetic decoders.
+      */
+    def hashGrids(media: Array[Byte])
+        : Option[(Array[Long], Array[Long])] =
+      grayGrid(media, 9, 8).flatMap(d =>
+        grayGrid(media, 8, 8).map(a => (d, a)))
   }
 
   /** Deterministic stand-in: features are stripe-hash projections of
@@ -200,26 +209,35 @@ object Multimodal {
       * integer r*299 + g*587 + b*114 in [0, 255000] — no floats
       * anywhere, so perceptual-hash bit comparisons are exact.
       */
+    private def gridFrom(img: java.awt.image.BufferedImage, gw: Int,
+        gh: Int): Array[Long] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Long](gw * gh)
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw) {
+          val px = math.min((gx.toLong * w / gw).toInt, w - 1)
+          val py = math.min((gy.toLong * h / gh).toInt, h - 1)
+          val rgb = img.getRGB(px, py)
+          out(gy * gw + gx) = ((rgb >> 16) & 0xff) * 299L +
+            ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+
     override def grayGrid(media: Array[Byte], gw: Int, gh: Int)
         : Option[Array[Long]] =
-      decode(media).map { img =>
-        val w = img.getWidth; val h = img.getHeight
-        val out = new Array[Long](gw * gh)
-        var gy = 0
-        while (gy < gh) {
-          var gx = 0
-          while (gx < gw) {
-            val px = math.min((gx.toLong * w / gw).toInt, w - 1)
-            val py = math.min((gy.toLong * h / gh).toInt, h - 1)
-            val rgb = img.getRGB(px, py)
-            out(gy * gw + gx) = ((rgb >> 16) & 0xff) * 299L +
-              ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
-            gx += 1
-          }
-          gy += 1
-        }
-        out
-      }
+      decode(media).map(gridFrom(_, gw, gh))
+
+    // one full pixel decode serves BOTH hash grids (the default would
+    // decode the compressed payload twice per row)
+    override def hashGrids(media: Array[Byte])
+        : Option[(Array[Long], Array[Long])] =
+      decode(media).map(img => (gridFrom(img, 9, 8), gridFrom(img, 8, 8)))
 
     override def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] =
       decode(media) match {

@@ -88,12 +88,13 @@ object PerceptualHash {
             else r.getAs[Array[Byte]](idx)
           val (d, a) =
             if (bytes == null || bytes.length > MaxMediaBytes) (null, null)
-            else {
-              val dh = decoder.grayGrid(bytes, 9, 8)
-                .map(g => java.lang.Long.valueOf(dHash64(g))).orNull
-              val ah = decoder.grayGrid(bytes, 8, 8)
-                .map(g => java.lang.Long.valueOf(aHash64(g))).orNull
-              (dh, ah)
+            else decoder.hashGrids(bytes) match {
+              // one decode serves both grids (ImageIoDecoder would
+              // otherwise fully decode the compressed payload twice)
+              case Some((gd, ga)) =>
+                (java.lang.Long.valueOf(dHash64(gd)),
+                  java.lang.Long.valueOf(aHash64(ga)))
+              case None => (null, null)
             }
           Row.fromSeq(r.toSeq ++ Seq(d, a))
         }

@@ -21,9 +21,13 @@ object SourceQueries {
 
   private val FixtureRows = 256
 
-  // fixed (not per-run-random) so the static oracle SQL can reference
-  // it; each Verify run overwrites before the oracle reads
-  private val CsvSinkPath = "/tmp/graft_csv_sink"
+  // per-JVM (PID-keyed, same convention as IvfIndex's tmp indexes):
+  // the oracle SQL dumped by a Verify run is built in the SAME JVM
+  // that writes the sink, so the static SQL still points at the right
+  // file, while concurrent gate/bench/verify runs (separate JVMs) can
+  // no longer clobber each other's sink or read a stale one
+  private val CsvSinkPath =
+    s"/tmp/graft_csv_sink_${java.lang.ProcessHandle.current().pid()}"
 
   /** Bounded fixture slice (FixtureRows vectors, a model-sized collect
     * like the PQ codebook, NOT corpus-sized), in vec_id order so

@@ -45,6 +45,17 @@ class ScalarQuantizerSpec extends SparkSuite {
     assert(back === Set(7.5f))
   }
 
+  test("encode saturates out-of-range inputs to [0,255] instead of " +
+      "wrapping (mismatched df/model is public API)") {
+    val fitOn = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("id", "v")
+    val model = ScalarQuantizer.fit(fitOn, "v")
+    val outside = Seq((3L, Seq(-5.0f, 9.0f))).toDF("id", "v")
+    val codes = ScalarQuantizer.quantize(outside, "v", "sq", model)
+      .select($"sq").as[Seq[Short]].head()
+    assert(codes === Seq(0.toShort, 255.toShort), s"wrapped: $codes")
+  }
+
   test("kNN over SQ8 codes keeps recall >= 0.9 vs exact kNN (sf0.01)") {
     // The compression/recall trade the operator exists for: 8-bit
     // per-dim codes must not visibly degrade top-10 neighbor quality.
