@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Growth-bound smoke: the closest local[32] gets to the 100× question.
+  * Each headline scale-path family runs at a small size and at ~10× the
+  * sf0.1 bench volume (synthesized in-test, distributed generation —
+  * nothing checked in), and the wall-time RATIO must stay far below the
+  * quadratic signature (10× data ⇒ ~100× for an O(n²) shape; the bound
+  * here is 30×, i.e. comfortably sub-quadratic even with constant
+  * overheads and JIT noise). Plan shapes are asserted unchanged at the
+  * big size — growth must come from data volume, not a plan degrade.
+  * Measured factors are recorded in PERF.md each round.
+  */
+class ScaleGrowthSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** n base docs (60 pseudo-words over a 2k vocab, fully determined by
+    * doc_id) plus `dupes` planted near-dups (doc 1M+i = doc i with word
+    * 30 changed). Generated distributed: no driver-side row building.
+    */
+  private def synthDocs(n: Long, dupes: Long): DataFrame = {
+    val base = spark.range(n).select($"id".as("doc_id"))
+      .withColumn("text", array_join(expr(
+        "transform(sequence(0, 59), i -> " +
+          "concat('w', pmod(xxhash64(doc_id * 60 + CAST(i AS BIGINT)), 2000)))"),
+        " "))
+    val dup = spark.range(dupes).select($"id".as("src"))
+      .select(($"src" + 1000000L).as("doc_id"), array_join(expr(
+        "transform(sequence(0, 59), i -> CASE WHEN i = 30 THEN 'CHANGED' " +
+          "ELSE concat('w', pmod(xxhash64(src * 60 + CAST(i AS BIGINT)), 2000)) END)"),
+        " ").as("text"))
+    base.unionByName(dup).repartition(32)
+  }
+
+  private def timedSecs(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  // noise floor: ratios over sub-second denominators say nothing
+  private def ratio(big: Double, small: Double): Double =
+    big / math.max(small, 0.5)
+
+  test("MinHash-LSH grows sub-quadratically from 5k to 50k docs") {
+    val small = synthDocs(5000, 50).persist()
+    val big = synthDocs(50000, 50).persist()
+    small.count(); big.count()
+    try {
+      val planted = (0 until 50).map(i => (i.toLong, 1000000L + i)).toSet
+      var ps: Set[(Long, Long)] = null
+      var pb: Set[(Long, Long)] = null
+      val tS = timedSecs {
+        ps = Dedup.minhashDupPairs(small, "doc_id", "text", n = 3,
+          numHashes = 128, bands = 16, tau = 0.5)
+          .select($"i", $"j").as[(Long, Long)].collect().toSet
+      }
+      val tB = timedSecs {
+        pb = Dedup.minhashDupPairs(big, "doc_id", "text", n = 3,
+          numHashes = 128, bands = 16, tau = 0.5)
+          .select($"i", $"j").as[(Long, Long)].collect().toSet
+      }
+      assert(planted.subsetOf(ps) && planted.subsetOf(pb),
+        "planted near-dups missed")
+      val r = ratio(tB, tS)
+      info(f"minhash 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
+      assert(r < 30.0, f"10x data grew $r%.1fx — not sub-quadratic")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("incremental dedup: a 1k batch joins a 50k index at near the " +
+      "5k-index cost (index size must not dominate)") {
+    val exS = synthDocs(5000, 0).persist()
+    val exB = synthDocs(50000, 0).persist()
+    // incoming: 500 near-dups of existing docs + 500 fresh
+    val inc = synthDocs(500, 500).where($"doc_id" >= 1000000L)
+      .unionByName(synthDocs(600, 0).where($"doc_id" >= 100)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat($"text", lit(" FRESHTAIL")).as("text")))
+      .persist()
+    exS.count(); exB.count(); inc.count()
+    try {
+      val planted = (0 until 500).map(i => 1000000L + i).toSet
+      var fS: Set[Long] = null
+      var fB: Set[Long] = null
+      val tS = timedSecs {
+        fS = Dedup.crossCorpusDupPairs(exS, inc, "doc_id", "text",
+          tau = 0.5).select($"new_id").distinct().as[Long].collect().toSet
+      }
+      Dedup.releaseCaches()
+      val tB = timedSecs {
+        fB = Dedup.crossCorpusDupPairs(exB, inc, "doc_id", "text",
+          tau = 0.5).select($"new_id").distinct().as[Long].collect().toSet
+      }
+      assert(planted.subsetOf(fS) && planted.subsetOf(fB),
+        "planted cross-dups missed")
+      val r = ratio(tB, tS)
+      info(f"incremental 1k vs 5k: $tS%.1f s, vs 50k: $tB%.1f s, " +
+        f"growth $r%.1fx")
+      assert(r < 30.0, f"10x index grew $r%.1fx — not sub-quadratic")
+    } finally { exS.unpersist(); exB.unpersist(); inc.unpersist() }
+  }
+
+  test("IVF-SQ8 search cost tracks corpus size linearly and keeps its " +
+      "pruned int8 plan at 10x") {
+    def vecs(n: Long) = synthDocs(n, 0)
+      .select($"doc_id".as("vec_id"),
+        graft.functions.TextFunctions.hash_embedding($"text", 64)
+          .as("embedding"))
+    val vS = vecs(2000).persist()
+    val vB = vecs(20000).persist()
+    vS.count(); vB.count()
+    try {
+      // builds are the corpus-scan part — outside the search timer,
+      // as in production (the index is a durable artifact)
+      val (mS, mnS, mxS) = IvfIndex.buildSq8(vS, "vec_id", "embedding",
+        nCells = 16, maxIter = 3)
+      val (mB, mnB, mxB) = IvfIndex.buildSq8(vB, "vec_id", "embedding",
+        nCells = 16, maxIter = 3)
+      val qS = vS.where($"vec_id" < 10)
+      val qB = vB.where($"vec_id" < 10)
+      val tS = timedSecs {
+        IvfIndex.searchSq8(mS, mnS, mxS, qS, "embedding", 10, 4).count()
+      }
+      val search = IvfIndex.searchSq8(mB, mnB, mxB, qB, "embedding", 10, 4)
+      val tB = timedSecs { search.count() }
+      val r = ratio(tB, tS)
+      info(f"ivf-sq8 search 2k: $tS%.1f s, 20k: $tB%.1f s, growth $r%.1fx")
+      assert(r < 30.0, f"10x corpus grew search $r%.1fx")
+      // the 10x plan still prunes cells at the scan and reads int8
+      val p = search.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+        .findFirstIn(p).isDefined, s"probe filter lost at 10x:\n$p")
+      assert(p.contains("smallint"), s"int8 codes not read at 10x:\n$p")
+    } finally { vS.unpersist(); vB.unpersist() }
+  }
+}
