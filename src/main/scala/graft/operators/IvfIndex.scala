@@ -102,6 +102,34 @@ object IvfIndex {
     model
   }
 
+  /** Incrementally add vectors to an EXISTING index: assign each new
+    * row to its nearest cell with the (broadcast) frozen centroids and
+    * append the rows into the cell partition directories — no k-means,
+    * no rebuild, no touch of the resident rows. This is how a 100 TB
+    * inverted file absorbs a daily batch: the coarse quantizer is
+    * frozen (standard IVF practice — faiss `add` vs `train`), appends
+    * are new parquet files inside existing `cell_id=` dirs, and
+    * searches over the returned model see old + new rows with the
+    * same PartitionFilters pruning. Periodic re-train (a fresh
+    * [[build]]) remains the answer to real distribution drift.
+    */
+  def append(model: Model, df: DataFrame): Model = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    df.withColumn("cell_id", cellU(col(model.vecCol)))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("append")
+      .parquet(model.indexPath)
+    // fresh scan relation: the old `assigned` caches its file listing
+    val assigned = spark.read
+      .option("basePath", model.indexPath)
+      .parquet(s"${model.indexPath}/cell_id=*")
+    Model(model.centroids, assigned, model.idCol, model.vecCol,
+      model.indexPath)
+  }
+
   /** Reopen a durable index written by [[build]]: centroids from the
     * sidecar table, assignment straight off the cell-partitioned
     * parquet. No k-means, no corpus scan — the load cost is two

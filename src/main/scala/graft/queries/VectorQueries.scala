@@ -149,6 +149,28 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Incremental index maintenance: build over the even half, APPEND
+    // the odd half with frozen centroids (no k-means, no rebuild —
+    // how a 100 TB inverted file absorbs a daily batch), then full
+    // probe ⇒ exact kNN over the WHOLE corpus, so the q_knn oracle
+    // restates it. A fresh per-invocation index dir keeps repeated
+    // runs idempotent (append twice would duplicate rows).
+    "q_ivf_append_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val resident = emb.where($"vec_id" % 2 === 0)
+      val arriving = emb.where($"vec_id" % 2 =!= 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_append").toString
+      val base = graft.operators.IvfIndex.build(resident, "vec_id",
+        "embedding", nCells = 16, maxIter = 5,
+        indexDir = Some(s"$tmp/idx"))
+      val model = graft.operators.IvfIndex.append(base, arriving)
+      graft.operators.IvfIndex.search(model,
+          emb.where($"vec_id" < 10), k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // IVF partial probing: recall vs exact per query (rows-only —
     // deterministic but depends on the seeded k-means cells).
     "q_ivf_recall" -> ((s, dir) => {
@@ -403,6 +425,8 @@ object VectorQueries {
         |    i -> CASE WHEN sg.sgn[i] != a.asgn[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hd
         |FROM sg, a ORDER BY sg.vec_id""".stripMargin,
     "q_ivf_knn" -> knnOracle,
+    // append face at full probe == exact kNN over the whole corpus
+    "q_ivf_append_knn" -> knnOracle,
     // full restatement of the fixed-codebook ADC face: argmin codes
     // (shared base), per-(query,split,centroid) integer-quantized LUT
     // (per-dim floor(d²·1e6 + 0.5), matching searchAdc's lutScale

@@ -39,6 +39,34 @@ class IvfSpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("append absorbs a batch with frozen centroids: no k-means, new " +
+      "files inside existing cell dirs, search sees old + new") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_append_spec").toString
+    val resident = emb.where($"vec_id" % 2 === 0)
+    val arriving = emb.where($"vec_id" % 2 =!= 0)
+    val base = IvfIndex.build(resident, "vec_id", "embedding",
+      nCells = 8, maxIter = 5, indexDir = Some(s"$tmp/idx"))
+    val cellDirs = new java.io.File(base.indexPath).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    val appended = IvfIndex.append(base, arriving)
+    // the coarse quantizer is frozen — same centroid array, no re-train
+    assert(appended.centroids eq base.centroids)
+    // appends land inside the EXISTING cell layout (no new cells)
+    val after = new java.io.File(base.indexPath).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    assert(after === cellDirs, s"cell layout changed: $after vs $cellDirs")
+    // full probe over the appended index == exact kNN over the union
+    val exact = pairs(Knn.topK(emb, queries, "vec_id", "embedding", 10))
+    val got = pairs(IvfIndex.search(appended, queries, k = 10, nprobe = 8))
+    assert(got === exact)
+    // the resident model object is untouched by design: reopening the
+    // path (what a daily-batch job does) also sees both halves
+    val reopened = IvfIndex.load(spark, base.indexPath, "vec_id",
+      "embedding")
+    assert(reopened.assigned.count() === emb.count())
+  }
+
   test("partial probing keeps high recall at a fraction of the scan") {
     val exact = pairs(Knn.topK(emb, queries, "vec_id", "embedding", 10))
     val ivf = pairs(IvfIndex.search(model, queries, k = 10, nprobe = 4))
