@@ -102,6 +102,38 @@ object IvfIndex {
     model
   }
 
+  /** Build the inverted file under CALLER-SUPPLIED frozen centroids —
+    * no k-means anywhere. Two uses: rebuilding an index under a
+    * previously trained coarse quantizer (the production pair of
+    * [[append]]), and deterministic-quantizer gate faces where
+    * partial-probe search must be restatable by an independent engine
+    * (assignment and probing are both plain argmins over the given
+    * centroid table).
+    */
+  def buildWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      indexDir: Option[String] = None): Model = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val path = indexDir.getOrElse(
+      s"$tmpBase/ivffixed_${buildCounter.getAndIncrement()}" +
+        s"_c${centroids.length}")
+    df.withColumn("cell_id", cellU(col(vecCol)))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    val assigned = spark.read.parquet(path)
+    locally {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_centroids")
+    }
+    Model(centroids, assigned, idCol, vecCol, path)
+  }
+
   /** Incrementally add vectors to an EXISTING index: assign each new
     * row to its nearest cell with the (broadcast) frozen centroids and
     * append the rows into the cell partition directories — no k-means,

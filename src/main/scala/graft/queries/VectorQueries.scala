@@ -171,6 +171,28 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Partial-probe recall under a FIXED coarse quantizer (first 16
+    // vectors as centroids, the q_ivfpq_adc_fixed trick): assignment,
+    // probing, candidate ranking, and recall are all plain argmins
+    // over the centroid table, so DuckDB restates the whole
+    // approximation — the recall numbers themselves become
+    // hash-checked, not rows-only. nprobe 4/16 keeps genuine misses.
+    "q_ivf_recall_fixed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_fixed").toString
+      val model = graft.operators.IvfIndex.buildWithCentroids(
+        emb, "vec_id", "embedding", cents, Some(s"$tmp/idx"))
+      val queries = emb.where($"vec_id" < 10)
+      val truth = Knn.topK(emb, queries, "vec_id", "embedding", 10)
+      val approx = graft.operators.IvfIndex
+        .search(model, queries, k = 10, nprobe = 4)
+      Knn.recall(truth, approx, 10).orderBy($"qid")
+    }),
+
     // IVF partial probing: recall vs exact per query (rows-only —
     // deterministic but depends on the seeded k-means cells).
     "q_ivf_recall" -> ((s, dir) => {
@@ -427,6 +449,42 @@ object VectorQueries {
     "q_ivf_knn" -> knnOracle,
     // append face at full probe == exact kNN over the whole corpus
     "q_ivf_append_knn" -> knnOracle,
+    // full restatement of fixed-quantizer partial-probe recall:
+    // assignment = argmin over the 16 fixed centroids (ties to lower
+    // cell id, matching nearestCentroid's first-min), probes = each
+    // query's 4 nearest centroids, candidates ranked by exact l2sq
+    // with (dist, nid) ties, overlap with the exact top-10
+    "q_ivf_recall_fixed" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qe", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |appr AS (SELECT * FROM (
+         |  SELECT c.qid, c.nid,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qe")}, c.nid) AS rk
+         |  FROM (SELECT pr.qid, a.vec_id AS nid
+         |        FROM pr JOIN asg a ON a.cell = pr.cell) c
+         |  JOIN embeddings e ON e.vec_id = c.nid
+         |  JOIN q ON q.qid = c.qid) _r WHERE rk <= 10),
+         |ex AS (SELECT * FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.embedding", "q.qe")}, c.vec_id) AS rk
+         |  FROM embeddings c, q) _e WHERE rk <= 10)
+         |SELECT ex.qid, CAST(count(appr.nid) AS DOUBLE) / 10 AS recall
+         |FROM ex LEFT JOIN appr ON ex.qid = appr.qid AND ex.nid = appr.nid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
     // full restatement of the fixed-codebook ADC face: argmin codes
     // (shared base), per-(query,split,centroid) integer-quantized LUT
     // (per-dim floor(d²·1e6 + 0.5), matching searchAdc's lutScale
