@@ -193,6 +193,38 @@ object VectorQueries {
       Knn.recall(truth, approx, 10).orderBy($"qid")
     }),
 
+    // Streaming vector ingest replayed through the real micro-batch
+    // path: resident index on the even half, the odd half arrives as
+    // two batches (batch 0 deliberately processed twice — the
+    // crash-replay case — proving the dynamic-overwrite idempotency
+    // inside the face itself), then full probe over resident+streamed
+    // ⇒ exact kNN over the whole corpus, restated by the q_knn oracle.
+    "q_vec_ingest_replay" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_vec_ingest").toString
+      val idx = s"$tmp/idx"
+      val model0 = graft.operators.IvfIndex.build(
+        emb.where($"vec_id" % 2 === 0), "vec_id", "embedding",
+        nCells = 16, maxIter = 5, indexDir = Some(idx))
+      val odd = emb.where($"vec_id" % 2 =!= 0)
+      val b0 = odd.where($"vec_id" % 4 === 1)
+      val b1 = odd.where($"vec_id" % 4 === 3)
+      import graft.streaming.VectorIngestStream
+      VectorIngestStream.processBatch(b0, 0L, model0.centroids,
+        "vec_id", "embedding", idx)
+      VectorIngestStream.processBatch(b0, 0L, model0.centroids,
+        "vec_id", "embedding", idx) // crash replay
+      VectorIngestStream.processBatch(b1, 1L, model0.centroids,
+        "vec_id", "embedding", idx)
+      val model = VectorIngestStream.openModel(s, idx, "vec_id",
+        "embedding")
+      graft.operators.IvfIndex.search(model,
+          emb.where($"vec_id" < 10), k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // IVF partial probing: recall vs exact per query (rows-only —
     // deterministic but depends on the seeded k-means cells).
     "q_ivf_recall" -> ((s, dir) => {
@@ -449,6 +481,8 @@ object VectorQueries {
     "q_ivf_knn" -> knnOracle,
     // append face at full probe == exact kNN over the whole corpus
     "q_ivf_append_knn" -> knnOracle,
+    // streamed-ingest replay at full probe == the same exact kNN
+    "q_vec_ingest_replay" -> knnOracle,
     // full restatement of fixed-quantizer partial-probe recall:
     // assignment = argmin over the 16 fixed centroids (ties to lower
     // cell id, matching nearestCentroid's first-min), probes = each

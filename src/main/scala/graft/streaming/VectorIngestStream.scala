@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{IvfIndex, ProductQuantizer}
+
+/** Continuous vector ingest into a durable IVF inverted file — the
+  * streaming face of [[graft.operators.IvfIndex.append]]: embeddings
+  * arrive as a stream (the output of an embedding job, a CDC feed) and
+  * each micro-batch is routed into the index's cells under the FROZEN
+  * coarse quantizer, so searches opened over the index see arrivals
+  * without any rebuild. Periodic re-train (a fresh `build`) remains
+  * the answer to distribution drift, exactly as in batch.
+  *
+  * State design (the [[NearDupStream]] lesson): arrivals live in the
+  * STORAGE layer, inside the index artifact itself, never in executor
+  * state. They land under `_stream/batch_id=N/cell_id=M` — the
+  * underscore prefix hides the subtree from the resident parquet
+  * listing (so the base index reads are untouched), while `cell_id`
+  * stays a partition column of the arrival subtree, so probe IN
+  * filters prune arrival files exactly as they prune resident cells.
+  *
+  * Idempotency: each batch writes with DYNAMIC partition overwrite
+  * scoped to its own `batch_id=N` subtree — a batch replayed after a
+  * crash between write and checkpoint commit rewrites the same
+  * directories instead of double-appending (the D10 lesson).
+  */
+object VectorIngestStream {
+
+  private def streamDir(indexPath: String) = s"$indexPath/_stream"
+
+  /** Start ingesting `vectors` (streaming DataFrame with the index's
+    * id/vec columns) into the existing index at `indexPath` (written
+    * by `IvfIndex.build`/`buildWithCentroids`; its `_centroids`
+    * sidecar supplies the frozen quantizer).
+    */
+  def start(spark: SparkSession, vectors: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpointDir: String)
+      : StreamingQuery = {
+    val centroids = loadCentroids(spark, indexPath)
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, centroids, idCol, vecCol, indexPath)
+        ()
+      }
+      .start()
+  }
+
+  private def loadCentroids(spark: SparkSession,
+      indexPath: String): Array[Array[Float]] = {
+    val cents = spark.read.parquet(s"$indexPath/_centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"no centroid sidecar under $indexPath")
+    cents
+  }
+
+  /** One micro-batch: assign cells under the frozen quantizer, write
+    * the batch's own partition subtree (dynamic overwrite ⇒ replay
+    * rewrites, never double-appends). Graft-visible so the spec and
+    * the replay gate face can drive batch semantics directly — they
+    * ARE the stream semantics.
+    */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      centroids: Array[Array[Float]], idCol: String, vecCol: String,
+      indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    batch.select(col(idCol), col(vecCol))
+      .withColumn("cell_id", cellU(col(vecCol)))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("cell_id"))
+      .write
+      .partitionBy("batch_id", "cell_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(streamDir(indexPath))
+  }
+
+  /** Open a search model over resident + streamed rows. The union's
+    * two scans both carry `cell_id` as a partition column, so
+    * `IvfIndex.search`'s probe IN filter prunes files on BOTH sides.
+    */
+  def openModel(spark: SparkSession, indexPath: String, idCol: String,
+      vecCol: String): IvfIndex.Model = {
+    val base = IvfIndex.load(spark, indexPath, idCol, vecCol)
+    val sd = streamDir(indexPath)
+    val hasStream = new java.io.File(sd).exists()
+    if (!hasStream) base
+    else {
+      val arrivals = spark.read
+        .option("basePath", sd)
+        .parquet(s"$sd/batch_id=*")
+        .select(col(idCol), col(vecCol), col("cell_id"))
+      val assigned = base.assigned
+        .select(col(idCol), col(vecCol), col("cell_id"))
+        .unionByName(arrivals)
+      IvfIndex.Model(base.centroids, assigned, idCol, vecCol, indexPath)
+    }
+  }
+}

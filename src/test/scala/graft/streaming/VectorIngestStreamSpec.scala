@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.operators.{IvfIndex, Knn}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class VectorIngestStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private def tmp(): String =
+    Files.createTempDirectory("vecingest").toString
+
+  private def exactPairs(corpus: org.apache.spark.sql.DataFrame) = {
+    val queries = emb.where($"vec_id" < 10)
+    Knn.topK(corpus, queries, "vec_id", "embedding", 10)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+  }
+
+  test("streamed arrivals become searchable without a rebuild and " +
+      "match exact kNN at full probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp() + "/idx"
+    val resident = emb.where($"vec_id" % 2 === 0)
+    IvfIndex.build(resident, "vec_id", "embedding", nCells = 8,
+      maxIter = 5, indexDir = Some(idx))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val q = VectorIngestStream.start(spark, vecs, "vec_id", "embedding",
+      idx, tmp())
+    val odd = emb.where($"vec_id" % 2 =!= 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val (h1, h2) = odd.splitAt(odd.length / 2)
+    mem.addData(h1.toSeq); q.processAllAvailable()
+    mem.addData(h2.toSeq); q.processAllAvailable()
+    q.stop()
+    val model = VectorIngestStream.openModel(spark, idx, "vec_id",
+      "embedding")
+    val got = IvfIndex.search(model, emb.where($"vec_id" < 10),
+      k = 10, nprobe = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(got === exactPairs(emb))
+    // probe pruning reaches BOTH scan branches of the union
+    val p = IvfIndex.search(model, emb.where($"vec_id" < 10),
+      k = 10, nprobe = 2).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findAllIn(p).size >= 2, s"arrival branch not pruned:\n$p")
+  }
+
+  test("replaying a batch rewrites its own subtree (idempotent), and " +
+      "the resident index files are untouched") {
+    val idx = tmp() + "/idx"
+    val resident = emb.where($"vec_id" % 2 === 0)
+    IvfIndex.build(resident, "vec_id", "embedding", nCells = 8,
+      maxIter = 5, indexDir = Some(idx))
+    val residentFiles = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).flatMap(_.listFiles())
+      .map(f => f.getName -> f.lastModified()).toMap
+    val cents = spark.read.parquet(s"$idx/_centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val arrivals = emb.where($"vec_id" % 2 =!= 0)
+      .select($"vec_id", $"embedding")
+    VectorIngestStream.processBatch(arrivals, 0L, cents, "vec_id",
+      "embedding", idx)
+    VectorIngestStream.processBatch(arrivals, 0L, cents, "vec_id",
+      "embedding", idx) // crash-replay of the same batch
+    val model = VectorIngestStream.openModel(spark, idx, "vec_id",
+      "embedding")
+    // no double-append: every id appears exactly once
+    assert(model.assigned.count() === emb.count())
+    assert(model.assigned.groupBy($"vec_id").count()
+      .where($"count" > 1).count() === 0)
+    // arrivals never rewrite resident cell files
+    val after = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).flatMap(_.listFiles())
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after === residentFiles, "resident files were rewritten")
+  }
+}
