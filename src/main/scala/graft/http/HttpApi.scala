@@ -47,9 +47,18 @@ import graft.operators.Knn
   *                                       {name}_codebook and {name}_pq
   *
   * Serving is driver-side and intended for control-plane/testing use —
-  * the reference's 1 GB JSON bulk paths stay Spark jobs. Index
-  * endpoints are intentionally absent: online HNSW serving is outside
-  * Spark's model (north star); search IS the exact-kNN answer.
+  * the reference's 1 GB JSON bulk paths stay Spark jobs. Online HNSW
+  * serving is outside Spark's model (north star); the index endpoint
+  * builds this engine's own family instead:
+  *   POST   /collections/{name}/index  → build a durable IVF inverted
+  *                                       file over the collection
+  *                                       (optional "n_cells",
+  *                                       "vector_column", "id_column");
+  *                                       subsequent /search calls use
+  *                                       it, probing "nprobe" cells
+  *                                       (default: all ⇒ exact). The
+  *                                       index snapshots the collection
+  *                                       — rebuild after bulk inserts.
   *
   * `auth`, when set, enables HTTP Basic authentication on every route
   * (the reference's optional user/pass gate, `http_server/mod.rs:
@@ -63,6 +72,10 @@ class HttpApi(spark: SparkSession, port: Int = 0,
   // collection releases the previous view's cached blocks
   private val dedupViews =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // IVF models built by /index, consulted by /search; dropped with the
+  // collection. A model snapshots the collection at build time.
+  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.IvfIndex.Model]()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -189,7 +202,42 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       case ("DELETE", List("collections", name)) =>
         tableOr404(ex, name).foreach { _ =>
           spark.sql(s"DROP TABLE $name")
+          ivfModels.remove(name)
           respond(ex, 200, s"""{"dropped":"$name"}""")
+        }
+
+      // Build a durable IVF inverted file over the collection; /search
+      // then probes it. Body: {"n_cells":16,"vector_column":"embedding",
+      // "id_column":"vec_id"}. The index snapshots the collection at
+      // build time — rebuild after bulk inserts.
+      case ("POST", List("collections", name, "index")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val nCells = jsonField(body, "n_cells")
+            .map(_.toDouble.toInt).getOrElse(16)
+          val vecCol = jsonField(body, "vector_column")
+            .getOrElse("embedding")
+          val idCol = jsonField(body, "id_column").getOrElse("vec_id")
+          if (nCells < 1 || nCells > 65536)
+            respond(ex, 400,
+              """{"error":"n_cells must be in [1, 65536]"}""")
+          else if (!df.columns.contains(vecCol) ||
+              !df.columns.contains(idCol))
+            respond(ex, 400, """{"error":"unknown column"}""")
+          else
+            try {
+              val model = graft.operators.IvfIndex.build(
+                df, idCol, vecCol, nCells, maxIter = 5)
+              ivfModels.put(name, model)
+              respond(ex, 201,
+                s"""{"index":"ivf","collection":"$name",""" +
+                  s""""n_cells":$nCells}""")
+            } catch {
+              case e: IllegalArgumentException =>
+                respond(ex, 400,
+                  s"""{"error":"${graft.util.Json.escape(e.getMessage)}"}""")
+            }
         }
 
       // Scalar int8 quantization (SQ8): fit the per-dimension model and
@@ -420,8 +468,19 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   org.apache.spark.sql.types.StructField(vecCol,
                     org.apache.spark.sql.types.ArrayType(
                       org.apache.spark.sql.types.FloatType)))))
-              val res = Knn.topK(df, queries, idCol, vecCol, k, metric)
-                .orderBy(col("rank")).collect()
+              // an IVF index built by /index serves the search when its
+              // columns match; "nprobe" trades recall for probed cells
+              // (default all cells == exact). Otherwise brute force.
+              val nprobe = jsonField(body, "nprobe")
+                .map(_.toDouble.toInt)
+              val ranked = Option(ivfModels.get(name)) match {
+                case Some(m)
+                    if m.idCol == idCol && m.vecCol == vecCol =>
+                  graft.operators.IvfIndex.search(m, queries, k,
+                    nprobe.getOrElse(m.centroids.length), metric)
+                case _ => Knn.topK(df, queries, idCol, vecCol, k, metric)
+              }
+              val res = ranked.orderBy(col("rank")).collect()
               val items = res.map { r =>
                 val id = r.get(1) match {
                   case s: String =>

@@ -159,6 +159,33 @@ class HttpApiSpec extends SparkSuite {
       """{"vector_column":"nope"}""").statusCode() === 400)
   }
 
+  test("POST /index builds an IVF index; /search probes it and " +
+      "matches brute force at full probe") {
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    val brute = post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":5}""").body()
+    val r = post("/collections/embeddings/index", """{"n_cells":8}""")
+    assert(r.statusCode() === 201)
+    assert(r.body().contains("\"index\":\"ivf\""))
+    // default nprobe = all cells → exact: identical ranked results
+    val viaIndex = post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":5}""")
+    assert(viaIndex.statusCode() === 200)
+    assert(viaIndex.body() === brute)
+    // partial probe still returns k ranked rows
+    val partial = post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":5,"nprobe":2}""")
+    assert(partial.statusCode() === 200)
+    assert(partial.body().contains("\"rank\":5"))
+  }
+
+  test("POST /index validates n_cells and columns") {
+    assert(post("/collections/embeddings/index",
+      """{"n_cells":0}""").statusCode() === 400)
+    assert(post("/collections/embeddings/index",
+      """{"vector_column":"nope"}""").statusCode() === 400)
+  }
+
   test("malformed numeric parameters get 400, not 500") {
     spark.read.parquet(s"$sf0001/documents.parquet")
       .createOrReplaceTempView("docs_badnum_api")
