@@ -311,7 +311,7 @@ object VectorQueries {
       val emb = Tables(s, dir, "embeddings")
       val res = graft.operators.Autotune.runIvf(emb, "vec_id",
         "embedding", k = 10, sampleN = 2000, nQueries = 10,
-        targetRecall = 101.0)
+        targetRecall = 101.0, maxIter = 3)
       graft.operators.Autotune.ivfToDF(s, res).orderBy($"experiment_id")
     }),
 

@@ -83,6 +83,37 @@ object VectorIngestStream {
       .parquet(streamDir(indexPath))
   }
 
+  /** Fold streamed arrivals into a NEW self-contained index at
+    * `targetDir`: resident + arrival rows rewritten as one
+    * cell-partitioned layout (rows already carry their cell — no
+    * re-assignment, no k-means), centroid sidecar rewritten. The
+    * SOURCE index is never touched, so unlike an in-place merge a
+    * crash mid-compaction cannot corrupt or duplicate the live index
+    * — the target only becomes live when the caller repoints at it
+    * (then deletes the old dir). Duplicates matter here (a duplicated
+    * row would surface twice in a kNN result), which is why the
+    * [[NearDupStream.compactIndex]] merge-in-place trick — safe there
+    * because candidate `distinct()` absorbs dups — is NOT reused.
+    */
+  def compact(spark: SparkSession, indexPath: String, idCol: String,
+      vecCol: String, targetDir: String): IvfIndex.Model = {
+    val model = openModel(spark, indexPath, idCol, vecCol)
+    model.assigned
+      .select(col(idCol), col(vecCol), col("cell_id"))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("errorifexists")
+      .parquet(targetDir)
+    locally {
+      import spark.implicits._
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$targetDir/_centroids")
+    }
+    IvfIndex.load(spark, targetDir, idCol, vecCol)
+  }
+
   /** Open a search model over resident + streamed rows. The union's
     * two scans both carry `cell_id` as a partition column, so
     * `IvfIndex.search`'s probe IN filter prunes files on BOTH sides.

@@ -51,6 +51,32 @@ class VectorIngestStreamSpec extends SparkSuite {
       .findAllIn(p).size >= 2, s"arrival branch not pruned:\n$p")
   }
 
+  test("compaction folds arrivals into a fresh self-contained index " +
+      "with identical search results and no stream subtree") {
+    val root = tmp(); val idx = s"$root/idx"
+    val resident = emb.where($"vec_id" % 2 === 0)
+    val base = IvfIndex.build(resident, "vec_id", "embedding",
+      nCells = 8, maxIter = 5, indexDir = Some(idx))
+    VectorIngestStream.processBatch(emb.where($"vec_id" % 2 =!= 0),
+      0L, base.centroids, "vec_id", "embedding", idx)
+    val before = IvfIndex.search(
+      VectorIngestStream.openModel(spark, idx, "vec_id", "embedding"),
+      emb.where($"vec_id" < 10), k = 10, nprobe = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val compacted = VectorIngestStream.compact(spark, idx, "vec_id",
+      "embedding", s"$root/idx2")
+    assert(compacted.assigned.count() === emb.count())
+    // one flat cell layout, no _stream subtree, sidecar reopens
+    assert(!new java.io.File(s"$root/idx2/_stream").exists())
+    val after = IvfIndex.search(compacted, emb.where($"vec_id" < 10),
+      k = 10, nprobe = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(after === before)
+    assert(after === exactPairs(emb)) // full probe stays exact
+    // the SOURCE index is untouched (swap-then-delete is the caller's)
+    assert(new java.io.File(s"$idx/_stream").exists())
+  }
+
   test("replaying a batch rewrites its own subtree (idempotent), and " +
       "the resident index files are untouched") {
     val idx = tmp() + "/idx"
