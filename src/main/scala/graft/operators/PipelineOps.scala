@@ -350,6 +350,30 @@ object PipelineOps {
        |    ((doc_id % 1000000) * 2246822519 + 40503) % 1000000 AS u
        |  FROM $table) _t${tailOrder(d, "doc_id")}""".stripMargin
 
+  /** Leakage-safe split: duplicate documents must land in the SAME
+    * fold — a copy of a training document inside the test set is
+    * eval leakage (the Lee et al. 2022 dedup motivation). The split
+    * draw therefore keys on the duplicate-GROUP representative (the
+    * min doc_id sharing the text's md5; same grouping as
+    * `Dedup.exactGroups`), not on the document: every member of a dup
+    * group draws the same `u`, so the group moves as one. Same LCG
+    * draw as [[datasetSplitSql]]. Near-dup-safe variants compose the
+    * MinHash pair graph's connected components as the key instead
+    * (not SQL-restatable — use `Dedup.connectedComponents`).
+    */
+  def leakageSplitSql(d: Dialect, table: String = "documents"): String =
+    s"""SELECT doc_id, kept_id, u,
+       |  CASE WHEN u < 900000 THEN 'train'
+       |       WHEN u < 950000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, kept_id,
+       |    ((kept_id % 1000000) * 2246822519 + 40503) % 1000000 AS u
+       |  FROM (
+       |    SELECT doc_id,
+       |      min(doc_id) OVER (PARTITION BY md5(text)) AS kept_id
+       |    FROM $table) _g) _t${tailOrder(d, "doc_id")}""".stripMargin
+
   /** CC-Net-style n-gram LM quality scoring (Wenzek et al. 2020): fit a
     * word-bigram language model with add-one smoothing on a fixed
     * training slice (doc_id % 10 < 3 — in production, a known-clean

@@ -68,6 +68,11 @@ object PipelineQueries {
     "q_dataset_split" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.datasetSplitSql(TA.SparkDialect))),
 
+    // Leakage-safe split: dup groups draw ONE fold (keyed on the
+    // group's min doc_id), so no copy of a train doc reaches test.
+    "q_leakage_split" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.leakageSplitSql(TA.SparkDialect))),
+
     // CC-Net-style bigram-LM scoring: fit on the doc_id%10<3 slice,
     // score every doc by mean NLL (integer 1e-4-nat aggregation).
     "q_lm_perplexity" -> ((s, dir) =>
@@ -160,6 +165,7 @@ object PipelineQueries {
     "q_zorder_key" -> PO.zorderSql(TA.DuckDialect,
       "orders", "o_orderkey", "o_custkey", "o_orderkey"),
     "q_dataset_split" -> PO.datasetSplitSql(TA.DuckDialect),
+    "q_leakage_split" -> PO.leakageSplitSql(TA.DuckDialect),
     "q_pack_examples" -> PO.packExamplesSql(TA.DuckDialect),
     "q_dedup_components_lss" -> DocumentQueries.componentsOracleSql
   )

@@ -164,6 +164,34 @@ class PipelineOpsSpec extends SparkSuite {
       s"z buckets don't cluster dim a: ${spreads.mkString(",")} vs $global")
   }
 
+  test("leakage split: every exact-dup group lands in ONE fold, and " +
+      "singletons match the group-keyed draw") {
+    import spark.implicits._
+    // planted dup groups spread across ids that would OTHERWISE draw
+    // different folds under the per-doc LCG (e.g. 17 vs 960017)
+    (0 until 3000).map { i =>
+      (i.toLong, if (i % 7 == 0) s"dup text ${i % 21}" else s"unique $i")
+    }.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val rows = spark.sql(PipelineOps.leakageSplitSql(TA.SparkDialect))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byGroup = rows.groupBy(_._2)
+    assert(byGroup.forall { case (_, g) => g.map(_._3).distinct.size == 1 },
+      "a dup group straddles folds")
+    assert(byGroup.exists(_._2.length > 1), "no dup groups planted?")
+    // representative's own row keys on itself: kept_id == doc_id
+    assert(rows.filter(r => r._1 == r._2).nonEmpty)
+    assert(rows.map(_._3).distinct.toSet
+      .subsetOf(Set("train", "val", "test")))
+    // per-doc draw WOULD have straddled: prove the guard changes folds
+    val perDoc = spark.sql(PipelineOps.datasetSplitSql(TA.SparkDialect,
+        "(SELECT doc_id, 'x' AS source, text FROM documents)"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val straddlers = byGroup.filter(_._2.length > 1).count { case (_, g) =>
+      g.map(x => perDoc(x._1)).distinct.size > 1
+    }
+    assert(straddlers > 0, "fixture too small to demonstrate leakage")
+  }
+
   test("token-budget mix: shards stop at their budget boundary doc") {
     val rows = onDocs(PipelineOps.tokenBudgetMixSql(TA.SparkDialect))
       .collect().map(r =>
