@@ -380,6 +380,34 @@ object IvfIndex {
     result
   }
 
+  /** [[append]] for the SQ8 index: arriving vectors are quantized with
+    * the index's FROZEN per-dimension scalar model (out-of-range
+    * values saturate — the Sq8Encode clamp) and routed into cells by
+    * the frozen coarse centroids, then appended as new files inside
+    * the existing `cell_id=` dirs. Neither quantizer retrains; like
+    * the float twin, periodic re-fit/rebuild answers real drift.
+    */
+  def appendSq8(model: Model, mins: Array[Double], maxs: Array[Double],
+      df: DataFrame, idCol: String, vecCol: String): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val sqModel = mins.indices.map(i => (i, mins(i), maxs(i)))
+      .toDF("pos", "mn", "mx")
+    ScalarQuantizer.quantize(df, vecCol, "sq", sqModel)
+      .withColumn("cell_id", cellU(col(vecCol)))
+      .select(col(idCol), col("sq"), col("cell_id"))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("append")
+      .parquet(model.indexPath)
+    val assigned = spark.read
+      .option("basePath", model.indexPath)
+      .parquet(s"${model.indexPath}/cell_id=*")
+    Model(model.centroids, assigned, model.idCol, "sq", model.indexPath)
+  }
+
   /** Reopen a durable SQ8 index written by [[buildSq8]]: centroids and
     * the scalar model from their sidecars, codes straight off the
     * cell-partitioned parquet — no k-means, no quantization pass, no

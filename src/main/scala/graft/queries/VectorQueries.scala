@@ -193,6 +193,28 @@ object VectorQueries {
       Knn.recall(truth, approx, 10).orderBy($"qid")
     }),
 
+    // SQ8-index batch absorption: the compressed index built over the
+    // even half absorbs the odd half under its FROZEN scalar model and
+    // centroids (out-of-range values saturate via the Sq8Encode
+    // clamp), then full probe reproduces exact kNN over the
+    // resident-model reconstruction of ALL rows — the oracle refits
+    // min/max over the even half only and restates the clamp.
+    "q_ivf_sq_append_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfsq_append").toString
+      val (model, mn, mx) = graft.operators.IvfIndex.buildSq8(
+        emb.where($"vec_id" % 2 === 0), "vec_id", "embedding",
+        nCells = 16, maxIter = 5, indexDir = Some(s"$tmp/idx"))
+      val appended = graft.operators.IvfIndex.appendSq8(
+        model, mn, mx, emb.where($"vec_id" % 2 =!= 0),
+        "vec_id", "embedding")
+      graft.operators.IvfIndex.searchSq8(appended, mn, mx,
+          emb.where($"vec_id" < 10), "embedding", k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Streaming vector ingest replayed through the real micro-batch
     // path: resident index on the even half, the odd half arrives as
     // two batches (batch 0 deliberately processed twice — the
@@ -483,6 +505,43 @@ object VectorQueries {
     "q_ivf_append_knn" -> knnOracle,
     // streamed-ingest replay at full probe == the same exact kNN
     "q_vec_ingest_replay" -> knnOracle,
+    // SQ8 absorption: min/max fit over the EVEN half only; every row
+    // coded under that frozen model with the saturating clamp
+    // (LEAST/GREATEST mirrors Sq8Encode's math.min/math.max), decoded,
+    // then brute-force top-10 == the full-probe search result
+    "q_ivf_sq_append_knn" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT)
+         |    AS pos, unnest(embedding) AS v
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+         |    max(CAST(v AS DOUBLE)) AS mx
+         |  FROM x WHERE vec_id % 2 = 0 GROUP BY pos),
+         |codes AS (
+         |  SELECT x.vec_id, x.pos, m.mn, m.mx,
+         |    CASE WHEN m.mx > m.mn
+         |      THEN LEAST(255, GREATEST(0,
+         |        floor((CAST(x.v AS DOUBLE) - m.mn) * 255
+         |          / (m.mx - m.mn) + 0.5)))
+         |      ELSE 0 END AS code
+         |  FROM x JOIN m ON m.pos = x.pos),
+         |rec AS (
+         |  SELECT vec_id,
+         |    list(CAST(mn + code / 255 * (mx - mn) AS REAL)
+         |      ORDER BY pos) AS vhat
+         |  FROM codes GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.vhat", "q.qe")} AS d
+         |  FROM rec c, q),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
     // full restatement of fixed-quantizer partial-probe recall:
     // assignment = argmin over the 16 fixed centroids (ties to lower
     // cell id, matching nearestCentroid's first-min), probes = each

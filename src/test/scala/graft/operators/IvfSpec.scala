@@ -97,6 +97,23 @@ class IvfSpec extends SparkSuite {
     assert(top1.count { case (q, n) => q == n } >= 5)
   }
 
+  test("appendSq8 keeps the compressed read path: int8 ReadSchema and " +
+      "partition pruning survive absorption") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivfsq_append_spec").toString
+    val (m0, mn, mx) = IvfIndex.buildSq8(emb.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", nCells = 8, maxIter = 5,
+      indexDir = Some(s"$tmp/idx"))
+    val m1 = IvfIndex.appendSq8(m0, mn, mx,
+      emb.where($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+    assert(m1.assigned.count() === emb.count())
+    val p = IvfIndex.searchSq8(m1, mn, mx, queries, "embedding",
+      k = 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(p).isDefined, s"pruning lost after append:\n$p")
+    assert(p.contains("smallint"), s"append broke the int8 read:\n$p")
+  }
+
   test("a built index reloads as a durable artifact and searches " +
       "identically — no k-means, no corpus scan") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
