@@ -18,7 +18,7 @@ object CorpusStats {
   /** (doc_id, w) — one row per token. The LATERAL VIEW / unnest split is
     * the one structural (not just lexical) dialect difference.
     */
-  private def explodeWords(d: Dialect, table: String): String =
+  private[operators] def explodeWords(d: Dialect, table: String): String =
     if (d == SparkDialect)
       s"SELECT doc_id, w FROM $table " +
         "LATERAL VIEW explode(split(trim(text), ' ')) _t AS w " +

@@ -374,6 +374,53 @@ object PipelineOps {
        |      min(doc_id) OVER (PARTITION BY md5(text)) AS kept_id
        |    FROM $table) _g) _t${tailOrder(d, "doc_id")}""".stripMargin
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by the log-likelihood ratio of its tokens under a
+    * TARGET unigram LM (the clean slice — doc_id % 10 < 3, standing in
+    * for Wikipedia/books) vs the RAW corpus LM, both add-one smoothed
+    * over the shared vocabulary. Positive mean ratio ⇒ the document
+    * looks more like the target than like average raw text ⇒ keep.
+    * (The paper hashes n-gram features to a fixed bucket count as a
+    * memory optimization; word-keyed counts are the same estimator
+    * with the collision step removed — at Spark scale the count table
+    * is a sharded relation, not driver memory, so the optimization is
+    * unnecessary.)
+    *
+    * Cross-engine exactness: the [[lmPerplexitySql]] trick — each
+    * word's log-ratio is quantized to integer 1e-4 nats BEFORE the
+    * per-document sum, and the single `ln` sees an identically-formed
+    * argument in both engines.
+    */
+  def dsirScoreSql(d: Dialect, table: String = "documents"): String = {
+    val mat = if (d == SparkDialect) "" else " MATERIALIZED"
+    s"""WITH w AS$mat (
+       |${CorpusStats.explodeWords(d, table)}),
+       |tot AS (SELECT
+       |  CAST(sum(CASE WHEN doc_id % 10 < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    AS nt,
+       |  CAST(sum(CASE WHEN doc_id % 10 >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    AS nr,
+       |  CAST(count(DISTINCT w) AS DOUBLE) AS v
+       |  FROM w),
+       |cnt AS (SELECT w,
+       |  sum(CASE WHEN doc_id % 10 < 3 THEN 1 ELSE 0 END) AS ct,
+       |  sum(CASE WHEN doc_id % 10 >= 3 THEN 1 ELSE 0 END) AS cr
+       |  FROM w GROUP BY w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  floor(CAST(sum(qq) AS DOUBLE) / count(*) + 0.5) / 10000 AS dsir,
+       |  CAST(CASE WHEN sum(qq) > 0 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (
+       |  SELECT w.doc_id,
+       |    CAST(floor(ln(
+       |      ((CAST(cnt.ct AS DOUBLE) + 1) * (tot.nr + tot.v)) /
+       |      ((CAST(cnt.cr AS DOUBLE) + 1) * (tot.nt + tot.v))
+       |    ) * 10000 + 0.5) AS BIGINT) AS qq
+       |  FROM w JOIN cnt ON w.w = cnt.w CROSS JOIN tot
+       |) _s
+       |GROUP BY doc_id${tailOrder(d, "doc_id")}""".stripMargin
+  }
+
   /** CC-Net-style n-gram LM quality scoring (Wenzek et al. 2020): fit a
     * word-bigram language model with add-one smoothing on a fixed
     * training slice (doc_id % 10 < 3 — in production, a known-clean

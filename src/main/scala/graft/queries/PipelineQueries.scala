@@ -78,6 +78,10 @@ object PipelineQueries {
     "q_lm_perplexity" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.lmPerplexitySql(TA.SparkDialect))),
 
+    // DSIR importance scoring: per-doc mean target/raw log-ratio.
+    "q_dsir_scores" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.dsirScoreSql(TA.SparkDialect))),
+
     // Capstone composite — the full prepare-training-corpus pipeline:
     // Gopher rule gate → MinHash near-dup removal (keep min id) →
     // deterministic domain mixing → sequence packing, one call. Each
@@ -161,6 +165,7 @@ object PipelineQueries {
     "q_chunk_docs" -> PO.chunkSql(TA.DuckDialect),
     "q_adaptive_gate" -> PO.adaptiveGateSql(TA.DuckDialect),
     "q_lm_perplexity" -> PO.lmPerplexitySql(TA.DuckDialect),
+    "q_dsir_scores" -> PO.dsirScoreSql(TA.DuckDialect),
     "q_token_budget_mix" -> PO.tokenBudgetMixSql(TA.DuckDialect),
     "q_zorder_key" -> PO.zorderSql(TA.DuckDialect,
       "orders", "o_orderkey", "o_custkey", "o_orderkey"),

@@ -192,6 +192,21 @@ class PipelineOpsSpec extends SparkSuite {
     assert(straddlers > 0, "fixture too small to demonstrate leakage")
   }
 
+  test("dsir: target-slice docs score above raw on average, and keep " +
+      "tracks the sign of the mean log-ratio") {
+    val rows = onDocs(PipelineOps.dsirScoreSql(TA.SparkDialect))
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    val (target, raw) = rows.partition(_._1 % 10 < 3)
+    def mean(xs: Array[(Long, Double, Int)]) =
+      xs.map(_._2).sum / xs.length
+    // the target LM must prefer its own slice over the raw average
+    assert(mean(target) > mean(raw),
+      s"no separation: target ${mean(target)} vs raw ${mean(raw)}")
+    assert(rows.forall { case (_, s, k) => (s > 0) == (k == 1) ||
+      s == 0.0 }, "keep flag disagrees with the score sign")
+  }
+
   test("token-budget mix: shards stop at their budget boundary doc") {
     val rows = onDocs(PipelineOps.tokenBudgetMixSql(TA.SparkDialect))
       .collect().map(r =>
