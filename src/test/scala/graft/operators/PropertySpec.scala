@@ -200,6 +200,67 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("distance expressions: codegen (DataFrame), interpreted " +
+      "(nullSafeEval), and a plain-Scala fold agree bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    // the reference folds: index-ordered double accumulation — the
+    // contract every oracle restatement relies on
+    def l2sq(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((s, i) =>
+        s + (a(i).toDouble - b(i).toDouble) * (a(i).toDouble - b(i).toDouble))
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]) =
+      1.0 - dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    def l1(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((s, i) =>
+        s + math.abs(a(i).toDouble - b(i).toDouble))
+    val pairGen = vecGen.flatMap(a =>
+      Gen.listOfN(a.length, Gen.choose(-10.0f, 10.0f))
+        .map(b => (a, b.toArray)))
+    val pairs = scala.collection.mutable.ArrayBuffer[
+      (Array[Float], Array[Float])]()
+    forAll(pairGen, 60)(p => pairs += p)
+    // round-trip through parquet so Catalyst can't constant-fold the
+    // projection away — the scan + project is the real codegen path
+    val tmp = java.nio.file.Files
+      .createTempDirectory("distprop").toString + "/pairs"
+    pairs.toSeq.zipWithIndex
+      .map { case ((a, b), i) => (i, a.toSeq, b.toSeq) }
+      .toDF("i", "a", "b").write.parquet(tmp)
+    val df = spark.read.parquet(tmp).orderBy($"i")
+      .select(V.l2sq_dist($"a", $"b"), -V.inner_product($"a", $"b"),
+        V.cos_dist($"a", $"b"), V.l1_dist($"a", $"b"))
+    val rows = df.collect()
+    // WSCG must actually be compiling this projection (the '*(n)'
+    // prefix marks a whole-stage-codegen'd operator)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project .*l2sq_dist".r.findFirstIn(plan)
+      .isDefined, s"distance project not codegen'd:\n$plan")
+    pairs.zip(rows).foreach { case ((a, b), r) =>
+      assert(r.getDouble(0) === l2sq(a, b), "l2sq codegen diverges")
+      assert(r.getDouble(1) === -dot(a, b), "dot codegen diverges")
+      assert(r.getDouble(2) === cos(a, b), "cos codegen diverges")
+      assert(r.getDouble(3) === l1(a, b), "l1 codegen diverges")
+    }
+    // interpreted path (nullSafeEval) — what Verify/filters hit when a
+    // stage falls out of codegen — must match the same folds
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def lit(v: Array[Float]) =
+      Literal(ArrayData.toArrayData(v), ArrayType(FloatType))
+    pairs.foreach { case (a, b) =>
+      assert(graft.functions.L2SqDistance(lit(a), lit(b)).eval(null)
+        === l2sq(a, b), "l2sq interpreted diverges")
+      assert(graft.functions.CosineDistance(lit(a), lit(b)).eval(null)
+        === cos(a, b), "cos interpreted diverges")
+      assert(graft.functions.L1Distance(lit(a), lit(b)).eval(null)
+        === l1(a, b), "l1 interpreted diverges")
+    }
+  }
+
   test("90/5/5 split draw stays ~90/5/5 WITHIN the mix-survivor set " +
       "(the decorrelation that actually matters)") {
     // emulate both SQL draws over a dense id range, condition on the
