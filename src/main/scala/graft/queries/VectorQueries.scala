@@ -391,6 +391,33 @@ object VectorQueries {
       Knn.recall(truth, approx, 10).orderBy($"qid")
     }),
 
+    // Contrastive triplet mining — the training-data op for embedding
+    // models: per anchor, the HARDEST positive (farthest same-label
+    // neighbor would be "hard positive"; here the nearest, the
+    // standard easy-positive/hard-negative recipe) and the hardest
+    // negative (nearest different-label). Ranked over the full corpus
+    // with (dist, nid) ties, so DuckDB restates it exactly.
+    "q_triplet_mine" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val anchors = broadcast(emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"),
+          $"label".as("qlabel")))
+      val scored = emb.crossJoin(anchors)
+        .where($"vec_id" =!= $"qid")
+        .select($"qid", $"qlabel", $"vec_id".as("nid"), $"label",
+          graft.functions.VectorFunctions
+            .l2sq_dist($"embedding", $"qv").as("d"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"d", $"nid")
+      def top1(df: DataFrame, idOut: String, dOut: String) =
+        df.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+          .select($"qid", $"nid".as(idOut), round($"d", 4).as(dOut))
+      top1(scored.where($"label" === $"qlabel"), "pos_id", "pos_dist")
+        .join(top1(scored.where($"label" =!= $"qlabel"),
+          "neg_id", "neg_dist"), Seq("qid"))
+        .orderBy($"qid")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -620,6 +647,26 @@ object VectorQueries {
     // and the result must equal this brute force.
     "q_ivf_sq_knn" -> sqKnnOracle,
     "q_sq_knn" -> sqKnnOracle,
+    // hardest positive / hardest negative per anchor, full-corpus rank
+    "q_triplet_mine" ->
+      s"""WITH a AS (SELECT vec_id AS qid, embedding AS qv,
+         |           label AS qlabel FROM embeddings WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT a.qid, a.qlabel, e.vec_id AS nid, e.label,
+         |    ${dkL2sq("e.embedding", "a.qv")} AS d
+         |  FROM embeddings e CROSS JOIN a WHERE e.vec_id != a.qid),
+         |pos AS (SELECT qid, nid AS pos_id, round(d, 4) AS pos_dist FROM (
+         |  SELECT qid, nid, d, row_number() OVER (PARTITION BY qid
+         |    ORDER BY d, nid) AS rn FROM sc WHERE label = qlabel) _p
+         |  WHERE rn = 1),
+         |neg AS (SELECT qid, nid AS neg_id, round(d, 4) AS neg_dist FROM (
+         |  SELECT qid, nid, d, row_number() OVER (PARTITION BY qid
+         |    ORDER BY d, nid) AS rn FROM sc WHERE label != qlabel) _n
+         |  WHERE rn = 1)
+         |SELECT pos.qid, pos.pos_id, pos.pos_dist, neg.neg_id,
+         |  neg.neg_dist
+         |FROM pos JOIN neg ON pos.qid = neg.qid ORDER BY pos.qid""".stripMargin,
+
     // exact float top-10 vs SQ8-reconstructed top-10, per-query overlap
     "q_sq_recall" ->
       s"""WITH $sqRecCte,
