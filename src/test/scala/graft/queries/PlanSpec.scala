@@ -214,4 +214,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"bigram counts need map-side combine:\n$p")
   }
+
+  test("dsir scoring partial-aggregates the word counts and never " +
+      "cartesians the corpus") {
+    val p = plan("q_dsir_scores")
+    assert(p.contains("partial_"),
+      s"word counts need map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-side cartesian:\n$p")
+  }
 }
