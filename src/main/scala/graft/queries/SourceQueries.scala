@@ -28,6 +28,8 @@ object SourceQueries {
   // no longer clobber each other's sink or read a stale one
   private val CsvSinkPath =
     s"/tmp/graft_csv_sink_${java.lang.ProcessHandle.current().pid()}"
+  private val JsonlSinkPath =
+    s"/tmp/graft_jsonl_sink_${java.lang.ProcessHandle.current().pid()}"
 
   /** Bounded fixture slice (FixtureRows vectors, a model-sized collect
     * like the PQ codebook, NOT corpus-sized), in vec_id order so
@@ -79,6 +81,21 @@ object SourceQueries {
         CsvSinkPath)
       emb.select($"vec_id", posexplode($"embedding"))
         .toDF("vec_id", "pos", "val")
+    }),
+
+    // Training-shard export: documents written as size-bounded JSONL
+    // shards (maxRecordsPerFile caps each shard — the distributed
+    // idiom for "shard the corpus into N-record files"), verified
+    // CROSS-ENGINE: DuckDB independently parses the written shards
+    // back and must reproduce every row of the source exactly —
+    // JSON string escaping round-trips through two parsers.
+    "q_jsonl_sink" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+      docs.write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .json(JsonlSinkPath)
+      docs
     }),
 
     // S3: u8 = floor(x*1000) mod 256, written as .bvecs, decoded back
@@ -134,6 +151,17 @@ object SourceQueries {
          |  FROM read_csv('$CsvSinkPath/*.csv', header=false,
          |    columns={'column0': 'BIGINT', 'column1': 'VARCHAR'})) _c
          |ORDER BY vec_id, pos""".stripMargin,
+
+    // independent parse of the written shards: every row must come
+    // back exactly through DuckDB's JSON reader
+    "q_jsonl_sink" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(source AS VARCHAR) AS source, CAST(text AS VARCHAR) AS text
+         |FROM read_json('$JsonlSinkPath/*.json',
+         |  format='newline_delimited',
+         |  columns={'doc_id': 'BIGINT', 'source': 'VARCHAR',
+         |           'text': 'VARCHAR'})
+         |ORDER BY doc_id""".stripMargin,
 
     // two's-complement & 0xff == ((v % 256) + 256) % 256 on the int
     "q_bvecs_decode" ->
