@@ -221,9 +221,17 @@ object IvfIndex {
 
   /** ANN top-k: probe nprobe cells, exact distances within candidates,
     * bounded top-k aggregation. Same output shape as `Knn.topK`.
+    *
+    * @param filter optional metadata predicate over the index's
+    *   columns (the vector-db staple "WHERE label = 3 ORDER BY
+    *   embedding <-> q"): applied to the probed-cell scan, so it
+    *   rides down to parquet as a data filter NEXT TO the cell
+    *   PartitionFilter — pruned cells stay unread AND non-matching
+    *   rows never reach the distance loop.
     */
   def search(model: Model, queries: DataFrame, k: Int, nprobe: Int,
-      metric: String = "l2sq"): DataFrame = {
+      metric: String = "l2sq",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // probes are |queries| x nprobe rows — small enough that the one
     // recomputation (pruning collect + join lineage) is cheaper than
     // leaking a cached block per call
@@ -231,7 +239,8 @@ object IvfIndex {
     val probes = broadcast(probes0)
     // cell_id IN (probed) reaches the scan as a PartitionFilter on the
     // cell-partitioned index — unprobed cells are never read
-    val corpus = pruneToProbedCells(model.assigned, probes0)
+    val corpus = filter.foldLeft(
+        pruneToProbedCells(model.assigned, probes0))(_.where(_))
       .select(col("cell_id"),
         col(model.idCol).cast("long").as("nid"),
         col(model.vecCol).as("cvec"))

@@ -282,6 +282,21 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Filtered ANN at the INDEX level: the same metadata predicate
+    // applied inside the probed-cell scan (data filter next to the
+    // cell PartitionFilter), full probe ⇒ identical to the brute
+    // filtered search, so the q_knn_filtered oracle restates it.
+    "q_ivf_knn_filtered" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nCells = 16, maxIter = 5)
+      graft.operators.IvfIndex.search(model,
+          emb.where($"vec_id" < 10), k = 5, nprobe = 16,
+          filter = Some($"label" === 3))
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Filtered kNN — the vector-db staple (metadata predicate + vector
     // order): search only the corpus slice satisfying `label = 3`. The
     // filter precedes the search, so the predicate pushes down to the
@@ -427,6 +442,21 @@ object VectorQueries {
       Knn.recall(truth, result, 10).orderBy($"qid")
     })
   )
+
+  // brute filtered search; shared by q_knn_filtered and the
+  // index-level q_ivf_knn_filtered (full probe + scan filter ≡ it)
+  private lazy val oracleSqlKnnFiltered: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.embedding", "q.qe")} AS d
+       |  FROM c, q),
+       |ranked AS (
+       |  SELECT qid, nid, d,
+       |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+       |FROM ranked WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
 
   private lazy val knnOracle: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -727,18 +757,11 @@ object VectorQueries {
          | round(${dkDot("e.embedding", "a.anchor")}, 4) AS dot
          |FROM embeddings e, a ORDER BY e.vec_id""".stripMargin,
     "q_knn" -> knnOracle,
-    "q_knn_filtered" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
-         |scored AS (
-         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.embedding", "q.qe")} AS d
-         |  FROM c, q),
-         |ranked AS (
-         |  SELECT qid, nid, d,
-         |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
-         |  FROM scored)
-         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
-         |FROM ranked WHERE rk <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_knn_filtered" -> oracleSqlKnnFiltered,
+
+    // index-level filtered ANN at full probe == the brute filtered
+    // search; same oracle
+    "q_ivf_knn_filtered" -> oracleSqlKnnFiltered,
     // q_knn_graph_ivf shares the exact-graph oracle: full probe makes
     // the IVF result identical to brute force (as q_ivf_knn).
     "q_knn_graph_ivf" -> knnGraphOracle,

@@ -97,6 +97,24 @@ class IvfSpec extends SparkSuite {
     assert(top1.count { case (q, n) => q == n } >= 5)
   }
 
+  test("filtered ANN pushes the metadata predicate to the probed-cell " +
+      "scan next to the partition filter") {
+    val filtered = IvfIndex.search(model, queries, k = 5, nprobe = 2,
+      filter = Some(org.apache.spark.sql.functions.col("label") === 3))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(p).isDefined, s"cell pruning lost:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]")
+      || p.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the scan:\n$p")
+    // and the result equals brute force over the filtered slice
+    val emb2 = emb.where($"label" === 3)
+    val exact = pairs(Knn.topK(emb2, queries, "vec_id", "embedding", 5))
+    val full = pairs(IvfIndex.search(model, queries, k = 5, nprobe = 16,
+      filter = Some(org.apache.spark.sql.functions.col("label") === 3)))
+    assert(full === exact)
+  }
+
   test("appendSq8 keeps the compressed read path: int8 ReadSchema and " +
       "partition pruning survive absorption") {
     val tmp = java.nio.file.Files
