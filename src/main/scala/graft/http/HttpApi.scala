@@ -26,6 +26,9 @@ import graft.operators.Knn
   *   PUT    /collections/{name}        → bulk insert (JSON lines body)
   *   DELETE /collections/{name}        → drop collection
   *   POST   /collections/{name}/search → kNN: {"vector":[...]} or
+  *                                       + optional "filter_column"/
+  *                                       "filter_value" equality
+  *                                       predicate (never raw SQL) or
   *                                       {"text":"...","model":"hash/bow-64"},
   *                                       optional "k", "vector_column",
   *                                       "id_column", "metric"
@@ -468,6 +471,17 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   org.apache.spark.sql.types.StructField(vecCol,
                     org.apache.spark.sql.types.ArrayType(
                       org.apache.spark.sql.types.FloatType)))))
+              // optional metadata equality filter (vector-db staple):
+              // column name must be a valid identifier ON the
+              // collection — never interpolated as SQL — and the value
+              // rides as a typed literal Column
+              val fcol = jsonField(body, "filter_column")
+                .filter(c => validIdent(c) && df.columns.contains(c))
+              val fval = jsonField(body, "filter_value")
+              val pred = (fcol, fval) match {
+                case (Some(c), Some(v)) => Some(col(c) === lit(v))
+                case _ => None
+              }
               // an IVF index built by /index serves the search when its
               // columns match; "nprobe" trades recall for probed cells
               // (default all cells == exact). Otherwise brute force.
@@ -477,8 +491,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 case Some(m)
                     if m.idCol == idCol && m.vecCol == vecCol =>
                   graft.operators.IvfIndex.search(m, queries, k,
-                    nprobe.getOrElse(m.centroids.length), metric)
-                case _ => Knn.topK(df, queries, idCol, vecCol, k, metric)
+                    nprobe.getOrElse(m.centroids.length), metric,
+                    filter = pred)
+                case _ =>
+                  Knn.topK(pred.foldLeft(df)(_.where(_)), queries,
+                    idCol, vecCol, k, metric)
               }
               val res = ranked.orderBy(col("rank")).collect()
               val items = res.map { r =>

@@ -448,12 +448,14 @@ object IvfIndex {
     */
   def searchSq8(model: Model, mins: Array[Double], maxs: Array[Double],
       queries: DataFrame, queryVecCol: String, k: Int, nprobe: Int,
-      metric: String = "l2sq"): DataFrame = {
+      metric: String = "l2sq",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val qm = Model(model.centroids, model.assigned, model.idCol,
       queryVecCol, model.indexPath)
     val probes0 = probeCells(qm, queries, nprobe)
     val probes = broadcast(probes0)
-    val corpus = pruneToProbedCells(model.assigned, probes0)
+    val corpus = filter.foldLeft(
+        pruneToProbedCells(model.assigned, probes0))(_.where(_))
       .select(col("cell_id"),
         col(model.idCol).cast("long").as("nid"),
         VectorFunctions.col(graft.functions.Sq8Decode(

@@ -179,6 +179,26 @@ class HttpApiSpec extends SparkSuite {
     assert(partial.body().contains("\"rank\":5"))
   }
 
+  test("search accepts an equality metadata filter (and it is a typed " +
+      "predicate, not SQL)") {
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    val r = post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":3,"filter_column":"label","filter_value":"3"}""")
+    assert(r.statusCode() === 200)
+    // every returned id must have label 3
+    val ids = "\"id\":(\\d+)".r.findAllMatchIn(r.body())
+      .map(_.group(1).toLong).toSeq
+    assert(ids.nonEmpty)
+    val labels = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id").isin(ids: _*))
+      .select("label").collect().map(_.getInt(0)).toSet
+    assert(labels === Set(3))
+    // an injection-shaped column name is ignored, not executed
+    val inj = post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":3,"filter_column":"label; DROP TABLE x","filter_value":"3"}""")
+    assert(inj.statusCode() === 200)
+  }
+
   test("POST /index validates n_cells and columns") {
     assert(post("/collections/embeddings/index",
       """{"n_cells":0}""").statusCode() === 400)
