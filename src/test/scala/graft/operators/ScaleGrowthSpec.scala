@@ -102,6 +102,25 @@ class ScaleGrowthSpec extends SparkSuite {
     } finally { exS.unpersist(); exB.unpersist(); inc.unpersist() }
   }
 
+  test("contamination scan grows linearly in the train side with a " +
+      "fixed eval suite (capped broadcast, train never shuffled)") {
+    val small = synthDocs(5000, 0).persist()
+    val big = synthDocs(50000, 0).persist()
+    small.count(); big.count()
+    try {
+      // eval = a fixed 200-doc suite (ids < 200) in both runs
+      def contam(df: org.apache.spark.sql.DataFrame) =
+        SpanDedup.contamination(df, "doc_id", "text", n = 8,
+          isEval = $"doc_id" < 200).count()
+      val tS = timedSecs { contam(small) }
+      Dedup.releaseCaches()
+      val tB = timedSecs { contam(big) }
+      val r = ratio(tB, tS)
+      info(f"contamination 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
+      assert(r < 30.0, f"10x train side grew $r%.1fx")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("IVF-SQ8 search cost tracks corpus size linearly and keeps its " +
       "pruned int8 plan at 10x") {
     def vecs(n: Long) = synthDocs(n, 0)
