@@ -81,6 +81,77 @@ object Knn {
     }
   }
 
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998)
+    * of a top-k result set: greedily pick the candidate maximizing
+    * λ·(−dist) − (1−λ)·max_cos_sim(candidate, already-picked), i.e.
+    * trade query relevance against redundancy with what is already
+    * selected — the standard diversity pass a RAG retriever runs over
+    * its candidates.
+    *
+    * Scale shape: the greedy loop runs per query inside a UDF over
+    * that query's BOUNDED candidate list (k is a query parameter, not
+    * a data-scale quantity); queries stay distributed. Ties break on
+    * (score desc, nid asc) so the output is deterministic.
+    *
+    * @param results (qid, nid, rank, dist) — `topK`/`IvfIndex.search`
+    *   output
+    * @param vectors (idCol, vecCol) relation resolving candidate ids
+    * @param m       how many to keep per query (m <= k)
+    */
+  def mmrRerank(results: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, lambda: Double = 0.5, m: Int = 10): DataFrame = {
+    val cands = results.join(
+        vectors.select(col(idCol).cast("long").as("nid"),
+          col(vecCol).as("nvec")), "nid")
+      .groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid"), col("dist"), col("nvec")))
+        .as("cs"))
+    val mmrU = udf((cs: Seq[org.apache.spark.sql.Row]) => {
+      val items = cs.map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).toArray))
+        .sortBy { case (id, d, _) => (d, id) }
+      def cosSim(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      }
+      val picked = scala.collection.mutable.ArrayBuffer[
+        (Long, Double)]()
+      val pickedVecs = scala.collection.mutable.ArrayBuffer[
+        Array[Float]]()
+      val remaining = scala.collection.mutable.ArrayBuffer(items: _*)
+      while (picked.length < m && remaining.nonEmpty) {
+        var bestIdx = 0; var bestScore = Double.MinValue
+        var bestId = Long.MaxValue
+        var i = 0
+        while (i < remaining.length) {
+          val (id, d, v) = remaining(i)
+          // clamp at 0: anti-parallel candidates are merely
+          // non-redundant, never BONUS-worthy
+          val red =
+            if (pickedVecs.isEmpty) 0.0
+            else math.max(0.0, pickedVecs.map(p => cosSim(v, p)).max)
+          val s = lambda * -d - (1 - lambda) * red
+          if (s > bestScore || (s == bestScore && id < bestId)) {
+            bestScore = s; bestIdx = i; bestId = id
+          }
+          i += 1
+        }
+        val (id, _, v) = remaining.remove(bestIdx)
+        picked += ((id, bestScore)); pickedVecs += v
+      }
+      picked.toSeq
+    })
+    cands.select(col("qid"), posexplode(mmrU(col("cs")))
+        .as(Seq("pos", "p")))
+      .select(col("qid"), col("p._1").as("nid"),
+        (col("pos") + 1).cast("int").as("mmr_rank"),
+        col("p._2").as("mmr_score"))
+  }
+
   /** Mean recall@k of `result` against `truth`, both shaped
     * (qid, nid, rank): |truth ∩ result| / k per query. Every truth
     * query appears in the output — a query with zero overlap scores

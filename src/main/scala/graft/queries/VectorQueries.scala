@@ -433,6 +433,22 @@ object VectorQueries {
         .orderBy($"qid")
     }),
 
+    // MMR-diversified retrieval: exact top-20 re-ranked to 10 by
+    // maximal marginal relevance (λ=0.5). Rows-only: greedy
+    // SEQUENTIAL selection (each pick depends on all previous picks)
+    // is not restatable as SQL, the same class as k-means;
+    // KnnSpec pins the semantics on planted geometry.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val top = Knn.topK(emb, queries, "vec_id", "embedding", 20)
+      Knn.mmrRerank(top, emb, "vec_id", "embedding",
+          lambda = 0.5, m = 10)
+        .select($"qid", $"nid", $"mmr_rank",
+          round($"mmr_score", 4).as("mmr_score"))
+        .orderBy($"qid", $"mmr_rank")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")

@@ -75,6 +75,30 @@ class KnnSpec extends SparkSuite {
     assert(r.columns.toSeq === Seq("qid", "nid", "rank", "dist"))
   }
 
+  test("MMR: lambda=1 reduces to distance order; lambda=0.3 demotes " +
+      "the near-duplicate of an already-picked result") {
+    // corpus: A and its near-copy A2 closest to the query, B slightly
+    // farther but pointing elsewhere
+    val corpus = Seq(
+      (1L, Seq(1.00f, 0.00f)),  // A
+      (2L, Seq(0.99f, 0.05f)),  // A2 ~ duplicate of A
+      (3L, Seq(0.60f, 0.75f)),  // B: diverse direction
+      (4L, Seq(-1.0f, 0.00f))   // far away
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Knn.topK(corpus, q, "vec_id", "embedding", 4)
+    def order(lambda: Double) =
+      Knn.mmrRerank(top, corpus, "vec_id", "embedding", lambda, m = 3)
+        .orderBy($"mmr_rank").select($"nid").as[Long].collect().toSeq
+    assert(order(1.0) === Seq(1L, 2L, 3L)) // pure relevance
+    val diverse = order(0.3)
+    assert(diverse.head === 1L)
+    assert(diverse(1) === 3L, s"near-dup not demoted: $diverse")
+    // output is always a subset of the candidate set, sized m
+    assert(diverse.toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    assert(diverse.size === 3)
+  }
+
   test("dot metric ranks by largest inner product") {
     val queries = emb.where($"vec_id" === 0)
     val r = Knn.topK(emb, queries, "vec_id", "embedding", 2, "dot")
