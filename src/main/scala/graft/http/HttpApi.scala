@@ -487,7 +487,9 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               // (default all cells == exact). Otherwise brute force.
               val nprobe = jsonField(body, "nprobe")
                 .map(_.toDouble.toInt)
-              val ranked = Option(ivfModels.get(name)) match {
+              // lazy: the 400 guards below must fire before any plan
+              // construction can throw on a mismatched collection
+              def ranked = Option(ivfModels.get(name)) match {
                 case Some(m)
                     if m.idCol == idCol && m.vecCol == vecCol =>
                   graft.operators.IvfIndex.search(m, queries, k,
@@ -497,18 +499,51 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   Knn.topK(pred.foldLeft(df)(_.where(_)), queries,
                     idCol, vecCol, k, metric)
               }
-              val res = ranked.orderBy(col("rank")).collect()
-              val items = res.map { r =>
-                val id = r.get(1) match {
-                  case s: String =>
-                    "\"" + graft.util.Json.escape(s) + "\""
-                  case other => other.toString
+              // optional MMR diversification: re-rank the top
+              // max(4k, 20) candidates down to k with the given λ
+              val mmrLambda = jsonField(body, "mmr_lambda")
+                .map(_.toDouble)
+              val idIntegral = df.schema(idCol).dataType match {
+                case org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.ShortType => true
+                case _ => false
+              }
+              if (mmrLambda.isDefined && !idIntegral)
+                respond(ex, 400,
+                  """{"error":"mmr_lambda requires an integral id column"}""")
+              else {
+                val res = mmrLambda match {
+                  case Some(l) =>
+                    val wide = Option(ivfModels.get(name)) match {
+                      case Some(m)
+                          if m.idCol == idCol && m.vecCol == vecCol =>
+                        graft.operators.IvfIndex.search(m, queries,
+                          math.max(4 * k, 20),
+                          nprobe.getOrElse(m.centroids.length), metric,
+                          filter = pred)
+                      case _ =>
+                        Knn.topK(pred.foldLeft(df)(_.where(_)), queries,
+                          idCol, vecCol, math.max(4 * k, 20), metric)
+                    }
+                    graft.operators.Knn.mmrRerank(wide, df, idCol,
+                        vecCol, l, k)
+                      .orderBy(col("mmr_rank")).collect()
+                  case None => ranked.orderBy(col("rank")).collect()
                 }
-                val d = r.getDouble(3)
-                val dist = if (d.isNaN || d.isInfinite) "null" else d.toString
-                s"""{"id":$id,"rank":${r.getInt(2)},"distance":$dist}"""
-              }.mkString("[", ",", "]")
-              respond(ex, 200, s"""{"results":$items}""")
+                val items = res.map { r =>
+                  val id = r.get(1) match {
+                    case s: String =>
+                      "\"" + graft.util.Json.escape(s) + "\""
+                    case other => other.toString
+                  }
+                  val d = r.getDouble(3)
+                  val dist =
+                    if (d.isNaN || d.isInfinite) "null" else d.toString
+                  s"""{"id":$id,"rank":${r.getInt(2)},"distance":$dist}"""
+                }.mkString("[", ",", "]")
+                respond(ex, 200, s"""{"results":$items}""")
+              }
           }
         }
 

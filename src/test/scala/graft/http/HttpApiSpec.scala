@@ -199,6 +199,27 @@ class HttpApiSpec extends SparkSuite {
     assert(inj.statusCode() === 200)
   }
 
+  test("search diversifies with mmr_lambda: k results, rank 1 equals " +
+      "the relevance winner, string-id collections get 400") {
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    val plain = post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":5}""")
+    val mmr = post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":5,"mmr_lambda":0.5}""")
+    assert(mmr.statusCode() === 200)
+    def firstId(body: String): String =
+      "\"id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+    assert(firstId(mmr.body()) === firstId(plain.body()))
+    assert("\"rank\":5".r.findFirstIn(mmr.body()).isDefined)
+    // a text-id collection cannot join mmr's long-id candidates
+    spark.sql("SELECT CAST(doc_id AS STRING) AS doc_id, text FROM " +
+      "parquet.`" + sf0001 + "/documents.parquet`")
+      .createOrReplaceTempView("strdocs")
+    val bad = post("/collections/strdocs/search",
+      s"""{"text":"x","k":2,"id_column":"doc_id","mmr_lambda":0.5}""")
+    assert(bad.statusCode() === 400)
+  }
+
   test("POST /index validates n_cells and columns") {
     assert(post("/collections/embeddings/index",
       """{"n_cells":0}""").statusCode() === 400)
