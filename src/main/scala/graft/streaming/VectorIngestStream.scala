@@ -122,7 +122,12 @@ object VectorIngestStream {
       vecCol: String): IvfIndex.Model = {
     val base = IvfIndex.load(spark, indexPath, idCol, vecCol)
     val sd = streamDir(indexPath)
-    val hasStream = new java.io.File(sd).exists()
+    // Hadoop FS, not java.io — the index may live on s3a/hdfs where a
+    // local File check is silently false
+    val sdPath = new org.apache.hadoop.fs.Path(sd)
+    val hasStream = sdPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(sdPath)
     if (!hasStream) base
     else {
       val arrivals = spark.read
