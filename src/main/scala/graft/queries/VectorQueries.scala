@@ -449,6 +449,22 @@ object VectorQueries {
         .orderBy($"qid", $"mmr_rank")
     }),
 
+    // MMR at m=2 runs the SAME greedy code path but the selection
+    // unrolls into two window ranks, so DuckDB restates it — the
+    // q_pq_assign_fixed move applied to the re-ranker: the scoring
+    // math (λ·(−d) − (1−λ)·max(0, cos_sim)) is hash-checked even
+    // though the general sequential loop is not SQL-expressible.
+    "q_mmr_pair" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val top = Knn.topK(emb, queries, "vec_id", "embedding", 20)
+      Knn.mmrRerank(top, emb, "vec_id", "embedding",
+          lambda = 0.5, m = 2)
+        .select($"qid", $"nid", $"mmr_rank",
+          (floor($"mmr_score" * 10000 + 0.5) / 10000).as("mmr_score"))
+        .orderBy($"qid", $"mmr_rank")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -693,6 +709,41 @@ object VectorQueries {
     // and the result must equal this brute force.
     "q_ivf_sq_knn" -> sqKnnOracle,
     "q_sq_knn" -> sqKnnOracle,
+    // MMR m=2 unrolled: pick 1 = relevance argmin; pick 2 = argmax of
+    // 0.5·(−d) − 0.5·max(0, cos_sim(candidate, pick 1)) over the
+    // remaining 19 candidates; cos_sim restated as the same
+    // interleaved-accumulator folds (dot / sqrt(na·nb))
+    "q_mmr_pair" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |cand AS (SELECT * FROM (
+         |  SELECT q.qid, e.vec_id AS nid, e.embedding AS v,
+         |    ${dkL2sq("e.embedding", "q.qe")} AS d,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qe")}, e.vec_id) AS rk
+         |  FROM embeddings e, q) _c WHERE rk <= 20),
+         |f AS (SELECT qid, nid, v, d FROM cand WHERE rk = 1),
+         |snd AS (SELECT * FROM (
+         |  SELECT c.qid, c.nid,
+         |    0.5 * (-c.d) - 0.5 * GREATEST(0.0,
+         |      ${dkDot("c.v", "f.v")} /
+         |        sqrt(${dkNormSq("c.v")} * ${dkNormSq("f.v")})) AS s,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY 0.5 * (-c.d) - 0.5 * GREATEST(0.0,
+         |        ${dkDot("c.v", "f.v")} /
+         |          sqrt(${dkNormSq("c.v")} * ${dkNormSq("f.v")})) DESC,
+         |        c.nid) AS rn
+         |  FROM cand c JOIN f ON c.qid = f.qid AND c.rk > 1) _s
+         |  WHERE rn = 1)
+         |SELECT qid, nid, CAST(1 AS INT) AS mmr_rank,
+         |  floor(0.5 * (-d) * 10000 + 0.5) / 10000 AS mmr_score
+         |FROM f
+         |UNION ALL
+         |SELECT qid, nid, CAST(2 AS INT) AS mmr_rank,
+         |  floor(s * 10000 + 0.5) / 10000 AS mmr_score
+         |FROM snd
+         |ORDER BY qid, mmr_rank""".stripMargin,
+
     // hardest positive / hardest negative per anchor, full-corpus rank
     "q_triplet_mine" ->
       s"""WITH a AS (SELECT vec_id AS qid, embedding AS qv,
