@@ -61,6 +61,14 @@ object TextFunctions {
     coalesce(c(ShingleHashes(e(text), n)),
       typedLit(Array.empty[Long]))
 
+  /** Positional (non-deduped) word n-gram hashes — see [[GramHashes]]. */
+  def gram_hashes(text: Column, n: Int): Column = c(GramHashes(e(text), n))
+
+  /** Winnowing fingerprint selection over positional gram hashes — see
+    * [[Winnow]]. Compose: `winnow(gram_hashes(text, k), w)`.
+    */
+  def winnow(hashes: Column, w: Int): Column = c(Winnow(e(hashes), w))
+
   /** The reference's common embedding ignore filter, reusable:
     * `utils/mod.rs:37-39` — NOT NULL, non-empty, not the LLM error
     * sentinel.
@@ -86,5 +94,17 @@ object TextFunctions {
     })
     one("rolling_fingerprint", e => RollingFingerprint(e.head, 16))
     one("hash_embedding", e => HashEmbed(e.head, 64))
+    one("gram_hashes", {
+      case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+        GramHashes(t, n)
+      case args => throw new IllegalArgumentException(
+        s"gram_hashes(text, n) requires literal INT n, got ${args.size} args")
+    })
+    one("winnow", {
+      case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+        Winnow(h, w)
+      case args => throw new IllegalArgumentException(
+        s"winnow(hashes, w) requires literal INT w, got ${args.size} args")
+    })
   }
 }

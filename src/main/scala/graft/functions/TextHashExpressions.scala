@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -306,6 +307,131 @@ case class ShingleHashes(child: Expression, n: Int)
     }
     new GenericArrayData(
       if (outN == numWin) out else java.util.Arrays.copyOf(out, outN))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `gram_hashes(text, n)` → ARRAY<BIGINT>: FNV-1a hashes of the text's
+  * word n-grams IN POSITION ORDER, duplicates kept — the positional
+  * sibling of [[ShingleHashes]] (same single-space word parity, same
+  * zero-allocation byte-range fold) for algorithms where gram position
+  * matters (winnowing, span alignment). Element i is the hash of the
+  * gram starting at word i.
+  */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  require(n >= 1, "gram size must be >= 1")
+  override def prettyName: String = "gram_hashes"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    delegatedGenCode(ctx, ev)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires STRING, got ${t.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var wc = 0
+    var starts = new Array[Int](math.max(8, bytes.length / 4 + 1))
+    var ends = new Array[Int](starts.length)
+    def push(s: Int, e: Int): Unit = {
+      if (wc == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, wc * 2)
+        ends = java.util.Arrays.copyOf(ends, wc * 2)
+      }
+      starts(wc) = s; ends(wc) = e; wc += 1
+    }
+    var segStart = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20.toByte) { push(segStart, i); segStart = i + 1 }
+      i += 1
+    }
+    push(segStart, bytes.length)
+    while (wc > 0 && starts(wc - 1) == ends(wc - 1)) wc -= 1
+    if (bytes.length == 0) wc = 1 // "".split(' ') == [""]
+    val numWin = wc - n + 1
+    if (numWin <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](numWin)
+    var w = 0
+    while (w < numWin) {
+      var h = TextHash.FnvOffset
+      var b = starts(w)
+      val end = ends(w + n - 1)
+      while (b < end) {
+        h ^= (bytes(b) & 0xffL); h *= TextHash.FnvPrime; b += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `winnow(gramHashes, w)` → ARRAY<STRUCT<pos INT, fp BIGINT>>: robust
+  * winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+  * MOSS scheme). From each window of `w` consecutive gram hashes,
+  * select the minimum; on ties, the RIGHTMOST minimum. Each selected
+  * (pos, hash) is emitted once, in position order (0-based gram
+  * position). Guarantees: at least one fingerprint per w consecutive
+  * grams (detection of any match of length >= w+n-1 words), yet only
+  * ~2/(w+1) of grams are kept. Comparison is SIGNED 64-bit — the same
+  * total order a BIGINT-based SQL restatement uses, so an independent
+  * engine reproduces the selection bit-for-bit. Inputs shorter than
+  * one full window yield no fingerprints. Per-row projection: the
+  * selection is document-local, so the operator is shuffle-free at
+  * any corpus size.
+  */
+case class Winnow(child: Expression, w: Int)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  require(w >= 1, "window must be >= 1")
+  override def prettyName: String = "winnow"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    delegatedGenCode(ctx, ev)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow requires ARRAY<BIGINT>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var lastPos = -1
+    var s = 0
+    while (s + w <= n) {
+      // rightmost minimum of hashes[s, s+w): scan right-to-left,
+      // strict < keeps the rightmost among ties
+      var minPos = s + w - 1
+      var minH = arr.getLong(minPos)
+      var j = s + w - 2
+      while (j >= s) {
+        val h = arr.getLong(j)
+        if (h < minH) { minH = h; minPos = j }
+        j -= 1
+      }
+      if (minPos != lastPos) {
+        out += InternalRow(minPos, minH)
+        lastPos = minPos
+      }
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -42,6 +42,19 @@ object DocumentQueries {
     "q_fingerprint" -> ((s, dir) =>
       viaSql(s, dir, TA.fingerprintSql(TA.SparkDialect))),
 
+    // Winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003, the MOSS
+    // scheme): rightmost-min of each window of 4 consecutive 3-gram
+    // FNV hashes. Local (robust to edits outside the window) with a
+    // guaranteed fingerprint per 4 grams — the standard robust
+    // alternative to whole-document md5 for contamination scans.
+    // Pure per-row projection: shuffle-free at any corpus size.
+    "q_winnow" -> ((s, dir) =>
+      docs(s, dir)
+        .select($"doc_id",
+          explode(T.winnow(T.gram_hashes($"text", 3), 4)).as("f"))
+        .select($"doc_id", $"f.pos".as("pos"), $"f.fp".as("fp"))
+        .orderBy($"doc_id", $"pos")),
+
     // P2/P7: the reference's usable-text ignore filter, grouped counts.
     "q_ignore_filter" -> ((s, dir) =>
       docs(s, dir)
@@ -272,6 +285,53 @@ object DocumentQueries {
        |    OR ((xor(a.s, b.s) >> 32) & 65535) = 0
        |    OR ((xor(a.s, b.s) >> 48) & 65535) = 0)
        |ORDER BY i, j""".stripMargin
+  }
+
+  /** DuckDB restatement of the winnowing face: 3-gram strings rebuilt
+    * from the split (single-space join reproduces the original bytes),
+    * FNV-1a per gram via the same hex-byte fold as [[simhashOracle]],
+    * then rightmost-min-per-window selection as a row_number over a
+    * bounded (start × offset) join — chosen positions are provably
+    * non-decreasing in the window start, so DISTINCT equals the
+    * operator's consecutive dedup. Spark emits 0-based gram positions;
+    * the 1-based SQL index is shifted to match.
+    */
+  private val winnowOracle: String = {
+    val wrap = "((((CAST(xor(a, b) AS HUGEINT) * 1099511628211) % " +
+      "18446744073709551616) + 18446744073709551616) % 18446744073709551616)"
+    val step = s"CASE WHEN $wrap >= 9223372036854775808 " +
+      s"THEN $wrap - 18446744073709551616 ELSE $wrap END"
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |gm AS (
+       |  SELECT doc_id, i,
+       |    array_to_string(list_slice(ws, i, i + 2), ' ') AS g
+       |  FROM (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws
+       |        FROM w WHERE len(ws) >= 3) _g),
+       |g AS (
+       |  SELECT doc_id, i, list_reduce(
+       |    list_prepend(CAST(-3750763034362895579 AS BIGINT),
+       |      list_transform(range(1, octet_length(encode(g))+1), bi ->
+       |        CAST(16*(instr('0123456789ABCDEF',
+       |            substr(hex(encode(g)), 2*bi-1, 1))-1)
+       |          + (instr('0123456789ABCDEF',
+       |            substr(hex(encode(g)), 2*bi, 1))-1) AS BIGINT))),
+       |    (a, b) -> CAST($step AS BIGINT)) AS h
+       |  FROM gm),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |starts AS (
+       |  SELECT doc_id, unnest(range(1, n - 2)) AS s
+       |  FROM cnt WHERE n >= 4),
+       |sel AS (
+       |  SELECT doc_id, i, h FROM (
+       |    SELECT st.doc_id, g.i, g.h,
+       |      row_number() OVER (PARTITION BY st.doc_id, st.s
+       |        ORDER BY g.h ASC, g.i DESC) AS rn
+       |    FROM starts st
+       |    JOIN g ON g.doc_id = st.doc_id
+       |      AND g.i BETWEEN st.s AND st.s + 3) _ WHERE rn = 1)
+       |SELECT DISTINCT doc_id, CAST(i - 1 AS INT) AS pos, h AS fp
+       |FROM sel ORDER BY doc_id, pos""".stripMargin
   }
 
   // DuckDB restatement of Multimodal.StubDecoder.features over the
@@ -523,6 +583,7 @@ object DocumentQueries {
     "q_quality_score" -> TA.qualitySql(TA.DuckDialect),
     "q_langid" -> TA.langidSql(TA.DuckDialect),
     "q_fingerprint" -> TA.fingerprintSql(TA.DuckDialect),
+    "q_winnow" -> winnowOracle,
     "q_ignore_filter" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents
         |WHERE text IS NOT NULL AND text != ''
