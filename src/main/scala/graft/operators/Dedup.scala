@@ -508,6 +508,55 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Winnowing fingerprints per document: (id, pos, fp) — the SWA 2003
+    * rightmost-min-per-window selection over positional word-k-gram
+    * FNV hashes (see [[graft.functions.Winnow]]). Pure per-row
+    * projection: shuffle-free at any corpus size.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(T.winnow(T.gram_hashes(col(textCol), k), window)).as("f"))
+      .select(col("id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+
+  /** Cross-document overlap pairs by shared winnowing fingerprints —
+    * the MOSS match step: pairs sharing >= minShared distinct selected
+    * fingerprints, scored by Jaccard over the kept fingerprint sets.
+    * Fingerprints appearing in more than maxDocFreq documents are
+    * dropped first (SWA's too-common-to-be-interesting rule). The cap
+    * is also the scale guard: a fingerprint present in d documents
+    * expands to d² candidate pairs in the bucket join, so one
+    * boilerplate fingerprint would otherwise turn the join quadratic.
+    * Shuffles by fingerprint key only; never all-pairs.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4, minShared: Int = 5,
+      maxDocFreq: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col("id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(trackCache)
+    // document-frequency cap over the persisted set (fps is read
+    // twice: once aggregated, once joined — one compute, two reads)
+    val kept = fps.join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("df_fp"))
+          .where(col("df_fp") <= maxDocFreq).select(col("fp")),
+        Seq("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(trackCache)
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    pairs.join(sizes.as("sa"), col("i") === col("sa.id"))
+      .join(sizes.as("sb"), col("j") === col("sb.id"))
+      .select(col("i"), col("j"), col("shared"),
+        (floor(col("shared") / (col("sa.nf") + col("sb.nf") -
+          col("shared")) * 10000 + 0.5) / 10000).as("overlap"))
+  }
+
   /** Exact embedding-cosine near-dup pairs (i < j, cos_dist <= tau).
     *
     * Exact threshold joins with tau near the bulk of the distance

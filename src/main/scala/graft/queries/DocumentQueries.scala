@@ -55,6 +55,13 @@ object DocumentQueries {
         .select($"doc_id", $"f.pos".as("pos"), $"f.fp".as("fp"))
         .orderBy($"doc_id", $"pos")),
 
+    // MOSS match step over the winnowed fingerprints: doc pairs
+    // sharing >= 5 kept fingerprints (document-frequency cap 50 drops
+    // boilerplate AND bounds the bucket join), Jaccard-scored.
+    "q_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(docs(s, dir), "doc_id", "text")
+        .orderBy($"i", $"j")),
+
     // P2/P7: the reference's usable-text ignore filter, grouped counts.
     "q_ignore_filter" -> ((s, dir) =>
       docs(s, dir)
@@ -296,7 +303,7 @@ object DocumentQueries {
     * operator's consecutive dedup. Spark emits 0-based gram positions;
     * the 1-based SQL index is shifted to match.
     */
-  private val winnowOracle: String = {
+  private def winnowSelCtes: String = {
     val wrap = "((((CAST(xor(a, b) AS HUGEINT) * 1099511628211) % " +
       "18446744073709551616) + 18446744073709551616) % 18446744073709551616)"
     val step = s"CASE WHEN $wrap >= 9223372036854775808 " +
@@ -308,7 +315,7 @@ object DocumentQueries {
        |    array_to_string(list_slice(ws, i, i + 2), ' ') AS g
        |  FROM (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws
        |        FROM w WHERE len(ws) >= 3) _g),
-       |g AS (
+       |g AS MATERIALIZED (
        |  SELECT doc_id, i, list_reduce(
        |    list_prepend(CAST(-3750763034362895579 AS BIGINT),
        |      list_transform(range(1, octet_length(encode(g))+1), bi ->
@@ -322,17 +329,41 @@ object DocumentQueries {
        |starts AS (
        |  SELECT doc_id, unnest(range(1, n - 2)) AS s
        |  FROM cnt WHERE n >= 4),
-       |sel AS (
+       |sel AS MATERIALIZED (
        |  SELECT doc_id, i, h FROM (
        |    SELECT st.doc_id, g.i, g.h,
        |      row_number() OVER (PARTITION BY st.doc_id, st.s
        |        ORDER BY g.h ASC, g.i DESC) AS rn
        |    FROM starts st
        |    JOIN g ON g.doc_id = st.doc_id
-       |      AND g.i BETWEEN st.s AND st.s + 3) _ WHERE rn = 1)
+       |      AND g.i BETWEEN st.s AND st.s + 3) _ WHERE rn = 1)""".stripMargin
+  }
+
+  private val winnowOracle: String =
+    s"""$winnowSelCtes
        |SELECT DISTINCT doc_id, CAST(i - 1 AS INT) AS pos, h AS fp
        |FROM sel ORDER BY doc_id, pos""".stripMargin
-  }
+
+  /** Overlap restatement: distinct (doc, fp), document-frequency cap at
+    * 50, pair counts over the fingerprint bucket join, Jaccard over the
+    * kept sets with the portable floor rounding.
+    */
+  private val winnowOverlapOracle: String =
+    s"""$winnowSelCtes,
+       |fps AS (SELECT DISTINCT doc_id, h FROM sel),
+       |dfc AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50),
+       |kept AS MATERIALIZED (
+       |  SELECT fps.doc_id, fps.h FROM fps JOIN dfc USING (h)),
+       |sz AS (SELECT doc_id, count(*) AS nf FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, CAST(shared AS BIGINT) AS shared,
+       |  floor(CAST(shared AS DOUBLE) / (sa.nf + sb.nf - shared)
+       |    * 10000 + 0.5) / 10000 AS overlap
+       |FROM pairs JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+       |WHERE shared >= 5 ORDER BY i, j""".stripMargin
 
   // DuckDB restatement of Multimodal.StubDecoder.features over the
   // documents' UTF-8 bytes: splitmix64 (mix64) per byte emulated with
@@ -584,6 +615,7 @@ object DocumentQueries {
     "q_langid" -> TA.langidSql(TA.DuckDialect),
     "q_fingerprint" -> TA.fingerprintSql(TA.DuckDialect),
     "q_winnow" -> winnowOracle,
+    "q_winnow_overlap" -> winnowOverlapOracle,
     "q_ignore_filter" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents
         |WHERE text IS NOT NULL AND text != ''

@@ -86,6 +86,25 @@ class WinnowSpec extends SparkSuite {
     assert(a != b, "edit undetected")
   }
 
+  test("winnowOverlapPairs: shared span found, boilerplate capped out") {
+    val span = (1 to 40).map(i => s"shared${(i * 13) % 29}").mkString(" ")
+    val boiler = "copyright footer terms of service apply"
+    def noise(seed: Int) =
+      (1 to 60).map(i => s"n${seed}_${(i * 7) % 53}").mkString(" ")
+    // docs 1 and 2 share the 40-word span; 3..9 share only boilerplate
+    val docs = Seq(
+      (1L, s"${noise(1)} $span $boiler"),
+      (2L, s"$span ${noise(2)} $boiler")) ++
+      (3L to 9L).map(i => (i, s"${noise(i.toInt)} $boiler"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .winnowOverlapPairs(df, "doc_id", "text",
+        minShared = 3, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"expected only the planted span pair, got ${pairs.toSeq}")
+  }
+
   test("shorter than one window yields no fingerprints; SQL registration") {
     TextFunctions.register(spark)
     Seq("a b c d e").toDF("t").createOrReplaceTempView("wn_t")
