@@ -354,6 +354,45 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           }
         }
 
+      // Cross-document overlap report (MOSS match step over winnowing
+      // fingerprints): top pairs by shared fingerprint count. Body:
+      // {"text_column":"text","id_column":"doc_id","min_shared":5,
+      // "max_doc_freq":50,"limit":20}. Read-only: results are computed
+      // and returned, nothing is registered; operator caches are
+      // released before responding (serial executor, so no other
+      // request is mid-flight).
+      case ("POST", List("collections", name, "overlap")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val textCol = jsonField(body, "text_column").getOrElse("text")
+          val idCol = jsonField(body, "id_column").getOrElse("doc_id")
+          val minShared = jsonField(body, "min_shared")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(5)
+          val maxDf = jsonField(body, "max_doc_freq")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(50)
+          val limit = jsonField(body, "limit")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(20)
+          if (!df.columns.contains(textCol) || !df.columns.contains(idCol))
+            respond(ex, 400,
+              s"""{"error":"need columns $idCol and $textCol"}""")
+          else if (minShared < 1 || maxDf < 1 || limit < 1)
+            respond(ex, 400,
+              """{"error":"min_shared, max_doc_freq and limit must be positive integers"}""")
+          else {
+            val rows =
+              try graft.operators.Dedup.winnowOverlapPairs(df, idCol,
+                  textCol, minShared = minShared, maxDocFreq = maxDf)
+                .orderBy(col("shared").desc, col("i"), col("j"))
+                .limit(limit).collect()
+              finally graft.operators.Dedup.releaseCaches()
+            val items = rows.map(r =>
+              s"""{"i":${r.get(0)},"j":${r.get(1)},"shared":${r.get(2)},
+                 |"overlap":${r.get(3)}}""".stripMargin.replace("\n", ""))
+            respond(ex, 200, s"""{"pairs":[${items.mkString(",")}]}""")
+          }
+        }
+
       case ("GET", List("collections", name)) =>
         tableOr404(ex, name).foreach { df =>
           val cols = df.schema.fields.map(f =>

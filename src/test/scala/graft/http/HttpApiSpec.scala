@@ -128,6 +128,28 @@ class HttpApiSpec extends SparkSuite {
       """{"text_column":"nope"}""").statusCode() === 400)
   }
 
+  test("POST /collections/{name}/overlap reports winnow-fingerprint " +
+      "pairs, top-shared first") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_overlap_api")
+    val r = post("/collections/docs_overlap_api/overlap",
+      """{"min_shared":5,"limit":3}""")
+    assert(r.statusCode() === 200)
+    // fixture has planted near-dups -> at least one overlapping pair
+    assert("\"shared\":(\\d+)".r.findAllMatchIn(r.body()).nonEmpty,
+      r.body())
+    val shared = "\"shared\":(\\d+)".r.findAllMatchIn(r.body())
+      .map(_.group(1).toLong).toSeq
+    assert(shared.length <= 3 && shared == shared.sorted.reverse,
+      s"not top-shared ordered: $shared")
+    assert(r.body().contains("\"overlap\":"))
+    // validation: bad column and non-positive params
+    assert(post("/collections/docs_overlap_api/overlap",
+      """{"text_column":"nope"}""").statusCode() === 400)
+    assert(post("/collections/docs_overlap_api/overlap",
+      """{"min_shared":0}""").statusCode() === 400)
+  }
+
   test("POST /collections/{name}/pq runs the PQ pipeline") {
     val r = post("/collections/embeddings/pq",
       """{"clusters":8,"splits":4}""")

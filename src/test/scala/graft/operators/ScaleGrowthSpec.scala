@@ -121,6 +121,35 @@ class ScaleGrowthSpec extends SparkSuite {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("winnow overlap grows sub-quadratically from 5k to 50k docs " +
+      "(df-cap bounds the fingerprint bucket join)") {
+    val small = synthDocs(5000, 50).persist()
+    val big = synthDocs(50000, 50).persist()
+    small.count(); big.count()
+    try {
+      val planted = (0 until 50).map(i => (i.toLong, 1000000L + i)).toSet
+      def overlap(df: DataFrame): Set[(Long, Long)] = {
+        val r = Dedup.winnowOverlapPairs(df, "doc_id", "text",
+          minShared = 5, maxDocFreq = 20)
+          .select($"i", $"j").as[(Long, Long)].collect().toSet
+        Dedup.releaseCaches()
+        r
+      }
+      var ps: Set[(Long, Long)] = null
+      var pb: Set[(Long, Long)] = null
+      val tS = timedSecs { ps = overlap(small) }
+      val tB = timedSecs { pb = overlap(big) }
+      // a one-word edit leaves most of the 58 gram hashes shared —
+      // every planted pair must surface at both sizes
+      assert(planted.subsetOf(ps) && planted.subsetOf(pb),
+        s"planted span pairs missed: small ${(planted -- ps).size}, " +
+          s"big ${(planted -- pb).size}")
+      val r = ratio(tB, tS)
+      info(f"winnow overlap 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
+      assert(r < 30.0, f"10x data grew $r%.1fx — not sub-quadratic")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("IVF-SQ8 search cost tracks corpus size linearly and keeps its " +
       "pruned int8 plan at 10x") {
     def vecs(n: Long) = synthDocs(n, 0)
