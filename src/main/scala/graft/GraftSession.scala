@@ -35,6 +35,7 @@ object GraftSession {
     graft.functions.VectorFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     graft.embed.EmbeddingPipeline.register(s)
+    graft.plans.IndexedKnn.ensureRule(s)
     s
   }
 

@@ -1,0 +1,233 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+
+import graft.functions.{CosineDistance, L1Distance, L2SqDistance}
+import graft.operators.IvfIndex
+
+/** Planner-transparent ANN: rewrite `ORDER BY distance(vec, const)
+  * LIMIT k` over a table with a registered IVF index into an index
+  * probe, the way the reference hooks the Postgres planner so a plain
+  * `ORDER BY embedding <-> q LIMIT k` becomes an index scan instead of
+  * a full sort (reference: lantern's access-method integration —
+  * `lantern/src/hnsw/options.rs` + planner hooks; here re-expressed as
+  * a Catalyst `Rule[LogicalPlan]` on `experimental.extraOptimizations`).
+  *
+  * The registry maps a parquet ROOT PATH (the table the index was
+  * built over) to its durable index directory. The rule fires only on
+  * the exact nearest-neighbor shape —
+  *
+  *   Limit k over Sort(dist ASC, global) over
+  *     Project([id?, dist = l2sq|cos|l1(vecCol, literal)], scan(path))
+  *
+  * — and replaces the Sort's CHILD with the IVF search subplan
+  * (probed cells only, bounded top-k aggregation), re-aliased to the
+  * original output attribute ids so the enclosing Sort/Limit still
+  * resolve. The Sort itself stays: it now orders at most k rows, and
+  * preserves the query's ordered-result semantics for free.
+  *
+  * With the registered `nprobe = 0` (= probe every cell) the rewrite
+  * is EXACT — same rows as the full sort, verifiable against a
+  * brute-force oracle. A positive nprobe opts that table into
+  * approximate search with the usual IVF recall trade, which is the
+  * semantics a lantern/pgvector user already accepts when they create
+  * an index. At 100 TB this turns a full-corpus scan + global sort
+  * into a read of nprobe cell partitions: the PartitionFilters prune
+  * is visible in `.explain` and asserted in IndexedKnnSpec.
+  *
+  * Scope guard: only passthrough projections of the registered id
+  * column (plus the distance alias) are rewritten — a projection that
+  * carries other payload columns would need a fetch-back join (the
+  * heap-fetch analog), which is left to the explicit
+  * `IvfIndex.search(...).join(corpus)` spelling.
+  */
+object IndexedKnn {
+
+  /** A registered index: where it lives and how to search it.
+    * nprobe <= 0 means probe all cells (exact).
+    */
+  case class Entry(indexDir: String, idCol: String, vecCol: String,
+      nprobe: Int)
+
+  private val registry = TrieMap[String, Entry]()
+  private val modelMemo = TrieMap[String, IvfIndex.Model]()
+
+  private def qualify(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.makeQualified(p).toString
+  }
+
+  /** Register `indexDir` (written by `IvfIndex.build(..., indexDir)`)
+    * as THE index for the parquet table rooted at `dataPath`, and
+    * install the rewrite rule on the session. Idempotent.
+    */
+  def register(spark: SparkSession, dataPath: String, indexDir: String,
+      idCol: String, vecCol: String, nprobe: Int = 0): Unit = {
+    registry.put(qualify(spark, dataPath),
+      Entry(indexDir, idCol, vecCol, nprobe))
+    ensureRule(spark)
+  }
+
+  def unregister(spark: SparkSession, dataPath: String): Unit =
+    registry.remove(qualify(spark, dataPath))
+
+  def clear(): Unit = { registry.clear(); modelMemo.clear() }
+
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  private[plans] def lookup(rootPaths: Seq[String]): Option[Entry] =
+    rootPaths.flatMap(registry.get).headOption
+
+  private[plans] def model(spark: SparkSession, e: Entry): IvfIndex.Model =
+    modelMemo.getOrElseUpdate(e.indexDir,
+      IvfIndex.load(spark, e.indexDir, e.idCol, e.vecCol))
+
+  /** Install [[IndexedKnnRule]] on the session's user-provided
+    * optimizer batch (idempotent). Called by [[register]] and by
+    * `GraftSession.register`.
+    */
+  def ensureRule(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(IndexedKnnRule))
+      spark.experimental.extraOptimizations = cur :+ IndexedKnnRule
+  }
+}
+
+object IndexedKnnRule extends Rule[LogicalPlan] {
+
+  import IndexedKnn._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (IndexedKnn.isEmpty) plan
+    else plan.transformDown {
+      case gl @ GlobalLimit(Literal(k: Int, IntegerType),
+          LocalLimit(_, body)) =>
+        sortOf(body).flatMap(s => rewriteSort(k, s)) match {
+          case Some((oldSort, newChild)) =>
+            gl.transformDown {
+              case s: Sort if s eq oldSort =>
+                s.withNewChildren(Seq(newChild))
+            }
+          case None => gl
+        }
+    }
+
+  /** The Sort the limit applies to — optionally through one Project
+    * (PushProjectionThroughLimit parks rounding/renaming projections
+    * between the limit and the sort).
+    */
+  private def sortOf(body: LogicalPlan): Option[Sort] = body match {
+    case s: Sort => Some(s)
+    case Project(_, s: Sort) => Some(s)
+    case _ => None
+  }
+
+  private def metricOf(e: Expression): Option[(String, Expression,
+      Expression)] = e match {
+    case L2SqDistance(a, b) => Some(("l2sq", a, b))
+    case CosineDistance(a, b) => Some(("cos", a, b))
+    case L1Distance(a, b) => Some(("l1", a, b))
+    case _ => None
+  }
+
+  /** Strip a residual to-float-array cast (SimplifyCasts removes the
+    * common ones, but a nullability-only cast can survive).
+    */
+  private def bare(e: Expression): Expression = e match {
+    case Cast(c, ArrayType(FloatType, _), _, _) => bare(c)
+    case other => other
+  }
+
+  private def queryVector(e: Expression): Option[Array[Float]] =
+    bare(e) match {
+      case Literal(a: ArrayData, ArrayType(FloatType, _)) =>
+        Some(a.toFloatArray())
+      case _ => None
+    }
+
+  /** Match one ascending sort on a distance-to-constant over a
+    * registered scan; return the replacement child for the Sort.
+    */
+  private def rewriteSort(k: Int, s: Sort): Option[(Sort, LogicalPlan)] = {
+    if (!s.global || s.order.length != 1) return None
+    val order = s.order.head
+    if (order.direction !=
+        org.apache.spark.sql.catalyst.expressions.Ascending) return None
+    s.child match {
+      case Project(projList, rel: LogicalRelation) =>
+        val entry = rel.relation match {
+          case fs: HadoopFsRelation =>
+            lookup(fs.location.rootPaths.map(_.toString))
+          case _ => None
+        }
+        entry.flatMap { e =>
+          val distAlias = order.child match {
+            case a: AttributeReference =>
+              projList.collectFirst {
+                case al: Alias if al.exprId == a.exprId => al
+              }
+            case _ => None
+          }
+          distAlias.flatMap { al =>
+            metricOf(al.child).flatMap { case (metric, l, r) =>
+              val (vecSide, constSide) = bare(l) match {
+                case ar: AttributeReference => (Some(ar), r)
+                case _ => bare(r) match {
+                  case ar: AttributeReference => (Some(ar), l)
+                  case _ => (None, l)
+                }
+              }
+              for {
+                vecAttr <- vecSide
+                if vecAttr.name == e.vecCol &&
+                  rel.output.exists(_.exprId == vecAttr.exprId)
+                qvec <- queryVector(constSide)
+                // passthrough columns: only the registered id
+                if projList.forall {
+                  case x: Alias => x.exprId == al.exprId
+                  case ar: AttributeReference => ar.name == e.idCol
+                  case _ => false
+                }
+              } yield (s, searchPlan(e, metric, qvec, k, projList, al))
+            }
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Build the IVF probe subplan and re-alias its output to the
+    * original projection's attribute ids.
+    */
+  private def searchPlan(e: Entry, metric: String, qvec: Array[Float],
+      k: Int, projList: Seq[NamedExpression], distAlias: Alias)
+      : LogicalPlan = {
+    val spark = SparkSession.active
+    val m = model(spark, e)
+    val nprobe = if (e.nprobe <= 0) m.centroids.length else e.nprobe
+    import spark.implicits._
+    val queries = Seq((0L, qvec.toSeq)).toDF(e.idCol, e.vecCol)
+    val searched = IvfIndex.search(m, queries, k, nprobe, metric)
+    val newPlan = searched.queryExecution.optimizedPlan
+    val nid = newPlan.output.find(_.name == "nid").get
+    val dist = newPlan.output.find(_.name == "dist").get
+    Project(projList.map {
+      case al: Alias if al.exprId == distAlias.exprId =>
+        Alias(dist, al.name)(exprId = al.exprId)
+      case ar: AttributeReference =>
+        Alias(Cast(nid, ar.dataType), ar.name)(exprId = ar.exprId)
+    }, newPlan)
+  }
+}

@@ -149,6 +149,31 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Planner-transparent ANN (the reference's headline UX: a plain
+    // `ORDER BY embedding <-> q LIMIT k` uses the index because the
+    // PLANNER says so, not because the query spells out a search
+    // call). The face registers the table's IVF index and then runs
+    // the naive sort-limit query; IndexedKnnRule swaps the corpus
+    // scan + global sort for the index probe during optimization.
+    // Full probe ⇒ exact, so a brute-force oracle restates it;
+    // IndexedKnnSpec asserts the plan really is the index scan.
+    "q_indexed_knn" -> ((s, dir) => {
+      val path = s"$dir/embeddings.parquet"
+      val emb = Tables(s, dir, "embeddings")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_idxknn_${Integer.toHexString(dir.hashCode)}"
+      graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        nCells = 16, maxIter = 5, indexDir = Some(idxDir))
+      graft.plans.IndexedKnn.register(s, path, idxDir, "vec_id",
+        "embedding", nprobe = 0)
+      val q = emb.where($"vec_id" === 0).select($"embedding")
+        .head.getSeq[Float](0)
+      emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(q)).as("dist"))
+        .orderBy($"dist").limit(50)
+        .select($"vec_id", round($"dist", 4).as("dist"))
+    }),
+
     // Incremental index maintenance: build over the even half, APPEND
     // the odd half with frozen centroids (no k-means, no rebuild —
     // how a 100 TB inverted file absorbs a daily batch), then full
@@ -590,6 +615,19 @@ object VectorQueries {
         |    i -> CASE WHEN sg.sgn[i] != a.asgn[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hd
         |FROM sg, a ORDER BY sg.vec_id""".stripMargin,
     "q_ivf_knn" -> knnOracle,
+    // the rewrite is exact under full probe: brute-force top-50 to the
+    // vec_id=0 anchor, tie-broken by (d, vec_id) like topk_by_score
+    "q_indexed_knn" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT c.vec_id, ${dkL2sq("c.embedding", "q.qe")} AS d
+         |  FROM embeddings c, q),
+         |ranked AS (
+         |  SELECT vec_id, d,
+         |         row_number() OVER (ORDER BY d, vec_id) AS rk
+         |  FROM scored)
+         |SELECT vec_id, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 50 ORDER BY dist, vec_id""".stripMargin,
     // append face at full probe == exact kNN over the whole corpus
     "q_ivf_append_knn" -> knnOracle,
     // streamed-ingest replay at full probe == the same exact kNN

@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.functions.{VectorFunctions => V}
+import graft.operators.IvfIndex
+
+/** The planner-transparent ANN rewrite: `ORDER BY dist LIMIT k` over a
+  * registered table must become an IVF probe (no corpus scan, cell
+  * PartitionFilters), be EXACT under full probe, prune under partial
+  * probe, and leave every non-matching shape untouched.
+  */
+class IndexedKnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dataPath = s"$sf0001/embeddings.parquet"
+  private lazy val emb = spark.read.parquet(dataPath)
+  private lazy val idxDir = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_idxknn_spec").toString
+    IvfIndex.build(emb, "vec_id", "embedding", nCells = 8, maxIter = 5,
+      indexDir = Some(d))
+    d
+  }
+  private lazy val qvec: Seq[Float] =
+    emb.where($"vec_id" === 0).select($"embedding")
+      .head.getSeq[Float](0)
+
+  private def knnQuery(k: Int) =
+    emb.select($"vec_id",
+        V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+      .orderBy($"dist").limit(k)
+
+  private def registered[A](nprobe: Int)(f: => A): A = {
+    IndexedKnn.register(spark, dataPath, idxDir, "vec_id", "embedding",
+      nprobe = nprobe)
+    try f finally IndexedKnn.unregister(spark, dataPath)
+  }
+
+  test("full-probe rewrite returns exactly the brute-force top-k and " +
+      "scans the index, not the corpus") {
+    val exact = knnQuery(10).collect().map(r => (r.getLong(0),
+      math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+    registered(nprobe = 0) {
+      val df = knnQuery(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        s"corpus still scanned:\n$plan")
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains("cell_id"), s"no cell pruning:\n$plan")
+      val got = df.collect().map(r => (r.getLong(0),
+        math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+      assert(got === exact)
+    }
+  }
+
+  test("partial probe prunes cells and still finds the query point " +
+      "itself") {
+    registered(nprobe = 2) {
+      val df = knnQuery(5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"))
+      // 2 probed cells of 8 -> an IN filter materially narrower than
+      // the full cell list
+      assert(plan.contains("PartitionFilters"))
+      val got = df.collect()
+      assert(got.length === 5)
+      // vec_id 0 IS the query vector: distance 0, must be rank 1 even
+      // under partial probing (its own cell is always probed)
+      assert(got.head.getLong(0) === 0L &&
+        got.head.getDouble(1) === 0.0)
+      // ascending order preserved by the retained Sort
+      val dists = got.map(_.getDouble(1)).toSeq
+      assert(dists === dists.sorted)
+    }
+  }
+
+  test("a rounding projection pushed between limit and sort still " +
+      "rewrites") {
+    registered(nprobe = 0) {
+      val df = knnQuery(10).select($"vec_id",
+        round($"dist", 4).as("dist"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        s"corpus still scanned:\n$plan")
+    }
+  }
+
+  test("non-matching shapes are left untouched") {
+    registered(nprobe = 0) {
+      // extra payload column -> needs a fetch-back join, must not fire
+      val payload = emb.select($"vec_id", $"embedding",
+          V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+        .orderBy($"dist").limit(5)
+      assert(payload.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+      // descending sort (farthest) is not a nearest-neighbor query
+      val desc = emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+        .orderBy($"dist".desc).limit(5)
+      assert(desc.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+      // no limit -> full sorted result, k unknown
+      val noLimit = knnQuery(10).queryExecution // limit present: fires
+      val unlimited = emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+        .orderBy($"dist")
+      assert(unlimited.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+      // distance to a non-constant (self-join shape): no literal, no fire
+      val nonConst = emb.select($"vec_id",
+          V.l2sq_dist($"embedding", $"embedding").as("dist"))
+        .orderBy($"dist").limit(5)
+      assert(nonConst.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+      noLimit.executedPlan // silence unused
+    }
+  }
+
+  test("unregistered tables never rewrite, and SQL text queries do") {
+    // not registered at all
+    val plain = knnQuery(5).queryExecution.executedPlan.toString
+    assert(plain.contains("embeddings.parquet"))
+    registered(nprobe = 0) {
+      emb.createOrReplaceTempView("emb_idx_sql")
+      val vecSql = qvec.map(v => s"CAST($v AS FLOAT)")
+        .mkString("array(", ",", ")")
+      val df = spark.sql(
+        s"""SELECT vec_id, l2sq_dist(embedding, $vecSql) AS dist
+           |FROM emb_idx_sql ORDER BY dist LIMIT 7""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        s"SQL shape not rewritten:\n$plan")
+      assert(df.collect().length === 7)
+    }
+  }
+}
