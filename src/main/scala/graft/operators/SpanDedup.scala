@@ -63,12 +63,23 @@ object SpanDedup {
     * decontamination scan. The eval gram set is tiny relative to the
     * corpus, so it is explicitly broadcast and the training side is
     * never shuffled; when the eval side's word-count bound exceeds
-    * [[EvalGramCapDefault]] the broadcast hint is dropped and the join
-    * degrades to a shuffle — slower, but bounded by executor memory,
-    * not driver/broadcast limits.
+    * [[EvalGramCapDefault]] the join degrades to a BLOOM-PRUNED
+    * shuffle: a bloom filter over the eval gram hashes (a few MB of
+    * bits even when the gram ROWS no longer fit a broadcast) drops
+    * the train grams that cannot match before they reach the
+    * exchange, and the exact gram join afterwards removes the bloom's
+    * false positives — results identical, shuffle input shrunk from
+    * the whole train corpus to ~hits + fpp·grams.
+    *
+    * `strategy`: "auto" (cap-based, the default), "broadcast" (force
+    * the small-eval plan), or "bloom" (force the pruned-shuffle
+    * plan).
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
-      n: Int, isEval: org.apache.spark.sql.Column): DataFrame = {
+      n: Int, isEval: org.apache.spark.sql.Column,
+      strategy: String = "auto"): DataFrame = {
+    require(Set("auto", "broadcast", "bloom").contains(strategy),
+      s"unknown contamination strategy: $strategy")
     // One shared full-corpus gram scan (memoized with dupSpanStats and
     // the dedup chain), split into eval/train by a cheap (id, flag)
     // join — gram hashing is per-document, so hashing the full corpus
@@ -99,14 +110,43 @@ object SpanDedup {
     val evalGramBound = df.where(isEval)
       .agg(coalesce(sum(size(split(col(textCol), "\\s+"))), lit(0L)))
       .head.getLong(0)
-    val evalSide =
-      if (evalGramBound <= cap) broadcast(evalGrams) else evalGrams
-    trainGrams.join(evalSide, Seq("gh"), "left")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("grams"),
-        sum(coalesce(col("hit"), lit(0L))).as("eval_grams"))
-      .select(col("id"), col("grams"), col("eval_grams"),
-        (floor(col("eval_grams").cast("double") / col("grams").cast("double")
-          * 10000 + 0.5) / 10000).as("contam_frac"))
+    val useBroadcast = strategy match {
+      case "broadcast" => true
+      case "bloom" => false
+      case _ => evalGramBound <= cap
+    }
+    val frac = (floor(col("eval_grams").cast("double")
+      / col("grams").cast("double") * 10000 + 0.5) / 10000)
+      .as("contam_frac")
+    if (useBroadcast) {
+      trainGrams.join(broadcast(evalGrams), Seq("gh"), "left")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("eval_grams"))
+        .select(col("id"), col("grams"), col("eval_grams"), frac)
+    } else {
+      // Pruned-shuffle shape. The per-doc gram TOTAL never needed the
+      // join — it is size(hs) — so only potential HITS flow into the
+      // exchange: train grams that pass the (broadcast, parameter-
+      // sized) bloom over the eval gram hashes. The inner join then
+      // discards false positives, keeping results exact.
+      val trainSets = tagged.where(!col("_is_eval"))
+        .where(size(col("hs")) > 0)
+      val counts = trainSets.select(col("id"), size(col("hs"))
+        .cast("long").as("grams"))
+      val bloom = graft.functions.BloomFunctions.build(
+        evalGrams, "gh", expectedItems = evalGramBound, fpp = 0.01)
+      val hits = trainSets
+        .select(col("id"), explode(col("hs")).as("gh"))
+        .where(graft.functions.BloomFunctions.mightContain(col("gh"),
+          bloom))
+        .join(evalGrams, Seq("gh"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("eval_grams"))
+      counts.join(hits, Seq("id"), "left")
+        .select(col("id"), col("grams"),
+          coalesce(col("eval_grams"), lit(0L)).as("eval_grams"))
+        .select(col("id"), col("grams"), col("eval_grams"), frac)
+    }
   }
 }

@@ -51,6 +51,16 @@ object CorpusQueries {
       SpanDedup.contamination(docs(s, dir), "doc_id", "text", SpanN,
           col("doc_id") % 97 === 0)
         .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Same scan, forced onto the LARGE-eval-set plan: bloom-pruned
+    // shuffle instead of broadcast (what contamination degrades to
+    // past the gram cap). Exact bloom-FP cleanup ⇒ shares the
+    // q_contamination oracle verbatim.
+    "q_contamination_bloom" -> ((s, dir) =>
+      SpanDedup.contamination(docs(s, dir), "doc_id", "text", SpanN,
+          col("doc_id") % 97 === 0, strategy = "bloom")
+        .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id")))
   )
 
@@ -78,15 +88,19 @@ object CorpusQueries {
          |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_frac
          |FROM g LEFT JOIN sh s ON g.gram = s.gram
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_contamination" ->
-      s"""WITH $gramsCte,
-         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
-         |SELECT doc_id, count(*) AS grams,
-         |  CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS eval_grams,
-         |  floor(CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS contam_frac
-         |FROM g LEFT JOIN ev e ON g.gram = e.gram
-         |WHERE g.doc_id % 97 != 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    "q_contamination" -> contaminationOracle,
+    // the bloom plan is an execution strategy, not a semantics change
+    "q_contamination_bloom" -> contaminationOracle
   )
+
+  private lazy val contaminationOracle: String =
+    s"""WITH $gramsCte,
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS grams,
+       |  CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS eval_grams,
+       |  floor(CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS contam_frac
+       |FROM g LEFT JOIN ev e ON g.gram = e.gram
+       |WHERE g.doc_id % 97 != 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -87,12 +87,16 @@ class CorpusStatsSpec extends SparkSuite {
       val out = SpanDedup.contamination(docs, "doc_id", "text", n = 8,
         isEval = col("doc_id") === 12L)
       val p = out.queryExecution.executedPlan.toString
-      // the eval join is the LeftOuter on the gram hash; nested cached
-      // relations may legitimately contain broadcasts of id-flag sides
+      // the eval join is on the gram hash; nested cached relations may
+      // legitimately contain broadcasts of id-flag sides
       assert(!"BroadcastHashJoin \\[gh".r.findAllIn(p).hasNext,
         s"capped eval set must not be force-broadcast:\n$p")
       assert("(SortMergeJoin|ShuffledHashJoin) \\[gh".r.findAllIn(p).hasNext,
         s"eval join must degrade to a shuffle join:\n$p")
+      // the degraded plan is bloom-pruned: train grams that cannot hit
+      // the eval set are dropped before the exchange
+      assert(p.contains("bloom_might_contain"),
+        s"capped plan must bloom-prune the train grams:\n$p")
       val r = out.collect().map(x => x.getLong(0) ->
         (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
       assert(!r.contains(12L))
@@ -102,5 +106,19 @@ class CorpusStatsSpec extends SparkSuite {
       SpanDedup.evalGramCapOverride = None
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+  }
+
+  test("explicit bloom strategy matches the broadcast plan's results") {
+    val broadcastR = SpanDedup.contamination(docs, "doc_id", "text",
+        n = 8, isEval = col("doc_id") === 12L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    val bloomQ = SpanDedup.contamination(docs, "doc_id", "text", n = 8,
+      isEval = col("doc_id") === 12L, strategy = "bloom")
+    assert(bloomQ.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"))
+    val bloomR = bloomQ.collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getLong(2), x.getDouble(3))).toSet
+    assert(bloomR === broadcastR)
   }
 }

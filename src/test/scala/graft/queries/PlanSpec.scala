@@ -83,6 +83,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval join not broadcast:\n$p")
   }
 
+  test("bloom contamination prunes train grams before the exchange and " +
+      "keeps the filter out of the plan text (broadcast ref, not bits)") {
+    val p = plan("q_contamination_bloom")
+    assert(p.contains("bloom_might_contain"), s"no bloom prune:\n$p")
+    // the filter is a broadcast reference: plan size must not scale
+    // with the bloom's bit count (same rule as SemDeDup's anchors)
+    assert(p.length < 100000, s"plan text carries the filter bits? " +
+      s"${p.length} chars")
+  }
+
   test("exact embedding join is blocked: no full-table broadcast NLJ") {
     // the blocked self-join shape: block-pair equi-joins, never a
     // BroadcastNestedLoopJoin over the whole corpus (which would pin
