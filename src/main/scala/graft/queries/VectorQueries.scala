@@ -161,7 +161,8 @@ object VectorQueries {
       val path = s"$dir/embeddings.parquet"
       val emb = Tables(s, dir, "embeddings")
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_idxknn_${Integer.toHexString(dir.hashCode)}"
+        s"graft_idxknn_${java.lang.ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
       graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
         nCells = 16, maxIter = 5, indexDir = Some(idxDir))
       graft.plans.IndexedKnn.register(s, path, idxDir, "vec_id",
@@ -171,6 +172,34 @@ object VectorQueries {
       emb.select($"vec_id",
           V.l2sq_dist($"embedding", typedlit(q)).as("dist"))
         .orderBy($"dist").limit(50)
+        .select($"vec_id", round($"dist", 4).as("dist"))
+    }),
+
+    // The APPROXIMATE planner rewrite, hash-oracled: under a FIXED
+    // coarse quantizer (first-16-vector centroids) a 4-of-16-probe
+    // rewrite of the same naive sort-limit query is a deterministic
+    // function DuckDB restates end to end — assignment, probing,
+    // candidate ranking (the q_ivf_recall_fixed trick applied to the
+    // planner path). This pins the rule's approximate semantics, not
+    // just its exact degenerate case.
+    "q_indexed_knn_probe" -> ((s, dir) => {
+      val path = s"$dir/embeddings.parquet"
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_idxprobe_${java.lang.ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      graft.operators.IvfIndex.buildWithCentroids(emb, "vec_id",
+        "embedding", cents, Some(idxDir))
+      graft.plans.IndexedKnn.register(s, path, idxDir, "vec_id",
+        "embedding", nprobe = 4)
+      val q = emb.where($"vec_id" === 0).select($"embedding")
+        .head.getSeq[Float](0)
+      emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(q)).as("dist"))
+        .orderBy($"dist").limit(20)
         .select($"vec_id", round($"dist", 4).as("dist"))
     }),
 
@@ -628,6 +657,32 @@ object VectorQueries {
          |  FROM scored)
          |SELECT vec_id, round(d, 4) AS dist
          |FROM ranked WHERE rk <= 50 ORDER BY dist, vec_id""".stripMargin,
+    // approximate rewrite under the fixed quantizer: probe the 4
+    // nearest of the 16 fixed centroids, rank candidates from probed
+    // cells only — every step a deterministic argmin DuckDB restates
+    "q_indexed_knn_probe" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT cell FROM (
+         |  SELECT cb.cid AS cell,
+         |    row_number() OVER (ORDER BY ${dkL2sq("q.qe", "cb.cv")},
+         |      cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |cand AS (SELECT a.vec_id FROM asg a JOIN pr ON a.cell = pr.cell),
+         |ranked AS (
+         |  SELECT c.vec_id, ${dkL2sq("e.embedding", "q.qe")} AS d,
+         |    row_number() OVER (ORDER BY ${dkL2sq("e.embedding", "q.qe")},
+         |      c.vec_id) AS rk
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  CROSS JOIN q)
+         |SELECT vec_id, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 20 ORDER BY dist, vec_id""".stripMargin,
     // append face at full probe == exact kNN over the whole corpus
     "q_ivf_append_knn" -> knnOracle,
     // streamed-ingest replay at full probe == the same exact kNN
