@@ -356,12 +356,16 @@ object Dedup {
     */
   def crossCorpusDupPairs(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
-      bands: Int = 64, tau: Double = 0.5, seed: Long = 42L): DataFrame = {
+      bands: Int = 64, tau: Double = 0.5, seed: Long = 42L,
+      strategy: String = "auto"): DataFrame = {
+    require(Set("auto", "bloom").contains(strategy),
+      s"unknown crossCorpus strategy: $strategy")
     def sigSets(df: DataFrame) =
       signatureSets(df, idCol, textCol, n, numHashes, seed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     dupPairsFromSets(sigSets(incoming), sigSets(existing),
-      "new_id", "old_id", numHashes, bands, tau, selfJoin = false)
+      "new_id", "old_id", numHashes, bands, tau, selfJoin = false,
+      bloomPruneRight = strategy == "bloom")
   }
 
   /** The (id, hs, sig) relation minhash dedup runs on: pre-hashed
@@ -417,13 +421,29 @@ object Dedup {
     */
   private[graft] def dupPairsFromSets(left: DataFrame, right: DataFrame,
       leftIdOut: String, rightIdOut: String, numHashes: Int, bands: Int,
-      tau: Double, selfJoin: Boolean): DataFrame = {
+      tau: Double, selfJoin: Boolean,
+      bloomPruneRight: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val bk = bandKeysUdf(bands, numHashes / bands)
     def bandRel(sets: DataFrame, idOut: String) = sets.select(
       col("id").as(idOut), posexplode(bk(col("sig"))).as(Seq("band", "bkey")))
     val lRel = bandRel(left, leftIdOut)
-    val rRel = bandRel(if (selfJoin) left else right, rightIdOut)
+    val rRel0 = bandRel(if (selfJoin) left else right, rightIdOut)
+    // Big-batch incremental regime: when the LEFT (incoming) band
+    // relation is itself too large to broadcast, the band join shuffles
+    // the far larger resident index too. A bloom over the incoming
+    // band keys (left rows x bands items — exact, counted off the
+    // persisted left side, never the index) prunes resident band rows
+    // that cannot collide BEFORE their exchange; the equi-join then
+    // drops the bloom's false positives, so pair output is unchanged.
+    val rRel = if (bloomPruneRight && !selfJoin) {
+      val bandKey = xxhash64(col("band"), col("bkey"))
+      val bloom = graft.functions.BloomFunctions.build(
+        lRel.select(bandKey.as("bb")), "bb",
+        expectedItems = left.count() * bands)
+      rRel0.where(
+        graft.functions.BloomFunctions.mightContain(bandKey, bloom))
+    } else rRel0
     val joined = lRel.join(rRel, Seq("band", "bkey"))
     val cands = (if (selfJoin)
         joined.where(col(leftIdOut) < col(rightIdOut)) else joined)

@@ -117,6 +117,20 @@ object DocumentQueries {
         .orderBy($"new_id", $"old_id")
     }),
 
+    // Big-batch regime of the same ingest dedup: the resident band
+    // index is bloom-pruned by the incoming batch's band keys before
+    // its exchange (for when the batch is too big to broadcast).
+    // Exact FP cleanup ⇒ shares the q_incremental_dedup oracle.
+    "q_incremental_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusDupPairs(
+        existing = d.where($"doc_id" % 5 =!= 0),
+        incoming = d.where($"doc_id" % 5 === 0),
+        "doc_id", "text", n = 3, tau = 0.5, strategy = "bloom")
+        .select($"new_id", $"old_id", round($"jac", 3).as("jac"))
+        .orderBy($"new_id", $"old_id")
+    }),
+
     // Streaming near-dup replay: the corpus arrives as 3 ordered
     // batches (doc_id % 3); each batch dedups against the persisted
     // signature index of EARLIER SURVIVORS, then within itself — the
@@ -630,22 +644,9 @@ object DocumentQueries {
     "q_minhash_dups" -> jaccardOracle,
     // cross-side restatement of jaccardOracle: incoming (doc_id%5=0)
     // paired only against the existing corpus (the rest)
-    "q_incremental_dedup" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, g FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
-        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
-        |  FROM w WHERE len(ws) >= 3)),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.g = b.g
-        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
-        |  GROUP BY 1, 2)
-        |SELECT new_id, old_id, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 3) AS jac
-        |FROM pairs JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = old_id
-        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
-        |ORDER BY new_id, old_id""".stripMargin,
+    "q_incremental_dedup" -> incrementalOracle,
+    // bloom pruning is an execution strategy; pairs are identical
+    "q_incremental_dedup_bloom" -> incrementalOracle,
     // Sequential 3-batch replay: near-dup pair graph (exact Jaccard,
     // both directions), then batch 0 dedups within itself, batch 1
     // against batch-0 SURVIVORS + itself, batch 2 against survivors of
@@ -735,4 +736,21 @@ object DocumentQueries {
         |  FROM documents)
         |WHERE rn % 10 = 1 ORDER BY doc_id""".stripMargin
   )
+
+  private lazy val incrementalOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      |  FROM w WHERE len(ws) >= 3)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.g = b.g
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+      |  GROUP BY 1, 2)
+      |SELECT new_id, old_id, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 3) AS jac
+      |FROM pairs JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = old_id
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+      |ORDER BY new_id, old_id""".stripMargin
 }

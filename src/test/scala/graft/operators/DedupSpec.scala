@@ -231,6 +231,28 @@ class DedupSpec extends SparkSuite {
     assert(survivors === incomingIds -- cross.map(_._1))
   }
 
+  test("bloom-pruned crossCorpusDupPairs returns identical pairs and " +
+      "prunes the resident band relation before its exchange") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val incoming = corpus.where($"doc_id" % 5 === 0)
+    val existing = corpus.where($"doc_id" % 5 =!= 0)
+    def pairs(strategy: String) = {
+      val r = Dedup.crossCorpusDupPairs(existing, incoming,
+        "doc_id", "text", n = 3, tau = 0.5, strategy = strategy)
+      (r, r.select($"new_id", $"old_id").as[(Long, Long)]
+        .collect().toSet)
+    }
+    val (_, auto) = pairs("auto")
+    Dedup.releaseCaches()
+    val (bloomQ, bloom) = pairs("bloom")
+    assert(bloomQ.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"),
+      "resident band rows must be bloom-pruned")
+    assert(bloom === auto)
+    assert(bloom.nonEmpty)
+    Dedup.releaseCaches()
+  }
+
   test("semDedup: drops exactly the non-min members of near-dup pairs") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Dedup.semDedup(emb, "vec_id", "embedding",
