@@ -218,7 +218,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
           val nCells = jsonField(body, "n_cells")
-            .map(_.toDouble.toInt).getOrElse(16)
+            .map(s => scala.util.Try(s.toDouble.toInt).getOrElse(-1))
+            .getOrElse(16)
           val vecCol = jsonField(body, "vector_column")
             .getOrElse("embedding")
           val idCol = jsonField(body, "id_column").getOrElse("vec_id")
@@ -491,17 +492,39 @@ class HttpApi(spark: SparkSession, port: Int = 0,
         tableOr404(ex, name).foreach { df =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
-          val k = jsonField(body, "k").map(_.toDouble.toInt).getOrElse(10)
+          val k = jsonField(body, "k")
+            .map(s => scala.util.Try(s.toDouble.toInt).getOrElse(-1))
+            .getOrElse(10)
           val vecCol = jsonField(body, "vector_column")
             .getOrElse("embedding")
           val idCol = jsonField(body, "id_column").getOrElse("vec_id")
           val metric = jsonField(body, "metric").getOrElse("l2sq")
+          // a requested filter that names a bad/unknown column must 400,
+          // not silently return unfiltered rows (mirrors /index's guard)
+          val fcolRaw = jsonField(body, "filter_column")
+          val fcolOk = fcolRaw
+            .filter(c => validIdent(c) && df.columns.contains(c))
+          val nprobeOpt = jsonField(body, "nprobe")
+            .map(s => scala.util.Try(s.toDouble.toInt).getOrElse(-1))
+          val mmrLambdaOpt = jsonField(body, "mmr_lambda")
+            .map(s => scala.util.Try(s.toDouble).getOrElse(Double.NaN))
           val vec: Option[Array[Float]] = resolveQueryVector(body)
-          vec match {
+          (vec match {
             case None =>
-              respond(ex, 400,
-                """{"error":"need \"vector\" or \"text\""}""")
-            case Some(v) =>
+              Some("""{"error":"need \"vector\" or \"text\""}""")
+            case _ if k < 1 =>
+              Some("""{"error":"k must be a positive integer"}""")
+            case _ if fcolRaw.isDefined && fcolOk.isEmpty =>
+              Some("""{"error":"unknown filter_column"}""")
+            case _ if nprobeOpt.exists(_ < 1) =>
+              Some("""{"error":"nprobe must be a positive integer"}""")
+            case _ if mmrLambdaOpt.exists(_.isNaN) =>
+              Some("""{"error":"mmr_lambda must be a number"}""")
+            case _ => None
+          }) match {
+            case Some(err) => respond(ex, 400, err)
+            case None =>
+              val v = vec.get
               val queries = spark.createDataFrame(
                 java.util.List.of(org.apache.spark.sql.Row(0L, v)),
                 org.apache.spark.sql.types.StructType(Seq(
@@ -514,18 +537,15 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               // column name must be a valid identifier ON the
               // collection — never interpolated as SQL — and the value
               // rides as a typed literal Column
-              val fcol = jsonField(body, "filter_column")
-                .filter(c => validIdent(c) && df.columns.contains(c))
               val fval = jsonField(body, "filter_value")
-              val pred = (fcol, fval) match {
+              val pred = (fcolOk, fval) match {
                 case (Some(c), Some(v)) => Some(col(c) === lit(v))
                 case _ => None
               }
               // an IVF index built by /index serves the search when its
               // columns match; "nprobe" trades recall for probed cells
               // (default all cells == exact). Otherwise brute force.
-              val nprobe = jsonField(body, "nprobe")
-                .map(_.toDouble.toInt)
+              val nprobe = nprobeOpt
               // lazy: the 400 guards below must fire before any plan
               // construction can throw on a mismatched collection
               def ranked = Option(ivfModels.get(name)) match {
@@ -540,8 +560,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               }
               // optional MMR diversification: re-rank the top
               // max(4k, 20) candidates down to k with the given λ
-              val mmrLambda = jsonField(body, "mmr_lambda")
-                .map(_.toDouble)
+              val mmrLambda = mmrLambdaOpt
               val idIntegral = df.schema(idCol).dataType match {
                 case org.apache.spark.sql.types.LongType |
                      org.apache.spark.sql.types.IntegerType |

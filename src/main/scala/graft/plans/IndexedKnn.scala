@@ -75,6 +75,10 @@ object IndexedKnn {
     */
   def register(spark: SparkSession, dataPath: String, indexDir: String,
       idCol: String, vecCol: String, nprobe: Int = 0): Unit = {
+    // Drop any memoized Model for this dir: a re-registration usually
+    // follows a rebuild that rewrote the part files, and a cached file
+    // listing would point at deleted paths.
+    modelMemo.remove(indexDir)
     registry.put(qualify(spark, dataPath),
       Entry(indexDir, idCol, vecCol, nprobe))
     ensureRule(spark)
@@ -82,6 +86,7 @@ object IndexedKnn {
 
   def unregister(spark: SparkSession, dataPath: String): Unit =
     registry.remove(qualify(spark, dataPath))
+      .foreach(e => modelMemo.remove(e.indexDir))
 
   def clear(): Unit = { registry.clear(); modelMemo.clear() }
 
@@ -109,13 +114,32 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
 
   import IndexedKnn._
 
+  /** Re-entrancy latch. [[searchPlan]] optimizes the probe subplan
+    * (`queryExecution.optimizedPlan`), which runs this very rule on the
+    * inner plan; and `IvfIndex.search` launches a small bounded Spark
+    * job at plan time (centroid argmin over |queries| rows — bounded by
+    * nCells, a parameter, never data scale). The latch makes the inner
+    * optimization a guaranteed no-op instead of relying on the probe
+    * plan not matching the sort-limit shape.
+    */
+  private val rewriting = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Rewrites performed (test observability: a query that fires the
+    * rule must bump this exactly once — the inner probe-plan
+    * optimization is latched out and must not).
+    */
+  private[plans] val fireCount = new java.util.concurrent.atomic.AtomicInteger()
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (IndexedKnn.isEmpty) plan
+    if (IndexedKnn.isEmpty || rewriting.get()) plan
     else plan.transformDown {
       case gl @ GlobalLimit(Literal(k: Int, IntegerType),
           LocalLimit(_, body)) =>
         sortOf(body).flatMap(s => rewriteSort(k, s)) match {
           case Some((oldSort, newChild)) =>
+            fireCount.incrementAndGet()
             gl.transformDown {
               case s: Sort if s eq oldSort =>
                 s.withNewChildren(Seq(newChild))
@@ -219,8 +243,11 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
     val nprobe = if (e.nprobe <= 0) m.centroids.length else e.nprobe
     import spark.implicits._
     val queries = Seq((0L, qvec.toSeq)).toDF(e.idCol, e.vecCol)
-    val searched = IvfIndex.search(m, queries, k, nprobe, metric)
-    val newPlan = searched.queryExecution.optimizedPlan
+    rewriting.set(true)
+    val newPlan = try {
+      val searched = IvfIndex.search(m, queries, k, nprobe, metric)
+      searched.queryExecution.optimizedPlan
+    } finally rewriting.set(false)
     val nid = newPlan.output.find(_.name == "nid").get
     val dist = newPlan.output.find(_.name == "dist").get
     Project(projList.map {

@@ -215,10 +215,27 @@ class HttpApiSpec extends SparkSuite {
       .where(org.apache.spark.sql.functions.col("vec_id").isin(ids: _*))
       .select("label").collect().map(_.getInt(0)).toSet
     assert(labels === Set(3))
-    // an injection-shaped column name is ignored, not executed
+    // an injection-shaped column name is rejected, never executed —
+    // and never silently dropped (that would return unfiltered rows)
     val inj = post("/collections/embeddings/search",
       s"""{"vector":[$vec],"k":3,"filter_column":"label; DROP TABLE x","filter_value":"3"}""")
-    assert(inj.statusCode() === 200)
+    assert(inj.statusCode() === 400)
+    // same for a well-formed name that isn't a column of the collection
+    val unknown = post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":3,"filter_column":"tenant","filter_value":"3"}""")
+    assert(unknown.statusCode() === 400)
+  }
+
+  test("malformed numeric params get 400, not 500") {
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    assert(post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"k":"abc"}""").statusCode() === 400)
+    assert(post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"nprobe":"1e"}""").statusCode() === 400)
+    assert(post("/collections/embeddings/search",
+      s"""{"vector":[$vec],"mmr_lambda":"half"}""").statusCode() === 400)
+    assert(post("/collections/embeddings/index",
+      """{"n_cells":"abc"}""").statusCode() === 400)
   }
 
   test("search diversifies with mmr_lambda: k results, rank 1 equals " +

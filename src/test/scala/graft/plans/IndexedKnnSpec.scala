@@ -117,6 +117,47 @@ class IndexedKnnSpec extends SparkSuite {
     }
   }
 
+  test("re-registration after a rebuild drops the memoized model " +
+      "(no stale file listing)") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_idxknn_rebuild").toString
+    // fixed centroids: buildWithCentroids is unmemoized and rewrites
+    // the target dir on every call — the stale-listing trap
+    val cents = emb.orderBy($"vec_id").limit(4)
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    IvfIndex.buildWithCentroids(emb, "vec_id", "embedding", cents,
+      indexDir = Some(d))
+    IndexedKnn.register(spark, dataPath, d, "vec_id", "embedding",
+      nprobe = 0)
+    try {
+      assert(knnQuery(5).collect().length === 5) // memoizes the model
+      // rebuild deletes the part files the memoized listing points at
+      IvfIndex.buildWithCentroids(emb, "vec_id", "embedding", cents,
+        indexDir = Some(d))
+      IndexedKnn.register(spark, dataPath, d, "vec_id", "embedding",
+        nprobe = 0)
+      // must reload, not throw FileNotFoundException off stale paths
+      assert(knnQuery(5).collect().length === 5)
+    } finally IndexedKnn.unregister(spark, dataPath)
+  }
+
+  test("the rule fires exactly once per query: the probe-plan " +
+      "optimization is latched out and never recurses") {
+    registered(nprobe = 0) {
+      IndexedKnnRule.fireCount.set(0)
+      val df = knnQuery(5)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+      assert(df.collect().length === 5)
+      // one rewrite for the outer query; the inner IvfIndex.search
+      // plan is optimized on the same thread while the latch is held,
+      // so it contributes zero fires even though the table stays
+      // registered throughout
+      assert(IndexedKnnRule.fireCount.get() === 1)
+    }
+  }
+
   test("unregistered tables never rewrite, and SQL text queries do") {
     // not registered at all
     val plain = knnQuery(5).queryExecution.executedPlan.toString
