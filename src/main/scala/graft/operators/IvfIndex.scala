@@ -54,7 +54,7 @@ object IvfIndex {
     */
   def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
       maxIter: Int = 10, seed: Long = 42L,
-      indexDir: Option[String] = None): Model = {
+      indexDir: Option[String] = None): Model = graft.util.BuildTimer.timed {
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -112,7 +112,7 @@ object IvfIndex {
     */
   def buildWithCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]],
-      indexDir: Option[String] = None): Model = {
+      indexDir: Option[String] = None): Model = graft.util.BuildTimer.timed {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val cellU = udf((v: Seq[Float]) =>
@@ -145,7 +145,7 @@ object IvfIndex {
     * same PartitionFilters pruning. Periodic re-train (a fresh
     * [[build]]) remains the answer to real distribution drift.
     */
-  def append(model: Model, df: DataFrame): Model = {
+  def append(model: Model, df: DataFrame): Model = graft.util.BuildTimer.timed {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(model.centroids)
     val cellU = udf((v: Seq[Float]) =>
@@ -169,7 +169,7 @@ object IvfIndex {
     * than a cache.
     */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, vecCol: String): Model = {
+      idCol: String, vecCol: String): Model = graft.util.BuildTimer.timed {
     val cents = spark.read.parquet(s"$path/_centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
@@ -343,7 +343,7 @@ object IvfIndex {
   def buildSq8(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
       maxIter: Int = 10, seed: Long = 42L,
       indexDir: Option[String] = None)
-      : (Model, Array[Double], Array[Double]) = {
+      : (Model, Array[Double], Array[Double]) = graft.util.BuildTimer.timed {
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed,
@@ -397,7 +397,7 @@ object IvfIndex {
     * the float twin, periodic re-fit/rebuild answers real drift.
     */
   def appendSq8(model: Model, mins: Array[Double], maxs: Array[Double],
-      df: DataFrame, idCol: String, vecCol: String): Model = {
+      df: DataFrame, idCol: String, vecCol: String): Model = graft.util.BuildTimer.timed {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.centroids)
@@ -423,7 +423,7 @@ object IvfIndex {
     * source corpus. Symmetric with [[load]].
     */
   def loadSq8(spark: SparkSession, path: String, idCol: String)
-      : (Model, Array[Double], Array[Double]) = {
+      : (Model, Array[Double], Array[Double]) = graft.util.BuildTimer.timed {
     val cents = spark.read.parquet(s"$path/_centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
