@@ -244,6 +244,43 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             }
         }
 
+      // Index lifecycle (the reference's _reindex_external_index and
+      // index DELETE analogs — external_index.rs:109-162,
+      // http_server/index.rs:139-174): rebuild the collection's index
+      // from its CURRENT rows at the same cell count, list every live
+      // index, drop one (searches fall back to brute force).
+      case ("POST", List("collections", name, "reindex")) =>
+        tableOr404(ex, name).foreach { df =>
+          Option(ivfModels.get(name)) match {
+            case None =>
+              respond(ex, 404,
+                s"""{"error":"no index on $name — POST /collections/$name/index first"}""")
+            case Some(m) =>
+              val rebuilt = graft.operators.IvfIndex.build(
+                df, m.idCol, m.vecCol, m.centroids.length, maxIter = 5,
+                force = true)
+              ivfModels.put(name, rebuilt)
+              respond(ex, 200,
+                s"""{"reindexed":"$name","n_cells":${rebuilt.centroids.length}}""")
+          }
+        }
+
+      case ("DELETE", List("collections", name, "index")) =>
+        Option(ivfModels.remove(name)) match {
+          case Some(_) => respond(ex, 200, s"""{"dropped_index":"$name"}""")
+          case None =>
+            respond(ex, 404, s"""{"error":"no index on $name"}""")
+        }
+
+      case ("GET", List("indexes")) =>
+        import scala.jdk.CollectionConverters._
+        val items = ivfModels.asScala.toSeq.sortBy(_._1).map {
+          case (n, m) =>
+            s"""{"collection":"$n","n_cells":${m.centroids.length},""" +
+              s""""id_column":"${m.idCol}","vector_column":"${m.vecCol}"}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, items)
+
       // Scalar int8 quantization (SQ8): fit the per-dimension model and
       // register {name}_sqmodel / {name}_sq8 views — the codebook-free
       // sibling of /pq for 4x storage compression at near-exact recall.

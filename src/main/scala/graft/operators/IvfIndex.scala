@@ -52,9 +52,16 @@ object IvfIndex {
     * overrides where the index lands; default is the JVM temp dir —
     * production callers pass a durable path.
     */
+  /** @param force bypass the build memo entirely (no lookup, no
+    *   store): a REINDEX must re-run k-means over the corpus as it is
+    *   NOW even though the table-scan plan is semantically unchanged,
+    *   and its result is about to be dir-swapped so memoizing it would
+    *   pin a stale path.
+    */
   def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
       maxIter: Int = 10, seed: Long = 42L,
-      indexDir: Option[String] = None): Model = graft.util.BuildTimer.timed {
+      indexDir: Option[String] = None,
+      force: Boolean = false): Model = graft.util.BuildTimer.timed {
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -68,7 +75,7 @@ object IvfIndex {
     val plan = df.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed,
       indexDir)
-    val hit = buildMemo.get(key)
+    val hit = if (force) null else buildMemo.get(key)
     if (hit != null && hit._1.sameResult(plan) &&
         (hit._2.assigned.sparkSession eq spark))
       return hit._2
@@ -98,7 +105,7 @@ object IvfIndex {
         .parquet(s"$path/_centroids")
     }
     val model = Model(local, assigned, idCol, vecCol, path)
-    if (buildMemo.size < 32) buildMemo.put(key, (plan, model))
+    if (!force && buildMemo.size < 32) buildMemo.put(key, (plan, model))
     model
   }
 

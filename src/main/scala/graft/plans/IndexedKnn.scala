@@ -74,21 +74,92 @@ object IndexedKnn {
     * install the rewrite rule on the session. Idempotent.
     */
   def register(spark: SparkSession, dataPath: String, indexDir: String,
-      idCol: String, vecCol: String, nprobe: Int = 0): Unit = {
+      idCol: String, vecCol: String, nprobe: Int = 0,
+      name: String = ""): Unit = {
     // Drop any memoized Model for this dir: a re-registration usually
     // follows a rebuild that rewrote the part files, and a cached file
     // listing would point at deleted paths.
     modelMemo.remove(indexDir)
-    registry.put(qualify(spark, dataPath),
-      Entry(indexDir, idCol, vecCol, nprobe))
+    val q = qualify(spark, dataPath)
+    registry.put(q, Entry(indexDir, idCol, vecCol, nprobe))
+    names.put(if (name.nonEmpty) name else q, q)
     ensureRule(spark)
   }
 
-  def unregister(spark: SparkSession, dataPath: String): Unit =
-    registry.remove(qualify(spark, dataPath))
-      .foreach(e => modelMemo.remove(e.indexDir))
+  def unregister(spark: SparkSession, dataPath: String): Unit = {
+    val q = qualify(spark, dataPath)
+    registry.remove(q).foreach(e => modelMemo.remove(e.indexDir))
+    names.filterInPlace((_, path) => path != q)
+  }
 
-  def clear(): Unit = { registry.clear(); modelMemo.clear() }
+  def clear(): Unit = {
+    registry.clear(); modelMemo.clear(); names.clear()
+  }
+
+  // ---- index lifecycle (F10 analog) ---------------------------------
+  // One-call rebuild / drop / list over the registry and the durable
+  // artifact, mirroring the reference's `_reindex_external_index`
+  // (lantern_extras/src/external_index.rs:109-162): re-derive the
+  // index from the CORPUS AS IT IS NOW, swap the artifact directory
+  // atomically, re-register (which drops the model memo), so
+  // in-flight readers keep their loaded model and the next plan sees
+  // the rebuilt cells.
+
+  private val names = TrieMap[String, String]() // name -> qualified path
+
+  case class IndexInfo(name: String, dataPath: String, indexDir: String,
+      idCol: String, vecCol: String, nprobe: Int)
+
+  def listIndexes(): Seq[IndexInfo] =
+    names.toSeq.sortBy(_._1).flatMap { case (n, path) =>
+      registry.get(path).map(e =>
+        IndexInfo(n, path, e.indexDir, e.idCol, e.vecCol, e.nprobe))
+    }
+
+  private def entryFor(name: String): (String, Entry) = {
+    val path = names.getOrElse(name, throw new IllegalArgumentException(
+      s"no index named '$name' (have: ${names.keys.mkString(", ")})"))
+    (path, registry(path))
+  }
+
+  /** Rebuild the named index from the current corpus (fresh k-means at
+    * the artifact's existing cell count), atomically swap the durable
+    * directory, and re-register. The build lands in a sibling
+    * `.rebuild` dir first, so a crash mid-build leaves the live index
+    * untouched; the swap is two FileSystem renames.
+    */
+  def reindex(spark: SparkSession, name: String,
+      maxIter: Int = 5): IndexInfo = {
+    val (path, e) = entryFor(name)
+    val corpus = spark.read.parquet(path)
+    val nCells = model(spark, e).centroids.length
+    val fs = new org.apache.hadoop.fs.Path(e.indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(e.indexDir)
+    val fresh = new org.apache.hadoop.fs.Path(e.indexDir + ".rebuild")
+    val old = new org.apache.hadoop.fs.Path(e.indexDir + ".old")
+    fs.delete(fresh, true); fs.delete(old, true)
+    IvfIndex.build(corpus, e.idCol, e.vecCol, nCells, maxIter = maxIter,
+      indexDir = Some(fresh.toString), force = true)
+    if (!fs.rename(live, old) || !fs.rename(fresh, live))
+      throw new java.io.IOException(
+        s"reindex swap failed for ${e.indexDir}")
+    fs.delete(old, true)
+    register(spark, path, e.indexDir, e.idCol, e.vecCol, e.nprobe, name)
+    IndexInfo(name, path, e.indexDir, e.idCol, e.vecCol, e.nprobe)
+  }
+
+  /** Unregister the named index and delete its durable artifact.
+    * Queries over the table fall back to the brute-force plan (the
+    * rule no longer fires), matching the reference's index DELETE
+    * (`http_server/index.rs:139-174`).
+    */
+  def dropIndex(spark: SparkSession, name: String): Unit = {
+    val (path, e) = entryFor(name)
+    unregister(spark, path)
+    val p = new org.apache.hadoop.fs.Path(e.indexDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
 
   private[plans] def isEmpty: Boolean = registry.isEmpty
 

@@ -28,6 +28,11 @@ class HttpApiSpec extends SparkSuite {
     client.send(HttpRequest.newBuilder(URI.create(base + path))
       .DELETE().build(), HttpResponse.BodyHandlers.ofString())
 
+  private def put(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
   test("GET /collections lists registered tables") {
     val r = get("/collections")
     assert(r.statusCode() === 200)
@@ -224,6 +229,54 @@ class HttpApiSpec extends SparkSuite {
     val unknown = post("/collections/embeddings/search",
       s"""{"vector":[$vec],"k":3,"filter_column":"tenant","filter_value":"3"}""")
     assert(unknown.statusCode() === 400)
+  }
+
+  test("REST index lifecycle: build -> pruned search -> insert -> " +
+      "reindex sees new rows -> drop -> brute-force fallback") {
+    // the managed-table dir outlives the per-JVM catalog; clear both
+    // so reruns create cleanly
+    spark.sql("DROP TABLE IF EXISTS lc_vecs")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "lc_vecs")
+    wh.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(wh, true)
+    assert(post("/collections",
+      """{"name":"lc_vecs","columns":{"vec_id":"bigint","embedding":"array<float>"}}""")
+      .statusCode() === 201)
+    // 3 well-separated clusters, 20 rows each
+    val rows = (0 until 60).map { i =>
+      val c = (i % 3) * 10.0f
+      val vec = Seq(c, c, c, c).mkString("[", ",", "]")
+      s"""{"vec_id":$i,"embedding":$vec}"""
+    }.mkString("\n")
+    assert(put("/collections/lc_vecs", rows).statusCode() === 200)
+    assert(post("/collections/lc_vecs/index",
+      """{"n_cells":3,"id_column":"vec_id"}""").statusCode() === 201)
+    assert(get("/indexes").body().contains("\"collection\":\"lc_vecs\""))
+    val probe = """{"vector":[7,7,7,7],"k":1,"id_column":"vec_id"}"""
+    val r1 = post("/collections/lc_vecs/search", probe)
+    assert(r1.statusCode() === 200)
+    // insert a row exactly at the probe point: the index SNAPSHOT
+    // cannot see it, so the old nearest still wins
+    assert(put("/collections/lc_vecs",
+      """{"vec_id":999,"embedding":[7,7,7,7]}""").statusCode() === 200)
+    val r2 = post("/collections/lc_vecs/search", probe)
+    assert(!r2.body().contains("\"id\":999"),
+      s"index snapshot must not see inserts: ${r2.body()}")
+    // one-call reindex: rebuilt from current rows at the same n_cells
+    val rr = post("/collections/lc_vecs/reindex", "")
+    assert(rr.statusCode() === 200 && rr.body().contains("\"n_cells\":3"))
+    val r3 = post("/collections/lc_vecs/search", probe)
+    assert(r3.body().contains("\"id\":999,\"rank\":1"),
+      s"reindexed search must find the new row: ${r3.body()}")
+    // drop the index: 200 then 404; search falls back to brute force
+    assert(delete("/collections/lc_vecs/index").statusCode() === 200)
+    assert(delete("/collections/lc_vecs/index").statusCode() === 404)
+    val r4 = post("/collections/lc_vecs/search", probe)
+    assert(r4.statusCode() === 200 &&
+      r4.body().contains("\"id\":999,\"rank\":1"))
+    // reindex without an index is a 404, not a silent build
+    assert(post("/collections/lc_vecs/reindex", "").statusCode() === 404)
   }
 
   test("malformed numeric params get 400, not 500") {

@@ -158,6 +158,56 @@ class IndexedKnnSpec extends SparkSuite {
     }
   }
 
+  test("index lifecycle: reindex rebuilds from the current corpus " +
+      "with an atomic dir swap; drop falls back to brute force") {
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_idxknn_corpus").toString
+    val lcIdx = java.nio.file.Files
+      .createTempDirectory("graft_idxknn_lc").toString + "/idx"
+    emb.limit(400).select($"vec_id", $"embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    def corpus = spark.read.parquet(corpusDir)
+    IvfIndex.build(corpus, "vec_id", "embedding", nCells = 8,
+      maxIter = 5, indexDir = Some(lcIdx))
+    IndexedKnn.register(spark, corpusDir, lcIdx, "vec_id", "embedding",
+      nprobe = 0, name = "lcidx")
+    try {
+      assert(IndexedKnn.listIndexes().exists(i =>
+        i.name == "lcidx" && i.indexDir == lcIdx))
+      val far: Seq[Float] = Seq.fill(qvec.length)(50.0f)
+      def top1 = corpus.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(far)).as("dist"))
+        .orderBy($"dist").limit(1)
+      // the far-away row is not in the corpus yet
+      val before = top1
+      assert(!before.queryExecution.executedPlan.toString
+        .contains("graft_idxknn_corpus"), "not rewritten pre-append")
+      assert(before.head.getLong(0) !== 99999L)
+      // append the row; the index SNAPSHOT still cannot see it
+      import spark.implicits._
+      Seq((99999L, far)).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(corpusDir)
+      assert(top1.head.getLong(0) !== 99999L,
+        "index snapshot must not see post-build appends")
+      // one-call reindex: fresh k-means over the CURRENT corpus,
+      // atomic swap at the same dir, re-register
+      IndexedKnn.reindex(spark, "lcidx")
+      val after = top1
+      assert(!after.queryExecution.executedPlan.toString
+        .contains("graft_idxknn_corpus"), "still index-served")
+      assert(after.head.getLong(0) === 99999L)
+      assert(after.head.getDouble(1) === 0.0)
+      // drop: artifact gone, rule no longer fires, brute force finds it
+      IndexedKnn.dropIndex(spark, "lcidx")
+      assert(!new java.io.File(lcIdx).exists())
+      assert(IndexedKnn.listIndexes().forall(_.name != "lcidx"))
+      val fallback = top1
+      assert(fallback.queryExecution.executedPlan.toString
+        .contains("graft_idxknn_corpus"), "must scan the corpus again")
+      assert(fallback.head.getLong(0) === 99999L)
+    } finally IndexedKnn.unregister(spark, corpusDir)
+  }
+
   test("unregistered tables never rewrite, and SQL text queries do") {
     // not registered at all
     val plain = knnQuery(5).queryExecution.executedPlan.toString
