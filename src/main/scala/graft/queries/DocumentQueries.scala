@@ -121,6 +121,33 @@ object DocumentQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy($"doc_id")),
 
+    // Near-dup-safe leakage split: members of a MinHash near-dup
+    // component draw ONE fold via their component representative
+    // (min-label), so a near-copy of a training document can never
+    // land in the eval set (Lee et al. 2022); docs outside any pair
+    // are their own representative. Composition of q_minhash_dups
+    // (exact-Jaccard oracle, banding recall ~1 at 64x2) and
+    // q_dedup_components (unrolled min-label), ending in the
+    // q_leakage_split LCG draw — each link oracled on its own, here
+    // hash-checked END TO END.
+    "q_leakage_split_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashDupPairs(d, "doc_id", "text",
+          n = 3, numHashes = 128, bands = 64, tau = 0.5))
+        .withColumnRenamed("id", "doc_id")
+      d.select($"doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"component", $"doc_id").as("rep_id"))
+        .withColumn("u",
+          (($"rep_id" % 1000000L) * 2246822519L + 40503L) % 1000000L)
+        .withColumn("split",
+          when($"u" < 900000L, "train")
+            .when($"u" < 950000L, "val").otherwise("test"))
+        .orderBy($"doc_id")
+    }),
+
     // Incremental ingest dedup: a new batch (doc_id % 5 == 0) checked
     // against the accumulated corpus (the rest) — cross-corpus
     // MinHash-LSH banding + exact verification, no corpus self-join.
@@ -613,6 +640,17 @@ object DocumentQueries {
        |SELECT v AS doc_id, l AS component FROM l$k ORDER BY doc_id""".stripMargin
   }
 
+  /** The component CTE chain of [[componentsOracleSql]] without the
+    * final SELECT, for oracles that COMPOSE the near-dup components
+    * (l12 holds (v, l) = vertex -> component min-label at fixpoint for
+    * every vertex that appears in some dup pair).
+    */
+  private def componentsCtePrefix: String = {
+    val full = componentsOracleSql
+    full.substring(0, full.lastIndexOf("SELECT v AS doc_id"))
+      .stripSuffix("\n")
+  }
+
   private val cleanCorpusOracle = {
     val qualityCte = TA.qualitySql(TA.DuckDialect, "docs_f")
     s"""WITH docs_f AS (
@@ -661,6 +699,21 @@ object DocumentQueries {
         |ON md5(d.text) = g.h ORDER BY d.doc_id""".stripMargin,
     "q_jaccard_dups" -> jaccardOracle,
     "q_minhash_dups" -> jaccardOracle,
+    "q_leakage_split_neardup" ->
+      s"""$componentsCtePrefix,
+        |comp AS (SELECT v, l FROM l12)
+        |SELECT doc_id, rep_id, u,
+        |  CASE WHEN u < 900000 THEN 'train'
+        |       WHEN u < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, rep_id,
+        |    ((rep_id % 1000000) * 2246822519 + 40503) % 1000000 AS u
+        |  FROM (
+        |    SELECT d.doc_id, coalesce(c.l, d.doc_id) AS rep_id
+        |    FROM documents d LEFT JOIN comp c ON c.v = d.doc_id) _r) _u
+        |ORDER BY doc_id""".stripMargin,
+
     // capped face: exact Jaccard over the boilerplate-augmented corpus,
     // minus the planted cluster's internal pairs (their band keys are
     // all above the df-cap, so the Spark side drops them by design)

@@ -192,6 +192,51 @@ class PipelineOpsSpec extends SparkSuite {
     assert(straddlers > 0, "fixture too small to demonstrate leakage")
   }
 
+  test("near-dup leakage split: planted NEAR-dup (not identical) " +
+      "groups land in one fold via their component representative") {
+    import spark.implicits._
+    // 40-word docs; i % 11 == 0 docs come in near-dup pairs (one word
+    // edited — jaccard ~0.9, md5 DIFFERENT so the exact-dup split
+    // would treat them as unrelated singletons)
+    val docs = (0 until 600).flatMap { i =>
+      val words = (0 until 40).map(w => s"w${(i * 40 + w) % 7919}")
+      if (i % 11 == 0)
+        Seq((i.toLong, words.mkString(" ")),
+          (100000L + i, words.updated(20, "EDITED").mkString(" ")))
+      else Seq((i.toLong, words.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 64, tau = 0.5)
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val rows = docs.select($"doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.coalesce($"component", $"doc_id")
+          .as("rep_id"))
+      .withColumn("u",
+        (($"rep_id" % 1000000L) * 2246822519L + 40503L) % 1000000L)
+      .withColumn("split",
+        org.apache.spark.sql.functions.when($"u" < 900000L, "train")
+          .when($"u" < 950000L, "val").otherwise("test"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byGroup = rows.groupBy(_._2)
+    val planted = byGroup.filter(_._2.length > 1)
+    assert(planted.size >= 50, s"planted pairs missing: ${planted.size}")
+    assert(planted.forall { case (_, g) =>
+      g.map(_._3).distinct.size == 1 }, "a near-dup group straddles folds")
+    // the pair members' ids (i vs 100000+i) WOULD straddle under a
+    // per-doc draw for at least one group — the composition matters
+    def perDocFold(id: Long): String = {
+      val u = ((id % 1000000L) * 2246822519L + 40503L) % 1000000L
+      if (u < 900000L) "train" else if (u < 950000L) "val" else "test"
+    }
+    assert(planted.exists { case (_, g) =>
+      g.map(x => perDocFold(x._1)).distinct.size > 1 },
+      "fixture too small to demonstrate near-dup leakage")
+    Dedup.releaseCaches()
+  }
+
   test("dsir: target-slice docs score above raw on average, and keep " +
       "tracks the sign of the mean log-ratio") {
     val rows = onDocs(PipelineOps.dsirScoreSql(TA.SparkDialect))
