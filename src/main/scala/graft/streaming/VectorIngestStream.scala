@@ -59,6 +59,48 @@ object VectorIngestStream {
     cents
   }
 
+  /** Ingest the OUTPUT of an embedding job ([[EmbeddingJobs]] writes
+    * `outputDir/batch_id=N` partitions) into the index — the composed
+    * CDC → embed → index chain. Arrivals are keyed by the SOURCE
+    * (embed-stage) batch id, not this stream's own foreachBatch id:
+    * that choice is what makes the chain exactly-once under a crash at
+    * EITHER stage. An ingest crash between write and checkpoint commit
+    * replays onto the same `_stream/batch_id=N` subtree (dynamic
+    * overwrite). An EMBED crash replays its own batch and rewrites
+    * `outputDir/batch_id=N` with identical rows but fresh part-file
+    * names — a file-source ingest keyed by its own batch ids would see
+    * "new" files and double-ingest; keyed by the source batch id, the
+    * re-read rows land back on `_stream/batch_id=N` and overwrite.
+    *
+    * The distinct-batch-id collect per micro-batch is bounded by
+    * `maxFilesPerTrigger` (each source file lives in one batch dir) —
+    * a parameter, never data scale.
+    */
+  def startFromEmbedOutput(spark: SparkSession, outputDir: String,
+      idCol: String, vecCol: String, indexPath: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 8)
+      : StreamingQuery = {
+    val centroids = loadCentroids(spark, indexPath)
+    val schema = spark.read.parquet(outputDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(outputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // partition-value inference may type batch_id int or long
+        val bids = batch.select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bids.foreach { b =>
+          processBatch(
+            batch.where(col("batch_id") === b).drop("batch_id"),
+            b, centroids, idCol, vecCol, indexPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** One micro-batch: assign cells under the frozen quantizer, write
     * the batch's own partition subtree (dynamic overwrite ⇒ replay
     * rewrites, never double-appends). Graft-visible so the spec and
