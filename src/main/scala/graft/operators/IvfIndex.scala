@@ -332,6 +332,49 @@ object IvfIndex {
         (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
   }
 
+  /** Two-stage IVF-PQ search — ADC shortlist + exact re-rank (Jégou,
+    * Douze, Schmid, "Searching in one billion vectors: re-rank with
+    * source coding", ICASSP 2011; faiss `IndexRefineFlat`). Stage 1
+    * runs [[searchAdc]] to a `shortlist`-deep candidate pool per query
+    * (codes only — no float vectors move through the probe join);
+    * stage 2 re-ranks ONLY that pool with exact distances over the
+    * original vectors and returns the top `k`.
+    *
+    * Scale shape: the float read of stage 2 touches |queries|·shortlist
+    * rows instead of every row of every probed cell — the candidate
+    * (qid, nid) pool and the query vectors broadcast into the corpus
+    * scan, so the big side never shuffles. This is the standard answer
+    * to "PQ distortion flips neighbors at the top": ADC recall@shortlist
+    * is high even when ADC rank@k is wrong, and the exact pass restores
+    * the true order at negligible cost.
+    *
+    * Reference anchor: the reference's external index pairs its
+    * compressed scan with full-precision re-ranking the same way
+    * (lantern_extras/src/external_index/server.rs scan + re-rank).
+    */
+  def searchAdcRefine(model: Model, quantized: DataFrame, pqCol: String,
+      codebook: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int, metric: String = "l2sq",
+      lutScale: Option[Double] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val pool = searchAdc(model, quantized, pqCol, codebook, queries,
+        shortlist, nprobe, lutScale)
+      .select(col("qid"), col("nid"))
+    val qv = queries.select(
+      col(model.idCol).cast("long").as("qid"), col(model.vecCol).as("qvec"))
+    val cv = model.assigned.select(
+      col(model.idCol).cast("long").as("nid"), col(model.vecCol).as("cvec"))
+    val exact = cv.join(broadcast(pool), "nid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"),
+        Knn.distance(metric)(col("cvec"), col("qvec")).as("dist"))
+    exact.groupBy(col("qid"))
+      .agg(Knn.topk_by_score(col("dist"), col("nid"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("qid"), col("nn.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
+  }
+
   private val sq8BuildMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, String, Int, Int, Long, Option[String]),
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

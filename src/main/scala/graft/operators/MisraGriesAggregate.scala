@@ -1,0 +1,137 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded frequent-items summary (Misra–Gries 1982), mergeable per
+  * Agarwal et al., "Mergeable Summaries" (PODS 2012, §3): at most
+  * `capacity` counters; an unmatched item either takes a free slot or
+  * decrements every counter (dropping zeros). Merging sums counters
+  * and, if over capacity, subtracts the (capacity+1)-th largest count
+  * from all and drops non-positives — the same error bound as the
+  * streaming path.
+  *
+  * Guarantee (both paths): every item's estimate undercounts its true
+  * frequency by at most N/(capacity+1) over N total updates, so any
+  * item with true frequency > N/(capacity+1) is GUARANTEED present in
+  * the final summary. That makes this the candidate pass of an exact
+  * two-pass heavy-hitters at 100 TB: the full corpus is never
+  * grouped-by — the shuffle carries at most `capacity` rows per
+  * partition — and a second exact count over only the ≤`capacity`
+  * candidates turns the sketch into an exact top-k.
+  */
+final class MgBuffer(val capacity: Int) {
+  val counts = new mutable.HashMap[String, Long]()
+
+  def update(item: String): Unit = {
+    counts.get(item) match {
+      case Some(c) => counts.update(item, c + 1)
+      case None if counts.size < capacity => counts.update(item, 1L)
+      case None =>
+        // decrement-all; each such step destroys capacity+1 units of
+        // count (the arriving item's included), bounding total loss
+        val dead = mutable.ArrayBuffer[String]()
+        counts.mapValuesInPlace { (_, c) => c - 1 }
+        counts.foreach { case (k, c) => if (c <= 0) dead += k }
+        dead.foreach(counts.remove)
+    }
+  }
+
+  def mergeFrom(o: MgBuffer): Unit = {
+    o.counts.foreach { case (k, c) =>
+      counts.update(k, counts.getOrElse(k, 0L) + c)
+    }
+    if (counts.size > capacity) {
+      // subtract the (capacity+1)-th largest count from every counter
+      val vs = counts.values.toArray
+      java.util.Arrays.sort(vs)
+      val cut = vs(vs.length - capacity - 1)
+      val dead = mutable.ArrayBuffer[String]()
+      counts.mapValuesInPlace { (_, c) => c - cut }
+      counts.foreach { case (k, c) => if (c <= 0) dead += k }
+      dead.foreach(counts.remove)
+    }
+  }
+
+  /** (item, estimate) sorted by (estimate desc, item) — deterministic. */
+  def sorted: Array[(String, Long)] =
+    counts.toArray.sortBy { case (k, c) => (-c, k) }
+}
+
+/** `mg_sketch(item, capacity)` — aggregate returning the Misra–Gries
+  * summary as `ARRAY<STRUCT<item: STRING, est: BIGINT>>`, ordered by
+  * (est DESC, item). A real Catalyst aggregate, so Spark plans the
+  * partial before the shuffle: each partition emits one ≤capacity-entry
+  * summary instead of its full item stream.
+  */
+case class MgSketch(
+    itemExpr: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] {
+
+  require(capacity > 0, "capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(itemExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = MgSketch.resultType
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(capacity)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = itemExpr.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(b1: MgBuffer, b2: MgBuffer): MgBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: MgBuffer): Any = {
+    val rows = buf.sorted.map { case (k, c) =>
+      InternalRow(UTF8String.fromString(k), c)
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: MgBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity); out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new MgBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MgSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MgSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(itemExpr = c(0))
+  override def prettyName: String = "mg_sketch"
+}
+
+object MgSketch {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+}

@@ -496,4 +496,123 @@ object PipelineOps {
        |  ${d.size}(regexp_extract_all($textCol,
        |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', 0)) AS n_emails
        |FROM $table${tailOrder(d, idCol)}""".stripMargin
+
+  /** Chunk slice as text: words [i·C+1, i·C+C] (1-based), space-joined.
+    * Spark's slice takes (start, LENGTH); DuckDB's list_slice an
+    * inclusive stop — both clamp a final short chunk.
+    */
+  private def chunkText(d: Dialect, ws: String, i: String, c: Int): String =
+    if (d == SparkDialect)
+      s"array_join(slice($ws, ($i) * $c + 1, $c), ' ')"
+    else
+      s"array_to_string(list_slice($ws, ($i) * $c + 1, ($i) * $c + $c), ' ')"
+
+  /** CC-Net-style line-level boilerplate removal (Wenzek et al. 2020
+    * §4.1: drop duplicated paragraphs/lines before model scoring) —
+    * documents are REWRITTEN, not just scored: each document splits
+    * into consecutive `chunkWords`-word lines, any line whose text
+    * occurs in ≥ `dfCap` distinct documents (headers, footers, nav
+    * boilerplate) is dropped, and the survivors re-join in order.
+    * Complements q_span_dedup (which scores overlap but rewrites
+    * nothing). Reference analog: the reference's row-level
+    * `get_clean_text` filter (lantern_cli/src/utils/mod.rs:37-39)
+    * generalized to sub-document granularity.
+    *
+    * Scale shape: explode → one groupBy on line text (partial-agg'd
+    * count distinct) → hash join back → groupBy doc. The line-df table
+    * shards like any relation; no driver state, no all-pairs work.
+    */
+  def lineDedupSql(d: Dialect, table: String = "documents",
+      chunkWords: Int = 2, dfCap: Int = 5): String = {
+    val keptConcat =
+      if (d == SparkDialect)
+        "array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN df < " + dfCap + " THEN struct(i, ctext) END)), " +
+          "x -> x.ctext), ' ')"
+      else
+        s"COALESCE(string_agg(CASE WHEN df < $dfCap THEN ctext END, " +
+          "' ' ORDER BY i), '')"
+    s"""WITH ch AS (
+       |  SELECT doc_id, i, ${chunkText(d, "ws", "i", chunkWords)} AS ctext
+       |  FROM (
+       |    SELECT doc_id, ws,
+       |      ${explodeSeq(d, "0",
+            s"${intDiv(d, s"${d.size}(ws) + ${chunkWords - 1}",
+              chunkWords.toString)} - 1")} AS i
+       |    FROM (SELECT doc_id, ${d.split}(trim(text), ' ') AS ws
+       |          FROM $table WHERE length(trim(text)) > 0) _w) _x),
+       |df AS (SELECT ctext, count(DISTINCT doc_id) AS df
+       |       FROM ch GROUP BY ctext)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN df >= $dfCap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  ${r4(s"CAST(sum(CASE WHEN df < $dfCap THEN 1 ELSE 0 END) AS DOUBLE)" +
+           " / CAST(count(*) AS DOUBLE)")} AS kept_frac,
+       |  $keptConcat AS kept_text
+       |FROM (SELECT ch.doc_id, ch.i, ch.ctext, df.df
+       |      FROM ch JOIN df ON ch.ctext = df.ctext) _j
+       |GROUP BY doc_id${tailOrder(d, "doc_id")}""".stripMargin
+  }
+
+  /** Supervised Naive-Bayes quality classifier — the fasttext-style
+    * linear classifier of CC-Net/GPT-3 data curation (Wenzek et al.
+    * 2020 §4.2; Brown et al. 2020 app. A), as one SQL template: train
+    * multinomial NB with add-one smoothing on a deterministic seed
+    * slice (doc_id % 10 < 3, labels = `lang = 'en'` as the stand-in
+    * "looks like the reference corpus" class), then score EVERY
+    * document by its total token log-odds plus the class-prior
+    * log-odds. Differs from [[dsirScoreSql]] (unsupervised importance
+    * ratio between corpus slices): this one is label-supervised with a
+    * per-class generative model and a decision threshold.
+    *
+    * Cross-engine exactness: every log is quantized to integer 1e-4
+    * nats BEFORE summation (the [[lmPerplexitySql]] trick), so scores
+    * are exact BIGINTs and the compare is hash-identical.
+    *
+    * Scale shape: the model is two aggregations over the seed slice
+    * (per-token class counts + totals), both DataFrames — never
+    * driver-resident; scoring is one hash join of the corpus token
+    * stream against the count table (AQE broadcasts it when small).
+    */
+  def nbQualitySql(d: Dialect, table: String = "documents"): String = {
+    val mat = if (d == SparkDialect) "" else " MATERIALIZED"
+    def q(x: String) = s"CAST(floor(ln($x) * 10000 + 0.5) AS BIGINT)"
+    s"""WITH w AS$mat (
+       |  SELECT doc_id, lang, ${if (d == SparkDialect)
+            "w FROM (SELECT doc_id, lang, text FROM " + table +
+              " WHERE length(trim(text)) > 0) _d " +
+              "LATERAL VIEW explode(split(trim(text), ' ')) _t AS w"
+          else
+            s"unnest(string_split(trim(text), ' ')) AS w FROM $table " +
+              "WHERE length(trim(text)) > 0"}),
+       |seed AS$mat (SELECT * FROM w WHERE doc_id % 10 < 3),
+       |pri AS (SELECT
+       |  count(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS nh,
+       |  count(DISTINCT CASE WHEN lang != 'en' THEN doc_id END) AS nl
+       |  FROM seed),
+       |tot AS (SELECT
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS th,
+       |  CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS tl,
+       |  CAST(count(DISTINCT w) AS DOUBLE) AS v
+       |  FROM seed),
+       |cnt AS (SELECT w,
+       |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ch,
+       |  sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS cl
+       |  FROM seed GROUP BY w)
+       |SELECT doc_id, n_words, score_q AS nb_score_q,
+       |  CAST(CASE WHEN score_q > 0 THEN 1 ELSE 0 END AS INT) AS pred
+       |FROM (
+       |  SELECT s.doc_id, s.n_words,
+       |    s.tok_q + ${q("(CAST(pri.nh AS DOUBLE) + 1) / (CAST(pri.nl AS DOUBLE) + 1)")}
+       |      AS score_q
+       |  FROM (
+       |    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |      CAST(sum(
+       |        ${q("(CAST(COALESCE(cnt.ch, 0) AS DOUBLE) + 1) / (tot.th + tot.v)")} -
+       |        ${q("(CAST(COALESCE(cnt.cl, 0) AS DOUBLE) + 1) / (tot.tl + tot.v)")}
+       |      ) AS BIGINT) AS tok_q
+       |    FROM w LEFT JOIN cnt ON w.w = cnt.w CROSS JOIN tot
+       |    GROUP BY w.doc_id) s CROSS JOIN pri
+       |) _o${tailOrder(d, "doc_id")}""".stripMargin
+  }
 }

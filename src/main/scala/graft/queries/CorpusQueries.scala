@@ -61,7 +61,27 @@ object CorpusQueries {
       SpanDedup.contamination(docs(s, dir), "doc_id", "text", SpanN,
           col("doc_id") % 97 === 0, strategy = "bloom")
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Sketch-accelerated exact top-20 bigrams: Misra–Gries candidate
+    // pass (bounded shuffle: ≤capacity rows per partition, never one
+    // per distinct n-gram) + exact recount of candidates. Capacity
+    // 2048 ≫ this corpus's ~930 distinct bigrams keeps the guarantee
+    // airtight; eviction/merge-cut paths are stress-tested in
+    // HeavyHittersSpec on planted zipf data.
+    "q_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{explode, expr}
+      val bigrams = docs(s, dir)
+        .where("length(trim(text)) > 0")
+        .selectExpr("split(trim(text), ' ') AS ws")
+        .where("size(ws) >= 2")
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> element_at(ws, i) || ' ' || element_at(ws, i + 1))"))
+          .as("g"))
+      graft.operators.HeavyHitters.topK(bigrams, "g", k = 20,
+        capacity = 2048)
+    })
   )
 
   /** Shared CTE for the span oracles: per-doc DISTINCT word-8-grams as
@@ -90,7 +110,17 @@ object CorpusQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_contamination" -> contaminationOracle,
     // the bloom plan is an execution strategy, not a semantics change
-    "q_contamination_bloom" -> contaminationOracle
+    "q_contamination_bloom" -> contaminationOracle,
+    // exact top-20 bigrams — the sketch is a plan strategy, not a
+    // semantics change, so the oracle is the plain aggregation
+    "q_heavy_hitters" ->
+      """WITH wx AS (SELECT string_split(trim(text), ' ') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS item
+        |  FROM wx WHERE len(ws) >= 2)
+        |SELECT item, count(*) AS c FROM bg GROUP BY item
+        |ORDER BY c DESC, item LIMIT 20""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

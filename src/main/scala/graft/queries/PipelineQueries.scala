@@ -82,6 +82,16 @@ object PipelineQueries {
     "q_dsir_scores" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.dsirScoreSql(TA.SparkDialect))),
 
+    // CC-Net line-level boilerplate removal: documents rewritten with
+    // cross-corpus duplicated lines dropped (df-capped line table).
+    "q_line_dedup" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.lineDedupSql(TA.SparkDialect))),
+
+    // Supervised NB quality classifier trained on the seed slice;
+    // integer 1e-4-nat log-odds scores + decision per document.
+    "q_nb_quality" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.nbQualitySql(TA.SparkDialect))),
+
     // Capstone composite — the full prepare-training-corpus pipeline:
     // Gopher rule gate → MinHash near-dup removal (keep min id) →
     // deterministic domain mixing → sequence packing, one call. Each
@@ -166,6 +176,8 @@ object PipelineQueries {
     "q_adaptive_gate" -> PO.adaptiveGateSql(TA.DuckDialect),
     "q_lm_perplexity" -> PO.lmPerplexitySql(TA.DuckDialect),
     "q_dsir_scores" -> PO.dsirScoreSql(TA.DuckDialect),
+    "q_line_dedup" -> PO.lineDedupSql(TA.DuckDialect),
+    "q_nb_quality" -> PO.nbQualitySql(TA.DuckDialect),
     "q_token_budget_mix" -> PO.tokenBudgetMixSql(TA.DuckDialect),
     "q_zorder_key" -> PO.zorderSql(TA.DuckDialect,
       "orders", "o_orderkey", "o_custkey", "o_orderkey"),

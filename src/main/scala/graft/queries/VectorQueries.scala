@@ -336,6 +336,27 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Two-stage refine: ADC shortlist (30 deep, integer LUT, fixed
+    // codebook, full probe — the q_ivfpq_adc_fixed regime, so the pool
+    // is engine-independent) then exact re-rank to top-10 over the
+    // original floats. Hash-oracled end to end: the oracle restates
+    // shortlist AND re-rank, so the face pins the candidate handoff,
+    // not just each stage alone.
+    "q_ivfpq_refine_fixed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val model = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nCells = 16, maxIter = 5)
+      val cb = PqQueries.fixedCodebook(s, dir)
+      val quantized = graft.operators.ProductQuantizer.quantizeColumn(
+        model.assigned, "embedding", "codes", cb)
+      graft.operators.IvfIndex.searchAdcRefine(model, quantized, "codes",
+        cb, queries, k = 10, nprobe = 16, shortlist = 30,
+        lutScale = Some(1e6))
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Filtered ANN at the INDEX level: the same metadata predicate
     // applied inside the probed-cell scan (data filter next to the
     // cell PartitionFilter), full probe ⇒ identical to the brute
@@ -788,6 +809,42 @@ object VectorQueries {
          |  FROM adc)
          |SELECT qid, nid, CAST(rk AS INT) AS rank, dist_q
          |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    // the refine face: the ADC restatement above truncated at the
+    // 30-deep shortlist, then the exact-L2 re-rank over the original
+    // floats with the same (dist, nid) tie-break as q_knn
+    "q_ivfpq_refine_fixed" ->
+      s"""${PqQueries.fixedAssignBase},
+         |q AS (SELECT vec_id AS qid, split_id, a_sv AS q_sv
+         |      FROM sub WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT q.qid, cb.split_id, cb.centroid_id,
+         |    list_sum(list_transform(range(1, len(q.q_sv)+1),
+         |      i -> CAST(floor(
+         |        (CAST(q.q_sv[i] AS DOUBLE) - CAST(cb.b_c[i] AS DOUBLE))
+         |        * (CAST(q.q_sv[i] AS DOUBLE) - CAST(cb.b_c[i] AS DOUBLE))
+         |        * 1000000 + 0.5) AS BIGINT))) AS dq
+         |  FROM q JOIN cb ON q.split_id = cb.split_id),
+         |adc AS (
+         |  SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dq) AS BIGINT) AS dist_q
+         |  FROM (SELECT vec_id, split_id, centroid_id AS code FROM scored
+         |        WHERE rn = 1) c
+         |  JOIN lut l ON c.split_id = l.split_id AND c.code = l.centroid_id
+         |  GROUP BY l.qid, c.vec_id),
+         |pool AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist_q, nid) AS rk
+         |  FROM adc) _p WHERE rk <= 30),
+         |qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id < 10),
+         |rr AS (SELECT * FROM (
+         |  SELECT pool.qid, pool.nid,
+         |    ${dkL2sq("e.embedding", "qe.qv")} AS d,
+         |    row_number() OVER (PARTITION BY pool.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "qe.qv")}, pool.nid) AS rk
+         |  FROM pool JOIN embeddings e ON e.vec_id = pool.nid
+         |  JOIN qe ON qe.qid = pool.qid) _r WHERE rk <= 10)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM rr ORDER BY qid, rank""".stripMargin,
     "q_vec_norm" ->
       s"""SELECT vec_id, round(sqrt(${dkNormSq("embedding")}), 4) AS nrm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
