@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+
+import graft.operators.MgSketch
 
 /** Column-level API over the Catalyst vector expressions, mirroring the
   * reference's SQL surface (`l2sq_dist`, `cos_dist`, `hamming_dist` and
@@ -45,5 +47,16 @@ object VectorFunctions {
     one("hamming_dist", e => HammingDistance(ci(e(0)), ci(e(1))))
     one("vector_norm", e => VectorNorm(cf(e.head)))
     one("vector_normalize", e => NormalizeVector(cf(e.head)))
+    // Misra–Gries frequent-items aggregates (ResolveFunctions wraps a
+    // returned AggregateFunction in its AggregateExpression). k and
+    // capacity parameterize the sketch itself, so they must be literals.
+    def lit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an INT literal, got: ${other.sql}")
+    }
+    one("mg_sketch", e => MgSketch(e(0), lit(e(1), "capacity")))
+    one("sketch_topk", e => MgSketch(e(0), lit(e(2), "capacity"),
+      topK = Some(lit(e(1), "k"))))
   }
 }

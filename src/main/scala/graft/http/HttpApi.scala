@@ -377,7 +377,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               shared = false).persist()
             try {
               val dupIds = D.dupPairsFromSets(sets, sets, "i", "j",
-                numHashes = 128, bands = 64, tau = tau, selfJoin = true)
+                numHashes = 128, bands = 64, tau = tau, selfJoin = true,
+                maxBandDocFreq = Some(D.DefaultMaxBandDocFreq))
                 .select(col("j").as(idCol)).distinct()
               val survivors = df.join(dupIds, Seq(idCol), "left_anti")
                 .persist()
@@ -428,6 +429,54 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               s"""{"i":${r.get(0)},"j":${r.get(1)},"shared":${r.get(2)},
                  |"overlap":${r.get(3)}}""".stripMargin.replace("\n", ""))
             respond(ex, 200, s"""{"pairs":[${items.mkString(",")}]}""")
+          }
+        }
+
+      // Exact top-k frequent items via the Misra–Gries sketch
+      // (HeavyHitters.topK — bounded partial-agg shuffle + broadcast
+      // semi-join recount). Body: {"column":"text","k":10,
+      // "capacity":4096,"ngram":2}; with "ngram" set the column is
+      // treated as text and word n-grams are counted, otherwise the
+      // column's values are the items. Read-only.
+      case ("POST", List("collections", name, "topk")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val column = jsonField(body, "column").getOrElse("text")
+          val k = jsonField(body, "k")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(10)
+          val capacity = jsonField(body, "capacity")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(4096)
+          val ngram = jsonField(body, "ngram")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1))
+          if (!df.columns.contains(column))
+            respond(ex, 400, s"""{"error":"no column $column"}""")
+          else if (k < 1 || k > 10000)
+            respond(ex, 400,
+              """{"error":"k must be an integer in [1, 10000]"}""")
+          else if (capacity < k || capacity > (1 << 20))
+            respond(ex, 400,
+              """{"error":"capacity must be an integer in [k, 1048576]"}""")
+          else if (ngram.exists(n => n < 1 || n > 8))
+            respond(ex, 400,
+              """{"error":"ngram must be an integer in [1, 8]"}""")
+          else {
+            val items = ngram match {
+              case None => df.select(col(column).cast("string").as("item"))
+              case Some(n) =>
+                df.where(s"length(trim($column)) > 0")
+                  .selectExpr(s"split(trim($column), ' ') AS ws")
+                  .where(s"size(ws) >= $n")
+                  .selectExpr(
+                    s"explode(transform(sequence(1, size(ws) - ${n - 1}), " +
+                      s"i -> array_join(slice(ws, i, $n), ' '))) AS item")
+            }
+            val top = graft.operators.HeavyHitters
+              .topK(items, "item", k, capacity).collect()
+            val out = top.map(r =>
+              s"""{"item":"${graft.util.Json.escape(r.getString(0))}",""" +
+                s""""count":${r.getLong(1)}}""")
+            respond(ex, 200, s"""{"topk":[${out.mkString(",")}]}""")
           }
         }
 

@@ -282,6 +282,19 @@ object Dedup {
       .where(col("jac") >= tau)
   }
 
+  /** Default band-key document-frequency cap, ON for every scale-facing
+    * MinHash entry point (minhash/cross-corpus/streaming/HTTP). A
+    * genuine near-dup GROUP puts its whole membership on shared band
+    * keys, so the cap must sit far above any dup-group size the caller
+    * expects to resolve pair-by-pair: 1000 ≈ 100 × a generous 10-doc
+    * group. Buckets past it are boilerplate (exact-dup storms that
+    * [[exactDupGroups]] handles at groupBy cost), not near-dup signal —
+    * see [[minhashDupPairs]]'s param doc for the recall argument. Pass
+    * `maxBandDocFreq = None` to disable, or a tighter cap for skewier
+    * corpora.
+    */
+  val DefaultMaxBandDocFreq = 1000
+
   /** MinHash-LSH near-dup pairs — the scale path for jaccardPairs.
     * shingle → k minhashes → `bands` band keys → bucket join on
     * (band, key) → exact Jaccard verification on candidates only.
@@ -303,7 +316,8 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 64,
       tau: Double = 0.5, seed: Long = 42L,
-      maxBandDocFreq: Option[Int] = None): DataFrame = {
+      maxBandDocFreq: Option[Int] = Some(DefaultMaxBandDocFreq))
+      : DataFrame = {
     // One persisted relation carries both the hashed shingles and the
     // signature; the banding/prefilter/verification machinery is the
     // SAME dupPairsFromSets code path the cross-corpus and streaming
@@ -370,7 +384,9 @@ object Dedup {
   def crossCorpusDupPairs(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
       bands: Int = 64, tau: Double = 0.5, seed: Long = 42L,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto",
+      maxBandDocFreq: Option[Int] = Some(DefaultMaxBandDocFreq))
+      : DataFrame = {
     require(Set("auto", "bloom").contains(strategy),
       s"unknown crossCorpus strategy: $strategy")
     def sigSets(df: DataFrame) =
@@ -378,7 +394,8 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     dupPairsFromSets(sigSets(incoming), sigSets(existing),
       "new_id", "old_id", numHashes, bands, tau, selfJoin = false,
-      bloomPruneRight = strategy == "bloom")
+      bloomPruneRight = strategy == "bloom",
+      maxBandDocFreq = maxBandDocFreq)
   }
 
   /** The (id, hs, sig) relation minhash dedup runs on: pre-hashed
@@ -442,17 +459,21 @@ object Dedup {
     def bandRel(sets: DataFrame, idOut: String) = sets.select(
       col("id").as(idOut), posexplode(bk(col("sig"))).as(Seq("band", "bkey")))
     val lRel0 = bandRel(left, leftIdOut)
+    val rRelRaw = bandRel(if (selfJoin) left else right, rightIdOut)
     // Zipfian guard (see minhashDupPairs): the hot-key list is tiny
     // (only keys above the cap), so the anti-joins broadcast — one
-    // cheap agg over the band relation buys freedom from O(bucket²)
-    // boilerplate blowup.
+    // cheap agg per band relation buys freedom from O(bucket²)
+    // boilerplate blowup. Cross-corpus: a key hot on EITHER side is a
+    // blowup (|Lbucket|×|Rbucket| candidates), so count both sides.
     val hotKeys = maxBandDocFreq.map { cap =>
-      lRel0.groupBy(col("band"), col("bkey")).count()
-        .where(col("count") > cap).select(col("band"), col("bkey"))
+      def hot(rel: DataFrame) =
+        rel.groupBy(col("band"), col("bkey")).count()
+          .where(col("count") > cap).select(col("band"), col("bkey"))
+      if (selfJoin) hot(lRel0)
+      else hot(lRel0).union(hot(rRelRaw)).distinct()
     }
     val lRel = hotKeys.fold(lRel0)(h =>
       lRel0.join(broadcast(h), Seq("band", "bkey"), "left_anti"))
-    val rRelRaw = bandRel(if (selfJoin) left else right, rightIdOut)
     val rRel0 = hotKeys.fold(rRelRaw)(h =>
       rRelRaw.join(broadcast(h), Seq("band", "bkey"), "left_anti"))
     // Big-batch incremental regime: when the LEFT (incoming) band

@@ -14,8 +14,8 @@ import graft.functions.VectorFunctions
   * Here pass 1 runs a Misra–Gries summary ([[MgSketch]]) as a real
   * partial aggregate — each partition emits one ≤capacity-entry sketch,
   * so shuffle volume is capacity × partitions regardless of vocabulary
-  * size — and pass 2 exactly counts ONLY the ≤capacity candidates (an
-  * `isin` filter that prunes at the scan, then a ≤capacity-key groupBy).
+  * size — and pass 2 exactly counts ONLY the ≤capacity candidates (a
+  * broadcast semi-join prune, then a ≤capacity-key groupBy).
   *
   * EXACTNESS: the merged summary provably contains every item with true
   * frequency > N/(capacity+1) (Misra–Gries / Mergeable Summaries bound).
@@ -46,9 +46,14 @@ object HeavyHitters {
     val sketch = df.select(mg_sketch(col(itemCol), capacity).as("s"))
       .select(explode($"s").as("e")).select($"e.item")
       .collect().map(_.getString(0))
-    // Pass 2: exact counts of candidates only; the IN-list prunes at
-    // the scan so the groupBy sees ≤capacity distinct keys.
-    df.filter(col(itemCol).isin(sketch.toSeq: _*))
+    // Pass 2: exact counts of candidates only. A broadcast LEFT SEMI
+    // join prunes to ≤capacity distinct keys without materializing a
+    // capacity-arm IN expression (at capacity 4096+ a literal isin
+    // stresses codegen and the driver-side plan; the semi-join is the
+    // same prune as one broadcast hash lookup per row).
+    val cand = spark.createDataset(sketch.toSeq.distinct)
+      .toDF("__mg_candidate")
+    df.join(broadcast(cand), col(itemCol) === $"__mg_candidate", "left_semi")
       .groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"item")

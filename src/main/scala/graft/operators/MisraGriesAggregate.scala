@@ -71,15 +71,22 @@ final class MgBuffer(val capacity: Int) {
   * (est DESC, item). A real Catalyst aggregate, so Spark plans the
   * partial before the shuffle: each partition emits one ≤capacity-entry
   * summary instead of its full item stream.
+  *
+  * `topK` (the SQL surface's `sketch_topk(item, k, capacity)`) keeps
+  * only the first k summary entries at eval — the sketch itself still
+  * runs at full `capacity`, so the N/(capacity+1) undercount bound is
+  * unchanged; the slice only trims the returned array.
   */
 case class MgSketch(
     itemExpr: Expression,
     capacity: Int,
+    topK: Option[Int] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MgBuffer] {
 
   require(capacity > 0, "capacity must be positive")
+  require(topK.forall(_ > 0), "k must be positive")
 
   override def children: Seq[Expression] = Seq(itemExpr)
   override def nullable: Boolean = false
@@ -98,7 +105,8 @@ case class MgSketch(
   }
 
   override def eval(buf: MgBuffer): Any = {
-    val rows = buf.sorted.map { case (k, c) =>
+    val entries = topK.fold(buf.sorted)(buf.sorted.take)
+    val rows = entries.map { case (k, c) =>
       InternalRow(UTF8String.fromString(k), c)
     }
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
@@ -127,7 +135,8 @@ case class MgSketch(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(itemExpr = c(0))
-  override def prettyName: String = "mg_sketch"
+  override def prettyName: String =
+    if (topK.isDefined) "sketch_topk" else "mg_sketch"
 }
 
 object MgSketch {

@@ -80,6 +80,7 @@ object IndexedKnn {
     // follows a rebuild that rewrote the part files, and a cached file
     // listing would point at deleted paths.
     modelMemo.remove(indexDir)
+    recoverSwap(spark, indexDir)
     val q = qualify(spark, dataPath)
     registry.put(q, Entry(indexDir, idCol, vecCol, nprobe))
     names.put(if (name.nonEmpty) name else q, q)
@@ -131,6 +132,7 @@ object IndexedKnn {
   def reindex(spark: SparkSession, name: String,
       maxIter: Int = 5): IndexInfo = {
     val (path, e) = entryFor(name)
+    recoverSwap(spark, e.indexDir) // heal a previously interrupted swap
     val corpus = spark.read.parquet(path)
     val nCells = model(spark, e).centroids.length
     val fs = new org.apache.hadoop.fs.Path(e.indexDir)
@@ -166,9 +168,31 @@ object IndexedKnn {
   private[plans] def lookup(rootPaths: Seq[String]): Option[Entry] =
     rootPaths.flatMap(registry.get).headOption
 
+  /** Heal a reindex swap interrupted between its two renames: if the
+    * live dir is gone but the `.old` sibling survives, restore it. The
+    * `.rebuild` dir (a complete fresh build, if the crash was after
+    * rename #1 but before rename #2 finished publishing it) is treated
+    * as not-yet-committed and discarded — the pre-reindex index is the
+    * last state a reader ever observed.
+    */
+  private[plans] def recoverSwap(spark: SparkSession,
+      indexDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(
+          s"crash recovery: could not restore $old to $live")
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir + ".rebuild"), true)
+    }
+  }
+
   private[plans] def model(spark: SparkSession, e: Entry): IvfIndex.Model =
-    modelMemo.getOrElseUpdate(e.indexDir,
-      IvfIndex.load(spark, e.indexDir, e.idCol, e.vecCol))
+    modelMemo.getOrElseUpdate(e.indexDir, {
+      recoverSwap(spark, e.indexDir)
+      IvfIndex.load(spark, e.indexDir, e.idCol, e.vecCol)
+    })
 
   /** Install [[IndexedKnnRule]] on the session's user-provided
     * optimizer batch (idempotent). Called by [[register]] and by

@@ -81,6 +81,27 @@ object CorpusQueries {
           .as("g"))
       graft.operators.HeavyHitters.topK(bigrams, "g", k = 20,
         capacity = 2048)
+    }),
+
+    // The same sketch driven ENTIRELY from SQL: sketch_topk(item, k,
+    // capacity) registered by VectorFunctions — the SQL/HTTP surface of
+    // [[graft.operators.MgSketch]]. Capacity 2048 ≫ the corpus's ~920
+    // distinct bigrams, so the summary carries exact counts and the
+    // plain-aggregation oracle applies verbatim.
+    "q_sketch_topk" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH bg AS (
+          |  SELECT explode(transform(sequence(1, size(ws) - 1),
+          |    i -> element_at(ws, i) || ' ' || element_at(ws, i + 1))) AS item
+          |  FROM (SELECT split(trim(text), ' ') AS ws FROM documents
+          |        WHERE length(trim(text)) > 0)
+          |  WHERE size(ws) >= 2),
+          |sk AS (SELECT sketch_topk(item, 20, 2048) AS tk FROM bg)
+          |SELECT e.item AS item, e.est AS c
+          |FROM sk LATERAL VIEW explode(tk) t AS e
+          |ORDER BY c DESC, item""".stripMargin)
     })
   )
 
@@ -113,15 +134,20 @@ object CorpusQueries {
     "q_contamination_bloom" -> contaminationOracle,
     // exact top-20 bigrams — the sketch is a plan strategy, not a
     // semantics change, so the oracle is the plain aggregation
-    "q_heavy_hitters" ->
-      """WITH wx AS (SELECT string_split(trim(text), ' ') AS ws
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
-        |    i -> ws[i] || ' ' || ws[i + 1])) AS item
-        |  FROM wx WHERE len(ws) >= 2)
-        |SELECT item, count(*) AS c FROM bg GROUP BY item
-        |ORDER BY c DESC, item LIMIT 20""".stripMargin
+    "q_heavy_hitters" -> topBigramsOracle,
+    // capacity exceeds the distinct-bigram count, so the sketch's
+    // estimates ARE the exact counts — same oracle as q_heavy_hitters
+    "q_sketch_topk" -> topBigramsOracle
   )
+
+  private lazy val topBigramsOracle: String =
+    """WITH wx AS (SELECT string_split(trim(text), ' ') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i + 1])) AS item
+      |  FROM wx WHERE len(ws) >= 2)
+      |SELECT item, count(*) AS c FROM bg GROUP BY item
+      |ORDER BY c DESC, item LIMIT 20""".stripMargin
 
   private lazy val contaminationOracle: String =
     s"""WITH $gramsCte,

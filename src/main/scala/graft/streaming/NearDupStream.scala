@@ -78,12 +78,14 @@ object NearDupStream {
         val se = spark.read.parquet(
           priorDirs.map(d => s"$setsDir/$d"): _*)
         Dedup.dupPairsFromSets(si, se, "new_id", "old_id",
-          numHashes, bands, tau, selfJoin = false)
+          numHashes, bands, tau, selfJoin = false,
+          maxBandDocFreq = Some(Dedup.DefaultMaxBandDocFreq))
           .select(col("new_id").as("id")).distinct()
       }
     // within-batch: keep the smaller id of every near-dup pair
     val withinDups = Dedup.dupPairsFromSets(si, si, "i", "j",
-      numHashes, bands, tau, selfJoin = true)
+      numHashes, bands, tau, selfJoin = true,
+      maxBandDocFreq = Some(Dedup.DefaultMaxBandDocFreq))
       .select(col("j").as("id")).distinct()
     // persisted: consumed by BOTH writes below — without this the
     // cross-index band join (the batch's dominant cost) runs twice

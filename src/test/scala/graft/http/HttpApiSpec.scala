@@ -133,6 +133,43 @@ class HttpApiSpec extends SparkSuite {
       """{"text_column":"nope"}""").statusCode() === 400)
   }
 
+  test("POST /collections/{name}/topk returns exact frequent items " +
+      "(sketch candidates + exact recount) and validates params") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_topk_api")
+    // n-gram mode over the text column: counts word bigrams
+    val r = post("/collections/docs_topk_api/topk",
+      """{"column":"text","k":5,"capacity":2048,"ngram":2}""")
+    assert(r.statusCode() === 200, r.body())
+    val counts = "\"count\":(\\d+)".r.findAllMatchIn(r.body())
+      .map(_.group(1).toLong).toSeq
+    assert(counts.length === 5 && counts == counts.sorted.reverse,
+      s"not count-ordered: ${r.body()}")
+    // the top bigram's exact count must match a plain aggregation
+    val want = spark.sql(
+      """SELECT count(*) AS c FROM (
+        |  SELECT explode(transform(sequence(1, size(ws) - 1),
+        |    i -> element_at(ws, i) || ' ' || element_at(ws, i + 1))) AS g
+        |  FROM (SELECT split(trim(text), ' ') AS ws FROM docs_topk_api
+        |        WHERE length(trim(text)) > 0) WHERE size(ws) >= 2)
+        |GROUP BY g ORDER BY c DESC LIMIT 1""".stripMargin)
+      .head.getLong(0)
+    assert(counts.head === want)
+    // plain column mode: distinct values of a categorical column
+    val r2 = post("/collections/docs_topk_api/topk",
+      """{"column":"lang","k":3,"capacity":64}""")
+    assert(r2.statusCode() === 200, r2.body())
+    // validation: unknown column, bad k, capacity < k, bad ngram
+    assert(post("/collections/docs_topk_api/topk",
+      """{"column":"nope"}""").statusCode() === 400)
+    assert(post("/collections/docs_topk_api/topk",
+      """{"column":"text","k":0}""").statusCode() === 400)
+    assert(post("/collections/docs_topk_api/topk",
+      """{"column":"text","k":10,"capacity":5}""").statusCode() === 400)
+    assert(post("/collections/docs_topk_api/topk",
+      """{"column":"text","ngram":"x"}""").statusCode() === 400)
+  }
+
   test("POST /collections/{name}/overlap reports winnow-fingerprint " +
       "pairs, top-shared first") {
     spark.read.parquet(s"$sf0001/documents.parquet")

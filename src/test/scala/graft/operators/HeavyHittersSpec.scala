@@ -63,6 +63,44 @@ class HeavyHittersSpec extends SparkSuite {
     assert(got.head._1 === "z_0" && got.head._2 === 6000L)
   }
 
+  test("topK at capacity 65536: the candidate prune is a broadcast " +
+      "semi-join, not a 65536-arm IN expression") {
+    // more distinct items than fit pre-eviction in a small sketch, but
+    // well under 65536 — the recount join carries the full candidate
+    // set and must stay a plan Spark can build and execute
+    val rows = (0 until 20000).flatMap(i => Seq.fill(1 + i % 3)(s"b_$i"))
+    val df = spark.sparkContext.parallelize(rows, 16).toDF("item")
+    val out = HeavyHitters.topK(df, "item", k = 5, capacity = 65536)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("(?i)broadcast.*leftsemi|leftsemi.*broadcast".r
+      .findFirstIn(plan).isDefined, s"no broadcast semi-join:\n$plan")
+    assert(!plan.contains(" IN ("), s"literal IN list survived:\n$plan")
+    val got = out.as[(String, Long)].collect()
+    val want = df.groupBy($"item").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"item").limit(5).as[(String, Long)].collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("mg_sketch / sketch_topk are usable straight from SQL") {
+    graft.functions.VectorFunctions.register(spark)
+    (0 until 500).map(i => s"w_${i % 20}").toDF("item")
+      .createOrReplaceTempView("hh_items")
+    // capacity 256 > 20 distinct items -> estimates are exact counts
+    val top = spark.sql(
+      "SELECT explode(sketch_topk(item, 3, 256)) AS e FROM hh_items")
+      .selectExpr("e.item", "e.est").as[(String, Long)].collect()
+    assert(top.length === 3)
+    assert(top.forall(_._2 === 25L), top.mkString(", "))
+    assert(top.map(_._1).toSeq === Seq("w_0", "w_1", "w_10")) // tie: item asc
+    val full = spark.sql(
+      "SELECT size(mg_sketch(item, 256)) AS n FROM hh_items")
+      .head.getInt(0)
+    assert(full === 20)
+    // k/capacity parameterize the sketch: non-literals are rejected
+    intercept[Exception](spark.sql(
+      "SELECT sketch_topk(item, CAST(rand() * 3 AS INT), 64) FROM hh_items"))
+  }
+
   test("sketch aggregate plans a partial before the shuffle") {
     val df = (0 until 1000).map(i => s"w_${i % 50}").toDF("item")
       .repartition(8)

@@ -224,6 +224,51 @@ class ScaleGrowthSpec extends SparkSuite {
     } finally { uniform.unpersist(); skewed.unpersist() }
   }
 
+  test("incremental path under boilerplate skew: the DEFAULT band " +
+      "df-cap holds with the hot bucket on the RESIDENT side") {
+    val exU = synthDocs(20000, 0).persist()
+    val exK = synthSkewed(18000, 0, 2000).persist()
+    // incoming: 500 near-dups of existing docs plus 500 boilerplate
+    // rows that ALONE sit under the default cap (500 < 1000) — only
+    // the union with the resident side's 2000-doc bucket trips it, so
+    // this exercises the hot-on-either-side logic, with the guard at
+    // its wired default (no explicit maxBandDocFreq argument).
+    val inc = synthDocs(500, 500).where($"doc_id" >= 1000000L)
+      .unionByName(spark.range(500)
+        .select(($"id" + 4000000L).as("doc_id"),
+          lit(Seq.fill(60)("boilerplate").mkString(" ")).as("text")))
+      .repartition(32).persist()
+    exU.count(); exK.count(); inc.count()
+    try {
+      val planted = (0 until 500).map(i => 1000000L + i).toSet
+      def flagged(ex: DataFrame): Set[(Long, Long)] = {
+        val r = Dedup.crossCorpusDupPairs(ex, inc, "doc_id", "text",
+          tau = 0.5).select($"new_id", $"old_id")
+          .as[(Long, Long)].collect().toSet
+        Dedup.releaseCaches()
+        r
+      }
+      var fU: Set[(Long, Long)] = null
+      var fK: Set[(Long, Long)] = null
+      val tU = timedSecs { fU = flagged(exU) }
+      val (tK, maxTaskMs) = withMaxTaskMs {
+        timedSecs { fK = flagged(exK) }
+      }
+      assert(planted.subsetOf(fU.map(_._1)) &&
+        planted.subsetOf(fK.map(_._1)),
+        "planted cross near-dups missed under skew")
+      assert(!fK.exists(_._1 >= 4000000L),
+        "boilerplate batch x resident boilerplate leaked " +
+          "O(batch x cluster) pairs past the default df-cap")
+      val r = tK / math.max(tU, 0.5)
+      info(f"incremental uniform: $tU%.1f s, skewed resident: $tK%.1f s " +
+        f"(ratio $r%.1fx, max task ${maxTaskMs}ms)")
+      assertPerf(r < 3.0, f"resident boilerplate skew cost $r%.1fx")
+      assertPerf(maxTaskMs < math.max(2000L, (tK * 1000 / 2).toLong),
+        s"straggler task ${maxTaskMs}ms dominates the ${tK}s run")
+    } finally { exU.unpersist(); exK.unpersist(); inc.unpersist() }
+  }
+
   test("winnow overlap under the same boilerplate skew: the " +
       "fingerprint df-cap absorbs the hot keys") {
     val uniform = synthDocs(20000, 50).persist()

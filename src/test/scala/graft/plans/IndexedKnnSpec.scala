@@ -208,6 +208,47 @@ class IndexedKnnSpec extends SparkSuite {
     } finally IndexedKnn.unregister(spark, corpusDir)
   }
 
+  test("reindex crash window: a kill between the two swap renames is " +
+      "healed on the next register/load — old index served intact") {
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_ikc_corpus").toString
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ikc_index").toString + "/idx"
+    emb.limit(400).select($"vec_id", $"embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    IvfIndex.build(corpus, "vec_id", "embedding", nCells = 8,
+      maxIter = 5, indexDir = Some(idx))
+    IndexedKnn.register(spark, corpusDir, idx, "vec_id", "embedding",
+      nprobe = 0, name = "crashidx")
+    try {
+      def top5 = corpus.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+        .orderBy($"dist").limit(5)
+      val want = top5.collect().map(_.getLong(0)).toSeq
+      // Simulate reindex dying between its two renames: live → .old
+      // done, the fresh build still parked at .rebuild, live MISSING.
+      val conf = spark.sessionState.newHadoopConf()
+      val livePath = new org.apache.hadoop.fs.Path(idx)
+      val fs = livePath.getFileSystem(conf)
+      assert(fs.rename(livePath,
+        new org.apache.hadoop.fs.Path(idx + ".old")))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(idx + ".rebuild"))
+      // a fresh session after the crash: no memoized model, re-register
+      IndexedKnn.clear()
+      IndexedKnn.register(spark, corpusDir, idx, "vec_id", "embedding",
+        nprobe = 0, name = "crashidx")
+      assert(fs.exists(livePath), "live index dir restored from .old")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".old")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild")),
+        "uncommitted rebuild must be discarded")
+      val healed = top5
+      assert(!healed.queryExecution.executedPlan.toString
+        .contains("graft_ikc_corpus"), "index-served after recovery")
+      assert(healed.collect().map(_.getLong(0)).toSeq === want)
+    } finally IndexedKnn.unregister(spark, corpusDir)
+  }
+
   test("unregistered tables never rewrite, and SQL text queries do") {
     // not registered at all
     val plain = knnQuery(5).queryExecution.executedPlan.toString
