@@ -454,9 +454,12 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           else if (k < 1 || k > 10000)
             respond(ex, 400,
               """{"error":"k must be an integer in [1, 10000]"}""")
-          else if (capacity < k || capacity > (1 << 20))
+          // 65536 caps the driver-side candidate collect at ~a few MB;
+          // the Scala API takes any capacity for callers who own their
+          // driver heap
+          else if (capacity < k || capacity > (1 << 16))
             respond(ex, 400,
-              """{"error":"capacity must be an integer in [k, 1048576]"}""")
+              """{"error":"capacity must be an integer in [k, 65536]"}""")
           else if (ngram.exists(n => n < 1 || n > 8))
             respond(ex, 400,
               """{"error":"ngram must be an integer in [1, 8]"}""")

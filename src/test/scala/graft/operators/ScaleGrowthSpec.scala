@@ -298,6 +298,30 @@ class ScaleGrowthSpec extends SparkSuite {
     } finally { uniform.unpersist(); skewed.unpersist() }
   }
 
+  test("heavy hitters: 10x rows over a growing vocabulary stays " +
+      "linear — the shuffle carries sketches, not the item domain") {
+    // 10% of the mass on 7 planted heavy items (each ≫ N/(capacity+1),
+    // so the two-pass result is provably the exact top-7); the tail is
+    // a 500k-slot hash domain, so vocabulary grows with n and a plain
+    // groupBy would shuffle one row per distinct item.
+    def items(n: Long) = spark.range(n).selectExpr(
+      "CASE WHEN id % 10 = 0 THEN concat('hh_', pmod(id, 7)) " +
+        "ELSE concat('t_', pmod(xxhash64(id), 500000)) END AS item")
+      .repartition(32)
+    def top(n: Long) =
+      HeavyHitters.topK(items(n), "item", k = 7, capacity = 4096)
+        .collect().map(_.getString(0)).toSet
+    var sS: Set[String] = null
+    var sB: Set[String] = null
+    val tS = timedSecs { sS = top(300000) }
+    val tB = timedSecs { sB = top(3000000) }
+    val want = (0 until 7).map(i => s"hh_$i").toSet
+    assert(sS === want && sB === want, s"exact top-7 lost: $sS / $sB")
+    val r = ratio(tB, tS)
+    info(f"heavy hitters 300k: $tS%.1f s, 3M: $tB%.1f s, growth $r%.1fx")
+    assertPerf(r < 30.0, f"10x rows grew $r%.1fx — not linear")
+  }
+
   test("IVF-SQ8 search cost tracks corpus size linearly and keeps its " +
       "pruned int8 plan at 10x") {
     def vecs(n: Long) = synthDocs(n, 0)
