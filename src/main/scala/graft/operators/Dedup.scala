@@ -458,39 +458,45 @@ object Dedup {
     val bk = bandKeysUdf(bands, numHashes / bands)
     def bandRel(sets: DataFrame, idOut: String) = sets.select(
       col("id").as(idOut), posexplode(bk(col("sig"))).as(Seq("band", "bkey")))
-    val lRel0 = bandRel(left, leftIdOut)
-    val rRelRaw = bandRel(if (selfJoin) left else right, rightIdOut)
-    // Zipfian guard (see minhashDupPairs): the hot-key list is tiny
-    // (only keys above the cap), so the anti-joins broadcast — one
-    // cheap agg per band relation buys freedom from O(bucket²)
-    // boilerplate blowup. Cross-corpus: a key hot on EITHER side is a
-    // blowup (|Lbucket|×|Rbucket| candidates), so count both sides.
-    val hotKeys = maxBandDocFreq.map { cap =>
-      def hot(rel: DataFrame) =
-        rel.groupBy(col("band"), col("bkey")).count()
-          .where(col("count") > cap).select(col("band"), col("bkey"))
-      if (selfJoin) hot(lRel0)
-      else hot(lRel0).union(hot(rRelRaw)).distinct()
+    // Zipfian guard (see minhashDupPairs): drop band keys held by more
+    // than `cap` documents ON THIS SIDE via a window count. The window
+    // partitions by exactly the band join's key, so its exchange IS
+    // the join's exchange (EnsureRequirements adds none on top) — the
+    // guard costs one in-partition sort+count instead of a separate
+    // aggregation stage plus broadcast anti-joins. Per-side filtering
+    // yields the same pair output as dropping keys hot on either side:
+    // a pair only survives if its key survives on BOTH sides, and the
+    // count is linear in the bucket (the join it prevents is
+    // quadratic). The hot bucket lands in one window task — bounded by
+    // the linear count, watched by ScaleGrowthSpec's straggler guard.
+    def guard(rel: DataFrame): DataFrame = maxBandDocFreq.fold(rel) {
+      cap =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))
+        rel.withColumn("__bdf", count(lit(1)).over(w))
+          .where(col("__bdf") <= cap).drop("__bdf")
     }
-    val lRel = hotKeys.fold(lRel0)(h =>
-      lRel0.join(broadcast(h), Seq("band", "bkey"), "left_anti"))
-    val rRel0 = hotKeys.fold(rRelRaw)(h =>
-      rRelRaw.join(broadcast(h), Seq("band", "bkey"), "left_anti"))
+    val lRel = guard(bandRel(left, leftIdOut))
+    val rRelRaw = bandRel(if (selfJoin) left else right, rightIdOut)
     // Big-batch incremental regime: when the LEFT (incoming) band
     // relation is itself too large to broadcast, the band join shuffles
     // the far larger resident index too. A bloom over the incoming
     // band keys (left rows x bands items — exact, counted off the
     // persisted left side, never the index) prunes resident band rows
-    // that cannot collide BEFORE their exchange; the equi-join then
+    // that cannot collide BEFORE their exchange (the bloom runs under
+    // the guard's window, which owns the exchange); the equi-join then
     // drops the bloom's false positives, so pair output is unchanged.
+    // The bloom keys on (band, bkey), so it keeps or drops WHOLE
+    // buckets — surviving keys' window counts equal their true df and
+    // the guard's cap semantics are untouched.
     val rRel = if (bloomPruneRight && !selfJoin) {
       val bandKey = xxhash64(col("band"), col("bkey"))
       val bloom = graft.functions.BloomFunctions.build(
         lRel.select(bandKey.as("bb")), "bb",
         expectedItems = left.count() * bands)
-      rRel0.where(
-        graft.functions.BloomFunctions.mightContain(bandKey, bloom))
-    } else rRel0
+      guard(rRelRaw.where(
+        graft.functions.BloomFunctions.mightContain(bandKey, bloom)))
+    } else guard(rRelRaw)
     val joined = lRel.join(rRel, Seq("band", "bkey"))
     val cands = (if (selfJoin)
         joined.where(col(leftIdOut) < col(rightIdOut)) else joined)
