@@ -49,6 +49,31 @@ class DedupSpec extends SparkSuite {
     assert(mh === exact)
   }
 
+  test("at scale (sort-merge regime) the default band df-cap adds NO " +
+      "exchange — the guard's window rides the band join's own shuffle") {
+    // On broadcast-sized corpora the unguarded band join has no
+    // shuffle at all, so the window necessarily adds one per side
+    // (cheap at that size). The claim that matters for 100 TB is the
+    // SMJ regime, where both sides shuffle on (band, bkey) anyway:
+    // emulate it by disabling broadcast joins for plan construction.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(cap: Option[Int]): (Int, String) = {
+        val plan = Dedup.minhashDupPairs(docs, "doc_id", "text", 3, 128,
+          16, 0.5, maxBandDocFreq = cap)
+          .queryExecution.executedPlan.toString
+        ("Exchange hashpartitioning".r.findAllIn(plan).length, plan)
+      }
+      val (unguarded, _) = exchanges(None)
+      val (guarded, gplan) = exchanges(Some(1000))
+      assert(guarded === unguarded,
+        s"guard added ${guarded - unguarded} exchange(s):\n$gplan")
+      assert(gplan.contains("Window"), "guard's window count missing")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("minhash default banding recovers BORDERLINE pairs (jac ~ tau)") {
     // Pairs engineered to sit just above tau=0.5 — the regime where
     // 16x8 banding had only ~6% recall. Sliding 40-word windows over a
