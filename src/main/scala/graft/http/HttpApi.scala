@@ -463,6 +463,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           else if (ngram.exists(n => n < 1 || n > 8))
             respond(ex, 400,
               """{"error":"ngram must be an integer in [1, 8]"}""")
+          else if (ngram.isDefined && df.schema(column).dataType !=
+              org.apache.spark.sql.types.StringType)
+            respond(ex, 400,
+              s"""{"error":"ngram mode needs a string column, $column is ${
+                df.schema(column).dataType.simpleString}"}""")
           else {
             val items = ngram match {
               case None => df.select(col(column).cast("string").as("item"))

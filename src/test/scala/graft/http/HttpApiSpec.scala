@@ -168,6 +168,8 @@ class HttpApiSpec extends SparkSuite {
       """{"column":"text","k":10,"capacity":5}""").statusCode() === 400)
     assert(post("/collections/docs_topk_api/topk",
       """{"column":"text","ngram":"x"}""").statusCode() === 400)
+    assert(post("/collections/docs_topk_api/topk",
+      """{"column":"doc_id","ngram":2}""").statusCode() === 400)
   }
 
   test("POST /collections/{name}/overlap reports winnow-fingerprint " +
