@@ -115,6 +115,43 @@ object VectorQueries {
         .orderBy($"vec_id")
     }),
 
+    // Cluster-balanced corpus sampling — the diversity-aware subset
+    // selection step a curation pipeline runs after dedup (cluster the
+    // embedding space, draw equally per cluster so no mode dominates).
+    // Centroids are FIXED (the first-K vectors), so the whole face is
+    // deterministic and hash-oracled; the fitted-k-means variant is
+    // the same plan with ProductQuantizer/IvfIndex centroids. Scale
+    // shape end to end: broadcast K centroids, map-side argmin folded
+    // into a partial agg (min over struct(dist, cid) — one shuffled
+    // row per vector, never the K-expanded relation); the per-cluster
+    // draw is the bounded TopKByScore aggregate (each partition ships
+    // ≤ n rows per cluster — a per-cid row_number window would sort a
+    // whole cluster in one task); the n×K winners broadcast back for
+    // their payload columns.
+    "q_cluster_sample" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = broadcast(emb.where($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec")))
+      val assigned = emb.crossJoin(cents)
+        .select($"vec_id",
+          struct(V.l2sq_dist($"embedding", $"cvec").as("dist"),
+            $"cid").as("dc"))
+        .groupBy($"vec_id").agg(min($"dc").as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"))
+      // deterministic per-cluster draw: ranks by (draw, vec_id), the
+      // exact order the TopKByScore heap breaks ties in
+      val drawn = assigned.withColumn("draw",
+        pmod($"vec_id" * 2654435761L, lit(1000000007L)).cast("double"))
+      val winners = drawn.groupBy($"cid")
+        .agg(Knn.topk_by_score($"draw", $"vec_id", 20).as("t"))
+        .select($"cid", posexplode($"t").as(Seq("pos", "e")))
+        .select($"cid", ($"pos" + 1).cast("int").as("rnk"),
+          $"e.id".as("vec_id"))
+      assigned.join(broadcast(winners), Seq("cid", "vec_id"))
+        .select($"cid", $"vec_id", round($"dist", 4).as("dist"), $"rnk")
+        .orderBy($"cid", $"rnk")
+    }),
+
     // J3/X5: exact kNN ground truth, 10 query points, k=10, l2sq.
     "q_knn" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -973,6 +1010,21 @@ object VectorQueries {
          | round(${dkCos("e.embedding", "a.anchor")}, 4) AS cos,
          | round(${dkDot("e.embedding", "a.anchor")}, 4) AS dot
          |FROM embeddings e, a ORDER BY e.vec_id""".stripMargin,
+    "q_cluster_sample" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT e.vec_id, c.cid,
+         |  ${dkL2sq("e.embedding", "c.cvec")} AS dist
+         |  FROM embeddings e CROSS JOIN c),
+         |a AS (SELECT vec_id, cid, dist,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d),
+         |s AS (SELECT vec_id, cid, dist,
+         |  CAST(row_number() OVER (PARTITION BY cid
+         |    ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) AS INT) AS rnk
+         |  FROM a WHERE rn = 1)
+         |SELECT cid, vec_id, round(dist, 4) AS dist, rnk
+         |FROM s WHERE rnk <= 20 ORDER BY cid, rnk""".stripMargin,
     "q_knn" -> knnOracle,
     "q_knn_filtered" -> oracleSqlKnnFiltered,
 
