@@ -340,6 +340,27 @@ object PipelineOps {
     * shards always agree on every row's split — the property that
     * keeps eval sets leak-free.
     */
+  /** Corpus snapshot diff — the dataset-versioning primitive: which
+    * documents were added, removed, or changed between two corpus
+    * versions. One co-partitioned FULL OUTER JOIN on the id — the
+    * engine-level diff that works on plain parquet snapshots (a
+    * storage layer's change feed restates this when available).
+    * `IS DISTINCT FROM` keeps NULL payloads honest. Emits only the
+    * differing rows; at 100 TB the unchanged majority never leaves
+    * the join.
+    */
+  def snapshotDiffSql(d: Dialect, oldTable: String, newTable: String,
+      idCol: String = "doc_id", payloadCol: String = "text"): String =
+    s"""SELECT COALESCE(o.$idCol, n.$idCol) AS $idCol,
+       |  CASE WHEN o.$idCol IS NULL THEN 'added'
+       |       WHEN n.$idCol IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status
+       |FROM $oldTable o FULL OUTER JOIN $newTable n
+       |  ON o.$idCol = n.$idCol
+       |WHERE o.$idCol IS NULL OR n.$idCol IS NULL
+       |   OR o.$payloadCol IS DISTINCT FROM n.$payloadCol${
+        tailOrder(d, idCol)}""".stripMargin
+
   def datasetSplitSql(d: Dialect, table: String = "documents"): String =
     s"""SELECT doc_id, source, u,
        |  CASE WHEN u < 900000 THEN 'train'

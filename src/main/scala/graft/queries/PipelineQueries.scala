@@ -73,6 +73,23 @@ object PipelineQueries {
     "q_leakage_split" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.leakageSplitSql(TA.SparkDialect))),
 
+    // Dataset versioning: diff two corpus snapshots (added / removed /
+    // changed). The two versions derive deterministically from the
+    // documents table (doc_id % 13 missing from old, % 17 missing from
+    // new, % 19 edited in new), so the face is hash-oracled.
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("snap_old")
+      d.where(pmod(col("doc_id"), lit(17)) =!= 0)
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 19 = 0 THEN text || ' v2' " +
+            "ELSE text END AS text")
+        .createOrReplaceTempView("snap_new")
+      s.sql(PO.snapshotDiffSql(TA.SparkDialect, "snap_old", "snap_new"))
+    }),
+
     // CC-Net-style bigram-LM scoring: fit on the doc_id%10<3 slice,
     // score every doc by mean NLL (integer 1e-4-nat aggregation).
     "q_lm_perplexity" -> ((s, dir) =>
@@ -183,6 +200,14 @@ object PipelineQueries {
       "orders", "o_orderkey", "o_custkey", "o_orderkey"),
     "q_dataset_split" -> PO.datasetSplitSql(TA.DuckDialect),
     "q_leakage_split" -> PO.leakageSplitSql(TA.DuckDialect),
+    "q_corpus_diff" ->
+      s"""WITH snap_old AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0),
+         |snap_new AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 19 = 0 THEN text || ' v2'
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 != 0)
+         |${PO.snapshotDiffSql(TA.DuckDialect, "snap_old", "snap_new")}""".stripMargin,
     "q_pack_examples" -> PO.packExamplesSql(TA.DuckDialect),
     "q_dedup_components_lss" -> DocumentQueries.componentsOracleSql
   )
