@@ -432,6 +432,96 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           }
         }
 
+      // Directed containment pairs (the excerpt/quotation relation
+      // Jaccard misses when lengths differ). Body: {"text_column":
+      // "text","id_column":"doc_id","tau":0.8,"limit":100}. Read-only.
+      case ("POST", List("collections", name, "containment")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val textCol = jsonField(body, "text_column").getOrElse("text")
+          val idCol = jsonField(body, "id_column").getOrElse("doc_id")
+          val tau = jsonField(body, "tau")
+            .map(t => scala.util.Try(t.toDouble).getOrElse(Double.NaN))
+            .getOrElse(0.8)
+          val limit = jsonField(body, "limit")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(100)
+          if (!df.columns.contains(textCol) || !df.columns.contains(idCol))
+            respond(ex, 400,
+              s"""{"error":"need columns $idCol and $textCol"}""")
+          else if (!(tau > 0 && tau <= 1))
+            respond(ex, 400,
+              """{"error":"tau must be a number in (0, 1]"}""")
+          else if (limit < 1)
+            respond(ex, 400,
+              """{"error":"limit must be a positive integer"}""")
+          else {
+            val rows =
+              try graft.operators.Dedup.containmentPairs(df, idCol,
+                  textCol, tau = tau)
+                .orderBy(col("cont").desc, col("i"), col("j"))
+                .limit(limit).collect()
+              finally graft.operators.Dedup.releaseCaches()
+            val items = rows.map(r =>
+              s"""{"i":${r.get(0)},"j":${r.get(1)},"cont":${r.get(2)}}""")
+            respond(ex, 200, s"""{"pairs":[${items.mkString(",")}]}""")
+          }
+        }
+
+      // LSH banding tuner: S-curve FP/FN areas for every (bands, rows)
+      // factorization of num_hashes at the target Jaccard threshold —
+      // how /dedup's banding gets sized BEFORE a corpus pass. Pure
+      // math on literals; no collection involved. Body: {"threshold":
+      // 0.5,"num_hashes":128}.
+      case ("POST", List("lsh_tune")) =>
+        locally {
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val threshold = jsonField(body, "threshold")
+            .map(t => scala.util.Try(t.toDouble).getOrElse(Double.NaN))
+            .getOrElse(0.5)
+          val numHashes = jsonField(body, "num_hashes")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(128)
+          if (!(threshold > 0 && threshold < 1))
+            respond(ex, 400,
+              """{"error":"threshold must be a number in (0, 1)"}""")
+          else if (numHashes < 1 || numHashes > 4096)
+            respond(ex, 400,
+              """{"error":"num_hashes must be an integer in [1, 4096]"}""")
+          else {
+            val rows = graft.operators.Dedup
+              .lshTuneGrid(spark, threshold, numHashes).collect()
+            val items = rows.map(r =>
+              s"""{"rows":${r.get(0)},"bands":${r.get(1)},
+                 |"s_mid":${r.get(2)},"fp":${r.get(3)},"fn":${r.get(4)},
+                 |"cost":${r.get(5)}}""".stripMargin.replace("\n", ""))
+            respond(ex, 200, s"""{"grid":[${items.mkString(",")}]}""")
+          }
+        }
+
+      // Compact the collection's IVF index cell files (pays down
+      // /index + append debt; results unchanged, file layout rewritten
+      // behind a crash-safe swap). 404 without an index.
+      case ("POST", List("collections", name, "compact")) =>
+        tableOr404(ex, name).foreach { _ =>
+          Option(ivfModels.get(name)) match {
+            case None =>
+              respond(ex, 404,
+                s"""{"error":"no index on $name — POST /collections/$name/index first"}""")
+            case Some(m) =>
+              val stats = graft.operators.IvfIndex.compact(spark,
+                m.indexPath)
+              val reopened = graft.operators.IvfIndex.load(spark,
+                m.indexPath, m.idCol, m.vecCol)
+              ivfModels.put(name, reopened)
+              respond(ex, 200,
+                s"""{"compacted":"$name","cells":${stats.cells},
+                   |"files_before":${stats.filesBefore},
+                   |"files_after":${stats.filesAfter}}""".stripMargin
+                  .replace("\n", ""))
+          }
+        }
+
       // Exact top-k frequent items via the Misra–Gries sketch
       // (HeavyHitters.topK — bounded partial-agg shuffle + broadcast
       // semi-join recount). Body: {"column":"text","k":10,

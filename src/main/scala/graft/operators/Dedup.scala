@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -200,15 +200,19 @@ object Dedup {
   private[graft] val DictCapDefault = 2000000L
   @volatile private[graft] var dictCapOverride: Option[Long] = None
 
-  private def jaccardPairsUncached(df: DataFrame, idCol: String,
-      textCol: String, n: Int, tau: Double,
+  /** Rare-first-ordered hashed shingle sets: (id, hs, n_sh) with each
+    * doc's shingles sorted by ascending global document frequency —
+    * the ordering both the Jaccard and containment prefix filters
+    * depend on. The document frequencies are an aggregate over
+    * DISTINCT shingles (not rows): when that aggregate is small it is
+    * broadcast into the sort UDF; when it outgrows the driver cap
+    * (100 TB corpora: distinct n-grams dwarf any driver) ordering
+    * falls back to a join + array_sort — same output, fully
+    * distributed. Returned persisted (callers read it 3-4x).
+    */
+  private def rareFirstOrderedSets(df: DataFrame, idCol: String,
+      textCol: String, n: Int,
       maxShingleFreq: Option[Int]): DataFrame = {
-    // Rare-first ordering minimizes prefix collisions. The document
-    // frequencies are an aggregate over DISTINCT shingles (not rows):
-    // when that aggregate is small it is broadcast into the sort UDF;
-    // when it outgrows the driver cap (100 TB corpora: distinct
-    // n-grams dwarf any driver) ordering falls back to a join +
-    // array_sort — same output, fully distributed.
     val spark = df.sparkSession
     val sets0 = hashedShingleSetsShared(df, idCol, textCol, n)
     val docFreq = sets0
@@ -220,7 +224,7 @@ object Dedup {
     val dictCap = dictCapOverride.getOrElse(DictCapDefault)
     // persisted: referenced by the prefix self-join AND verification,
     // which would otherwise recompute the shingle pipeline 4x
-    val ordered = (if (distinctShingles <= dictCap) {
+    (if (distinctShingles <= dictCap) {
       val dfMap: Map[Long, Long] = docFreq
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // the dictionary replaces the DataFrame on this path — release
@@ -248,6 +252,13 @@ object Dedup {
       .select(col("id"), col("hs"), size(col("hs")).as("n_sh"))
       .where(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
+  }
+
+  private def jaccardPairsUncached(df: DataFrame, idCol: String,
+      textCol: String, n: Int, tau: Double,
+      maxShingleFreq: Option[Int]): DataFrame = {
+    val ordered = rareFirstOrderedSets(df, idCol, textCol, n,
+      maxShingleFreq)
     val prefix = ordered.select(col("id"), col("n_sh"),
       posexplode(slice(col("hs"), lit(1),
         (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int")))
@@ -280,6 +291,68 @@ object Dedup {
       .select(col("i"), col("j"),
         jaccardHashedU(col("sa"), col("sb")).as("jac"))
       .where(col("jac") >= tau)
+  }
+
+  // sort-merge intersection count over hashed shingle sets, divided by
+  // the LEFT set's size — the asymmetric containment C(A→B)
+  private val containmentHashedU = udf((sa: Seq[Long], sb: Seq[Long]) => {
+    val a = sa.toArray; java.util.Arrays.sort(a)
+    val b = sb.toArray; java.util.Arrays.sort(b)
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / a.length
+  })
+
+  /** Directed containment pairs: (i, j, cont) with
+    * cont = |shingles(i) ∩ shingles(j)| / |shingles(i)| >= tau, i != j.
+    *
+    * The asymmetric twin of [[jaccardPairs]], for the dup relation
+    * Jaccard structurally misses: a short document quoted inside a
+    * much longer one has containment ~1 but Jaccard ~|A|/|B| — at 10x
+    * length difference it can never clear a 0.5 Jaccard bar. This is
+    * the excerpt/quotation/boilerplate-inclusion detector (cf. Broder
+    * 1997, "On the resemblance and containment of documents", which
+    * defines both measures side by side; CC-Net-style pipelines use
+    * the same relation to strip wholesale-quoted sources).
+    *
+    * Scale shape: prefix filtering applies on the CONTAINED side only
+    * — a pair at cont >= tau must share a shingle inside i's first
+    * (n_i - ceil(tau*n_i) + 1) rarest shingles, but j's side admits no
+    * symmetric prune (any superset qualifies), so the candidate join
+    * is i-prefixes (rare shingles, tiny fan-out) against j's FULL
+    * posting list — the classic inverted-index probe. The only length
+    * constraint is n_j >= tau*n_i (the intersection fits in j).
+    * Exact verification on candidates decides membership, so the
+    * prefix/posting machinery affects cost, never output.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.8,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val dfn = df.select(col(idCol), col(textCol))
+    val ordered = rareFirstOrderedSets(dfn, idCol, textCol, n,
+      maxShingleFreq)
+    val prefix = ordered.select(col("id"), col("n_sh"),
+      explode(slice(col("hs"), lit(1),
+        (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int")))
+        .as("g"))
+    val postings = ordered.select(col("id").as("jd"),
+      col("n_sh").as("n_sh_j"), explode(col("hs")).as("g"))
+    val cands = prefix.as("a").join(postings.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.jd") &&
+          col("b.n_sh_j") >= lit(tau) * col("a.n_sh") - lit(1e-9))
+      .select(col("a.id").as("i"), col("b.jd").as("j"))
+      .distinct()
+    val sets = ordered.select(col("id"), col("hs"))
+    cands
+      .join(sets.select(col("id").as("i"), col("hs").as("sa")), "i")
+      .join(sets.select(col("id").as("j"), col("hs").as("sb")), "j")
+      .select(col("i"), col("j"),
+        containmentHashedU(col("sa"), col("sb")).as("cont"))
+      .where(col("cont") >= tau)
   }
 
   /** Default band-key document-frequency cap, ON for every scale-facing
@@ -326,6 +399,50 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
     dupPairsFromSets(sets, sets, "i", "j", numHashes, bands, tau,
       selfJoin = true, maxBandDocFreq = maxBandDocFreq)
+  }
+
+  /** MinHash-LSH parameter tuner: for every exact (bands b, rows r)
+    * factorization of `numHashes`, the S-curve quality at the target
+    * Jaccard `threshold`. Candidate probability at similarity s is
+    * P(s) = 1 - (1 - s^r)^b (Leskovec/Rajaraman/Ullman, MMDS §3.4);
+    * the false-positive area is the integral of P below the threshold,
+    * the false-negative area the integral of 1-P above it, both on a
+    * fixed midpoint grid so the numbers are deterministic and an
+    * independent engine restates them. `s_mid` is the curve's standard
+    * midpoint approximation (1/b)^(1/r).
+    *
+    * This is how `bands`/`numHashes` for [[minhashDupPairs]] and the
+    * cross-corpus/streaming paths get chosen BEFORE burning a pass over
+    * a 100 TB corpus: the whole computation is O(divisors x grid) on
+    * literals — no data touched. The reference tunes its index
+    * parameters with the same grid-then-pick shape (autotune family,
+    * lantern_cli/src/index_autotune.rs); this is that idea applied to
+    * the dedup operator's own knobs.
+    *
+    * Output: (r, b, s_mid, fp, fn, cost) ordered by r; the caller picks
+    * the min-cost row (or weights fp/fn asymmetrically and re-ranks).
+    */
+  def lshTuneGrid(spark: SparkSession, threshold: Double,
+      numHashes: Int = 128, gridN: Int = 200): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    require(numHashes >= 1 && gridN >= 10)
+    val p = s"(1.0d - pow(1.0d - pow((i + 0.5d) / $gridN, r), b))"
+    spark.range(1, numHashes + 1).toDF("rl")
+      .where(pmod(lit(numHashes), col("rl")) === 0)
+      .select(col("rl").cast("int").as("r"),
+        (lit(numHashes) / col("rl")).cast("int").as("b"))
+      .withColumn("s_mid", round(expr("pow(1.0d / b, 1.0d / r)"), 4))
+      .withColumn("fp", round(expr(
+        s"""aggregate(sequence(0, ${gridN - 1}), cast(0.0 as double),
+           |  (acc, i) -> acc + (CASE WHEN (i + 0.5d) / $gridN < $threshold
+           |    THEN $p ELSE 0.0d END)) / $gridN""".stripMargin), 4))
+      .withColumn("fn", round(expr(
+        s"""aggregate(sequence(0, ${gridN - 1}), cast(0.0 as double),
+           |  (acc, i) -> acc + (CASE WHEN (i + 0.5d) / $gridN >= $threshold
+           |    THEN 1.0d - $p ELSE 0.0d END)) / $gridN""".stripMargin), 4))
+      .withColumn("cost", round(col("fp") + col("fn"), 4))
+      .orderBy(col("r"))
   }
 
   /** Band keys in ONE UDF pass per row: the expression form (`bands`

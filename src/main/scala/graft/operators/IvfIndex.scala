@@ -169,14 +169,106 @@ object IvfIndex {
       model.indexPath)
   }
 
+  case class CompactionStats(cells: Int, filesBefore: Int,
+      filesAfter: Int)
+
+  private def listPartFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      // data files only: skip _centroids/_sqmodel sidecars and _SUCCESS
+      if (f.getPath.toString.contains("cell_id=") &&
+          !name.startsWith("_") && !name.startsWith("."))
+        out += f.getPath
+    }
+    out.toSeq
+  }
+
+  /** Rewrite an index whose cells have accumulated many small files —
+    * the inevitable debt of [[append]]/[[appendSq8]], where every daily
+    * batch adds one file per touched cell and a year of batches turns
+    * each probe into hundreds of file opens. Compaction reads the
+    * cell-partitioned parquet and rewrites it with all of a cell's rows
+    * in one task, so each cell lands in `targetFilesPerCell` files
+    * (default 1); content, schema, and sidecars (`_centroids`,
+    * `_sqmodel`) are preserved byte-for-byte, only the file layout
+    * changes. At 100 TB this is the maintenance op that keeps probe
+    * latency flat as the index absorbs batches: scan cost per probed
+    * cell returns to O(bytes) instead of O(bytes + files·open_cost).
+    *
+    * Crash-safe: the rewrite lands in a `.rebuild` sibling and is
+    * published over the live dir with [[graft.util.DirSwap]]'s
+    * two-rename swap; [[load]]/[[loadSq8]]/`IndexedKnn` heal an
+    * interrupted swap on next open. Reference anchor: the reference's
+    * external-index rebuild rewrites the full artifact the same
+    * swap-directory way (lantern_extras/src/external_index.rs:109-162);
+    * compaction is that rebuild minus the re-train.
+    *
+    * @param targetFilesPerCell >1 splits each cell across that many
+    *   shuffle keys — at real scale one 100 GB cell must not become a
+    *   single unsplittable task/file, so large-cell indexes compact to
+    *   a small constant per cell instead.
+    */
+  def compact(spark: SparkSession, indexPath: String,
+      targetFilesPerCell: Int = 1): CompactionStats = graft.util.BuildTimer.timed {
+    require(targetFilesPerCell >= 1,
+      s"targetFilesPerCell must be >= 1 (got $targetFilesPerCell)")
+    // memoized Models for this path cache a file listing the rewrite
+    // is about to delete — drop them so the next build/load re-lists
+    buildMemo.entrySet.removeIf(e => e.getValue._2.indexPath == indexPath)
+    sq8BuildMemo.entrySet.removeIf(
+      e => e.getValue._2._1.indexPath == indexPath)
+    val live = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.util.DirSwap.recover(fs, live)
+    graft.util.DirSwap.clearSiblings(fs, live)
+    val before = listPartFiles(fs, live)
+    val assigned = spark.read
+      .option("basePath", indexPath)
+      .parquet(s"$indexPath/cell_id=*")
+    val fresh = graft.util.DirSwap.rebuildPath(indexPath)
+    val keys: Seq[org.apache.spark.sql.Column] =
+      if (targetFilesPerCell == 1) Seq(col("cell_id"))
+      else {
+        // salt splits a huge cell across tasks; each task writes one
+        // file per cell dir it holds, so files/cell <= target
+        val idCol = assigned.columns.find(_ != "cell_id").get
+        Seq(col("cell_id"),
+          pmod(hash(col(idCol)), lit(targetFilesPerCell)))
+      }
+    assigned.repartition(keys: _*)
+      .write.partitionBy("cell_id").mode("overwrite").parquet(fresh)
+    // sidecars travel with the artifact
+    for (side <- Seq("_centroids", "_sqmodel")) {
+      val src = new org.apache.hadoop.fs.Path(s"$indexPath/$side")
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(s"$fresh/$side"),
+          false, spark.sessionState.newHadoopConf())
+    }
+    graft.util.DirSwap.publish(fs, live)
+    val after = listPartFiles(fs, live)
+    val cells = after.map(_.getParent.getName).distinct.size
+    CompactionStats(cells, before.size, after.size)
+  }
+
   /** Reopen a durable index written by [[build]]: centroids from the
     * sidecar table, assignment straight off the cell-partitioned
     * parquet. No k-means, no corpus scan — the load cost is two
     * metadata reads, which is what makes the index an artifact rather
-    * than a cache.
+    * than a cache. Heals an interrupted compaction/reindex swap first,
+    * so an index is openable after a crash at any point of either.
     */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String): Model = graft.util.BuildTimer.timed {
+    locally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      graft.util.DirSwap.recover(
+        p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
     val cents = spark.read.parquet(s"$path/_centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
@@ -474,6 +566,11 @@ object IvfIndex {
     */
   def loadSq8(spark: SparkSession, path: String, idCol: String)
       : (Model, Array[Double], Array[Double]) = graft.util.BuildTimer.timed {
+    locally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      graft.util.DirSwap.recover(
+        p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
     val cents = spark.read.parquet(s"$path/_centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)

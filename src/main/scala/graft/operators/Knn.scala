@@ -166,4 +166,35 @@ object Knn {
       .groupBy(col("qid"))
       .agg((sum(coalesce(col("hit"), lit(0))) / k).as("recall"))
   }
+
+  /** Order-sensitive retrieval quality of `result` against `truth`
+    * (both (qid, nid, rank)): per query, MRR (reciprocal rank of the
+    * first relevant result; 0 when none) and binary-relevance nDCG@k
+    * (relevant = membership in the truth top-k; IDCG is the all-hits
+    * DCG, so a result list that IS the truth list scores 1). The
+    * metrics recall@k can't see: recall treats "true neighbor at rank
+    * 1" and "true neighbor at rank k" identically, but an ANN serving
+    * layer that re-ranks (MMR, ADC refine) needs the ORDER graded.
+    * Standard IR definitions (Järvelin & Kekäläinen 2002 for DCG);
+    * every step is a join + windowless aggregate, restatable by an
+    * independent engine — no wall-clock, no RNG.
+    */
+  def rankQuality(truth: DataFrame, result: DataFrame,
+      k: Int): DataFrame = {
+    val log2 = (x: org.apache.spark.sql.Column) => log(2.0, x)
+    val idcg = (1 to k).map(r => 1.0 / (math.log(r + 1.0) /
+      math.log(2.0))).sum
+    val t = truth.where(col("rank") <= k)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    val r = result.where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+    r.join(t, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        round(coalesce(max(when(col("hit") === 1,
+          lit(1.0) / col("rank"))), lit(0.0)), 4).as("mrr"),
+        round(sum(when(col("hit") === 1,
+          lit(1.0) / log2(col("rank") + 1)).otherwise(lit(0.0)))
+          / lit(idcg), 4).as("ndcg"))
+  }
 }

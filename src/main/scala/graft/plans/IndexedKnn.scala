@@ -135,20 +135,30 @@ object IndexedKnn {
     recoverSwap(spark, e.indexDir) // heal a previously interrupted swap
     val corpus = spark.read.parquet(path)
     val nCells = model(spark, e).centroids.length
-    val fs = new org.apache.hadoop.fs.Path(e.indexDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     val live = new org.apache.hadoop.fs.Path(e.indexDir)
-    val fresh = new org.apache.hadoop.fs.Path(e.indexDir + ".rebuild")
-    val old = new org.apache.hadoop.fs.Path(e.indexDir + ".old")
-    fs.delete(fresh, true); fs.delete(old, true)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.util.DirSwap.clearSiblings(fs, live)
     IvfIndex.build(corpus, e.idCol, e.vecCol, nCells, maxIter = maxIter,
-      indexDir = Some(fresh.toString), force = true)
-    if (!fs.rename(live, old) || !fs.rename(fresh, live))
-      throw new java.io.IOException(
-        s"reindex swap failed for ${e.indexDir}")
-    fs.delete(old, true)
+      indexDir = Some(graft.util.DirSwap.rebuildPath(e.indexDir)),
+      force = true)
+    graft.util.DirSwap.publish(fs, live)
     register(spark, path, e.indexDir, e.idCol, e.vecCol, e.nprobe, name)
     IndexInfo(name, path, e.indexDir, e.idCol, e.vecCol, e.nprobe)
+  }
+
+  /** Compact the named index's cell files in place (see
+    * [[IvfIndex.compact]]) and re-register, so the next plan reads the
+    * compacted file listing. Search results are unchanged — only the
+    * file layout is; the op exists because every [[IvfIndex.append]]
+    * leaves one more file per touched cell and probe cost grows with
+    * file count, not just bytes.
+    */
+  def compactIndex(spark: SparkSession, name: String,
+      targetFilesPerCell: Int = 1): IvfIndex.CompactionStats = {
+    val (path, e) = entryFor(name)
+    val stats = IvfIndex.compact(spark, e.indexDir, targetFilesPerCell)
+    register(spark, path, e.indexDir, e.idCol, e.vecCol, e.nprobe, name)
+    stats
   }
 
   /** Unregister the named index and delete its durable artifact.
@@ -168,24 +178,14 @@ object IndexedKnn {
   private[plans] def lookup(rootPaths: Seq[String]): Option[Entry] =
     rootPaths.flatMap(registry.get).headOption
 
-  /** Heal a reindex swap interrupted between its two renames: if the
-    * live dir is gone but the `.old` sibling survives, restore it. The
-    * `.rebuild` dir (a complete fresh build, if the crash was after
-    * rename #1 but before rename #2 finished publishing it) is treated
-    * as not-yet-committed and discarded — the pre-reindex index is the
-    * last state a reader ever observed.
+  /** Heal a reindex/compaction swap interrupted between its two
+    * renames — see [[graft.util.DirSwap.recover]].
     */
   private[plans] def recoverSwap(spark: SparkSession,
       indexDir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
-    if (!fs.exists(live) && fs.exists(old)) {
-      if (!fs.rename(old, live))
-        throw new java.io.IOException(
-          s"crash recovery: could not restore $old to $live")
-      fs.delete(new org.apache.hadoop.fs.Path(indexDir + ".rebuild"), true)
-    }
+    graft.util.DirSwap.recover(
+      live.getFileSystem(spark.sessionState.newHadoopConf()), live)
   }
 
   private[plans] def model(spark: SparkSession, e: Entry): IvfIndex.Model =

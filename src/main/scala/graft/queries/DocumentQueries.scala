@@ -81,6 +81,16 @@ object DocumentQueries {
         .select($"i", $"j", round($"jac", 3).as("jac"))
         .orderBy($"i", $"j")),
 
+    // Directed containment pairs at tau=0.8: the excerpt/quotation
+    // detector Jaccard structurally misses (a short doc quoted in a
+    // long one has cont~1 but jac~|A|/|B|). Exact-verified, so the
+    // naive all-pairs SQL restates it.
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        n = 3, tau = 0.8)
+        .select($"i", $"j", round($"cont", 3).as("cont"))
+        .orderBy($"i", $"j")),
+
     // MinHash-LSH near-dup pairs. 64 bands x 2 rows: P[band collision |
     // jac=0.5] = 1-(1-0.5^2)^64 ~= 1-1e-8, so recall at tau=0.5 is
     // certain for practical purposes and the exact-Jaccard oracle
@@ -109,6 +119,16 @@ object DocumentQueries {
         .select($"i", $"j", round($"jac", 3).as("jac"))
         .orderBy($"i", $"j")
     }),
+
+    // The LSH knob-tuner behind the MinHash family: S-curve FP/FN
+    // areas for every (bands, rows) factorization of 128 hashes at
+    // tau=0.5, on a fixed 200-point midpoint grid. Pure math on
+    // literals — this is the pre-flight computation that sizes the
+    // banding before a corpus-scale pass; DuckDB restates the grid
+    // exactly, so the tuner's numbers are hash-checked.
+    "q_lsh_tune" -> ((s, _) =>
+      Dedup.lshTuneGrid(s, threshold = 0.5, numHashes = 128,
+        gridN = 200)),
 
     // Duplicate clusters: connected components over the exact-Jaccard
     // pair graph — each doc labeled with its cluster's minimum id (the
@@ -699,6 +719,43 @@ object DocumentQueries {
         |ON md5(d.text) = g.h ORDER BY d.doc_id""".stripMargin,
     "q_jaccard_dups" -> jaccardOracle,
     "q_minhash_dups" -> jaccardOracle,
+    // directed pairs, intersection over the LEFT side's shingle count
+    "q_containment_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, round(CAST(c AS DOUBLE) / ca.n, 3) AS cont
+        |FROM pairs JOIN cnt ca ON ca.doc_id = i
+        |WHERE CAST(c AS DOUBLE) / ca.n >= 0.8
+        |ORDER BY i, j""".stripMargin,
+    // the tuner is pure math on literals: same divisor enumeration,
+    // same 200-point midpoint grid, same rounding discipline (fp and
+    // fn rounded to 4 before the cost sum, exactly as the Spark side)
+    "q_lsh_tune" ->
+      """WITH rs AS (
+        |  SELECT CAST(r AS INT) AS r, CAST(128 // r AS INT) AS b
+        |  FROM range(1, 129) t(r) WHERE 128 % r = 0),
+        |areas AS (
+        |  SELECT r, b,
+        |    round(pow(1.0 / b, 1.0 / r), 4) AS s_mid,
+        |    round(list_sum(list_transform(range(0, 200),
+        |      i -> CASE WHEN (i + 0.5) / 200 < 0.5
+        |        THEN 1.0 - pow(1.0 - pow((i + 0.5) / 200, r), b)
+        |        ELSE 0.0 END)) / 200, 4) AS fp,
+        |    round(list_sum(list_transform(range(0, 200),
+        |      i -> CASE WHEN (i + 0.5) / 200 >= 0.5
+        |        THEN pow(1.0 - pow((i + 0.5) / 200, r), b)
+        |        ELSE 0.0 END)) / 200, 4) AS fn
+        |  FROM rs)
+        |SELECT r, b, s_mid, fp, fn, round(fp + fn, 4) AS cost
+        |FROM areas ORDER BY r""".stripMargin,
     "q_leakage_split_neardup" ->
       s"""$componentsCtePrefix,
         |comp AS (SELECT v, l FROM l12)

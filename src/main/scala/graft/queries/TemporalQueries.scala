@@ -60,6 +60,37 @@ object TemporalQueries {
         .orderBy($"i", $"j")
     }),
 
+    // Per-type 3-sigma outlier detection over the event stream's value
+    // column — the monitoring staple (metric spikes, fraud signals).
+    // One partial-aggregated groupBy over 5 event types, stats
+    // broadcast back into the scan: two passes, no wide shuffle of the
+    // event rows themselves; at 100 TB the stats side is 5 rows.
+    "q_event_anomaly" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val stats = ev.groupBy($"event_type")
+        .agg(avg($"value").as("mu"), stddev_pop($"value").as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .where($"sigma" > 0 && abs($"value" - $"mu") > lit(3) * $"sigma")
+        .select($"event_id", $"event_type",
+          round(($"value" - $"mu") / $"sigma", 3).as("z"))
+        .orderBy($"event_id")
+    }),
+
+    // Rolling 5-event mean per user in event-time order (tie-broken by
+    // event_id so the frame is deterministic): the feature-engineering
+    // window shape. One shuffle on user_id; frames never cross users.
+    "q_event_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id").rowsBetween(-4, 0)
+      ev.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts",
+          round(avg($"value").over(w), 4).as("avg5"),
+          count(lit(1)).over(w).cast("int").as("n5"))
+        .orderBy($"event_id")
+    }),
+
     // The STREAMING interval-join operator run on its batch face —
     // same code path the attribution stream executes (watermarks are
     // no-ops in batch), gated against a plain inequality-join oracle.
@@ -119,6 +150,25 @@ object TemporalQueries {
          |  AND a.event_type = 'view' AND b.event_type = 'click'
          |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL $WindowSec SECONDS
          |ORDER BY i, j""".stripMargin,
+    // stats per type recomputed the naive way; same 3-sigma predicate
+    // on the unrounded z, z rounded identically for the hash
+    "q_event_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - st.mu) / st.sigma, 3) AS z
+        |FROM events e JOIN st ON st.event_type = e.event_type
+        |WHERE st.sigma > 0 AND abs(e.value - st.mu) > 3 * st.sigma
+        |ORDER BY e.event_id""".stripMargin,
+    "q_event_rolling" ->
+      """SELECT event_id, user_id, ts,
+        |  round(avg(value) OVER w, 4) AS avg5,
+        |  CAST(count(*) OVER w AS INT) AS n5
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_interval_join" ->
       """SELECT b.event_id AS click_id, a.event_id AS view_id,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

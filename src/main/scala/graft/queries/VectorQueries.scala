@@ -262,6 +262,31 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Index maintenance debt paid down: build over the even half,
+    // absorb the odd half (one extra file per touched cell), then
+    // COMPACT — every cell rewritten to one file behind a crash-safe
+    // two-rename swap — and search the compacted artifact via a fresh
+    // load(). Full probe ⇒ exact kNN over the whole corpus, so the
+    // same brute-force oracle restates it: compaction must change the
+    // file layout and NOTHING else. IvfCompactSpec asserts the layout
+    // half (files/cell drops to 1) and the crash-recovery window.
+    "q_ivf_compact_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_compact").toString
+      val base = graft.operators.IvfIndex.build(
+        emb.where($"vec_id" % 2 === 0), "vec_id", "embedding",
+        nCells = 16, maxIter = 5, indexDir = Some(s"$tmp/idx"))
+      graft.operators.IvfIndex.append(base, emb.where($"vec_id" % 2 =!= 0))
+      graft.operators.IvfIndex.compact(s, s"$tmp/idx")
+      val model = graft.operators.IvfIndex.load(s, s"$tmp/idx",
+        "vec_id", "embedding")
+      graft.operators.IvfIndex.search(model,
+          emb.where($"vec_id" < 10), k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Partial-probe recall under a FIXED coarse quantizer (first 16
     // vectors as centroids, the q_ivfpq_adc_fixed trick): assignment,
     // probing, candidate ranking, and recall are all plain argmins
@@ -282,6 +307,74 @@ object VectorQueries {
       val approx = graft.operators.IvfIndex
         .search(model, queries, k = 10, nprobe = 4)
       Knn.recall(truth, approx, 10).orderBy($"qid")
+    }),
+
+    // Order-sensitive eval of the same fixed-quantizer partial probe:
+    // MRR + binary nDCG@10 of the approximate list against exact
+    // truth. Recall can't see rank displacement (a true neighbor at
+    // rank 10 counts like one at rank 1); these grade the ORDER — the
+    // numbers an autotune sweep should trade against latency. Same
+    // deterministic setup as q_ivf_recall_fixed, so DuckDB restates
+    // the whole computation including the metrics.
+    "q_ann_quality" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ann_quality").toString
+      val model = graft.operators.IvfIndex.buildWithCentroids(
+        emb, "vec_id", "embedding", cents, Some(s"$tmp/idx"))
+      val queries = emb.where($"vec_id" < 10)
+      val truth = Knn.topK(emb, queries, "vec_id", "embedding", 10)
+      val approx = graft.operators.IvfIndex
+        .search(model, queries, k = 10, nprobe = 4)
+      Knn.rankQuality(truth, approx, 10).orderBy($"qid")
+    }),
+
+    // Embedding-distribution drift between two corpus snapshots (the
+    // even/odd halves standing in for last week's vs this week's
+    // embedding run): per fixed anchor cell, member counts and the
+    // centroid movement (cosine + L2 shift of the per-cell mean
+    // vector). The monitor that tells an IVF owner when the frozen
+    // coarse quantizer has drifted enough to warrant reindex — the
+    // production trigger for F10. Fixed first-16 anchors make
+    // assignment a plain argmin, so DuckDB restates everything.
+    // Scale shape: one partial-aggregated groupBy over (cell, snap,
+    // dim) — rows never shuffle whole vectors, only (cell, dim)
+    // partial sums; anchors broadcast.
+    "q_embedding_drift" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val bc = s.sparkContext.broadcast(cents)
+      val cellU = udf((v: Seq[Float]) =>
+        graft.operators.ProductQuantizer.nearestCentroid(bc.value,
+          v.toArray))
+      val assigned = emb.select(
+        cellU($"embedding").cast("long").as("cell"),
+        ($"vec_id" % 2 === 0).as("is_v1"),
+        $"embedding")
+      val dims = assigned.select($"cell", $"is_v1",
+          posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"is_v1", $"pos")
+        .agg(avg($"v").as("m"), count(lit(1)).as("n"))
+      val v1 = dims.where($"is_v1").select($"cell", $"pos",
+        $"m".as("m1"), $"n".as("n1"))
+      val v2 = dims.where(!$"is_v1").select($"cell", $"pos",
+        $"m".as("m2"), $"n".as("n2"))
+      v1.join(v2, Seq("cell", "pos"))
+        .groupBy($"cell")
+        .agg(
+          max($"n1").cast("long").as("n_v1"),
+          max($"n2").cast("long").as("n_v2"),
+          round(sum($"m1" * $"m2") /
+            (sqrt(sum($"m1" * $"m1")) * sqrt(sum($"m2" * $"m2"))), 4)
+            .as("cos_sim"),
+          round(sqrt(sum(($"m1" - $"m2") * ($"m1" - $"m2"))), 4)
+            .as("shift"))
+        .orderBy($"cell")
     }),
 
     // SQ8-index batch absorption: the compressed index built over the
@@ -743,6 +836,8 @@ object VectorQueries {
          |FROM ranked WHERE rk <= 20 ORDER BY dist, vec_id""".stripMargin,
     // append face at full probe == exact kNN over the whole corpus
     "q_ivf_append_knn" -> knnOracle,
+    // compaction must be invisible to results: same exact-kNN oracle
+    "q_ivf_compact_knn" -> knnOracle,
     // streamed-ingest replay at full probe == the same exact kNN
     "q_vec_ingest_replay" -> knnOracle,
     // SQ8 absorption: min/max fit over the EVEN half only; every row
@@ -818,6 +913,82 @@ object VectorQueries {
          |SELECT ex.qid, CAST(count(appr.nid) AS DOUBLE) / 10 AS recall
          |FROM ex LEFT JOIN appr ON ex.qid = appr.qid AND ex.nid = appr.nid
          |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
+    // drift monitor: same fixed-anchor argmin assignment, per-half
+    // per-dim means, cosine + L2 shift between the half centroids
+    "q_embedding_drift" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |x AS (
+         |  SELECT a.cell, e.vec_id % 2 = 0 AS is_v1,
+         |    CAST(unnest(range(0, len(e.embedding))) AS INT) AS pos,
+         |    CAST(unnest(e.embedding) AS DOUBLE) AS v
+         |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+         |d AS (
+         |  SELECT cell, is_v1, pos, avg(v) AS m, count(*) AS n
+         |  FROM x GROUP BY cell, is_v1, pos),
+         |j AS (
+         |  SELECT a.cell, a.pos, a.m AS m1, a.n AS n1, b.m AS m2,
+         |    b.n AS n2
+         |  FROM d a JOIN d b ON a.cell = b.cell AND a.pos = b.pos
+         |    AND a.is_v1 AND NOT b.is_v1)
+         |SELECT cell, CAST(max(n1) AS BIGINT) AS n_v1,
+         |  CAST(max(n2) AS BIGINT) AS n_v2,
+         |  round(sum(m1 * m2) /
+         |    (sqrt(sum(m1 * m1)) * sqrt(sum(m2 * m2))), 4) AS cos_sim,
+         |  round(sqrt(sum((m1 - m2) * (m1 - m2))), 4) AS shift
+         |FROM j GROUP BY cell ORDER BY cell""".stripMargin,
+    // same fixed-quantizer pipeline, graded order-sensitively: per
+    // query MRR (1/rank of first true neighbor in the approx list) and
+    // binary nDCG@10 (IDCG = all-hits DCG, computed with the same
+    // 1..10 summation the Scala side uses)
+    "q_ann_quality" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qe", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |appr AS (SELECT * FROM (
+         |  SELECT c.qid, c.nid,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qe")}, c.nid) AS rk
+         |  FROM (SELECT pr.qid, a.vec_id AS nid
+         |        FROM pr JOIN asg a ON a.cell = pr.cell) c
+         |  JOIN embeddings e ON e.vec_id = c.nid
+         |  JOIN q ON q.qid = c.qid) _r WHERE rk <= 10),
+         |ex AS (SELECT * FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.embedding", "q.qe")}, c.vec_id) AS rk
+         |  FROM embeddings c, q) _e WHERE rk <= 10),
+         |idcg AS (SELECT sum(1.0 / log2(r + 1)) AS v
+         |         FROM range(1, 11) t(r)),
+         |hits AS (
+         |  SELECT a.qid, a.rk,
+         |    CASE WHEN ex.nid IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM appr a LEFT JOIN ex
+         |    ON ex.qid = a.qid AND ex.nid = a.nid)
+         |SELECT h.qid,
+         |  round(coalesce(max(CASE WHEN h.hit = 1
+         |    THEN 1.0 / h.rk END), 0), 4) AS mrr,
+         |  round(sum(CASE WHEN h.hit = 1
+         |    THEN 1.0 / log2(h.rk + 1) ELSE 0 END) / max(idcg.v), 4)
+         |    AS ndcg
+         |FROM hits h CROSS JOIN idcg
+         |GROUP BY h.qid ORDER BY h.qid""".stripMargin,
     // full restatement of the fixed-codebook ADC face: argmin codes
     // (shared base), per-(query,split,centroid) integer-quantized LUT
     // (per-dim floor(d²·1e6 + 0.5), matching searchAdc's lutScale

@@ -371,6 +371,59 @@ class HttpApiSpec extends SparkSuite {
       """{"clusters":"abc"}""").statusCode() === 400)
   }
 
+  test("POST /collections/{name}/containment finds the excerpt pair, " +
+      "directed; bad params get 400") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    Seq((1L, base), (2L, "alpha bravo charlie delta echo"),
+        (3L, "other words entirely different here"))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("docs_cont_api")
+    val r = post("/collections/docs_cont_api/containment",
+      """{"tau":0.8,"limit":10}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"i\":2,\"j\":1")) // excerpt → container
+    assert(!r.body().contains("\"i\":1,\"j\":2")) // not the reverse
+    assert(post("/collections/docs_cont_api/containment",
+      """{"tau":"abc"}""").statusCode() === 400)
+    assert(post("/collections/docs_cont_api/containment",
+      """{"limit":0}""").statusCode() === 400)
+    assert(post("/collections/docs_cont_api/containment",
+      """{"text_column":"nope"}""").statusCode() === 400)
+  }
+
+  test("POST /lsh_tune returns the full factorization grid; bad " +
+      "params get 400") {
+    val r = post("/lsh_tune", """{"threshold":0.5,"num_hashes":128}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"rows\":2,\"bands\":64"))
+    assert("\"rows\":".r.findAllIn(r.body()).size === 8) // divisors of 128
+    assert(post("/lsh_tune", """{"threshold":1.5}""").statusCode() === 400)
+    assert(post("/lsh_tune", """{"threshold":"x"}""").statusCode() === 400)
+    assert(post("/lsh_tune", """{"num_hashes":0}""").statusCode() === 400)
+  }
+
+  test("POST /collections/{name}/compact rewrites the index files; " +
+      "search results unchanged; 404 without an index") {
+    // a dedicated collection with its own fresh index
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("vecs_compact_api")
+    assert(post("/collections/vecs_compact_api/compact", "{}")
+      .statusCode() === 404) // no index yet
+    assert(post("/collections/vecs_compact_api/index",
+      """{"n_cells":8}""").statusCode() === 201)
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    val before = post("/collections/vecs_compact_api/search",
+      s"""{"vector":[$vec],"k":5}""").body()
+    val c = post("/collections/vecs_compact_api/compact", "{}")
+    assert(c.statusCode() === 200)
+    assert(c.body().contains("\"files_before\""))
+    val after = post("/collections/vecs_compact_api/search",
+      s"""{"vector":[$vec],"k":5}""").body()
+    assert(after === before)
+  }
+
   test("basic auth: wrong or missing credentials get 401 + challenge, " +
       "correct ones pass (reference http_server/mod.rs:62-75)") {
     val secured = new HttpApi(spark, auth = Some(("alice", "s3cret")))

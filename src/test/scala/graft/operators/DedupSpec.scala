@@ -337,4 +337,53 @@ class DedupSpec extends SparkSuite {
       Dedup.releaseCaches()
     } finally foreign.unpersist()
   }
+
+  test("containmentPairs finds the excerpt Jaccard misses, both " +
+      "directions for exact dups, and is exact vs the naive join") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo"
+    val d = Seq(
+      (0L, base),                          // long document
+      (1L, "alpha bravo charlie delta echo foxtrot"), // strict excerpt
+      (2L, base),                          // exact dup of 0
+      (3L, "unrelated words entirely separate content here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 3, tau = 0.8)
+      .select($"i", $"j", $"cont").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    // the excerpt: all of 1's shingles appear in 0 → cont(1→0) = 1;
+    // the reverse direction fails the bar (0 is much longer)
+    assert(got((1L, 0L)) === 1.0)
+    assert(!got.contains((0L, 1L)))
+    // exact dups contain each other
+    assert(got((0L, 2L)) === 1.0 && got((2L, 0L)) === 1.0)
+    assert(got((1L, 2L)) === 1.0)
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L))
+    // Jaccard at the same tau misses the excerpt pair entirely
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.8)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 0L)) && !jac.contains((0L, 1L)))
+  }
+
+  test("lshTuneGrid: exact factorizations only, monotone s_mid, and " +
+      "the 64x2 production choice is on the efficient frontier") {
+    val rows = Dedup.lshTuneGrid(spark, threshold = 0.5, numHashes = 128)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8, 16, 32, 64, 128))
+    assert(rows.forall { case (r, b, _, _, _, _) => r * b == 128 })
+    // s_mid rises with r: more rows per band shifts the S-curve right
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq)
+    // r=1 (128 bands of 1): everything collides → huge FP, no FN
+    val r1 = rows.find(_._1 == 1).get
+    assert(r1._4 > 0.4 && r1._5 < 0.01)
+    // r=128: almost nothing collides → huge FN
+    val r128 = rows.find(_._1 == 128).get
+    assert(r128._5 > 0.4 && r128._4 < 0.01)
+    // the production 64x2 has a mid s_mid and materially lower cost
+    // than either extreme
+    val r2 = rows.find(_._1 == 2).get
+    assert(r2._2 === 64)
+    assert(r2._6 < r1._6 && r2._6 < r128._6)
+  }
 }

@@ -105,4 +105,30 @@ class KnnSpec extends SparkSuite {
       .where($"rank" === 1).select($"nid").as[Long].head()
     assert(r === 0L) // unit vectors: self-dot = 1 is max
   }
+
+  test("rankQuality: hand-computed MRR and nDCG, perfect list " +
+      "scores 1, zero-hit list scores 0") {
+    val truth = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 10L, 1), (2L, 20L, 2), (2L, 30L, 3),
+      (3L, 10L, 1), (3L, 20L, 2), (3L, 30L, 3))
+      .toDF("qid", "nid", "rank")
+    val result = Seq(
+      // q1: miss at rank 1, hits at 2 and 3
+      (1L, 99L, 1), (1L, 10L, 2), (1L, 20L, 3),
+      // q2: the truth list verbatim
+      (2L, 10L, 1), (2L, 20L, 2), (2L, 30L, 3),
+      // q3: no hits at all
+      (3L, 97L, 1), (3L, 98L, 2), (3L, 99L, 3))
+      .toDF("qid", "nid", "rank")
+    val m = Knn.rankQuality(truth, result, 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1),
+        r.getDouble(2))).toMap
+    assert(m(1L)._1 === 0.5) // first hit at rank 2
+    // DCG = 1/log2(3) + 1/log2(4); IDCG = 1 + 1/log2(3) + 1/log2(4)
+    val dcg = 1.0 / (math.log(3) / math.log(2)) + 0.5
+    val idcg = 1.0 + dcg
+    assert(m(1L)._2 === math.rint(dcg / idcg * 10000) / 10000)
+    assert(m(2L) === ((1.0, 1.0)))
+    assert(m(3L) === ((0.0, 0.0)))
+  }
 }
