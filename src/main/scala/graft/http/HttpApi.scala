@@ -272,6 +272,23 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             respond(ex, 404, s"""{"error":"no index on $name"}""")
         }
 
+      // Index observability: per-cell rows / corpus share / file
+      // count — what decides between /compact (files) and /reindex
+      // (row skew).
+      case ("GET", List("collections", name, "index", "stats")) =>
+        Option(ivfModels.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no index on $name"}""")
+          case Some(m) =>
+            val rows = graft.operators.IvfIndex.cellStats(spark, m)
+              .collect()
+            val items = rows.map(r =>
+              s"""{"cell_id":${r.get(0)},"n_rows":${r.get(1)},
+                 |"pct":${r.get(2)},"n_files":${r.get(3)}}""".stripMargin
+                .replace("\n", ""))
+            respond(ex, 200, s"""{"cells":[${items.mkString(",")}]}""")
+        }
+
       case ("GET", List("indexes")) =>
         import scala.jdk.CollectionConverters._
         val items = ivfModels.asScala.toSeq.sortBy(_._1).map {

@@ -355,6 +355,57 @@ object Dedup {
       .where(col("cont") >= tau)
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995,
+    * "The merge/purge problem for large databases") — the classic
+    * blocking alternative to LSH: records sort by a derived key, and
+    * only records within `window` positions of each other are
+    * compared. Here the key is the normalized text (lowercased,
+    * non-alphanumerics stripped) and the block its first `blockChars`
+    * characters, so the sort distributes: row_number runs PER BLOCK,
+    * never as one global window, and the candidate join is an
+    * equi-join on block with a rank-distance filter — O(n·window)
+    * candidates, each exact-verified at `tau` n-gram Jaccard.
+    *
+    * When to prefer over [[minhashDupPairs]]: corpora whose dups share
+    * prefixes (versioned records, templated titles, log lines) get the
+    * same recall with no signature computation at all; dups that
+    * differ in their first `blockChars` normalized characters are
+    * missed by construction — that regime belongs to MinHash. Output
+    * (i, j, jac), i < j, like the other pair operators.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, tau: Double = 0.5,
+      blockChars: Int = 8, window: Int = 10): DataFrame = {
+    require(blockChars >= 1 && window >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val dfn = df.select(col(idCol), col(textCol))
+    val keyed = dfn.select(col(idCol).as("id"),
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("skey"))
+      .where(length(col("skey")) > 0)
+      .withColumn("block", substring(col("skey"), 1, blockChars))
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("skey"), col("id"))
+    val ranked = keyed.withColumn("rn", row_number().over(w))
+      .select(col("id"), col("block"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(trackCache)
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.block") === col("b.block") &&
+          col("b.rn") > col("a.rn") &&
+          col("b.rn") <= col("a.rn") + window)
+      .select(least(col("a.id"), col("b.id")).as("i"),
+        greatest(col("a.id"), col("b.id")).as("j"))
+      .distinct()
+    val sets = hashedShingleSetsShared(dfn, idCol, textCol, n)
+    cands
+      .join(sets.select(col("id").as("i"), col("hs").as("sa")), "i")
+      .join(sets.select(col("id").as("j"), col("hs").as("sb")), "j")
+      .where(size(col("sa")) > 0 && size(col("sb")) > 0)
+      .select(col("i"), col("j"),
+        jaccardHashedU(col("sa"), col("sb")).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
   /** Default band-key document-frequency cap, ON for every scale-facing
     * MinHash entry point (minhash/cross-corpus/streaming/HTTP). A
     * genuine near-dup GROUP puts its whole membership on shared band

@@ -255,6 +255,68 @@ object IvfIndex {
     CompactionStats(cells, before.size, after.size)
   }
 
+  /** Merge the inverted file at `srcPath` into the one at `destPath`.
+    * Both must carry the SAME frozen coarse quantizer (the precondition
+    * that makes the merge a pure data move: every src row is already in
+    * its correct cell, so no assignment recomputes — cf. faiss
+    * `merge_into` for on-disk IVF). This is how a 100 TB index is
+    * actually built: shards indexed IN PARALLEL with
+    * [[buildWithCentroids]] under one shared quantizer, then folded
+    * together; sequential [[append]] of raw vectors would serialize the
+    * assignment pass. Src rows land as new files inside dest's
+    * `cell_id=` dirs (append semantics, like [[append]]); run
+    * [[compact]] afterwards to fold the file count back down. The src
+    * artifact is not modified.
+    */
+  def merge(spark: SparkSession, destPath: String, srcPath: String,
+      idCol: String, vecCol: String): Model = graft.util.BuildTimer.timed {
+    val dest = load(spark, destPath, idCol, vecCol)
+    val src = load(spark, srcPath, idCol, vecCol)
+    require(dest.centroids.length == src.centroids.length &&
+      dest.centroids.zip(src.centroids).forall {
+        case (a, b) => java.util.Arrays.equals(a, b)
+      },
+      s"cannot merge: $srcPath and $destPath were built under " +
+        "different coarse quantizers — rebuild one with the other's " +
+        "centroids (buildWithCentroids) first")
+    buildMemo.entrySet.removeIf(e => e.getValue._2.indexPath == destPath)
+    src.assigned
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("append").parquet(destPath)
+    val assigned = spark.read
+      .option("basePath", destPath)
+      .parquet(s"$destPath/cell_id=*")
+    Model(dest.centroids, assigned, idCol, vecCol, destPath)
+  }
+
+  /** Operational stats of an inverted file: per-cell row count, share
+    * of the corpus, and on-disk file count — the numbers that drive
+    * the two maintenance decisions. A cell with many files wants
+    * [[compact]]; a lopsided row distribution (hot cells soak up
+    * appends the frozen quantizer routes badly) wants a retrain +
+    * reindex. One partial-aggregated groupBy over the cell-partitioned
+    * scan plus a driver-side file listing bounded by nCells — no data
+    * shuffled beyond (cell_id, count) partials.
+    */
+  def cellStats(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    val live = new org.apache.hadoop.fs.Path(model.indexPath)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = listPartFiles(fs, live)
+      .groupBy(f => f.getParent.getName.stripPrefix("cell_id=").toInt)
+      .view.mapValues(_.size).toSeq
+      .toDF("cell_id", "n_files")
+    val counts = model.assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = sum(col("n_rows")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    counts
+      .withColumn("pct", round(col("n_rows") / total, 4))
+      .join(broadcast(files), Seq("cell_id"), "left")
+      .na.fill(0, Seq("n_files"))
+      .orderBy(col("cell_id"))
+  }
+
   /** Reopen a durable index written by [[build]]: centroids from the
     * sidecar table, assignment straight off the cell-partitioned
     * parquet. No k-means, no corpus scan — the load cost is two
@@ -351,6 +413,36 @@ object IvfIndex {
       .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(col("qid"), col("nn.id").as("nid"),
         (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
+  }
+
+  /** Vector RANGE query: every neighbor within `radius`, not a fixed
+    * top-k — the reference's `WHERE embedding <-> q < r` shape
+    * (pgvector/lantern distance-threshold scans). Same probe pruning
+    * as [[search]]: unprobed cells are never read; with
+    * nprobe = nCells the result is exact (and brute-force restatable).
+    * Unlike top-k there is no per-query result bound, so the output is
+    * a plain filtered join — no top-k aggregation state at all, the
+    * cheapest possible shape. Rows come back ranked within each query
+    * for presentation parity with [[search]].
+    */
+  def rangeSearch(model: Model, queries: DataFrame, radius: Double,
+      nprobe: Int, metric: String = "l2sq",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(radius > 0, s"radius must be positive (got $radius)")
+    val probes0 = probeCells(model, queries, nprobe)
+    val probes = broadcast(probes0)
+    val corpus = filter.foldLeft(
+        pruneToProbedCells(model.assigned, probes0))(_.where(_))
+      .select(col("cell_id"),
+        col(model.idCol).cast("long").as("nid"),
+        col(model.vecCol).as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    corpus.join(probes, "cell_id")
+      .select(col("qid"), col("nid"),
+        Knn.distance(metric)(col("cvec"), col("qvec")).as("dist"))
+      .where(col("dist") <= radius)
+      .withColumn("rank", row_number().over(w))
   }
 
   /** IVF-PQ: score candidates by asymmetric distance (ADC) over PQ

@@ -44,6 +44,29 @@ object PipelineOps {
   private def tailOrder(d: Dialect, cols: String): String =
     if (d == SparkDialect) "" else s"\nORDER BY $cols"
 
+  /** CC-Net-style text normalization (Wenzek et al. 2020 §2: the
+    * canonical form both dedup hashing and LM scoring run on):
+    * lowercase, digits collapsed to `0`, punctuation stripped to
+    * spaces, runs of whitespace collapsed, trimmed. Emitted alongside
+    * the raw/normalized lengths so a gate can bound how much
+    * normalization destroyed (a doc that loses most of its characters
+    * was punctuation soup to begin with). One codegen'd expression
+    * chain over the scan — no UDFs, no shuffle, 100 TB trivially.
+    */
+  def normalizeTextSql(d: Dialect, table: String = "documents"): String = {
+    val norm = replaceAll(d,
+      replaceAll(d,
+        replaceAll(d, "lower(text)", "[0-9]", "0"),
+        "[^a-z0 ]", " "),
+      "  +", " ")
+    s"""SELECT doc_id, trim($norm) AS norm_text,
+       |  CAST(length(text) AS INT) AS n_raw,
+       |  CAST(length(trim($norm)) AS INT) AS n_norm,
+       |  ${r4(s"CAST(length(trim($norm)) AS DOUBLE) / " +
+            "CAST(greatest(length(text), 1) AS DOUBLE)")} AS kept_frac
+       |FROM $table${tailOrder(d, "doc_id")}""".stripMargin
+  }
+
   /** Gopher-style rule-based quality gate (Rae et al. 2021, table A1
     * adapted to this corpus): per-document token count, mean word
     * length, alphabetic-word fraction, stopword hits, symbol ratio, and

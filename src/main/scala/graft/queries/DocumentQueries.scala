@@ -120,6 +120,31 @@ object DocumentQueries {
         .orderBy($"i", $"j")
     }),
 
+    // Dedup reporting: cluster-size histogram over the near-dup
+    // component graph — the number a curation run actually reads
+    // ("how much of the corpus sits in 2-clusters vs 50-clusters")
+    // before choosing a keep policy. Composition of the components
+    // face; two tiny aggregations on top.
+    "q_dup_cluster_sizes" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+            n = 3, tau = 0.5))
+        .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy($"cluster_size")),
+
+    // Sorted-neighborhood dedup (merge/purge blocking): normalized
+    // sort key, per-block row_number, rank-distance-bounded candidate
+    // pairs, exact Jaccard verification. The no-signature alternative
+    // for prefix-sharing dup regimes; the oracle restates the entire
+    // pipeline including the window.
+    "q_snm_dups" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text",
+        n = 3, tau = 0.5, blockChars = 8, window = 10)
+        .select($"i", $"j", round($"jac", 3).as("jac"))
+        .orderBy($"i", $"j")),
+
     // The LSH knob-tuner behind the MinHash family: S-curve FP/FN
     // areas for every (bands, rows) factorization of 128 hashes at
     // tau=0.5, on a fixed 200-point midpoint grid. Pure math on
@@ -734,6 +759,45 @@ object DocumentQueries {
         |SELECT i, j, round(CAST(c AS DOUBLE) / ca.n, 3) AS cont
         |FROM pairs JOIN cnt ca ON ca.doc_id = i
         |WHERE CAST(c AS DOUBLE) / ca.n >= 0.8
+        |ORDER BY i, j""".stripMargin,
+    // histogram over the same unrolled component fixpoint
+    "q_dup_cluster_sizes" ->
+      s"""$componentsCtePrefix,
+        |comp AS (SELECT v, l FROM l12)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM (SELECT l, count(*) AS cluster_size FROM comp GROUP BY l) t
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // SNM restated end to end: same normalization, same per-block
+    // row_number (skey, id tie-break), same rank-distance window,
+    // Jaccard verified on candidates only
+    "q_snm_dups" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS skey
+        |  FROM documents),
+        |k2 AS (SELECT id, skey, substr(skey, 1, 8) AS block
+        |       FROM k WHERE length(skey) > 0),
+        |r AS (SELECT id, block,
+        |  row_number() OVER (PARTITION BY block ORDER BY skey, id) AS rn
+        |  FROM k2),
+        |cand AS (SELECT DISTINCT least(a.id, b.id) AS i,
+        |    greatest(a.id, b.id) AS j
+        |  FROM r a JOIN r b ON a.block = b.block
+        |    AND b.rn > a.rn AND b.rn <= a.rn + 10),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.i, c.j, count(*) AS c
+        |  FROM cand c JOIN sh a ON a.doc_id = c.i
+        |  JOIN sh b ON b.doc_id = c.j AND b.g = a.g
+        |  GROUP BY c.i, c.j)
+        |SELECT i, j, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 3) AS jac
+        |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
         |ORDER BY i, j""".stripMargin,
     // the tuner is pure math on literals: same divisor enumeration,
     // same 200-point midpoint grid, same rounding discipline (fp and

@@ -104,6 +104,11 @@ object PipelineQueries {
     "q_line_dedup" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.lineDedupSql(TA.SparkDialect))),
 
+    // CC-Net canonical normalization: lowercase / digits→0 /
+    // punctuation→space / whitespace collapse, with destruction ratio.
+    "q_normalize_text" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.normalizeTextSql(TA.SparkDialect))),
+
     // Supervised NB quality classifier trained on the seed slice;
     // integer 1e-4-nat log-odds scores + decision per document.
     "q_nb_quality" -> ((s, dir) =>
@@ -194,6 +199,7 @@ object PipelineQueries {
     "q_lm_perplexity" -> PO.lmPerplexitySql(TA.DuckDialect),
     "q_dsir_scores" -> PO.dsirScoreSql(TA.DuckDialect),
     "q_line_dedup" -> PO.lineDedupSql(TA.DuckDialect),
+    "q_normalize_text" -> PO.normalizeTextSql(TA.DuckDialect),
     "q_nb_quality" -> PO.nbQualitySql(TA.DuckDialect),
     "q_token_budget_mix" -> PO.tokenBudgetMixSql(TA.DuckDialect),
     "q_zorder_key" -> PO.zorderSql(TA.DuckDialect,

@@ -262,6 +262,51 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Vector RANGE query (the reference's `WHERE embedding <-> q < r`
+    // scan): all neighbors within radius 1.5, probe-pruned, full probe
+    // ⇒ exact so brute force restates it. No top-k state at all —
+    // the plan is scan + filter + presentation rank. Shares the
+    // memoized corpus index with the top-k faces.
+    "q_vec_range" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.IvfIndex.build(
+        emb, "vec_id", "embedding", nCells = 16, maxIter = 5)
+      graft.operators.IvfIndex.rangeSearch(model,
+          emb.where($"vec_id" < 5), radius = 1.5, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Parallel shard-build + merge — how a 100 TB inverted file is
+    // actually constructed: the even and odd halves are indexed as
+    // INDEPENDENT artifacts under one shared frozen quantizer (shard
+    // builds parallelize freely), then merged with a pure data move
+    // (no assignment recompute) and compacted. Full probe ⇒ exact kNN
+    // over the union, so the brute-force oracle restates it.
+    "q_ivf_merge_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_merge").toString
+      graft.operators.IvfIndex.buildWithCentroids(
+        emb.where($"vec_id" % 2 === 0), "vec_id", "embedding",
+        cents, Some(s"$tmp/shard1"))
+      graft.operators.IvfIndex.buildWithCentroids(
+        emb.where($"vec_id" % 2 =!= 0), "vec_id", "embedding",
+        cents, Some(s"$tmp/shard2"))
+      graft.operators.IvfIndex.merge(s, s"$tmp/shard1",
+        s"$tmp/shard2", "vec_id", "embedding")
+      graft.operators.IvfIndex.compact(s, s"$tmp/shard1")
+      val model = graft.operators.IvfIndex.load(s, s"$tmp/shard1",
+        "vec_id", "embedding")
+      graft.operators.IvfIndex.search(model,
+          emb.where($"vec_id" < 10), k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Index maintenance debt paid down: build over the even half,
     // absorb the odd half (one extra file per touched cell), then
     // COMPACT — every cell rewritten to one file behind a crash-safe
@@ -330,6 +375,24 @@ object VectorQueries {
       val approx = graft.operators.IvfIndex
         .search(model, queries, k = 10, nprobe = 4)
       Knn.rankQuality(truth, approx, 10).orderBy($"qid")
+    }),
+
+    // Index observability: per-cell row count / corpus share / file
+    // count — the numbers that decide between compact (files) and
+    // retrain+reindex (row skew). Fixed anchors make the row half
+    // restatable; the file half is asserted in IvfCompactSpec.
+    "q_ivf_cell_stats" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cell_stats").toString
+      val model = graft.operators.IvfIndex.buildWithCentroids(
+        emb, "vec_id", "embedding", cents, Some(s"$tmp/idx"))
+      graft.operators.IvfIndex.cellStats(s, model)
+        .select($"cell_id".cast("long").as("cell_id"), $"n_rows", $"pct")
+        .orderBy($"cell_id")
     }),
 
     // Embedding-distribution drift between two corpus snapshots (the
@@ -838,6 +901,20 @@ object VectorQueries {
     "q_ivf_append_knn" -> knnOracle,
     // compaction must be invisible to results: same exact-kNN oracle
     "q_ivf_compact_knn" -> knnOracle,
+    // shard merge at full probe == exact kNN over the shard union
+    "q_ivf_merge_knn" -> knnOracle,
+    // range scan at full probe == brute-force distance filter
+    "q_vec_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id AS nid,
+         |    ${dkL2sq("c.embedding", "q.qe")} AS d
+         |  FROM embeddings c CROSS JOIN q)
+         |SELECT qid, nid,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY d, nid) AS INT) AS rank,
+         |  round(d, 4) AS dist
+         |FROM d WHERE d <= 1.5 ORDER BY qid, rank""".stripMargin,
     // streamed-ingest replay at full probe == the same exact kNN
     "q_vec_ingest_replay" -> knnOracle,
     // SQ8 absorption: min/max fit over the EVEN half only; every row
@@ -913,6 +990,20 @@ object VectorQueries {
          |SELECT ex.qid, CAST(count(appr.nid) AS DOUBLE) / 10 AS recall
          |FROM ex LEFT JOIN appr ON ex.qid = appr.qid AND ex.nid = appr.nid
          |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
+    // cell stats: same fixed-anchor argmin, counted per cell
+    "q_ivf_cell_stats" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |tot AS (SELECT count(*) AS t FROM asg)
+         |SELECT a.cell AS cell_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(CAST(count(*) AS DOUBLE) / max(tot.t), 4) AS pct
+         |FROM asg a CROSS JOIN tot
+         |GROUP BY a.cell ORDER BY cell_id""".stripMargin,
     // drift monitor: same fixed-anchor argmin assignment, per-half
     // per-dim means, cosine + L2 shift between the half centroids
     "q_embedding_drift" ->

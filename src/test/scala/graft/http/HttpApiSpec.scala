@@ -416,12 +416,19 @@ class HttpApiSpec extends SparkSuite {
     val vec = (1 to 64).map(_ => "0.1").mkString(",")
     val before = post("/collections/vecs_compact_api/search",
       s"""{"vector":[$vec],"k":5}""").body()
+    // observability: per-cell stats drive the compact decision
+    val st = get("/collections/vecs_compact_api/index/stats")
+    assert(st.statusCode() === 200)
+    assert(st.body().contains("\"n_rows\"") &&
+      st.body().contains("\"n_files\""))
     val c = post("/collections/vecs_compact_api/compact", "{}")
     assert(c.statusCode() === 200)
     assert(c.body().contains("\"files_before\""))
     val after = post("/collections/vecs_compact_api/search",
       s"""{"vector":[$vec],"k":5}""").body()
     assert(after === before)
+    assert(get("/collections/embeddings_nope/index/stats")
+      .statusCode() === 404)
   }
 
   test("basic auth: wrong or missing credentials get 401 + challenge, " +

@@ -365,6 +365,27 @@ class DedupSpec extends SparkSuite {
     assert(!jac.contains((1L, 0L)) && !jac.contains((0L, 1L)))
   }
 
+  test("sortedNeighborhoodPairs: prefix-sharing dups caught with " +
+      "exact jaccard, prefix-divergent dups missed by construction") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (2L, "a completely different document about query engines at scale"),
+      // same content as 0 but prefixed — lands in another block, so
+      // SNM must miss it even though jaccard would not
+      (3L, "PREFIX the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        n = 3, tau = 0.5, blockChars = 8, window = 5)
+      .select($"i", $"j", $"jac").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.contains((0L, 1L)), s"prefix-sharing near-dup missed: $got")
+    assert(got((0L, 1L)) > 0.5 && got((0L, 1L)) < 1.0)
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L),
+      "SNM must not see across blocks — that regime belongs to MinHash")
+    assert(!got.keys.exists(k => k._1 == 2L || k._2 == 2L))
+  }
+
   test("lshTuneGrid: exact factorizations only, monotone s_mid, and " +
       "the 64x2 production choice is on the efficient frontier") {
     val rows = Dedup.lshTuneGrid(spark, threshold = 0.5, numHashes = 128)

@@ -106,6 +106,59 @@ class IvfCompactSpec extends SparkSuite {
     assert(after === before)
   }
 
+  test("cellStats reports rows/share/files per cell; file counts drop " +
+      "after compaction while row stats are invariant") {
+    val m = buildAppended("ivf_cell_stats")
+    def stats() = IvfIndex.cellStats(spark,
+      IvfIndex.load(spark, m.indexPath, "vec_id", "embedding"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    val before = stats()
+    assert(before.map(_._2).sum === m.assigned.count())
+    assert(math.abs(before.map(_._3).sum - 1.0) < 0.01)
+    assert(before.exists(_._4 >= 3), "append fixture should be multi-file")
+    IvfIndex.compact(spark, m.indexPath)
+    val after = stats()
+    assert(after.forall(_._4 == 1), "post-compaction cells must be 1 file")
+    assert(after.map(c => (c._1, c._2, c._3)).toSeq ===
+      before.map(c => (c._1, c._2, c._3)).toSeq,
+      "compaction must not change row stats")
+  }
+
+  test("merge folds a shard into a destination under the same frozen " +
+      "quantizer, refuses mismatched quantizers, src untouched") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_merge_spec").toString
+    val cents = emb.where($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val d = IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cents, Some(s"$tmp/dest"))
+    val s2 = IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", cents, Some(s"$tmp/src"))
+    val nDest = d.assigned.count(); val nSrc = s2.assigned.count()
+    val merged = IvfIndex.merge(spark, s"$tmp/dest", s"$tmp/src",
+      "vec_id", "embedding")
+    assert(merged.assigned.count() === nDest + nSrc)
+    // src artifact unchanged
+    assert(IvfIndex.load(spark, s"$tmp/src", "vec_id", "embedding")
+      .assigned.count() === nSrc)
+    // merged full probe == exact kNN over the union
+    val exact = IvfIndex.search(merged, queries, k = 10, nprobe = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val truth = Knn.topK(emb, queries, "vec_id", "embedding", 10)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(exact === truth)
+    // a shard under a DIFFERENT quantizer is refused loudly
+    val other = IvfIndex.buildWithCentroids(emb.where($"vec_id" < 100),
+      "vec_id", "embedding", cents.take(4), Some(s"$tmp/other"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.merge(spark, s"$tmp/dest", s"$tmp/other",
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("different coarse quantizers"))
+    assert(other.assigned.count() === 100)
+  }
+
   test("IndexedKnn.compactIndex compacts the registered artifact and " +
       "the planner rewrite keeps serving it") {
     val path = s"$sf0001/embeddings.parquet"

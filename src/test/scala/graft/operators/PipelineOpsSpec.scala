@@ -321,4 +321,21 @@ class PipelineOpsSpec extends SparkSuite {
         assert(dropped.map(_.getDouble(2)).max <= minKept + 1e-12)
     }
   }
+
+  test("normalize_text: lowercase, digits→0, punctuation→space, " +
+      "whitespace collapsed; kept_frac bounded") {
+    Seq((1L, "Hello, World!!  Call 555-1234 NOW."),
+        (2L, "...???!!!"), (3L, "plain words"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val rows = spark.sql(PipelineOps.normalizeTextSql(TA.SparkDialect))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(rows(1L)._1 === "hello world call 000 0000 now")
+    assert(rows(2L)._1 === "") // punctuation soup normalizes away
+    assert(rows(2L)._4 === 0.0)
+    assert(rows(3L)._1 === "plain words")
+    rows.values.foreach { case (_, raw, norm, frac) =>
+      assert(norm <= raw + 1 && frac >= 0.0 && frac <= 1.0 + 1e-9)
+    }
+  }
 }

@@ -161,6 +161,52 @@ class ScaleGrowthSpec extends SparkSuite {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("containment posting-list join grows sub-quadratically from " +
+      "5k to 50k docs; planted excerpts recovered, direction honored") {
+    // excerpt plants: doc 1M+i = the first 20 words of doc i, so all
+    // 18 of its shingles appear in the source → cont(excerpt→src) = 1,
+    // while the reverse direction is 18/58 ≈ 0.31 and must NOT surface
+    def synthWithExcerpts(n: Long, ex: Long): DataFrame = {
+      val base = spark.range(n).select($"id".as("doc_id"))
+        .withColumn("text", array_join(expr(
+          "transform(sequence(0, 59), i -> " +
+            "concat('w', pmod(xxhash64(doc_id * 60 + CAST(i AS BIGINT)), 2000)))"),
+          " "))
+      val exc = spark.range(ex).select($"id".as("src"))
+        .select(($"src" + 1000000L).as("doc_id"), array_join(expr(
+          "transform(sequence(0, 19), i -> " +
+            "concat('w', pmod(xxhash64(src * 60 + CAST(i AS BIGINT)), 2000)))"),
+          " ").as("text"))
+      base.unionByName(exc).repartition(32)
+    }
+    val small = synthWithExcerpts(5000, 50).persist()
+    val big = synthWithExcerpts(50000, 50).persist()
+    small.count(); big.count()
+    try {
+      val planted = (0 until 50).map(i => (1000000L + i, i.toLong)).toSet
+      def pairs(df: DataFrame): Set[(Long, Long)] = {
+        val r = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+          tau = 0.8).select($"i", $"j").as[(Long, Long)].collect().toSet
+        Dedup.releaseCaches()
+        r
+      }
+      var ps: Set[(Long, Long)] = null
+      var pb: Set[(Long, Long)] = null
+      val tS = timedSecs { ps = pairs(small) }
+      val tB = timedSecs { pb = pairs(big) }
+      assert(planted.subsetOf(ps) && planted.subsetOf(pb),
+        s"planted excerpts missed: small ${(planted -- ps).size}, " +
+          s"big ${(planted -- pb).size}")
+      // asymmetric: no source→excerpt row may appear at tau 0.8
+      val reversed = planted.map(_.swap)
+      assert((ps intersect reversed).isEmpty &&
+        (pb intersect reversed).isEmpty, "containment direction violated")
+      val r = ratio(tB, tS)
+      info(f"containment 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
+      assertPerf(r < 30.0, f"10x data grew $r%.1fx — not sub-quadratic")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   /** `skewN` identical boilerplate docs (ids >= 3M) on top of a normal
     * corpus — the zipfian band-key shape of real web data: every band
     * of every boilerplate doc lands on ONE key.
