@@ -86,6 +86,40 @@ object EmbedQueries {
         .orderBy($"rank")
     }),
 
+    // Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
+    // Zaharia 2020, collapsed to chunk granularity): documents become
+    // MULTI-vector — one embedding per chunk — and a query scores a
+    // document as the SUM over its query aspects of the MAX chunk
+    // similarity. This is the retrieval shape single-vector search
+    // can't express: a long document about two topics matches a
+    // two-aspect query even though its mean vector matches neither.
+    // Deterministic end to end (hash model + fixed chunking), so the
+    // oracle restates chunking, per-chunk embeddings, and the
+    // max/sum scoring. Scale shape: chunk explode → codegen embed →
+    // two bounded aggregations; query vectors are literals.
+    "q_maxsim_search" -> ((s, dir) => {
+      EmbeddingPipeline.register(s)
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      val chunks = s.sql(graft.operators.PipelineOps.chunkSql(
+        graft.operators.TextAnalysis.SparkDialect))
+      val emb = chunks.selectExpr("doc_id",
+        "text_embedding('hash/bow-64', chunk_text) AS e")
+      val sims = MaxSimQueryTexts.zipWithIndex.map { case (q, i) =>
+        val qv = HashEmbeddingRuntime.embedOne(q, 64)
+        emb.select($"doc_id", lit(i).as("qi"),
+          (lit(1.0) - V.cos_dist($"e", typedlit(qv.toSeq))).as("sim"))
+      }.reduce(_ unionByName _)
+      val scores = sims.groupBy($"doc_id", $"qi")
+        .agg(max($"sim").as("m"))
+        .groupBy($"doc_id").agg(sum($"m").as("score"))
+      import org.apache.spark.sql.expressions.Window
+      scores.orderBy($"score".desc, $"doc_id").limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id")).cast("int"))
+        .select($"doc_id", $"rank", round($"score", 4).as("score"))
+        .orderBy($"rank")
+    }),
+
     // F1 SQL surface: text_embedding(model, text) as a SQL function.
     "q_text_embedding_sql" -> ((s, dir) => {
       EmbeddingPipeline.register(s)
@@ -102,7 +136,18 @@ object EmbedQueries {
   // literals, document-ordered double fold, fixed-order 64-dim
   // normalize, float projection. Output floor-rounds to 4 decimals on
   // both sides.
-  private val hashEmbCtes: String = {
+  private val hashEmbCtes: String = hashEmbCtesFor(
+    """SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL AND text != ''
+      |    AND text != 'Error: Summary failed (llm)' AND trim(text) != ''"""
+      .stripMargin)
+
+  /** The hash-model CTE chain over an arbitrary `(doc_id, text)`
+    * source relation — lets composed faces (chunk-level embeddings for
+    * late-interaction retrieval) restate the SAME model over derived
+    * rows keyed however they like.
+    */
+  private def hashEmbCtesFor(source: String): String = {
     val T = "18446744073709551616"
     val H = "9223372036854775808"
     def wrapOp(z: String, c: Long, op: String): String = {
@@ -124,9 +169,7 @@ object EmbedQueries {
       .mkString("[", ", ", "]")
     val pat = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'"
     s"""WITH docs_f AS (
-       |  SELECT doc_id, text FROM documents
-       |  WHERE text IS NOT NULL AND text != ''
-       |    AND text != 'Error: Summary failed (llm)' AND trim(text) != ''),
+       |  $source),
        |toks AS (
        |  SELECT doc_id, unnest(range(1, len(rts)+1)) AS tpos,
        |         unnest(rts) AS tok
@@ -201,7 +244,58 @@ object EmbedQueries {
        |FROM cosd ORDER BY cd, nid LIMIT 10""".stripMargin
   }
 
+  /** The two query "aspects" of the MaxSim face — fixed so both
+    * engines embed them as literals.
+    */
+  private val MaxSimQueryTexts = Seq(
+    "the fast key order sort table scan",
+    "sum count group aggregate merge")
+
+  // chunk-level restatement of the same hash model: the chunk relation
+  // (chunkSql, DuckDB dialect) re-keyed as doc_id*10000+chunk_id feeds
+  // the shared CTE chain; scoring = per (doc, aspect) max chunk
+  // similarity, summed over aspects, top-10 by (score desc, doc_id).
+  private val maxsimOracle: String = {
+    val chunkSrc = graft.operators.PipelineOps.chunkSql(
+      graft.operators.TextAnalysis.DuckDialect)
+    val src = "SELECT doc_id * 10000 + chunk_id AS doc_id, " +
+      s"chunk_text AS text FROM ($chunkSrc) _chunks"
+    val qLits = MaxSimQueryTexts.map { q =>
+      HashEmbeddingRuntime.embedOne(q, 64)
+        .map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+    }
+    val qv = qLits.zipWithIndex
+      .map { case (l, i) => s"SELECT $i AS qi, $l AS qv" }
+      .mkString(" UNION ALL ")
+    s"""${hashEmbCtesFor(src)},
+       |evec AS (
+       |  SELECT acc.doc_id AS key,
+       |    list(CAST(acc.a / nrm.norm AS REAL) ORDER BY acc.j) AS e
+       |  FROM acc JOIN nrm ON nrm.doc_id = acc.doc_id
+       |  GROUP BY acc.doc_id),
+       |qv AS ($qv),
+       |cosd AS (
+       |  SELECT CAST(e.key // 10000 AS BIGINT) AS doc_id, q.qi,
+       |    (1 - list_sum(list_transform(range(1, 65),
+       |           i -> CAST(e.e[i] AS DOUBLE) * q.qv[i])) /
+       |      sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> CAST(e.e[i] AS DOUBLE) * CAST(e.e[i] AS DOUBLE)))
+       |        * list_sum(list_transform(range(1, 65),
+       |             i -> q.qv[i] * q.qv[i])))) AS cd
+       |  FROM evec e CROSS JOIN qv q),
+       |ms AS (SELECT doc_id, qi, max(1 - cd) AS m
+       |       FROM cosd GROUP BY doc_id, qi),
+       |sc AS (SELECT doc_id, sum(m) AS score FROM ms GROUP BY doc_id)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+       |    AS rank,
+       |  round(score, 4) AS score
+       |FROM sc ORDER BY rank LIMIT 10""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_maxsim_search" -> maxsimOracle,
     "q_embed_docs" -> embedDocsOracle,
     "q_embed_search" -> embedSearchOracle,
     "q_embed_usage" ->
