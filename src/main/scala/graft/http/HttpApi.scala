@@ -709,6 +709,15 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             .map(s => scala.util.Try(s.toDouble.toInt).getOrElse(-1))
           val mmrLambdaOpt = jsonField(body, "mmr_lambda")
             .map(s => scala.util.Try(s.toDouble).getOrElse(Double.NaN))
+          // distance-threshold mode (the reference's `<-> q < r` scan):
+          // "radius" replaces top-k with all-within-radius, capped by
+          // "limit" so an over-wide radius can't stream the corpus
+          // through one HTTP response
+          val radiusOpt = jsonField(body, "radius")
+            .map(s => scala.util.Try(s.toDouble).getOrElse(Double.NaN))
+          val rlimit = jsonField(body, "limit")
+            .map(s => scala.util.Try(s.toDouble.toInt).getOrElse(-1))
+            .getOrElse(1000)
           val vec: Option[Array[Float]] = resolveQueryVector(body)
           (vec match {
             case None =>
@@ -721,6 +730,12 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               Some("""{"error":"nprobe must be a positive integer"}""")
             case _ if mmrLambdaOpt.exists(_.isNaN) =>
               Some("""{"error":"mmr_lambda must be a number"}""")
+            case _ if radiusOpt.exists(r => r.isNaN || r <= 0) =>
+              Some("""{"error":"radius must be a positive number"}""")
+            case _ if radiusOpt.isDefined && mmrLambdaOpt.isDefined =>
+              Some("""{"error":"radius and mmr_lambda are exclusive"}""")
+            case _ if rlimit < 1 =>
+              Some("""{"error":"limit must be a positive integer"}""")
             case _ => None
           }) match {
             case Some(err) => respond(ex, 400, err)
@@ -771,7 +786,41 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               if (mmrLambda.isDefined && !idIntegral)
                 respond(ex, 400,
                   """{"error":"mmr_lambda requires an integral id column"}""")
-              else {
+              else if (radiusOpt.isDefined && !idIntegral)
+                respond(ex, 400,
+                  """{"error":"radius requires an integral id column"}""")
+              else if (radiusOpt.isDefined) {
+                val r = radiusOpt.get
+                val ranged = Option(ivfModels.get(name)) match {
+                  case Some(m)
+                      if m.idCol == idCol && m.vecCol == vecCol =>
+                    graft.operators.IvfIndex.rangeSearch(m, queries, r,
+                      nprobe.getOrElse(m.centroids.length), metric,
+                      filter = pred)
+                  case _ =>
+                    val qcol = org.apache.spark.sql.functions
+                      .typedlit(vec.get.toSeq)
+                    val w = org.apache.spark.sql.expressions.Window
+                      .orderBy(col("dist"), col("nid"))
+                    pred.foldLeft(df)(_.where(_))
+                      .select(col(idCol).cast("long").as("nid"),
+                        Knn.distance(metric)(col(vecCol), qcol)
+                          .as("dist"))
+                      .where(col("dist") <= r)
+                      .withColumn("rank", row_number().over(w))
+                      .withColumn("qid", lit(0L))
+                }
+                val res = ranged
+                  .select(col("qid"), col("nid"), col("rank"),
+                    col("dist"))
+                  .orderBy(col("rank")).limit(rlimit).collect()
+                val items = res.map { rr =>
+                  s"""{"id":${rr.get(1)},"rank":${rr.getInt(2)},
+                     |"distance":${rr.getDouble(3)}}""".stripMargin
+                    .replace("\n", "")
+                }.mkString("[", ",", "]")
+                respond(ex, 200, s"""{"results":$items}""")
+              } else {
                 val res = mmrLambda match {
                   case Some(l) =>
                     val wide = Option(ivfModels.get(name)) match {

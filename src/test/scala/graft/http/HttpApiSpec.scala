@@ -431,6 +431,41 @@ class HttpApiSpec extends SparkSuite {
       .statusCode() === 404)
   }
 
+  test("search with radius returns every in-range neighbor (index and " +
+      "brute-force paths agree); bad radius gets 400") {
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("vecs_range_api")
+    // brute-force path (no index on this collection)
+    val brute = post("/collections/vecs_range_api/search",
+      s"""{"vector":[$vec],"radius":1.5}""")
+    assert(brute.statusCode() === 200)
+    val bruteIds = "\"id\":(\\d+)".r.findAllMatchIn(brute.body())
+      .map(_.group(1).toLong).toSet
+    assert(bruteIds.nonEmpty)
+    // indexed path must return the same set at full probe
+    assert(post("/collections/vecs_range_api/index",
+      """{"n_cells":8}""").statusCode() === 201)
+    val idx = post("/collections/vecs_range_api/search",
+      s"""{"vector":[$vec],"radius":1.5}""")
+    val idxIds = "\"id\":(\\d+)".r.findAllMatchIn(idx.body())
+      .map(_.group(1).toLong).toSet
+    assert(idxIds === bruteIds)
+    // results are distance-filtered, not top-k-truncated
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(bruteIds.size < all)
+    assert(post("/collections/vecs_range_api/search",
+      s"""{"vector":[$vec],"radius":-1}""").statusCode() === 400)
+    assert(post("/collections/vecs_range_api/search",
+      s"""{"vector":[$vec],"radius":"x"}""").statusCode() === 400)
+    assert(post("/collections/vecs_range_api/search",
+      s"""{"vector":[$vec],"radius":1.5,"mmr_lambda":0.5}""")
+      .statusCode() === 400)
+    assert(post("/collections/vecs_range_api/search",
+      s"""{"vector":[$vec],"radius":1.5,"limit":0}""")
+      .statusCode() === 400)
+  }
+
   test("basic auth: wrong or missing credentials get 401 + challenge, " +
       "correct ones pass (reference http_server/mod.rs:62-75)") {
     val secured = new HttpApi(spark, auth = Some(("alice", "s3cret")))
