@@ -63,6 +63,43 @@ object EmbeddingPipeline {
     }(enc)
   }
 
+  /** Incremental re-embed: rows whose (id, text) match `prior` — the
+    * previous run's [[embedColumn]] output — REUSE the prior vector;
+    * only new or text-changed rows reach the runtime. Embedding is the
+    * expensive stage of any corpus refresh (a model call per row vs a
+    * join), and a weekly crawl typically changes a few percent of
+    * documents — so production re-embeds incrementally or pays the
+    * full-model bill weekly for identical outputs. The result is
+    * BIT-IDENTICAL to a full re-embed for a deterministic runtime:
+    * same text → same vector, so reuse is indistinguishable from
+    * recompute, and the correctness face hash-checks exactly that.
+    * Reference analog: the daemon's CDC stream embeds only changed
+    * rows (`daemon/embedding_jobs.rs`); this is the batch spelling.
+    *
+    * Scale shape: one equi-join on the id (text equality decided next
+    * to the join, no second pass), the runtime touches only the
+    * changed slice, and neither side collects.
+    */
+  def embedColumnIncremental(df: DataFrame, idCol: String,
+      srcCol: String, outCol: String, model: String,
+      runtime: EmbeddingRuntime, prior: DataFrame, batchSize: Int = -1,
+      tokenAcc: Option[LongAccumulator] = None): DataFrame = {
+    val pr = prior.select(col(idCol).as("_pid"),
+      col(srcCol).as("_ptext"), col(outCol).as("_pemb"),
+      col(outCol + "_tokens").as("_ptok"))
+    val joined = df.join(pr, col(idCol) === col("_pid"), "left")
+    val keep = df.columns.map(col)
+    val reuse = joined
+      .where(col("_pid").isNotNull && (col(srcCol) <=> col("_ptext")))
+      .select(keep :+ col("_pemb").as(outCol) :+
+        col("_ptok").as(outCol + "_tokens"): _*)
+    val fresh = joined
+      .where(col("_pid").isNull || !(col(srcCol) <=> col("_ptext")))
+      .select(keep: _*)
+    embedColumn(fresh, srcCol, outCol, model, runtime, batchSize,
+      tokenAcc).unionByName(reuse)
+  }
+
   /** Eager end-to-end run mirroring `create_embeddings_from_db`:
     * returns the updated table plus (rows, tokens) usage — A5's
     * accounting (`daemon/embedding_jobs.rs:475-492`).

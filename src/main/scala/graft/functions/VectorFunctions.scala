@@ -58,5 +58,15 @@ object VectorFunctions {
     one("mg_sketch", e => MgSketch(e(0), lit(e(1), "capacity")))
     one("sketch_topk", e => MgSketch(e(0), lit(e(2), "capacity"),
       topK = Some(lit(e(1), "k"))))
+    // bounded top-k-by-score aggregate on the SQL surface: per group,
+    // the k (id, score) pairs with the smallest scores, map-side
+    // bounded — the SQL spelling of the kNN result aggregation, usable
+    // for any "cheapest k per group" without a window sort. The
+    // buffer is (double, long) typed, so inputs are cast up front.
+    one("topk_by_score", e =>
+      graft.operators.TopKByScore(
+        Cast(e(0), org.apache.spark.sql.types.DoubleType),
+        Cast(e(1), org.apache.spark.sql.types.LongType),
+        lit(e(2), "k")))
   }
 }

@@ -102,6 +102,26 @@ object CorpusQueries {
           |SELECT e.item AS item, e.est AS c
           |FROM sk LATERAL VIEW explode(tk) t AS e
           |ORDER BY c DESC, item""".stripMargin)
+    }),
+
+    // The bounded top-k aggregate on the SQL surface: per language the
+    // 3 shortest documents, with NO window sort — each partition
+    // contributes at most k rows per group before the shuffle
+    // (TopKByScore partial agg), vs a window that sorts every group
+    // member. The "cheapest k per group" SQL staple at 100 TB.
+    "q_topk_agg_sql" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT lang, nn.id AS doc_id,
+          |  CAST(nn.score AS BIGINT) AS n_chars,
+          |  CAST(pos + 1 AS INT) AS rk
+          |FROM (SELECT lang,
+          |        topk_by_score(CAST(n_chars AS DOUBLE), doc_id, 3)
+          |          AS arr
+          |      FROM documents GROUP BY lang) g
+          |LATERAL VIEW POSEXPLODE(arr) t AS pos, nn
+          |ORDER BY lang, rk""".stripMargin)
     })
   )
 
@@ -137,7 +157,16 @@ object CorpusQueries {
     "q_heavy_hitters" -> topBigramsOracle,
     // capacity exceeds the distinct-bigram count, so the sketch's
     // estimates ARE the exact counts — same oracle as q_heavy_hitters
-    "q_sketch_topk" -> topBigramsOracle
+    "q_sketch_topk" -> topBigramsOracle,
+    // the aggregate's tie-break is (score, id) ascending — the same
+    // order a window rank with that ORDER BY produces
+    "q_topk_agg_sql" ->
+      """SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk FROM (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
   )
 
   private lazy val topBigramsOracle: String =

@@ -86,6 +86,28 @@ object EmbedQueries {
         .orderBy($"rank")
     }),
 
+    // Incremental re-embed: the prior run covered the even half; the
+    // incremental pass reuses those vectors and embeds only the odd
+    // half — and the combined output must be BIT-identical to a full
+    // re-embed, which is exactly what the full-embed oracle checks.
+    // This is the batch spelling of the CDC embed path: at 100 TB the
+    // runtime bill is proportional to the changed slice, not the
+    // corpus.
+    "q_embed_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text")
+      val prior = EmbeddingPipeline.embedColumn(
+        docs.where($"doc_id" % 2 === 0), "text", "emb",
+        "hash/bow-64", HashEmbeddingRuntime)
+      EmbeddingPipeline.embedColumnIncremental(docs, "doc_id", "text",
+          "emb", "hash/bow-64", HashEmbeddingRuntime, prior)
+        .select($"doc_id", posexplode($"emb"))
+        .toDF("doc_id", "pos", "val")
+        .select($"doc_id", $"pos",
+          (floor($"val".cast("double") * 10000 + 0.5) / 10000).as("val"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
     // Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
     // Zaharia 2020, collapsed to chunk granularity): documents become
     // MULTI-vector — one embedding per chunk — and a query scores a
@@ -296,6 +318,8 @@ object EmbedQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_maxsim_search" -> maxsimOracle,
+    // incremental reuse must be invisible: the full-re-embed oracle
+    "q_embed_incremental" -> embedDocsOracle,
     "q_embed_docs" -> embedDocsOracle,
     "q_embed_search" -> embedSearchOracle,
     "q_embed_usage" ->

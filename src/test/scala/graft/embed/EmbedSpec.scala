@@ -85,6 +85,41 @@ class EmbedSpec extends SparkSuite {
     assert(!rows(3).isNullAt(2))
   }
 
+  test("embedColumnIncremental: unchanged rows never reach the " +
+      "runtime; changed and new rows do; output equals a full embed") {
+    val acc = spark.sparkContext.longAccumulator("inc_embed_calls")
+    class Counting(a: org.apache.spark.util.LongAccumulator)
+        extends EmbeddingRuntime {
+      def name: String = "counting"
+      def process(model: String, inputs: Seq[String]): EmbeddingResult = {
+        a.add(inputs.size); HashEmbeddingRuntime.process(model, inputs)
+      }
+      def dimOf(model: String): Int = HashEmbeddingRuntime.dimOf(model)
+    }
+    val counting = new Counting(acc)
+    val v1 = Seq((0L, "alpha one"), (1L, "beta two"), (2L, "gamma three"),
+      (3L, "delta four")).toDF("id", "text")
+    val prior = EmbeddingPipeline.embedColumn(v1, "text", "emb",
+      "hash/bow-64", HashEmbeddingRuntime)
+      .persist()
+    prior.count()
+    // v2: row 2 changed, rows 4/5 new, rest untouched
+    val v2 = Seq((0L, "alpha one"), (1L, "beta two"), (2L, "gamma CHANGED"),
+      (3L, "delta four"), (4L, "epsilon five"), (5L, "zeta six"))
+      .toDF("id", "text")
+    val inc = EmbeddingPipeline.embedColumnIncremental(v2, "id", "text",
+      "emb", "hash/bow-64", counting, prior)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Float](2).toSeq, r.getLong(3))).sortBy(_._1).toSeq
+    assert(acc.value === 3L, s"runtime saw ${acc.value} rows, not 3")
+    val full = EmbeddingPipeline.embedColumn(v2, "text", "emb",
+      "hash/bow-64", HashEmbeddingRuntime)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Float](2).toSeq, r.getLong(3))).sortBy(_._1).toSeq
+    assert(inc === full)
+    prior.unpersist()
+  }
+
   test("createEmbeddings mirrors the reference's e2e assertions") {
     // FIXTURES.md §1: N rows, 0 null embeddings among usable, usage
     val n = 200
