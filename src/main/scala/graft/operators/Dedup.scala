@@ -437,11 +437,51 @@ object Dedup {
     *   w.h.p., so dropping the hot key costs ~no recall on genuine
     *   near-dups — the standard big-corpus LSH guard.
     */
+  // Memoized like jaccardPairs: the registry runs the LSH self-join
+  // once per (corpus, params) per JVM even when several faces compose
+  // it (pair listing, leakage split, components). The memo holds the
+  // persisted DISTRIBUTED pair relation, never collected rows.
+  private val minhashMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int, Int, Int, Double, Long, Option[Int]),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 64,
       tau: Double = 0.5, seed: Long = 42L,
       maxBandDocFreq: Option[Int] = Some(DefaultMaxBandDocFreq))
       : DataFrame = {
+    val dfn = df.select(col(idCol), col(textCol))
+    val plan = dfn.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, textCol, n, numHashes, bands,
+      tau, seed, maxBandDocFreq)
+    val hit = minhashMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq df.sparkSession)) {
+      val memoized = hit._2
+      if (memoized.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) {
+        memoized.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        memoized.count()
+      }
+      return memoized
+    }
+    val result = minhashDupPairsUncached(dfn, idCol, textCol, n,
+      numHashes, bands, tau, seed, maxBandDocFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
+    result.count()
+    if (minhashMemo.size < 16) minhashMemo.put(key, (plan, result))
+    result
+  }
+
+  /** The raw (un-memoized, un-cached) LSH pair plan — plan-shape tests
+    * inspect this directly; production callers go through the memoized
+    * [[minhashDupPairs]].
+    */
+  private[operators] def minhashDupPairsUncached(df: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int,
+      bands: Int, tau: Double, seed: Long,
+      maxBandDocFreq: Option[Int]): DataFrame = {
     // One persisted relation carries both the hashed shingles and the
     // signature; the banding/prefilter/verification machinery is the
     // SAME dupPairsFromSets code path the cross-corpus and streaming

