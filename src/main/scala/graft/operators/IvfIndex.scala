@@ -455,6 +455,19 @@ object IvfIndex {
   def rangeSearch(model: Model, queries: DataFrame, radius: Double,
       nprobe: Int, metric: String = "l2sq",
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    rangeCandidates(model, queries, radius, nprobe, metric, filter)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** [[rangeSearch]] without the presentation rank — the (qid, nid,
+    * dist) match SET, which is all a planner rewrite or a downstream
+    * join needs; no window at all.
+    */
+  def rangeCandidates(model: Model, queries: DataFrame, radius: Double,
+      nprobe: Int, metric: String = "l2sq",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(radius > 0, s"radius must be positive (got $radius)")
     val probes0 = probeCells(model, queries, nprobe)
     val probes = broadcast(probes0)
@@ -463,13 +476,10 @@ object IvfIndex {
       .select(col("cell_id"),
         col(model.idCol).cast("long").as("nid"),
         col(model.vecCol).as("cvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
     corpus.join(probes, "cell_id")
       .select(col("qid"), col("nid"),
         Knn.distance(metric)(col("cvec"), col("qvec")).as("dist"))
       .where(col("dist") <= radius)
-      .withColumn("rank", row_number().over(w))
   }
 
   /** IVF-PQ: score candidates by asymmetric distance (ADC) over PQ

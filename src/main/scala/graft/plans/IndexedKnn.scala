@@ -241,6 +241,18 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
             }
           case None => gl
         }
+      // the RANGE shape: `WHERE distance(vec, const) < r` over a
+      // registered scan (PushPredicateThroughProject parks the
+      // predicate directly on the relation, with the output projection
+      // recomputing the same distance above it)
+      case p @ Project(projList,
+          org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+            rel: LogicalRelation)) =>
+        rewriteRange(projList, cond, rel) match {
+          case Some(newPlan) =>
+            fireCount.incrementAndGet(); newPlan
+          case None => p
+        }
     }
 
   /** The Sort the limit applies to — optionally through one Project
@@ -325,6 +337,93 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+  }
+
+  /** Match a distance-threshold predicate over a registered scan and
+    * replace scan + filter with the cell-pruned range probe — the
+    * planner-transparent spelling of `WHERE embedding <-> q < r`
+    * (pgvector/lantern range scans). The ORIGINAL comparison is
+    * re-applied on the probe's computed distance, so `<` vs `<=`
+    * semantics survive exactly (the probe itself over-collects with
+    * `<=`, and with the registered nprobe = 0 it probes every cell —
+    * exact, brute-force restatable).
+    */
+  private def rewriteRange(projList: Seq[NamedExpression],
+      cond: Expression, rel: LogicalRelation): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      LessThan, LessThanOrEqual}
+    val entry = rel.relation match {
+      case fs: HadoopFsRelation =>
+        lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+    entry.flatMap { e =>
+      val cmp = cond match {
+        case LessThanOrEqual(m, Literal(r: Double,
+            org.apache.spark.sql.types.DoubleType)) =>
+          Some((false, m, r))
+        case LessThan(m, Literal(r: Double,
+            org.apache.spark.sql.types.DoubleType)) =>
+          Some((true, m, r))
+        case _ => None
+      }
+      cmp.flatMap { case (strict, m, r) =>
+        metricOf(m).flatMap { case (metric, l, rgt) =>
+          val (vecSide, constSide) = bare(l) match {
+            case ar: AttributeReference => (Some(ar), rgt)
+            case _ => bare(rgt) match {
+              case ar: AttributeReference => (Some(ar), l)
+              case _ => (None, l)
+            }
+          }
+          for {
+            vecAttr <- vecSide
+            if vecAttr.name == e.vecCol &&
+              rel.output.exists(_.exprId == vecAttr.exprId)
+            qvec <- queryVector(constSide)
+            if r > 0
+            // passthrough: the registered id, plus aliases of the SAME
+            // distance expression (the pushed-down projection twin)
+            if projList.forall {
+              case al: Alias => al.child.semanticEquals(m)
+              case ar: AttributeReference => ar.name == e.idCol
+              case _ => false
+            }
+          } yield rangePlan(e, metric, qvec, r, strict, projList)
+        }
+      }
+    }
+  }
+
+  private def rangePlan(e: Entry, metric: String, qvec: Array[Float],
+      radius: Double, strict: Boolean,
+      projList: Seq[NamedExpression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      LessThan, LessThanOrEqual}
+    val spark = SparkSession.active
+    val m = model(spark, e)
+    val nprobe = if (e.nprobe <= 0) m.centroids.length else e.nprobe
+    import spark.implicits._
+    val queries = Seq((0L, qvec.toSeq)).toDF(e.idCol, e.vecCol)
+    rewriting.set(true)
+    val newPlan = try {
+      val searched = IvfIndex.rangeCandidates(m, queries, radius,
+        nprobe, metric)
+      searched.queryExecution.optimizedPlan
+    } finally rewriting.set(false)
+    val nid = newPlan.output.find(_.name == "nid").get
+    val dist = newPlan.output.find(_.name == "dist").get
+    // re-apply the ORIGINAL comparison (< vs <=) on the computed dist
+    val lit = Literal(radius,
+      org.apache.spark.sql.types.DoubleType)
+    val filtered = org.apache.spark.sql.catalyst.plans.logical.Filter(
+      if (strict) LessThan(dist, lit) else LessThanOrEqual(dist, lit),
+      newPlan)
+    Project(projList.map {
+      case al: Alias => Alias(dist, al.name)(exprId = al.exprId)
+      case ar: AttributeReference =>
+        Alias(Cast(nid, ar.dataType), ar.name)(exprId = ar.exprId)
+    }, filtered)
   }
 
   /** Build the IVF probe subplan and re-alias its output to the

@@ -251,6 +251,31 @@ object VectorQueries {
         .select($"vec_id", round($"dist", 4).as("dist"))
     }),
 
+    // The planner-transparent RANGE rewrite: a plain
+    // `WHERE l2sq_dist(embedding, q) <= r` over the registered table
+    // becomes the cell-pruned range probe during optimization — the
+    // range-scan twin of q_indexed_knn. Full probe (nprobe = 0) ⇒
+    // exact, so brute force restates it; IndexedKnnSpec asserts the
+    // rule fired and the original <-vs-<= comparison survives.
+    "q_indexed_range" -> ((s, dir) => {
+      val path = s"$dir/embeddings.parquet"
+      val emb = Tables(s, dir, "embeddings")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_idxknn_${java.lang.ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        nCells = 16, maxIter = 5, indexDir = Some(idxDir))
+      graft.plans.IndexedKnn.register(s, path, idxDir, "vec_id",
+        "embedding", nprobe = 0)
+      val q = emb.where($"vec_id" === 0).select($"embedding")
+        .head.getSeq[Float](0)
+      emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(q)).as("dist"))
+        .where($"dist" <= 1.5)
+        .orderBy($"dist", $"vec_id")
+        .select($"vec_id", round($"dist", 4).as("dist"))
+    }),
+
     // Incremental index maintenance: build over the even half, APPEND
     // the odd half with frozen centroids (no k-means, no rebuild —
     // how a 100 TB inverted file absorbs a daily batch), then full
@@ -911,6 +936,14 @@ object VectorQueries {
     "q_ivf_compact_knn" -> knnOracle,
     // shard merge at full probe == exact kNN over the shard union
     "q_ivf_merge_knn" -> knnOracle,
+    // planner range rewrite at full probe == the same brute force
+    "q_indexed_range" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+         |           WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${dkL2sq("c.embedding", "q.qe")} AS d
+         |      FROM embeddings c CROSS JOIN q)
+         |SELECT vec_id, round(d, 4) AS dist
+         |FROM d WHERE d <= 1.5 ORDER BY d, vec_id""".stripMargin,
     // range scan at full probe == brute-force distance filter
     "q_vec_range" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -75,6 +75,55 @@ class IndexedKnnSpec extends SparkSuite {
     }
   }
 
+  test("range rewrite: WHERE dist <= r over a registered table becomes " +
+      "the cell-pruned range probe; < vs <= survives; exact at full " +
+      "probe") {
+    def rangeQuery(op: (org.apache.spark.sql.Column, Double) =>
+        org.apache.spark.sql.Column, r: Double) =
+      emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+        .where(op($"dist", r))
+    val exactLe = rangeQuery(_ <= _, 1.5).collect()
+      .map(_.getLong(0)).toSet
+    val exactLt = rangeQuery(_ < _, 1.5).collect()
+      .map(_.getLong(0)).toSet
+    registered(nprobe = 0) {
+      val before = IndexedKnnRule.fireCount.get()
+      val df = rangeQuery(_ <= _, 1.5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        s"corpus still scanned:\n$plan")
+      assert(df.collect().map(_.getLong(0)).toSet === exactLe)
+      assert(IndexedKnnRule.fireCount.get() === before + 1)
+      // strict < keeps its own semantics (re-applied on the computed
+      // distance above the probe)
+      assert(rangeQuery(_ < _, 1.5).collect()
+        .map(_.getLong(0)).toSet === exactLt)
+      // the query point itself (dist 0) is always in range
+      assert(rangeQuery(_ <= _, 0.001).collect()
+        .map(_.getLong(0)).toSet === Set(0L))
+    }
+    // unregistered: same results, no rewrite
+    assert(rangeQuery(_ <= _, 1.5).collect()
+      .map(_.getLong(0)).toSet === exactLe)
+  }
+
+  test("partial-probe range prunes cells at the storage layer") {
+    registered(nprobe = 2) {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+      val df = emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+        .where($"dist" <= 1.5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+        .findFirstIn(plan).isDefined, s"no cell pruning:\n$plan")
+      // approximate but sound: a subset of the exact range set, and
+      // the query point's own cell is always probed
+      val ids = df.collect().map(_.getLong(0)).toSet
+      assert(ids.contains(0L))
+    }
+  }
+
   test("a rounding projection pushed between limit and sort still " +
       "rewrites") {
     registered(nprobe = 0) {
