@@ -355,6 +355,55 @@ object Dedup {
       .where(col("cont") >= tau)
   }
 
+  /** Cross-corpus containment: which `incoming` documents are
+    * (mostly) CONTAINED in something already in `existing`? The
+    * ingest-time twin of [[containmentPairs]], and the asymmetric
+    * sibling of [[dedupAgainst]]: a new crawl batch arrives and must
+    * be checked for wholesale quotes/excerpts of the accumulated
+    * corpus without re-pairing the corpus with itself.
+    *
+    * The prefix-filter theorem needs NO global ordering here: if an
+    * existing doc shares none of an incoming doc's first
+    * (n - ceil(tau*n) + 1) shingles (under ANY fixed per-doc order),
+    * the intersection is < tau*n. So the incoming side prefixes under
+    * its own rare-first order while the existing side contributes its
+    * full posting list — the piece a production pipeline persists
+    * once and appends to per batch. Exact verification on candidates
+    * decides membership.
+    *
+    * Output: (new_id, old_id, cont), cont = |new ∩ old| / |new|.
+    */
+  def containmentAgainst(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, tau: Double = 0.8,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val exn = existing.select(col(idCol), col(textCol))
+    val inn = incoming.select(col(idCol), col(textCol))
+    val inSets = rareFirstOrderedSets(inn, idCol, textCol, n,
+      maxShingleFreq)
+    val exSets = rareFirstOrderedSets(exn, idCol, textCol, n,
+      maxShingleFreq)
+    val prefix = inSets.select(col("id").as("new_id"),
+      col("n_sh").as("n_new"),
+      explode(slice(col("hs"), lit(1),
+        (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int")))
+        .as("g"))
+    val postings = exSets.select(col("id").as("old_id"),
+      col("n_sh").as("n_old"), explode(col("hs")).as("g"))
+    val cands = prefix.join(postings,
+        prefix("g") === postings("g") &&
+          col("n_old") >= lit(tau) * col("n_new") - lit(1e-9))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+    cands
+      .join(inSets.select(col("id").as("new_id"), col("hs").as("sa")),
+        "new_id")
+      .join(exSets.select(col("id").as("old_id"), col("hs").as("sb")),
+        "old_id")
+      .select(col("new_id"), col("old_id"),
+        containmentHashedU(col("sa"), col("sb")).as("cont"))
+      .where(col("cont") >= tau)
+  }
+
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995,
     * "The merge/purge problem for large databases") — the classic
     * blocking alternative to LSH: records sort by a derived key, and

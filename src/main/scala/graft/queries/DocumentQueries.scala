@@ -120,6 +120,19 @@ object DocumentQueries {
         .orderBy($"i", $"j")
     }),
 
+    // Ingest-time containment: the odd half (arriving batch) checked
+    // for excerpts/quotes of the even half (resident corpus) — the
+    // asymmetric sibling of incremental dedup. Exact-verified, naive
+    // cross SQL restates it.
+    "q_containment_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.containmentAgainst(
+          d.where($"doc_id" % 2 === 0), d.where($"doc_id" % 2 =!= 0),
+          "doc_id", "text", n = 3, tau = 0.8)
+        .select($"new_id", $"old_id", round($"cont", 3).as("cont"))
+        .orderBy($"new_id", $"old_id")
+    }),
+
     // Dedup reporting: cluster-size histogram over the near-dup
     // component graph — the number a curation run actually reads
     // ("how much of the corpus sits in 2-clusters vs 50-clusters")
@@ -799,6 +812,25 @@ object DocumentQueries {
         |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
         |ORDER BY i, j""".stripMargin,
+    // cross-corpus containment: incoming = odd ids, resident = even;
+    // intersection over the INCOMING side's shingle count
+    "q_containment_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g
+        |    AND a.doc_id % 2 != 0 AND b.doc_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT new_id, old_id,
+        |  round(CAST(c AS DOUBLE) / ca.n, 3) AS cont
+        |FROM pairs JOIN cnt ca ON ca.doc_id = new_id
+        |WHERE CAST(c AS DOUBLE) / ca.n >= 0.8
+        |ORDER BY new_id, old_id""".stripMargin,
     // the tuner is pure math on literals: same divisor enumeration,
     // same 200-point midpoint grid, same rounding discipline (fp and
     // fn rounded to 4 before the cost sum, exactly as the Spark side)

@@ -368,6 +368,27 @@ class DedupSpec extends SparkSuite {
     assert(!jac.contains((1L, 0L)) && !jac.contains((0L, 1L)))
   }
 
+  test("containmentAgainst: incoming excerpts of resident docs found, " +
+      "cross pairs only, nothing within a side") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa"
+    val existing = Seq((10L, base),
+      (11L, "totally different resident content here now"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "alpha bravo charlie delta echo foxtrot"), // excerpt of 10
+      (21L, "unrelated incoming words entirely separate"),
+      (22L, "unrelated incoming words entirely separate") // dup of 21
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentAgainst(existing, incoming,
+        "doc_id", "text", n = 3, tau = 0.8)
+      .select($"new_id", $"old_id", $"cont")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3)
+      .toMap
+    assert(got === Map((20L, 10L) -> 1.0),
+      s"expected exactly the excerpt pair, got $got")
+  }
+
   test("sortedNeighborhoodPairs: prefix-sharing dups caught with " +
       "exact jaccard, prefix-divergent dups missed by construction") {
     val d = Seq(
