@@ -120,6 +120,46 @@ object DocumentQueries {
         .orderBy($"i", $"j")
     }),
 
+    // Dedup decision EXPLAIN: for the first near-dup pair (by id),
+    // the evidence a human reviews — both shingle counts, the shared
+    // count, Jaccard, containment in both directions, and the three
+    // smallest shared n-grams verbatim. The observability face every
+    // dedup engine needs when someone asks "why were these merged?";
+    // pure SQL, restated verbatim by the oracle.
+    "q_pair_explain" -> ((s, dir) => {
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH w AS (SELECT doc_id, split(trim(text), ' ') AS ws
+          |          FROM documents WHERE length(trim(text)) > 0),
+          |sh AS (SELECT DISTINCT doc_id, g FROM (
+          |  SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
+          |    i -> concat_ws(' ', element_at(ws, i),
+          |      element_at(ws, i + 1), element_at(ws, i + 2)))) AS g
+          |  FROM w WHERE size(ws) >= 3)),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pick AS (
+          |  SELECT p.i, p.j, p.c, ca.n AS n_i, cb.n AS n_j
+          |  FROM pairs p JOIN cnt ca ON ca.doc_id = p.i
+          |  JOIN cnt cb ON cb.doc_id = p.j
+          |  WHERE CAST(p.c AS DOUBLE) / (ca.n + cb.n - p.c) >= 0.5
+          |  ORDER BY p.i, p.j LIMIT 1)
+          |SELECT k.i, k.j, k.n_i, k.n_j, k.c AS shared,
+          |  round(CAST(k.c AS DOUBLE) / (k.n_i + k.n_j - k.c), 3)
+          |    AS jac,
+          |  round(CAST(k.c AS DOUBLE) / k.n_i, 3) AS cont_ij,
+          |  round(CAST(k.c AS DOUBLE) / k.n_j, 3) AS cont_ji,
+          |  array_join(slice(array_sort(collect_list(a.g)), 1, 3), '|')
+          |    AS sample_grams
+          |FROM pick k
+          |JOIN sh a ON a.doc_id = k.i
+          |JOIN sh b ON b.doc_id = k.j AND b.g = a.g
+          |GROUP BY k.i, k.j, k.n_i, k.n_j, k.c""".stripMargin)
+    }),
+
     // Ingest-time containment: the odd half (arriving batch) checked
     // for excerpts/quotes of the even half (resident corpus) — the
     // asymmetric sibling of incremental dedup. Exact-verified, naive
@@ -812,6 +852,37 @@ object DocumentQueries {
         |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
         |ORDER BY i, j""".stripMargin,
+    // same computation, DuckDB list idioms
+    "q_pair_explain" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT p.i, p.j, p.c, ca.n AS n_i, cb.n AS n_j
+        |  FROM pairs p JOIN cnt ca ON ca.doc_id = p.i
+        |  JOIN cnt cb ON cb.doc_id = p.j
+        |  WHERE CAST(p.c AS DOUBLE) / (ca.n + cb.n - p.c) >= 0.5
+        |  ORDER BY p.i, p.j LIMIT 1)
+        |SELECT k.i, k.j, CAST(k.n_i AS BIGINT) AS n_i,
+        |  CAST(k.n_j AS BIGINT) AS n_j, CAST(k.c AS BIGINT) AS shared,
+        |  round(CAST(k.c AS DOUBLE) / (k.n_i + k.n_j - k.c), 3)
+        |    AS jac,
+        |  round(CAST(k.c AS DOUBLE) / k.n_i, 3) AS cont_ij,
+        |  round(CAST(k.c AS DOUBLE) / k.n_j, 3) AS cont_ji,
+        |  array_to_string(list_slice(list_sort(list(a.g)), 1, 3), '|')
+        |    AS sample_grams
+        |FROM pick k
+        |JOIN sh a ON a.doc_id = k.i
+        |JOIN sh b ON b.doc_id = k.j AND b.g = a.g
+        |GROUP BY k.i, k.j, k.n_i, k.n_j, k.c""".stripMargin,
     // cross-corpus containment: incoming = odd ids, resident = even;
     // intersection over the INCOMING side's shingle count
     "q_containment_incremental" ->
