@@ -358,3 +358,87 @@ case class Sq8Decode(child: Expression, mins: Array[Double],
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Binary (B1) quantization: pack each float's sign bit into a LONG
+  * array, 64 dims per word, bit set iff x > 0 — the same convention as
+  * the element-wise sign vectors of q_sign_hamming. Capability analog
+  * of the reference index server's B1 scalar-quantization kind
+  * (`external_index/server.rs:93-99`); re-expressed as a packed
+  * representation because at 100 TB the 32× compression (float→bit) is
+  * the entire point: the shortlist scan moves dim/64 longs per row
+  * instead of dim floats, and hamming distance becomes a handful of
+  * XOR+POPCNT instructions per word.
+  */
+case class BqEncode(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "bq_encode"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val words = (n + 63) >>> 6
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < n) {
+      if (a.getFloat(i) > 0f) out(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Hamming distance between two [[BqEncode]]-packed bit vectors:
+  * sum of Long.bitCount(a_w ^ b_w) over words. True codegen (the inner
+  * loop is XOR+POPCNT on longs) because this is the shortlist hot path
+  * — it runs corpus × queries times. Equal to the unpacked
+  * sign-disagreement count as long as both sides were packed from
+  * same-dimension vectors, which is what the DuckDB oracle restates.
+  */
+case class BqHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "bq_hamming"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> inputs (see bq_encode)")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    VectorExprUtil.requireSameDim(a.numElements(), b.numElements())
+    var acc = 0L; var i = 0
+    while (i < a.numElements()) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      VectorExprUtil.dimCheckCode(n, a, b) +
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

@@ -32,6 +32,9 @@ object VectorFunctions {
     col(HammingDistance(i(a), i(b)))
   def vector_norm(a: Column): Column = col(VectorNorm(f(a)))
   def vector_normalize(a: Column): Column = col(NormalizeVector(f(a)))
+  def bq_encode(a: Column): Column = col(BqEncode(f(a)))
+  def bq_hamming(a: Column, b: Column): Column =
+    col(BqHamming(expr(a), expr(b)))
 
   /** Register all functions for SQL use (`SELECT l2sq_dist(a, b) ...`). */
   def register(spark: SparkSession): Unit = {
@@ -47,6 +50,8 @@ object VectorFunctions {
     one("hamming_dist", e => HammingDistance(ci(e(0)), ci(e(1))))
     one("vector_norm", e => VectorNorm(cf(e.head)))
     one("vector_normalize", e => NormalizeVector(cf(e.head)))
+    one("bq_encode", e => BqEncode(cf(e.head)))
+    one("bq_hamming", e => BqHamming(e(0), e(1)))
     // Misra–Gries frequent-items aggregates (ResolveFunctions wraps a
     // returned AggregateFunction in its AggregateExpression). k and
     // capacity parameterize the sketch itself, so they must be literals.

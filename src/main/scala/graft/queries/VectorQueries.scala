@@ -185,6 +185,76 @@ object VectorQueries {
         .orderBy($"vec_id")
     }),
 
+    // B1 binary-quantized kNN with exact rescore — the reference index
+    // server's B1 quantization kind (external_index/server.rs:93-99)
+    // as a two-stage search: sign bits pack 64-per-LONG (32× less data
+    // than floats), the XOR+POPCNT hamming scan shortlists 4k
+    // candidates map-side-bounded, and only the shortlist touches full
+    // floats for the exact l2 re-rank. At 100 TB the corpus pass moves
+    // bits, not vectors; the float fetch is a broadcast semi-probe of
+    // k·oversample ids per query.
+    "q_bq_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val bits = emb.select($"vec_id", V.bq_encode($"embedding").as("bits"))
+      val q = broadcast(emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+          V.bq_encode($"embedding").as("qbits")))
+      val shortlist = bits.crossJoin(q.select($"qid", $"qbits"))
+        .select($"qid", $"vec_id".as("nid"),
+          V.bq_hamming($"bits", $"qbits").cast("double").as("hd"))
+        .groupBy($"qid")
+        .agg(Knn.topk_by_score($"hd", $"nid", 40).as("sl"))
+        .select($"qid", explode($"sl").as("e"))
+        .select($"qid", $"e.id".as("nid"))
+      shortlist
+        .join(emb.select($"vec_id".as("nid"), $"embedding".as("nvec")),
+          "nid")
+        .join(q.select($"qid", $"qvec"), "qid")
+        .select($"qid", $"nid",
+          V.l2sq_dist($"nvec", $"qvec").as("dist"))
+        .groupBy($"qid")
+        .agg(Knn.topk_by_score($"dist", $"nid", 10).as("nn"))
+        .select($"qid", posexplode($"nn").as(Seq("pos", "nn")))
+        .select($"qid", $"nn.id".as("nid"),
+          ($"pos" + 1).cast("int").as("rank"),
+          round($"nn.score", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Matryoshka (prefix-truncated) kNN with full-dim rescore
+    // (Kusupati et al. 2022, "Matryoshka Representation Learning"):
+    // the shortlist scan reads only the first 16 of the embedding's
+    // dims — at scale that projection prunes the vector column's pages
+    // to a quarter — then the exact metric re-ranks the survivors.
+    "q_mrl_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val trunc = emb.select($"vec_id",
+        slice($"embedding", 1, 16).as("tv"))
+      val q = broadcast(emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+          slice($"embedding", 1, 16).as("qtv")))
+      val shortlist = trunc.crossJoin(q.select($"qid", $"qtv"))
+        .select($"qid", $"vec_id".as("nid"),
+          V.l2sq_dist($"tv", $"qtv").as("td"))
+        .groupBy($"qid")
+        .agg(Knn.topk_by_score($"td", $"nid", 40).as("sl"))
+        .select($"qid", explode($"sl").as("e"))
+        .select($"qid", $"e.id".as("nid"))
+      shortlist
+        .join(emb.select($"vec_id".as("nid"), $"embedding".as("nvec")),
+          "nid")
+        .join(q.select($"qid", $"qvec"), "qid")
+        .select($"qid", $"nid",
+          V.l2sq_dist($"nvec", $"qvec").as("dist"))
+        .groupBy($"qid")
+        .agg(Knn.topk_by_score($"dist", $"nid", 10).as("nn"))
+        .select($"qid", posexplode($"nn").as(Seq("pos", "nn")))
+        .select($"qid", $"nn.id".as("nid"),
+          ($"pos" + 1).cast("int").as("rank"),
+          round($"nn.score", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // IVF ANN with full probing — must reproduce exact kNN, so it
     // shares the exact oracle (the scale path degrades gracefully).
     "q_ivf_knn" -> ((s, dir) => {
@@ -890,6 +960,63 @@ object VectorQueries {
         |  CAST(list_sum(list_transform(range(1, len(sg.sgn)+1),
         |    i -> CASE WHEN sg.sgn[i] != a.asgn[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hd
         |FROM sg, a ORDER BY sg.vec_id""".stripMargin,
+    // B1 restatement: packed-word hamming == sign-disagreement count
+    // over same-dim vectors, so the oracle counts disagreements
+    // directly; shortlist and re-rank are the same (score, id) orders
+    // the bounded aggregates use
+    "q_bq_knn" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 10),
+         |ham AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CASE WHEN (e.embedding[i] > 0) != (q.qv[i] > 0)
+         |           THEN 1 ELSE 0 END)) AS hd
+         |  FROM embeddings e CROSS JOIN q),
+         |sl AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY hd, nid)
+         |        AS rn
+         |    FROM ham) _s WHERE rn <= 40),
+         |rr AS (
+         |  SELECT sl.qid, sl.nid,
+         |    ${dkL2sq("e.embedding", "q.qv")} AS d
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.nid
+         |  JOIN q ON q.qid = sl.qid),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM rr)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    // matryoshka restatement: the truncated metric is the same l2 fold
+    // over the 16-element list slice
+    "q_mrl_knn" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, embedding, embedding[1:16] AS tv
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, embedding[1:16] AS qtv
+         |  FROM embeddings WHERE vec_id < 10),
+         |sl AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, t.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${dkL2sq("t.tv", "q.qtv")}, t.vec_id) AS rn
+         |    FROM t CROSS JOIN q) _s WHERE rn <= 40),
+         |rr AS (
+         |  SELECT sl.qid, sl.nid,
+         |    ${dkL2sq("e.embedding", "q.qv")} AS d
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.nid
+         |  JOIN q ON q.qid = sl.qid),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM rr)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
     "q_ivf_knn" -> knnOracle,
     // the rewrite is exact under full probe: brute-force top-50 to the
     // vec_id=0 anchor, tie-broken by (d, vec_id) like topk_by_score

@@ -90,6 +90,38 @@ class VectorFunctionsSpec extends SparkSuite {
       e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
   }
 
+  test("bq_encode packs sign bits 64-per-long; bq_hamming == sign disagreements") {
+    // 70 dims forces a 2-word pack; values straddle 0 so both words
+    // carry bits. The unpacked reference count is computed inline.
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(70)(rnd.nextFloat() - 0.5f)
+    val b = Array.fill(70)(rnd.nextFloat() - 0.5f)
+    val expected = a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }
+    val d = Seq((a, b)).toDF("a", "b")
+    val hd = d.select(
+      V.bq_hamming(V.bq_encode($"a"), V.bq_encode($"b"))).as[Long].head()
+    assert(hd === expected.toLong)
+    // word count is ceil(70/64) = 2
+    val words = d.select(V.bq_encode($"a")).as[Array[Long]].head()
+    assert(words.length === 2)
+    // zero is NOT positive: sign bit clear, matching `x > 0` in the
+    // q_sign_hamming convention
+    val z = Seq(Tuple1(Array(0f, 1f))).toDF("a")
+      .select(V.bq_encode($"a")).as[Array[Long]].head()
+    assert(z(0) === 2L)
+  }
+
+  test("bq functions on the SQL surface, codegen only") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql(
+        """SELECT bq_hamming(bq_encode(array(1.0, -2.0, 3.0)),
+          |                  bq_encode(array(-1.0, -2.0, 3.0))) AS h""".stripMargin)
+        .head().getLong(0)
+      assert(r === 1L)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("distances on real embeddings table are finite and symmetric-ish") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val self = emb.select(V.l2sq_dist($"embedding", $"embedding").as("d"))
