@@ -596,6 +596,104 @@ object IvfIndex {
         (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
   }
 
+  /** [[buildWithCentroids]] variant that ALSO stores the packed sign
+    * bits ([[graft.functions.BqEncode]]) of every vector alongside the
+    * floats — the B1 quantization kind of the reference's index server
+    * (`external_index/server.rs:93-99`) as an inverted-file column.
+    * The artifact keeps both representations so a two-stage search
+    * ([[searchBqRefine]]) reads ONLY (id, bits) in its shortlist pass
+    * — parquet column pruning skips the float column's pages, a
+    * dim·32/64 ≈ 32× byte reduction on the probed-cell scan — and
+    * fetches floats solely for the per-query shortlist. Storage cost
+    * of carrying bits next to floats is dim/64 longs per row ≈ 3% for
+    * float vectors.
+    */
+  def buildBqWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      indexDir: Option[String] = None): Model = graft.util.BuildTimer.timed {
+    val spark = df.sparkSession
+    val plan = df.queryExecution.optimizedPlan
+    // shares fixedBuildMemo with buildWithCentroids; the complemented
+    // centroid hash keeps a bits-bearing artifact from ever being
+    // served where a plain one was requested (and vice versa)
+    val key = (plan.semanticHash(), ~centroidsHash(centroids), idCol,
+      vecCol, indexDir)
+    val hit = fixedBuildMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.assigned.sparkSession eq spark))
+      return hit._2
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val path = indexDir.getOrElse(
+      s"$tmpBase/ivfbq_${buildCounter.getAndIncrement()}" +
+        s"_c${centroids.length}")
+    df.withColumn("cell_id", cellU(col(vecCol)))
+      .withColumn("bits", VectorFunctions.bq_encode(col(vecCol)))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    val assigned = spark.read.parquet(path)
+    locally {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_centroids")
+    }
+    val model = Model(centroids, assigned, idCol, vecCol, path)
+    if (fixedBuildMemo.size < 32) fixedBuildMemo.put(key, (plan, model))
+    model
+  }
+
+  /** Two-stage binary-quantized IVF search: probe cells as in
+    * [[search]], shortlist per query by hamming distance over the
+    * STORED sign bits (XOR+POPCNT, map-side-bounded — the probed-cell
+    * scan reads the bits column only), then re-rank the shortlist with
+    * exact distances over the floats. The BQ sibling of
+    * [[searchAdcRefine]]: same refine contract, but the compressed
+    * representation is 1 bit/dim instead of PQ codes, needs no trained
+    * codebook, and the compressed metric is restatable by any SQL
+    * engine as a sign-disagreement count (how the q_ivf_bq_fixed
+    * oracle checks it hash-exactly).
+    */
+  def searchBqRefine(model: Model, queries: DataFrame, k: Int,
+      nprobe: Int, shortlist: Int, metric: String = "l2sq"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(model.assigned.columns.contains("bits"),
+      s"index at ${model.indexPath} carries no 'bits' column — build " +
+        "it with buildBqWithCentroids")
+    val probes0 = probeCells(model, queries, nprobe)
+    val probes = broadcast(probes0
+      .withColumn("qbits", VectorFunctions.bq_encode(col("qvec")))
+      .drop("qvec"))
+    // bits-only projection: the float vector column must NOT appear in
+    // this scan's ReadSchema (asserted in IvfSpec)
+    val bitsScan = pruneToProbedCells(model.assigned, probes0)
+      .select(col("cell_id"),
+        col(model.idCol).cast("long").as("nid"), col("bits"))
+    val pool = bitsScan.join(probes, "cell_id")
+      .select(col("qid"), col("nid"),
+        VectorFunctions.bq_hamming(col("bits"), col("qbits"))
+          .cast("double").as("hd"))
+      .groupBy(col("qid"))
+      .agg(Knn.topk_by_score(col("hd"), col("nid"), shortlist).as("sl"))
+      .select(col("qid"), explode(col("sl")).as("e"))
+      .select(col("qid"), col("e.id").as("nid"))
+    val qv = queries.select(
+      col(model.idCol).cast("long").as("qid"), col(model.vecCol).as("qvec"))
+    val cv = model.assigned.select(
+      col(model.idCol).cast("long").as("nid"), col(model.vecCol).as("cvec"))
+    val exact = cv.join(broadcast(pool), "nid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"),
+        Knn.distance(metric)(col("cvec"), col("qvec")).as("dist"))
+    exact.groupBy(col("qid"))
+      .agg(Knn.topk_by_score(col("dist"), col("nid"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("qid"), col("nn.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
+  }
+
   private val sq8BuildMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, String, Int, Int, Long, Option[String]),
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

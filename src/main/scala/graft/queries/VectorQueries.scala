@@ -438,6 +438,25 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF + binary quantization under the fixed quantizer: probe 4 of
+    // 16 cells, hamming-shortlist 40 over the STORED sign bits (the
+    // scan reads bits, never floats — ReadSchema asserted in IvfSpec),
+    // exact re-rank to top-10. Every stage is a deterministic argmin /
+    // sign-count DuckDB restates, so the approximation itself is
+    // hash-checked.
+    "q_ivf_bq_fixed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val model = graft.operators.IvfIndex.buildBqWithCentroids(
+        emb, "vec_id", "embedding", cents)
+      graft.operators.IvfIndex.searchBqRefine(model,
+          emb.where($"vec_id" < 10), k = 10, nprobe = 4, shortlist = 40)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Partial-probe recall under a FIXED coarse quantizer (first 16
     // vectors as centroids, the q_ivfpq_adc_fixed trick): assignment,
     // probing, candidate ranking, and recall are all plain argmins
@@ -1009,6 +1028,48 @@ object VectorQueries {
          |rr AS (
          |  SELECT sl.qid, sl.nid,
          |    ${dkL2sq("e.embedding", "q.qv")} AS d
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.nid
+         |  JOIN q ON q.qid = sl.qid),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM rr)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    // full IVF-BQ restatement under the fixed quantizer: probed cells
+    // and cell assignment are argmins over the 16 fixed centroids,
+    // the compressed metric is a sign-disagreement count, and both
+    // cut-offs are the same (score, id) orders the bounded aggregates
+    // use — the approximation pipeline is hash-checked end to end
+    "q_ivf_bq_fixed" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 10),
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qv", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |ham AS (
+         |  SELECT pr.qid, a.vec_id AS nid,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CASE WHEN (e.embedding[i] > 0) != (q.qv[i] > 0)
+         |           THEN 1 ELSE 0 END)) AS hd
+         |  FROM pr JOIN asg a ON a.cell = pr.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN q ON q.qid = pr.qid),
+         |sl AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY hd, nid) AS rn
+         |  FROM ham) _s WHERE rn <= 40),
+         |rr AS (
+         |  SELECT sl.qid, sl.nid, ${dkL2sq("e.embedding", "q.qv")} AS d
          |  FROM sl JOIN embeddings e ON e.vec_id = sl.nid
          |  JOIN q ON q.qid = sl.qid),
          |ranked AS (

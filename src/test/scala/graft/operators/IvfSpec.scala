@@ -211,4 +211,46 @@ class IvfSpec extends SparkSuite {
         .collect().toSet
     assert(res(loaded, lmn, lmx) === res(built, mn, mx))
   }
+
+  test("searchBqRefine at full probe with a corpus-wide shortlist " +
+      "reproduces exact kNN") {
+    val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val bq = IvfIndex.buildBqWithCentroids(emb, "vec_id", "embedding",
+      cents)
+    val exact = pairs(Knn.topK(emb, queries, "vec_id", "embedding", 10))
+    val full = pairs(IvfIndex.searchBqRefine(bq, queries, k = 10,
+      nprobe = 16, shortlist = emb.count().toInt))
+    assert(full === exact)
+  }
+
+  test("BQ shortlist pass reads bits, never the float column; pruning " +
+      "and the rescore contract hold at partial probe") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val bq = IvfIndex.buildBqWithCentroids(emb, "vec_id", "embedding",
+      cents)
+    val plan = IvfIndex.searchBqRefine(bq, queries, k = 10, nprobe = 4,
+      shortlist = 40).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(plan).isDefined, s"probe pruning lost:\n$plan")
+    // two scans of the artifact: the hamming pass must project
+    // (vec_id, bits) only — its ReadSchema has no float array — while
+    // the refine pass reads the floats for shortlist ids
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+      .filter(_.contains("bigint"))
+    assert(reads.exists(r => r.contains("bits") && !r.contains("float")),
+      s"no bits-only scan found:\n$plan")
+    // rescore order is exact within the shortlist: every returned rank
+    // matches the true distance order over the returned set
+    val out = IvfIndex.searchBqRefine(bq, queries, k = 10, nprobe = 4,
+        shortlist = 40)
+      .select($"qid", $"rank", $"dist").as[(Long, Int, Double)]
+      .collect().groupBy(_._1)
+    out.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.sameElements(sorted.sorted), "rescore order broken")
+    }
+  }
 }
