@@ -56,7 +56,12 @@ import graft.operators.Knn
   *   POST   /collections/{name}/index  → build a durable IVF inverted
   *                                       file over the collection
   *                                       (optional "n_cells",
-  *                                       "vector_column", "id_column");
+  *                                       "vector_column", "id_column",
+  *                                       "quantization": "f32"|"bq" —
+  *                                       "bq" stores packed sign bits
+  *                                       and serves /search via
+  *                                       hamming shortlist + exact
+  *                                       rescore, depth "shortlist");
   *                                       subsequent /search calls use
   *                                       it, probing "nprobe" cells
   *                                       (default: all ⇒ exact). The
@@ -223,20 +228,33 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           val vecCol = jsonField(body, "vector_column")
             .getOrElse("embedding")
           val idCol = jsonField(body, "id_column").getOrElse("vec_id")
+          // the reference's index server takes the scalar-quantization
+          // kind as a build parameter (external_index/server.rs:93-99);
+          // "bq" stores packed sign bits next to the floats and routes
+          // searches through the hamming-shortlist + exact-rescore path
+          val quant = jsonField(body, "quantization").getOrElse("f32")
           if (nCells < 1 || nCells > 65536)
             respond(ex, 400,
               """{"error":"n_cells must be in [1, 65536]"}""")
           else if (!df.columns.contains(vecCol) ||
               !df.columns.contains(idCol))
             respond(ex, 400, """{"error":"unknown column"}""")
+          else if (quant != "f32" && quant != "bq")
+            respond(ex, 400,
+              """{"error":"quantization must be \"f32\" or \"bq\""}""")
           else
             try {
-              val model = graft.operators.IvfIndex.build(
-                df, idCol, vecCol, nCells, maxIter = 5)
+              val model =
+                if (quant == "bq")
+                  graft.operators.IvfIndex.buildBq(
+                    df, idCol, vecCol, nCells, maxIter = 5)
+                else
+                  graft.operators.IvfIndex.build(
+                    df, idCol, vecCol, nCells, maxIter = 5)
               ivfModels.put(name, model)
               respond(ex, 201,
                 s"""{"index":"ivf","collection":"$name",""" +
-                  s""""n_cells":$nCells}""")
+                  s""""n_cells":$nCells,"quantization":"$quant"}""")
             } catch {
               case e: IllegalArgumentException =>
                 respond(ex, 400,
@@ -707,6 +725,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             .filter(c => validIdent(c) && df.columns.contains(c))
           val nprobeOpt = jsonField(body, "nprobe")
             .map(s => scala.util.Try(s.toDouble.toInt).getOrElse(-1))
+          // BQ-indexed collections rescore a hamming shortlist of this
+          // depth (default max(4k, 40)); meaningless without a bits-
+          // bearing index, so it 400s against a plain one
+          val shortlistOpt = jsonField(body, "shortlist")
+            .map(s => scala.util.Try(s.toDouble.toInt).getOrElse(-1))
           val mmrLambdaOpt = jsonField(body, "mmr_lambda")
             .map(s => scala.util.Try(s.toDouble).getOrElse(Double.NaN))
           // distance-threshold mode (the reference's `<-> q < r` scan):
@@ -728,6 +751,12 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               Some("""{"error":"unknown filter_column"}""")
             case _ if nprobeOpt.exists(_ < 1) =>
               Some("""{"error":"nprobe must be a positive integer"}""")
+            case _ if shortlistOpt.exists(_ < k) =>
+              Some("""{"error":"shortlist must be an integer >= k"}""")
+            case _ if shortlistOpt.isDefined &&
+                !Option(ivfModels.get(name))
+                  .exists(_.assigned.columns.contains("bits")) =>
+              Some("""{"error":"shortlist requires a bq-quantized index (POST /index with \"quantization\":\"bq\")"}""")
             case _ if mmrLambdaOpt.exists(_.isNaN) =>
               Some("""{"error":"mmr_lambda must be a number"}""")
             case _ if radiusOpt.exists(r => r.isNaN || r <= 0) =>
@@ -765,6 +794,17 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               // lazy: the 400 guards below must fire before any plan
               // construction can throw on a mismatched collection
               def ranked = Option(ivfModels.get(name)) match {
+                case Some(m)
+                    if m.idCol == idCol && m.vecCol == vecCol &&
+                      m.assigned.columns.contains("bits") &&
+                      pred.isEmpty =>
+                  // bq index: hamming shortlist over the stored bits,
+                  // exact rescore (metadata-filtered searches fall
+                  // through to the float scan below — the shortlist
+                  // would otherwise starve under a selective filter)
+                  graft.operators.IvfIndex.searchBqRefine(m, queries, k,
+                    nprobe.getOrElse(m.centroids.length),
+                    shortlistOpt.getOrElse(math.max(4 * k, 40)), metric)
                 case Some(m)
                     if m.idCol == idCol && m.vecCol == vecCol =>
                   graft.operators.IvfIndex.search(m, queries, k,

@@ -645,6 +645,22 @@ object IvfIndex {
     model
   }
 
+  /** [[build]] (k-means coarse quantizer) + the bits-bearing artifact
+    * of [[buildBqWithCentroids]] in one call — the entry point the
+    * HTTP surface uses when an index is created with
+    * `"quantization":"bq"`. The k-means runs on the floats exactly as
+    * in [[build]]; only the stored payload gains the packed-bits
+    * column.
+    */
+  def buildBq(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      maxIter: Int = 10, seed: Long = 42L,
+      indexDir: Option[String] = None): Model = {
+    val cb = ProductQuantizer.fitCodebook(df, idCol, vecCol,
+      clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
+    buildBqWithCentroids(df, idCol, vecCol,
+      ProductQuantizer.localize(cb)(0), indexDir)
+  }
+
   /** Two-stage binary-quantized IVF search: probe cells as in
     * [[search]], shortlist per query by hamming distance over the
     * STORED sign bits (XOR+POPCNT, map-side-bounded — the probed-cell

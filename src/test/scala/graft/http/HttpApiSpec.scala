@@ -245,6 +245,37 @@ class HttpApiSpec extends SparkSuite {
     assert(partial.body().contains("\"rank\":5"))
   }
 
+  test("bq-quantized index: build via quantization param, search " +
+      "rescoring matches brute force, param guards 400") {
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("bq_vecs")
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    val brute = post("/collections/bq_vecs/search",
+      s"""{"vector":[$vec],"k":5}""").body()
+    // shortlist against a collection with no bq index → 400
+    assert(post("/collections/bq_vecs/search",
+      s"""{"vector":[$vec],"k":5,"shortlist":20}""").statusCode() === 400)
+    assert(post("/collections/bq_vecs/index",
+      """{"n_cells":8,"quantization":"nope"}""").statusCode() === 400)
+    val r = post("/collections/bq_vecs/index",
+      """{"n_cells":8,"quantization":"bq"}""")
+    assert(r.statusCode() === 201)
+    assert(r.body().contains("\"quantization\":\"bq\""))
+    // full probe + corpus-wide shortlist ⇒ the rescore IS brute force
+    val exact = post("/collections/bq_vecs/search",
+      s"""{"vector":[$vec],"k":5,"shortlist":10000}""")
+    assert(exact.statusCode() === 200)
+    assert(exact.body() === brute)
+    // partial shortlist still returns k ranked rows
+    val partial = post("/collections/bq_vecs/search",
+      s"""{"vector":[$vec],"k":5,"nprobe":4,"shortlist":20}""")
+    assert(partial.statusCode() === 200)
+    assert(partial.body().contains("\"rank\":5"))
+    // shortlist below k is rejected
+    assert(post("/collections/bq_vecs/search",
+      s"""{"vector":[$vec],"k":5,"shortlist":3}""").statusCode() === 400)
+  }
+
   test("search accepts an equality metadata filter (and it is a typed " +
       "predicate, not SQL)") {
     val vec = (1 to 64).map(_ => "0.1").mkString(",")
