@@ -384,6 +384,37 @@ object PipelineOps {
        |   OR o.$payloadCol IS DISTINCT FROM n.$payloadCol${
         tailOrder(d, idCol)}""".stripMargin
 
+  /** Curriculum ordering (Bengio et al. 2009, "Curriculum Learning"):
+    * an easy-first training order — documents binned by quality, a
+    * deterministic shuffle WITHIN each bin, and one integer sort key
+    * encoding (bin, draw, id) that a writer range-partitions by.
+    *
+    * Deliberately window-free: bins come from FIXED thresholds over
+    * the [0,1]-normalized composite quality score (not ntile — a
+    * global ntile/row_number window funnels the corpus through one
+    * task), and the shuffle-within-bin is the same Knuth-multiplier
+    * draw as [[datasetSplitSql]], so the whole face is a pure
+    * projection. At 100 TB the training-order write is
+    * `repartitionByRange($"ckey").sortWithinPartitions($"ckey")` —
+    * shards come out curriculum-ordered with no global sort bottleneck
+    * beyond the range exchange itself. Exact BIGINT arithmetic
+    * end-to-end (quality is 4-decimal-quantized, so `*10000` is
+    * integral), hence hash-restatable.
+    */
+  def curriculumSql(d: Dialect, table: String = "documents"): String =
+    s"""SELECT doc_id, CAST(bin AS INT) AS bin,
+       |  CAST(bin * 1000000000000 + u * 1000000 + (doc_id % 1000000)
+       |       AS BIGINT) AS ckey
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN quality >= 0.75 THEN 0
+       |         WHEN quality >= 0.5 THEN 1
+       |         WHEN quality >= 0.25 THEN 2
+       |         ELSE 3 END AS bin,
+       |    ((doc_id % 1000000) * 2654435761) % 1000000 AS u
+       |  FROM ${TextAnalysis.qualityScored(d, table, "doc_id")}) _c${
+        tailOrder(d, "ckey")}""".stripMargin
+
   def datasetSplitSql(d: Dialect, table: String = "documents"): String =
     s"""SELECT doc_id, source, u,
        |  CASE WHEN u < 900000 THEN 'train'

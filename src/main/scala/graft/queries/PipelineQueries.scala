@@ -47,6 +47,12 @@ object PipelineQueries {
     "q_adaptive_gate" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.adaptiveGateSql(TA.SparkDialect))),
 
+    // Curriculum ordering: quality-threshold bins + in-bin Knuth
+    // shuffle folded into one range-partitionable BIGINT sort key —
+    // easy-first training order with no global window.
+    "q_curriculum" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.curriculumSql(TA.SparkDialect))),
+
     // Z-order clustering key over (custkey, orderkey) of orders —
     // the multi-dim layout primitive for write-time file clustering.
     "q_zorder_key" -> ((s, dir) =>
@@ -196,6 +202,7 @@ object PipelineQueries {
     "q_pii_redact" -> PO.piiRedactSql(TA.DuckDialect),
     "q_chunk_docs" -> PO.chunkSql(TA.DuckDialect),
     "q_adaptive_gate" -> PO.adaptiveGateSql(TA.DuckDialect),
+    "q_curriculum" -> PO.curriculumSql(TA.DuckDialect),
     "q_lm_perplexity" -> PO.lmPerplexitySql(TA.DuckDialect),
     "q_dsir_scores" -> PO.dsirScoreSql(TA.DuckDialect),
     "q_line_dedup" -> PO.lineDedupSql(TA.DuckDialect),
