@@ -610,7 +610,8 @@ object IvfIndex {
     */
   def buildBqWithCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]],
-      indexDir: Option[String] = None): Model = graft.util.BuildTimer.timed {
+      indexDir: Option[String] = None,
+      force: Boolean = false): Model = graft.util.BuildTimer.timed {
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     // shares fixedBuildMemo with buildWithCentroids; the complemented
@@ -618,7 +619,7 @@ object IvfIndex {
     // served where a plain one was requested (and vice versa)
     val key = (plan.semanticHash(), ~centroidsHash(centroids), idCol,
       vecCol, indexDir)
-    val hit = fixedBuildMemo.get(key)
+    val hit = if (force) null else fixedBuildMemo.get(key)
     if (hit != null && hit._1.sameResult(plan) &&
         (hit._2.assigned.sparkSession eq spark))
       return hit._2
@@ -641,7 +642,8 @@ object IvfIndex {
         .parquet(s"$path/_centroids")
     }
     val model = Model(centroids, assigned, idCol, vecCol, path)
-    if (fixedBuildMemo.size < 32) fixedBuildMemo.put(key, (plan, model))
+    if (!force && fixedBuildMemo.size < 32)
+      fixedBuildMemo.put(key, (plan, model))
     model
   }
 
@@ -650,15 +652,17 @@ object IvfIndex {
     * HTTP surface uses when an index is created with
     * `"quantization":"bq"`. The k-means runs on the floats exactly as
     * in [[build]]; only the stored payload gains the packed-bits
-    * column.
+    * column. `force` has [[build]]'s reindex semantics: no memo
+    * lookup, no memo store — a rebuild into a swap dir must really
+    * write.
     */
   def buildBq(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
       maxIter: Int = 10, seed: Long = 42L,
-      indexDir: Option[String] = None): Model = {
+      indexDir: Option[String] = None, force: Boolean = false): Model = {
     val cb = ProductQuantizer.fitCodebook(df, idCol, vecCol,
       clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
     buildBqWithCentroids(df, idCol, vecCol,
-      ProductQuantizer.localize(cb)(0), indexDir)
+      ProductQuantizer.localize(cb)(0), indexDir, force)
   }
 
   /** Two-stage binary-quantized IVF search: probe cells as in

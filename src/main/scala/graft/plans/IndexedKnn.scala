@@ -55,10 +55,13 @@ import graft.operators.IvfIndex
 object IndexedKnn {
 
   /** A registered index: where it lives and how to search it.
-    * nprobe <= 0 means probe all cells (exact).
+    * nprobe <= 0 means probe all cells (exact). shortlist > 0 opts a
+    * bits-bearing artifact (IvfIndex.buildBq*) into the two-stage
+    * hamming-shortlist + exact-rescore path at that depth; it is
+    * ignored for plain float indexes.
     */
   case class Entry(indexDir: String, idCol: String, vecCol: String,
-      nprobe: Int)
+      nprobe: Int, shortlist: Int = 0)
 
   private val registry = TrieMap[String, Entry]()
   private val modelMemo = TrieMap[String, IvfIndex.Model]()
@@ -75,14 +78,14 @@ object IndexedKnn {
     */
   def register(spark: SparkSession, dataPath: String, indexDir: String,
       idCol: String, vecCol: String, nprobe: Int = 0,
-      name: String = ""): Unit = {
+      name: String = "", shortlist: Int = 0): Unit = {
     // Drop any memoized Model for this dir: a re-registration usually
     // follows a rebuild that rewrote the part files, and a cached file
     // listing would point at deleted paths.
     modelMemo.remove(indexDir)
     recoverSwap(spark, indexDir)
     val q = qualify(spark, dataPath)
-    registry.put(q, Entry(indexDir, idCol, vecCol, nprobe))
+    registry.put(q, Entry(indexDir, idCol, vecCol, nprobe, shortlist))
     names.put(if (name.nonEmpty) name else q, q)
     ensureRule(spark)
   }
@@ -134,15 +137,24 @@ object IndexedKnn {
     val (path, e) = entryFor(name)
     recoverSwap(spark, e.indexDir) // heal a previously interrupted swap
     val corpus = spark.read.parquet(path)
-    val nCells = model(spark, e).centroids.length
+    val old = model(spark, e)
+    val nCells = old.centroids.length
+    // a bits-bearing artifact must rebuild as one, or every search
+    // after the reindex silently loses the two-stage path
+    val wasBq = old.assigned.columns.contains("bits")
     val live = new org.apache.hadoop.fs.Path(e.indexDir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     graft.util.DirSwap.clearSiblings(fs, live)
-    IvfIndex.build(corpus, e.idCol, e.vecCol, nCells, maxIter = maxIter,
-      indexDir = Some(graft.util.DirSwap.rebuildPath(e.indexDir)),
-      force = true)
+    val rebuildDir = graft.util.DirSwap.rebuildPath(e.indexDir)
+    if (wasBq)
+      IvfIndex.buildBq(corpus, e.idCol, e.vecCol, nCells,
+        maxIter = maxIter, indexDir = Some(rebuildDir), force = true)
+    else
+      IvfIndex.build(corpus, e.idCol, e.vecCol, nCells,
+        maxIter = maxIter, indexDir = Some(rebuildDir), force = true)
     graft.util.DirSwap.publish(fs, live)
-    register(spark, path, e.indexDir, e.idCol, e.vecCol, e.nprobe, name)
+    register(spark, path, e.indexDir, e.idCol, e.vecCol, e.nprobe, name,
+      e.shortlist)
     IndexInfo(name, path, e.indexDir, e.idCol, e.vecCol, e.nprobe)
   }
 
@@ -157,7 +169,8 @@ object IndexedKnn {
       targetFilesPerCell: Int = 1): IvfIndex.CompactionStats = {
     val (path, e) = entryFor(name)
     val stats = IvfIndex.compact(spark, e.indexDir, targetFilesPerCell)
-    register(spark, path, e.indexDir, e.idCol, e.vecCol, e.nprobe, name)
+    register(spark, path, e.indexDir, e.idCol, e.vecCol, e.nprobe, name,
+      e.shortlist)
     stats
   }
 
@@ -439,7 +452,13 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
     val queries = Seq((0L, qvec.toSeq)).toDF(e.idCol, e.vecCol)
     rewriting.set(true)
     val newPlan = try {
-      val searched = IvfIndex.search(m, queries, k, nprobe, metric)
+      // a bits-bearing artifact registered with a shortlist depth takes
+      // the two-stage BQ path; the depth never drops below k
+      val searched =
+        if (e.shortlist > 0 && m.assigned.columns.contains("bits"))
+          IvfIndex.searchBqRefine(m, queries, k, nprobe,
+            math.max(e.shortlist, k), metric)
+        else IvfIndex.search(m, queries, k, nprobe, metric)
       searched.queryExecution.optimizedPlan
     } finally rewriting.set(false)
     val nid = newPlan.output.find(_.name == "nid").get

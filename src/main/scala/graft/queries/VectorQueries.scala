@@ -321,6 +321,32 @@ object VectorQueries {
         .select($"vec_id", round($"dist", 4).as("dist"))
     }),
 
+    // Planner-transparent BQ: the same ORDER BY dist LIMIT k shape,
+    // but the registered artifact carries packed sign bits and a
+    // shortlist depth, so the rewrite plants the two-stage hamming
+    // shortlist + exact rescore instead of the float probe. Fixed
+    // quantizer + fixed shortlist ⇒ every stage restatable.
+    "q_indexed_bq" -> ((s, dir) => {
+      val path = s"$dir/embeddings.parquet"
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_idxbq_${java.lang.ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      graft.operators.IvfIndex.buildBqWithCentroids(emb, "vec_id",
+        "embedding", cents, Some(idxDir))
+      graft.plans.IndexedKnn.register(s, path, idxDir, "vec_id",
+        "embedding", nprobe = 4, shortlist = 40)
+      val q = emb.where($"vec_id" === 0).select($"embedding")
+        .head.getSeq[Float](0)
+      emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(q)).as("dist"))
+        .orderBy($"dist").limit(20)
+        .select($"vec_id", round($"dist", 4).as("dist"))
+    }),
+
     // The planner-transparent RANGE rewrite: a plain
     // `WHERE l2sq_dist(embedding, q) <= r` over the registered table
     // becomes the cell-pruned range probe during optimization — the
@@ -1115,6 +1141,42 @@ object VectorQueries {
          |    row_number() OVER (ORDER BY ${dkL2sq("e.embedding", "q.qe")},
          |      c.vec_id) AS rk
          |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  CROSS JOIN q)
+         |SELECT vec_id, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 20 ORDER BY dist, vec_id""".stripMargin,
+    // planner-BQ restatement: probed cells and assignment as in the
+    // probe face, then the hamming shortlist cut before the exact
+    // re-rank — the planted two-stage plan is hash-checked end to end
+    "q_indexed_bq" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT cell FROM (
+         |  SELECT cb.cid AS cell,
+         |    row_number() OVER (ORDER BY ${dkL2sq("q.qe", "cb.cv")},
+         |      cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |ham AS (
+         |  SELECT a.vec_id,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CASE WHEN (e.embedding[i] > 0) != (q.qe[i] > 0)
+         |           THEN 1 ELSE 0 END)) AS hd
+         |  FROM asg a JOIN pr ON a.cell = pr.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN q),
+         |sl AS (SELECT vec_id FROM (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY hd, vec_id) AS rn
+         |  FROM ham) _s WHERE rn <= 40),
+         |ranked AS (
+         |  SELECT sl.vec_id, ${dkL2sq("e.embedding", "q.qe")} AS d,
+         |    row_number() OVER (ORDER BY ${dkL2sq("e.embedding", "q.qe")},
+         |      sl.vec_id) AS rk
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
          |  CROSS JOIN q)
          |SELECT vec_id, round(d, 4) AS dist
          |FROM ranked WHERE rk <= 20 ORDER BY dist, vec_id""".stripMargin,

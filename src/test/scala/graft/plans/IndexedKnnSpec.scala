@@ -315,4 +315,32 @@ class IndexedKnnSpec extends SparkSuite {
       assert(df.collect().length === 7)
     }
   }
+
+  test("a bits-bearing index registered with a shortlist serves the " +
+      "two-stage BQ plan; corpus-wide shortlist at full probe is exact") {
+    val exact = knnQuery(10).collect().map(r => (r.getLong(0),
+      math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+    val cents = emb.where($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val bqDir = java.nio.file.Files
+      .createTempDirectory("graft_idxknn_bq").toString + "/idx"
+    IvfIndex.buildBqWithCentroids(emb, "vec_id", "embedding", cents,
+      Some(bqDir))
+    IndexedKnn.register(spark, dataPath, bqDir, "vec_id", "embedding",
+      nprobe = 0, shortlist = emb.count().toInt)
+    try {
+      val before = IndexedKnnRule.fireCount.get()
+      val df = knnQuery(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        s"corpus still scanned:\n$plan")
+      // the planted plan really is two-stage: the shortlist pass scans
+      // the bits column of the artifact
+      assert(plan.contains("bits"), s"no BQ shortlist stage:\n$plan")
+      val got = df.collect().map(r => (r.getLong(0),
+        math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+      assert(got === exact)
+      assert(IndexedKnnRule.fireCount.get() === before + 1)
+    } finally IndexedKnn.unregister(spark, dataPath)
+  }
 }
