@@ -822,6 +822,24 @@ object VectorQueries {
       Knn.recall(truth, approx, 10).orderBy($"qid")
     }),
 
+    // Recall@10 of the two-stage BQ path under the fixed quantizer
+    // (nprobe 4/16, shortlist 40 — genuine misses from BOTH cuts):
+    // like q_ivf_recall_fixed, the approximation is deterministic, so
+    // the recall numbers themselves are hash-checked, not rows-only.
+    "q_bq_recall_fixed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val model = graft.operators.IvfIndex.buildBqWithCentroids(
+        emb, "vec_id", "embedding", cents)
+      val queries = emb.where($"vec_id" < 10)
+      val truth = Knn.topK(emb, queries, "vec_id", "embedding", 10)
+      val approx = graft.operators.IvfIndex.searchBqRefine(model,
+        queries, k = 10, nprobe = 4, shortlist = 40)
+      Knn.recall(truth, approx, 10).orderBy($"qid")
+    }),
+
     // Contrastive triplet mining — the training-data op for embedding
     // models: per anchor, the HARDEST positive (farthest same-label
     // neighbor would be "hard positive"; here the nearest, the
@@ -1104,6 +1122,49 @@ object VectorQueries {
          |  FROM rr)
          |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
          |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    // recall of the deterministic BQ approximation: the q_ivf_bq_fixed
+    // pipeline cut to top-10, intersected with exact top-10 per query
+    "q_bq_recall_fixed" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 10),
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qv", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |ham AS (
+         |  SELECT pr.qid, a.vec_id AS nid,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CASE WHEN (e.embedding[i] > 0) != (q.qv[i] > 0)
+         |           THEN 1 ELSE 0 END)) AS hd
+         |  FROM pr JOIN asg a ON a.cell = pr.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN q ON q.qid = pr.qid),
+         |sl AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY hd, nid) AS rn
+         |  FROM ham) _s WHERE rn <= 40),
+         |ap AS (SELECT qid, nid FROM (
+         |  SELECT sl.qid, sl.nid,
+         |    row_number() OVER (PARTITION BY sl.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qv")}, sl.nid) AS rk
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.nid
+         |  JOIN q ON q.qid = sl.qid) _r WHERE rk <= 10),
+         |ex AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.embedding", "q.qv")}, c.vec_id) AS rk
+         |  FROM embeddings c, q) _e WHERE rk <= 10)
+         |SELECT ex.qid, CAST(count(ap.nid) AS DOUBLE) / 10 AS recall
+         |FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
     "q_ivf_knn" -> knnOracle,
     // the rewrite is exact under full probe: brute-force top-50 to the
     // vec_id=0 anchor, tie-broken by (d, vec_id) like topk_by_score
