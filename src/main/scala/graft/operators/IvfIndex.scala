@@ -180,7 +180,14 @@ object IvfIndex {
     val bc = spark.sparkContext.broadcast(model.centroids)
     val cellU = udf((v: Seq[Float]) =>
       ProductQuantizer.nearestCentroid(bc.value, v.toArray))
-    df.withColumn("cell_id", cellU(col(model.vecCol)))
+    // a bits-bearing index must absorb batches WITH their bits, or the
+    // appended rows silently vanish from every BQ shortlist (null bits
+    // → null hamming → dropped by the bounded aggregate)
+    val withBits =
+      if (model.assigned.columns.contains("bits"))
+        df.withColumn("bits", VectorFunctions.bq_encode(col(model.vecCol)))
+      else df
+    withBits.withColumn("cell_id", cellU(col(model.vecCol)))
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(model.indexPath)
@@ -304,6 +311,11 @@ object IvfIndex {
       s"cannot merge: $srcPath and $destPath were built under " +
         "different coarse quantizers — rebuild one with the other's " +
         "centroids (buildWithCentroids) first")
+    require(dest.assigned.columns.contains("bits") ==
+      src.assigned.columns.contains("bits"),
+      s"cannot merge: exactly one of $srcPath / $destPath carries a " +
+        "BQ bits column — a mixed artifact would drop the bit-less " +
+        "rows from every BQ shortlist; rebuild the shards uniformly")
     buildMemo.entrySet.removeIf(e => e.getValue._2.indexPath == destPath)
     fixedBuildMemo.entrySet.removeIf(
       e => e.getValue._2.indexPath == destPath)

@@ -212,6 +212,34 @@ class IvfSpec extends SparkSuite {
     assert(res(loaded, lmn, lmx) === res(built, mn, mx))
   }
 
+  test("append into a bits-bearing index packs bits for the arrivals " +
+      "(they stay findable through the BQ shortlist); mixed-schema " +
+      "merge is refused") {
+    val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_bq_append").toString
+    val half = IvfIndex.buildBqWithCentroids(
+      emb.where($"vec_id" % 2 === 0), "vec_id", "embedding", cents,
+      Some(s"$tmp/bq"))
+    val full = IvfIndex.append(half, emb.where($"vec_id" % 2 =!= 0))
+    // appended rows carry non-null bits
+    assert(full.assigned.where($"bits".isNull).count() === 0)
+    // full probe + corpus-wide shortlist == exact kNN incl. arrivals
+    val exact = pairs(Knn.topK(emb, queries, "vec_id", "embedding", 10))
+    val got = pairs(IvfIndex.searchBqRefine(full, queries, k = 10,
+      nprobe = 16, shortlist = emb.count().toInt))
+    assert(got === exact)
+    // a plain shard cannot merge into a bq index (or vice versa)
+    IvfIndex.buildWithCentroids(emb.where($"vec_id" < 20), "vec_id",
+      "embedding", cents, Some(s"$tmp/plain"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.merge(spark, s"$tmp/bq", s"$tmp/plain", "vec_id",
+        "embedding")
+    }
+    assert(e.getMessage.contains("bits"))
+  }
+
   test("searchBqRefine at full probe with a corpus-wide shortlist " +
       "reproduces exact kNN") {
     val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
