@@ -209,6 +209,15 @@ object RelationalQueries {
         .orderBy($"user_id", $"session_start")
     }),
 
+    // Funnel / conversion sequence (view → click → purchase within 1 h
+    // per step): earliest-chaining makes it deterministic; one
+    // user-keyed filtered min-agg per step, no windows.
+    "q_funnel" -> ((s, dir) =>
+      graft.streaming.EventStreams.funnel(t(s, dir, "events"),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), withinMs = 3600 * 1000L)
+        .orderBy($"user_id")),
+
     // D4-analog batch view: arrival-hour micro-batch aggregation.
     "q_hourly_batches" -> ((s, dir) =>
       t(s, dir, "events")
@@ -315,6 +324,33 @@ object RelationalQueries {
     "q_hourly_batches" ->
       """SELECT date_trunc('hour', ts) AS batch_hour, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm
-        |FROM events GROUP BY 1, 2 ORDER BY batch_hour, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY batch_hour, event_type""".stripMargin,
+    // earliest-chained funnel, integer-microsecond window math
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(e.ts) >= epoch_us(s1.t1)
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 3600000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= epoch_us(s2.t2)
+        |    AND epoch_us(e.ts) - epoch_us(s2.t2) <= 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |            WHEN s2.t2 IS NOT NULL THEN 2
+        |            ELSE 1 END AS INT) AS stage,
+        |  s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin
   )
 }

@@ -175,4 +175,57 @@ object EventStreams {
             fromMicros(s.end), s.n, s.total))
       }
   }
+
+  /** Event funnel: per user, the earliest chain through `steps` where
+    * each step happens within `withinMs` of the previous one — the
+    * conversion/sequence primitive (view → click → purchase) of
+    * behavioral analytics. Greedy-earliest semantics: stage 1 is the
+    * user's first `steps(0)` event; stage i is the first `steps(i-1)`
+    * event in `[t_{i-1}, t_{i-1} + withinMs]`. Earliest-chaining makes
+    * the result a deterministic function of the event set (and
+    * SQL-restatable), at the usual cost: a later stage-1 occurrence
+    * that would have chained further is not explored.
+    *
+    * Scale shape: one filtered partial min-aggregation per step, each
+    * keyed on the user column — no windows, no per-user sort, no
+    * cross-step shuffle beyond the user-keyed joins (co-partitioned
+    * under one bucketing at scale). Time math is integer microseconds
+    * on both engines.
+    *
+    * @return one row per user that reached stage >= 1:
+    *   (userCol, stage, t1 .. t_{steps.length}) with nulls past the
+    *   reached stage.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], withinMs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinMs > 0, s"withinMs must be positive (got $withinMs)")
+    val stageTimes = steps.zipWithIndex.scanLeft(
+        Option.empty[DataFrame]) { case (prev, (step, i)) =>
+      val tcol = s"t${i + 1}"
+      Some(prev match {
+        case None =>
+          events.where(col(typeCol) === step)
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol))
+        case Some(p) =>
+          val pcol = s"t$i"
+          events.where(col(typeCol) === step)
+            .select(col(userCol), col(tsCol).as("nts"))
+            .join(p.select(col(userCol), col(pcol)), Seq(userCol))
+            .where(unix_micros(col("nts")) >= unix_micros(col(pcol)) &&
+              unix_micros(col("nts")) - unix_micros(col(pcol)) <=
+                withinMs * 1000L)
+            .groupBy(col(userCol)).agg(min(col("nts")).as(tcol))
+      })
+    }.flatten
+    val joined = stageTimes.zipWithIndex.tail.foldLeft(stageTimes.head) {
+      case (acc, (df, _)) => acc.join(df, Seq(userCol), "left")
+    }
+    // built inside-out so the HIGHEST reached stage is tested first
+    val stage = steps.indices.foldLeft(lit(0)) { case (acc, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    joined.select(col(userCol) +: stage.as("stage") +:
+      steps.indices.map(i => col(s"t${i + 1}")): _*)
+  }
 }

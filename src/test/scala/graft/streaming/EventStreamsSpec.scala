@@ -178,4 +178,27 @@ class EventStreamsSpec extends SparkSuite {
       .select($"imp_user", $"creative").as[(Long, String)].collect()
     assert(rows.toSet === Set((1L, "adA")))
   }
+
+  test("funnel chains earliest steps within the window; stalled and " +
+      "out-of-window users stop at their reached stage") {
+    // 20-minute window. user 1: full chain view@0 click@10 purchase@25
+    // user 2: click@25 is > 20 min after view@0 -> stage 1
+    // user 3: no view at all -> absent (never enters the funnel)
+    // user 4: purchase BEFORE click -> stage 2 (steps are ordered)
+    // user 5: two views; only the EARLIEST chains (click@35 is in
+    //         range of view@30, but the first view@0 already fixed
+    //         t1 -> stage 1, the documented greedy trade)
+    val events = Seq(
+      (1L, "view", 0), (1L, "click", 10), (1L, "purchase", 25),
+      (2L, "view", 0), (2L, "click", 25),
+      (3L, "click", 5), (3L, "purchase", 10),
+      (4L, "view", 0), (4L, "purchase", 5), (4L, "click", 15),
+      (5L, "view", 0), (5L, "view", 30), (5L, "click", 35)
+    ).map { case (u, t, m) => (u, t, ts(m)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = EventStreams.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinMs = 20 * 60 * 1000L)
+      .select($"user_id", $"stage").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 3, 2L -> 1, 4L -> 2, 5L -> 1))
+  }
 }
