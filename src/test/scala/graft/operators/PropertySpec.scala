@@ -261,6 +261,33 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("BqEncode/BqHamming: packed-word hamming equals the unpacked " +
+      "sign-disagreement count for any dim, including exact zeros and " +
+      "word boundaries") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def lit(v: Array[Float]) =
+      Literal(ArrayData.toArrayData(v), ArrayType(FloatType))
+    // zeros appear with real probability: the x > 0 convention makes
+    // 0 and negatives agree, which the reference count must mirror
+    val elem = Gen.frequency(
+      (1, Gen.const(0.0f)), (4, Gen.choose(-1.0f, 1.0f)))
+    // dims straddle the 64-bit word boundary (63..66) plus small/large
+    val dimGen = Gen.oneOf(Gen.choose(1, 8), Gen.choose(63, 66),
+      Gen.choose(120, 200))
+    forAll(dimGen.flatMap(n =>
+        Gen.zip(Gen.listOfN(n, elem), Gen.listOfN(n, elem))), n = 60) {
+      case (al, bl) =>
+        val a = al.toArray; val b = bl.toArray
+        val want = a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }
+        val got = graft.functions.BqHamming(
+          graft.functions.BqEncode(lit(a)),
+          graft.functions.BqEncode(lit(b))).eval(null)
+        assert(got === want.toLong, s"dim ${a.length}")
+    }
+  }
+
   test("90/5/5 split draw stays ~90/5/5 WITHIN the mix-survivor set " +
       "(the decorrelation that actually matters)") {
     // emulate both SQL draws over a dense id range, condition on the
