@@ -206,6 +206,78 @@ object Autotune {
     else results.maxBy(_.recall)
   }
 
+  case class BqVariant(nprobe: Int, shortlist: Int)
+
+  /** (nprobe, shortlist) axes of the two-stage BQ search: nprobe
+    * bounds the probed-cell scan, shortlist the exact-rescore pool —
+    * the two recall/cost levers a BQ deployment actually turns.
+    */
+  val bqGrid: Seq[BqVariant] = Seq(
+    BqVariant(2, 20), BqVariant(2, 50), BqVariant(4, 20),
+    BqVariant(4, 50), BqVariant(8, 50), BqVariant(16, 100))
+
+  case class BqResult(experimentId: Int, nprobe: Int, shortlist: Int,
+      recall: Double, latencyMs: Double, buildTimeMs: Double)
+
+  /** Sweep the BQ search axes over ONE bits-bearing index (16 cells,
+    * built once — unlike the IVF sweep, both axes here are pure query
+    * parameters, so the build amortizes across the whole grid).
+    * Recall is against the brute-force ground truth on the same
+    * sample; early stop and cancellation mirror [[run]]/[[runIvf]].
+    */
+  def runBq(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+      sampleN: Int = 10000, nQueries: Int = 10,
+      metric: String = "l2sq", targetRecall: Double = 99.9,
+      nCells: Int = 16, maxIter: Int = 5, seed: Long = 42L,
+      isCanceled: () => Boolean = () => false): Seq[BqResult] = {
+    val (corpus, queries, truth) =
+      ivfSample(df, idCol, vecCol, sampleN, nQueries, k, metric)
+    val t0 = System.nanoTime()
+    val model = IvfIndex.buildBq(corpus, idCol, vecCol, nCells,
+      maxIter = maxIter, seed = seed)
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    val results = Seq.newBuilder[BqResult]
+    var stopped = false
+    bqGrid.zipWithIndex.foreach { case (v, i) =>
+      if (!stopped) {
+        if (isCanceled()) throw new RuntimeException("Job cancelled")
+        val t1 = System.nanoTime()
+        val res = IvfIndex.searchBqRefine(model, queries, k, v.nprobe,
+          math.max(v.shortlist, k), metric)
+        val recall = Knn.recall(truth, res, k)
+          .agg(avg(col("recall"))).head().getDouble(0) * 100.0
+        val latency = (System.nanoTime() - t1) / 1e6 / nQueries
+        results += BqResult(i, v.nprobe, v.shortlist, recall, latency,
+          buildMs)
+        if (recall >= targetRecall) stopped = true
+      }
+    }
+    results.result()
+  }
+
+  /** BQ sweep results in the autotune_results shape (this family's
+    * axes: nprobe × rescore-shortlist depth).
+    */
+  def bqToDF(spark: SparkSession, results: Seq[BqResult]): DataFrame = {
+    import spark.implicits._
+    results.toDF()
+      .select(col("experimentId").as("experiment_id"),
+        col("nprobe"), col("shortlist"),
+        round(col("recall"), 1).as("recall"),
+        col("latencyMs").as("latency"),
+        col("buildTimeMs").as("build_time"))
+  }
+
+  /** X8 selection over the BQ sweep, same policy as
+    * [[bestIvfVariant]].
+    */
+  def bestBqVariant(results: Seq[BqResult],
+      targetRecall: Double = 99.9): BqResult = {
+    val ok = results.filter(_.recall >= targetRecall)
+    if (ok.nonEmpty) ok.minBy(r => (r.latencyMs, r.buildTimeMs))
+    else results.maxBy(_.recall)
+  }
+
   /** IVF sweep results in the autotune_results shape (the HNSW param
     * columns replaced by this family's axes).
     */

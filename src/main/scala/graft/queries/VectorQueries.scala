@@ -768,6 +768,17 @@ object VectorQueries {
       graft.operators.Autotune.ivfToDF(s, res).orderBy($"experiment_id")
     }),
 
+    // BQ-axes sweep (nprobe × rescore shortlist) — wall-clock columns
+    // keep it rows-only like its autotune siblings; the approximation
+    // itself is hash-oracled through the q_bq_recall_fixed twin.
+    "q_autotune_bq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val res = graft.operators.Autotune.runBq(emb, "vec_id",
+        "embedding", k = 10, sampleN = 2000, nQueries = 10,
+        targetRecall = 101.0, maxIter = 3)
+      graft.operators.Autotune.bqToDF(s, res).orderBy($"experiment_id")
+    }),
+
     // kNN-graph via the IVF index — the SCALE path for graph
     // construction the brute-force q_knn_graph documents: queries are
     // the slice itself, cells prune the scan per probe batch. Full

@@ -55,6 +55,25 @@ class AutotuneSpec extends SparkSuite {
     assert(best.recall >= 99.9 || best.recall === rs.map(_.recall).max)
   }
 
+  test("BQ sweep: one build for the whole grid, full-probe wide " +
+      "shortlist recalls 100, selection policy holds") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // 50-row sample so the widest variant is provably exhaustive
+    val rs = Autotune.runBq(emb, "vec_id", "embedding", k = 5,
+      sampleN = 50, nQueries = 5, targetRecall = 101.0)
+    assert(rs.size === Autotune.bqGrid.size) // 101 disables early stop
+    // both axes are query params: every variant shares ONE build
+    assert(rs.map(_.buildTimeMs).distinct.size === 1)
+    // (16, 100): full probe + shortlist >= the 50-row sample == exact
+    val full = rs.find(r => r.nprobe === 16 && r.shortlist === 100).get
+    assert(full.recall === 100.0)
+    // at fixed nprobe, a deeper rescore pool can only help
+    val n4 = rs.filter(_.nprobe === 4).sortBy(_.shortlist).map(_.recall)
+    assert(n4 === n4.sorted, s"recall not monotone in shortlist: $n4")
+    val best = Autotune.bestBqVariant(rs, targetRecall = 99.9)
+    assert(best.recall >= 99.9 || best.recall === rs.map(_.recall).max)
+  }
+
   test("IVF sweep results DF carries the family's axes in the " +
       "autotune_results shape") {
     val df = Autotune.ivfToDF(spark,
