@@ -311,8 +311,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
         import scala.jdk.CollectionConverters._
         val items = ivfModels.asScala.toSeq.sortBy(_._1).map {
           case (n, m) =>
+            val quant = if (m.assigned.columns.contains("bits")) "bq"
+                        else "f32"
             s"""{"collection":"$n","n_cells":${m.centroids.length},""" +
-              s""""id_column":"${m.idCol}","vector_column":"${m.vecCol}"}"""
+              s""""id_column":"${m.idCol}","vector_column":"${m.vecCol}",""" +
+              s""""quantization":"$quant"}"""
         }.mkString("[", ",", "]")
         respond(ex, 200, items)
 

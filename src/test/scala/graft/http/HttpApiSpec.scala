@@ -274,6 +274,11 @@ class HttpApiSpec extends SparkSuite {
     // shortlist below k is rejected
     assert(post("/collections/bq_vecs/search",
       s"""{"vector":[$vec],"k":5,"shortlist":3}""").statusCode() === 400)
+    // the index listing reports the quantization kind
+    val listing = get("/indexes").body()
+    assert(listing.contains(
+      """"collection":"bq_vecs","n_cells":8,"id_column":"vec_id","vector_column":"embedding","quantization":"bq""""),
+      listing)
   }
 
   test("search accepts an equality metadata filter (and it is a typed " +
