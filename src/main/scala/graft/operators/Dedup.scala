@@ -52,6 +52,7 @@ object Dedup {
     pairMemo.clear()
     shingleMemo.clear()
     ccMemo.clear()
+    orderedMemo.clear()
   }
 
   /** Exact duplicate grouping by md5 of a text column.
@@ -210,7 +211,38 @@ object Dedup {
     * falls back to a join + array_sort — same output, fully
     * distributed. Returned persisted (callers read it 3-4x).
     */
+  // One rare-first ordering per (corpus, n, cap) per JVM: the
+  // containment family calls this for both sides of every pass (and
+  // the bench re-invokes faces), while the pipeline underneath —
+  // docFreq aggregation, a count() to pick dictionary vs join
+  // ordering, the ordering itself — is deterministic in the input
+  // plan. Same contract as shingleMemo: a hit whose cache block was
+  // dropped re-persists and recomputes from lineage.
+  private val orderedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int, Option[Int]),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
   private def rareFirstOrderedSets(df: DataFrame, idCol: String,
+      textCol: String, n: Int,
+      maxShingleFreq: Option[Int]): DataFrame = {
+    val dfn = df.select(col(idCol), col(textCol))
+    val plan = dfn.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, textCol, n, maxShingleFreq)
+    val hit = orderedMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.sparkSession eq df.sparkSession)) {
+      val m = hit._2
+      if (m.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(trackCache)
+      return m
+    }
+    val built = rareFirstOrderedSetsUncached(dfn, idCol, textCol, n,
+      maxShingleFreq)
+    if (orderedMemo.size < 32) orderedMemo.put(key, (plan, built))
+    built
+  }
+
+  private def rareFirstOrderedSetsUncached(df: DataFrame, idCol: String,
       textCol: String, n: Int,
       maxShingleFreq: Option[Int]): DataFrame = {
     val spark = df.sparkSession
