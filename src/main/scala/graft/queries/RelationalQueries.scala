@@ -209,6 +209,23 @@ object RelationalQueries {
         .orderBy($"user_id", $"session_start")
     }),
 
+    // Event-type transition matrix (the Markov view of user
+    // sequences): count (from → to) over each user's time-ordered
+    // events. The window partitions by user — per-user histories are
+    // bounded, so no partition outgrows a task at any corpus size —
+    // and (ts, event_id) makes the order total under timestamp ties.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_type".as("from_type"),
+          lead($"event_type", 1).over(w).as("to_type"))
+        .where($"to_type".isNotNull)
+        .groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"from_type", $"to_type")
+    }),
+
     // Funnel / conversion sequence (view → click → purchase within 1 h
     // per step): earliest-chaining makes it deterministic; one
     // user-keyed filtered min-agg per step, no windows.
@@ -325,6 +342,16 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS batch_hour, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm
         |FROM events GROUP BY 1, 2 ORDER BY batch_hour, event_type""".stripMargin,
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     // earliest-chained funnel, integer-microsecond window math
     "q_funnel" ->
       """WITH s1 AS (
