@@ -799,15 +799,14 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               def ranked = Option(ivfModels.get(name)) match {
                 case Some(m)
                     if m.idCol == idCol && m.vecCol == vecCol &&
-                      m.assigned.columns.contains("bits") &&
-                      pred.isEmpty =>
+                      m.assigned.columns.contains("bits") =>
                   // bq index: hamming shortlist over the stored bits,
-                  // exact rescore (metadata-filtered searches fall
-                  // through to the float scan below — the shortlist
-                  // would otherwise starve under a selective filter)
+                  // exact rescore; a metadata filter rides inside the
+                  // shortlist scan so it cannot starve the pool
                   graft.operators.IvfIndex.searchBqRefine(m, queries, k,
                     nprobe.getOrElse(m.centroids.length),
-                    shortlistOpt.getOrElse(math.max(4 * k, 40)), metric)
+                    shortlistOpt.getOrElse(math.max(4 * k, 40)), metric,
+                    filter = pred)
                 case Some(m)
                     if m.idCol == idCol && m.vecCol == vecCol =>
                   graft.operators.IvfIndex.search(m, queries, k,

@@ -688,8 +688,16 @@ object IvfIndex {
     * engine as a sign-disagreement count (how the q_ivf_bq_fixed
     * oracle checks it hash-exactly).
     */
+  /** @param filter optional metadata predicate over the index's
+    *   columns, applied INSIDE the shortlist scan (next to the cell
+    *   PartitionFilter, like [[search]]): candidates that fail it
+    *   never occupy shortlist slots, so a selective filter cannot
+    *   starve the rescore pool. The rescore needs no second
+    *   application — every shortlisted id already passed.
+    */
   def searchBqRefine(model: Model, queries: DataFrame, k: Int,
-      nprobe: Int, shortlist: Int, metric: String = "l2sq"): DataFrame = {
+      nprobe: Int, shortlist: Int, metric: String = "l2sq",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     require(model.assigned.columns.contains("bits"),
       s"index at ${model.indexPath} carries no 'bits' column — build " +
@@ -699,8 +707,10 @@ object IvfIndex {
       .withColumn("qbits", VectorFunctions.bq_encode(col("qvec")))
       .drop("qvec"))
     // bits-only projection: the float vector column must NOT appear in
-    // this scan's ReadSchema (asserted in IvfSpec)
-    val bitsScan = pruneToProbedCells(model.assigned, probes0)
+    // this scan's ReadSchema (asserted in IvfSpec); a metadata filter
+    // adds its own column to the scan but still never the floats
+    val bitsScan = filter.foldLeft(
+        pruneToProbedCells(model.assigned, probes0))(_.where(_))
       .select(col("cell_id"),
         col(model.idCol).cast("long").as("nid"), col("bits"))
     val pool = bitsScan.join(probes, "cell_id")

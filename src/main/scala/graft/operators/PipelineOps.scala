@@ -649,6 +649,47 @@ object PipelineOps {
     * driver-resident; scoring is one hash join of the corpus token
     * stream against the count table (AQE broadcasts it when small).
     */
+  /** Per-document tf-idf keywords: the top 3 terms of every document
+    * by tf · idf, idf = ln((N+1)/(df_t+1)) — the classic summarize/
+    * route/tag primitive (Spärck Jones 1972). The idf is quantized to
+    * integer 1e-4 nats BEFORE the tf multiply (the [[lmPerplexitySql]]
+    * trick), so scores are exact BIGINTs and ranking ties break on
+    * the term string — hash-identical across engines.
+    *
+    * Scale shape: two aggregations over the token stream (per-doc tf,
+    * per-term df) + one hash join of tf against the term table (AQE
+    * broadcasts the df side when vocab is small); the top-3 window
+    * partitions by doc_id, whose groups are bounded by document
+    * length, never corpus size.
+    */
+  def keywordsSql(d: Dialect, table: String = "documents"): String = {
+    val mat = if (d == SparkDialect) "" else " MATERIALIZED"
+    s"""WITH tok AS$mat (
+       |  SELECT doc_id, ${if (d == SparkDialect)
+            "w FROM (SELECT doc_id, text FROM " + table +
+              " WHERE length(trim(text)) > 0) _d " +
+              "LATERAL VIEW explode(split(trim(text), ' ')) _t AS w"
+          else
+            s"unnest(string_split(trim(text), ' ')) AS w FROM $table " +
+              "WHERE length(trim(text)) > 0"}),
+       |tf AS$mat (SELECT doc_id, w, count(*) AS tf FROM tok
+       |  WHERE w != '' GROUP BY doc_id, w),
+       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+       |dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df_t
+       |  FROM tf GROUP BY w),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.w AS term,
+       |    tf.tf * CAST(floor(ln((nd.n + 1) / (dft.df_t + 1)) * 10000
+       |      + 0.5) AS BIGINT) AS score
+       |  FROM tf JOIN dft ON tf.w = dft.w CROSS JOIN nd)
+       |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score FROM (
+       |  SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term) AS rnk
+       |  FROM sc) _r
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  }
+
   def nbQualitySql(d: Dialect, table: String = "documents"): String = {
     val mat = if (d == SparkDialect) "" else " MATERIALIZED"
     def q(x: String) = s"CAST(floor(ln($x) * 10000 + 0.5) AS BIGINT)"

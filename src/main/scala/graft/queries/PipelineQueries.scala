@@ -47,6 +47,11 @@ object PipelineQueries {
     "q_adaptive_gate" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.adaptiveGateSql(TA.SparkDialect))),
 
+    // Per-document tf-idf keywords, integer-quantized idf so the
+    // ranking is hash-exact in both engines.
+    "q_keywords" -> ((s, dir) =>
+      viaSql(s, dir, "documents", PO.keywordsSql(TA.SparkDialect))),
+
     // Curriculum ordering: quality-threshold bins + in-bin Knuth
     // shuffle folded into one range-partitionable BIGINT sort key —
     // easy-first training order with no global window.
@@ -203,6 +208,7 @@ object PipelineQueries {
     "q_chunk_docs" -> PO.chunkSql(TA.DuckDialect),
     "q_adaptive_gate" -> PO.adaptiveGateSql(TA.DuckDialect),
     "q_curriculum" -> PO.curriculumSql(TA.DuckDialect),
+    "q_keywords" -> PO.keywordsSql(TA.DuckDialect),
     "q_lm_perplexity" -> PO.lmPerplexitySql(TA.DuckDialect),
     "q_dsir_scores" -> PO.dsirScoreSql(TA.DuckDialect),
     "q_line_dedup" -> PO.lineDedupSql(TA.DuckDialect),

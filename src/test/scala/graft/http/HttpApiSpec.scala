@@ -274,6 +274,17 @@ class HttpApiSpec extends SparkSuite {
     // shortlist below k is rejected
     assert(post("/collections/bq_vecs/search",
       s"""{"vector":[$vec],"k":5,"shortlist":3}""").statusCode() === 400)
+    // metadata filter + bq path: every id must satisfy the predicate
+    val filtered = post("/collections/bq_vecs/search",
+      s"""{"vector":[$vec],"k":3,"shortlist":10000,"filter_column":"label","filter_value":"3"}""")
+    assert(filtered.statusCode() === 200)
+    val fids = "\"id\":(\\d+)".r.findAllMatchIn(filtered.body())
+      .map(_.group(1).toLong).toSeq
+    assert(fids.nonEmpty)
+    val flabels = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id").isin(fids: _*))
+      .select("label").collect().map(_.getInt(0)).toSet
+    assert(flabels === Set(3))
     // the index listing reports the quantization kind
     val listing = get("/indexes").body()
     assert(listing.contains(

@@ -241,7 +241,8 @@ class IvfSpec extends SparkSuite {
   }
 
   test("searchBqRefine at full probe with a corpus-wide shortlist " +
-      "reproduces exact kNN") {
+      "reproduces exact kNN; a metadata filter applies inside the " +
+      "shortlist scan") {
     val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
       .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
     val bq = IvfIndex.buildBqWithCentroids(emb, "vec_id", "embedding",
@@ -250,6 +251,15 @@ class IvfSpec extends SparkSuite {
     val full = pairs(IvfIndex.searchBqRefine(bq, queries, k = 10,
       nprobe = 16, shortlist = emb.count().toInt))
     assert(full === exact)
+    // filtered: equals brute force over the filtered corpus — the
+    // filter rides the shortlist scan, so slots are never wasted on
+    // candidates the predicate would drop
+    val exactF = pairs(Knn.topK(emb.where($"label" === 3), queries,
+      "vec_id", "embedding", 5))
+    val fullF = pairs(IvfIndex.searchBqRefine(bq, queries, k = 5,
+      nprobe = 16, shortlist = emb.count().toInt,
+      filter = Some($"label" === 3)))
+    assert(fullF === exactF)
   }
 
   test("BQ shortlist pass reads bits, never the float column; pruning " +
