@@ -401,4 +401,43 @@ class ScaleGrowthSpec extends SparkSuite {
       assert(p.contains("smallint"), s"int8 codes not read at 10x:\n$p")
     } finally { vS.unpersist(); vB.unpersist() }
   }
+
+  test("BQ two-stage search grows ~linearly from 2k to 20k vectors " +
+      "and keeps the bits-only shortlist scan at 10x") {
+    def vecs(n: Long): DataFrame = spark.range(n)
+      .select($"id".as("vec_id"),
+        graft.functions.TextFunctions.hash_embedding(
+          concat(lit("v"), $"id"), 64).as("embedding"))
+      .repartition(32)
+    val vS = vecs(2000).persist()
+    val vB = vecs(20000).persist()
+    vS.count(); vB.count()
+    try {
+      def cents(df: DataFrame) = df.where($"vec_id" < 16)
+        .orderBy($"vec_id").select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val mS = IvfIndex.buildBqWithCentroids(vS, "vec_id", "embedding",
+        cents(vS))
+      val mB = IvfIndex.buildBqWithCentroids(vB, "vec_id", "embedding",
+        cents(vB))
+      val tS = timedSecs {
+        IvfIndex.searchBqRefine(mS, vS.where($"vec_id" < 10), k = 10,
+          nprobe = 4, shortlist = 40).count()
+      }
+      val search = IvfIndex.searchBqRefine(mB, vB.where($"vec_id" < 10),
+        k = 10, nprobe = 4, shortlist = 40)
+      val tB = timedSecs { search.count() }
+      val r = ratio(tB, tS)
+      info(f"bq search 2k: $tS%.1f s, 20k: $tB%.1f s, growth $r%.1fx")
+      assertPerf(r < 30.0, f"10x corpus grew BQ search $r%.1fx")
+      // at 10x the shortlist pass still prunes cells AND still reads
+      // bits without the float column
+      val p = search.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+        .findFirstIn(p).isDefined, s"probe filter lost at 10x:\n$p")
+      val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+      assert(reads.exists(s => s.contains("bits") && !s.contains("float")),
+        s"bits-only shortlist scan lost at 10x:\n$p")
+    } finally { vS.unpersist(); vB.unpersist() }
+  }
 }
