@@ -140,8 +140,14 @@ object VectorIngestStream {
   def compact(spark: SparkSession, indexPath: String, idCol: String,
       vecCol: String, targetDir: String): IvfIndex.Model = {
     val model = openModel(spark, indexPath, idCol, vecCol)
+    // a BQ source compacts to a BQ target: openModel already carries
+    // bits (stored or tail-computed), so the column just travels
+    val keep: Seq[org.apache.spark.sql.Column] =
+      Seq(col(idCol), col(vecCol), col("cell_id")) ++
+        (if (model.assigned.columns.contains("bits")) Seq(col("bits"))
+         else Nil)
     model.assigned
-      .select(col(idCol), col(vecCol), col("cell_id"))
+      .select(keep: _*)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("errorifexists")
       .parquet(targetDir)
@@ -172,12 +178,24 @@ object VectorIngestStream {
       .exists(sdPath)
     if (!hasStream) base
     else {
-      val arrivals = spark.read
+      val raw = spark.read
         .option("basePath", sd)
         .parquet(s"$sd/batch_id=*")
-        .select(col(idCol), col(vecCol), col("cell_id"))
+      // a BQ base keeps its two-stage path through ingest: resident
+      // rows serve their STORED bits, the streamed tail (small,
+      // recent) computes bits on the fly from its floats — encode is
+      // deterministic, so the values are identical to encode-at-write
+      val bq = base.assigned.columns.contains("bits")
+      val cols: Seq[org.apache.spark.sql.Column] =
+        Seq(col(idCol), col(vecCol), col("cell_id")) ++
+          (if (bq) Seq(graft.functions.VectorFunctions
+            .bq_encode(col(vecCol)).as("bits")) else Nil)
+      val arrivals = raw.select(cols: _*)
+      val baseCols: Seq[org.apache.spark.sql.Column] =
+        Seq(col(idCol), col(vecCol), col("cell_id")) ++
+          (if (bq) Seq(col("bits")) else Nil)
       val assigned = base.assigned
-        .select(col(idCol), col(vecCol), col("cell_id"))
+        .select(baseCols: _*)
         .unionByName(arrivals)
       IvfIndex.Model(base.centroids, assigned, idCol, vecCol, indexPath)
     }

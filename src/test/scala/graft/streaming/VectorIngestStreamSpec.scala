@@ -77,6 +77,37 @@ class VectorIngestStreamSpec extends SparkSuite {
     assert(new java.io.File(s"$idx/_stream").exists())
   }
 
+  test("a BQ base index keeps its two-stage search through ingest: " +
+      "stored bits for residents, tail-computed bits for arrivals, " +
+      "and compaction emits a BQ artifact") {
+    val root = tmp(); val idx = s"$root/idx"
+    val cents = emb.where($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val base = IvfIndex.buildBqWithCentroids(
+      emb.where($"vec_id" % 2 === 0), "vec_id", "embedding", cents,
+      Some(idx))
+    VectorIngestStream.processBatch(emb.where($"vec_id" % 2 =!= 0),
+      0L, base.centroids, "vec_id", "embedding", idx)
+    val model = VectorIngestStream.openModel(spark, idx, "vec_id",
+      "embedding")
+    // full probe + corpus-wide shortlist through the BQ path == exact
+    // kNN over resident + streamed rows
+    val got = IvfIndex.searchBqRefine(model, emb.where($"vec_id" < 10),
+        k = 10, nprobe = 8, shortlist = emb.count().toInt)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(got === exactPairs(emb))
+    // compaction keeps the bits column: the folded artifact reopens
+    // as a BQ index and serves the same results
+    val compacted = VectorIngestStream.compact(spark, idx, "vec_id",
+      "embedding", s"$root/idx2")
+    assert(compacted.assigned.columns.contains("bits"))
+    val after = IvfIndex.searchBqRefine(compacted,
+        emb.where($"vec_id" < 10), k = 10, nprobe = 8,
+        shortlist = emb.count().toInt)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(after === got)
+  }
+
   test("replaying a batch rewrites its own subtree (idempotent), and " +
       "the resident index files are untouched") {
     val idx = tmp() + "/idx"
