@@ -274,12 +274,20 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               respond(ex, 404,
                 s"""{"error":"no index on $name — POST /collections/$name/index first"}""")
             case Some(m) =>
-              val rebuilt = graft.operators.IvfIndex.build(
-                df, m.idCol, m.vecCol, m.centroids.length, maxIter = 5,
-                force = true)
+              // a bq index must rebuild AS bq, or the declared
+              // quantization silently degrades to the float path
+              val wasBq = m.assigned.columns.contains("bits")
+              val rebuilt =
+                if (wasBq) graft.operators.IvfIndex.buildBq(
+                  df, m.idCol, m.vecCol, m.centroids.length,
+                  maxIter = 5, force = true)
+                else graft.operators.IvfIndex.build(
+                  df, m.idCol, m.vecCol, m.centroids.length,
+                  maxIter = 5, force = true)
               ivfModels.put(name, rebuilt)
               respond(ex, 200,
-                s"""{"reindexed":"$name","n_cells":${rebuilt.centroids.length}}""")
+                s"""{"reindexed":"$name","n_cells":${rebuilt.centroids.length},""" +
+                  s""""quantization":"${if (wasBq) "bq" else "f32"}"}""")
           }
         }
 

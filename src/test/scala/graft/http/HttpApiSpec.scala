@@ -290,6 +290,15 @@ class HttpApiSpec extends SparkSuite {
     assert(listing.contains(
       """"collection":"bq_vecs","n_cells":8,"id_column":"vec_id","vector_column":"embedding","quantization":"bq""""),
       listing)
+    // reindex keeps the quantization kind (no silent f32 downgrade)
+    val ri = post("/collections/bq_vecs/reindex", "")
+    assert(ri.statusCode() === 200 &&
+      ri.body().contains("\"quantization\":\"bq\""), ri.body())
+    assert(get("/indexes").body().contains(
+      """"collection":"bq_vecs","n_cells":8,"id_column":"vec_id","vector_column":"embedding","quantization":"bq""""))
+    val exact2 = post("/collections/bq_vecs/search",
+      s"""{"vector":[$vec],"k":5,"shortlist":10000}""")
+    assert(exact2.body() === brute)
   }
 
   test("search accepts an equality metadata filter (and it is a typed " +
