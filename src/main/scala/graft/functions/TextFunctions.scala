@@ -76,35 +76,49 @@ object TextFunctions {
   def usable_text(c: Column): Column =
     c.isNotNull && c =!= "" && c =!= "Error: Summary failed (llm)"
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def one(name: String, builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
-    one("simhash64", e => SimHash64(e.head))
+  /** (name, builder) pairs — shared by [[register]] and
+    * [[graft.GraftExtensions]], like VectorFunctions.builders.
+    */
+  private[graft] lazy val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> ((e: Seq[Expression]) => SimHash64(e.head)),
     // shingle_hashes(text[, n]) — n must be an INT literal (it shapes
     // the expression); a non-literal or wrong arity raises instead of
     // silently defaulting.
-    one("shingle_hashes", {
-      case Seq(t) => ShingleHashes(t, 3)
-      case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-        ShingleHashes(t, n)
-      case args => throw new IllegalArgumentException(
-        "shingle_hashes(text[, n]) requires 1-2 args with literal INT n, " +
-          s"got ${args.size}")
+    "shingle_hashes" -> {
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => ShingleHashes(t, 3)
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          ShingleHashes(t, n)
+        case other => throw new IllegalArgumentException(
+          "shingle_hashes(text[, n]) requires 1-2 args with literal INT n, " +
+            s"got ${other.size}")
+      }
+    },
+    "rolling_fingerprint" -> ((e: Seq[Expression]) =>
+      RollingFingerprint(e.head, 16)),
+    "hash_embedding" -> ((e: Seq[Expression]) => HashEmbed(e.head, 64)),
+    "gram_hashes" -> {
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          GramHashes(t, n)
+        case other => throw new IllegalArgumentException(
+          s"gram_hashes(text, n) requires literal INT n, got ${other.size} args")
+      }
+    },
+    "winnow" -> {
+      (args: Seq[Expression]) => args match {
+        case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+          Winnow(h, w)
+        case other => throw new IllegalArgumentException(
+          s"winnow(hashes, w) requires literal INT w, got ${other.size} args")
+      }
     })
-    one("rolling_fingerprint", e => RollingFingerprint(e.head, 16))
-    one("hash_embedding", e => HashEmbed(e.head, 64))
-    one("gram_hashes", {
-      case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-        GramHashes(t, n)
-      case args => throw new IllegalArgumentException(
-        s"gram_hashes(text, n) requires literal INT n, got ${args.size} args")
-    })
-    one("winnow", {
-      case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
-        Winnow(h, w)
-      case args => throw new IllegalArgumentException(
-        s"winnow(hashes, w) requires literal INT w, got ${args.size} args")
-    })
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -36,22 +36,15 @@ object VectorFunctions {
   def bq_hamming(a: Column, b: Column): Column =
     col(BqHamming(expr(a), expr(b)))
 
-  /** Register all functions for SQL use (`SELECT l2sq_dist(a, b) ...`). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def one(name: String, builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+  /** (name, builder) pairs for every expression-backed SQL function —
+    * the single source both [[register]] (session-level temp
+    * functions) and [[graft.GraftExtensions]] (cluster-level
+    * `spark.sql.extensions` injection) draw from.
+    */
+  private[graft] lazy val builders
+      : Seq[(String, Seq[Expression] => Expression)] = {
     def cf(e: Expression): Expression = Cast(e, ArrayType(FloatType))
     def ci(e: Expression): Expression = Cast(e, ArrayType(IntegerType))
-    one("l2sq_dist", e => L2SqDistance(cf(e(0)), cf(e(1))))
-    one("cos_dist", e => CosineDistance(cf(e(0)), cf(e(1))))
-    one("inner_product", e => InnerProduct(cf(e(0)), cf(e(1))))
-    one("l1_dist", e => L1Distance(cf(e(0)), cf(e(1))))
-    one("hamming_dist", e => HammingDistance(ci(e(0)), ci(e(1))))
-    one("vector_norm", e => VectorNorm(cf(e.head)))
-    one("vector_normalize", e => NormalizeVector(cf(e.head)))
-    one("bq_encode", e => BqEncode(cf(e.head)))
-    one("bq_hamming", e => BqHamming(e(0), e(1)))
     // Misra–Gries frequent-items aggregates (ResolveFunctions wraps a
     // returned AggregateFunction in its AggregateExpression). k and
     // capacity parameterize the sketch itself, so they must be literals.
@@ -60,18 +53,44 @@ object VectorFunctions {
       case other => throw new IllegalArgumentException(
         s"$what must be an INT literal, got: ${other.sql}")
     }
-    one("mg_sketch", e => MgSketch(e(0), lit(e(1), "capacity")))
-    one("sketch_topk", e => MgSketch(e(0), lit(e(2), "capacity"),
-      topK = Some(lit(e(1), "k"))))
-    // bounded top-k-by-score aggregate on the SQL surface: per group,
-    // the k (id, score) pairs with the smallest scores, map-side
-    // bounded — the SQL spelling of the kNN result aggregation, usable
-    // for any "cheapest k per group" without a window sort. The
-    // buffer is (double, long) typed, so inputs are cast up front.
-    one("topk_by_score", e =>
-      graft.operators.TopKByScore(
-        Cast(e(0), org.apache.spark.sql.types.DoubleType),
-        Cast(e(1), org.apache.spark.sql.types.LongType),
-        lit(e(2), "k")))
+    Seq(
+      "l2sq_dist" -> ((e: Seq[Expression]) =>
+        L2SqDistance(cf(e(0)), cf(e(1)))),
+      "cos_dist" -> ((e: Seq[Expression]) =>
+        CosineDistance(cf(e(0)), cf(e(1)))),
+      "inner_product" -> ((e: Seq[Expression]) =>
+        InnerProduct(cf(e(0)), cf(e(1)))),
+      "l1_dist" -> ((e: Seq[Expression]) =>
+        L1Distance(cf(e(0)), cf(e(1)))),
+      "hamming_dist" -> ((e: Seq[Expression]) =>
+        HammingDistance(ci(e(0)), ci(e(1)))),
+      "vector_norm" -> ((e: Seq[Expression]) => VectorNorm(cf(e.head))),
+      "vector_normalize" -> ((e: Seq[Expression]) =>
+        NormalizeVector(cf(e.head))),
+      "bq_encode" -> ((e: Seq[Expression]) => BqEncode(cf(e.head))),
+      "bq_hamming" -> ((e: Seq[Expression]) => BqHamming(e(0), e(1))),
+      "mg_sketch" -> ((e: Seq[Expression]) =>
+        MgSketch(e(0), lit(e(1), "capacity"))),
+      "sketch_topk" -> ((e: Seq[Expression]) =>
+        MgSketch(e(0), lit(e(2), "capacity"),
+          topK = Some(lit(e(1), "k")))),
+      // bounded top-k-by-score aggregate on the SQL surface: per group,
+      // the k (id, score) pairs with the smallest scores, map-side
+      // bounded — the SQL spelling of the kNN result aggregation,
+      // usable for any "cheapest k per group" without a window sort.
+      // The buffer is (double, long) typed, so inputs are cast.
+      "topk_by_score" -> ((e: Seq[Expression]) =>
+        graft.operators.TopKByScore(
+          Cast(e(0), org.apache.spark.sql.types.DoubleType),
+          Cast(e(1), org.apache.spark.sql.types.LongType),
+          lit(e(2), "k"))))
+  }
+
+  /** Register all functions for SQL use (`SELECT l2sq_dist(a, b) ...`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

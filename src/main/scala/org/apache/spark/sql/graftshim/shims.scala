@@ -23,4 +23,27 @@ object GraftShims {
   def confOf(s: java.io.Serializable)
       : org.apache.hadoop.conf.Configuration =
     s.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
+
+  /** SparkSessionExtensions introspection (`private[sql]` builders) so
+    * GraftExtensionsSpec can assert what a `spark.sql.extensions`
+    * install would inject without constructing a second SparkContext.
+    */
+  def extensionOptimizerRules(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
+
+  /** Names the extensions would register, resolved through a CLONE of
+    * the builtin registry — the session's own registry is untouched.
+    */
+  def extensionFunctionNames(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val reg = org.apache.spark.sql.catalyst.analysis
+      .FunctionRegistry.builtin.clone()
+    val before = reg.listFunction().toSet
+    ext.registerFunctions(reg)
+    reg.listFunction().filterNot(before).map(_.funcName)
+  }
 }
