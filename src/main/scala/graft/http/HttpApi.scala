@@ -624,6 +624,41 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           }
         }
 
+      // Per-document tf-idf keywords (the tag/route/summarize face of
+      // the text pipeline): top-k terms per doc via the dual-dialect
+      // keywordsSql template, integer-quantized idf.
+      case ("POST", List("collections", name, "keywords")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val column = jsonField(body, "column").getOrElse("text")
+          val idCol = jsonField(body, "id_column").getOrElse("doc_id")
+          val k = jsonField(body, "k")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(3)
+          val limit = jsonField(body, "limit")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1))
+            .getOrElse(1000)
+          if (!df.columns.contains(column) || !df.columns.contains(idCol))
+            respond(ex, 400, """{"error":"unknown column"}""")
+          else if (k < 1 || k > 100)
+            respond(ex, 400,
+              """{"error":"k must be an integer in [1, 100]"}""")
+          else if (limit < 1)
+            respond(ex, 400,
+              """{"error":"limit must be a positive integer"}""")
+          else {
+            val rows = spark.sql(graft.operators.PipelineOps.keywordsSql(
+                graft.operators.TextAnalysis.SparkDialect, name,
+                idCol, column, k))
+              .orderBy(col("doc_id"), col("rnk")).limit(limit).collect()
+            val out = rows.map(r =>
+              s"""{"id":${r.get(0)},"rank":${r.getInt(1)},""" +
+                s""""term":"${graft.util.Json.escape(r.getString(2))}",""" +
+                s""""score":${r.getLong(3)}}""")
+            respond(ex, 200, s"""{"keywords":[${out.mkString(",")}]}""")
+          }
+        }
+
       case ("GET", List("collections", name)) =>
         tableOr404(ex, name).foreach { df =>
           val cols = df.schema.fields.map(f =>

@@ -662,16 +662,18 @@ object PipelineOps {
     * partitions by doc_id, whose groups are bounded by document
     * length, never corpus size.
     */
-  def keywordsSql(d: Dialect, table: String = "documents"): String = {
+  def keywordsSql(d: Dialect, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3): String = {
     val mat = if (d == SparkDialect) "" else " MATERIALIZED"
     s"""WITH tok AS$mat (
-       |  SELECT doc_id, ${if (d == SparkDialect)
-            "w FROM (SELECT doc_id, text FROM " + table +
-              " WHERE length(trim(text)) > 0) _d " +
-              "LATERAL VIEW explode(split(trim(text), ' ')) _t AS w"
+       |  SELECT $idCol AS doc_id, ${if (d == SparkDialect)
+            "w FROM (SELECT " + idCol + ", " + textCol + " FROM " + table +
+              " WHERE length(trim(" + textCol + ")) > 0) _d " +
+              "LATERAL VIEW explode(split(trim(" + textCol + "), ' ')) _t AS w"
           else
-            s"unnest(string_split(trim(text), ' ')) AS w FROM $table " +
-              "WHERE length(trim(text)) > 0"}),
+            s"unnest(string_split(trim($textCol), ' ')) AS w FROM $table " +
+              "WHERE length(trim(" + textCol + ")) > 0"}),
        |tf AS$mat (SELECT doc_id, w, count(*) AS tf FROM tok
        |  WHERE w != '' GROUP BY doc_id, w),
        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
@@ -687,7 +689,7 @@ object PipelineOps {
        |    row_number() OVER (PARTITION BY doc_id
        |      ORDER BY score DESC, term) AS rnk
        |  FROM sc) _r
-       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+       |WHERE rnk <= $k ORDER BY doc_id, rnk""".stripMargin
   }
 
   def nbQualitySql(d: Dialect, table: String = "documents"): String = {

@@ -87,6 +87,23 @@ class HttpApiSpec extends SparkSuite {
     assert(r.statusCode() === 400)
   }
 
+  test("POST /keywords returns per-doc tf-idf terms; params guard 400") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_kw_api")
+    val r = post("/collections/docs_kw_api/keywords", """{"k":2}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"term\":") &&
+      r.body().contains("\"rank\":2"), r.body())
+    // every doc contributes at most k rows
+    val perDoc = "\"id\":(\\d+)".r.findAllMatchIn(r.body())
+      .map(_.group(1)).toSeq.groupBy(identity).values.map(_.size)
+    assert(perDoc.nonEmpty && perDoc.max <= 2)
+    assert(post("/collections/docs_kw_api/keywords",
+      """{"column":"nope"}""").statusCode() === 400)
+    assert(post("/collections/docs_kw_api/keywords",
+      """{"k":0}""").statusCode() === 400)
+  }
+
   test("POST search_text runs BM25 over a text collection") {
     spark.read.parquet(s"$sf0001/documents.parquet")
       .createOrReplaceTempView("docs_api")
