@@ -387,6 +387,10 @@ case class BqEncode(child: Expression)
     val out = new Array[Long](words)
     var i = 0
     while (i < n) {
+      // a null element would pack as sign-0 and silently corrupt every
+      // downstream hamming distance — fail loudly instead
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"bq_encode: null element at position $i")
       if (a.getFloat(i) > 0f) out(i >>> 6) |= 1L << (i & 63)
       i += 1
     }
@@ -421,6 +425,11 @@ case class BqHamming(left: Expression, right: Expression)
     VectorExprUtil.requireSameDim(a.numElements(), b.numElements())
     var acc = 0L; var i = 0
     while (i < a.numElements()) {
+      // hand-written SQL can pass arrays with null words; reading one
+      // as 0 would be a silently wrong distance
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"bq_hamming: null word at position $i")
       acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
       i += 1
     }
@@ -434,6 +443,10 @@ case class BqHamming(left: Expression, right: Expression)
       s"""
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "bq_hamming: null word at position " + $i);
+         |  }
          |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
          |}
          |${ev.value} = $acc;

@@ -652,7 +652,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 idCol, column, k))
               .orderBy(col("doc_id"), col("rnk")).limit(limit).collect()
             val out = rows.map(r =>
-              s"""{"id":${r.get(0)},"rank":${r.getInt(1)},""" +
+              s"""{"id":${jsonId(r.get(0))},"rank":${r.getInt(1)},""" +
                 s""""term":"${graft.util.Json.escape(r.getString(2))}",""" +
                 s""""score":${r.getLong(3)}}""")
             respond(ex, 200, s"""{"keywords":[${out.mkString(",")}]}""")
@@ -800,9 +800,13 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             case _ if shortlistOpt.exists(_ < k) =>
               Some("""{"error":"shortlist must be an integer >= k"}""")
             case _ if shortlistOpt.isDefined &&
-                !Option(ivfModels.get(name))
-                  .exists(_.assigned.columns.contains("bits")) =>
-              Some("""{"error":"shortlist requires a bq-quantized index (POST /index with \"quantization\":\"bq\")"}""")
+                !Option(ivfModels.get(name)).exists(m =>
+                  m.assigned.columns.contains("bits") &&
+                    m.idCol == idCol && m.vecCol == vecCol) =>
+              // also rejects a column mismatch: silently falling to
+              // brute force while discarding the parameter would hide
+              // that the two-stage path never ran
+              Some("""{"error":"shortlist requires a bq-quantized index over the requested id/vector columns (POST /index with \"quantization\":\"bq\")"}""")
             case _ if mmrLambdaOpt.exists(_.isNaN) =>
               Some("""{"error":"mmr_lambda must be a number"}""")
             case _ if radiusOpt.exists(r => r.isNaN || r <= 0) =>

@@ -241,14 +241,18 @@ object Autotune {
     bqGrid.zipWithIndex.foreach { case (v, i) =>
       if (!stopped) {
         if (isCanceled()) throw new RuntimeException("Job cancelled")
+        // record the EFFECTIVE depth: a grid shortlist below k is
+        // clamped for the search, and the result row must describe
+        // the configuration that was actually measured (replaying the
+        // unclamped value through /search would 400)
+        val sl = math.max(v.shortlist, k)
         val t1 = System.nanoTime()
         val res = IvfIndex.searchBqRefine(model, queries, k, v.nprobe,
-          math.max(v.shortlist, k), metric)
+          sl, metric)
         val recall = Knn.recall(truth, res, k)
           .agg(avg(col("recall"))).head().getDouble(0) * 100.0
         val latency = (System.nanoTime() - t1) / 1e6 / nQueries
-        results += BqResult(i, v.nprobe, v.shortlist, recall, latency,
-          buildMs)
+        results += BqResult(i, v.nprobe, sl, recall, latency, buildMs)
         if (recall >= targetRecall) stopped = true
       }
     }

@@ -58,10 +58,7 @@ object IvfIndex {
     *   and its result is about to be dir-swapped so memoizing it would
     *   pin a stale path.
     */
-  def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      maxIter: Int = 10, seed: Long = 42L,
-      indexDir: Option[String] = None,
-      force: Boolean = false): Model = graft.util.BuildTimer.timed {
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit =
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -71,6 +68,12 @@ object IvfIndex {
           s"${t.simpleString}); map TEXT/UUID ids to a surrogate key " +
           "or use Knn.topK, which supports them directly")
     }
+
+  def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      maxIter: Int = 10, seed: Long = 42L,
+      indexDir: Option[String] = None,
+      force: Boolean = false): Model = graft.util.BuildTimer.timed {
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed,
@@ -134,6 +137,7 @@ object IvfIndex {
   def buildWithCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]],
       indexDir: Option[String] = None): Model = graft.util.BuildTimer.timed {
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), centroidsHash(centroids), idCol,
@@ -624,6 +628,9 @@ object IvfIndex {
       centroids: Array[Array[Float]],
       indexDir: Option[String] = None,
       force: Boolean = false): Model = graft.util.BuildTimer.timed {
+    // same guard as build(): a TEXT/UUID id would otherwise build fine
+    // and then cast to null in every search — silent empty results
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     // shares fixedBuildMemo with buildWithCentroids; the complemented
@@ -755,6 +762,7 @@ object IvfIndex {
       maxIter: Int = 10, seed: Long = 42L,
       indexDir: Option[String] = None)
       : (Model, Array[Double], Array[Double]) = graft.util.BuildTimer.timed {
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed,

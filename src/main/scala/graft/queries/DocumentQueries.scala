@@ -139,19 +139,22 @@ object DocumentQueries {
       // each). Materialize it once per sf-dir instead — Spark's analog
       // of DuckDB's materialized CTE, and what makes this face's cost
       // the pair scan rather than four gram explosions.
-      shGrams.getOrElseUpdate((s, dir), {
-        val sh = s.sql(
-          """SELECT DISTINCT doc_id, g FROM (
-            |  SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
-            |    i -> concat_ws(' ', element_at(ws, i),
-            |      element_at(ws, i + 1), element_at(ws, i + 2)))) AS g
-            |  FROM (SELECT doc_id, split(trim(text), ' ') AS ws
-            |        FROM documents WHERE length(trim(text)) > 0)
-            |  WHERE size(ws) >= 3)""".stripMargin)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = shGrams.getOrElseUpdate((s, dir), s.sql(
+        """SELECT DISTINCT doc_id, g FROM (
+          |  SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
+          |    i -> concat_ws(' ', element_at(ws, i),
+          |      element_at(ws, i + 1), element_at(ws, i + 2)))) AS g
+          |  FROM (SELECT doc_id, split(trim(text), ' ') AS ws
+          |        FROM documents WHERE length(trim(text)) > 0)
+          |  WHERE size(ws) >= 3)""".stripMargin))
+      // re-persist after a caller clearCache (the Dedup-memo contract:
+      // correctness from lineage, the cache only carries cost)
+      if (sh.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) {
+        sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sh.count()
-        sh
-      }).createOrReplaceTempView("sh_pe")
+      }
+      sh.createOrReplaceTempView("sh_pe")
       s.sql(
         """WITH sh AS (SELECT * FROM sh_pe),
           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
