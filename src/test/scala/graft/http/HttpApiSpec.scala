@@ -424,6 +424,20 @@ class HttpApiSpec extends SparkSuite {
     assert(bad.statusCode() === 400)
   }
 
+  test("POST /index 400s on a non-integral id column for BOTH " +
+      "quantizations (a TEXT id would otherwise build then serve " +
+      "silently empty searches)") {
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS STRING) AS vid", "embedding")
+      .createOrReplaceTempView("strid_vecs")
+    for (quant <- Seq("f32", "bq")) {
+      val r = post("/collections/strid_vecs/index",
+        s"""{"n_cells":4,"id_column":"vid","quantization":"$quant"}""")
+      assert(r.statusCode() === 400, s"$quant: ${r.body()}")
+      assert(r.body().contains("integral id column"), r.body())
+    }
+  }
+
   test("POST /index validates n_cells and columns") {
     assert(post("/collections/embeddings/index",
       """{"n_cells":0}""").statusCode() === 400)
