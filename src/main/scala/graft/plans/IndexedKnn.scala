@@ -333,18 +333,38 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
                   case _ => (None, l)
                 }
               }
+              // payload columns beyond the id: serve them with a
+              // fetch-back join (the heap-fetch analog) instead of
+              // refusing the rewrite — see searchPlanWithPayload
+              val payload = projList.collect {
+                case ar: AttributeReference
+                    if ar.name != e.idCol &&
+                      rel.output.exists(_.exprId == ar.exprId) => ar
+              }
               for {
                 vecAttr <- vecSide
                 if vecAttr.name == e.vecCol &&
                   rel.output.exists(_.exprId == vecAttr.exprId)
                 qvec <- queryVector(constSide)
-                // passthrough columns: only the registered id
+                // every projection entry must be the distance alias,
+                // the id, or a payload column OF THIS relation; the
+                // payload path additionally refuses the vector column
+                // itself (fetching it would defeat the plan) and any
+                // name colliding with the probe's internal columns
                 if projList.forall {
                   case x: Alias => x.exprId == al.exprId
-                  case ar: AttributeReference => ar.name == e.idCol
+                  case ar: AttributeReference =>
+                    ar.name == e.idCol || payload.exists(_.exprId == ar.exprId)
                   case _ => false
                 }
-              } yield (s, searchPlan(e, metric, qvec, k, projList, al))
+                if payload.forall(p => p.name != e.vecCol &&
+                  !p.name.startsWith("__graft_"))
+              } yield
+                if (payload.isEmpty)
+                  (s, searchPlan(e, metric, qvec, k, projList, al))
+                else
+                  (s, searchPlanWithPayload(e, metric, qvec, k,
+                    projList, al, rel, payload))
             }
           }
         }
@@ -437,6 +457,57 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
       case ar: AttributeReference =>
         Alias(Cast(nid, ar.dataType), ar.name)(exprId = ar.exprId)
     }, filtered)
+  }
+
+  /** The payload variant of [[searchPlan]]: probe as usual, then
+    * fetch the requested non-vector columns back from the MATCHED
+    * relation by id — the heap-fetch analog of an index scan. The
+    * probe result (k rows) broadcasts into the fetch join, so the
+    * base table is read once WITHOUT the vector column (the fat one)
+    * and never sorted; IndexedKnnSpec pins both properties. This is
+    * what makes the natural spelling —
+    * `SELECT id, payload, dist ... ORDER BY dist LIMIT k` — plan well
+    * instead of falling back to a corpus-wide sort.
+    */
+  private def searchPlanWithPayload(e: Entry, metric: String,
+      qvec: Array[Float], k: Int, projList: Seq[NamedExpression],
+      distAlias: Alias, rel: LogicalRelation,
+      payload: Seq[AttributeReference]): LogicalPlan = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = SparkSession.active
+    val m = model(spark, e)
+    val nprobe = if (e.nprobe <= 0) m.centroids.length else e.nprobe
+    import spark.implicits._
+    val queries = Seq((0L, qvec.toSeq)).toDF(e.idCol, e.vecCol)
+    rewriting.set(true)
+    val newPlan = try {
+      val searched =
+        (if (e.shortlist > 0 && m.assigned.columns.contains("bits"))
+          IvfIndex.searchBqRefine(m, queries, k, nprobe,
+            math.max(e.shortlist, k), metric)
+        else IvfIndex.search(m, queries, k, nprobe, metric))
+          .select(col("nid").as("__graft_nid"),
+            col("dist").as("__graft_dist"))
+      // fetch from the ORIGINAL matched relation (same exprIds play no
+      // role here — a fresh wrap is a fresh scan of the same files),
+      // reading only id + payload: the vector column stays unread
+      val base = org.apache.spark.sql.graftshim.GraftShims
+        .dataFrame(spark, rel)
+        .select((e.idCol +: payload.map(_.name)).distinct.map(col): _*)
+      val joined = base.join(broadcast(searched),
+        col(e.idCol).cast("long") === col("__graft_nid"))
+      joined.queryExecution.optimizedPlan
+    } finally rewriting.set(false)
+    def out(name: String) = newPlan.output.find(_.name == name).get
+    Project(projList.map {
+      case al: Alias if al.exprId == distAlias.exprId =>
+        Alias(out("__graft_dist"), al.name)(exprId = al.exprId)
+      case ar: AttributeReference if ar.name == e.idCol =>
+        Alias(Cast(out("__graft_nid"), ar.dataType), ar.name)(
+          exprId = ar.exprId)
+      case ar: AttributeReference =>
+        Alias(out(ar.name), ar.name)(exprId = ar.exprId)
+    }, newPlan)
   }
 
   /** Build the IVF probe subplan and re-alias its output to the

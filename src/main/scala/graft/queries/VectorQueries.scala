@@ -321,6 +321,29 @@ object VectorQueries {
         .select($"vec_id", round($"dist", 4).as("dist"))
     }),
 
+    // Planner payload fetch-back: the NATURAL user spelling —
+    // `SELECT id, payload, dist ORDER BY dist LIMIT k` — rewrites to
+    // probe + broadcast fetch-back join; the base-table read skips
+    // the vector column and nothing corpus-wide is sorted. Full probe
+    // ⇒ exact, so brute force (with the payload joined) restates it.
+    "q_indexed_payload" -> ((s, dir) => {
+      val path = s"$dir/embeddings.parquet"
+      val emb = Tables(s, dir, "embeddings")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_idxpay_${java.lang.ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        nCells = 8, maxIter = 5, indexDir = Some(idxDir))
+      graft.plans.IndexedKnn.register(s, path, idxDir, "vec_id",
+        "embedding", nprobe = 0)
+      val q = emb.where($"vec_id" === 0).select($"embedding")
+        .head.getSeq[Float](0)
+      emb.select($"vec_id", $"label",
+          V.l2sq_dist($"embedding", typedlit(q)).as("dist"))
+        .orderBy($"dist").limit(20)
+        .select($"vec_id", $"label", round($"dist", 4).as("dist"))
+    }),
+
     // Planner-transparent BQ: the same ORDER BY dist LIMIT k shape,
     // but the registered artifact carries packed sign bits and a
     // shortlist depth, so the rewrite plants the two-stage hamming
@@ -1215,6 +1238,19 @@ object VectorQueries {
          |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
          |  CROSS JOIN q)
          |SELECT vec_id, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 20 ORDER BY dist, vec_id""".stripMargin,
+    // payload fetch-back at full probe == brute force with the label
+    // carried along
+    "q_indexed_payload" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT c.vec_id, c.label, ${dkL2sq("c.embedding", "q.qe")} AS d
+         |  FROM embeddings c, q),
+         |ranked AS (
+         |  SELECT vec_id, label, d,
+         |         row_number() OVER (ORDER BY d, vec_id) AS rk
+         |  FROM scored)
+         |SELECT vec_id, label, round(d, 4) AS dist
          |FROM ranked WHERE rk <= 20 ORDER BY dist, vec_id""".stripMargin,
     // planner-BQ restatement: probed cells and assignment as in the
     // probe face, then the hamming shortlist cut before the exact

@@ -24,6 +24,17 @@ object GraftShims {
       : org.apache.hadoop.conf.Configuration =
     s.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 
+  /** Wrap a LogicalPlan as a DataFrame (`Dataset.ofRows` went
+    * `private[sql]`): the IndexedKnn payload fetch-back needs to join
+    * the probe result against the MATCHED relation, not a re-read.
+    */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+
   /** SparkSessionExtensions introspection (`private[sql]` builders) so
     * GraftExtensionsSpec can assert what a `spark.sql.extensions`
     * install would inject without constructing a second SparkContext.

@@ -316,6 +316,34 @@ class IndexedKnnSpec extends SparkSuite {
     }
   }
 
+  test("payload columns rewrite via fetch-back: no corpus sort, the " +
+      "fetch never reads the vector column, values match brute force") {
+    val brute = emb.select($"vec_id", $"label",
+        V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+      .orderBy($"dist").limit(10)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        math.rint(r.getDouble(2) * 1e4) / 1e4)).toSeq
+    registered(nprobe = 0) {
+      val before = IndexedKnnRule.fireCount.get()
+      val df = emb.select($"vec_id", $"label",
+          V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+        .orderBy($"dist").limit(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(IndexedKnnRule.fireCount.get() === before + 1,
+        s"payload shape did not fire:\n$plan")
+      // the base-table fetch reads (vec_id, label) — never the fat
+      // vector column
+      spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+      val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+        .filter(_.contains("label"))
+      assert(reads.nonEmpty && reads.forall(!_.contains("embedding")),
+        s"payload fetch reads the vector column:\n$plan")
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1),
+        math.rint(r.getDouble(2) * 1e4) / 1e4)).toSeq
+      assert(got === brute)
+    }
+  }
+
   test("a bits-bearing index registered with a shortlist serves the " +
       "two-stage BQ plan; corpus-wide shortlist at full probe is exact") {
     val exact = knnQuery(10).collect().map(r => (r.getLong(0),
