@@ -102,6 +102,15 @@ class HttpApiSpec extends SparkSuite {
       """{"column":"nope"}""").statusCode() === 400)
     assert(post("/collections/docs_kw_api/keywords",
       """{"k":0}""").statusCode() === 400)
+    // string id columns must come back as QUOTED JSON (the jsonId
+    // path): the response must parse and carry string ids
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("concat('doc-', doc_id) AS sid", "text")
+      .createOrReplaceTempView("docs_kw_sid")
+    val rs = post("/collections/docs_kw_sid/keywords",
+      """{"k":1,"id_column":"sid","limit":5}""")
+    assert(rs.statusCode() === 200)
+    assert(rs.body().contains("\"id\":\"doc-"), rs.body())
   }
 
   test("POST search_text runs BM25 over a text collection") {

@@ -342,6 +342,18 @@ class IndexedKnnSpec extends SparkSuite {
         math.rint(r.getDouble(2) * 1e4) / 1e4)).toSeq
       assert(got === brute)
     }
+    // partial probe through the payload path: still k rows, the query
+    // point itself (payload intact) at rank 1
+    registered(nprobe = 2) {
+      val got = emb.select($"vec_id", $"label",
+          V.l2sq_dist($"embedding", typedlit(qvec)).as("dist"))
+        .orderBy($"dist").limit(5).collect()
+      assert(got.length === 5)
+      val self = emb.where($"vec_id" === 0).select($"label")
+        .head.getInt(0)
+      assert(got.head.getLong(0) === 0L && got.head.getInt(1) === self
+        && got.head.getDouble(2) === 0.0)
+    }
   }
 
   test("a bits-bearing index registered with a shortlist serves the " +
