@@ -406,6 +406,18 @@ case class BqEncode(child: Expression)
   * — it runs corpus × queries times. Equal to the unpacked
   * sign-disagreement count as long as both sides were packed from
   * same-dimension vectors, which is what the DuckDB oracle restates.
+  *
+  * The dimension check is WORD-granular, not element-granular: the
+  * packed representation carries ceil(dim/64) longs and no original
+  * dim, so two vectors whose true dims differ within one 64-bit block
+  * (e.g. 100 vs 120 dims, both 2 words) pass the check and compare
+  * their zero padding as agreement. Every internal call site packs
+  * both sides from same-dim float vectors (BqEncode zero-fills the
+  * tail identically), so padding always agrees; hand-written SQL that
+  * mixes dims within a word gets a too-small distance, not an error —
+  * the float distance functions, which see the true dim, raise in
+  * that situation. Carry the original dim out of band if exact
+  * mixed-dim detection is required.
   */
 case class BqHamming(left: Expression, right: Expression)
     extends BinaryExpression {

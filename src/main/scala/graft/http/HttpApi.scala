@@ -638,7 +638,12 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           val limit = jsonField(body, "limit")
             .map(v => scala.util.Try(v.toInt).getOrElse(-1))
             .getOrElse(1000)
-          if (!df.columns.contains(column) || !df.columns.contains(idCol))
+          // validIdent matches the sibling SQL-interpolating endpoints
+          // (search_text / search_hybrid): column names ride into a SQL
+          // template, so schema membership alone is not a strong enough
+          // guard to rely on
+          if (!validIdent(column) || !validIdent(idCol) ||
+              !df.columns.contains(column) || !df.columns.contains(idCol))
             respond(ex, 400, """{"error":"unknown column"}""")
           else if (k < 1 || k > 100)
             respond(ex, 400,

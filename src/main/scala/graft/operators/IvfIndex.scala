@@ -58,6 +58,24 @@ object IvfIndex {
     *   and its result is about to be dir-swapped so memoizing it would
     *   pin a stale path.
     */
+  /** The artifact's own columns: `cell_id` is the partition key every
+    * build adds, and `bits` is how a loaded/served artifact is
+    * recognized as binary-quantized (HttpApi, IndexedKnn.reindex, the
+    * merge guard all discriminate on its presence). A SOURCE table
+    * already carrying either would corrupt that discrimination — a
+    * plain f32 build over a table with its own `bits` column would be
+    * served as "bq" and then fail searchBqRefine's type check — so
+    * every build path refuses them up front (the HTTP surface maps
+    * this to a 400 at /index time).
+    */
+  private def requireNoReservedCols(df: DataFrame): Unit =
+    Seq("cell_id", "bits").foreach { c =>
+      if (df.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"'$c' is a reserved index-artifact column name; rename the " +
+            "source column before building an IVF index over this table")
+    }
+
   private def requireIntegralId(df: DataFrame, idCol: String): Unit =
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
@@ -74,6 +92,7 @@ object IvfIndex {
       indexDir: Option[String] = None,
       force: Boolean = false): Model = graft.util.BuildTimer.timed {
     requireIntegralId(df, idCol)
+    requireNoReservedCols(df)
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed,
@@ -138,6 +157,7 @@ object IvfIndex {
       centroids: Array[Array[Float]],
       indexDir: Option[String] = None): Model = graft.util.BuildTimer.timed {
     requireIntegralId(df, idCol)
+    requireNoReservedCols(df)
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), centroidsHash(centroids), idCol,
@@ -599,8 +619,14 @@ object IvfIndex {
       .select(col("qid"), col("nid"))
     val qv = queries.select(
       col(model.idCol).cast("long").as("qid"), col(model.vecCol).as("qvec"))
-    val cv = model.assigned.select(
-      col(model.idCol).cast("long").as("nid"), col(model.vecCol).as("cvec"))
+    // every shortlisted id lives in a probed cell, so the exact-rescore
+    // float read can carry the same cell PartitionFilter as stage 1 —
+    // without it the rescore would scan the float column of EVERY cell
+    // and undo the nprobe/nCells read reduction the shortlist pass earns
+    val cv = pruneToProbedCells(model.assigned,
+        probeCells(model, queries, nprobe))
+      .select(
+        col(model.idCol).cast("long").as("nid"), col(model.vecCol).as("cvec"))
     val exact = cv.join(broadcast(pool), "nid")
       .join(broadcast(qv), "qid")
       .select(col("qid"), col("nid"),
@@ -631,6 +657,7 @@ object IvfIndex {
     // same guard as build(): a TEXT/UUID id would otherwise build fine
     // and then cast to null in every search — silent empty results
     requireIntegralId(df, idCol)
+    requireNoReservedCols(df)
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     // shares fixedBuildMemo with buildWithCentroids; the complemented
@@ -730,7 +757,11 @@ object IvfIndex {
       .select(col("qid"), col("e.id").as("nid"))
     val qv = queries.select(
       col(model.idCol).cast("long").as("qid"), col(model.vecCol).as("qvec"))
-    val cv = model.assigned.select(
+    // shortlisted ids can only come from probed cells, so the float
+    // fetch-back is pruned by the SAME probe set as the bits scan —
+    // this is what makes "floats solely for the shortlist" literal:
+    // unprobed cells contribute neither bits pages nor float pages
+    val cv = pruneToProbedCells(model.assigned, probes0).select(
       col(model.idCol).cast("long").as("nid"), col(model.vecCol).as("cvec"))
     val exact = cv.join(broadcast(pool), "nid")
       .join(broadcast(qv), "qid")
@@ -763,6 +794,7 @@ object IvfIndex {
       indexDir: Option[String] = None)
       : (Model, Array[Double], Array[Double]) = graft.util.BuildTimer.timed {
     requireIntegralId(df, idCol)
+    requireNoReservedCols(df)
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     val key = (plan.semanticHash(), idCol, vecCol, nCells, maxIter, seed,

@@ -111,6 +111,15 @@ class HttpApiSpec extends SparkSuite {
       """{"k":1,"id_column":"sid","limit":5}""")
     assert(rs.statusCode() === 200)
     assert(rs.body().contains("\"id\":\"doc-"), rs.body())
+    // column names ride into a SQL template: a name that exists in the
+    // schema but is not a valid bare identifier must 400, matching the
+    // validIdent posture of search_text/search_hybrid
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text AS `body text`")
+      .createOrReplaceTempView("docs_kw_odd")
+    assert(post("/collections/docs_kw_odd/keywords",
+      """{"column":"body text","id_column":"doc_id"}""")
+      .statusCode() === 400)
   }
 
   test("POST search_text runs BM25 over a text collection") {
@@ -452,6 +461,20 @@ class HttpApiSpec extends SparkSuite {
       """{"n_cells":0}""").statusCode() === 400)
     assert(post("/collections/embeddings/index",
       """{"vector_column":"nope"}""").statusCode() === 400)
+  }
+
+  test("POST /index 400s when the collection carries a reserved " +
+      "artifact column — a 'bits' source column would make a plain " +
+      "index be served as bq and then 500 on search") {
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding", "CAST(label AS BIGINT) AS bits")
+      .createOrReplaceTempView("bitscol_vecs")
+    for (quant <- Seq("f32", "bq")) {
+      val r = post("/collections/bitscol_vecs/index",
+        s"""{"n_cells":4,"quantization":"$quant"}""")
+      assert(r.statusCode() === 400, s"$quant: ${r.body()}")
+      assert(r.body().contains("reserved"), r.body())
+    }
   }
 
   test("malformed numeric parameters get 400, not 500") {

@@ -240,6 +240,35 @@ class IvfSpec extends SparkSuite {
     assert(e.getMessage.contains("bits"))
   }
 
+  test("a source table carrying a reserved artifact column ('bits' or " +
+      "'cell_id') is refused at build time on every build path") {
+    // 'bits' presence is how a served artifact is recognized as BQ —
+    // a plain build over a table with its own bits column would be
+    // misreported as bq and then fail the search type check
+    val withBits = emb.withColumn("bits", lit(1L))
+    val withCell = emb.withColumn("cell_id", lit(0))
+    for (bad <- Seq(withBits, withCell)) {
+      val e1 = intercept[IllegalArgumentException] {
+        IvfIndex.build(bad, "vec_id", "embedding", nCells = 4, maxIter = 2)
+      }
+      assert(e1.getMessage.contains("reserved"))
+      val cents = Array(Array.fill(16)(0f), Array.fill(16)(1f))
+      val e2 = intercept[IllegalArgumentException] {
+        IvfIndex.buildWithCentroids(bad, "vec_id", "embedding", cents)
+      }
+      assert(e2.getMessage.contains("reserved"))
+      val e3 = intercept[IllegalArgumentException] {
+        IvfIndex.buildBqWithCentroids(bad, "vec_id", "embedding", cents)
+      }
+      assert(e3.getMessage.contains("reserved"))
+      val e4 = intercept[IllegalArgumentException] {
+        IvfIndex.buildSq8(bad, "vec_id", "embedding", nCells = 4,
+          maxIter = 2)
+      }
+      assert(e4.getMessage.contains("reserved"))
+    }
+  }
+
   test("searchBqRefine at full probe with a corpus-wide shortlist " +
       "reproduces exact kNN; a metadata filter applies inside the " +
       "shortlist scan") {
@@ -271,8 +300,13 @@ class IvfSpec extends SparkSuite {
       cents)
     val plan = IvfIndex.searchBqRefine(bq, queries, k = 10, nprobe = 4,
       shortlist = 40).queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
-      .findFirstIn(plan).isDefined, s"probe pruning lost:\n$plan")
+    // BOTH artifact scans carry the probe-set PartitionFilter: the
+    // bits shortlist pass AND the float rescore pass — shortlisted ids
+    // only live in probed cells, so the rescore must not scan the
+    // float column of unprobed cells
+    val pruned = "PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findAllIn(plan).size
+    assert(pruned >= 2, s"expected pruning on both scans, got $pruned:\n$plan")
     // two scans of the artifact: the hamming pass must project
     // (vec_id, bits) only — its ReadSchema has no float array — while
     // the refine pass reads the floats for shortlist ids
