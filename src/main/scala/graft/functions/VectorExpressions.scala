@@ -467,3 +467,139 @@ case class BqHamming(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
+
+/** IEEE 754 binary16 conversion, implemented bit-level (the JDK only
+  * gained Float.floatToFloat16 in Java 20; this build targets 17).
+  * Round-to-nearest-even, gradual underflow to half subnormals,
+  * overflow to ±Inf past 65520, NaN payload truncated to a quiet half
+  * NaN. Capability analog of the F16 scalar-quantization kind of the
+  * reference's index server (`external_index/server.rs:93-99`) — the
+  * remaining kind next to F32 (native), I8 (Sq8Encode) and B1
+  * (BqEncode). At 100 TB the point is a 2x storage/scan-byte cut at
+  * ~1e-3 relative error: an inverted file storing halves moves half
+  * the bytes per probed cell and needs no trained model at all
+  * (unlike SQ8's per-dim min/max or PQ's codebook).
+  */
+object Fp16 {
+  def floatToHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val e = (bits >>> 23) & 0xff
+    val m = bits & 0x7fffff
+    if (e == 0xff) { // Inf / NaN: keep the class, quiet the payload
+      if (m != 0) (sign | 0x7e00).toShort else (sign | 0x7c00).toShort
+    } else {
+      val he = e - 112 // rebias 127 -> 15
+      if (he >= 0x1f) (sign | 0x7c00).toShort // overflow -> Inf
+      else if (he <= 0) {
+        // subnormal half (or zero): hm = rne(|x| * 2^24), hm in [0,1024];
+        // hm == 1024 lands on the smallest normal via the natural carry
+        if (he < -10) sign.toShort // below half of the smallest subnormal
+        else {
+          val mm = m | 0x800000
+          val shift = 14 - he
+          val half = mm >>> shift
+          val rem = mm & ((1 << shift) - 1)
+          val mid = 1 << (shift - 1)
+          val r = if (rem > mid || (rem == mid && (half & 1) == 1))
+            half + 1 else half
+          (sign | r).toShort
+        }
+      } else {
+        val half = m >>> 13
+        val rem = m & 0x1fff
+        val r = if (rem > 0x1000 || (rem == 0x1000 && (half & 1) == 1))
+          half + 1 else half
+        val out = (he << 10) + r // mantissa carry rolls into the exponent
+        if (out >= 0x7c00) (sign | 0x7c00).toShort
+        else (sign | out).toShort
+      }
+    }
+  }
+
+  def halfToFloat(h: Short): Float = {
+    val hs = h & 0xffff
+    val sign = (hs & 0x8000) << 16
+    val he = (hs >>> 10) & 0x1f
+    val hm = hs & 0x3ff
+    val bits =
+      if (he == 0) {
+        if (hm == 0) sign // +-0
+        else { // subnormal: renormalize into a float32 normal
+          var e = -1; var m = hm
+          while ((m & 0x400) == 0) { m <<= 1; e += 1 }
+          sign | ((112 - e) << 23) | ((m & 0x3ff) << 13)
+        }
+      } else if (he == 0x1f) sign | 0x7f800000 | (hm << 13)
+      else sign | ((he + 112) << 23) | (hm << 13)
+    java.lang.Float.intBitsToFloat(bits)
+  }
+}
+
+/** ARRAY<FLOAT> -> ARRAY<SMALLINT> of IEEE binary16 bit patterns (see
+  * [[Fp16]]). The stored representation is the raw half bits — which
+  * is also what the q_f16_quant oracle hash-compares, so the entire
+  * rounding semantics (round-to-nearest-even, gradual underflow,
+  * overflow) is pinned against an independent restatement in exact
+  * integer/power-of-two double arithmetic.
+  */
+case class Fp16Encode(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "fp16_encode"
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"fp16_encode: null element at position $i")
+      out(i) = Fp16.floatToHalf(a.getFloat(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Inverse of [[Fp16Encode]]: exact widening (every half value is a
+  * float32 value, so decode loses nothing). encode(decode(h)) == h for
+  * every non-NaN half — the idempotence PropertySpec pins.
+  */
+case class Fp16Decode(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "fp16_decode"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ShortType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<SMALLINT> (see fp16_encode), got " +
+        t.simpleString)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"fp16_decode: null element at position $i")
+      out(i) = Fp16.halfToFloat(a.getShort(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

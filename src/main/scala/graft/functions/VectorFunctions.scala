@@ -35,6 +35,8 @@ object VectorFunctions {
   def bq_encode(a: Column): Column = col(BqEncode(f(a)))
   def bq_hamming(a: Column, b: Column): Column =
     col(BqHamming(expr(a), expr(b)))
+  def fp16_encode(a: Column): Column = col(Fp16Encode(f(a)))
+  def fp16_decode(a: Column): Column = col(Fp16Decode(expr(a)))
 
   /** (name, builder) pairs for every expression-backed SQL function —
     * the single source both [[register]] (session-level temp
@@ -69,6 +71,9 @@ object VectorFunctions {
         NormalizeVector(cf(e.head))),
       "bq_encode" -> ((e: Seq[Expression]) => BqEncode(cf(e.head))),
       "bq_hamming" -> ((e: Seq[Expression]) => BqHamming(e(0), e(1))),
+      "fp16_encode" -> ((e: Seq[Expression]) => Fp16Encode(cf(e.head))),
+      "fp16_decode" -> ((e: Seq[Expression]) => Fp16Decode(Cast(e.head,
+        ArrayType(org.apache.spark.sql.types.ShortType)))),
       "mg_sketch" -> ((e: Seq[Expression]) =>
         MgSketch(e(0), lit(e(1), "capacity"))),
       "sketch_topk" -> ((e: Seq[Expression]) =>

@@ -132,6 +132,17 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       Some(spark.table(name))
     else { respond(ex, 404, s"""{"error":"no collection $name"}"""); None }
 
+  /** The artifact's quantization kind, read off its payload column.
+    * Discriminating on column names is sound because every IvfIndex
+    * build path REFUSES source tables that carry one of the reserved
+    * names (cell_id/bits/half) — a collection cannot smuggle its own
+    * 'bits' column into an f32 artifact.
+    */
+  private def quantKind(m: graft.operators.IvfIndex.Model): String =
+    if (m.assigned.columns.contains("bits")) "bq"
+    else if (m.assigned.columns.contains("half")) "f16"
+    else "f32"
+
   // names and column types reach SQL text — admit identifiers and a
   // type whitelist only (the reference quotes table names instead;
   // same injection posture)
@@ -239,14 +250,17 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           else if (!df.columns.contains(vecCol) ||
               !df.columns.contains(idCol))
             respond(ex, 400, """{"error":"unknown column"}""")
-          else if (quant != "f32" && quant != "bq")
+          else if (quant != "f32" && quant != "bq" && quant != "f16")
             respond(ex, 400,
-              """{"error":"quantization must be \"f32\" or \"bq\""}""")
+              """{"error":"quantization must be \"f32\", \"f16\" or \"bq\""}""")
           else
             try {
               val model =
                 if (quant == "bq")
                   graft.operators.IvfIndex.buildBq(
+                    df, idCol, vecCol, nCells, maxIter = 5)
+                else if (quant == "f16")
+                  graft.operators.IvfIndex.buildF16(
                     df, idCol, vecCol, nCells, maxIter = 5)
                 else
                   graft.operators.IvfIndex.build(
@@ -274,20 +288,24 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               respond(ex, 404,
                 s"""{"error":"no index on $name — POST /collections/$name/index first"}""")
             case Some(m) =>
-              // a bq index must rebuild AS bq, or the declared
-              // quantization silently degrades to the float path
-              val wasBq = m.assigned.columns.contains("bits")
-              val rebuilt =
-                if (wasBq) graft.operators.IvfIndex.buildBq(
+              // a quantized index must rebuild AS its kind, or the
+              // declared quantization silently degrades to floats
+              val kind = quantKind(m)
+              val rebuilt = kind match {
+                case "bq" => graft.operators.IvfIndex.buildBq(
                   df, m.idCol, m.vecCol, m.centroids.length,
                   maxIter = 5, force = true)
-                else graft.operators.IvfIndex.build(
+                case "f16" => graft.operators.IvfIndex.buildF16(
                   df, m.idCol, m.vecCol, m.centroids.length,
                   maxIter = 5, force = true)
+                case _ => graft.operators.IvfIndex.build(
+                  df, m.idCol, m.vecCol, m.centroids.length,
+                  maxIter = 5, force = true)
+              }
               ivfModels.put(name, rebuilt)
               respond(ex, 200,
                 s"""{"reindexed":"$name","n_cells":${rebuilt.centroids.length},""" +
-                  s""""quantization":"${if (wasBq) "bq" else "f32"}"}""")
+                  s""""quantization":"$kind"}""")
           }
         }
 
@@ -319,8 +337,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
         import scala.jdk.CollectionConverters._
         val items = ivfModels.asScala.toSeq.sortBy(_._1).map {
           case (n, m) =>
-            val quant = if (m.assigned.columns.contains("bits")) "bq"
-                        else "f32"
+            val quant = quantKind(m)
             s"""{"collection":"$n","n_cells":${m.centroids.length},""" +
               s""""id_column":"${m.idCol}","vector_column":"${m.vecCol}",""" +
               s""""quantization":"$quant"}"""
@@ -858,6 +875,14 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   graft.operators.IvfIndex.searchBqRefine(m, queries, k,
                     nprobe.getOrElse(m.centroids.length),
                     shortlistOpt.getOrElse(math.max(4 * k, 40)), metric,
+                    filter = pred)
+                case Some(m)
+                    if m.idCol == idCol && m.vecCol == vecCol &&
+                      m.assigned.columns.contains("half") =>
+                  // f16 index: symmetric half-precision scoring over
+                  // the halved payload, single stage (no rescore)
+                  graft.operators.IvfIndex.searchF16(m, queries, k,
+                    nprobe.getOrElse(m.centroids.length), metric,
                     filter = pred)
                 case Some(m)
                     if m.idCol == idCol && m.vecCol == vecCol =>

@@ -69,7 +69,7 @@ object IvfIndex {
     * this to a 400 at /index time).
     */
   private def requireNoReservedCols(df: DataFrame): Unit =
-    Seq("cell_id", "bits").foreach { c =>
+    Seq("cell_id", "bits", "half").foreach { c =>
       if (df.columns.contains(c))
         throw new IllegalArgumentException(
           s"'$c' is a reserved index-artifact column name; rename the " +
@@ -709,6 +709,112 @@ object IvfIndex {
       clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
     buildBqWithCentroids(df, idCol, vecCol,
       ProductQuantizer.localize(cb)(0), indexDir, force)
+  }
+
+  /** [[buildWithCentroids]] variant whose inverted file stores the
+    * vectors as IEEE binary16 ([[graft.functions.Fp16Encode]]) INSTEAD
+    * of floats — the F16 scalar-quantization kind of the reference's
+    * index server (`external_index/server.rs:93-99`), completing the
+    * kind set next to F32 (build), I8 (buildSq8) and B1 (buildBq).
+    * Unlike SQ8/PQ it needs no trained model and no sidecar: every
+    * probed-cell scan moves HALF the bytes of the float artifact at
+    * ~2^-11 relative rounding error, which is why f16 is the default
+    * storage kind for serving-scale ANN systems. Cell assignment runs
+    * on the ORIGINAL floats (full-precision quantizer), only the
+    * stored payload is halved.
+    */
+  def buildF16WithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      indexDir: Option[String] = None,
+      force: Boolean = false): Model = graft.util.BuildTimer.timed {
+    requireIntegralId(df, idCol)
+    requireNoReservedCols(df)
+    val spark = df.sparkSession
+    val plan = df.queryExecution.optimizedPlan
+    // shares fixedBuildMemo; a distinct centroid-hash tweak keeps an
+    // f16 artifact from ever being served where a float/bq one was
+    // requested (the bq variant uses ~hash; f16 rotates by 1)
+    val key = (plan.semanticHash(),
+      Integer.rotateLeft(centroidsHash(centroids), 1), idCol, vecCol,
+      indexDir)
+    val hit = if (force) null else fixedBuildMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2.assigned.sparkSession eq spark))
+      return hit._2
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val path = indexDir.getOrElse(
+      s"$tmpBase/ivff16_${buildCounter.getAndIncrement()}" +
+        s"_c${centroids.length}")
+    df.withColumn("cell_id", cellU(col(vecCol)))
+      .withColumn("half", VectorFunctions.fp16_encode(col(vecCol)))
+      .drop(vecCol)
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    val assigned = spark.read.parquet(path)
+    locally {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_centroids")
+    }
+    val model = Model(centroids, assigned, idCol, vecCol, path)
+    if (!force && fixedBuildMemo.size < 32)
+      fixedBuildMemo.put(key, (plan, model))
+    model
+  }
+
+  /** [[build]]'s k-means + the half-precision artifact of
+    * [[buildF16WithCentroids]] — the entry point the HTTP surface uses
+    * for `"quantization":"f16"`.
+    */
+  def buildF16(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      maxIter: Int = 10, seed: Long = 42L,
+      indexDir: Option[String] = None, force: Boolean = false): Model = {
+    val cb = ProductQuantizer.fitCodebook(df, idCol, vecCol,
+      clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
+    buildF16WithCentroids(df, idCol, vecCol,
+      ProductQuantizer.localize(cb)(0), indexDir, force)
+  }
+
+  /** ANN top-k over an F16 inverted file: probe cells as in [[search]],
+    * score candidates by the SYMMETRIC half-precision distance — both
+    * the stored vector and the query are rounded through binary16
+    * before the exact double fold — and take the per-query top k.
+    * Symmetry makes the result independently restatable (the
+    * q_ivf_f16_fixed oracle re-derives the same grid in exact
+    * arithmetic) and means a full probe reproduces q_f16_knn exactly.
+    * Single-stage by design: at ~1e-3 relative error f16 ranking
+    * rarely diverges from f32, so unlike BQ/PQ there is no
+    * shortlist+refine stage to pay for — the reference's f16 index
+    * kind re-ranks nothing either.
+    */
+  def searchF16(model: Model, queries: DataFrame, k: Int, nprobe: Int,
+      metric: String = "l2sq",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(model.assigned.columns.contains("half"),
+      s"index at ${model.indexPath} carries no 'half' column — build " +
+        "it with buildF16WithCentroids")
+    val probes0 = probeCells(model, queries, nprobe)
+    val probes = broadcast(probes0
+      .withColumn("qdec", VectorFunctions.fp16_decode(
+        VectorFunctions.fp16_encode(col("qvec"))))
+      .drop("qvec"))
+    val corpus = filter.foldLeft(
+        pruneToProbedCells(model.assigned, probes0))(_.where(_))
+      .select(col("cell_id"),
+        col(model.idCol).cast("long").as("nid"),
+        VectorFunctions.fp16_decode(col("half")).as("cdec"))
+    val scored = corpus.join(probes, "cell_id")
+      .select(col("qid"), col("nid"),
+        Knn.distance(metric)(col("cdec"), col("qdec")).as("dist"))
+    scored.groupBy(col("qid"))
+      .agg(Knn.topk_by_score(col("dist"), col("nid"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("qid"), col("nn.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("nn.score").as("dist"))
   }
 
   /** Two-stage binary-quantized IVF search: probe cells as in

@@ -139,15 +139,20 @@ object IndexedKnn {
     val corpus = spark.read.parquet(path)
     val old = model(spark, e)
     val nCells = old.centroids.length
-    // a bits-bearing artifact must rebuild as one, or every search
-    // after the reindex silently loses the two-stage path
+    // a quantized artifact must rebuild AS its kind (bits -> bq,
+    // half -> f16), or every search after the reindex silently loses
+    // the quantized path
     val wasBq = old.assigned.columns.contains("bits")
+    val wasF16 = old.assigned.columns.contains("half")
     val live = new org.apache.hadoop.fs.Path(e.indexDir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     graft.util.DirSwap.clearSiblings(fs, live)
     val rebuildDir = graft.util.DirSwap.rebuildPath(e.indexDir)
     if (wasBq)
       IvfIndex.buildBq(corpus, e.idCol, e.vecCol, nCells,
+        maxIter = maxIter, indexDir = Some(rebuildDir), force = true)
+    else if (wasF16)
+      IvfIndex.buildF16(corpus, e.idCol, e.vecCol, nCells,
         maxIter = maxIter, indexDir = Some(rebuildDir), force = true)
     else
       IvfIndex.build(corpus, e.idCol, e.vecCol, nCells,

@@ -506,6 +506,51 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // F16 quantization bit patterns (the reference index server's F16
+    // kind, external_index/server.rs:93-99): every element of every
+    // embedding rounded to IEEE binary16, output as the raw half bits.
+    // The oracle re-derives round-to-nearest-even + gradual underflow
+    // in exact power-of-two double arithmetic, so the ENTIRE rounding
+    // semantics is hash-checked, not just a tolerance band.
+    "q_f16_quant" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", posexplode(V.fp16_encode($"embedding")))
+        .toDF("vec_id", "pos", "h")
+        .select($"vec_id", $"pos",
+          ($"h".cast("int").bitwiseAND(lit(0xffff))).as("bits"))
+        .orderBy($"vec_id", $"pos")),
+
+    // Exact kNN over the HALF-PRECISION grid: corpus and queries both
+    // rounded through binary16 (encode∘decode), then the standard
+    // exact top-k. Hash-oracled end to end — the oracle rebuilds the
+    // same decoded doubles and the same index-ordered distance fold.
+    "q_f16_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val dec = emb.select($"vec_id",
+        V.fp16_decode(V.fp16_encode($"embedding")).as("embedding"))
+      Knn.topK(dec, dec.where($"vec_id" < 10), "vec_id", "embedding",
+          k = 10)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Partial-probe IVF over an F16 inverted file under the FIXED
+    // first-16 quantizer: the stored payload is halves (no float
+    // column in the artifact), scoring is the symmetric f16 distance.
+    // Assignment, probing, rounding grid, and ranking all restated.
+    "q_ivf_f16_fixed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val model = graft.operators.IvfIndex.buildF16WithCentroids(
+        emb, "vec_id", "embedding", cents)
+      graft.operators.IvfIndex.searchF16(model,
+          emb.where($"vec_id" < 10), k = 10, nprobe = 4)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Partial-probe recall under a FIXED coarse quantizer (first 16
     // vectors as centroids, the q_ivfpq_adc_fixed trick): assignment,
     // probing, candidate ranking, and recall are all plain argmins
@@ -970,6 +1015,57 @@ object VectorQueries {
        |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
        |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** IEEE binary16 round-to-nearest-even restated in EXACT arithmetic
+    * — every step is integer or power-of-two double math, so the
+    * DuckDB result is bit-identical to [[graft.functions.Fp16]]:
+    * binade extraction by comparison against an exact 2^e table (no
+    * log2, whose rounding could misplace binade boundaries), mantissa
+    * scaling q = |x|/2^e*1024 (exact: float32 inputs have <= 24
+    * significant bits), half-even via floor/fraction/parity, and the
+    * mantissa->exponent carry falling out of one bits formula.
+    * Subnormals (|x| < 2^-14, present in the embeddings table) take
+    * q = |x|*2^24 with the same rounding; values >= 65520 would
+    * overflow to Inf, unreachable for this data (|x| < 1). Yields
+    * f16el(vec_id, pos, bits, dv): the half bit pattern and the
+    * decoded double.
+    */
+  private lazy val f16Cte: String =
+    """el AS (
+      |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT)
+      |    AS pos, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |bnd AS (
+      |  SELECT CAST(e AS INT) AS e,
+      |    CASE WHEN e >= 0 THEN CAST(1 << e AS DOUBLE)
+      |         ELSE 1.0 / CAST(1 << (-e) AS DOUBLE) END AS lo
+      |  FROM range(-14, 16) t(e)),
+      |f16q AS (
+      |  SELECT el.vec_id, el.pos, el.x,
+      |    CASE WHEN el.x < 0 THEN 32768 ELSE 0 END AS sb,
+      |    coalesce(bnd.e, -15) AS e, coalesce(bnd.lo, 0) AS lo,
+      |    CASE WHEN bnd.e IS NULL THEN abs(el.x) * 16777216.0
+      |         ELSE abs(el.x) / bnd.lo * 1024.0 END AS q
+      |  FROM el LEFT JOIN bnd
+      |    ON abs(el.x) >= bnd.lo AND abs(el.x) < 2 * bnd.lo),
+      |f16r AS (
+      |  SELECT vec_id, pos, x, sb, e, lo,
+      |    CAST(floor(q) AS BIGINT) + (CASE
+      |      WHEN q - floor(q) > 0.5 THEN 1
+      |      WHEN q - floor(q) < 0.5 THEN 0
+      |      ELSE CAST(floor(q) AS BIGINT) % 2 END) AS qr
+      |  FROM f16q),
+      |f16el AS (
+      |  SELECT vec_id, pos,
+      |    CAST(sb + CASE WHEN e = -15 THEN qr
+      |         ELSE (e + 15) * 1024 + (qr - 1024) END AS INT) AS bits,
+      |    (CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END) *
+      |    (CASE WHEN e = -15 THEN qr / 16777216.0
+      |          ELSE qr * lo / 1024.0 END) AS dv
+      |  FROM f16r),
+      |f16dl AS (
+      |  SELECT vec_id, list(dv ORDER BY pos) AS de
+      |  FROM f16el GROUP BY vec_id)""".stripMargin
+
   private lazy val knnGraphOracle: String =
     s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
        |scored AS (
@@ -1154,6 +1250,54 @@ object VectorQueries {
          |  SELECT qid, nid, d,
          |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
          |  FROM rr)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_f16_quant" ->
+      s"""WITH $f16Cte
+         |SELECT vec_id, pos, bits FROM f16el
+         |ORDER BY vec_id, pos""".stripMargin,
+    "q_f16_knn" ->
+      s"""WITH $f16Cte,
+         |q AS (SELECT vec_id AS qid, de AS qe FROM f16dl
+         |      WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.de", "q.qe")} AS d
+         |  FROM f16dl c, q),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    // assignment + probing argmins run on the ORIGINAL floats (the
+    // build/probe path never quantizes the quantizer); only the stored
+    // payload and the query are rounded through the f16 grid
+    "q_ivf_f16_fixed" ->
+      s"""WITH $f16Cte,
+         |cb AS (SELECT vec_id AS cid, embedding AS cv
+         |       FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 10),
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qv", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |scored AS (
+         |  SELECT pr.qid, a.vec_id AS nid,
+         |    ${dkL2sq("c.de", "qd.de")} AS d
+         |  FROM pr JOIN asg a ON a.cell = pr.cell
+         |  JOIN f16dl c ON c.vec_id = a.vec_id
+         |  JOIN f16dl qd ON qd.vec_id = pr.qid),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
          |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
          |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
     // recall of the deterministic BQ approximation: the q_ivf_bq_fixed

@@ -463,6 +463,58 @@ class HttpApiSpec extends SparkSuite {
       """{"vector_column":"nope"}""").statusCode() === 400)
   }
 
+  test("f16 index lifecycle over REST: build, listing kind, full-probe " +
+      "search equals the decoded-grid brute force, reindex keeps f16") {
+    import org.apache.spark.sql.functions.{col => c}
+    import graft.functions.{VectorFunctions => V}
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("f16_vecs")
+    val vec = (1 to 64).map(_ => "0.1").mkString(",")
+    val r = post("/collections/f16_vecs/index",
+      """{"n_cells":8,"quantization":"f16"}""")
+    assert(r.statusCode() === 201, r.body())
+    assert(r.body().contains("\"quantization\":\"f16\""))
+    assert(get("/indexes").body().contains(
+      """"collection":"f16_vecs","n_cells":8,"id_column":"vec_id","vector_column":"embedding","quantization":"f16""""))
+    // default nprobe probes all cells: the result must equal exact kNN
+    // over the f16 grid (both sides decoded), computed independently
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dec = emb.select(c("vec_id"),
+      V.fp16_decode(V.fp16_encode(c("embedding"))).as("embedding"))
+    import spark.implicits._
+    val q = Seq((0L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+      .select(c("vec_id"),
+        V.fp16_decode(V.fp16_encode(c("embedding"))).as("embedding"))
+    val expect = graft.operators.Knn
+      .topK(dec, q, "vec_id", "embedding", 5)
+      .orderBy(c("rank")).select(c("nid")).as[Long].collect().toSeq
+    val got = post("/collections/f16_vecs/search",
+      s"""{"vector":[$vec],"k":5}""")
+    assert(got.statusCode() === 200, got.body())
+    val gotIds = "\"id\":(\\d+)".r.findAllMatchIn(got.body())
+      .map(_.group(1).toLong).toSeq
+    assert(gotIds === expect, s"got $gotIds expected $expect")
+    // metadata filter rides the probed-cell scan on the f16 path too
+    val filtered = post("/collections/f16_vecs/search",
+      s"""{"vector":[$vec],"k":3,"filter_column":"label","filter_value":"3"}""")
+    assert(filtered.statusCode() === 200)
+    val fids = "\"id\":(\\d+)".r.findAllMatchIn(filtered.body())
+      .map(_.group(1).toLong).toSeq
+    assert(fids.nonEmpty)
+    val flabels = emb.where(c("vec_id").isin(fids: _*))
+      .select("label").collect().map(_.getInt(0)).toSet
+    assert(flabels === Set(3))
+    // reindex keeps the quantization kind (no silent f32 downgrade)
+    val ri = post("/collections/f16_vecs/reindex", "")
+    assert(ri.statusCode() === 200 &&
+      ri.body().contains("\"quantization\":\"f16\""), ri.body())
+    val again = post("/collections/f16_vecs/search",
+      s"""{"vector":[$vec],"k":5}""")
+    assert(again.statusCode() === 200)
+    assert("\"id\":(\\d+)".r.findAllMatchIn(again.body())
+      .map(_.group(1).toLong).toSeq === expect)
+  }
+
   test("POST /index 400s when the collection carries a reserved " +
       "artifact column — a 'bits' source column would make a plain " +
       "index be served as bq and then 500 on search") {

@@ -240,14 +240,55 @@ class IvfSpec extends SparkSuite {
     assert(e.getMessage.contains("bits"))
   }
 
-  test("a source table carrying a reserved artifact column ('bits' or " +
-      "'cell_id') is refused at build time on every build path") {
+  test("F16 inverted file: the artifact stores halves ONLY (no float " +
+      "column on disk), full probe reproduces brute force over the " +
+      "f16 grid, and partial probe keeps partition pruning with a " +
+      "smallint payload scan") {
+    import graft.functions.{VectorFunctions => V}
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val f16 = IvfIndex.buildF16WithCentroids(emb, "vec_id", "embedding",
+      cents)
+    assert(f16.assigned.columns.contains("half") &&
+      !f16.assigned.columns.contains("embedding"),
+      s"artifact columns: ${f16.assigned.columns.mkString(",")}")
+    // symmetric f16 scoring at full probe == exact kNN over the
+    // decoded grid (corpus AND queries rounded through binary16)
+    val dec = emb.select($"vec_id",
+      V.fp16_decode(V.fp16_encode($"embedding")).as("embedding"))
+    val exact = pairs(Knn.topK(dec, dec.where($"vec_id" < 10),
+      "vec_id", "embedding", 10))
+    val full = pairs(IvfIndex.searchF16(f16, emb.where($"vec_id" < 10),
+      k = 10, nprobe = 16))
+    assert(full === exact)
+    // partial probe: cell pruning reaches the storage layer and the
+    // payload scan reads smallints, not floats
+    val plan = IvfIndex.searchF16(f16, queries, k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(plan).isDefined, s"probe pruning lost:\n$plan")
+    assert("ReadSchema: [^\\n]*smallint".r.findFirstIn(plan).isDefined,
+      s"no smallint payload scan:\n$plan")
+    // metadata filter: equals brute force over the filtered grid
+    val exactF = pairs(Knn.topK(
+      emb.where($"label" === 3).select($"vec_id",
+        V.fp16_decode(V.fp16_encode($"embedding")).as("embedding")),
+      dec.where($"vec_id" < 10), "vec_id", "embedding", 5))
+    val fullF = pairs(IvfIndex.searchF16(f16, emb.where($"vec_id" < 10),
+      k = 5, nprobe = 16, filter = Some($"label" === 3)))
+    assert(fullF === exactF)
+  }
+
+  test("a source table carrying a reserved artifact column ('bits', " +
+      "'half' or 'cell_id') is refused at build time on every build path") {
     // 'bits' presence is how a served artifact is recognized as BQ —
     // a plain build over a table with its own bits column would be
     // misreported as bq and then fail the search type check
     val withBits = emb.withColumn("bits", lit(1L))
     val withCell = emb.withColumn("cell_id", lit(0))
-    for (bad <- Seq(withBits, withCell)) {
+    val withHalf = emb.withColumn("half", lit(1.toShort))
+    for (bad <- Seq(withBits, withCell, withHalf)) {
       val e1 = intercept[IllegalArgumentException] {
         IvfIndex.build(bad, "vec_id", "embedding", nCells = 4, maxIter = 2)
       }
@@ -266,6 +307,10 @@ class IvfSpec extends SparkSuite {
           maxIter = 2)
       }
       assert(e4.getMessage.contains("reserved"))
+      val e5 = intercept[IllegalArgumentException] {
+        IvfIndex.buildF16WithCentroids(bad, "vec_id", "embedding", cents)
+      }
+      assert(e5.getMessage.contains("reserved"))
     }
   }
 
