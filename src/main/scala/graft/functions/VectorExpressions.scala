@@ -33,16 +33,40 @@ object VectorExprUtil {
        |""".stripMargin
 }
 
+/** Distances are polymorphic over the element precision: both sides
+  * `ARRAY<FLOAT>` (the F32 default everywhere) or both sides
+  * `ARRAY<DOUBLE>` (the F64 kind of the reference index server,
+  * `external_index/server.rs:93-99` — Postgres `double precision[]`
+  * vectors served without a lossy downcast). The fold itself always
+  * accumulates in double, so the float path is unchanged; the double
+  * path differs only in reading elements at full precision. Exposed
+  * via the explicit `*_f64` SQL names — the unsuffixed functions keep
+  * their cast-to-float semantics so existing call sites and oracles
+  * are byte-stable.
+  */
 abstract class BinaryVectorExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  protected lazy val isF64: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  /** Element read widened to double — eval side. */
+  protected def elemAt(a: ArrayData, i: Int): Double =
+    if (isF64) a.getDouble(i) else a.getFloat(i).toDouble
+  /** Element read widened to double — codegen side. */
+  protected def elemCode(arr: String, idx: String): String =
+    if (isF64) s"$arr.getDouble($idx)"
+    else s"(double) $arr.getFloat($idx)"
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => true
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => true
       case _ => false
-    })
+    }
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<FLOAT> inputs, got " +
+      s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE> inputs of " +
+        s"matching element type, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 }
@@ -56,7 +80,7 @@ case class L2SqDistance(left: Expression, right: Expression)
     VectorExprUtil.requireSameDim(a.numElements(), b.numElements())
     var acc = 0.0; var i = 0
     while (i < a.numElements()) {
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val d = elemAt(a, i) - elemAt(b, i)
       acc += d * d; i += 1
     }
     acc
@@ -72,7 +96,7 @@ case class L2SqDistance(left: Expression, right: Expression)
       s"""
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  double $d = ${elemCode(a, i)} - ${elemCode(b, i)};
          |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;
@@ -91,7 +115,7 @@ case class InnerProduct(left: Expression, right: Expression)
     VectorExprUtil.requireSameDim(a.numElements(), b.numElements())
     var acc = 0.0; var i = 0
     while (i < a.numElements()) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+      acc += elemAt(a, i) * elemAt(b, i); i += 1
     }
     acc
   }
@@ -103,7 +127,7 @@ case class InnerProduct(left: Expression, right: Expression)
       s"""
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += ${elemCode(a, i)} * ${elemCode(b, i)};
          |}
          |${ev.value} = $acc;
          |""".stripMargin
@@ -123,7 +147,7 @@ case class CosineDistance(left: Expression, right: Expression)
     VectorExprUtil.requireSameDim(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.numElements()) {
-      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      val x = elemAt(a, i); val y = elemAt(b, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     1.0 - dot / math.sqrt(na * nb)
@@ -138,8 +162,8 @@ case class CosineDistance(left: Expression, right: Expression)
       s"""
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = ${elemCode(a, i)};
+         |  double $y = ${elemCode(b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = 1.0 - $dot / java.lang.Math.sqrt($na * $nb);
@@ -158,7 +182,7 @@ case class L1Distance(left: Expression, right: Expression)
     VectorExprUtil.requireSameDim(a.numElements(), b.numElements())
     var acc = 0.0; var i = 0
     while (i < a.numElements()) {
-      acc += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1
+      acc += math.abs(elemAt(a, i) - elemAt(b, i)); i += 1
     }
     acc
   }
@@ -170,7 +194,7 @@ case class L1Distance(left: Expression, right: Expression)
       s"""
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += java.lang.Math.abs((double) $a.getFloat($i) - (double) $b.getFloat($i));
+         |  $acc += java.lang.Math.abs(${elemCode(a, i)} - ${elemCode(b, i)});
          |}
          |${ev.value} = $acc;
          |""".stripMargin
@@ -223,16 +247,30 @@ case class HammingDistance(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
-/** Euclidean norm of a vector. */
+/** Euclidean norm of a vector; like the binary distances, polymorphic
+  * over ARRAY<FLOAT> / ARRAY<DOUBLE> elements (the F64 kind).
+  */
 case class VectorNorm(child: Expression)
     extends UnaryExpression {
   override def prettyName: String = "vector_norm"
   override def dataType: DataType = DoubleType
+  private lazy val isF64: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got " +
+        t.simpleString)
+  }
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     var acc = 0.0; var i = 0
     while (i < a.numElements()) {
-      val x = a.getFloat(i).toDouble; acc += x * x; i += 1
+      val x = if (isF64) a.getDouble(i) else a.getFloat(i).toDouble
+      acc += x * x; i += 1
     }
     math.sqrt(acc)
   }
@@ -240,11 +278,13 @@ case class VectorNorm(child: Expression)
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val get = if (isF64) s"$a.getDouble($i)"
+                else s"(double) $a.getFloat($i)"
       s"""
          |double $acc = 0.0;
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
+         |  double $x = $get;
          |  $acc += $x * $x;
          |}
          |${ev.value} = java.lang.Math.sqrt($acc);

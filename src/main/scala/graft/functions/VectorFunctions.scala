@@ -38,6 +38,23 @@ object VectorFunctions {
   def fp16_encode(a: Column): Column = col(Fp16Encode(f(a)))
   def fp16_decode(a: Column): Column = col(Fp16Decode(expr(a)))
 
+  /** F64 surface: the same distance expressions reading ARRAY<DOUBLE>
+    * natively (reference kind F64, external_index/server.rs:93-99).
+    * Explicit names rather than implicit dispatch so the unsuffixed
+    * functions keep their cast-to-float semantics byte-stable.
+    */
+  private def d(c: Column): Expression =
+    Cast(expr(c), ArrayType(org.apache.spark.sql.types.DoubleType))
+  def l2sq_dist_f64(a: Column, b: Column): Column =
+    col(L2SqDistance(d(a), d(b)))
+  def cos_dist_f64(a: Column, b: Column): Column =
+    col(CosineDistance(d(a), d(b)))
+  def inner_product_f64(a: Column, b: Column): Column =
+    col(InnerProduct(d(a), d(b)))
+  def l1_dist_f64(a: Column, b: Column): Column =
+    col(L1Distance(d(a), d(b)))
+  def vector_norm_f64(a: Column): Column = col(VectorNorm(d(a)))
+
   /** (name, builder) pairs for every expression-backed SQL function —
     * the single source both [[register]] (session-level temp
     * functions) and [[graft.GraftExtensions]] (cluster-level
@@ -47,6 +64,8 @@ object VectorFunctions {
       : Seq[(String, Seq[Expression] => Expression)] = {
     def cf(e: Expression): Expression = Cast(e, ArrayType(FloatType))
     def ci(e: Expression): Expression = Cast(e, ArrayType(IntegerType))
+    def cd(e: Expression): Expression = Cast(e,
+      ArrayType(org.apache.spark.sql.types.DoubleType))
     // Misra–Gries frequent-items aggregates (ResolveFunctions wraps a
     // returned AggregateFunction in its AggregateExpression). k and
     // capacity parameterize the sketch itself, so they must be literals.
@@ -74,6 +93,16 @@ object VectorFunctions {
       "fp16_encode" -> ((e: Seq[Expression]) => Fp16Encode(cf(e.head))),
       "fp16_decode" -> ((e: Seq[Expression]) => Fp16Decode(Cast(e.head,
         ArrayType(org.apache.spark.sql.types.ShortType)))),
+      "l2sq_dist_f64" -> ((e: Seq[Expression]) =>
+        L2SqDistance(cd(e(0)), cd(e(1)))),
+      "cos_dist_f64" -> ((e: Seq[Expression]) =>
+        CosineDistance(cd(e(0)), cd(e(1)))),
+      "inner_product_f64" -> ((e: Seq[Expression]) =>
+        InnerProduct(cd(e(0)), cd(e(1)))),
+      "l1_dist_f64" -> ((e: Seq[Expression]) =>
+        L1Distance(cd(e(0)), cd(e(1)))),
+      "vector_norm_f64" -> ((e: Seq[Expression]) =>
+        VectorNorm(cd(e.head))),
       "mg_sketch" -> ((e: Seq[Expression]) =>
         MgSketch(e(0), lit(e(1), "capacity"))),
       "sketch_topk" -> ((e: Seq[Expression]) =>

@@ -534,6 +534,25 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // F64 distance surface (the reference index server's F64 kind):
+    // vectors whose values are UNREPRESENTABLE in float32 (vec_id/3
+    // etc.), served through the same codegen distance expressions
+    // reading ARRAY<DOUBLE> natively. A downcasting implementation
+    // would be off by ~1e-3 at these magnitudes and hash-mismatch.
+    "q_f64_dist" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .where($"vec_id" > 0)
+        .selectExpr("vec_id",
+          "array(CAST(vec_id AS DOUBLE)/3.0, CAST(vec_id AS DOUBLE)/7.0, " +
+            "CAST(vec_id AS DOUBLE)/11.0) AS dv")
+        .selectExpr("vec_id",
+          "round(l2sq_dist_f64(dv, array(0.1D, 0.2D, 0.3D)), 4) AS d",
+          "round(inner_product_f64(dv, array(0.5D, -1.0D, 2.0D)), 4) AS ip",
+          "round(l1_dist_f64(dv, array(0.1D, 0.2D, 0.3D)), 4) AS l1d",
+          "round(vector_norm_f64(dv), 4) AS nrm",
+          "round(cos_dist_f64(dv, array(0.5D, -1.0D, 2.0D)), 4) AS cosd")
+        .orderBy($"vec_id")),
+
     // Partial-probe IVF over an F16 inverted file under the FIXED
     // first-16 quantizer: the stored payload is halves (no float
     // column in the artifact), scoring is the symmetric f16 distance.
@@ -1256,6 +1275,23 @@ object VectorQueries {
       s"""WITH $f16Cte
          |SELECT vec_id, pos, bits FROM f16el
          |ORDER BY vec_id, pos""".stripMargin,
+    // all folds restated with the same left-associated double
+    // arithmetic the codegen loops produce (acc starts at 0.0, index
+    // order), so every column is bit-identical before the 4-dp round
+    "q_f64_dist" ->
+      """WITH dv AS (
+        |  SELECT vec_id, vec_id/3.0 AS x1, vec_id/7.0 AS x2,
+        |    vec_id/11.0 AS x3
+        |  FROM embeddings WHERE vec_id > 0)
+        |SELECT vec_id,
+        |  round((x1-0.1)^2 + (x2-0.2)^2 + (x3-0.3)^2, 4) AS d,
+        |  round(x1*0.5 + x2*(-1.0) + x3*2.0, 4) AS ip,
+        |  round(abs(x1-0.1) + abs(x2-0.2) + abs(x3-0.3), 4) AS l1d,
+        |  round(sqrt(x1*x1 + x2*x2 + x3*x3), 4) AS nrm,
+        |  round(1 - (x1*0.5 + x2*(-1.0) + x3*2.0) /
+        |    sqrt((x1*x1 + x2*x2 + x3*x3) *
+        |         (0.5*0.5 + (-1.0)*(-1.0) + 2.0*2.0)), 4) AS cosd
+        |FROM dv ORDER BY vec_id""".stripMargin,
     "q_f16_knn" ->
       s"""WITH $f16Cte,
          |q AS (SELECT vec_id AS qid, de AS qe FROM f16dl

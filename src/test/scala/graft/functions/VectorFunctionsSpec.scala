@@ -128,4 +128,28 @@ class VectorFunctionsSpec extends SparkSuite {
       .agg(max($"d")).as[Double].head()
     assert(self === 0.0)
   }
+
+  test("*_f64 functions read ARRAY<DOUBLE> at full precision — a " +
+      "float32 downcast would be off by ~1e-8 relative and fail " +
+      "these exact comparisons") {
+    val third = 1.0 / 3.0 // not representable in float32
+    val dd = Seq((Array(third, 2.0, 3.0), Array(0.0, 0.0, 0.0)))
+      .toDF("a", "b")
+    val r = dd.select(
+      V.l2sq_dist_f64($"a", $"b"),
+      V.inner_product_f64($"a", $"a"),
+      V.vector_norm_f64($"a")).collect().head
+    assert(r.getDouble(0) === third * third + 4.0 + 9.0) // exact doubles
+    assert(r.getDouble(1) === third * third + 4.0 + 9.0)
+    assert(r.getDouble(2) === math.sqrt(third * third + 4.0 + 9.0))
+    // the float path on the same values differs (downcast happened)
+    val f = dd.select(V.l2sq_dist($"a", $"b")).as[Double].head()
+    assert(f !== third * third + 4.0 + 9.0)
+    assert(math.abs(f - (third * third + 4.0 + 9.0)) < 1e-6)
+    // SQL surface resolves the f64 names
+    val viaSql = spark.sql(
+      "SELECT l2sq_dist_f64(array(1.0D/3.0D), array(0.0D)) AS d")
+      .as[Double].head()
+    assert(viaSql === third * third)
+  }
 }
