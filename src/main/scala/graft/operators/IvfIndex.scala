@@ -946,6 +946,62 @@ object IvfIndex {
     result
   }
 
+  /** [[buildSq8]] under CALLER-SUPPLIED frozen coarse centroids — no
+    * k-means. The scalar (min, max) model still fits on the given
+    * corpus (it is data-derived, not a tuning choice). Completes the
+    * fixed-quantizer build set across all stored kinds
+    * (buildWithCentroids / buildF16WithCentroids / buildBqWithCentroids
+    * / this), which is what lets the q_quant_kinds face hash-check a
+    * recall comparison of every kind under one deterministic quantizer
+    * — and is the production rebuild path of [[appendSq8]].
+    */
+  def buildSq8WithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      indexDir: Option[String] = None)
+      : (Model, Array[Double], Array[Double]) = graft.util.BuildTimer.timed {
+    requireIntegralId(df, idCol)
+    requireNoReservedCols(df)
+    val spark = df.sparkSession
+    val plan = df.queryExecution.optimizedPlan
+    val key = (plan.semanticHash(), idCol, vecCol,
+      centroidsHash(centroids), -1, 0L, indexDir)
+    val hit = sq8BuildMemo.get(key)
+    if (hit != null && hit._1.sameResult(plan) &&
+        (hit._2._1.assigned.sparkSession eq spark))
+      return hit._2
+    val sqModel = ScalarQuantizer.fit(df, vecCol)
+    val rows = sqModel.collect().sortBy(_.getInt(0))
+    val mn = rows.map(_.getDouble(1)); val mx = rows.map(_.getDouble(2))
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellU = udf((v: Seq[Float]) =>
+      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val path = indexDir.getOrElse(
+      s"$tmpBase/ivfsqf_${buildCounter.getAndIncrement()}" +
+        s"_c${centroids.length}")
+    import spark.implicits._
+    ScalarQuantizer.quantize(df, vecCol, "sq",
+        spark.createDataset(rows.toSeq.map(r =>
+          (r.getInt(0), r.getDouble(1), r.getDouble(2))))
+          .toDF("pos", "mn", "mx"))
+      .withColumn("cell_id", cellU(col(vecCol)))
+      .select(col(idCol), col("sq"), col("cell_id"))
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    val assigned = spark.read.parquet(path)
+    locally {
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_centroids")
+      mn.indices.map(i => (i, mn(i), mx(i))).toDF("pos", "mn", "mx")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_sqmodel")
+    }
+    val result = (Model(centroids, assigned, idCol, "sq", path), mn, mx)
+    if (sq8BuildMemo.size < 32) sq8BuildMemo.put(key, (plan, result))
+    result
+  }
+
   /** [[append]] for the SQ8 index: arriving vectors are quantized with
     * the index's FROZEN per-dimension scalar model (out-of-range
     * values saturate — the Sq8Encode clamp) and routed into cells by

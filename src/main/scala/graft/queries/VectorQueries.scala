@@ -570,6 +570,42 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // THE storage-kind decision table, hash-checked: recall of every
+    // quantization kind of the reference's index server
+    // (external_index/server.rs:93-99 — F32, F16, I8, B1; F64 is
+    // exact by construction) under ONE fixed coarse quantizer at
+    // partial probe. Output (kind, matches-of-100): the number a 100 TB
+    // deployment actually trades storage bytes against. Every kind's
+    // entire pipeline — assignment, probing, its quantization grid,
+    // ranking, intersection with exact truth — is restated by the
+    // oracle, so the comparison itself is hash-verified.
+    "q_quant_kinds" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val queries = emb.where($"vec_id" < 10)
+      val truth = Knn.topK(emb, queries, "vec_id", "embedding", 10)
+        .select($"qid", $"nid")
+      def hits(res: DataFrame, kind: String): DataFrame =
+        res.select($"qid", $"nid").join(truth, Seq("qid", "nid"))
+          .agg(count(lit(1)).cast("int").as("matches"))
+          .select(lit(kind).as("kind"), $"matches")
+      val I = graft.operators.IvfIndex
+      val f32 = I.buildWithCentroids(emb, "vec_id", "embedding", cents)
+      val f16 = I.buildF16WithCentroids(emb, "vec_id", "embedding", cents)
+      val (sq8, mn, mx) = I.buildSq8WithCentroids(
+        emb, "vec_id", "embedding", cents)
+      val bq = I.buildBqWithCentroids(emb, "vec_id", "embedding", cents)
+      hits(I.search(f32, queries, 10, 4), "ivf_f32")
+        .unionAll(hits(I.searchF16(f16, queries, 10, 4), "ivf_f16"))
+        .unionAll(hits(I.searchSq8(sq8, mn, mx, queries, "embedding",
+          10, 4), "ivf_sq8"))
+        .unionAll(hits(I.searchBqRefine(bq, queries, 10, 4, 40),
+          "ivf_bq"))
+        .orderBy($"kind")
+    }),
+
     // Partial-probe recall under a FIXED coarse quantizer (first 16
     // vectors as centroids, the q_ivfpq_adc_fixed trick): assignment,
     // probing, candidate ranking, and recall are all plain argmins
@@ -1336,6 +1372,80 @@ object VectorQueries {
          |  FROM scored)
          |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
          |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
+    // every kind's full pipeline restated over ONE shared probe set
+    // and assignment (both argmins over original floats): f32 exact
+    // candidates, f16 symmetric decoded grid, sq8 asymmetric decode,
+    // bq hamming-shortlist-40 + exact rescore — each cut to top-10 and
+    // intersected with the exact truth
+    "q_quant_kinds" ->
+      s"""WITH $f16Cte,
+         |$sqRecCte,
+         |cb AS (SELECT vec_id AS cid, embedding AS cv
+         |       FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 10),
+         |pr AS (SELECT qid, cell FROM (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qv", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |truth AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.embedding", "q.qv")}, c.vec_id) AS rk
+         |  FROM embeddings c, q) _t WHERE rk <= 10),
+         |cand AS (SELECT pr.qid, a.vec_id AS nid
+         |         FROM pr JOIN asg a ON a.cell = pr.cell),
+         |kf32 AS (SELECT qid, nid FROM (
+         |  SELECT cand.qid, cand.nid,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qv")}, cand.nid) AS rk
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.nid
+         |  JOIN q ON q.qid = cand.qid) _f WHERE rk <= 10),
+         |kf16 AS (SELECT qid, nid FROM (
+         |  SELECT cand.qid, cand.nid,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY ${dkL2sq("c.de", "qd.de")}, cand.nid) AS rk
+         |  FROM cand JOIN f16dl c ON c.vec_id = cand.nid
+         |  JOIN f16dl qd ON qd.vec_id = cand.qid) _h WHERE rk <= 10),
+         |ksq8 AS (SELECT qid, nid FROM (
+         |  SELECT cand.qid, cand.nid,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY ${dkL2sq("r.vhat", "q.qv")}, cand.nid) AS rk
+         |  FROM cand JOIN rec r ON r.vec_id = cand.nid
+         |  JOIN q ON q.qid = cand.qid) _s8 WHERE rk <= 10),
+         |ham AS (
+         |  SELECT cand.qid, cand.nid,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CASE WHEN (e.embedding[i] > 0) != (q.qv[i] > 0)
+         |           THEN 1 ELSE 0 END)) AS hd
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.nid
+         |  JOIN q ON q.qid = cand.qid),
+         |sl AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY hd, nid) AS rn
+         |  FROM ham) _sl WHERE rn <= 40),
+         |kbq AS (SELECT qid, nid FROM (
+         |  SELECT sl.qid, sl.nid,
+         |    row_number() OVER (PARTITION BY sl.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qv")}, sl.nid) AS rk
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.nid
+         |  JOIN q ON q.qid = sl.qid) _b WHERE rk <= 10)
+         |SELECT kind, matches FROM (
+         |  SELECT 'ivf_f32' AS kind, CAST(count(*) AS INT) AS matches
+         |    FROM kf32 JOIN truth USING (qid, nid)
+         |  UNION ALL SELECT 'ivf_f16', CAST(count(*) AS INT)
+         |    FROM kf16 JOIN truth USING (qid, nid)
+         |  UNION ALL SELECT 'ivf_sq8', CAST(count(*) AS INT)
+         |    FROM ksq8 JOIN truth USING (qid, nid)
+         |  UNION ALL SELECT 'ivf_bq', CAST(count(*) AS INT)
+         |    FROM kbq JOIN truth USING (qid, nid)
+         |) _u ORDER BY kind""".stripMargin,
     // recall of the deterministic BQ approximation: the q_ivf_bq_fixed
     // pipeline cut to top-10, intersected with exact top-10 per query
     "q_bq_recall_fixed" ->

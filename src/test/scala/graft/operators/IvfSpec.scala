@@ -280,6 +280,27 @@ class IvfSpec extends SparkSuite {
     assert(fullF === exactF)
   }
 
+  test("buildSq8WithCentroids freezes the coarse quantizer; full probe " +
+      "equals brute force over the dequantized corpus") {
+    import graft.functions.{VectorFunctions => V}
+    val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val (m, mn, mx) = IvfIndex.buildSq8WithCentroids(
+      emb, "vec_id", "embedding", cents)
+    assert(m.centroids eq cents) // frozen, no retrain
+    assert(m.assigned.columns.contains("sq") &&
+      !m.assigned.columns.contains("embedding"))
+    // full probe == brute force of (dequantized corpus) vs raw queries
+    val got = pairs(IvfIndex.searchSq8(m, mn, mx,
+      emb.where($"vec_id" < 10), "embedding", 10, nprobe = 16))
+    val sqDf = m.assigned.select($"vec_id",
+      V.col(graft.functions.Sq8Decode(V.expr($"sq"), mn, mx))
+        .as("embedding"))
+    val exact = pairs(Knn.topK(sqDf, emb.where($"vec_id" < 10)
+      .select($"vec_id", $"embedding"), "vec_id", "embedding", 10))
+    assert(got === exact)
+  }
+
   test("a source table carrying a reserved artifact column ('bits', " +
       "'half' or 'cell_id') is refused at build time on every build path") {
     // 'bits' presence is how a served artifact is recognized as BQ —
