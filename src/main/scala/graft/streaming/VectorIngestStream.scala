@@ -140,12 +140,16 @@ object VectorIngestStream {
   def compact(spark: SparkSession, indexPath: String, idCol: String,
       vecCol: String, targetDir: String): IvfIndex.Model = {
     val model = openModel(spark, indexPath, idCol, vecCol)
-    // a BQ source compacts to a BQ target: openModel already carries
-    // bits (stored or tail-computed), so the column just travels
+    // a quantized source compacts to the SAME kind: openModel already
+    // carries bits (BQ) or half (F16, floats never materialize), so
+    // the payload columns just travel
     val keep: Seq[org.apache.spark.sql.Column] =
-      Seq(col(idCol), col(vecCol), col("cell_id")) ++
-        (if (model.assigned.columns.contains("bits")) Seq(col("bits"))
-         else Nil)
+      if (model.assigned.columns.contains("half"))
+        Seq(col(idCol), col("half"), col("cell_id"))
+      else
+        Seq(col(idCol), col(vecCol), col("cell_id")) ++
+          (if (model.assigned.columns.contains("bits")) Seq(col("bits"))
+           else Nil)
     model.assigned
       .select(keep: _*)
       .repartition(col("cell_id"))
@@ -181,18 +185,26 @@ object VectorIngestStream {
       val raw = spark.read
         .option("basePath", sd)
         .parquet(s"$sd/batch_id=*")
-      // a BQ base keeps its two-stage path through ingest: resident
-      // rows serve their STORED bits, the streamed tail (small,
-      // recent) computes bits on the fly from its floats — encode is
-      // deterministic, so the values are identical to encode-at-write
+      // a quantized base keeps its kind through ingest: resident rows
+      // serve their STORED payload (bits / half), the streamed tail
+      // (small, recent) computes the same encoding on the fly from its
+      // floats — both encodes are deterministic, so the values are
+      // identical to encode-at-write. An F16 base has NO float column,
+      // so the union is (id, half, cell_id) on both sides.
       val bq = base.assigned.columns.contains("bits")
+      val f16 = base.assigned.columns.contains("half")
       val cols: Seq[org.apache.spark.sql.Column] =
-        Seq(col(idCol), col(vecCol), col("cell_id")) ++
-          (if (bq) Seq(graft.functions.VectorFunctions
-            .bq_encode(col(vecCol)).as("bits")) else Nil)
+        if (f16)
+          Seq(col(idCol), graft.functions.VectorFunctions
+            .fp16_encode(col(vecCol)).as("half"), col("cell_id"))
+        else
+          Seq(col(idCol), col(vecCol), col("cell_id")) ++
+            (if (bq) Seq(graft.functions.VectorFunctions
+              .bq_encode(col(vecCol)).as("bits")) else Nil)
       val arrivals = raw.select(cols: _*)
       val baseCols: Seq[org.apache.spark.sql.Column] =
-        Seq(col(idCol), col(vecCol), col("cell_id")) ++
+        if (f16) Seq(col(idCol), col("half"), col("cell_id"))
+        else Seq(col(idCol), col(vecCol), col("cell_id")) ++
           (if (bq) Seq(col("bits")) else Nil)
       val assigned = base.assigned
         .select(baseCols: _*)

@@ -108,6 +108,45 @@ class VectorIngestStreamSpec extends SparkSuite {
     assert(after === got)
   }
 
+  test("an F16 base index keeps its half-precision payload through " +
+      "ingest (floats never materialize in the union) and compaction " +
+      "emits an F16 artifact") {
+    import graft.functions.{VectorFunctions => V}
+    val root = tmp(); val idx = s"$root/idx"
+    val cents = emb.where($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val base = IvfIndex.buildF16WithCentroids(
+      emb.where($"vec_id" % 2 === 0), "vec_id", "embedding", cents,
+      Some(idx))
+    VectorIngestStream.processBatch(emb.where($"vec_id" % 2 =!= 0),
+      0L, base.centroids, "vec_id", "embedding", idx)
+    val model = VectorIngestStream.openModel(spark, idx, "vec_id",
+      "embedding")
+    assert(model.assigned.columns.contains("half") &&
+      !model.assigned.columns.contains("embedding"))
+    // full probe over the ingested union == brute force over the f16
+    // grid of resident + streamed rows
+    val dec = emb.select($"vec_id",
+      V.fp16_decode(V.fp16_encode($"embedding")).as("embedding"))
+    val expect = Knn.topK(dec, dec.where($"vec_id" < 10), "vec_id",
+        "embedding", 10)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val got = IvfIndex.searchF16(model, emb.where($"vec_id" < 10),
+        k = 10, nprobe = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(got === expect)
+    // compaction keeps the half column and the folded artifact serves
+    // the same results
+    val compacted = VectorIngestStream.compact(spark, idx, "vec_id",
+      "embedding", s"$root/idx2")
+    assert(compacted.assigned.columns.contains("half") &&
+      !compacted.assigned.columns.contains("embedding"))
+    val after = IvfIndex.searchF16(compacted,
+        emb.where($"vec_id" < 10), k = 10, nprobe = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(after === got)
+  }
+
   test("replaying a batch rewrites its own subtree (idempotent), and " +
       "the resident index files are untouched") {
     val idx = tmp() + "/idx"
