@@ -282,6 +282,114 @@ object Autotune {
     else results.maxBy(_.recall)
   }
 
+  case class KindVariant(kind: String, nprobe: Int)
+
+  /** Storage kinds × probe depth: the sweep a deployment runs to pick
+    * its stored representation (the reference index server's
+    * quantization kinds, external_index/server.rs:93-99). Kinds share
+    * ONE coarse quantizer (k-means once), so the grid isolates the
+    * storage kind's own recall/latency effect from cell-layout noise.
+    */
+  val kindGrid: Seq[KindVariant] = for {
+    kind <- Seq("f32", "f16", "sq8", "bq")
+    np <- Seq(4, 16)
+  } yield KindVariant(kind, np)
+
+  /** bytesPerDim: what each stored vector element costs on disk/scan —
+    * the axis the whole sweep exists to trade recall against.
+    */
+  case class KindResult(experimentId: Int, kind: String, nprobe: Int,
+      recall: Double, latencyMs: Double, buildTimeMs: Double,
+      bytesPerDim: Double)
+
+  /** Sweep every storage kind under one shared coarse quantizer:
+    * per (kind, nprobe), recall vs brute-force truth, query latency,
+    * build time, and the kind's bytes-per-dimension. The deterministic
+    * fixed-quantizer twin of this sweep's recall column is the
+    * hash-oracled q_quant_kinds face; this run adds the wall-clock
+    * axes and the k-means quantizer.
+    */
+  def runKinds(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+      sampleN: Int = 10000, nQueries: Int = 10,
+      metric: String = "l2sq", targetRecall: Double = 99.9,
+      nCells: Int = 16, maxIter: Int = 5, seed: Long = 42L,
+      shortlist: Int = 50,
+      isCanceled: () => Boolean = () => false): Seq[KindResult] = {
+    val (corpus, queries, truth) =
+      ivfSample(df, idCol, vecCol, sampleN, nQueries, k, metric)
+    val cb = ProductQuantizer.fitCodebook(corpus, idCol, vecCol,
+      clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
+    val cents = ProductQuantizer.localize(cb)(0)
+    // one build per kind, amortized across its nprobe points
+    case class Built(search: (DataFrame, Int) => DataFrame,
+        buildMs: Double, bytesPerDim: Double)
+    val builds = scala.collection.mutable.Map[String, Built]()
+    def built(kind: String): Built = builds.getOrElseUpdate(kind, {
+      val t0 = System.nanoTime()
+      val b = kind match {
+        case "f32" =>
+          val m = IvfIndex.buildWithCentroids(corpus, idCol, vecCol,
+            cents)
+          Built((q, np) => IvfIndex.search(m, q, k, np, metric), 0, 4.0)
+        case "f16" =>
+          val m = IvfIndex.buildF16WithCentroids(corpus, idCol, vecCol,
+            cents)
+          Built((q, np) => IvfIndex.searchF16(m, q, k, np, metric), 0,
+            2.0)
+        case "sq8" =>
+          val (m, mn, mx) = IvfIndex.buildSq8WithCentroids(corpus,
+            idCol, vecCol, cents)
+          Built((q, np) => IvfIndex.searchSq8(m, mn, mx, q, vecCol, k,
+            np, metric), 0, 1.0)
+        case "bq" =>
+          val m = IvfIndex.buildBqWithCentroids(corpus, idCol, vecCol,
+            cents)
+          Built((q, np) => IvfIndex.searchBqRefine(m, q, k, np,
+            math.max(shortlist, k), metric), 0, 1.0 / 8.0)
+        case other => throw new IllegalArgumentException(
+          s"unknown storage kind '$other'")
+      }
+      b.copy(buildMs = (System.nanoTime() - t0) / 1e6)
+    })
+    val results = Seq.newBuilder[KindResult]
+    kindGrid.zipWithIndex.foreach { case (v, i) =>
+      if (isCanceled()) throw new RuntimeException("Job cancelled")
+      val b = built(v.kind)
+      val t1 = System.nanoTime()
+      val res = b.search(queries, v.nprobe)
+      val recall = Knn.recall(truth, res, k)
+        .agg(avg(col("recall"))).head().getDouble(0) * 100.0
+      val latency = (System.nanoTime() - t1) / 1e6 / nQueries
+      results += KindResult(i, v.kind, v.nprobe, recall, latency,
+        b.buildMs, b.bytesPerDim)
+    }
+    results.result()
+  }
+
+  /** X8 selection across kinds: cheapest STORAGE meeting the target
+    * recall (bytes first — that is what the sweep exists to minimize
+    * at corpus scale), latency as the tiebreak; else max recall.
+    */
+  def bestKind(results: Seq[KindResult],
+      targetRecall: Double = 99.9): KindResult = {
+    val ok = results.filter(_.recall >= targetRecall)
+    if (ok.nonEmpty) ok.minBy(r => (r.bytesPerDim, r.latencyMs))
+    else results.maxBy(_.recall)
+  }
+
+  /** Kind sweep results in the autotune_results shape. */
+  def kindsToDF(spark: SparkSession,
+      results: Seq[KindResult]): DataFrame = {
+    import spark.implicits._
+    results.toDF()
+      .select(col("experimentId").as("experiment_id"), col("kind"),
+        col("nprobe"),
+        round(col("recall"), 1).as("recall"),
+        col("latencyMs").as("latency"),
+        col("buildTimeMs").as("build_time"),
+        col("bytesPerDim").as("bytes_per_dim"))
+  }
+
   /** IVF sweep results in the autotune_results shape (the HNSW param
     * columns replaced by this family's axes).
     */

@@ -902,6 +902,20 @@ object VectorQueries {
       graft.operators.Autotune.bqToDF(s, res).orderBy($"experiment_id")
     }),
 
+    // Storage-kind sweep (kinds × nprobe under ONE shared k-means
+    // quantizer): recall, latency, build time, bytes/dim per kind —
+    // wall-clock columns keep it rows-only like its autotune siblings;
+    // the recall comparison itself is hash-oracled through the
+    // q_quant_kinds twin (fixed quantizer).
+    "q_autotune_kinds" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val res = graft.operators.Autotune.runKinds(emb, "vec_id",
+        "embedding", k = 10, sampleN = 2000, nQueries = 10,
+        targetRecall = 101.0, maxIter = 3)
+      graft.operators.Autotune.kindsToDF(s, res)
+        .orderBy($"experiment_id")
+    }),
+
     // kNN-graph via the IVF index — the SCALE path for graph
     // construction the brute-force q_knn_graph documents: queries are
     // the slice itself, cells prune the scan per probe batch. Full

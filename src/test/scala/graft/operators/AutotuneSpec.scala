@@ -74,6 +74,36 @@ class AutotuneSpec extends SparkSuite {
     assert(best.recall >= 99.9 || best.recall === rs.map(_.recall).max)
   }
 
+  test("kind sweep: every kind shares one quantizer, f32/f16/sq8 at " +
+      "full probe are exact on a small sample, bytes ordering holds, " +
+      "bestKind minimizes storage among passing kinds") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val rs = Autotune.runKinds(emb, "vec_id", "embedding", k = 5,
+      sampleN = 50, nQueries = 5, targetRecall = 101.0, nCells = 4,
+      shortlist = 100)
+    assert(rs.size === Autotune.kindGrid.size)
+    // full probe, lossless-or-near kinds on 50 rows: exact recall
+    // (f16/sq8 grids cannot flip top-5 on a 50-row sample in practice
+    // — and if they ever did, this assertion is the alarm we want)
+    for (kind <- Seq("f32", "f16", "sq8")) {
+      val full = rs.find(r => r.kind === kind && r.nprobe === 16).get
+      assert(full.recall === 100.0, s"$kind full-probe recall")
+    }
+    // bq at full probe + shortlist >= sample is exact too (rescore)
+    assert(rs.find(r => r.kind === "bq" && r.nprobe === 16)
+      .get.recall === 100.0)
+    // the storage axis the sweep trades against
+    val bytes = rs.groupBy(_.kind).view.mapValues(_.head.bytesPerDim)
+    assert(bytes("f32") > bytes("f16") && bytes("f16") > bytes("sq8") &&
+      bytes("sq8") > bytes("bq"))
+    // bestKind: cheapest bytes among kinds meeting the target
+    val best = Autotune.bestKind(rs, targetRecall = 99.9)
+    assert(best.kind === "bq" && best.recall >= 99.9)
+    val df = Autotune.kindsToDF(spark, rs)
+    assert(df.columns.toSeq === Seq("experiment_id", "kind", "nprobe",
+      "recall", "latency", "build_time", "bytes_per_dim"))
+  }
+
   test("IVF sweep results DF carries the family's axes in the " +
       "autotune_results shape") {
     val df = Autotune.ivfToDF(spark,
