@@ -490,6 +490,11 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
         (if (e.shortlist > 0 && m.assigned.columns.contains("bits"))
           IvfIndex.searchBqRefine(m, queries, k, nprobe,
             math.max(e.shortlist, k), metric)
+        else if (m.assigned.columns.contains("half"))
+          // f16 artifact: symmetric half-precision scoring —
+          // approximate by registration, like a BQ shortlist; the
+          // float path below would find no float column to scan
+          IvfIndex.searchF16(m, queries, k, nprobe, metric)
         else IvfIndex.search(m, queries, k, nprobe, metric))
           .select(col("nid").as("__graft_nid"),
             col("dist").as("__graft_dist"))
@@ -529,11 +534,15 @@ object IndexedKnnRule extends Rule[LogicalPlan] {
     rewriting.set(true)
     val newPlan = try {
       // a bits-bearing artifact registered with a shortlist depth takes
-      // the two-stage BQ path; the depth never drops below k
+      // the two-stage BQ path; a half-bearing one the f16 path (the
+      // float path would find no float column); the depth never drops
+      // below k
       val searched =
         if (e.shortlist > 0 && m.assigned.columns.contains("bits"))
           IvfIndex.searchBqRefine(m, queries, k, nprobe,
             math.max(e.shortlist, k), metric)
+        else if (m.assigned.columns.contains("half"))
+          IvfIndex.searchF16(m, queries, k, nprobe, metric)
         else IvfIndex.search(m, queries, k, nprobe, metric)
       searched.queryExecution.optimizedPlan
     } finally rewriting.set(false)

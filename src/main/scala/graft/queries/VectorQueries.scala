@@ -370,6 +370,33 @@ object VectorQueries {
         .select($"vec_id", round($"dist", 4).as("dist"))
     }),
 
+    // The planner rewrite serving an F16 artifact: the same plain
+    // `ORDER BY l2sq_dist(...) LIMIT k` spelling, served from a
+    // half-width index (no float column on disk) at the registered
+    // nprobe — approximate by registration, like the BQ shortlist.
+    // The whole approximation (probe, assignment, f16 grid, ranking)
+    // is restated by the oracle.
+    "q_indexed_f16" -> ((s, dir) => {
+      val path = s"$dir/embeddings.parquet"
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_idxf16_${java.lang.ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      graft.operators.IvfIndex.buildF16WithCentroids(emb, "vec_id",
+        "embedding", cents, Some(idxDir))
+      graft.plans.IndexedKnn.register(s, path, idxDir, "vec_id",
+        "embedding", nprobe = 4)
+      val q = emb.where($"vec_id" === 0).select($"embedding")
+        .head.getSeq[Float](0)
+      emb.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(q)).as("dist"))
+        .orderBy($"dist").limit(20)
+        .select($"vec_id", round($"dist", 4).as("dist"))
+    }),
+
     // The planner-transparent RANGE rewrite: a plain
     // `WHERE l2sq_dist(embedding, q) <= r` over the registered table
     // becomes the cell-pruned range probe during optimization — the
@@ -1559,6 +1586,32 @@ object VectorQueries {
     // planner-BQ restatement: probed cells and assignment as in the
     // probe face, then the hamming shortlist cut before the exact
     // re-rank — the planted two-stage plan is hash-checked end to end
+    "q_indexed_f16" ->
+      s"""WITH $f16Cte,
+         |cb AS (SELECT vec_id AS cid, embedding AS cv
+         |       FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |q16 AS (SELECT de AS qe FROM f16dl WHERE vec_id = 0),
+         |pr AS (SELECT cell FROM (
+         |  SELECT cb.cid AS cell,
+         |    row_number() OVER (ORDER BY ${dkL2sq("q.qe", "cb.cv")},
+         |      cb.cid) AS rn
+         |  FROM q CROSS JOIN cb) _p WHERE rn <= 4),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.vec_id, ${dkL2sq("c.de", "q16.qe")} AS d
+         |  FROM asg a JOIN pr ON a.cell = pr.cell
+         |  JOIN f16dl c ON c.vec_id = a.vec_id CROSS JOIN q16),
+         |ranked AS (
+         |  SELECT vec_id, d,
+         |    row_number() OVER (ORDER BY d, vec_id) AS rk
+         |  FROM scored)
+         |SELECT vec_id, round(d, 4) AS dist FROM ranked
+         |WHERE rk <= 20""".stripMargin,
     "q_indexed_bq" ->
       s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
          |            FROM embeddings WHERE vec_id < 16),

@@ -440,4 +440,43 @@ class ScaleGrowthSpec extends SparkSuite {
         s"bits-only shortlist scan lost at 10x:\n$p")
     } finally { vS.unpersist(); vB.unpersist() }
   }
+
+  test("F16 search grows ~linearly from 2k to 20k vectors and the 10x " +
+      "probe still reads a half-width (smallint) payload with cell " +
+      "pruning") {
+    def vecs(n: Long): DataFrame = spark.range(n)
+      .select($"id".as("vec_id"),
+        graft.functions.TextFunctions.hash_embedding(
+          concat(lit("f"), $"id"), 64).as("embedding"))
+      .repartition(32)
+    val vS = vecs(2000).persist()
+    val vB = vecs(20000).persist()
+    vS.count(); vB.count()
+    try {
+      def cents(df: DataFrame) = df.where($"vec_id" < 16)
+        .orderBy($"vec_id").select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val mS = IvfIndex.buildF16WithCentroids(vS, "vec_id", "embedding",
+        cents(vS))
+      val mB = IvfIndex.buildF16WithCentroids(vB, "vec_id", "embedding",
+        cents(vB))
+      val tS = timedSecs {
+        IvfIndex.searchF16(mS, vS.where($"vec_id" < 10), k = 10,
+          nprobe = 4).count()
+      }
+      val search = IvfIndex.searchF16(mB, vB.where($"vec_id" < 10),
+        k = 10, nprobe = 4)
+      val tB = timedSecs { search.count() }
+      val r = ratio(tB, tS)
+      info(f"f16 search 2k: $tS%.1f s, 20k: $tB%.1f s, growth $r%.1fx")
+      assertPerf(r < 30.0, f"10x corpus grew F16 search $r%.1fx")
+      // at 10x the probe still prunes cells and the payload scan is
+      // halves — there is no float column in the artifact at all
+      val p = search.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+        .findFirstIn(p).isDefined, s"probe filter lost at 10x:\n$p")
+      assert("ReadSchema: [^\\n]*smallint".r.findFirstIn(p).isDefined,
+        s"half payload scan lost at 10x:\n$p")
+    } finally { vS.unpersist(); vB.unpersist() }
+  }
 }

@@ -383,4 +383,40 @@ class IndexedKnnSpec extends SparkSuite {
       assert(IndexedKnnRule.fireCount.get() === before + 1)
     } finally IndexedKnn.unregister(spark, dataPath)
   }
+
+  test("a half-bearing (F16) index serves the plain ORDER BY spelling " +
+      "from the halved artifact: no corpus scan, smallint payload, " +
+      "full probe equals the f16-grid brute force") {
+    val cents = emb.where($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val f16Dir = java.nio.file.Files
+      .createTempDirectory("graft_idxknn_f16").toString + "/idx"
+    IvfIndex.buildF16WithCentroids(emb, "vec_id", "embedding", cents,
+      Some(f16Dir))
+    IndexedKnn.register(spark, dataPath, f16Dir, "vec_id", "embedding",
+      nprobe = 0)
+    try {
+      val before = IndexedKnnRule.fireCount.get()
+      val df = knnQuery(10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        s"corpus still scanned:\n$plan")
+      assert("ReadSchema: [^\\n]*smallint".r.findFirstIn(plan).isDefined,
+        s"no half-width payload scan:\n$plan")
+      // full probe == exact kNN over the f16 grid (both sides decoded)
+      val dec = emb.select($"vec_id",
+        V.fp16_decode(V.fp16_encode($"embedding")).as("embedding"))
+      val q16 = dec.where($"vec_id" === 0).select($"embedding")
+        .head.getSeq[Float](0)
+      val expect = dec.select($"vec_id",
+          V.l2sq_dist($"embedding", typedlit(q16)).as("dist"))
+        .orderBy($"dist", $"vec_id").limit(10)
+        .select($"vec_id").as[Long].collect().toSeq
+      // collect from df itself: a derived .select would be a second
+      // optimization pass and a second legitimate rule fire
+      val got = df.collect().map(_.getLong(0)).toSeq
+      assert(got === expect)
+      assert(IndexedKnnRule.fireCount.get() === before + 1)
+    } finally IndexedKnn.unregister(spark, dataPath)
+  }
 }
