@@ -69,6 +69,15 @@ object TextFunctions {
     */
   def winnow(hashes: Column, w: Int): Column = c(Winnow(e(hashes), w))
 
+  /** FNV-1a of a string column — the sparse-retrieval term-id hash. */
+  def fnv_hash(text: Column): Column = c(FnvHash(e(text)))
+
+  /** Merge-pass dot product of two (sorted indices, integer values)
+    * sparse vectors — see [[SparseDot]].
+    */
+  def sparse_dot(ia: Column, va: Column, ib: Column, vb: Column): Column =
+    c(SparseDot(e(ia), e(va), e(ib), e(vb)))
+
   /** The reference's common embedding ignore filter, reusable:
     * `utils/mod.rs:37-39` — NOT NULL, non-empty, not the LLM error
     * sentinel.
@@ -97,6 +106,9 @@ object TextFunctions {
     },
     "rolling_fingerprint" -> ((e: Seq[Expression]) =>
       RollingFingerprint(e.head, 16)),
+    "fnv_hash" -> ((e: Seq[Expression]) => FnvHash(e.head)),
+    "sparse_dot" -> ((e: Seq[Expression]) =>
+      SparseDot(e(0), e(1), e(2), e(3))),
     "hash_embedding" -> ((e: Seq[Expression]) => HashEmbed(e.head, 64)),
     "gram_hashes" -> {
       (args: Seq[Expression]) => args match {

@@ -436,3 +436,81 @@ case class Winnow(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** `fnv_hash(text)` → BIGINT: the suite's shared FNV-1a over UTF-8
+  * bytes ([[TextHash.fnv1a]]) as a standalone scalar — the term-id
+  * hash of the sparse-retrieval postings (SparseSearch). Exposed so
+  * hand-written SQL can derive the same hashed vocabulary ids the
+  * operators use; restatable in DuckDB via the byte-fold the simhash
+  * and sparse oracles carry.
+  */
+case class FnvHash(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "fnv_hash"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.fnv1a(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `sparse_dot(ia, va, ib, vb)` → BIGINT: dot product of two sparse
+  * vectors given as (sorted-ascending index array, parallel value
+  * array) pairs with integer (impact-quantized) values — the pairwise
+  * scoring primitive of learned-sparse retrieval. A single merge pass
+  * over the two index arrays; requires each (idx, val) pair to have
+  * equal lengths and strictly ascending indices (the shape
+  * SparseSearch.sparseVectors emits).
+  */
+case class SparseDot(ia: Expression, va: Expression, ib: Expression,
+    vb: Expression) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "sparse_dot"
+  override def children: Seq[Expression] = Seq(ia, va, ib, vb)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val idxOk = Seq(ia, ib).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true; case _ => false })
+    val valOk = Seq(va, vb).forall(_.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false })
+    if (idxOk && valOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<INT>, ARRAY<BIGINT>) x 2, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+  override def eval(input: InternalRow): Any = {
+    val iaV = ia.eval(input); val vaV = va.eval(input)
+    val ibV = ib.eval(input); val vbV = vb.eval(input)
+    if (iaV == null || vaV == null || ibV == null || vbV == null) null
+    else {
+      val ai = iaV.asInstanceOf[ArrayData]; val av = vaV.asInstanceOf[ArrayData]
+      val bi = ibV.asInstanceOf[ArrayData]; val bv = vbV.asInstanceOf[ArrayData]
+      if (ai.numElements() != av.numElements() ||
+          bi.numElements() != bv.numElements())
+        throw new IllegalArgumentException(
+          "sparse_dot: index/value arrays differ in length")
+      var i = 0; var j = 0; var acc = 0L
+      while (i < ai.numElements() && j < bi.numElements()) {
+        val x = ai.getInt(i); val y = bi.getInt(j)
+        if (x == y) { acc += av.getLong(i) * bv.getLong(j); i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      acc
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(ia = cs(0), va = cs(1), ib = cs(2), vb = cs(3))
+}

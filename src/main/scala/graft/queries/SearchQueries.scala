@@ -29,6 +29,42 @@ object SearchQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("rnk"))),
 
+    // Learned-sparse postings (SparseSearch): hashed term ids (FNV-1a
+    // mod 2^16) with integer impacts floor(100·ln(1+tf)+0.5) — the
+    // serving format of SPLADE-style retrieval, every value an exact
+    // BIGINT. The doc_id < 300 slice bounds the oracle's per-token
+    // byte-fold cost at every SF.
+    "q_sparse_postings" -> ((s, dir) =>
+      graft.operators.SparseSearch.postings(
+          docs(s, dir).where(col("doc_id") < 300), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("idx"))),
+
+    // Sparse retrieval top-20: posting-list read (only query-term
+    // rows), score = Σ impact·idf-impact, integer end to end.
+    "q_sparse_search" -> ((s, dir) =>
+      graft.operators.SparseSearch.topK(
+          docs(s, dir).where(col("doc_id") < 300), "doc_id", "text",
+          QueryWords, 20)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Pairwise sparse dot products via the SparseDot merge expression
+    // over (sorted indices, values) columns — the similarity primitive
+    // for sparse dedup/clustering; doc 0's vector against the slice.
+    "q_sparse_dot" -> ((s, dir) => {
+      val sv = graft.operators.SparseSearch.sparseVectors(
+        docs(s, dir).where(col("doc_id") < 300), "doc_id", "text")
+      val q = sv.where(col("id") === 0)
+        .select(col("indices").as("qi"), col("values").as("qv"))
+      sv.crossJoin(broadcast(q))
+        .select(col("id").as("doc_id"),
+          graft.functions.TextFunctions.sparse_dot(
+            col("indices"), col("values"), col("qi"), col("qv"))
+            .as("dot"))
+        .where(col("dot") > 0 && col("doc_id") =!= 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Hybrid retrieval: BM25 and cosine top-50 lists fused by RRF
     // (c=60), fused top-20. Query vector = embedding of vec_id 0.
     "q_hybrid_rrf" -> ((s, dir) => {
@@ -94,7 +130,71 @@ object SearchQueries {
        |  CROSS JOIN stats),
        |agg AS (SELECT id, $condSum AS bm25 FROM sc GROUP BY id)""".stripMargin
 
+  /** FNV-1a over a token column as a DuckDB byte-fold: hex-decode the
+    * UTF-8 bytes, fold xor-then-multiply with the 64-bit wraparound
+    * emulated in HUGEINT (the technique the simhash oracle
+    * established). Bit-identical to [[graft.functions.TextHash.fnv1a]].
+    */
+  private def fnvOf(tok: String): String = {
+    val wrap = "((((CAST(xor(a, b) AS HUGEINT) * 1099511628211) % " +
+      "18446744073709551616) + 18446744073709551616) % 18446744073709551616)"
+    val step = s"CASE WHEN $wrap >= 9223372036854775808 " +
+      s"THEN $wrap - 18446744073709551616 ELSE $wrap END"
+    s"""list_reduce(list_prepend(CAST(-3750763034362895579 AS BIGINT),
+       |    list_transform(range(1, octet_length(encode($tok))+1), i ->
+       |      CAST(16*(instr('0123456789ABCDEF',
+       |          substr(hex(encode($tok)), 2*i-1, 1))-1)
+       |        + (instr('0123456789ABCDEF',
+       |          substr(hex(encode($tok)), 2*i, 1))-1) AS BIGINT))),
+       |  (a, b) -> CAST($step AS BIGINT))""".stripMargin
+  }
+
+  /** Shared sparse-postings restatement: tokenize, hash, mod 2^16,
+    * group to (id, idx, tf), quantize impacts — mirrors
+    * SparseSearch.postings over the same doc_id < 300 slice.
+    */
+  private lazy val sparseCte: String =
+    s"""stoks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+       |snz AS (SELECT id, tok FROM stoks WHERE tok <> ''),
+       |sfnv AS (SELECT id, ${fnvOf("tok")} AS h FROM snz),
+       |stid AS (SELECT id,
+       |  CAST(((h % 65536) + 65536) % 65536 AS INT) AS idx FROM sfnv),
+       |spost AS (SELECT id, idx,
+       |  CAST(floor(CAST(100.0 AS DOUBLE) * ln(CAST(1.0 AS DOUBLE)
+       |    + count(*)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
+       |  FROM stid GROUP BY id, idx)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_sparse_postings" ->
+      s"""WITH $sparseCte
+         |SELECT id AS doc_id, idx, w FROM spost
+         |ORDER BY doc_id, idx""".stripMargin,
+    "q_sparse_search" ->
+      s"""WITH $sparseCte,
+         |qw AS (SELECT DISTINCT CAST(((${fnvOf("qtok")} % 65536)
+         |    + 65536) % 65536 AS INT) AS idx
+         |  FROM (SELECT unnest(['table', 'scan', 'fast']) AS qtok) _q),
+         |n AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n_docs
+         |      FROM spost),
+         |dft AS (SELECT idx, count(DISTINCT id) AS df FROM spost
+         |  WHERE idx IN (SELECT idx FROM qw) GROUP BY idx),
+         |idf AS (SELECT idx,
+         |  CAST(floor(CAST(100.0 AS DOUBLE) * ln(n_docs / df)
+         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS idfq
+         |  FROM dft CROSS JOIN n),
+         |sc AS (SELECT p.id, sum(p.w * idf.idfq) AS score
+         |  FROM spost p JOIN idf ON idf.idx = p.idx GROUP BY p.id)
+         |SELECT id AS doc_id, CAST(score AS BIGINT) AS score FROM sc
+         |WHERE score > 0 ORDER BY score DESC, id LIMIT 20""".stripMargin,
+    "q_sparse_dot" ->
+      s"""WITH $sparseCte,
+         |q0 AS (SELECT idx, w FROM spost WHERE id = 0),
+         |dots AS (SELECT p.id, sum(p.w * q0.w) AS dot
+         |  FROM spost p JOIN q0 ON q0.idx = p.idx
+         |  WHERE p.id <> 0 GROUP BY p.id)
+         |SELECT id AS doc_id, CAST(dot AS BIGINT) AS dot FROM dots
+         |WHERE dot > 0 ORDER BY doc_id""".stripMargin,
     "q_bm25_search" ->
       s"""WITH $bm25Cte,
          |t AS (SELECT id, bm25 FROM agg ORDER BY bm25 DESC, id LIMIT 20)
