@@ -728,6 +728,36 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           }
         }
 
+      // Learned-sparse retrieval: impact-quantized hashed postings,
+      // score = sum of impact x idf-impact over the query's term ids
+      // (SparseSearch.topK). Same contract as search_text; scores are
+      // exact integers.
+      case ("POST", List("collections", name, "search_sparse")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val k = jsonField(body, "k")
+            .map(v => scala.util.Try(v.toDouble.toInt).getOrElse(-1))
+            .getOrElse(10)
+          val textCol = jsonField(body, "text_column").getOrElse("text")
+          val idCol = jsonField(body, "id_column").getOrElse("doc_id")
+          val q = jsonField(body, "query").getOrElse("")
+          val words = q.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+          if (words.isEmpty || k < 1 ||
+              !validIdent(textCol) || !validIdent(idCol) ||
+              !df.columns.contains(textCol) || !df.columns.contains(idCol))
+            respond(ex, 400,
+              """{"error":"need \"query\", positive \"k\" and valid id/text columns"}""")
+          else {
+            val res = graft.operators.SparseSearch
+              .topK(df, idCol, textCol, words, k).collect()
+            val items = res.map { r =>
+              s"""{"id":${jsonId(r.get(0))},"score":${r.getLong(1)}}"""
+            }.mkString("[", ",", "]")
+            respond(ex, 200, s"""{"results":$items}""")
+          }
+        }
+
       // Hybrid retrieval: BM25 + embedding-cosine fused by RRF. Body:
       // {"query":"words","vector":[...]} (or "text"+"model" to embed),
       // optional k, columns. Joins the collection's text to a vector

@@ -166,6 +166,59 @@ object TextSearch {
     hybridRrfRanked(docs, idCol, textCol, queryWords, cosTop, kOut, c)
   }
 
+  /** RRF fusion of ARBITRARY ranked lists: each input is an
+    * (id, <rank-col>) relation with a DISTINCT rank column name;
+    * rrf(id) = Σ_branches 1/(c + rank), missing branches contribute 0,
+    * summed in input order (the double fold stays engine-restatable).
+    * Generalizes [[hybridRrfRanked]]'s two-way fusion to N branches —
+    * dense + BM25 + learned-sparse in one fused top-k. Branch inputs
+    * are pre-cut top lists (≤ kEach rows), so the N-way full outer
+    * join touches at most N·kEach rows regardless of corpus size.
+    */
+  def rrfFuse(ranked: Seq[DataFrame], kOut: Int = 20,
+      c: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    val rankCols = ranked.map(df => df.columns.filter(_ != "id").head)
+    require(rankCols.distinct == rankCols,
+      s"rank column names must be distinct, got $rankCols")
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = rankCols
+      .map(rc => coalesce(lit(1.0) / (lit(c) + col(rc)), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .select((col("id") +: rrf.as("rrf") +: rankCols.map(col)): _*)
+      .orderBy(col("rrf").desc, col("id")).limit(kOut)
+      .select((col("id") +:
+        (floor(col("rrf") * 1000000 + 0.5) / 1000000).as("rrf") +:
+        rankCols.map(col)): _*)
+  }
+
+  /** Three-way hybrid: BM25 + dense cosine + learned-sparse impacts
+    * ([[SparseSearch.topK]]), fused by RRF. The retrieval trio a
+    * production stack actually serves — each branch reads only its
+    * own index shape (term postings / probed cells / impact postings).
+    */
+  def hybridRrf3(docs: DataFrame, idCol: String, textCol: String,
+      queryWords: Seq[String], embeddings: DataFrame, vecIdCol: String,
+      vecCol: String, queryVec: DataFrame, kEach: Int = 50,
+      kOut: Int = 20, c: Int = 60): DataFrame = {
+    val bmTop = bm25(docs, idCol, textCol, queryWords)
+      .orderBy(col("bm25").desc, col("id")).limit(kEach)
+      .select(col("id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("id"))).as("bm25_rank"))
+    val cosTop = embeddings.crossJoin(broadcast(queryVec))
+      .select(col(vecIdCol).as("id"),
+        V.cos_dist(col(vecCol), col("qv")).as("cd"))
+      .orderBy(col("cd").asc, col("id")).limit(kEach)
+      .select(col("id"), row_number().over(
+        Window.orderBy(col("cd").asc, col("id"))).as("cos_rank"))
+    val sparseTop = SparseSearch
+      .topK(docs, idCol, textCol, queryWords, kEach)
+      .select(col("id"), row_number().over(
+        Window.orderBy(col("score").desc, col("id"))).as("sparse_rank"))
+    rrfFuse(Seq(bmTop, cosTop, sparseTop), kOut, c)
+  }
+
   /** Hybrid RRF with a PLUGGABLE vector branch: `cosRanked` is any
     * (id, cos_rank) relation — typically `IvfIndex.search` output, so
     * the vector candidates come off the cell-partitioned index (probed

@@ -65,6 +65,21 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // THREE-way hybrid: BM25 + dense cosine + learned-sparse impact
+    // branches fused by RRF — each branch reads only its own index
+    // shape. Same doc_id < 300 slice as the sparse faces (bounds the
+    // oracle's token byte-fold); every branch and the fusion restated.
+    "q_hybrid_rrf_sparse" -> ((s, dir) => {
+      val sdocs = docs(s, dir).where(col("doc_id") < 300)
+      val semb = Tables(s, dir, "embeddings").where(col("vec_id") < 300)
+      val qv = Tables(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      TextSearch.hybridRrf3(sdocs, "doc_id", "text", QueryWords,
+          semb, "vec_id", "embedding", qv)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // Hybrid retrieval: BM25 and cosine top-50 lists fused by RRF
     // (c=60), fused top-20. Query vector = embedding of vec_id 0.
     "q_hybrid_rrf" -> ((s, dir) => {
@@ -110,9 +125,9 @@ object SearchQueries {
   private val condSum = QueryWords
     .map(w => s"coalesce(max(CASE WHEN word = '$w' THEN s END), 0.0)")
     .mkString(" + ")
-  private val bm25Cte =
+  private def bm25CteFor(where: String) =
     s"""w AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
+       |  FROM documents$where),
        |dl AS (SELECT id, count(*) AS len FROM w GROUP BY id),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
        |  avg(len) AS avglen FROM dl),
@@ -129,6 +144,8 @@ object SearchQueries {
        |  FROM tf JOIN dfw USING (word) JOIN dl USING (id)
        |  CROSS JOIN stats),
        |agg AS (SELECT id, $condSum AS bm25 FROM sc GROUP BY id)""".stripMargin
+
+  private lazy val bm25Cte = bm25CteFor("")
 
   /** FNV-1a over a token column as a DuckDB byte-fold: hex-decode the
     * UTF-8 bytes, fold xor-then-multiply with the 64-bit wraparound
@@ -202,6 +219,48 @@ object SearchQueries {
          |  row_number() OVER (ORDER BY bm25 DESC, id) AS rnk,
          |  floor(bm25 * 10000 + 0.5) / 10000 AS bm25
          |FROM t ORDER BY rnk""".stripMargin,
+    "q_hybrid_rrf_sparse" ->
+      s"""WITH ${bm25CteFor(" WHERE doc_id < 300")},
+         |$sparseCte,
+         |bt AS (SELECT id, bm25 FROM agg ORDER BY bm25 DESC, id LIMIT 50),
+         |br AS (SELECT id,
+         |  row_number() OVER (ORDER BY bm25 DESC, id) AS bm25_rank FROM bt),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cdist AS (SELECT vec_id AS id,
+         |  ${dkCos("embedding", "qv")} AS cd FROM embeddings CROSS JOIN q
+         |  WHERE vec_id < 300),
+         |ct AS (SELECT id, cd FROM cdist ORDER BY cd ASC, id LIMIT 50),
+         |cr AS (SELECT id,
+         |  row_number() OVER (ORDER BY cd ASC, id) AS cos_rank FROM ct),
+         |qw AS (SELECT DISTINCT CAST(((${fnvOf("qtok")} % 65536)
+         |    + 65536) % 65536 AS INT) AS idx
+         |  FROM (SELECT unnest(['table', 'scan', 'fast']) AS qtok) _q),
+         |n AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n_docs
+         |      FROM spost),
+         |dft AS (SELECT idx, count(DISTINCT id) AS df FROM spost
+         |  WHERE idx IN (SELECT idx FROM qw) GROUP BY idx),
+         |idf AS (SELECT idx,
+         |  CAST(floor(CAST(100.0 AS DOUBLE) * ln(n_docs / df)
+         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS idfq
+         |  FROM dft CROSS JOIN n),
+         |ssc AS (SELECT p.id, sum(p.w * idf.idfq) AS score
+         |  FROM spost p JOIN idf ON idf.idx = p.idx GROUP BY p.id),
+         |st AS (SELECT id, score FROM ssc WHERE score > 0
+         |  ORDER BY score DESC, id LIMIT 50),
+         |sr AS (SELECT id,
+         |  row_number() OVER (ORDER BY score DESC, id) AS sparse_rank
+         |  FROM st),
+         |f AS (SELECT coalesce(br.id, cr.id, sr.id) AS id,
+         |  coalesce(1.0 / (60 + br.bm25_rank), 0.0)
+         |    + coalesce(1.0 / (60 + cr.cos_rank), 0.0)
+         |    + coalesce(1.0 / (60 + sr.sparse_rank), 0.0) AS rrf,
+         |  br.bm25_rank, cr.cos_rank, sr.sparse_rank
+         |  FROM br FULL OUTER JOIN cr ON br.id = cr.id
+         |  FULL OUTER JOIN sr ON coalesce(br.id, cr.id) = sr.id),
+         |g AS (SELECT * FROM f ORDER BY rrf DESC, id LIMIT 20)
+         |SELECT id AS doc_id, floor(rrf * 1000000 + 0.5) / 1000000 AS rrf,
+         |  bm25_rank, cos_rank, sparse_rank
+         |FROM g ORDER BY rrf DESC, doc_id""".stripMargin,
     "q_hybrid_rrf" -> hybridRrfSql,
     // q_hybrid_rrf_ivf probes every cell (full probe ≡ exact cosine
     // top-50), so the exact-scan oracle restates it verbatim — the IVF

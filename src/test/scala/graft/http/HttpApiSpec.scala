@@ -122,6 +122,25 @@ class HttpApiSpec extends SparkSuite {
       .statusCode() === 400)
   }
 
+  test("POST search_sparse ranks by integer impact scores; guards 400") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_sparse_api")
+    val r = post("/collections/docs_sparse_api/search_sparse",
+      """{"query":"table scan fast","k":5}""")
+    assert(r.statusCode() === 200, r.body())
+    val scores = "\"score\":(\\d+)".r.findAllMatchIn(r.body())
+      .map(_.group(1).toLong).toSeq
+    assert(scores.nonEmpty && scores.length <= 5)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"scores not descending: $scores")
+    assert(post("/collections/docs_sparse_api/search_sparse",
+      """{"query":""}""").statusCode() === 400)
+    assert(post("/collections/docs_sparse_api/search_sparse",
+      """{"query":"table","k":0}""").statusCode() === 400)
+    assert(post("/collections/docs_sparse_api/search_sparse",
+      """{"query":"table","text_column":"nope"}""").statusCode() === 400)
+  }
+
   test("POST search_text runs BM25 over a text collection") {
     spark.read.parquet(s"$sf0001/documents.parquet")
       .createOrReplaceTempView("docs_api")
