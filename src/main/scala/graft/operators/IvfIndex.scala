@@ -204,15 +204,25 @@ object IvfIndex {
     val bc = spark.sparkContext.broadcast(model.centroids)
     val cellU = udf((v: Seq[Float]) =>
       ProductQuantizer.nearestCentroid(bc.value, v.toArray))
-    // a bits-bearing index must absorb batches WITH their bits, or the
-    // appended rows silently vanish from every BQ shortlist (null bits
-    // → null hamming → dropped by the bounded aggregate)
-    val withBits =
+    // a quantized index must absorb batches in ITS representation: a
+    // bits-bearing index without the arrivals' bits silently drops
+    // them from every BQ shortlist (null hamming → bounded aggregate
+    // discards); an f16 index appended with raw floats would drift the
+    // parquet schema (half null on arrivals → rows vanish from every
+    // probe). Cell assignment always runs on the arrival floats.
+    val withKind =
       if (model.assigned.columns.contains("bits"))
         df.withColumn("bits", VectorFunctions.bq_encode(col(model.vecCol)))
+      else if (model.assigned.columns.contains("half"))
+        df.withColumn("half",
+          VectorFunctions.fp16_encode(col(model.vecCol)))
       else df
-    withBits.withColumn("cell_id", cellU(col(model.vecCol)))
-      .repartition(col("cell_id"))
+    val celled = withKind.withColumn("cell_id", cellU(col(model.vecCol)))
+    val out =
+      if (model.assigned.columns.contains("half"))
+        celled.drop(model.vecCol)
+      else celled
+    out.repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(model.indexPath)
     // fresh scan relation: the old `assigned` caches its file listing

@@ -444,6 +444,29 @@ object VectorQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // Incremental F16 maintenance: arrivals are encoded to halves and
+    // land inside the existing cell layout (no retrain, no schema
+    // drift); full probe over resident+appended == the f16-grid brute
+    // force over the whole corpus (shares q_f16_knn's oracle).
+    "q_ivf_f16_append" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val resident = emb.where($"vec_id" % 2 === 0)
+      val arriving = emb.where($"vec_id" % 2 =!= 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_f16_append").toString
+      val base = graft.operators.IvfIndex.buildF16WithCentroids(
+        resident, "vec_id", "embedding", cents,
+        indexDir = Some(s"$tmp/idx"))
+      val model = graft.operators.IvfIndex.append(base, arriving)
+      graft.operators.IvfIndex.searchF16(model,
+          emb.where($"vec_id" < 10), k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Vector RANGE query (the reference's `WHERE embedding <-> q < r`
     // scan): all neighbors within radius 1.5, probe-pruned, full probe
     // ⇒ exact so brute force restates it. No top-k state at all —
@@ -1369,6 +1392,21 @@ object VectorQueries {
         |    sqrt((x1*x1 + x2*x2 + x3*x3) *
         |         (0.5*0.5 + (-1.0)*(-1.0) + 2.0*2.0)), 4) AS cosd
         |FROM dv ORDER BY vec_id""".stripMargin,
+    // append face: at full probe the union of resident+appended halves
+    // IS the f16-grid brute force — identical oracle to q_f16_knn
+    "q_ivf_f16_append" ->
+      s"""WITH $f16Cte,
+         |q AS (SELECT vec_id AS qid, de AS qe FROM f16dl
+         |      WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.de", "q.qe")} AS d
+         |  FROM f16dl c, q),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
     "q_f16_knn" ->
       s"""WITH $f16Cte,
          |q AS (SELECT vec_id AS qid, de AS qe FROM f16dl

@@ -280,6 +280,31 @@ class IvfSpec extends SparkSuite {
     assert(fullF === exactF)
   }
 
+  test("append on an F16 index encodes arrivals to halves inside the " +
+      "existing layout — no float column ever lands in the artifact") {
+    import graft.functions.{VectorFunctions => V}
+    val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_f16_append_spec").toString
+    val base = IvfIndex.buildF16WithCentroids(
+      emb.where($"vec_id" % 2 === 0), "vec_id", "embedding", cents,
+      Some(s"$tmp/idx"))
+    val appended = IvfIndex.append(base, emb.where($"vec_id" % 2 =!= 0))
+    assert(!appended.assigned.columns.contains("embedding"),
+      appended.assigned.columns.mkString(","))
+    assert(appended.assigned.where($"half".isNull).count() === 0)
+    assert(appended.assigned.count() === emb.count())
+    // full probe over the appended index == f16-grid brute force
+    val dec = emb.select($"vec_id",
+      V.fp16_decode(V.fp16_encode($"embedding")).as("embedding"))
+    val exact = pairs(Knn.topK(dec, dec.where($"vec_id" < 10),
+      "vec_id", "embedding", 10))
+    val got = pairs(IvfIndex.searchF16(appended,
+      emb.where($"vec_id" < 10), k = 10, nprobe = 16))
+    assert(got === exact)
+  }
+
   test("buildSq8WithCentroids freezes the coarse quantizer; full probe " +
       "equals brute force over the dequantized corpus") {
     import graft.functions.{VectorFunctions => V}
