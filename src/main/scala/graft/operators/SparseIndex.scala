@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable sparse inverted file — the artifact form of
+  * [[SparseSearch]], the way [[IvfIndex]] is the artifact form of
+  * brute-force kNN. Postings (id, idx, w) are written ONCE as parquet
+  * partitioned by `bucket = idx % nBuckets`; a query's term ids map to
+  * buckets, so the scan carries `bucket IN (...)` as a
+  * PartitionFilter — at 100 TB a query reads only the handful of
+  * bucket partitions its terms live in, never the rest of the posting
+  * file (the same storage-layer pruning the IVF cell layout gives
+  * dense search). Document frequencies are persisted as a `_stats`
+  * sidecar (≤ vocab rows) next to a one-row `_meta`, so reopening the
+  * index needs no corpus scan and scoring needs no full-posting df
+  * recount.
+  */
+object SparseIndex {
+
+  case class Model(path: String, postings: DataFrame, stats: DataFrame,
+      nDocs: Long, vocab: Int, nBuckets: Int)
+
+  /** Build the artifact from a text corpus: impact-quantized postings
+    * ([[SparseSearch.postings]]) bucket-partitioned on disk, plus the
+    * df/idf sidecar and meta. One exploded scan + two bounded
+    * aggregates — never a cross join.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, vocab: Int = SparseSearch.DefaultVocab,
+      nBuckets: Int = 64): Model = graft.util.BuildTimer.timed {
+    require(nBuckets >= 1 && nBuckets <= vocab,
+      s"nBuckets must be in [1, vocab], got $nBuckets")
+    val spark = docs.sparkSession
+    val post = SparseSearch.postings(docs, idCol, textCol, vocab)
+    post.withColumn("bucket", pmod(col("idx"), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(indexDir)
+    val written = spark.read.option("basePath", indexDir)
+      .parquet(s"$indexDir/bucket=*")
+    // df per term id — bounded by vocab, the sidecar that makes
+    // idf scoring artifact-local
+    val stats = written.groupBy(col("idx"))
+      .agg(count(lit(1)).as("df"))
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/_stats")
+    val nDocs = written.select(col("id")).distinct().count()
+    locally {
+      import spark.implicits._
+      Seq((nDocs, vocab, nBuckets)).toDF("n_docs", "vocab", "n_buckets")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/_meta")
+    }
+    Model(indexDir, written,
+      spark.read.parquet(s"$indexDir/_stats"), nDocs, vocab, nBuckets)
+  }
+
+  /** Reopen a built artifact: postings off the bucket-partitioned
+    * parquet, df sidecar, meta. No corpus, no recount.
+    */
+  def load(spark: SparkSession, indexDir: String): Model = {
+    val meta = spark.read.parquet(s"$indexDir/_meta").head()
+    Model(indexDir,
+      spark.read.option("basePath", indexDir)
+        .parquet(s"$indexDir/bucket=*"),
+      spark.read.parquet(s"$indexDir/_stats"),
+      meta.getLong(0), meta.getInt(1), meta.getInt(2))
+  }
+
+  /** Top-k for a bag-of-words query, served from the artifact:
+    * identical scoring contract to [[SparseSearch.topK]]
+    * (score = Σ impact·idf-impact, idfq from the persisted df sidecar,
+    * ties ascending id) — but the posting scan carries
+    * `bucket IN (queryBuckets)` so unrelated partitions are never
+    * read (PartitionFilters, pinned in SparseIndexSpec).
+    */
+  def search(model: Model, queryWords: Seq[String], k: Int): DataFrame = {
+    require(queryWords.nonEmpty, "queryWords must be non-empty")
+    val qIdx = queryWords.distinct
+      .map(wd => {
+        val h = graft.functions.TextHash.fnv1a(
+          org.apache.spark.unsafe.types.UTF8String.fromString(wd))
+        (((h % model.vocab) + model.vocab) % model.vocab).toInt
+      })
+      .distinct
+    val qBuckets = qIdx.map(i => i % model.nBuckets).distinct
+    val idf = model.stats
+      .where(col("idx").isin(qIdx.map(Int.box): _*))
+      .select(col("idx"),
+        floor(lit(100.0) * log(lit(model.nDocs.toDouble) / col("df")) +
+          lit(0.5)).cast("long").as("idfq"))
+    model.postings
+      .where(col("bucket").isin(qBuckets.map(Int.box): _*) &&
+        col("idx").isin(qIdx.map(Int.box): _*))
+      .join(broadcast(idf), "idx")
+      .groupBy(col("id"))
+      .agg(sum(col("w") * col("idfq")).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

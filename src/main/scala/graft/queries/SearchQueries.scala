@@ -48,6 +48,22 @@ object SearchQueries {
           QueryWords, 20)
         .withColumnRenamed("id", "doc_id")),
 
+    // The same query served from the DURABLE sparse inverted file:
+    // bucket-partitioned postings + df sidecar; identical scoring
+    // contract to q_sparse_search (shared oracle), but the scan reads
+    // only the query terms' bucket partitions (PartitionFilters,
+    // pinned in SparseIndexSpec).
+    "q_sparse_indexed" -> ((s, dir) => {
+      val sdocs = docs(s, dir).where(col("doc_id") < 300)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_sparseidx_${java.lang.ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)
+      val m = graft.operators.SparseIndex.build(sdocs, "doc_id",
+        "text", idxDir)
+      graft.operators.SparseIndex.search(m, QueryWords, 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Pairwise sparse dot products via the SparseDot merge expression
     // over (sorted indices, values) columns — the similarity primitive
     // for sparse dedup/clustering; doc 0's vector against the slice.
@@ -182,28 +198,36 @@ object SearchQueries {
        |    + count(*)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
        |  FROM stid GROUP BY id, idx)""".stripMargin
 
+  /** Sparse top-20 restatement — shared by q_sparse_search (direct)
+    * and q_sparse_indexed (artifact-served): the inverted file changes
+    * what the scan READS, never what the query returns.
+    */
+  private lazy val sparseSearchSql: String =
+    s"""WITH $sparseCte,
+       |qw AS (SELECT DISTINCT CAST(((${fnvOf("qtok")} % 65536)
+       |    + 65536) % 65536 AS INT) AS idx
+       |  FROM (SELECT unnest(['table', 'scan', 'fast']) AS qtok) _q),
+       |n AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n_docs
+       |      FROM spost),
+       |dft AS (SELECT idx, count(DISTINCT id) AS df FROM spost
+       |  WHERE idx IN (SELECT idx FROM qw) GROUP BY idx),
+       |idf AS (SELECT idx,
+       |  CAST(floor(CAST(100.0 AS DOUBLE) * ln(n_docs / df)
+       |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS idfq
+       |  FROM dft CROSS JOIN n),
+       |sc AS (SELECT p.id, sum(p.w * idf.idfq) AS score
+       |  FROM spost p JOIN idf ON idf.idx = p.idx GROUP BY p.id)
+       |SELECT id AS doc_id, CAST(score AS BIGINT) AS score FROM sc
+       |WHERE score > 0 ORDER BY score DESC, id LIMIT 20""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_sparse_postings" ->
       s"""WITH $sparseCte
          |SELECT id AS doc_id, idx, w FROM spost
          |ORDER BY doc_id, idx""".stripMargin,
-    "q_sparse_search" ->
-      s"""WITH $sparseCte,
-         |qw AS (SELECT DISTINCT CAST(((${fnvOf("qtok")} % 65536)
-         |    + 65536) % 65536 AS INT) AS idx
-         |  FROM (SELECT unnest(['table', 'scan', 'fast']) AS qtok) _q),
-         |n AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n_docs
-         |      FROM spost),
-         |dft AS (SELECT idx, count(DISTINCT id) AS df FROM spost
-         |  WHERE idx IN (SELECT idx FROM qw) GROUP BY idx),
-         |idf AS (SELECT idx,
-         |  CAST(floor(CAST(100.0 AS DOUBLE) * ln(n_docs / df)
-         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS idfq
-         |  FROM dft CROSS JOIN n),
-         |sc AS (SELECT p.id, sum(p.w * idf.idfq) AS score
-         |  FROM spost p JOIN idf ON idf.idx = p.idx GROUP BY p.id)
-         |SELECT id AS doc_id, CAST(score AS BIGINT) AS score FROM sc
-         |WHERE score > 0 ORDER BY score DESC, id LIMIT 20""".stripMargin,
+    // artifact-served face: same scoring contract, same oracle
+    "q_sparse_indexed" -> sparseSearchSql,
+    "q_sparse_search" -> sparseSearchSql,
     "q_sparse_dot" ->
       s"""WITH $sparseCte,
          |q0 AS (SELECT idx, w FROM spost WHERE id = 0),

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SparseIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(s"$sf0001/documents.parquet")
+
+  test("artifact search equals direct SparseSearch.topK; the scan " +
+      "prunes to the query terms' bucket partitions; load reopens " +
+      "without the corpus") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_idx").toString + "/idx"
+    val words = Seq("table", "scan", "fast")
+    val m = SparseIndex.build(docs, "doc_id", "text", dir)
+    val fromIndex = SparseIndex.search(m, words, 10)
+      .as[(Long, Long)].collect().toSeq
+    val direct = SparseSearch.topK(docs, "doc_id", "text", words, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(fromIndex === direct)
+    // storage-layer pruning: bucket IN (...) reaches the posting scan
+    // as a PartitionFilter — unrelated buckets are never read
+    val plan = SparseIndex.search(m, words, 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*bucket#\\d+ (IN|INSET)".r
+      .findFirstIn(plan).isDefined, s"bucket pruning lost:\n$plan")
+    // the artifact is hive-partitioned by bucket on disk
+    val dirs = new java.io.File(dir).listFiles()
+    assert(dirs.exists(_.getName.startsWith("bucket=")))
+    // reopen with NO corpus in sight: same results
+    val loaded = SparseIndex.load(spark, dir)
+    assert(loaded.nDocs === m.nDocs && loaded.vocab === m.vocab)
+    val again = SparseIndex.search(loaded, words, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(again === direct)
+    // df sidecar is bounded by the vocabulary, not the corpus
+    assert(loaded.stats.count() <= loaded.vocab)
+  }
+
+  test("build validates nBuckets and the meta round-trips") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_idx2").toString + "/idx"
+    intercept[IllegalArgumentException] {
+      SparseIndex.build(docs, "doc_id", "text", dir, nBuckets = 0)
+    }
+    val m = SparseIndex.build(docs.where($"doc_id" < 50), "doc_id",
+      "text", dir, nBuckets = 8)
+    assert(m.nBuckets === 8)
+    val loaded = SparseIndex.load(spark, dir)
+    assert(loaded.nBuckets === 8 && loaded.nDocs === m.nDocs)
+  }
+}
