@@ -108,6 +108,16 @@ object VectorFunctions {
       "sketch_topk" -> ((e: Seq[Expression]) =>
         MgSketch(e(0), lit(e(2), "capacity"),
           topK = Some(lit(e(1), "k")))),
+      // HyperLogLog distinct sketch: hll_sketch(key, p) -> ARRAY<INT>
+      // registers (mergeable: zip_with(a, b, greatest)), and
+      // hll_estimate(registers) -> BIGINT. Compose for a one-call
+      // distinct estimate: hll_estimate(hll_sketch(x, 8)).
+      "hll_sketch" -> ((e: Seq[Expression]) =>
+        graft.operators.HllSketch(
+          Cast(e(0), org.apache.spark.sql.types.LongType),
+          lit(e(1), "precision"))),
+      "hll_estimate" -> ((e: Seq[Expression]) =>
+        graft.operators.HllEstimate(e.head)),
       // bounded top-k-by-score aggregate on the SQL surface: per group,
       // the k (id, score) pairs with the smallest scores, map-side
       // bounded — the SQL spelling of the kNN result aggregation,

@@ -189,6 +189,33 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy($"o_orderpriority")),
 
+    // HyperLogLog registers over lineitem order keys (p=8, 256
+    // registers): the mergeable distinct sketch as a real Catalyst
+    // partial aggregate — each task ships 256 bytes, never its key
+    // stream. Fully hash-oracled: DuckDB restates the xorshift-
+    // multiply hash in the u64 HUGEINT domain and must reproduce every
+    // register byte.
+    "q_hll_registers" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(expr("hll_sketch(l_orderkey, 8)").as("regs"))
+        .select(posexplode($"regs").as(Seq("bucket", "reg")))
+        .orderBy($"bucket")),
+
+    // Per-group HLL distinct estimate next to the exact count — the
+    // GROUP-BY-able COUNT(DISTINCT) replacement at 100 TB (exact
+    // distinct shuffles every key; the sketch shuffles 256 bytes per
+    // group per partition). The estimator is evaluated in exact
+    // integer arithmetic, so DuckDB reproduces it bit-for-bit; the
+    // exact column doubles as an in-row accuracy witness (est within
+    // a few % of exact at these cardinalities).
+    "q_hll_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("hll_estimate(hll_sketch(l_orderkey, 8))")
+            .as("est_distinct"),
+          countDistinct($"l_orderkey").as("exact_distinct"))
+        .orderBy($"l_returnflag")),
+
     // X4-analog: deterministic sampling via key modulo (portable vs RANDOM()).
     "q_sample_mod" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -244,6 +271,67 @@ object RelationalQueries {
         .orderBy($"batch_hour", $"event_type"))
   )
 
+
+  /** DuckDB restatement of Hll.hash64/bucket/rho (HllAggregate.scala)
+    * at p=8, carried out entirely in the non-negative u64 slice of
+    * HUGEINT: wrapping multiply = `% 2^64`, logical right shift =
+    * integer division by 2^k, and xor of two u64 values is plain
+    * bitwise xor (both operands non-negative, so no sign games). The
+    * rho rank uses length(bin(rem)) = floor(log2 rem)+1 exactly;
+    * rem < 2^56 so it fits BIGINT. `groupCol` optionally carries a
+    * group key through every stage.
+    */
+  private def hllPipelineSql(keyExpr: String, table: String,
+      groupCol: Option[String]): String = {
+    val gSel = groupCol.fold("")(c => s"$c AS g, ")
+    val g = groupCol.fold("")(_ => "g, ")
+    s"""u0 AS (
+       |  SELECT DISTINCT $gSel((CAST($keyExpr AS HUGEINT) % 18446744073709551616
+       |      + 18446744073709551616) % 18446744073709551616) AS u
+       |  FROM $table),
+       |s1 AS (SELECT ${g}xor(u, u // 4096) AS v FROM u0),
+       |m1 AS (SELECT ${g}(v * 2685821657736338717) % 18446744073709551616 AS v FROM s1),
+       |s2 AS (SELECT ${g}xor(v, v // 33554432) AS v FROM m1),
+       |m2 AS (SELECT ${g}(v * 2685821657736338717) % 18446744073709551616 AS v FROM s2),
+       |h AS (SELECT ${g}xor(v, v // 134217728) AS h FROM m2),
+       |br AS (
+       |  SELECT ${g}CAST(h // 72057594037927936 AS INT) AS bucket,
+       |         CAST(h % 72057594037927936 AS BIGINT) AS rem FROM h),
+       |rr AS (SELECT ${g}bucket,
+       |    56 - (CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) + 1 AS rho
+       |  FROM br)""".stripMargin
+  }
+
+  private val hllRegistersOracle: String =
+    s"""WITH ${hllPipelineSql("l_orderkey", "lineitem", None)},
+       |regs AS (
+       |  SELECT r.b AS bucket, CAST(coalesce(max(rr.rho), 0) AS INT) AS reg
+       |  FROM (SELECT unnest(range(0, 256)) AS b) r
+       |  LEFT JOIN rr ON rr.bucket = r.b GROUP BY r.b)
+       |SELECT CAST(bucket AS INT) AS bucket, reg FROM regs
+       |ORDER BY bucket""".stripMargin
+
+  // Integer-exact raw HLL estimator (Hll.rawEstimate): with Rmax = 57,
+  // S = sum_j 2^(57 - M_j) where absent buckets contribute 2^57 each,
+  // and E = floor(7213 * 256^3 * 2^57 / ((10000*256 + 10790) * S)).
+  // The small-range correction cannot fire at these cardinalities
+  // (raw >> 2.5m = 640), so the raw restatement is the whole story.
+  private val hllDistinctOracle: String =
+    s"""WITH ${hllPipelineSql("l_orderkey", "lineitem",
+           Some("l_returnflag"))},
+       |gregs AS (SELECT g, bucket, max(rho) AS reg FROM rr GROUP BY g, bucket),
+       |s AS (
+       |  SELECT g,
+       |    sum(CAST(144115188075855872 // (1::BIGINT << reg) AS HUGEINT))
+       |      + (256 - count(*)) * CAST(144115188075855872 AS HUGEINT) AS s
+       |  FROM gregs GROUP BY g),
+       |ex AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS exact_distinct
+       |       FROM lineitem GROUP BY l_returnflag)
+       |SELECT ex.g AS l_returnflag,
+       |  CAST((7213::HUGEINT * 16777216 * 144115188075855872)
+       |    // ((10000*256 + 10790)::HUGEINT * s.s) AS BIGINT) AS est_distinct,
+       |  ex.exact_distinct
+       |FROM s JOIN ex ON s.g = ex.g ORDER BY l_returnflag""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // the PLAIN join: salting must be invisible in the result
@@ -322,6 +410,8 @@ object RelationalQueries {
     "q_sample_mod" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey % 37 = 0 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_hll_registers" -> hllRegistersOracle,
+    "q_hll_distinct" -> hllDistinctOracle,
     "q_sessionize" ->
       """WITH d AS (
         |  SELECT user_id, ts,
