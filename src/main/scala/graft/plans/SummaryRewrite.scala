@@ -166,15 +166,30 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         }
     }
 
-  /** Strip attribute-only Projects and collect Filter conditions down
-    * to a bare scan.
+  /** Strip Projects and collect Filter conditions down to a bare scan.
+    * Projects may carry computed aliases (PullOutGroupingExpressions
+    * parks derived group keys like `weekofyear(day) AS
+    * _groupingexpression` in a child Project); those are returned as a
+    * substitution map so the caller can inline them back and see the
+    * expression over relation columns.
     */
-  private def unwrap(p: LogicalPlan)
-      : Option[(Seq[Expression], LogicalRelation)] = p match {
-    case rel: LogicalRelation => Some((Nil, rel))
-    case Filter(c, u) => unwrap(u).map { case (cs, r) => (c +: cs, r) }
-    case Project(pl, u) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      unwrap(u)
+  private def unwrap(p: LogicalPlan): Option[(Seq[Expression],
+      Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+      LogicalRelation)] = p match {
+    case rel: LogicalRelation => Some((Nil, Map.empty, rel))
+    case Filter(c, u) =>
+      unwrap(u).map { case (cs, subs, r) => (c +: cs, subs, r) }
+    case Project(pl, u) if pl.forall(e =>
+        e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+      unwrap(u).map { case (cs, subs, r) =>
+        val inlined = pl.collect { case al: Alias =>
+          al.exprId -> al.child.transformUp {
+            case ar: AttributeReference if subs.contains(ar.exprId) =>
+              subs(ar.exprId)
+          }
+        }
+        (cs, subs ++ inlined, r)
+      }
     case _ => None
   }
 
@@ -184,10 +199,15 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     def dbg(m: => String): Unit =
       if (sys.props.contains("graft.mv.debug"))
         System.err.println(s"[mv-debug] $m")
-    val (conds, rel) = unwrap(child) match {
+    val (conds0, subs, rel) = unwrap(child) match {
       case Some(x) => x
       case None => dbg("unwrap failed: " + child.nodeName); return None
     }
+    def inline(e: Expression): Expression = e.transformUp {
+      case ar: AttributeReference if subs.contains(ar.exprId) =>
+        subs(ar.exprId)
+    }
+    val conds = conds0.map(inline)
     val entry = rel.relation match {
       case fs: HadoopFsRelation =>
         lookup(fs.location.rootPaths.map(_.toString))
@@ -195,15 +215,21 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     }
     entry.flatMap { e =>
       val dimSet = e.dims.toSet
-      // grouping keys: plain dim attributes of this relation
-      val groupAttrs = groups.map {
-        case ar: AttributeReference
-            if dimSet.contains(ar.name) &&
-              rel.output.exists(_.exprId == ar.exprId) => ar
-        case other => dbg("group not a dim attr: " + other); return None
+      def dimAttr(a: org.apache.spark.sql.catalyst.expressions.Attribute)
+          : Boolean =
+        dimSet.contains(a.name) && rel.output.exists(_.exprId == a.exprId)
+      // grouping keys: expressions over dim attributes only — plain
+      // dims, or DERIVED dims (month(day), substr(flag, ...)). A
+      // derived key groups the rollup coarser than its grain; the
+      // re-aggregation stays exact because every combiner is
+      // associative (sum of sums, min of mins), so rollup groups merge
+      // exactly as base rows would.
+      val groupsI = groups.map(inline)
+      if (!groupsI.forall(_.references.forall(dimAttr))) {
+        dbg("group not dim-derived: " + groupsI); return None
       }
       // filters: every referenced column must be a dimension
-      if (!conds.forall(_.references.forall(a => dimSet.contains(a.name)))) {
+      if (!conds.forall(_.references.forall(dimAttr))) {
         dbg("filter touches non-dim: " + conds); return None
       }
 
@@ -255,17 +281,18 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
             case Some(x) => x
             case None => ok = false; ae
           }
-        case ar: AttributeReference if dimSet.contains(ar.name) &&
-            rel.output.exists(_.exprId == ar.exprId) =>
+        case ar: AttributeReference if dimAttr(ar) =>
           sOut(ar.name)
         case other => other.mapChildren(translate)
       }
       val newAggExprs = aggExprs.map { ne =>
         val translated = ne match {
-          case ar: AttributeReference if dimSet.contains(ar.name) =>
+          case ar: AttributeReference if dimAttr(ar) =>
             Alias(sOut(ar.name), ar.name)(exprId = ar.exprId)
+          case ar: AttributeReference if subs.contains(ar.exprId) =>
+            Alias(translate(inline(ar)), ar.name)(exprId = ar.exprId)
           case al: Alias =>
-            Alias(translate(al.child), al.name)(exprId = al.exprId)
+            Alias(translate(inline(al.child)), al.name)(exprId = al.exprId)
           case _ => ok = false; ne
         }
         translated
@@ -277,7 +304,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         dbg("translated refs escape rollup: " + newAggExprs); return None
       }
 
-      val newGroups = groupAttrs.map(a => sOut(a.name))
+      val newGroups = groupsI.map(translate)
+      if (!ok) { dbg("group expr not translatable: " + groupsI); return None }
       val newConds = conds.map(_.transformDown {
         case ar: AttributeReference => sOut(ar.name)
       })

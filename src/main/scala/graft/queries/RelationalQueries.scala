@@ -211,6 +211,20 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // Derived-dim grouping over the same rollup: GROUP BY
+    // month(shipdate) groups the date-grain rollup coarser — exact
+    // because every combiner is associative. The everyday BI rollup
+    // query, answered without touching the fact table.
+    "q_mv_agg_monthly" -> ((s, dir) => {
+      registerMv(s, dir)
+      t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", $"l_shipdate").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity").as("sum_qty"),
+          max($"l_extendedprice").as("max_price"))
+        .orderBy($"month")
+    }),
+
     // Same rollup serving a global aggregate under a dim-range filter
     // (the dashboard "period total" shape): no grouping, date window,
     // min/count/sum — all answered from the rollup's date grain.
@@ -479,6 +493,11 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin,
+    "q_mv_agg_monthly" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        | count(*) AS n, sum(l_quantity) AS sum_qty,
+        | max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY month""".stripMargin,
     "q_sessionize" ->
       """WITH d AS (
         |  SELECT user_id, ts,

@@ -112,6 +112,29 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(got.getDouble(1) == want.getDouble(1))
   }
 
+  test("derived-dim grouping (week of day) rewrites and stays exact") {
+    val q = base.groupBy(weekofyear($"day").as("wk"))
+      .agg(count(lit(1)).as("n"), sum($"qty").as("s"),
+        min($"price").as("mn"))
+      .orderBy($"wk")
+    val got = q.collect().map(_.toSeq)
+    assert(scanPaths(q).exists(_.contains("rollup")))
+    SummaryRewrite.clear()
+    val want = base.groupBy(weekofyear($"day").as("wk"))
+      .agg(count(lit(1)).as("n"), sum($"qty").as("s"),
+        min($"price").as("mn"))
+      .orderBy($"wk").collect().map(_.toSeq)
+    SummaryRewrite.register(spark, baseDir, sumDir,
+      dims = Seq("flag", "day"), measures = Seq("qty", "price"))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("a group expression touching a non-dim column does not rewrite") {
+    val q = base.groupBy(($"k" % 10).as("b")).agg(sum($"qty").as("s"))
+    assert(scanPaths(q).exists(_.contains("fact.parquet")))
+    assert(q.collect().length == 5) // k = d*10+i, i in 1..5
+  }
+
   test("refresh after base append picks up new rows") {
     val extra = Seq(("A",
       java.sql.Date.valueOf("2024-01-02"), 999L, 100.0, 1.0))
