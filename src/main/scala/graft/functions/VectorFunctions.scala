@@ -109,15 +109,19 @@ object VectorFunctions {
         MgSketch(e(0), lit(e(2), "capacity"),
           topK = Some(lit(e(1), "k")))),
       // HyperLogLog distinct sketch: hll_sketch(key, p) -> ARRAY<INT>
-      // registers (mergeable: zip_with(a, b, greatest)), and
-      // hll_estimate(registers) -> BIGINT. Compose for a one-call
-      // distinct estimate: hll_estimate(hll_sketch(x, 8)).
+      // registers (mergeable: zip_with(a, b, greatest) or
+      // hll_merge(regs)), and hll_estimate(registers) -> BIGINT.
+      // Compose for a one-call distinct estimate:
+      // hll_estimate(hll_sketch(x, 8)). Key typing lives in HllSketch
+      // itself (integral -> 64-bit value, string -> FNV-1a; anything
+      // else rejected at analysis — the r9 builder cast every key to
+      // LongType, silently nulling and dropping text keys).
       "hll_sketch" -> ((e: Seq[Expression]) =>
-        graft.operators.HllSketch(
-          Cast(e(0), org.apache.spark.sql.types.LongType),
-          lit(e(1), "precision"))),
+        graft.operators.HllSketch(e(0), lit(e(1), "precision"))),
       "hll_estimate" -> ((e: Seq[Expression]) =>
         graft.operators.HllEstimate(e.head)),
+      "hll_merge" -> ((e: Seq[Expression]) =>
+        graft.operators.HllMerge(e.head)),
       // bounded top-k-by-score aggregate on the SQL surface: per group,
       // the k (id, score) pairs with the smallest scores, map-side
       // bounded — the SQL spelling of the kNN result aggregation,

@@ -58,11 +58,15 @@ object Hll {
 
   /** Raw HLL estimate, integer-exact: with Rmax = 64-p+1 and
     * S = sum_j 2^(Rmax - M_j) (an integer, since every register is in
-    * [0, Rmax]), E = floor( alpha_m * m^2 * 2^Rmax / S ) with
-    * alpha_m = 0.7213/(1 + 1.079/m) expressed as the exact rational
-    * 7213*m / (10000*m + 10790). All products fit well inside 2^127,
-    * so the DuckDB restatement computes the identical value in
-    * HUGEINT.
+    * [0, Rmax]), E = floor( alpha_m * m^2 * 2^Rmax / S ). For
+    * m >= 128, alpha_m = 0.7213/(1 + 1.079/m) expressed as the exact
+    * rational 7213*m / (10000*m + 10790); for the small register
+    * counts the asymptotic constant over-biases, the Flajolet et al.
+    * paper prescribes alpha_16 = 0.673, alpha_32 = 0.697,
+    * alpha_64 = 0.709 — applied here as the exact rationals
+    * 673/1000, 697/1000, 709/1000. All products fit well inside
+    * 2^127, so the DuckDB restatement (p=8, asymptotic branch)
+    * computes the identical value in HUGEINT.
     */
   def rawEstimate(registers: Array[Int]): BigInt = {
     val m = registers.length
@@ -71,8 +75,17 @@ object Hll {
     var s = BigInt(0)
     var j = 0
     while (j < m) { s += BigInt(1) << (rmax - registers(j)); j += 1 }
-    val num = BigInt(7213) * BigInt(m).pow(3) * (BigInt(1) << rmax)
-    val den = (BigInt(10000) * m + BigInt(10790)) * s
+    // (alphaNum / alphaDen) = alpha_m * m (asymptotic) or alpha_m
+    // (small-m constants); both spellings keep E = num / den exact
+    val (num, den) = m match {
+      case 16 | 32 | 64 =>
+        val a = m match { case 16 => 673; case 32 => 697; case _ => 709 }
+        (BigInt(a) * BigInt(m).pow(2) * (BigInt(1) << rmax),
+          BigInt(1000) * s)
+      case _ =>
+        (BigInt(7213) * BigInt(m).pow(3) * (BigInt(1) << rmax),
+          (BigInt(10000) * m + BigInt(10790)) * s)
+    }
     num / den
   }
 
@@ -94,11 +107,17 @@ object Hll {
   }
 }
 
-/** `hll_sketch(x, p)` — aggregate over BIGINT keys returning the
-  * `m = 2^p` registers as `ARRAY<INT>`. Composable: registers from
-  * disjoint slices merge by elementwise max (`zip_with(a, b, greatest)`
-  * in SQL), so sketches can be persisted per partition/day and unioned
-  * without rescanning — the property the merge spec pins.
+/** `hll_sketch(x, p)` — aggregate over integral or string keys
+  * returning the `m = 2^p` registers as `ARRAY<INT>`. Integral keys
+  * enter the hash as their 64-bit value (the DuckDB-restatable path
+  * the oracled faces pin); string keys are first mapped to the u64
+  * domain by FNV-1a over their UTF-8 bytes — NOT silently cast to
+  * numeric null and dropped (the r9 behavior, which undercounted text
+  * keys to ~0). Any other key type is rejected at analysis.
+  * Composable: registers from disjoint slices merge by elementwise max
+  * (`zip_with(a, b, greatest)` in SQL, [[HllMerge]] as an aggregate),
+  * so sketches can be persisted per partition/day and unioned without
+  * rescanning — the property the merge spec pins.
   */
 case class HllSketch(
     child: Expression,
@@ -114,12 +133,38 @@ case class HllSketch(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires an integral or string key, got " +
+              other.simpleString)
+    }
+
+  // resolved once per plan: how a non-null input value reaches the
+  // u64 hash domain
+  @transient private lazy val toU64: Any => Long = child.dataType match {
+    case ByteType => v => v.asInstanceOf[Byte].toLong
+    case ShortType => v => v.asInstanceOf[Short].toLong
+    case IntegerType => v => v.asInstanceOf[Int].toLong
+    case LongType => v => v.asInstanceOf[Long]
+    case StringType => v => graft.functions.TextHash.fnv1a(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    case other => throw new IllegalStateException(
+      s"unreachable: checkInputDataTypes admitted $other")
+  }
+
   override def createAggregationBuffer(): Array[Int] = new Array[Int](m)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = Hll.hash64(v.asInstanceOf[Long])
+      val h = Hll.hash64(toU64(v))
       val b = Hll.bucket(h, p)
       val r = Hll.rho(h, p)
       if (r > buf(b)) buf(b) = r
@@ -196,4 +241,88 @@ case class HllEstimate(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): HllEstimate =
     copy(child = c)
+}
+
+/** `hll_merge(registers)` — aggregate over ARRAY<INT> register rows,
+  * merging them by elementwise max: the re-aggregation face of
+  * [[HllSketch]] for sketches persisted per partition / day / rollup
+  * chunk (e.g. [[graft.plans.SummaryRewrite]] sketch measures, whose
+  * delta chunks fold with exactly this combiner). Null rows are
+  * skipped; an all-null/empty group yields null (there is no register
+  * width to synthesize).
+  */
+case class HllMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires ARRAY<INT> registers, got " +
+              other.simpleString)
+    }
+
+  // the empty buffer carries no register width yet — Array.empty is
+  // the "unseen" sentinel (a real sketch always has >= 16 registers)
+  override def createAggregationBuffer(): Array[Int] = Array.emptyIntArray
+
+  private def mergeInto(buf: Array[Int], regs: Array[Int]): Array[Int] =
+    if (buf.isEmpty) regs
+    else {
+      require(regs.isEmpty || regs.length == buf.length,
+        s"$prettyName: register widths differ " +
+          s"(${buf.length} vs ${regs.length}) — sketches built at " +
+          "different precisions cannot merge")
+      var j = 0
+      while (j < regs.length) {
+        if (regs(j) > buf(j)) buf(j) = regs(j); j += 1
+      }
+      buf
+    }
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else mergeInto(buf, v.asInstanceOf[ArrayData].toIntArray())
+  }
+
+  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] =
+    mergeInto(b1, b2)
+
+  override def eval(buf: Array[Int]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](buf.length)
+    var j = 0
+    while (j < buf.length) { out(j) = buf(j).toByte; j += 1 }
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val buf = new Array[Int](bytes.length)
+    var j = 0
+    while (j < bytes.length) { buf(j) = bytes(j).toInt; j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HllMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+  override def prettyName: String = "hll_merge"
 }

@@ -72,6 +72,70 @@ object SparseIndex {
     model
   }
 
+  /** Append new documents to a built artifact under the FROZEN hash
+    * vocabulary — how a 100 TB posting file absorbs a daily batch
+    * without a rebuild (the dense analog is [[IvfIndex.append]]'s
+    * frozen coarse quantizer). The tokenizer→FNV→`idx % vocab` map is
+    * stateless, so arrivals hash into exactly the term ids the
+    * existing postings use; their rows land as new parquet files
+    * INSIDE the existing `bucket=` partitions (`idx % nBuckets` is
+    * frozen too), so searches keep the same `bucket IN (...)`
+    * PartitionFilters over old + new rows.
+    *
+    * The df sidecar and meta are refreshed from the BATCH alone
+    * (batch df summed into the persisted sidecar, batch doc count
+    * added to n_docs) — never a full posting rescan — and published
+    * with [[graft.util.DirSwap]]'s crash-safe two-rename swap.
+    *
+    * Contract: arriving `idCol` values must be NEW document ids
+    * (appending an existing id duplicates its postings, exactly as in
+    * [[IvfIndex.append]]); idf scores shift as n_docs/df grow, which
+    * is the correct BM25/impact behavior, not drift. Many small
+    * appends accumulate file debt per bucket — rebuild via [[build]]
+    * on the full corpus to compact (the documented maintenance op).
+    */
+  def append(model: Model, docs: DataFrame, idCol: String,
+      textCol: String): Model = graft.util.BuildTimer.timed {
+    val spark = docs.sparkSession
+    val post = SparseSearch.postings(docs, idCol, textCol, model.vocab)
+      .cache()
+    try {
+      post.withColumn("bucket", pmod(col("idx"), lit(model.nBuckets)))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append")
+        .parquet(model.path)
+      val fs = new org.apache.hadoop.fs.Path(model.path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // sidecar refresh from the batch alone: df_new = df_old + df_batch
+      val batchDf = post.groupBy(col("idx")).agg(count(lit(1)).as("df"))
+      val statsLive = new org.apache.hadoop.fs.Path(s"${model.path}/_stats")
+      graft.util.DirSwap.recover(fs, statsLive)
+      graft.util.DirSwap.clearSiblings(fs, statsLive)
+      model.stats.union(batchDf)
+        .groupBy(col("idx")).agg(sum(col("df")).as("df"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.util.DirSwap.rebuildPath(statsLive.toString))
+      graft.util.DirSwap.publish(fs, statsLive)
+      val newDocs = post.select(col("id")).distinct().count()
+      val metaLive = new org.apache.hadoop.fs.Path(s"${model.path}/_meta")
+      graft.util.DirSwap.recover(fs, metaLive)
+      graft.util.DirSwap.clearSiblings(fs, metaLive)
+      locally {
+        import spark.implicits._
+        Seq((model.nDocs + newDocs, model.vocab, model.nBuckets))
+          .toDF("n_docs", "vocab", "n_buckets")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(graft.util.DirSwap.rebuildPath(metaLive.toString))
+      }
+      graft.util.DirSwap.publish(fs, metaLive)
+    } finally post.unpersist()
+    // the appended artifact invalidates any memoized build of this dir
+    val it = buildMemo.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._6 == model.path) it.remove()
+    spark.catalog.refreshByPath(model.path)
+    load(spark, model.path)
+  }
+
   /** Reopen a built artifact: postings off the bucket-partitioned
     * parquet, df sidecar, meta. No corpus, no recount.
     */

@@ -2,19 +2,19 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Cast, Coalesce, Expression, Literal,
-  NamedExpression}
+  Alias, AttributeReference, Cast, Coalesce, Divide, Expression, If,
+  IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Max, Min, Sum}
+  AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types._
 
 /** Materialized-rollup aggregate rewrite: queries that group a
   * registered base table by (a subset of) the rollup's dimension
@@ -29,28 +29,64 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * and scanning a date-grain rollup ~10^5× smaller: the rollup's row
   * count is bounded by dimension cardinality (days × flags), not data
   * volume, so the rewritten plan's cost stays constant as the base
-  * grows. Correctness contract (spec-pinned, hash-oracled by
-  * q_mv_agg/q_mv_agg_filtered against DuckDB running on the RAW
-  * table):
+  * grows. Correctness contract (spec-pinned, hash-oracled by the
+  * q_mv_* faces against DuckDB running on the RAW table):
   *
-  *  - COUNT(*)/count(1) → coalesce(SUM(cnt), 0)
-  *  - SUM(m) and SUM(CAST(m AS DECIMAL)) → CAST(SUM(s_m) AS <orig>)
-  *    where s_m is the rollup's exact DECIMAL(38,6) partial sum —
-  *    value-identical whenever the base sum is itself exact
-  *    (integral doubles, or the decimal-cast spelling every oracled
-  *    face already uses; a float-fraction SUM(double) is
-  *    order-nondeterministic in ANY distributed plan, so the rewrite
-  *    never changes a well-defined result)
+  *  - COUNT(*)/count(1) → coalesce(SUM(cnt), 0); COUNT(m) →
+  *    coalesce(SUM(c_m), 0); COUNT(d) for a dim d → the null-dim
+  *    groups' cnt excluded
+  *  - SUM(m) for an integral or low-scale-decimal measure →
+  *    CAST(SUM(s_m) AS <orig>) where s_m is the rollup's exact
+  *    DECIMAL(38,6) partial sum (lossless for those types, so the
+  *    rewrite is value-exact); for a float/double or high-scale
+  *    decimal measure → CAST(SUM(sd_m) AS <orig>) where sd_m is the
+  *    NATIVE-typed partial sum — exact for decimals, and for floats
+  *    the only difference vs the base plan is summation order, the
+  *    same reordering Spark's own partial aggregation already
+  *    performs (never a silent magnitude/rounding change; the r9
+  *    decimal-only design silently zeroed sub-1e-6 doubles)
+  *  - SUM(CAST(m AS DECIMAL(p,s))) → CAST(SUM(s_m) AS <orig>) ONLY
+  *    when the per-row cast is provably value-preserving and
+  *    dominated by the rollup's scale-6 cast: integral m with
+  *    p-s >= digits(m); decimal(p0,s0) m with s0 <= min(s,6) and
+  *    p-s >= p0-s0; or a float/double m whose registration DECLARED
+  *    a decimal scale d <= min(s,6) (the caller's data contract that
+  *    the column holds values with at most d fractional decimal
+  *    digits — money in a double column) with p-s >= 16. Any other
+  *    spelling runs on the base unchanged (the r9 rule rewrote every
+  *    decimal cast and could silently change rounding).
+  *  - AVG(m) for integral/float/double m → SUM(partial sums) /
+  *    SUM(c_m) in double, matching Spark's Average (which sums
+  *    non-decimal inputs in double); decimal AVG is not rewritten
+  *    (its result-scale rules are not reproducible from a scale-6
+  *    partial)
   *  - MIN/MAX(m) → MIN(mn_m)/MAX(mx_m)
-  *  - grouping keys and filters must reference dimension columns only;
-  *    DISTINCT aggregates, filtered aggregates, and anything not in
-  *    the table above abort the rewrite (the query runs on the base
-  *    unchanged)
+  *  - grouping keys and filters must reference dimension columns
+  *    only AND be deterministic (a rand() filter or group key must
+  *    evaluate per base row, not per rollup row); DISTINCT
+  *    aggregates, filtered aggregates, and anything not in the table
+  *    above abort the rewrite (the query runs on the base unchanged)
+  *
+  * Optional HLL sketch measures ([[SketchSpec]]) store per-group
+  * HyperLogLog registers (`hll_<key>` ARRAY<INT>) so distinct counts
+  * are servable at the rollup grain: registers from partial chunks
+  * merge by elementwise max ([[graft.operators.HllMerge]] — exactly
+  * the associative-combiner contract every other rollup column
+  * follows). Never auto-rewritten (an estimate must be asked for
+  * explicitly): serve via [[approxDistinct]].
   */
 object SummaryRewrite {
 
+  /** A distinct-count sketch carried by the rollup: HyperLogLog
+    * registers of `key` at precision `p`, stored per dim group as
+    * column `hll_<key>`.
+    */
+  case class SketchSpec(key: String, p: Int = 8)
+
   case class Entry(summaryDir: String, dims: Seq[String],
-      measures: Seq[String])
+      measures: Seq[String],
+      declaredScale: Map[String, Int] = Map.empty,
+      sketches: Seq[SketchSpec] = Nil)
 
   private val registry = TrieMap[String, Entry]()
 
@@ -61,20 +97,30 @@ object SummaryRewrite {
   }
 
   /** The partial-rollup aggregation of `base`: cnt + per-measure exact
-    * decimal sum / min / max, one row per dim group. The serve-side
-    * rewrite re-aggregates rollup rows with the SAME combiners
-    * (SUM of sums, MIN of mins...), so the rollup table may hold
-    * MULTIPLE rows per group — which is exactly what makes incremental
-    * maintenance trivial: appended batches land as extra partial rows
-    * (see [[graft.streaming.SummaryStream]]), no merge step required.
+    * decimal sum (s_m), native-typed sum (sd_m), non-null count (c_m),
+    * min / max, plus optional HLL registers per sketch key — one row
+    * per dim group. The serve-side rewrite re-aggregates rollup rows
+    * with the SAME combiners (SUM of sums, MIN of mins, elementwise-max
+    * of registers), so the rollup table may hold MULTIPLE rows per
+    * group — which is exactly what makes incremental maintenance
+    * trivial: appended batches land as extra partial rows (see
+    * [[graft.streaming.SummaryStream]]), no merge step required.
     */
   def partialRollup(base: DataFrame, dims: Seq[String],
-      measures: Seq[String]): DataFrame = {
+      measures: Seq[String],
+      sketches: Seq[SketchSpec] = Nil): DataFrame = {
     val aggs = (count(lit(1)).as("cnt") +:
-      measures.flatMap(m => Seq(
+      (measures.flatMap(m => Seq(
         sum(col(m).cast("decimal(38,6)")).as(s"s_$m"),
+        sum(col(m)).as(s"sd_$m"),
+        count(col(m)).as(s"c_$m"),
         min(col(m)).as(s"mn_$m"),
-        max(col(m)).as(s"mx_$m"))))
+        max(col(m)).as(s"mx_$m"))) ++
+       sketches.map(sk => org.apache.spark.sql.graftshim.GraftShims
+         .column(graft.operators.HllSketch(
+           org.apache.spark.sql.graftshim.GraftShims
+             .expression(col(sk.key)), sk.p)
+           .toAggregateExpression()).as(s"hll_${sk.key}"))))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -86,8 +132,8 @@ object SummaryRewrite {
     */
   def buildSummary(spark: SparkSession, basePath: String,
       summaryDir: String, dims: Seq[String],
-      measures: Seq[String]): Unit = {
-    partialRollup(spark.read.parquet(basePath), dims, measures)
+      measures: Seq[String], sketches: Seq[SketchSpec] = Nil): Unit = {
+    partialRollup(spark.read.parquet(basePath), dims, measures, sketches)
       .withColumn("chunk", lit(-1L))
       .coalesce(8)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
@@ -98,10 +144,25 @@ object SummaryRewrite {
     * rule. Idempotent; re-registering after a base append without
     * `refresh = true` serves STALE aggregates — freshness is the
     * caller's contract, exactly as with any materialized view.
+    *
+    * `declaredScale` is a per-measure data contract for FLOAT/DOUBLE
+    * measures: declaring `m -> d` asserts every value of `m` has at
+    * most `d` fractional decimal digits (a money column stored as
+    * double), which unlocks the exact rewrite of
+    * `SUM(CAST(m AS DECIMAL(p,s)))` spellings with `s >= d`. Without
+    * a declaration those spellings run on the base unchanged.
     */
   def register(spark: SparkSession, dataPath: String, summaryDir: String,
       dims: Seq[String], measures: Seq[String],
-      refresh: Boolean = false): Unit = {
+      refresh: Boolean = false,
+      declaredScale: Map[String, Int] = Map.empty,
+      sketches: Seq[SketchSpec] = Nil): Unit = {
+    declaredScale.foreach { case (m, d) =>
+      require(measures.contains(m), s"declaredScale for non-measure $m")
+      require(d >= 0 && d <= 6,
+        s"declaredScale must be in [0, 6] (the rollup's sum scale), " +
+          s"got $m -> $d")
+    }
     val marker = new org.apache.hadoop.fs.Path(summaryDir, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     val key = qualify(spark, dataPath)
@@ -114,10 +175,11 @@ object SummaryRewrite {
       // shared FileStatusCache would list the pre-append files.
       registry.remove(key)
       spark.catalog.refreshByPath(dataPath)
-      buildSummary(spark, dataPath, summaryDir, dims, measures)
+      buildSummary(spark, dataPath, summaryDir, dims, measures, sketches)
       spark.catalog.refreshByPath(summaryDir)
     }
-    registry.put(key, Entry(summaryDir, dims, measures))
+    registry.put(key, Entry(summaryDir, dims, measures, declaredScale,
+      sketches))
     ensureRule(spark)
   }
 
@@ -131,6 +193,28 @@ object SummaryRewrite {
 
   private[plans] def lookup(paths: Seq[String]): Option[Entry] =
     paths.flatMap(registry.get).headOption
+
+  private[graft] def entryFor(spark: SparkSession,
+      dataPath: String): Option[Entry] =
+    registry.get(qualify(spark, dataPath))
+
+  /** Serve an approximate distinct count of sketch key `key` from the
+    * rollup at `summaryDir`, grouped by `groupDims` (must be rollup
+    * dims; empty = global): registers merge across rollup rows by
+    * elementwise max, then estimate. Explicit by design — an estimate
+    * never silently replaces an exact COUNT(DISTINCT).
+    */
+  def approxDistinct(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], key: String,
+      outCol: String = "est_distinct"): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    val est = GraftShims.column(graft.operators.HllEstimate(
+      graft.operators.HllMerge(GraftShims.expression(col(s"hll_$key")))
+        .toAggregateExpression())).as(outCol)
+    val rollup = spark.read.parquet(summaryDir)
+    if (groupDims.isEmpty) rollup.agg(est)
+    else rollup.groupBy(groupDims.map(col): _*).agg(est)
+  }
 
   def ensureRule(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
@@ -193,6 +277,31 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Max base-10 digits of an integral type's value domain — the
+    * bound under which a CAST(m AS DECIMAL(p, s)) can never overflow.
+    */
+  private def digits10(t: DataType): Option[Int] = t match {
+    case ByteType => Some(3)
+    case ShortType => Some(5)
+    case IntegerType => Some(10)
+    case LongType => Some(19)
+    case _ => None
+  }
+
+  /** Whether measure type `t` is losslessly representable in the
+    * rollup's DECIMAL(38,6) partial sum: integral types, and decimals
+    * with scale <= 6 that fit 32 integer digits. (A float/double is
+    * NOT — its binary fractions don't round-trip through scale 6.)
+    */
+  private def decimal38_6Lossless(t: DataType): Boolean = t match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case d: DecimalType => d.scale <= 6 && d.precision - d.scale <= 32
+    case _ => false
+  }
+
+  private def isFloating(t: DataType): Boolean =
+    t == FloatType || t == DoubleType
+
   private def rewrite(agg: Aggregate, groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
@@ -218,6 +327,10 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       def dimAttr(a: org.apache.spark.sql.catalyst.expressions.Attribute)
           : Boolean =
         dimSet.contains(a.name) && rel.output.exists(_.exprId == a.exprId)
+      def measureType(name: String): Option[DataType] =
+        rel.output.collectFirst {
+          case a: AttributeReference if a.name == name => a.dataType
+        }
       // grouping keys: expressions over dim attributes only — plain
       // dims, or DERIVED dims (month(day), substr(flag, ...)). A
       // derived key groups the rollup coarser than its grain; the
@@ -232,6 +345,15 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       if (!conds.forall(_.references.forall(dimAttr))) {
         dbg("filter touches non-dim: " + conds); return None
       }
+      // determinism: a rand() filter or group key samples per BASE
+      // row; re-evaluating it per rollup row changes the semantics
+      // entirely (and the reference-only checks above are vacuously
+      // true for reference-free expressions) — abort to the base scan
+      if (!groupsI.forall(_.deterministic) ||
+          !conds.forall(_.deterministic)) {
+        dbg("nondeterministic group/filter: " + (groupsI ++ conds))
+        return None
+      }
 
       // the rollup scan subplan (fresh attribute ids)
       val spark = SparkSession.active
@@ -245,24 +367,91 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         }.getOrElse(throw new IllegalStateException(
           s"rollup at ${e.summaryDir} lacks column $name"))
 
+      def sum2(a: AttributeReference): Expression =
+        new Sum(a).toAggregateExpression()
+      /** Serve an exact sum from s_m (decimal path) or sd_m (native
+        * path) depending on what the measure's type makes lossless.
+        */
+      def servedSum(m: String, t: DataType): Option[Expression] =
+        if (decimal38_6Lossless(t)) Some(sum2(sOut(s"s_$m")))
+        else if (isFloating(t) || t.isInstanceOf[DecimalType])
+          Some(sum2(sOut(s"sd_$m")))
+        else None
+
       // translate one base-side aggregate call to its rollup re-agg
       def reAgg(ae: AggregateExpression): Option[Expression] = {
         if (ae.isDistinct || ae.filter.isDefined) return None
-        def sum2(a: AttributeReference): Expression =
-          new Sum(a).toAggregateExpression()
         ae.aggregateFunction match {
           case c: Count if c.children.forall(x =>
               x.foldable && x.eval() != null) =>
-            Some(Coalesce(Seq(sum2(sOut("cnt")).asInstanceOf[Expression],
+            Some(Coalesce(Seq(sum2(sOut("cnt")),
               Literal(0L, LongType))))
-          case s: Sum => measureOf(s.child, dimSet, e).map { m =>
-            Cast(sum2(sOut(s"s_$m")), ae.dataType)
+          // COUNT(m) for a measure: the rollup's per-measure non-null
+          // count; COUNT(d) for a dim: null dims form their own rollup
+          // group, so exclude those groups' cnt
+          case c: Count if c.children.sizeIs == 1 =>
+            c.children.head match {
+              case ar: AttributeReference
+                  if e.measures.contains(ar.name) =>
+                Some(Coalesce(Seq(sum2(sOut(s"c_${ar.name}")),
+                  Literal(0L, LongType))))
+              case ar: AttributeReference if dimAttr(ar) =>
+                Some(Coalesce(Seq(
+                  new Sum(If(IsNotNull(sOut(ar.name)),
+                    Cast(sOut("cnt"), LongType),
+                    Literal(0L, LongType))).toAggregateExpression(),
+                  Literal(0L, LongType))))
+              case _ => None
+            }
+          case s: Sum => s.child match {
+            // bare SUM(m): decimal-exact when lossless, native
+            // partial sums otherwise (float reorder only)
+            case ar: AttributeReference
+                if e.measures.contains(ar.name) =>
+              servedSum(ar.name, ar.dataType)
+                .map(x => Cast(x, ae.dataType))
+            // SUM(CAST(m AS DECIMAL(p,s))): only when the per-row
+            // cast provably preserves the value AND the rollup's
+            // scale-6 sum dominates it (see object scaladoc)
+            case Cast(ar: AttributeReference, d: DecimalType, _, _)
+                if e.measures.contains(ar.name) =>
+              val ok = ar.dataType match {
+                case it if digits10(it).isDefined =>
+                  digits10(it).get <= d.precision - d.scale
+                case dt: DecimalType =>
+                  dt.scale <= math.min(d.scale, 6) &&
+                    d.precision - d.scale >= dt.precision - dt.scale &&
+                    dt.precision - dt.scale <= 32
+                case ft if isFloating(ft) =>
+                  e.declaredScale.get(ar.name).exists(ds =>
+                    ds <= math.min(d.scale, 6) &&
+                      d.precision - d.scale >= 16)
+                case _ => false
+              }
+              if (ok) Some(Cast(sum2(sOut(s"s_${ar.name}")), ae.dataType))
+              else None
+            case _ => None
           }
-          case mn: Min => measureOf(mn.child, dimSet, e).map { m =>
+          // AVG(m) = SUM(partials)/SUM(c_m) in double — identical to
+          // Spark's Average for non-decimal inputs (it sums those in
+          // double); decimal AVG result-scale rules are not
+          // reproducible from the scale-6 partial, so not rewritten
+          case a: Average => a.child match {
+            case ar: AttributeReference
+                if e.measures.contains(ar.name) &&
+                  !ar.dataType.isInstanceOf[DecimalType] =>
+              servedSum(ar.name, ar.dataType).map { sm =>
+                Cast(Divide(Cast(sm, DoubleType),
+                  Cast(sum2(sOut(s"c_${ar.name}")), DoubleType)),
+                  ae.dataType)
+              }
+            case _ => None
+          }
+          case mn: Min => measureOf(mn.child, e).map { m =>
             Cast(new Min(sOut(s"mn_$m")).toAggregateExpression(),
               ae.dataType)
           }
-          case mx: Max => measureOf(mx.child, dimSet, e).map { m =>
+          case mx: Max => measureOf(mx.child, e).map { m =>
             Cast(new Max(sOut(s"mx_$m")).toAggregateExpression(),
               ae.dataType)
           }
@@ -283,7 +472,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           }
         case ar: AttributeReference if dimAttr(ar) =>
           sOut(ar.name)
-        case other => other.mapChildren(translate)
+        case other =>
+          // the non-aggregate scaffolding around translated aggs must
+          // be deterministic too: rand() in the select list would
+          // re-evaluate per rollup row
+          if (!other.deterministic && other.children.isEmpty) ok = false
+          other.mapChildren(translate)
       }
       val newAggExprs = aggExprs.map { ne =>
         val translated = ne match {
@@ -315,17 +509,14 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** The measure column a base aggregate reads: the bare attribute, or
-    * a decimal cast of it (the exact-sum spelling).
+  /** The measure column a MIN/MAX reads: the bare attribute only
+    * (min/max of a decimal-cast changes per-row rounding and is not
+    * servable from the native mn/mx columns).
     */
-  private def measureOf(child: Expression, dims: Set[String],
-      e: Entry): Option[String] = {
-    val attr = child match {
-      case ar: AttributeReference => Some(ar.name)
-      case Cast(ar: AttributeReference, _: DecimalType, _, _) =>
+  private def measureOf(child: Expression, e: Entry): Option[String] =
+    child match {
+      case ar: AttributeReference if e.measures.contains(ar.name) =>
         Some(ar.name)
       case _ => None
     }
-    attr.filter(e.measures.contains)
-  }
 }

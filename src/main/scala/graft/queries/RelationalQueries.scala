@@ -225,6 +225,36 @@ object RelationalQueries {
         .orderBy($"month")
     }),
 
+    // AVG and COUNT(col) served from the rollup (the two most common
+    // dashboard aggregates): AVG(m) = SUM(partial sums)/SUM(c_m),
+    // COUNT(m) = SUM(c_m), COUNT(dim) = cnt of the non-null-dim
+    // groups. l_quantity is integral-valued, so the double partial
+    // sums are exact and the division is bit-identical to DuckDB's
+    // sum/count on the raw table — a hash match, not an approximation.
+    "q_mv_avg" -> ((s, dir) => {
+      registerMv(s, dir)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(avg($"l_quantity").as("avg_qty"),
+          count($"l_quantity").as("n_qty"),
+          count($"l_linestatus").as("n_status"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Distinct orders per returnflag served from the rollup's HLL
+    // register sketch: per-chunk registers merge by elementwise max
+    // (hll_merge), then the integer-exact estimator — the estimate is
+    // IDENTICAL to sketching the raw table (register max is
+    // partition-order independent), which is exactly what the DuckDB
+    // oracle recomputes from raw lineitem.
+    "q_mv_hll" -> ((s, dir) => {
+      registerMv(s, dir)
+      graft.plans.SummaryRewrite.approxDistinct(s, mvSummaryDir(dir),
+          Seq("l_returnflag"), "l_orderkey")
+        .orderBy($"l_returnflag")
+    }),
+
     // Same rollup serving a global aggregate under a dim-range filter
     // (the dashboard "period total" shape): no grouping, date window,
     // min/count/sum — all answered from the rollup's date grain.
@@ -322,18 +352,27 @@ object RelationalQueries {
   )
 
 
-  /** Shared per-JVM rollup dir for the MV faces: one build serves both
+  /** Shared per-JVM rollup dir for the MV faces: one build serves all
     * faces and repeated bench reps (register is idempotent once the
-    * _SUCCESS marker exists).
+    * _SUCCESS marker exists). `l_extendedprice` carries a DECLARED
+    * scale of 2 (the money-in-a-double data contract) so the
+    * `SUM(CAST(price AS DECIMAL(18,2)))` spelling stays exactly
+    * rewritable under the r10 type guards; the rollup also carries a
+    * p=8 HLL register sketch of `l_orderkey`, so distinct-order
+    * counts are servable at the rollup grain (q_mv_hll).
     */
-  private def registerMv(s: SparkSession, dir: String): Unit = {
-    val sumDir = s"${System.getProperty("java.io.tmpdir")}/graft_mv_" +
+  private[graft] def mvSummaryDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mv_" +
       s"${java.lang.ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
+  private def registerMv(s: SparkSession, dir: String): Unit =
     graft.plans.SummaryRewrite.register(s, s"$dir/lineitem.parquet",
-      sumDir, Seq("l_returnflag", "l_linestatus", "l_shipdate"),
-      Seq("l_quantity", "l_extendedprice"))
-  }
+      mvSummaryDir(dir),
+      Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      Seq("l_quantity", "l_extendedprice"),
+      declaredScale = Map("l_extendedprice" -> 2),
+      sketches = Seq(
+        graft.plans.SummaryRewrite.SketchSpec("l_orderkey", 8)))
 
   /** DuckDB restatement of Hll.hash64/bucket/rho (HllAggregate.scala)
     * at p=8, carried out entirely in the non-negative u64 slice of
@@ -379,22 +418,41 @@ object RelationalQueries {
   // and E = floor(7213 * 256^3 * 2^57 / ((10000*256 + 10790) * S)).
   // The small-range correction cannot fire at these cardinalities
   // (raw >> 2.5m = 640), so the raw restatement is the whole story.
-  private val hllDistinctOracle: String =
-    s"""WITH ${hllPipelineSql("l_orderkey", "lineitem",
+  /** Shared per-returnflag register-sum CTEs (p=8): grouped register
+    * max, then S = Σ 2^(57-reg) with absent buckets at 2^57.
+    */
+  private val hllGroupSumCtes: String =
+    s"""${hllPipelineSql("l_orderkey", "lineitem",
            Some("l_returnflag"))},
        |gregs AS (SELECT g, bucket, max(rho) AS reg FROM rr GROUP BY g, bucket),
        |s AS (
        |  SELECT g,
        |    sum(CAST(144115188075855872 // (1::BIGINT << reg) AS HUGEINT))
        |      + (256 - count(*)) * CAST(144115188075855872 AS HUGEINT) AS s
-       |  FROM gregs GROUP BY g),
+       |  FROM gregs GROUP BY g)""".stripMargin
+
+  private val hllEstimateExpr: String =
+    """CAST((7213::HUGEINT * 16777216 * 144115188075855872)
+      |    // ((10000*256 + 10790)::HUGEINT * s.s) AS BIGINT)""".stripMargin
+
+  private val hllDistinctOracle: String =
+    s"""WITH $hllGroupSumCtes,
        |ex AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS exact_distinct
        |       FROM lineitem GROUP BY l_returnflag)
        |SELECT ex.g AS l_returnflag,
-       |  CAST((7213::HUGEINT * 16777216 * 144115188075855872)
-       |    // ((10000*256 + 10790)::HUGEINT * s.s) AS BIGINT) AS est_distinct,
+       |  $hllEstimateExpr AS est_distinct,
        |  ex.exact_distinct
        |FROM s JOIN ex ON s.g = ex.g ORDER BY l_returnflag""".stripMargin
+
+  // q_mv_hll serves the SAME estimate from the rollup's persisted
+  // per-(flag, status, day) registers; register max is partition- and
+  // chunk-order independent, so the rollup-served value must equal
+  // this raw-table recomputation bit for bit.
+  private val mvHllOracle: String =
+    s"""WITH $hllGroupSumCtes
+       |SELECT s.g AS l_returnflag,
+       |  $hllEstimateExpr AS est_distinct
+       |FROM s ORDER BY l_returnflag""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // the PLAIN join: salting must be invisible in the result
@@ -498,6 +556,13 @@ object RelationalQueries {
         | count(*) AS n, sum(l_quantity) AS sum_qty,
         | max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_mv_avg" ->
+      """SELECT l_returnflag, avg(l_quantity) AS avg_qty,
+        | count(l_quantity) AS n_qty, count(l_linestatus) AS n_status,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_mv_hll" -> mvHllOracle,
     "q_sessionize" ->
       """WITH d AS (
         |  SELECT user_id, ts,

@@ -64,6 +64,26 @@ object SearchQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Incremental sparse maintenance: build the inverted file over the
+    // even half, APPEND the odd half under the frozen hash vocabulary
+    // (arrivals land inside existing bucket= partitions; df sidecar
+    // and n_docs refreshed from the batch alone — no posting rescan),
+    // then search ⇒ identical scoring to the full-corpus build, so
+    // the shared sparse oracle restates it. A fresh per-invocation
+    // dir keeps repeated runs idempotent (append twice would
+    // duplicate postings).
+    "q_sparse_append" -> ((s, dir) => {
+      val sdocs = docs(s, dir).where(col("doc_id") < 300)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_sparse_append").toString + "/idx"
+      val base = graft.operators.SparseIndex.build(
+        sdocs.where(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+      val m = graft.operators.SparseIndex.append(base,
+        sdocs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      graft.operators.SparseIndex.search(m, QueryWords, 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Pairwise sparse dot products via the SparseDot merge expression
     // over (sorted indices, values) columns — the similarity primitive
     // for sparse dedup/clustering; doc 0's vector against the slice.
@@ -228,6 +248,9 @@ object SearchQueries {
     // artifact-served face: same scoring contract, same oracle
     "q_sparse_indexed" -> sparseSearchSql,
     "q_sparse_search" -> sparseSearchSql,
+    // append face: build(half) + append(half) must equal the
+    // full-corpus scoring — df/n_docs sidecar math included
+    "q_sparse_append" -> sparseSearchSql,
     "q_sparse_dot" ->
       s"""WITH $sparseCte,
          |q0 AS (SELECT idx, w FROM spost WHERE id = 0),

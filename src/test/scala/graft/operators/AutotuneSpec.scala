@@ -122,4 +122,26 @@ class AutotuneSpec extends SparkSuite {
         "build_time"))
     assert(df.head().getDouble(4) === 100.0)
   }
+
+  test("latency timing excludes the ground-truth comparison: " +
+      "timedSearch materializes the search INSIDE the timed window, so " +
+      "the recall read that follows reuses the cache and recomputes " +
+      "nothing") {
+    import org.apache.spark.sql.functions.udf
+    val acc = spark.sparkContext.longAccumulator("search_evals")
+    val counted = udf((i: Long) => { acc.add(1); i })
+    val search = spark.range(100).select(counted(col("id")).as("x"))
+    val (res, ms) = Autotune.timedSearch(search)
+    assert(ms > 0.0)
+    // the search really ran inside the window...
+    val evalsInWindow = acc.value
+    assert(evalsInWindow >= 100L, s"search not forced: $evalsInWindow")
+    // ...and the truth-join stand-in reads the CACHE — were the search
+    // still lazy (the r9 shape), this second action would re-run the
+    // UDF and the latency column would have charged the truth join
+    assert(res.count() == 100L)
+    assert(acc.value == evalsInWindow,
+      s"recall read recomputed the search: ${acc.value} > $evalsInWindow")
+    res.unpersist()
+  }
 }

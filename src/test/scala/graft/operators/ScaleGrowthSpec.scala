@@ -479,4 +479,32 @@ class ScaleGrowthSpec extends SparkSuite {
         s"half payload scan lost at 10x:\n$p")
     } finally { vS.unpersist(); vB.unpersist() }
   }
+
+  test("sparse inverted-file search grows ~linearly from 5k to 50k " +
+      "docs and the 10x scan still prunes to the query terms' bucket " +
+      "partitions") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val dS = synthDocs(5000, 0).persist()
+    val dB = synthDocs(50000, 0).persist()
+    dS.count(); dB.count()
+    try {
+      def dirFor(tag: String) = java.nio.file.Files
+        .createTempDirectory(s"graft_sparse_grow_$tag").toString + "/idx"
+      val mS = SparseIndex.build(dS, "doc_id", "text", dirFor("s"))
+      val mB = SparseIndex.build(dB, "doc_id", "text", dirFor("b"))
+      val words = Seq("w3", "w55", "w700")
+      val tS = timedSecs { SparseIndex.search(mS, words, 10).count() }
+      val search = SparseIndex.search(mB, words, 10)
+      val tB = timedSecs { search.count() }
+      val r = ratio(tB, tS)
+      info(f"sparse search 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
+      assertPerf(r < 30.0, f"10x corpus grew sparse search $r%.1fx")
+      // at 10x the posting scan still carries bucket IN (...) as a
+      // PartitionFilter — unrelated bucket partitions are never read,
+      // the storage-layer pruning a 100 TB posting file depends on
+      val p = search.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[.*bucket#\\d+ (IN|INSET)".r
+        .findFirstIn(p).isDefined, s"bucket pruning lost at 10x:\n$p")
+    } finally { dS.unpersist(); dB.unpersist() }
+  }
 }

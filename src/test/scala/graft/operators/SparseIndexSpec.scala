@@ -41,6 +41,46 @@ class SparseIndexSpec extends SparkSuite {
     assert(loaded.stats.count() <= loaded.vocab)
   }
 
+  test("append under the frozen hash vocabulary equals the full-corpus " +
+      "build: postings land in existing buckets, df sidecar and n_docs " +
+      "refresh from the batch alone") {
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_sparse_app").toString + "/idx"
+    val dirF = java.nio.file.Files
+      .createTempDirectory("graft_sparse_full").toString + "/idx"
+    val corpus = docs.where($"doc_id" < 200)
+    val base = SparseIndex.build(corpus.where($"doc_id" % 2 === 0),
+      "doc_id", "text", dirA, nBuckets = 16)
+    val appended = SparseIndex.append(base,
+      corpus.where($"doc_id" % 2 =!= 0), "doc_id", "text")
+    val full = SparseIndex.build(corpus, "doc_id", "text", dirF,
+      nBuckets = 16)
+    // identical meta and df sidecar (the batch-merge math is exact)
+    assert(appended.nDocs === full.nDocs)
+    val sideA = appended.stats.orderBy($"idx").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val sideF = full.stats.orderBy($"idx").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(sideA === sideF)
+    // identical search results (idf from the refreshed sidecar)
+    val words = Seq("table", "scan")
+    val gotA = SparseIndex.search(appended, words, 15)
+      .as[(Long, Long)].collect().toSeq
+    val gotF = SparseIndex.search(full, words, 15)
+      .as[(Long, Long)].collect().toSeq
+    assert(gotA === gotF)
+    // arrivals landed INSIDE the existing bucket layout (no new
+    // top-level dirs beyond bucket=/sidecars)
+    val names = new java.io.File(dirA).listFiles().map(_.getName).toSet
+    assert(names.forall(n => n.startsWith("bucket=") ||
+      n.startsWith("_") || n.startsWith(".")),
+      s"unexpected entries: $names")
+    // and a reopened artifact serves the same thing
+    val reloaded = SparseIndex.load(spark, dirA)
+    assert(SparseIndex.search(reloaded, words, 15)
+      .as[(Long, Long)].collect().toSeq === gotF)
+  }
+
   test("build validates nBuckets and the meta round-trips") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sparse_idx2").toString + "/idx"

@@ -2,7 +2,6 @@ package graft.plans
 
 import graft.SparkSuite
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 class SummaryRewriteSpec extends SparkSuite {
@@ -16,8 +15,14 @@ class SummaryRewriteSpec extends SparkSuite {
   private def writeBase(): Unit = {
     val rows = for {
       d <- 1 to 40; f <- Seq("A", "B"); i <- 1 to 5
-    } yield (f, d.toLong * 10 + i, (i * 2).toDouble, i * 10.5)
-    rows.toDF("flag", "k", "qty", "price")
+    } yield (f, d.toLong * 10 + i, (i * 2).toDouble, i * 10.5,
+      // tiny dyadic doubles (i / 2^20 < 1e-5): the r9 decimal(38,6)
+      // partial sum silently rounded these to 0 — the sd_ native
+      // partial must keep them exact (dyadic => order-independent)
+      i / 1048576.0,
+      // NULL-bearing measure: null for every 3rd row
+      if (i % 3 == 0) null else java.lang.Double.valueOf(i * 3.0))
+    rows.toDF("flag", "k", "qty", "price", "tiny", "sparse")
       .withColumn("day",
         expr("date_add(date'2024-01-01', cast(k % 28 as int))"))
       .write.mode("overwrite").parquet(baseDir)
@@ -33,53 +38,106 @@ class SummaryRewriteSpec extends SparkSuite {
           .location.rootPaths.map(_.toString)
     }.flatten
 
+  private val allMeasures = Seq("qty", "price", "tiny", "sparse")
+  private def reRegister(refresh: Boolean = false): Unit =
+    SummaryRewrite.register(spark, baseDir, sumDir,
+      dims = Seq("flag", "day"), measures = allMeasures,
+      refresh = refresh,
+      // data contract: price = i * 10.5 has exactly one fractional
+      // decimal digit — unlocks SUM(CAST(price AS DECIMAL(p>=17, s>=1)))
+      declaredScale = Map("price" -> 1))
+
   writeBase()
-  SummaryRewrite.register(spark, baseDir, sumDir,
-    dims = Seq("flag", "day"), measures = Seq("qty", "price"))
+  reRegister()
 
   private def base = spark.read.parquet(baseDir)
 
-  test("grouped sum/count/min/max replan onto the rollup, value-exact") {
-    val before = SummaryRewriteRule.fireCount.get()
-    val q = base.groupBy($"flag")
-      .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
-        min($"qty").as("mn"), max($"price").as("mx"))
-      .orderBy($"flag")
-    val got = q.collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4)))
-    assert(SummaryRewriteRule.fireCount.get() == before + 1)
+  /** Run `q` twice — with the rule and without — and return
+    * (ruled scan paths, ruled rows, bare rows).
+    */
+  private def withAndWithout(mk: => DataFrame)
+      : (Seq[String], Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    val q = mk
+    val got = q.collect().map(_.toSeq).toSeq
     val paths = scanPaths(q)
-    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
-    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
-    // ground truth without the rule
     SummaryRewrite.clear()
-    val want = base.groupBy($"flag")
-      .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
-        min($"qty").as("mn"), max($"price").as("mx"))
-      .orderBy($"flag").collect().map(r =>
-        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-          r.getDouble(4)))
-    SummaryRewrite.register(spark, baseDir, sumDir,
-      dims = Seq("flag", "day"), measures = Seq("qty", "price"))
-    assert(got.toSeq == want.toSeq)
+    val want = mk.collect().map(_.toSeq).toSeq
+    reRegister()
+    (paths, got, want)
   }
 
-  test("dim filter rides the rollup; decimal-cast sum translates") {
-    val q = base.where($"day" >= lit("2024-01-10").cast("date"))
-      .groupBy($"flag", $"day")
-      .agg(sum($"price".cast("decimal(18,2)")).cast("double").as("sp"))
-      .orderBy($"flag", $"day")
-    val got = q.collect()
-    assert(scanPaths(q).exists(_.contains("rollup")))
-    SummaryRewrite.clear()
-    val want = base.where($"day" >= lit("2024-01-10").cast("date"))
-      .groupBy($"flag", $"day")
-      .agg(sum($"price".cast("decimal(18,2)")).cast("double").as("sp"))
-      .orderBy($"flag", $"day").collect()
-    SummaryRewrite.register(spark, baseDir, sumDir,
-      dims = Seq("flag", "day"), measures = Seq("qty", "price"))
-    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  test("grouped sum/count/min/max replan onto the rollup, value-exact") {
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
+          min($"qty").as("mn"), max($"price").as("mx"))
+        .orderBy($"flag")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    assert(got == want)
+  }
+
+  test("dim filter rides the rollup; DECLARED-scale decimal-cast sum " +
+      "translates") {
+    val (paths, got, want) = withAndWithout {
+      base.where($"day" >= lit("2024-01-10").cast("date"))
+        .groupBy($"flag", $"day")
+        .agg(sum($"price".cast("decimal(18,2)")).cast("double").as("sp"))
+        .orderBy($"flag", $"day")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
+  }
+
+  test("decimal-cast sum of an UNDECLARED double measure does NOT " +
+      "rewrite (per-row rounding is unrecoverable)") {
+    // qty has no declared scale: the spelling must run on the base
+    val q = base.groupBy($"flag")
+      .agg(sum($"qty".cast("decimal(18,2)")).as("s"))
+    assert(scanPaths(q).exists(_.contains("fact.parquet")))
+    // and a cast NARROWER than the declared scale must not either
+    // (price declared scale 1; casting to scale 0 re-rounds per row)
+    val q2 = base.groupBy($"flag")
+      .agg(sum($"price".cast("decimal(18,0)")).as("s"))
+    assert(scanPaths(q2).exists(_.contains("fact.parquet")))
+    assert(q.collect().length == 2 && q2.collect().length == 2)
+  }
+
+  test("sub-1e-6 double measure sums exactly via the native partial " +
+      "(the r9 decimal-only rollup zeroed these)") {
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag").agg(sum($"tiny").as("st")).orderBy($"flag")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
+    assert(want.forall(_(1).asInstanceOf[Double] > 0.0))
+  }
+
+  test("AVG and COUNT(col) rewrite, including the NULL-bearing measure") {
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(avg($"qty").as("aq"), avg($"sparse").as("asp"),
+          count($"sparse").as("nsp"), count($"qty").as("nq"),
+          count(lit(1)).as("n"))
+        .orderBy($"flag")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
+    // the null-bearing count really is smaller than count(*)
+    want.foreach { r =>
+      assert(r(3).asInstanceOf[Long] < r(5).asInstanceOf[Long])
+    }
+  }
+
+  test("COUNT(dim) rewrites by excluding null-dim groups") {
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag").agg(count($"day").as("nd")).orderBy($"flag")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
   }
 
   test("non-dim filter, distinct agg, and unknown measure do NOT rewrite") {
@@ -99,6 +157,23 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(q3.collect().length == 2)
   }
 
+  test("nondeterministic filters and group keys do NOT rewrite " +
+      "(rand() must sample base rows, not rollup rows)") {
+    val q1 = base.where(rand(7) < 0.5).groupBy($"flag")
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(q1).exists(_.contains("fact.parquet")),
+      "rand() filter was re-planned onto the rollup")
+    // nondeterministic group key parked in a child Project alias
+    // (unwrap inlines it back — must still be refused)
+    val q2 = base.withColumn("g", (rand(7) * 3).cast("int"))
+      .groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(scanPaths(q2).exists(_.contains("fact.parquet")),
+      "rand() group key was re-planned onto the rollup")
+    // counts land in the right ballpark (base-row granularity)
+    val n1 = q1.collect().map(_.getLong(1)).sum
+    assert(n1 > 100 && n1 < 300, s"got $n1 of 400")
+  }
+
   test("global aggregate (no grouping) rewrites too") {
     val q = base.agg(count(lit(1)).as("n"), sum($"qty").as("s"))
     val got = q.collect().head
@@ -107,26 +182,19 @@ class SummaryRewriteSpec extends SparkSuite {
     SummaryRewrite.clear()
     val want = base.agg(count(lit(1)).as("n"), sum($"qty").as("s"))
       .collect().head
-    SummaryRewrite.register(spark, baseDir, sumDir,
-      dims = Seq("flag", "day"), measures = Seq("qty", "price"))
+    reRegister()
     assert(got.getDouble(1) == want.getDouble(1))
   }
 
   test("derived-dim grouping (week of day) rewrites and stays exact") {
-    val q = base.groupBy(weekofyear($"day").as("wk"))
-      .agg(count(lit(1)).as("n"), sum($"qty").as("s"),
-        min($"price").as("mn"))
-      .orderBy($"wk")
-    val got = q.collect().map(_.toSeq)
-    assert(scanPaths(q).exists(_.contains("rollup")))
-    SummaryRewrite.clear()
-    val want = base.groupBy(weekofyear($"day").as("wk"))
-      .agg(count(lit(1)).as("n"), sum($"qty").as("s"),
-        min($"price").as("mn"))
-      .orderBy($"wk").collect().map(_.toSeq)
-    SummaryRewrite.register(spark, baseDir, sumDir,
-      dims = Seq("flag", "day"), measures = Seq("qty", "price"))
-    assert(got.toSeq == want.toSeq)
+    val (paths, got, want) = withAndWithout {
+      base.groupBy(weekofyear($"day").as("wk"))
+        .agg(count(lit(1)).as("n"), sum($"qty").as("s"),
+          min($"price").as("mn"))
+        .orderBy($"wk")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
   }
 
   test("a group expression touching a non-dim column does not rewrite") {
@@ -135,15 +203,40 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(q.collect().length == 5) // k = d*10+i, i in 1..5
   }
 
+  test("integral measures serve from the exact decimal partial") {
+    val intDir = java.nio.file.Files
+      .createTempDirectory("graft_mv_int").toString + "/fact.parquet"
+    val intSum = java.nio.file.Files
+      .createTempDirectory("graft_mv_int_sum").toString + "/rollup"
+    (1 to 100).map(i => (if (i % 2 == 0) "X" else "Y", i.toLong, i))
+      .toDF("flag", "big", "small")
+      .write.mode("overwrite").parquet(intDir)
+    SummaryRewrite.register(spark, intDir, intSum,
+      dims = Seq("flag"), measures = Seq("big", "small"))
+    val q = spark.read.parquet(intDir).groupBy($"flag")
+      .agg(sum($"big").as("sb"), sum($"small").as("ss"),
+        sum($"small".cast("decimal(20,0)")).as("sd"),
+        avg($"small").as("av"))
+      .orderBy($"flag")
+    val got = q.collect().map(_.toSeq).toSeq
+    assert(scanPaths(q).exists(_.contains("rollup")))
+    SummaryRewrite.unregister(spark, intDir)
+    val want = spark.read.parquet(intDir).groupBy($"flag")
+      .agg(sum($"big").as("sb"), sum($"small").as("ss"),
+        sum($"small".cast("decimal(20,0)")).as("sd"),
+        avg($"small").as("av"))
+      .orderBy($"flag").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("refresh after base append picks up new rows") {
     val extra = Seq(("A",
-      java.sql.Date.valueOf("2024-01-02"), 999L, 100.0, 1.0))
-      .toDF("flag", "day", "k", "qty", "price")
-      .select($"flag", $"day", $"k", $"qty", $"price")
+      java.sql.Date.valueOf("2024-01-02"), 999L, 100.0, 1.0, 0.5,
+      java.lang.Double.valueOf(3.0)))
+      .toDF("flag", "day", "k", "qty", "price", "tiny", "sparse")
+      .select($"flag", $"day", $"k", $"qty", $"price", $"tiny", $"sparse")
     extra.write.mode("append").parquet(baseDir)
-    SummaryRewrite.register(spark, baseDir, sumDir,
-      dims = Seq("flag", "day"), measures = Seq("qty", "price"),
-      refresh = true)
+    reRegister(refresh = true)
     val q = base.agg(count(lit(1)).as("n"))
     assert(scanPaths(q).exists(_.contains("rollup")))
     assert(q.collect().head.getLong(0) == 401L)

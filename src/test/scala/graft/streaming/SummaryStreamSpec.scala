@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSuite
 import graft.plans.SummaryRewrite
+import graft.plans.SummaryRewrite.SketchSpec
 import org.apache.spark.sql.functions._
 
 class SummaryStreamSpec extends SparkSuite {
@@ -78,13 +79,112 @@ class SummaryStreamSpec extends SparkSuite {
     val chunksBefore = spark.read.parquet(sumDir)
       .select($"chunk").distinct().count()
     assert(chunksBefore >= 2, s"expected >=2 chunks, got $chunksBefore")
-    SummaryStream.compact(spark, baseDir, sumDir, Seq("flag"), Seq("qty"))
+    SummaryStream.compact(spark, sumDir, Seq("flag"))
     val afterCompact = served
     assert(afterCompact.getLong(0) == 100L)
     assert(afterCompact.getDouble(1) == afterDrain.getDouble(1))
     val chunksAfter = spark.read.parquet(sumDir)
       .select($"chunk").distinct().count()
     assert(chunksAfter == 1L)
+    SummaryRewrite.clear()
+  }
+
+  test("compact is rollup-local: it folds chunks with zero base I/O " +
+      "(the base table may be GONE) and serves identical aggregates") {
+    val baseDir = tmp("graft_ss3_base") + "/fact.parquet"
+    val sumDir = tmp("graft_ss3_sum") + "/rollup"
+    mkRows(0, 80).write.mode("append").parquet(baseDir)
+    SummaryStream.registerStreaming(spark, baseDir, sumDir,
+      Seq("flag"), Seq("qty"))
+    SummaryStream.processBatch(mkRows(0, 80), 0L, sumDir,
+      Seq("flag"), Seq("qty"))
+    SummaryStream.processBatch(mkRows(80, 20), 1L, sumDir,
+      Seq("flag"), Seq("qty"))
+    val beforeRows = spark.read.parquet(sumDir).groupBy($"flag")
+      .agg(sum($"cnt").as("n"), sum($"s_qty").as("s"),
+        min($"mn_qty").as("mn"), max($"mx_qty").as("mx"))
+      .orderBy($"flag").collect().map(_.toSeq).toSeq
+    // the fold's plan must read ONLY the rollup — prove it the hard
+    // way: delete the base table entirely, then compact
+    val fs = new org.apache.hadoop.fs.Path(baseDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(baseDir), true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(baseDir)))
+    SummaryStream.compact(spark, sumDir, Seq("flag"))
+    val chunks = spark.read.parquet(sumDir)
+      .select($"chunk".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    assert(chunks == Seq(-1L), s"got chunks $chunks")
+    val afterRows = spark.read.parquet(sumDir).groupBy($"flag")
+      .agg(sum($"cnt").as("n"), sum($"s_qty").as("s"),
+        min($"mn_qty").as("mn"), max($"mx_qty").as("mx"))
+      .orderBy($"flag").collect().map(_.toSeq).toSeq
+    assert(afterRows == beforeRows)
+    SummaryRewrite.clear()
+  }
+
+  test("compact heals a swap interrupted between its two renames") {
+    val sumDir = tmp("graft_ss4_sum") + "/rollup"
+    SummaryStream.processBatch(mkRows(0, 50), 0L, sumDir,
+      Seq("flag"), Seq("qty"))
+    SummaryStream.processBatch(mkRows(50, 50), 1L, sumDir,
+      Seq("flag"), Seq("qty"))
+    val total = spark.read.parquet(sumDir)
+      .agg(sum($"cnt")).collect().head.getLong(0)
+    assert(total == 100L)
+    // simulate a crash between rename #1 and rename #2: the live dir
+    // has moved to .old, nothing was published
+    val fs = new org.apache.hadoop.fs.Path(sumDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(sumDir),
+      new org.apache.hadoop.fs.Path(
+        graft.util.DirSwap.oldPath(sumDir))))
+    spark.catalog.refreshByPath(sumDir)
+    // next compact must first restore the pre-swap state, then fold
+    SummaryStream.compact(spark, sumDir, Seq("flag"))
+    val healed = spark.read.parquet(sumDir)
+      .agg(sum($"cnt")).collect().head.getLong(0)
+    assert(healed == 100L)
+    assert(spark.read.parquet(sumDir)
+      .select($"chunk").distinct().count() == 1L)
+  }
+
+  test("streamed HLL register maintenance: chunked sketch measures " +
+      "merge to exactly the one-shot sketch, through compact too") {
+    val baseDir = tmp("graft_ss5_base") + "/fact.parquet"
+    val sumDir = tmp("graft_ss5_sum") + "/rollup"
+    val all = mkRows(0, 300)
+    all.write.mode("append").parquet(baseDir)
+    SummaryStream.registerStreaming(spark, baseDir, sumDir,
+      Seq("flag"), Seq("qty"), sketches = Seq(SketchSpec("k", 6)))
+    // three delta chunks, overlapping keys across chunks
+    SummaryStream.processBatch(mkRows(0, 150), 0L, sumDir,
+      Seq("flag"), Seq("qty"), Seq(SketchSpec("k", 6)))
+    SummaryStream.processBatch(mkRows(100, 100), 1L, sumDir,
+      Seq("flag"), Seq("qty"), Seq(SketchSpec("k", 6)))
+    SummaryStream.processBatch(mkRows(200, 100), 2L, sumDir,
+      Seq("flag"), Seq("qty"), Seq(SketchSpec("k", 6)))
+    // merged registers from the chunked rollup == one-shot sketch of
+    // the union of rows (sets overlap: 0..249 ∪ 200..299 = 0..299)
+    def regsOf(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"flag").collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1).toList)).toList
+    val servedRegs = regsOf(spark.read.parquet(sumDir)
+      .groupBy($"flag")
+      .agg(expr("hll_merge(hll_k)").as("regs")))
+    val directRegs = regsOf(all.groupBy($"flag")
+      .agg(expr("hll_sketch(k, 6)").as("regs")))
+    assert(servedRegs == directRegs)
+    // the estimate survives compact (registers fold by elementwise max)
+    SummaryStream.compact(spark, sumDir, Seq("flag"))
+    val compactedRegs = regsOf(spark.read.parquet(sumDir)
+      .groupBy($"flag")
+      .agg(expr("hll_merge(hll_k)").as("regs")))
+    assert(compactedRegs == directRegs)
+    // and approxDistinct serves a sane estimate from the rollup
+    val est = SummaryRewrite.approxDistinct(spark, sumDir, Seq("flag"),
+      "k").orderBy($"flag").collect().map(_.getLong(1))
+    est.foreach(e => assert(e > 100 && e < 200, s"estimate $e for 150"))
     SummaryRewrite.clear()
   }
 }
