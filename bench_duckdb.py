@@ -71,6 +71,8 @@ WRITE_FACES = {
     "q_ivf_sq_append_knn": "fresh SQ8 index build + append",
     "q_ivf_compact_knn": "fresh index build + append + full cell-compaction rewrite",
     "q_ivf_merge_knn": "TWO shard index builds + merge + compaction (durable artifacts)",
+    "q_ivf_f16_append": "fresh F16 index build + append (durable artifact)",
+    "q_sparse_append": "fresh sparse inverted-file build + append + sidecar swap",
 }
 
 

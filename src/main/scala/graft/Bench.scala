@@ -122,5 +122,16 @@ object Bench {
         json + "\n")
     }
     spark.stop()
+    // The driver parses its captured TAIL (last ~2k chars): the full
+    // per-query line above is ~10 KB and lands mid-truncated, which is
+    // why BENCH_r07..r09 all recorded "parsed": null. Emit a compact
+    // summary as the LAST stdout line (after spark.stop(), ahead of
+    // nothing) that always fits the tail; the full artifact stays in
+    // the first line + the SPARK_GRAFT_BENCH_OUT file.
+    val failed = results.collect {
+      case (k, _, ts) if ts.forall(!_.ok) => k
+    }
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"detail":"full per-query JSON on first output line; file via SPARK_GRAFT_BENCH_OUT"}""")
   }
 }

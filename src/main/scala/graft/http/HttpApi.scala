@@ -68,14 +68,73 @@ import graft.operators.Knn
   *                                       index snapshots the collection
   *                                       — rebuild after bulk inserts.
   *
+  * Also:
+  *   GET    / or /openapi.json         → machine-readable OpenAPI 3
+  *                                       route listing (the reference's
+  *                                       Swagger doc endpoint,
+  *                                       `http_server/mod.rs:77-106`)
+  *   POST/GET/POST/DELETE
+  *          /collections/{name}/summary[/stats|/compact]
+  *                                     → materialized-rollup lifecycle
+  *                                       (register the SummaryRewrite
+  *                                       MV, watch chunk debt, fold
+  *                                       it, uninstall)
+  *
   * `auth`, when set, enables HTTP Basic authentication on every route
   * (the reference's optional user/pass gate, `http_server/mod.rs:
   * 62-75`): requests without the exact `Authorization: Basic` header
   * get 401 + `WWW-Authenticate`. Credential compare is constant-time.
+  * `maxBodyBytes` bounds declared request bodies (413 past it) — the
+  * reference's request-size limit (`mod.rs:153-157`).
   */
 class HttpApi(spark: SparkSession, port: Int = 0,
-    auth: Option[(String, String)] = None) {
+    auth: Option[(String, String)] = None,
+    maxBodyBytes: Long = 32L * 1024 * 1024) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Minimal OpenAPI 3 skeleton: one entry per route (summaries only —
+    * parameter schemas live in the class scaladoc). Served at `/` and
+    * `/openapi.json`.
+    */
+  private val openApiDoc: String = {
+    val routes = Seq(
+      "get /collections" -> "list collections",
+      "post /collections" -> "create a collection",
+      "get /collections/{name}" -> "schema + row count",
+      "put /collections/{name}" -> "bulk insert (JSON lines)",
+      "delete /collections/{name}" -> "drop collection",
+      "post /collections/{name}/search" -> "kNN (vector|text, filter, mmr, radius)",
+      "post /collections/{name}/search_text" -> "BM25",
+      "post /collections/{name}/search_sparse" -> "learned-sparse impact scoring",
+      "post /collections/{name}/search_hybrid" -> "BM25 + cosine RRF fusion",
+      "post /collections/{name}/index" -> "build IVF index (f32|bq|f16)",
+      "post /collections/{name}/reindex" -> "atomic rebuild (kind preserved)",
+      "delete /collections/{name}/index" -> "drop index",
+      "get /collections/{name}/index/stats" -> "per-cell rows/files",
+      "get /indexes" -> "list indexes",
+      "post /collections/{name}/compact" -> "fold index file debt",
+      "post /collections/{name}/sq8" -> "scalar int8 quantization",
+      "post /collections/{name}/pq" -> "product quantization pipeline",
+      "post /collections/{name}/dedup" -> "near-dup removal + survivor view",
+      "post /collections/{name}/overlap" -> "winnow fingerprint overlap",
+      "post /collections/{name}/containment" -> "excerpt containment pairs",
+      "post /collections/{name}/topk" -> "frequent items (Misra-Gries + recount)",
+      "post /collections/{name}/keywords" -> "per-doc tf-idf keywords",
+      "post /lsh_tune" -> "LSH banding tuner",
+      "post /collections/{name}/summary" -> "register materialized rollup",
+      "get /collections/{name}/summary/stats" -> "rollup chunk debt",
+      "post /collections/{name}/summary/compact" -> "fold rollup chunks",
+      "delete /collections/{name}/summary" -> "uninstall rollup rewrite")
+    val paths = routes.groupBy(_._1.split(" ")(1)).toSeq.sortBy(_._1)
+      .map { case (p, ms) =>
+        val ops = ms.map { case (mp, summary) =>
+          s""""${mp.split(" ")(0)}":{"summary":"$summary"}"""
+        }.mkString(",")
+        s""""$p":{$ops}"""
+      }.mkString(",")
+    s"""{"openapi":"3.0.3","info":{"title":"graft","version":"0.1.0"},""" +
+      s""""paths":{$paths}}"""
+  }
   // survivor views created by /dedup, so a re-run on the same
   // collection releases the previous view's cached blocks
   private val dedupViews =
@@ -84,6 +143,12 @@ class HttpApi(spark: SparkSession, port: Int = 0,
   // collection. A model snapshots the collection at build time.
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.IvfIndex.Model]()
+  // materialized rollups registered by /summary: the MV is an index
+  // artifact like any other and gets the same CRUD lifecycle
+  private case class SummaryReg(dataPath: String, summaryDir: String,
+      dims: Seq[String], measures: Seq[String])
+  private val summaries = new java.util.concurrent.ConcurrentHashMap[
+    String, SummaryReg]()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -107,6 +172,14 @@ class HttpApi(spark: SparkSession, port: Int = 0,
     val arr = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
     arr.findFirstMatchIn(body).map(_.group(1).split(",")
       .filter(_.trim.nonEmpty).map(_.trim.toFloat))
+  }
+
+  private def jsonStringArray(body: String, key: String)
+      : Option[Seq[String]] = {
+    val arr = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+    arr.findFirstMatchIn(body).map(_.group(1).split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq)
   }
 
   // shared by /search and /search_hybrid: explicit "vector" wins,
@@ -174,10 +247,27 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       respond(ex, 401, """{"error":"unauthorized"}""")
       return
     }
+    // request-size gate (the reference's body-size limit,
+    // http_server/mod.rs:153-157): declared oversized bodies are
+    // refused before any handler reads them
+    val tooBig = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .exists(_ > maxBodyBytes)
+    if (tooBig) {
+      respond(ex, 413,
+        s"""{"error":"request body exceeds $maxBodyBytes bytes"}""")
+      return
+    }
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
     val parts = path.split("/").filter(_.nonEmpty)
     (method, parts.toList) match {
+      // machine-readable API doc (the reference serves Swagger at its
+      // root, http_server/mod.rs:77-106): a minimal OpenAPI 3 skeleton
+      // enumerating every route, enough for client generation/discovery
+      case ("GET", List()) | ("GET", List("openapi.json")) =>
+        respond(ex, 200, openApiDoc)
+
       case ("GET", List("collections")) =>
         val names = spark.catalog.listTables().collect().map(_.name)
         respond(ex, 200,
@@ -1002,6 +1092,102 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 respond(ex, 200, s"""{"results":$items}""")
               }
           }
+        }
+
+      // ---- materialized-rollup (summary) lifecycle ----------------
+      // The rollup is an operable artifact like /index: register it,
+      // watch its chunk debt, compact it, drop it — no Scala needed.
+      //   POST   .../summary          {"dims":[...],"measures":[...],
+      //                               "refresh":true?} → build (or
+      //                               rebuild) + install the rewrite
+      //   GET    .../summary/stats    → chunk debt (the compact
+      //                               trigger), rows, dims/measures
+      //   POST   .../summary/compact  → fold delta chunks rollup-
+      //                               locally (never rescans the base)
+      //   DELETE .../summary          → uninstall the rewrite
+      case ("POST", List("collections", name, "summary")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val dims = jsonStringArray(body, "dims").getOrElse(Nil)
+          val measures = jsonStringArray(body, "measures").getOrElse(Nil)
+          val refresh = jsonField(body, "refresh").contains("true")
+          val cols = df.columns.toSet
+          val paths = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources
+                .LogicalRelation =>
+              l.relation match {
+                case fs: org.apache.spark.sql.execution.datasources
+                    .HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Nil
+              }
+          }.flatten
+          if (dims.isEmpty || measures.isEmpty)
+            respond(ex, 400,
+              """{"error":"dims and measures arrays are required"}""")
+          else if (!(dims ++ measures).forall(c => validIdent(c) &&
+              cols.contains(c)))
+            respond(ex, 400,
+              s"""{"error":"dims/measures must be columns of $name"}""")
+          else if (paths.size != 1)
+            respond(ex, 400,
+              """{"error":"summary needs a collection backed by one """ +
+                """parquet table"}""")
+          else {
+            val sumDir = s"${System.getProperty("java.io.tmpdir")}/" +
+              s"graft_http_summary_${java.lang.ProcessHandle.current().pid()}_$name"
+            graft.plans.SummaryRewrite.register(spark, paths.head,
+              sumDir, dims, measures, refresh = refresh)
+            summaries.put(name, SummaryReg(paths.head, sumDir, dims,
+              measures))
+            val chunks = spark.read.parquet(sumDir)
+              .select(col("chunk")).distinct().count()
+            respond(ex, 200,
+              s"""{"summary":"$name","dims":${dims.size},""" +
+                s""""measures":${measures.size},"chunks":$chunks}""")
+          }
+        }
+
+      case ("GET", List("collections", name, "summary", "stats")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val byChunk = spark.read.parquet(reg.summaryDir)
+              .groupBy(col("chunk")).agg(count(lit(1)).as("rows"))
+              .orderBy(col("chunk")).collect()
+            val items = byChunk.map(r =>
+              s"""{"chunk":${r.get(0)},"rows":${r.getLong(1)}}""")
+              .mkString("[", ",", "]")
+            respond(ex, 200,
+              s"""{"summary":"$name","n_chunks":${byChunk.length},""" +
+                s""""dims":[${reg.dims.map("\"" + _ + "\"").mkString(",")}],""" +
+                s""""measures":[${reg.measures.map("\"" + _ + "\"").mkString(",")}],""" +
+                s""""chunks":$items}""")
+        }
+
+      case ("POST", List("collections", name, "summary", "compact")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val before = spark.read.parquet(reg.summaryDir)
+              .select(col("chunk")).distinct().count()
+            graft.streaming.SummaryStream.compact(spark, reg.summaryDir,
+              reg.dims)
+            respond(ex, 200,
+              s"""{"compacted":"$name","chunks_before":$before,""" +
+                """"chunks_after":1}""")
+        }
+
+      case ("DELETE", List("collections", name, "summary")) =>
+        Option(summaries.remove(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            graft.plans.SummaryRewrite.unregister(spark, reg.dataPath)
+            respond(ex, 200, s"""{"dropped_summary":"$name"}""")
         }
 
       case _ => respond(ex, 404, """{"error":"not found"}""")

@@ -656,6 +656,105 @@ class HttpApiSpec extends SparkSuite {
       .statusCode() === 400)
   }
 
+  test("summary lifecycle over REST: register -> rewrite serves -> " +
+      "stats shows chunk debt -> compact folds it -> delete uninstalls") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("li_mv_api")
+    // bad requests first: missing arrays, non-column dims
+    assert(post("/collections/li_mv_api/summary", "{}").statusCode()
+      === 400)
+    assert(post("/collections/li_mv_api/summary",
+      """{"dims":["nope"],"measures":["l_quantity"]}""").statusCode()
+      === 400)
+    val reg = post("/collections/li_mv_api/summary",
+      """{"dims":["l_returnflag","l_shipdate"],"measures":["l_quantity"]}""")
+    assert(reg.statusCode() === 200, reg.body())
+    assert(reg.body().contains("\"chunks\":1"))
+    // the installed rewrite serves base queries from the rollup
+    val q = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("graft_http_summary")),
+      s"rewrite not installed, scanned $scans")
+    // plant chunk debt the way the maintenance stream does, at the
+    // same dir the endpoint derived (a non-empty delta batch)
+    val sumDir = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_http_summary_${java.lang.ProcessHandle.current().pid()}_li_mv_api"
+    graft.streaming.SummaryStream.processBatch(
+      spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .where(col("l_linenumber") === 1).limit(5), 7L,
+      sumDir, Seq("l_returnflag", "l_shipdate"), Seq("l_quantity"))
+    // rollup-served answer with the delta chunk in place — the fold
+    // must preserve it bit for bit
+    val served = q.orderBy(col("l_returnflag")).collect().map(_.toSeq)
+    val stats = get("/collections/li_mv_api/summary/stats")
+    assert(stats.statusCode() === 200)
+    assert(stats.body().contains("\"n_chunks\":2"), stats.body())
+    assert(stats.body().contains("\"dims\":[\"l_returnflag\"," +
+      "\"l_shipdate\"]"))
+    val comp = post("/collections/li_mv_api/summary/compact", "{}")
+    assert(comp.statusCode() === 200, comp.body())
+    assert(comp.body().contains("\"chunks_before\":2"))
+    val statsAfter = get("/collections/li_mv_api/summary/stats")
+    assert(statsAfter.body().contains("\"n_chunks\":1"), statsAfter.body())
+    // identical answers after the fold
+    val after = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")).collect().map(_.toSeq)
+    assert(after.toSeq === served.toSeq)
+    // delete uninstalls the rewrite
+    assert(delete("/collections/li_mv_api/summary").statusCode() === 200)
+    assert(get("/collections/li_mv_api/summary/stats").statusCode()
+      === 404)
+    val bare = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val bareScans = bare.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(bareScans.exists(_.contains("lineitem")),
+      s"rewrite survived delete: $bareScans")
+  }
+
+  test("OpenAPI doc at / and /openapi.json enumerates every route; " +
+      "oversized request bodies get 413 before any handler runs") {
+    val doc = get("/openapi.json")
+    assert(doc.statusCode() === 200)
+    assert(doc.body().contains("\"openapi\":\"3.0.3\""))
+    for (p <- Seq("/collections", "/collections/{name}/search",
+        "/collections/{name}/summary", "/collections/{name}/index",
+        "/lsh_tune"))
+      assert(doc.body().contains("\"" + p + "\""), s"missing $p")
+    assert(get("/").body() === doc.body())
+    // request-size limit (reference http_server/mod.rs:153-157)
+    val tiny = new HttpApi(spark, maxBodyBytes = 64).start()
+    try {
+      val tbase = s"http://localhost:${tiny.boundPort}"
+      val big = "{\"vector\":[" + Seq.fill(200)("0.125").mkString(",") +
+        "]}"
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(
+            tbase + "/collections/embeddings/search"))
+          .POST(HttpRequest.BodyPublishers.ofString(big)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 413, r.body())
+      val small = client.send(
+        HttpRequest.newBuilder(URI.create(tbase + "/collections"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(small.statusCode() === 200)
+    } finally tiny.stop()
+  }
+
   test("basic auth: wrong or missing credentials get 401 + challenge, " +
       "correct ones pass (reference http_server/mod.rs:62-75)") {
     val secured = new HttpApi(spark, auth = Some(("alice", "s3cret")))

@@ -127,7 +127,7 @@ class AutotuneSpec extends SparkSuite {
       "timedSearch materializes the search INSIDE the timed window, so " +
       "the recall read that follows reuses the cache and recomputes " +
       "nothing") {
-    import org.apache.spark.sql.functions.udf
+    import org.apache.spark.sql.functions.{col, udf}
     val acc = spark.sparkContext.longAccumulator("search_evals")
     val counted = udf((i: Long) => { acc.add(1); i })
     val search = spark.range(100).select(counted(col("id")).as("x"))

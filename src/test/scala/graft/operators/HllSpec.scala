@@ -92,4 +92,73 @@ class HllSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("precision"))
   }
+
+  test("string keys are hashed, not null-cast away: the estimate " +
+      "tracks the true distinct count and differs per value") {
+    graft.functions.VectorFunctions.register(spark)
+    val n = 5000
+    val df = (1 to n).map(i => s"user-$i").toDF("name")
+    val est = df.selectExpr("hll_estimate(hll_sketch(name, 10)) AS e")
+      .as[Long].head()
+    assert(math.abs(est.toDouble / n - 1.0) < 0.10,
+      s"string-key estimate $est vs true $n (r9 returned ~0)")
+    // int and string forms hash differently but both count correctly
+    val estDup = (1 to n).flatMap(i => Seq(s"u$i", s"u$i")).toDF("name")
+      .selectExpr("hll_estimate(hll_sketch(name, 10))").as[Long].head()
+    assert(math.abs(estDup.toDouble / n - 1.0) < 0.10)
+    // non-hashable key types are rejected at analysis, not silently cast
+    val e = intercept[Exception] {
+      spark.sql("SELECT hll_sketch(x, 8) FROM VALUES (array(1.0)) t(x)")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+  }
+
+  test("small register counts use the paper's alpha constants: p=4..6 " +
+      "raw estimates stay within the advertised error band") {
+    // at p=5 (m=32) the asymptotic alpha overestimates by ~4-5%; the
+    // 0.697 constant must bring mid-range cardinalities back inside
+    // ~2 sigma (1.04/sqrt(32) ≈ 18%) — and typically well inside
+    for (p <- 4 to 6) {
+      val m = 1 << p
+      // cardinality safely above the linear-counting range (2.5 m)
+      val n = 40 * m
+      val est = Hll.estimate(regsOf((1L to n.toLong).toSeq, p))
+      val err = math.abs(est.toDouble / n - 1.0)
+      assert(err < 2.1 * 1.04 / math.sqrt(m.toDouble),
+        s"p=$p est $est vs true $n (err $err)")
+    }
+    // the estimator remains integer-deterministic: same keys, same value
+    val a = Hll.estimate(regsOf((1L to 640L).toSeq, 4))
+    val b = Hll.estimate(regsOf((1L to 640L).toSeq, 4))
+    assert(a == b)
+  }
+
+  test("hll_merge aggregate: merges register rows by elementwise max, " +
+      "skips nulls, rejects mixed widths") {
+    graft.functions.VectorFunctions.register(spark)
+    val a = (1L to 3000L).toSeq
+    val b = (2000L to 7000L).toSeq
+    val parts = Seq(regsOf(a, 8).toSeq, regsOf(b, 8).toSeq)
+      .toDF("r")
+    val merged = parts.selectExpr("hll_merge(r) AS m")
+      .as[Seq[Int]].head()
+    assert(merged == regsOf(a ++ b, 8).toSeq)
+    // null rows are skipped
+    val withNull = (Seq(regsOf(a, 8).toSeq).map(Option(_)) :+
+      Option.empty[Seq[Int]]).toDF("r")
+    assert(withNull.selectExpr("hll_merge(r)").as[Seq[Int]].head()
+      == regsOf(a, 8).toSeq)
+    // an all-null group yields null (no register width to invent)
+    val allNull = Seq(Option.empty[Seq[Int]]).toDF("r")
+    assert(allNull.selectExpr("hll_merge(r)").head().isNullAt(0))
+    // widths from different precisions refuse to merge
+    val mixed = Seq(regsOf(a, 8).toSeq, regsOf(a, 10).toSeq).toDF("r")
+    val e = intercept[Exception] {
+      mixed.selectExpr("hll_merge(r)").collect()
+    }
+    assert(e.getMessage.contains("width") ||
+      Option(e.getCause).exists(_.getMessage.contains("width")))
+  }
 }
