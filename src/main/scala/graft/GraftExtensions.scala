@@ -20,14 +20,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * installation paths can never drift.
   *
   * Scope: every expression-backed function (distances, BQ, hashes,
-  * sketch aggregates) plus [[graft.plans.IndexedKnnRule]]. The
-  * model-registry-backed UDFs (`text_embedding`, `clip_text`) stay on
-  * `GraftSession.register` — they close over runtime state that a
-  * config-line install has no way to construct.
+  * sketch aggregates) plus [[graft.plans.IndexedKnnRule]] and
+  * [[graft.plans.SummaryRewriteRule]] (both rules are no-ops until a
+  * table is registered, so injecting them unconditionally costs
+  * nothing). The model-registry-backed UDFs (`text_embedding`,
+  * `clip_text`) stay on `GraftSession.register` — they close over
+  * runtime state that a config-line install has no way to construct.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.IndexedKnnRule)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
     (graft.functions.VectorFunctions.builders ++
         graft.functions.TextFunctions.builders).foreach {
       case (name, builder) =>

@@ -46,20 +46,24 @@ object SparseIndex {
     if (hit != null && hit._1.sameResult(plan) &&
         (hit._2.postings.sparkSession eq spark))
       return hit._2
+    // one postings computation feeds the bucketed write AND both
+    // sidecars — no artifact re-read (the r9 build re-scanned what it
+    // had just written for df/n_docs)
     val post = SparseSearch.postings(docs, idCol, textCol, vocab)
+      .cache()
     post.withColumn("bucket", pmod(col("idx"), lit(nBuckets)))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(indexDir)
-    val written = spark.read.option("basePath", indexDir)
-      .parquet(s"$indexDir/bucket=*")
     // df per term id — bounded by vocab, the sidecar that makes
     // idf scoring artifact-local
-    val stats = written.groupBy(col("idx"))
-      .agg(count(lit(1)).as("df"))
-    stats.coalesce(1).write.mode("overwrite")
+    post.groupBy(col("idx")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/_stats")
-    val nDocs = written.select(col("id")).distinct().count()
+    val nDocs = post.select(col("id")).distinct().count()
+    post.unpersist()
+    val written = spark.read.option("basePath", indexDir)
+      .parquet(s"$indexDir/bucket=*")
     locally {
       import spark.implicits._
       Seq((nDocs, vocab, nBuckets)).toDF("n_docs", "vocab", "n_buckets")

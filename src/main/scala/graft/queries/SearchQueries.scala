@@ -76,8 +76,12 @@ object SearchQueries {
       val sdocs = docs(s, dir).where(col("doc_id") < 300)
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft_sparse_append").toString + "/idx"
+      // 16 buckets for the 300-doc slice: bucket count sizes file
+      // fan-out to the corpus (the full-corpus default is 64); the
+      // scoring is bucket-count-invariant, so the oracle is unchanged
       val base = graft.operators.SparseIndex.build(
-        sdocs.where(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+        sdocs.where(col("doc_id") % 2 === 0), "doc_id", "text", idxDir,
+        nBuckets = 16)
       val m = graft.operators.SparseIndex.append(base,
         sdocs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
       graft.operators.SparseIndex.search(m, QueryWords, 20)

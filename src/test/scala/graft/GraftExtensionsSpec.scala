@@ -18,9 +18,11 @@ class GraftExtensionsSpec extends SparkSuite {
     ext
   }
 
-  test("injects the planner-transparent ANN rule") {
+  test("injects the planner-transparent ANN rule and the rollup " +
+      "rewrite rule") {
     val rules = GraftShims.extensionOptimizerRules(applied(), spark)
     assert(rules.contains(graft.plans.IndexedKnnRule))
+    assert(rules.contains(graft.plans.SummaryRewriteRule))
   }
 
   test("injects every expression-backed SQL function, and only those") {
