@@ -503,7 +503,20 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       val newConds = conds.map(_.transformDown {
         case ar: AttributeReference => sOut(ar.name)
       })
-      val filtered = newConds.foldLeft(scan)((p, c) => Filter(c, p))
+      // explicit column pruning: this rule runs in extraOptimizations,
+      // AFTER the optimizer's ColumnPruning batch — without a Project
+      // the physical scan reads EVERY rollup column (all measures'
+      // five partials plus any 2^p-int HLL register arrays) for a
+      // query that needs one of them. The Project collapses into the
+      // parquet ReadSchema at physical planning (spec-pinned).
+      val refIds = (newAggExprs ++ newGroups ++ newConds)
+        .foldLeft(org.apache.spark.sql.catalyst.expressions
+          .AttributeSet.empty)(_ ++ _.references)
+      val needed = scan.output.filter(refIds.contains)
+      val pruned =
+        if (needed.size == scan.output.size) scan
+        else Project(needed, scan)
+      val filtered = newConds.foldLeft(pruned)((p, c) => Filter(c, p))
       fireCount.incrementAndGet()
       Some(Aggregate(newGroups, newAggExprs, filtered))
     }

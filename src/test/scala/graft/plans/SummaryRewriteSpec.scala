@@ -229,6 +229,21 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("the rewritten scan prunes to the referenced rollup columns " +
+      "(the rule runs after ColumnPruning, so it must project itself)") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val q = base.groupBy($"flag").agg(sum($"qty").as("s"))
+    assert(scanPaths(q).exists(_.contains("rollup")))
+    val phys = q.queryExecution.executedPlan.toString
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(phys).getOrElse("")
+    // needs flag + the double measure's native partial only
+    assert(schema.contains("sd_qty"), s"missing sd_qty in $schema")
+    for (absent <- Seq("price", "tiny", "sparse", "mn_qty", "mx_qty",
+        "c_qty", "cnt"))
+      assert(!schema.contains(absent),
+        s"unpruned rollup column $absent in $schema")
+  }
+
   test("refresh after base append picks up new rows") {
     val extra = Seq(("A",
       java.sql.Date.valueOf("2024-01-02"), 999L, 100.0, 1.0, 0.5,
