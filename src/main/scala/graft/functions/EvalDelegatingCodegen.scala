@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  IntegerType, LongType}
 
 /** Codegen that delegates to the expression's own eval through an
   * object reference instead of falling back to the interpreter.
@@ -27,6 +28,17 @@ trait EvalDelegatingCodegen { self: UnaryExpression =>
       dataType match {
         case LongType =>
           s"${ev.value} = ((java.lang.Long) $ref.compute($c)).longValue();"
+        case IntegerType =>
+          s"${ev.value} = ((java.lang.Integer) $ref.compute($c))" +
+            ".intValue();"
+        case DoubleType =>
+          // nullable double results (hist_quantile of an empty sketch)
+          // surface null through isNull, not a sentinel
+          val r = ctx.freshName("graftRes")
+          s"""Object $r = $ref.compute($c);
+             |if ($r == null) { ${ev.isNull} = true; }
+             |else { ${ev.value} = ((java.lang.Double) $r)
+             |  .doubleValue(); }""".stripMargin
         case _: ArrayType =>
           s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
             s"$ref.compute($c);"

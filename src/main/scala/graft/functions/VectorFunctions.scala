@@ -74,6 +74,20 @@ object VectorFunctions {
       case other => throw new IllegalArgumentException(
         s"$what must be an INT literal, got: ${other.sql}")
     }
+    // numeric literal as double (histogram range bounds / quantile q)
+    def dlit(e: Expression, what: String): Double = e match {
+      case Literal(v, _) if v != null && e.foldable =>
+        e.dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            org.apache.spark.sql.catalyst.expressions.Cast(e,
+              org.apache.spark.sql.types.DoubleType)
+              .eval(null).asInstanceOf[Double]
+          case other => throw new IllegalArgumentException(
+            s"$what must be a numeric literal, got: ${e.sql}")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got: ${other.sql}")
+    }
     Seq(
       "l2sq_dist" -> ((e: Seq[Expression]) =>
         L2SqDistance(cf(e(0)), cf(e(1)))),
@@ -122,6 +136,21 @@ object VectorFunctions {
         graft.operators.HllEstimate(e.head)),
       "hll_merge" -> ((e: Seq[Expression]) =>
         graft.operators.HllMerge(e.head)),
+      // Fixed-bin histogram sketch family — the mergeable shape for
+      // approximate quantiles over a declared [lo, hi) range:
+      // hist_sketch(x, lo, hi, nbins) -> ARRAY<BIGINT> counts,
+      // hist_merge(counts) folds persisted arrays (elementwise sum),
+      // hist_quantile(counts, q, lo, hi) reads the interpolated
+      // quantile. Compose: hist_quantile(hist_sketch(x, 0, 100, 64),
+      // 0.5, 0, 100).
+      "hist_sketch" -> ((e: Seq[Expression]) =>
+        graft.operators.HistSketch(e(0), dlit(e(1), "lo"),
+          dlit(e(2), "hi"), lit(e(3), "nbins"))),
+      "hist_merge" -> ((e: Seq[Expression]) =>
+        graft.operators.HistMerge(e.head)),
+      "hist_quantile" -> ((e: Seq[Expression]) =>
+        graft.operators.HistQuantile(e(0), dlit(e(1), "q"),
+          dlit(e(2), "lo"), dlit(e(3), "hi"))),
       // bounded top-k-by-score aggregate on the SQL surface: per group,
       // the k (id, score) pairs with the smallest scores, map-side
       // bounded — the SQL spelling of the kNN result aggregation,

@@ -83,10 +83,21 @@ object SummaryRewrite {
     */
   case class SketchSpec(key: String, p: Int = 8)
 
+  /** A quantile sketch carried by the rollup: fixed-bin histogram
+    * counts of `col` over the declared [lo, hi) range, stored per dim
+    * group as column `hist_<col>`. Counts fold by elementwise sum —
+    * the same associative-combiner contract as every rollup column —
+    * so percentiles are servable at the rollup grain via
+    * [[approxQuantile]].
+    */
+  case class HistSpec(col: String, lo: Double, hi: Double,
+      nbins: Int = 64)
+
   case class Entry(summaryDir: String, dims: Seq[String],
       measures: Seq[String],
       declaredScale: Map[String, Int] = Map.empty,
-      sketches: Seq[SketchSpec] = Nil)
+      sketches: Seq[SketchSpec] = Nil,
+      histograms: Seq[HistSpec] = Nil)
 
   private val registry = TrieMap[String, Entry]()
 
@@ -108,7 +119,9 @@ object SummaryRewrite {
     */
   def partialRollup(base: DataFrame, dims: Seq[String],
       measures: Seq[String],
-      sketches: Seq[SketchSpec] = Nil): DataFrame = {
+      sketches: Seq[SketchSpec] = Nil,
+      histograms: Seq[HistSpec] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
     val aggs = (count(lit(1)).as("cnt") +:
       (measures.flatMap(m => Seq(
         sum(col(m).cast("decimal(38,6)")).as(s"s_$m"),
@@ -116,11 +129,14 @@ object SummaryRewrite {
         count(col(m)).as(s"c_$m"),
         min(col(m)).as(s"mn_$m"),
         max(col(m)).as(s"mx_$m"))) ++
-       sketches.map(sk => org.apache.spark.sql.graftshim.GraftShims
+       sketches.map(sk => GraftShims
          .column(graft.operators.HllSketch(
-           org.apache.spark.sql.graftshim.GraftShims
-             .expression(col(sk.key)), sk.p)
-           .toAggregateExpression()).as(s"hll_${sk.key}"))))
+           GraftShims.expression(col(sk.key)), sk.p)
+           .toAggregateExpression()).as(s"hll_${sk.key}")) ++
+       histograms.map(h => GraftShims
+         .column(graft.operators.HistSketch(
+           GraftShims.expression(col(h.col)), h.lo, h.hi, h.nbins)
+           .toAggregateExpression()).as(s"hist_${h.col}"))))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -132,8 +148,10 @@ object SummaryRewrite {
     */
   def buildSummary(spark: SparkSession, basePath: String,
       summaryDir: String, dims: Seq[String],
-      measures: Seq[String], sketches: Seq[SketchSpec] = Nil): Unit = {
-    partialRollup(spark.read.parquet(basePath), dims, measures, sketches)
+      measures: Seq[String], sketches: Seq[SketchSpec] = Nil,
+      histograms: Seq[HistSpec] = Nil): Unit = {
+    partialRollup(spark.read.parquet(basePath), dims, measures, sketches,
+        histograms)
       .withColumn("chunk", lit(-1L))
       .coalesce(8)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
@@ -156,12 +174,29 @@ object SummaryRewrite {
       dims: Seq[String], measures: Seq[String],
       refresh: Boolean = false,
       declaredScale: Map[String, Int] = Map.empty,
-      sketches: Seq[SketchSpec] = Nil): Unit = {
+      sketches: Seq[SketchSpec] = Nil,
+      histograms: Seq[HistSpec] = Nil): Unit = {
     declaredScale.foreach { case (m, d) =>
       require(measures.contains(m), s"declaredScale for non-measure $m")
       require(d >= 0 && d <= 6,
         s"declaredScale must be in [0, 6] (the rollup's sum scale), " +
           s"got $m -> $d")
+    }
+    // the rollup's column names are derived by prefix: a dim or
+    // measure that collides with a derived name (or the cnt/chunk
+    // reserved names) would corrupt both the serve translation and
+    // the compact fold's prefix dispatch
+    val derived = Seq("cnt", "chunk") ++
+      measures.flatMap(m => Seq(s"s_$m", s"sd_$m", s"c_$m", s"mn_$m",
+        s"mx_$m")) ++
+      sketches.map(sk => s"hll_${sk.key}") ++
+      histograms.map(h => s"hist_${h.col}")
+    val all = dims ++ measures
+    require(all.distinct.size == all.size,
+      s"dims/measures must be distinct, got $all")
+    all.foreach { c =>
+      require(!derived.contains(c),
+        s"column name '$c' collides with a derived rollup column")
     }
     val marker = new org.apache.hadoop.fs.Path(summaryDir, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
@@ -175,11 +210,12 @@ object SummaryRewrite {
       // shared FileStatusCache would list the pre-append files.
       registry.remove(key)
       spark.catalog.refreshByPath(dataPath)
-      buildSummary(spark, dataPath, summaryDir, dims, measures, sketches)
+      buildSummary(spark, dataPath, summaryDir, dims, measures, sketches,
+        histograms)
       spark.catalog.refreshByPath(summaryDir)
     }
     registry.put(key, Entry(summaryDir, dims, measures, declaredScale,
-      sketches))
+      sketches, histograms))
     ensureRule(spark)
   }
 
@@ -214,6 +250,30 @@ object SummaryRewrite {
     val rollup = spark.read.parquet(summaryDir)
     if (groupDims.isEmpty) rollup.agg(est)
     else rollup.groupBy(groupDims.map(col): _*).agg(est)
+  }
+
+  /** Serve approximate quantiles of histogram column `col` from the
+    * rollup at `summaryDir`, grouped by `groupDims` (empty = global):
+    * per-chunk count arrays fold by elementwise sum, then the
+    * interpolated quantile is read per requested q. The [lo, hi,
+    * nbins] must match the registered [[HistSpec]] (they parameterize
+    * the bins the counts were taken over).
+    */
+  def approxQuantile(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], histCol: String, qs: Seq[Double],
+      lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    require(qs.nonEmpty, "need at least one quantile")
+    val merged = graft.operators.HistMerge(
+      GraftShims.expression(col(s"hist_$histCol")))
+      .toAggregateExpression()
+    val outs = qs.map(q => GraftShims.column(
+      graft.operators.HistQuantile(merged, q, lo, hi))
+      .as(s"p${math.round(q * 100)}"))
+    val rollup = spark.read.parquet(summaryDir)
+    if (groupDims.isEmpty) rollup.agg(outs.head, outs.tail: _*)
+    else rollup.groupBy(groupDims.map(col): _*)
+      .agg(outs.head, outs.tail: _*)
   }
 
   def ensureRule(spark: SparkSession): Unit = synchronized {

@@ -296,6 +296,35 @@ object RelationalQueries {
           countDistinct($"l_orderkey").as("exact_distinct"))
         .orderBy($"l_returnflag")),
 
+    // Fixed-bin histogram quantiles — the mergeable approximate-
+    // percentile sketch (the quantile sibling of the HLL story): bin
+    // counts ship instead of value streams, fold by elementwise sum.
+    // Bin index and interpolation are deterministic double arithmetic
+    // restated token-for-token by the DuckDB oracle — the
+    // approximation itself is hash-checked, not just sanity-checked.
+    "q_hist_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("hist_quantile(hist_sketch(l_quantity, 1, 51, 50), " +
+            "0.5, 1, 51)").as("p50"),
+          expr("hist_quantile(hist_sketch(l_quantity, 1, 51, 50), " +
+            "0.9, 1, 51)").as("p90"))
+        .orderBy($"l_returnflag")),
+
+    // The same quantiles served from the ROLLUP's persisted per-group
+    // count arrays (hist_ measures fold across chunks by elementwise
+    // sum — exactly the serve-side combiner contract), proving
+    // percentiles are answerable at the rollup grain without touching
+    // the fact table. Shares q_hist_quantiles' raw-table oracle: the
+    // fold must reproduce the direct sketch bit for bit.
+    "q_mv_hist" -> ((s, dir) => {
+      registerMv(s, dir)
+      graft.plans.SummaryRewrite.approxQuantile(s, mvSummaryDir(dir),
+          Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.9), 1.0, 51.0)
+        .orderBy($"l_returnflag")
+    }),
+
     // X4-analog: deterministic sampling via key modulo (portable vs RANDOM()).
     "q_sample_mod" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -372,7 +401,10 @@ object RelationalQueries {
       Seq("l_quantity", "l_extendedprice"),
       declaredScale = Map("l_extendedprice" -> 2),
       sketches = Seq(
-        graft.plans.SummaryRewrite.SketchSpec("l_orderkey", 8)))
+        graft.plans.SummaryRewrite.SketchSpec("l_orderkey", 8)),
+      histograms = Seq(
+        graft.plans.SummaryRewrite.HistSpec("l_quantity", 1.0, 51.0,
+          50)))
 
   /** DuckDB restatement of Hll.hash64/bucket/rho (HllAggregate.scala)
     * at p=8, carried out entirely in the non-negative u64 slice of
@@ -454,7 +486,43 @@ object RelationalQueries {
        |  $hllEstimateExpr AS est_distinct
        |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** DuckDB restatement of Hist.bin + Hist.quantile
+    * (HistAggregate.scala) at lo=1, hi=51, nbins=50 over l_quantity,
+    * per returnflag: the bin index `floor(((x - lo) * nbins) /
+    * (hi - lo))` clamped, the rank walk `first bin with cum + c >=
+    * q * total`, and the interpolation `lo + ((bin + frac) *
+    * (hi - lo)) / nbins` — every double op in the same order as the
+    * Scala, so the values match bit for bit. Shared by
+    * q_hist_quantiles (direct sketch) and q_mv_hist (rollup-served
+    * fold): the chunk fold must reproduce the direct counts exactly.
+    */
+  private val histQuantilesOracle: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(LEAST(GREATEST(floor(((l_quantity - 1.0) * 50) / 50.0),
+      |      0.0), 49.0) AS INT) AS bin,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT g, sum(c) AS total FROM b GROUP BY g),
+      |cum AS (SELECT b.g, bin, c, t.total,
+      |    coalesce(sum(c) OVER (PARTITION BY b.g ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM b JOIN t ON t.g = b.g),
+      |p50 AS (SELECT g,
+      |    1.0 + ((bin + (0.5 * total - cumb) / c) * 50.0) / 50 AS v
+      |  FROM cum WHERE cumb + c >= 0.5 * total
+      |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY bin) = 1),
+      |p90 AS (SELECT g,
+      |    1.0 + ((bin + (0.9 * total - cumb) / c) * 50.0) / 50 AS v
+      |  FROM cum WHERE cumb + c >= 0.9 * total
+      |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY bin) = 1)
+      |SELECT p50.g AS l_returnflag, p50.v AS p50, p90.v AS p90
+      |FROM p50 JOIN p90 ON p90.g = p50.g
+      |ORDER BY l_returnflag""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_hist_quantiles" -> histQuantilesOracle,
+    "q_mv_hist" -> histQuantilesOracle,
     // the PLAIN join: salting must be invisible in the result
     "q_salted_join" ->
       """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,

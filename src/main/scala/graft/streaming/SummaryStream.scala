@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.plans.SummaryRewrite
-import graft.plans.SummaryRewrite.SketchSpec
+import graft.plans.SummaryRewrite.{HistSpec, SketchSpec}
 import graft.util.DirSwap
 
 /** Incrementally maintained materialized rollup — the streaming face
@@ -60,15 +60,18 @@ object SummaryStream {
   def registerStreaming(spark: SparkSession, basePath: String,
       summaryDir: String, dims: Seq[String], measures: Seq[String],
       declaredScale: Map[String, Int] = Map.empty,
-      sketches: Seq[SketchSpec] = Nil): Unit = {
+      sketches: Seq[SketchSpec] = Nil,
+      histograms: Seq[HistSpec] = Nil): Unit = {
     SummaryRewrite.partialRollup(
-        spark.read.parquet(basePath).limit(0), dims, measures, sketches)
+        spark.read.parquet(basePath).limit(0), dims, measures, sketches,
+        histograms)
       .withColumn("chunk", lit(-1L))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
     spark.catalog.refreshByPath(summaryDir)
     SummaryRewrite.register(spark, basePath, summaryDir, dims, measures,
-      declaredScale = declaredScale, sketches = sketches)
+      declaredScale = declaredScale, sketches = sketches,
+      histograms = histograms)
   }
 
   /** Start maintaining `summaryDir` from base files appearing under
@@ -80,7 +83,8 @@ object SummaryStream {
   def start(spark: SparkSession, basePath: String, summaryDir: String,
       dims: Seq[String], measures: Seq[String], checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
-      sketches: Seq[SketchSpec] = Nil): StreamingQuery = {
+      sketches: Seq[SketchSpec] = Nil,
+      histograms: Seq[HistSpec] = Nil): StreamingQuery = {
     val schema = spark.read.parquet(basePath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -88,7 +92,8 @@ object SummaryStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, summaryDir, dims, measures, sketches)
+        processBatch(batch, batchId, summaryDir, dims, measures, sketches,
+          histograms)
         ()
       }
       .start()
@@ -101,9 +106,11 @@ object SummaryStream {
     */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       summaryDir: String, dims: Seq[String], measures: Seq[String],
-      sketches: Seq[SketchSpec] = Nil): Unit = {
+      sketches: Seq[SketchSpec] = Nil,
+      histograms: Seq[HistSpec] = Nil): Unit = {
     val spark = batch.sparkSession
-    SummaryRewrite.partialRollup(batch, dims, measures, sketches)
+    SummaryRewrite.partialRollup(batch, dims, measures, sketches,
+        histograms)
       .withColumn("chunk", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite")
@@ -132,7 +139,13 @@ object SummaryStream {
     val schema = roll.schema
     def typed(name: String, c: Column): Column =
       c.cast(schema(name).dataType).as(name)
-    val aggs: Seq[Column] = schema.fieldNames.toSeq.collect {
+    // dims (the group keys) and the chunk partition column must never
+    // fall into the prefix dispatch — a dim NAMED like a derived
+    // column (register refuses new ones, but an old artifact might
+    // carry one) would otherwise be aggregated AND grouped
+    val dimSet = dims.toSet + "chunk"
+    val aggs: Seq[Column] = schema.fieldNames.toSeq
+      .filterNot(dimSet.contains).collect {
       case "cnt" => typed("cnt", sum(col("cnt")))
       case n if n.startsWith("s_") || n.startsWith("sd_") ||
           n.startsWith("c_") => typed(n, sum(col(n)))
@@ -140,6 +153,9 @@ object SummaryStream {
       case n if n.startsWith("mx_") => typed(n, max(col(n)))
       case n if n.startsWith("hll_") =>
         GraftShims.column(graft.operators.HllMerge(
+          GraftShims.expression(col(n))).toAggregateExpression()).as(n)
+      case n if n.startsWith("hist_") =>
+        GraftShims.column(graft.operators.HistMerge(
           GraftShims.expression(col(n))).toAggregateExpression()).as(n)
     }
     require(aggs.nonEmpty, s"$summaryDir does not look like a rollup")
