@@ -474,22 +474,9 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
             // cast provably preserves the value AND the rollup's
             // scale-6 sum dominates it (see object scaladoc)
             case Cast(ar: AttributeReference, d: DecimalType, _, _)
-                if e.measures.contains(ar.name) =>
-              val ok = ar.dataType match {
-                case it if digits10(it).isDefined =>
-                  digits10(it).get <= d.precision - d.scale
-                case dt: DecimalType =>
-                  dt.scale <= math.min(d.scale, 6) &&
-                    d.precision - d.scale >= dt.precision - dt.scale &&
-                    dt.precision - dt.scale <= 32
-                case ft if isFloating(ft) =>
-                  e.declaredScale.get(ar.name).exists(ds =>
-                    ds <= math.min(d.scale, 6) &&
-                      d.precision - d.scale >= 16)
-                case _ => false
-              }
-              if (ok) Some(Cast(sum2(sOut(s"s_${ar.name}")), ae.dataType))
-              else None
+                if e.measures.contains(ar.name) &&
+                  castPreserving(ar.name, ar.dataType, d, e) =>
+              Some(Cast(sum2(sOut(s"s_${ar.name}")), ae.dataType))
             case _ => None
           }
           // AVG(m) = SUM(partials)/SUM(c_m) in double — identical to
@@ -507,11 +494,15 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
               }
             case _ => None
           }
-          case mn: Min => measureOf(mn.child, e).map { m =>
+          // MIN/MAX: the bare measure, or a value-preserving decimal
+          // cast of it — decimal rounding is monotone, so
+          // MIN(CAST(m, dec)) == CAST(MIN(m), dec) whenever no per-row
+          // cast can overflow (the same guard as Sum's cast spelling)
+          case mn: Min => minMaxMeasure(mn.child, e).map { m =>
             Cast(new Min(sOut(s"mn_$m")).toAggregateExpression(),
               ae.dataType)
           }
-          case mx: Max => measureOf(mx.child, e).map { m =>
+          case mx: Max => minMaxMeasure(mx.child, e).map { m =>
             Cast(new Max(sOut(s"mx_$m")).toAggregateExpression(),
               ae.dataType)
           }
@@ -582,14 +573,39 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** The measure column a MIN/MAX reads: the bare attribute only
-    * (min/max of a decimal-cast changes per-row rounding and is not
-    * servable from the native mn/mx columns).
+  /** Whether `CAST(m AS d)` provably preserves per-row values in a
+    * form the rollup's scale-6 partial dominates: integral m that
+    * cannot overflow d; decimal m with scale <= min(d.scale, 6)
+    * widening into d; or a float/double m whose registration DECLARED
+    * a scale <= min(d.scale, 6) (with 16 integer digits of headroom —
+    * doubles carrying fractional digits are < 2^53 < 10^16).
     */
-  private def measureOf(child: Expression, e: Entry): Option[String] =
-    child match {
-      case ar: AttributeReference if e.measures.contains(ar.name) =>
-        Some(ar.name)
-      case _ => None
-    }
+  private def castPreserving(m: String, t: DataType, d: DecimalType,
+      e: Entry): Boolean = t match {
+    case it if digits10(it).isDefined =>
+      digits10(it).get <= d.precision - d.scale
+    case dt: DecimalType =>
+      dt.scale <= math.min(d.scale, 6) &&
+        d.precision - d.scale >= dt.precision - dt.scale &&
+        dt.precision - dt.scale <= 32
+    case ft if isFloating(ft) =>
+      e.declaredScale.get(m).exists(ds =>
+        ds <= math.min(d.scale, 6) && d.precision - d.scale >= 16)
+    case _ => false
+  }
+
+  /** The measure column a MIN/MAX reads: the bare attribute, or a
+    * value-preserving decimal cast of it (monotone rounding commutes
+    * with min/max; the serve wraps the cast back via ae.dataType).
+    */
+  private def minMaxMeasure(child: Expression, e: Entry)
+      : Option[String] = child match {
+    case ar: AttributeReference if e.measures.contains(ar.name) =>
+      Some(ar.name)
+    case Cast(ar: AttributeReference, d: DecimalType, _, _)
+        if e.measures.contains(ar.name) &&
+          castPreserving(ar.name, ar.dataType, d, e) =>
+      Some(ar.name)
+    case _ => None
+  }
 }

@@ -507,4 +507,56 @@ class ScaleGrowthSpec extends SparkSuite {
         .findFirstIn(p).isDefined, s"bucket pruning lost at 10x:\n$p")
     } finally { dS.unpersist(); dB.unpersist() }
   }
+
+  test("rollup-served aggregates stay ~constant as the base grows 10x " +
+      "(dim-cardinality-bounded serving, never a fact scan)") {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_grow")
+    def mkBase(n: Long, tag: String): String = {
+      val dir = s"$tmp/fact_$tag.parquet"
+      spark.range(n).select(
+          concat(lit("f"), pmod($"id", lit(4))).as("flag"),
+          expr("date_add(date'2024-01-01', cast(id % 365 as int))")
+            .as("day"),
+          ($"id" % 97).cast("double").as("m"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val dirS = mkBase(50000, "s")
+    val dirB = mkBase(500000, "b")
+    SummaryRewrite.register(spark, dirS, s"$tmp/roll_s",
+      Seq("flag", "day"), Seq("m"))
+    SummaryRewrite.register(spark, dirB, s"$tmp/roll_b",
+      Seq("flag", "day"), Seq("m"))
+    try {
+      def serve(dir: String) = spark.read.parquet(dir)
+        .groupBy($"flag")
+        .agg(count(lit(1)).as("n"), sum($"m").as("s"),
+          max($"m").as("mx"))
+      // warm both (first-touch file listing / codegen)
+      serve(dirS).collect(); serve(dirB).collect()
+      val tS = timedSecs { serve(dirS).collect() }
+      val qB = serve(dirB)
+      val tB = timedSecs { qB.collect() }
+      val r = ratio(tB, tS)
+      info(f"rollup serve 50k-base: $tS%.2f s, 500k-base: $tB%.2f s, " +
+        f"growth $r%.1fx")
+      // both rollups have <= 4*365 rows — serving must not track base
+      // size (a fact-scan plan would be ~10x)
+      assertPerf(r < 3.0, f"10x base grew rollup serving $r%.1fx")
+      // and the big-base plan really reads the rollup, not the fact
+      val scans = qB.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.exists(_.contains("roll_b")), s"scanned $scans")
+      assert(!scans.exists(_.contains("fact_b")), s"scanned $scans")
+    } finally {
+      SummaryRewrite.unregister(spark, dirS)
+      SummaryRewrite.unregister(spark, dirB)
+    }
+  }
 }

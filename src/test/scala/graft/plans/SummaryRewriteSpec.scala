@@ -92,6 +92,22 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("MIN/MAX of a value-preserving decimal cast rewrites (monotone " +
+      "rounding commutes with min/max); undeclared casts do not") {
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(min($"price".cast("decimal(18,1)")).as("mn"),
+          max($"price".cast("decimal(18,2)")).as("mx"))
+        .orderBy($"flag")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
+    // qty has no declared scale: min of its cast must run on the base
+    val q = base.groupBy($"flag")
+      .agg(min($"qty".cast("decimal(18,2)")).as("mn"))
+    assert(scanPaths(q).exists(_.contains("fact.parquet")))
+  }
+
   test("decimal-cast sum of an UNDECLARED double measure does NOT " +
       "rewrite (per-row rounding is unrecoverable)") {
     // qty has no declared scale: the spelling must run on the base
