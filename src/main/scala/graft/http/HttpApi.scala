@@ -121,9 +121,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/topk" -> "frequent items (Misra-Gries + recount)",
       "post /collections/{name}/keywords" -> "per-doc tf-idf keywords",
       "post /lsh_tune" -> "LSH banding tuner",
-      "post /collections/{name}/summary" -> "register materialized rollup",
+      "post /collections/{name}/summary" -> "register materialized rollup (+ hll_keys, histograms)",
       "get /collections/{name}/summary/stats" -> "rollup chunk debt",
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
+      "post /collections/{name}/summary/distinct" -> "HLL distinct estimate from the rollup",
+      "post /collections/{name}/summary/quantile" -> "histogram quantiles from the rollup",
       "delete /collections/{name}/summary" -> "uninstall rollup rewrite")
     val paths = routes.groupBy(_._1.split(" ")(1)).toSeq.sortBy(_._1)
       .map { case (p, ms) =>
@@ -146,9 +148,32 @@ class HttpApi(spark: SparkSession, port: Int = 0,
   // materialized rollups registered by /summary: the MV is an index
   // artifact like any other and gets the same CRUD lifecycle
   private case class SummaryReg(dataPath: String, summaryDir: String,
-      dims: Seq[String], measures: Seq[String])
+      dims: Seq[String], measures: Seq[String],
+      sketches: Seq[graft.plans.SummaryRewrite.SketchSpec] = Nil,
+      histograms: Seq[graft.plans.SummaryRewrite.HistSpec] = Nil)
   private val summaries = new java.util.concurrent.ConcurrentHashMap[
     String, SummaryReg]()
+
+  /** Parse `"col:lo:hi[:nbins]"` histogram descriptors (the compact
+    * REST encoding of [[graft.plans.SummaryRewrite.HistSpec]]).
+    */
+  private def parseHistSpecs(items: Seq[String])
+      : Either[String, Seq[graft.plans.SummaryRewrite.HistSpec]] = {
+    val parsed = items.map { s =>
+      s.split(":") match {
+        case Array(c, lo, hi) =>
+          scala.util.Try(graft.plans.SummaryRewrite.HistSpec(c,
+            lo.toDouble, hi.toDouble)).toOption
+        case Array(c, lo, hi, nb) =>
+          scala.util.Try(graft.plans.SummaryRewrite.HistSpec(c,
+            lo.toDouble, hi.toDouble, nb.toInt)).toOption
+        case _ => None
+      }
+    }
+    if (parsed.contains(None))
+      Left("histograms entries must be 'col:lo:hi[:nbins]'")
+    else Right(parsed.flatten)
+  }
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -1112,6 +1137,14 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           val dims = jsonStringArray(body, "dims").getOrElse(Nil)
           val measures = jsonStringArray(body, "measures").getOrElse(Nil)
           val refresh = jsonField(body, "refresh").contains("true")
+          // optional sketch measures: HLL keys ("hll_keys":["user_id"],
+          // precision via "hll_p") and histogram descriptors
+          // ("histograms":["latency:0:60000:600"])
+          val hllP = jsonField(body, "hll_p").map(_.toInt).getOrElse(8)
+          val hllKeys = jsonStringArray(body, "hll_keys").getOrElse(Nil)
+          val sketches = hllKeys.map(k =>
+            graft.plans.SummaryRewrite.SketchSpec(k, hllP))
+          val histRaw = jsonStringArray(body, "histograms").getOrElse(Nil)
           val cols = df.columns.toSet
           val paths = df.queryExecution.optimizedPlan.collect {
             case l: org.apache.spark.sql.execution.datasources
@@ -1123,30 +1156,116 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 case _ => Nil
               }
           }.flatten
-          if (dims.isEmpty || measures.isEmpty)
-            respond(ex, 400,
-              """{"error":"dims and measures arrays are required"}""")
-          else if (!(dims ++ measures).forall(c => validIdent(c) &&
-              cols.contains(c)))
-            respond(ex, 400,
-              s"""{"error":"dims/measures must be columns of $name"}""")
-          else if (paths.size != 1)
-            respond(ex, 400,
-              """{"error":"summary needs a collection backed by one """ +
-                """parquet table"}""")
-          else {
-            val sumDir = s"${System.getProperty("java.io.tmpdir")}/" +
-              s"graft_http_summary_${java.lang.ProcessHandle.current().pid()}_$name"
-            graft.plans.SummaryRewrite.register(spark, paths.head,
-              sumDir, dims, measures, refresh = refresh)
-            summaries.put(name, SummaryReg(paths.head, sumDir, dims,
-              measures))
-            val chunks = spark.read.parquet(sumDir)
-              .select(col("chunk")).distinct().count()
-            respond(ex, 200,
-              s"""{"summary":"$name","dims":${dims.size},""" +
-                s""""measures":${measures.size},"chunks":$chunks}""")
+          parseHistSpecs(histRaw) match {
+            case Left(err) => respond(ex, 400, s"""{"error":"$err"}""")
+            case Right(histograms) =>
+              if (dims.isEmpty || measures.isEmpty)
+                respond(ex, 400,
+                  """{"error":"dims and measures arrays are required"}""")
+              else if (!(dims ++ measures ++ hllKeys ++
+                  histograms.map(_.col)).forall(c => validIdent(c) &&
+                  cols.contains(c)))
+                respond(ex, 400,
+                  s"""{"error":"dims/measures/sketch columns must be """ +
+                    s"""columns of $name"}""")
+              else if (paths.size != 1)
+                respond(ex, 400,
+                  """{"error":"summary needs a collection backed by """ +
+                    """one parquet table"}""")
+              else {
+                val sumDir = s"${System.getProperty("java.io.tmpdir")}/" +
+                  s"graft_http_summary_${java.lang.ProcessHandle.current().pid()}_$name"
+                graft.plans.SummaryRewrite.register(spark, paths.head,
+                  sumDir, dims, measures, refresh = refresh,
+                  sketches = sketches, histograms = histograms)
+                summaries.put(name, SummaryReg(paths.head, sumDir, dims,
+                  measures, sketches, histograms))
+                val chunks = spark.read.parquet(sumDir)
+                  .select(col("chunk")).distinct().count()
+                respond(ex, 200,
+                  s"""{"summary":"$name","dims":${dims.size},""" +
+                    s""""measures":${measures.size},""" +
+                    s""""sketches":${sketches.size},""" +
+                    s""""histograms":${histograms.size},""" +
+                    s""""chunks":$chunks}""")
+              }
           }
+        }
+
+      // serve a distinct-count estimate from the rollup's HLL
+      // registers: {"key":"user_id","dims":["day"]} — dims empty or
+      // absent = global
+      case ("POST", List("collections", name, "summary", "distinct")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val key = jsonField(body, "key")
+            val gdims = jsonStringArray(body, "dims").getOrElse(Nil)
+            if (!key.exists(k => reg.sketches.exists(_.key == k)))
+              respond(ex, 400,
+                s"""{"error":"key must be one of the registered """ +
+                  s"""hll_keys: ${reg.sketches.map(_.key).mkString(",")}"}""")
+            else if (!gdims.forall(reg.dims.contains))
+              respond(ex, 400,
+                s"""{"error":"dims must be rollup dims"}""")
+            else {
+              val rows = graft.plans.SummaryRewrite.approxDistinct(
+                spark, reg.summaryDir, gdims, key.get).collect()
+              val items = rows.map { r =>
+                val ds = gdims.indices.map(i =>
+                  s""""${gdims(i)}":${jsonId(r.get(i))}""")
+                val est = s""""est_distinct":${r.getLong(gdims.size)}"""
+                (ds :+ est).mkString("{", ",", "}")
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+            }
+        }
+
+      // serve approximate quantiles from the rollup's histogram
+      // counts: {"col":"latency","qs":[0.5,0.99],"dims":["day"]}
+      case ("POST", List("collections", name, "summary", "quantile")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val colName = jsonField(body, "col")
+            val gdims = jsonStringArray(body, "dims").getOrElse(Nil)
+            val qs = jsonFloatArray(body, "qs")
+              .map(_.toSeq.map(_.toDouble)).getOrElse(Seq(0.5))
+            val spec = colName.flatMap(c =>
+              reg.histograms.find(_.col == c))
+            if (spec.isEmpty)
+              respond(ex, 400,
+                s"""{"error":"col must be one of the registered """ +
+                  s"""histograms: ${reg.histograms.map(_.col)
+                    .mkString(",")}"}""")
+            else if (!gdims.forall(reg.dims.contains))
+              respond(ex, 400, s"""{"error":"dims must be rollup dims"}""")
+            else if (qs.isEmpty || qs.exists(q => q <= 0 || q > 1))
+              respond(ex, 400,
+                """{"error":"qs must be in (0, 1]"}""")
+            else {
+              val h = spec.get
+              val rows = graft.plans.SummaryRewrite.approxQuantile(
+                spark, reg.summaryDir, gdims, h.col, qs, h.lo, h.hi)
+                .collect()
+              val items = rows.map { r =>
+                val ds = gdims.indices.map(i =>
+                  s""""${gdims(i)}":${jsonId(r.get(i))}""")
+                val vs = qs.indices.map { i =>
+                  val v = r.get(gdims.size + i)
+                  s""""p${math.round(qs(i) * 100)}":${
+                    if (v == null) "null" else v.toString}"""
+                }
+                (ds ++ vs).mkString("{", ",", "}")
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+            }
         }
 
       case ("GET", List("collections", name, "summary", "stats")) =>

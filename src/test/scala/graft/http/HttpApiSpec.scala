@@ -726,6 +726,55 @@ class HttpApiSpec extends SparkSuite {
       s"rewrite survived delete: $bareScans")
   }
 
+  test("summary sketch measures over REST: register with hll_keys + " +
+      "histograms, serve distinct estimates and quantiles; params 400") {
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("li_mv_sk")
+    val reg = post("/collections/li_mv_sk/summary",
+      """{"dims":["l_returnflag"],"measures":["l_quantity"],
+        |"hll_keys":["l_orderkey"],
+        |"histograms":["l_quantity:1:51:50"]}"""
+        .stripMargin.replace("\n", ""))
+    assert(reg.statusCode() === 200, reg.body())
+    assert(reg.body().contains("\"sketches\":1") &&
+      reg.body().contains("\"histograms\":1"), reg.body())
+    // distinct estimate per returnflag, sane vs the exact count
+    val d = post("/collections/li_mv_sk/summary/distinct",
+      """{"key":"l_orderkey","dims":["l_returnflag"]}""")
+    assert(d.statusCode() === 200, d.body())
+    val ests = "\"est_distinct\":(\\d+)".r.findAllMatchIn(d.body())
+      .map(_.group(1).toLong).toSeq
+    assert(ests.size === 3)
+    import org.apache.spark.sql.functions.countDistinct
+    val exacts = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey")).orderBy("l_returnflag")
+      .collect().map(_.getLong(1))
+    ests.sorted.zip(exacts.sorted).foreach { case (e, x) =>
+      assert(math.abs(e.toDouble / x - 1.0) < 0.25, s"est $e exact $x")
+    }
+    // quantiles per returnflag: p50 of TPC-H quantity (1..50) ~ 25
+    val qr = post("/collections/li_mv_sk/summary/quantile",
+      """{"col":"l_quantity","qs":[0.5],"dims":["l_returnflag"]}""")
+    assert(qr.statusCode() === 200, qr.body())
+    val p50s = "\"p50\":([0-9.]+)".r.findAllMatchIn(qr.body())
+      .map(_.group(1).toDouble).toSeq
+    assert(p50s.size === 3 && p50s.forall(v => v > 20 && v < 31),
+      qr.body())
+    // guards: unknown sketch key / hist col / bad qs / bad descriptor
+    assert(post("/collections/li_mv_sk/summary/distinct",
+      """{"key":"nope"}""").statusCode() === 400)
+    assert(post("/collections/li_mv_sk/summary/quantile",
+      """{"col":"nope"}""").statusCode() === 400)
+    assert(post("/collections/li_mv_sk/summary/quantile",
+      """{"col":"l_quantity","qs":[1.5]}""").statusCode() === 400)
+    assert(post("/collections/li_mv_sk/summary",
+      """{"dims":["l_returnflag"],"measures":["l_quantity"],
+        |"histograms":["l_quantity:abc"]}"""
+        .stripMargin.replace("\n", "")).statusCode() === 400)
+    assert(delete("/collections/li_mv_sk/summary").statusCode() === 200)
+  }
+
   test("OpenAPI doc at / and /openapi.json enumerates every route; " +
       "oversized request bodies get 413 before any handler runs") {
     val doc = get("/openapi.json")
