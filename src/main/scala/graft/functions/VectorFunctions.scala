@@ -122,6 +122,14 @@ object VectorFunctions {
       "sketch_topk" -> ((e: Seq[Expression]) =>
         MgSketch(e(0), lit(e(2), "capacity"),
           topK = Some(lit(e(1), "k")))),
+      // fold persisted Misra-Gries summaries (per day/partition/rollup
+      // chunk) back into one: mg_merge(entries, capacity) /
+      // mg_merge_topk(entries, k, capacity)
+      "mg_merge" -> ((e: Seq[Expression]) =>
+        graft.operators.MgMerge(e(0), lit(e(1), "capacity"))),
+      "mg_merge_topk" -> ((e: Seq[Expression]) =>
+        graft.operators.MgMerge(e(0), lit(e(2), "capacity"),
+          topK = Some(lit(e(1), "k")))),
       // HyperLogLog distinct sketch: hll_sketch(key, p) -> ARRAY<INT>
       // registers (mergeable: zip_with(a, b, greatest) or
       // hll_merge(regs)), and hll_estimate(registers) -> BIGINT.

@@ -121,11 +121,12 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/topk" -> "frequent items (Misra-Gries + recount)",
       "post /collections/{name}/keywords" -> "per-doc tf-idf keywords",
       "post /lsh_tune" -> "LSH banding tuner",
-      "post /collections/{name}/summary" -> "register materialized rollup (+ hll_keys, histograms)",
+      "post /collections/{name}/summary" -> "register materialized rollup (+ hll_keys, histograms, items)",
       "get /collections/{name}/summary/stats" -> "rollup chunk debt",
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
       "post /collections/{name}/summary/distinct" -> "HLL distinct estimate from the rollup",
       "post /collections/{name}/summary/quantile" -> "histogram quantiles from the rollup",
+      "post /collections/{name}/summary/topitems" -> "Misra-Gries frequent items from the rollup",
       "delete /collections/{name}/summary" -> "uninstall rollup rewrite")
     val paths = routes.groupBy(_._1.split(" ")(1)).toSeq.sortBy(_._1)
       .map { case (p, ms) =>
@@ -150,7 +151,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
   private case class SummaryReg(dataPath: String, summaryDir: String,
       dims: Seq[String], measures: Seq[String],
       sketches: Seq[graft.plans.SummaryRewrite.SketchSpec] = Nil,
-      histograms: Seq[graft.plans.SummaryRewrite.HistSpec] = Nil)
+      histograms: Seq[graft.plans.SummaryRewrite.HistSpec] = Nil,
+      items: Seq[graft.plans.SummaryRewrite.ItemsSpec] = Nil)
   private val summaries = new java.util.concurrent.ConcurrentHashMap[
     String, SummaryReg]()
 
@@ -172,6 +174,27 @@ class HttpApi(spark: SparkSession, port: Int = 0,
     }
     if (parsed.contains(None))
       Left("histograms entries must be 'col:lo:hi[:nbins]'")
+    else Right(parsed.flatten)
+  }
+
+  /** Parse `"col[:capacity]"` frequent-items descriptors (the REST
+    * encoding of [[graft.plans.SummaryRewrite.ItemsSpec]]).
+    */
+  private def parseItemsSpecs(items: Seq[String])
+      : Either[String, Seq[graft.plans.SummaryRewrite.ItemsSpec]] = {
+    val parsed = items.map { s =>
+      s.split(":") match {
+        case Array(c) =>
+          Some(graft.plans.SummaryRewrite.ItemsSpec(c))
+        case Array(c, cap) =>
+          scala.util.Try(
+            graft.plans.SummaryRewrite.ItemsSpec(c, cap.toInt)).toOption
+            .filter(_.capacity > 0)
+        case _ => None
+      }
+    }
+    if (parsed.contains(None))
+      Left("items entries must be 'col[:capacity]' with capacity > 0")
     else Right(parsed.flatten)
   }
 
@@ -1145,6 +1168,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           val sketches = hllKeys.map(k =>
             graft.plans.SummaryRewrite.SketchSpec(k, hllP))
           val histRaw = jsonStringArray(body, "histograms").getOrElse(Nil)
+          val itemsRaw = jsonStringArray(body, "items").getOrElse(Nil)
           val cols = df.columns.toSet
           val paths = df.queryExecution.optimizedPlan.collect {
             case l: org.apache.spark.sql.execution.datasources
@@ -1156,15 +1180,18 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 case _ => Nil
               }
           }.flatten
-          parseHistSpecs(histRaw) match {
-            case Left(err) => respond(ex, 400, s"""{"error":"$err"}""")
-            case Right(histograms) =>
+          (parseHistSpecs(histRaw), parseItemsSpecs(itemsRaw)) match {
+            case (Left(err), _) =>
+              respond(ex, 400, s"""{"error":"$err"}""")
+            case (_, Left(err)) =>
+              respond(ex, 400, s"""{"error":"$err"}""")
+            case (Right(histograms), Right(items)) =>
               if (dims.isEmpty || measures.isEmpty)
                 respond(ex, 400,
                   """{"error":"dims and measures arrays are required"}""")
               else if (!(dims ++ measures ++ hllKeys ++
-                  histograms.map(_.col)).forall(c => validIdent(c) &&
-                  cols.contains(c)))
+                  histograms.map(_.col) ++ items.map(_.col))
+                  .forall(c => validIdent(c) && cols.contains(c)))
                 respond(ex, 400,
                   s"""{"error":"dims/measures/sketch columns must be """ +
                     s"""columns of $name"}""")
@@ -1177,9 +1204,10 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   s"graft_http_summary_${java.lang.ProcessHandle.current().pid()}_$name"
                 graft.plans.SummaryRewrite.register(spark, paths.head,
                   sumDir, dims, measures, refresh = refresh,
-                  sketches = sketches, histograms = histograms)
+                  sketches = sketches, histograms = histograms,
+                  items = items)
                 summaries.put(name, SummaryReg(paths.head, sumDir, dims,
-                  measures, sketches, histograms))
+                  measures, sketches, histograms, items))
                 val chunks = spark.read.parquet(sumDir)
                   .select(col("chunk")).distinct().count()
                 respond(ex, 200,
@@ -1187,6 +1215,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                     s""""measures":${measures.size},""" +
                     s""""sketches":${sketches.size},""" +
                     s""""histograms":${histograms.size},""" +
+                    s""""items":${items.size},""" +
                     s""""chunks":$chunks}""")
               }
           }
@@ -1263,6 +1292,45 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                     if (v == null) "null" else v.toString}"""
                 }
                 (ds ++ vs).mkString("{", ",", "}")
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+            }
+        }
+
+      // serve top-k frequent items from the rollup's Misra-Gries
+      // summaries: {"col":"domain","k":10,"dims":["day"]} — per-chunk
+      // summaries fold with the mergeable cut at the registered
+      // capacity; dims empty or absent = global
+      case ("POST", List("collections", name, "summary", "topitems")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val colName = jsonField(body, "col")
+            val gdims = jsonStringArray(body, "dims").getOrElse(Nil)
+            val k = jsonField(body, "k").flatMap(s =>
+              scala.util.Try(s.toInt).toOption).getOrElse(10)
+            if (!colName.exists(c => reg.items.exists(_.col == c)))
+              respond(ex, 400,
+                s"""{"error":"col must be one of the registered """ +
+                  s"""items: ${reg.items.map(_.col).mkString(",")}"}""")
+            else if (!gdims.forall(reg.dims.contains))
+              respond(ex, 400, s"""{"error":"dims must be rollup dims"}""")
+            else if (k <= 0 || k > 1000)
+              respond(ex, 400, """{"error":"k must be in [1, 1000]"}""")
+            else {
+              val rows = graft.plans.SummaryRewrite.approxTopItems(
+                spark, reg.summaryDir, gdims, colName.get, k).collect()
+              val items = rows.map { r =>
+                val ds = gdims.indices.map(i =>
+                  s""""${gdims(i)}":${jsonId(r.get(i))}""")
+                val rest = Seq(
+                  s""""rank":${r.getInt(gdims.size)}""",
+                  s""""item":${jsonId(r.getString(gdims.size + 1))}""",
+                  s""""est":${r.getLong(gdims.size + 2)}""")
+                (ds ++ rest).mkString("{", ",", "}")
               }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"results":$items}""")
             }

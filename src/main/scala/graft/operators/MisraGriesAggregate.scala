@@ -144,3 +144,98 @@ object MgSketch {
     StructField("item", StringType, nullable = false),
     StructField("est", LongType, nullable = false))), containsNull = false)
 }
+
+/** `mg_merge(entries, capacity)` — aggregate folding PERSISTED
+  * Misra–Gries summaries (the `ARRAY<STRUCT<item, est>>` rows
+  * [[MgSketch]] emits) back into one summary: counters sum, then the
+  * standard over-capacity cut (Agarwal et al., PODS 2012) — the same
+  * mergeable-summaries step the in-flight partial merge uses, so
+  * summaries persisted per day / partition / rollup chunk fold with
+  * the identical N/(capacity+1) undercount bound. Pass the capacity
+  * the source sketches were built at. `topK` trims the returned
+  * array only (the fold still runs at full capacity).
+  */
+case class MgMerge(
+    child: Expression,
+    capacity: Int,
+    topK: Option[Int] = None,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] {
+
+  require(capacity > 0, "capacity must be positive")
+  require(topK.forall(_ > 0), "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = MgSketch.resultType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 &&
+          s(0).dataType == StringType && s(1).dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires ARRAY<STRUCT<item: STRING, " +
+              s"est: BIGINT>> summaries, got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(capacity)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val tmp = new MgBuffer(capacity)
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        tmp.counts.update(row.getUTF8String(0).toString, row.getLong(1))
+        i += 1
+      }
+      buf.mergeFrom(tmp)
+    }
+    buf
+  }
+
+  override def merge(b1: MgBuffer, b2: MgBuffer): MgBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: MgBuffer): Any = {
+    val entries = topK.fold(buf.sorted)(buf.sorted.take)
+    val rows = entries.map { case (k, c) =>
+      InternalRow(UTF8String.fromString(k), c)
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: MgBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity); out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new MgBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MgMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MgMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+  override def prettyName: String = "mg_merge"
+}

@@ -93,11 +93,26 @@ object SummaryRewrite {
   case class HistSpec(col: String, lo: Double, hi: Double,
       nbins: Int = 64)
 
+  /** A frequent-items sketch carried by the rollup: Misra–Gries
+    * summary of `col` (cast to string) at `capacity` counters, stored
+    * per dim group as column `mg<capacity>_<col>` — the capacity
+    * rides in the NAME so the schema-driven compact fold and
+    * [[approxTopItems]] recover it without the registry (same
+    * self-describing stance as hive partition dirs). Summaries fold
+    * with the PODS-2012 mergeable step, keeping the N/(capacity+1)
+    * undercount bound; with capacity >= the column's per-group
+    * distinct count the summary is EXACT counts.
+    */
+  case class ItemsSpec(col: String, capacity: Int = 256) {
+    def colName: String = s"mg${capacity}_$col"
+  }
+
   case class Entry(summaryDir: String, dims: Seq[String],
       measures: Seq[String],
       declaredScale: Map[String, Int] = Map.empty,
       sketches: Seq[SketchSpec] = Nil,
-      histograms: Seq[HistSpec] = Nil)
+      histograms: Seq[HistSpec] = Nil,
+      items: Seq[ItemsSpec] = Nil)
 
   private val registry = TrieMap[String, Entry]()
 
@@ -120,7 +135,8 @@ object SummaryRewrite {
   def partialRollup(base: DataFrame, dims: Seq[String],
       measures: Seq[String],
       sketches: Seq[SketchSpec] = Nil,
-      histograms: Seq[HistSpec] = Nil): DataFrame = {
+      histograms: Seq[HistSpec] = Nil,
+      items: Seq[ItemsSpec] = Nil): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShims
     val aggs = (count(lit(1)).as("cnt") +:
       (measures.flatMap(m => Seq(
@@ -136,7 +152,12 @@ object SummaryRewrite {
        histograms.map(h => GraftShims
          .column(graft.operators.HistSketch(
            GraftShims.expression(col(h.col)), h.lo, h.hi, h.nbins)
-           .toAggregateExpression()).as(s"hist_${h.col}"))))
+           .toAggregateExpression()).as(s"hist_${h.col}")) ++
+       items.map(it => GraftShims
+         .column(graft.operators.MgSketch(
+           GraftShims.expression(col(it.col).cast("string")),
+           it.capacity)
+           .toAggregateExpression()).as(it.colName))))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -149,9 +170,10 @@ object SummaryRewrite {
   def buildSummary(spark: SparkSession, basePath: String,
       summaryDir: String, dims: Seq[String],
       measures: Seq[String], sketches: Seq[SketchSpec] = Nil,
-      histograms: Seq[HistSpec] = Nil): Unit = {
+      histograms: Seq[HistSpec] = Nil,
+      items: Seq[ItemsSpec] = Nil): Unit = {
     partialRollup(spark.read.parquet(basePath), dims, measures, sketches,
-        histograms)
+        histograms, items)
       .withColumn("chunk", lit(-1L))
       .coalesce(8)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
@@ -175,7 +197,8 @@ object SummaryRewrite {
       refresh: Boolean = false,
       declaredScale: Map[String, Int] = Map.empty,
       sketches: Seq[SketchSpec] = Nil,
-      histograms: Seq[HistSpec] = Nil): Unit = {
+      histograms: Seq[HistSpec] = Nil,
+      items: Seq[ItemsSpec] = Nil): Unit = {
     declaredScale.foreach { case (m, d) =>
       require(measures.contains(m), s"declaredScale for non-measure $m")
       require(d >= 0 && d <= 6,
@@ -190,7 +213,8 @@ object SummaryRewrite {
       measures.flatMap(m => Seq(s"s_$m", s"sd_$m", s"c_$m", s"mn_$m",
         s"mx_$m")) ++
       sketches.map(sk => s"hll_${sk.key}") ++
-      histograms.map(h => s"hist_${h.col}")
+      histograms.map(h => s"hist_${h.col}") ++
+      items.map(_.colName)
     val all = dims ++ measures
     require(all.distinct.size == all.size,
       s"dims/measures must be distinct, got $all")
@@ -211,11 +235,11 @@ object SummaryRewrite {
       registry.remove(key)
       spark.catalog.refreshByPath(dataPath)
       buildSummary(spark, dataPath, summaryDir, dims, measures, sketches,
-        histograms)
+        histograms, items)
       spark.catalog.refreshByPath(summaryDir)
     }
     registry.put(key, Entry(summaryDir, dims, measures, declaredScale,
-      sketches, histograms))
+      sketches, histograms, items))
     ensureRule(spark)
   }
 
@@ -259,6 +283,37 @@ object SummaryRewrite {
     * nbins] must match the registered [[HistSpec]] (they parameterize
     * the bins the counts were taken over).
     */
+  /** Serve approximate top-k frequent items of Misra–Gries column
+    * `col` from the rollup at `summaryDir`, grouped by `groupDims`
+    * (empty = global): per-chunk summaries fold with the mergeable
+    * cut at the capacity parsed from the stored column's own name,
+    * then the top k (est DESC, item) entries return as an exploded
+    * (rank, item, est) row set.
+    */
+  def approxTopItems(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], itemsCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    val rollup = spark.read.parquet(summaryDir)
+    val pat = s"^mg(\\d+)_${java.util.regex.Pattern.quote(itemsCol)}$$".r
+    val (colName, capacity) = rollup.schema.fieldNames.collectFirst {
+      case n @ pat(cap) => (n, cap.toInt)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no mg<capacity>_$itemsCol column in the rollup at $summaryDir"))
+    val merged = GraftShims.column(graft.operators.MgMerge(
+      GraftShims.expression(col(colName)), capacity, topK = Some(k))
+      .toAggregateExpression()).as("topk")
+    val folded =
+      if (groupDims.isEmpty) rollup.agg(merged)
+      else rollup.groupBy(groupDims.map(col): _*).agg(merged)
+    folded.select((groupDims.map(col) :+
+        org.apache.spark.sql.functions.posexplode(col("topk"))
+          .as(Seq("idx", "entry"))): _*)
+      .select((groupDims.map(col) :+
+        (col("idx") + 1).cast("int").as("rank") :+
+        col("entry.item").as("item") :+
+        col("entry.est").as("est")): _*)
+  }
+
   def approxQuantile(spark: SparkSession, summaryDir: String,
       groupDims: Seq[String], histCol: String, qs: Seq[Double],
       lo: Double, hi: Double): DataFrame = {

@@ -325,6 +325,21 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Frequent items served from the rollup: Misra–Gries summaries as
+    // rollup measures (the third classic sketch, after HLL and the
+    // histogram) — per-chunk summaries fold with the PODS-2012
+    // mergeable cut, capacity rides in the column name so the fold is
+    // registry-free. Capacity 64 >> the 5-value priority vocab makes
+    // the summary exact counts, so DuckDB restates it as a plain
+    // count + rank on the RAW table.
+    "q_mv_topitems" -> ((s, dir) => {
+      registerMvOrders(s, dir)
+      graft.plans.SummaryRewrite.approxTopItems(s,
+          mvSummaryDir(dir) + "_orders", Seq("o_orderstatus"),
+          "o_orderpriority", 3)
+        .orderBy($"o_orderstatus", $"rank")
+    }),
+
     // X4-analog: deterministic sampling via key modulo (portable vs RANDOM()).
     "q_sample_mod" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -394,6 +409,20 @@ object RelationalQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_mv_" +
       s"${java.lang.ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
+  /** Second rollup (orders): carries a Misra–Gries items sketch of
+    * o_orderpriority at capacity 64 — far above the 5-value vocab, so
+    * the mergeable summary holds EXACT counts at any partitioning /
+    * chunking and the serve is hash-oracle-able (the q_sketch_topk
+    * stance, composed into the MV).
+    */
+  private def registerMvOrders(s: SparkSession, dir: String): Unit =
+    graft.plans.SummaryRewrite.register(s, s"$dir/orders.parquet",
+      mvSummaryDir(dir) + "_orders",
+      Seq("o_orderstatus", "o_orderdate"),
+      Seq("o_totalprice"),
+      items = Seq(
+        graft.plans.SummaryRewrite.ItemsSpec("o_orderpriority", 64)))
+
   private def registerMv(s: SparkSession, dir: String): Unit =
     graft.plans.SummaryRewrite.register(s, s"$dir/lineitem.parquet",
       mvSummaryDir(dir),
@@ -523,6 +552,21 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q_hist_quantiles" -> histQuantilesOracle,
     "q_mv_hist" -> histQuantilesOracle,
+    // capacity >> vocab ⇒ the mergeable MG summary is exact counts;
+    // the oracle is the raw-table count + (est DESC, item) rank
+    "q_mv_topitems" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, CAST(o_orderpriority AS VARCHAR) AS item,
+        |    count(*) AS est
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, item, est,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY est DESC, item) AS rank
+        |  FROM c)
+        |SELECT o_orderstatus, CAST(rank AS INT) AS rank, item, est
+        |FROM r WHERE rank <= 3
+        |ORDER BY o_orderstatus, rank""".stripMargin,
     // the PLAIN join: salting must be invisible in the result
     "q_salted_join" ->
       """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,

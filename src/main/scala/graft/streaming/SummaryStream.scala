@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.plans.SummaryRewrite
-import graft.plans.SummaryRewrite.{HistSpec, SketchSpec}
+import graft.plans.SummaryRewrite.{HistSpec, ItemsSpec, SketchSpec}
 import graft.util.DirSwap
 
 /** Incrementally maintained materialized rollup — the streaming face
@@ -61,17 +61,18 @@ object SummaryStream {
       summaryDir: String, dims: Seq[String], measures: Seq[String],
       declaredScale: Map[String, Int] = Map.empty,
       sketches: Seq[SketchSpec] = Nil,
-      histograms: Seq[HistSpec] = Nil): Unit = {
+      histograms: Seq[HistSpec] = Nil,
+      items: Seq[ItemsSpec] = Nil): Unit = {
     SummaryRewrite.partialRollup(
         spark.read.parquet(basePath).limit(0), dims, measures, sketches,
-        histograms)
+        histograms, items)
       .withColumn("chunk", lit(-1L))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
     spark.catalog.refreshByPath(summaryDir)
     SummaryRewrite.register(spark, basePath, summaryDir, dims, measures,
       declaredScale = declaredScale, sketches = sketches,
-      histograms = histograms)
+      histograms = histograms, items = items)
   }
 
   /** Start maintaining `summaryDir` from base files appearing under
@@ -84,7 +85,8 @@ object SummaryStream {
       dims: Seq[String], measures: Seq[String], checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
       sketches: Seq[SketchSpec] = Nil,
-      histograms: Seq[HistSpec] = Nil): StreamingQuery = {
+      histograms: Seq[HistSpec] = Nil,
+      items: Seq[ItemsSpec] = Nil): StreamingQuery = {
     val schema = spark.read.parquet(basePath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -93,7 +95,7 @@ object SummaryStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, summaryDir, dims, measures, sketches,
-          histograms)
+          histograms, items)
         ()
       }
       .start()
@@ -107,10 +109,11 @@ object SummaryStream {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       summaryDir: String, dims: Seq[String], measures: Seq[String],
       sketches: Seq[SketchSpec] = Nil,
-      histograms: Seq[HistSpec] = Nil): Unit = {
+      histograms: Seq[HistSpec] = Nil,
+      items: Seq[ItemsSpec] = Nil): Unit = {
     val spark = batch.sparkSession
     SummaryRewrite.partialRollup(batch, dims, measures, sketches,
-        histograms)
+        histograms, items)
       .withColumn("chunk", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite")
@@ -157,6 +160,11 @@ object SummaryStream {
       case n if n.startsWith("hist_") =>
         GraftShims.column(graft.operators.HistMerge(
           GraftShims.expression(col(n))).toAggregateExpression()).as(n)
+      case n if n.matches("^mg\\d+_.*") =>
+        val cap = "^mg(\\d+)_".r.findFirstMatchIn(n).get.group(1).toInt
+        GraftShims.column(graft.operators.MgMerge(
+          GraftShims.expression(col(n)), cap)
+          .toAggregateExpression()).as(n)
     }
     require(aggs.nonEmpty, s"$summaryDir does not look like a rollup")
     roll.groupBy(dims.map(col): _*)

@@ -775,6 +775,50 @@ class HttpApiSpec extends SparkSuite {
     assert(delete("/collections/li_mv_sk/summary").statusCode() === 200)
   }
 
+  test("summary frequent-items over REST: register with items, serve " +
+      "top-k per dim exactly at capacity >= vocab; guards 400") {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .createOrReplaceTempView("ord_mv_it")
+    // capacity 64 >> the 5-value o_orderpriority vocab => exact counts
+    val reg = post("/collections/ord_mv_it/summary",
+      """{"dims":["o_orderstatus"],"measures":["o_totalprice"],
+        |"items":["o_orderpriority:64"]}"""
+        .stripMargin.replace("\n", ""))
+    assert(reg.statusCode() === 200, reg.body())
+    assert(reg.body().contains("\"items\":1"), reg.body())
+    val r = post("/collections/ord_mv_it/summary/topitems",
+      """{"col":"o_orderpriority","k":2,"dims":["o_orderstatus"]}""")
+    assert(r.statusCode() === 200, r.body())
+    // exact top-2 per status from the raw table
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    val expect = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+      .collect().map(x => (x.getString(0), x.getInt(3),
+        x.getString(1), x.getLong(2))).toSet
+    val got = ("""\{"o_orderstatus":"([^"]+)","rank":(\d+),""" +
+      """"item":"([^"]+)","est":(\d+)\}""").r
+      .findAllMatchIn(r.body())
+      .map(m => (m.group(1), m.group(2).toInt, m.group(3),
+        m.group(4).toLong)).toSet
+    assert(got === expect, r.body())
+    // guards: unregistered col, bad k, bad descriptor
+    assert(post("/collections/ord_mv_it/summary/topitems",
+      """{"col":"nope"}""").statusCode() === 400)
+    assert(post("/collections/ord_mv_it/summary/topitems",
+      """{"col":"o_orderpriority","k":0}""").statusCode() === 400)
+    assert(post("/collections/ord_mv_it/summary",
+      """{"dims":["o_orderstatus"],"measures":["o_totalprice"],
+        |"items":["o_orderpriority:0"]}"""
+        .stripMargin.replace("\n", "")).statusCode() === 400)
+    assert(delete("/collections/ord_mv_it/summary").statusCode() === 200)
+  }
+
   test("OpenAPI doc at / and /openapi.json enumerates every route; " +
       "oversized request bodies get 413 before any handler runs") {
     val doc = get("/openapi.json")

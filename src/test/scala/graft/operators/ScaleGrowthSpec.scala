@@ -518,6 +518,7 @@ class ScaleGrowthSpec extends SparkSuite {
           concat(lit("f"), pmod($"id", lit(4))).as("flag"),
           expr("date_add(date'2024-01-01', cast(id % 365 as int))")
             .as("day"),
+          concat(lit("it"), pmod($"id", lit(11))).as("item"),
           ($"id" % 97).cast("double").as("m"))
         .repartition(32)
         .write.mode("overwrite").parquet(dir)
@@ -525,10 +526,11 @@ class ScaleGrowthSpec extends SparkSuite {
     }
     val dirS = mkBase(50000, "s")
     val dirB = mkBase(500000, "b")
+    val items = Seq(SummaryRewrite.ItemsSpec("item", 32))
     SummaryRewrite.register(spark, dirS, s"$tmp/roll_s",
-      Seq("flag", "day"), Seq("m"))
+      Seq("flag", "day"), Seq("m"), items = items)
     SummaryRewrite.register(spark, dirB, s"$tmp/roll_b",
-      Seq("flag", "day"), Seq("m"))
+      Seq("flag", "day"), Seq("m"), items = items)
     try {
       def serve(dir: String) = spark.read.parquet(dir)
         .groupBy($"flag")
@@ -554,6 +556,18 @@ class ScaleGrowthSpec extends SparkSuite {
       }.flatten
       assert(scans.exists(_.contains("roll_b")), s"scanned $scans")
       assert(!scans.exists(_.contains("fact_b")), s"scanned $scans")
+      // frequent-items serving from the rollup is dim-bounded too:
+      // the MG fold moves <= |dim groups| * capacity counters, never
+      // base rows
+      def topSrv(roll: String) = SummaryRewrite.approxTopItems(
+        spark, roll, Seq("flag"), "item", 5)
+      topSrv(s"$tmp/roll_s").collect(); topSrv(s"$tmp/roll_b").collect()
+      val tTS = timedSecs { topSrv(s"$tmp/roll_s").collect() }
+      val tTB = timedSecs { topSrv(s"$tmp/roll_b").collect() }
+      val rT = ratio(tTB, tTS)
+      info(f"topitems serve 50k-base: $tTS%.2f s, 500k-base: " +
+        f"$tTB%.2f s, growth $rT%.1fx")
+      assertPerf(rT < 3.0, f"10x base grew topitems serving $rT%.1fx")
     } finally {
       SummaryRewrite.unregister(spark, dirS)
       SummaryRewrite.unregister(spark, dirB)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSuite
 import graft.plans.SummaryRewrite
-import graft.plans.SummaryRewrite.SketchSpec
+import graft.plans.SummaryRewrite.{ItemsSpec, SketchSpec}
 import org.apache.spark.sql.functions._
 
 class SummaryStreamSpec extends SparkSuite {
@@ -185,6 +185,50 @@ class SummaryStreamSpec extends SparkSuite {
     val est = SummaryRewrite.approxDistinct(spark, sumDir, Seq("flag"),
       "k").orderBy($"flag").collect().map(_.getLong(1))
     est.foreach(e => assert(e > 100 && e < 200, s"estimate $e for 150"))
+    SummaryRewrite.clear()
+  }
+
+  test("streamed Misra-Gries items measures: chunked summaries fold " +
+      "to exact counts at capacity >= vocab, through compact, and " +
+      "approxTopItems serves them") {
+    val baseDir = tmp("graft_ss6_base") + "/fact.parquet"
+    val sumDir = tmp("graft_ss6_sum") + "/rollup"
+    // item vocab of 7 values (i % 7), capacity 32 >> vocab => exact
+    def mk(from: Int, n: Int) = (from until from + n).map(i =>
+      (if (i % 2 == 0) "A" else "B", s"it${i % 7}", 1.0))
+      .toDF("flag", "item", "qty")
+    mk(0, 140).write.mode("append").parquet(baseDir)
+    val items = Seq(ItemsSpec("item", 32))
+    SummaryStream.registerStreaming(spark, baseDir, sumDir,
+      Seq("flag"), Seq("qty"), items = items)
+    SummaryStream.processBatch(mk(0, 140), 0L, sumDir, Seq("flag"),
+      Seq("qty"), items = items)
+    SummaryStream.processBatch(mk(140, 60), 1L, sumDir, Seq("flag"),
+      Seq("qty"), items = items)
+    val all = mk(0, 140).unionByName(mk(140, 60))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"flag").orderBy($"count".desc, $"item")
+    def expect = all.groupBy($"flag", $"item").count()
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"flag", $"rank", $"item", $"count".as("est"))
+      .orderBy($"flag", $"rank").collect().map(_.toSeq).toSeq
+    val served = SummaryRewrite.approxTopItems(spark, sumDir,
+        Seq("flag"), "item", 3)
+      .orderBy($"flag", $"rank").collect().map(_.toSeq).toSeq
+    assert(served == expect)
+    // survives the rollup-local fold (capacity parsed from the name)
+    SummaryStream.compact(spark, sumDir, Seq("flag"))
+    val afterCompact = SummaryRewrite.approxTopItems(spark, sumDir,
+        Seq("flag"), "item", 3)
+      .orderBy($"flag", $"rank").collect().map(_.toSeq).toSeq
+    assert(afterCompact == expect)
+    // unknown items column is refused with the available name
+    val e = intercept[IllegalArgumentException] {
+      SummaryRewrite.approxTopItems(spark, sumDir, Seq("flag"),
+        "nope", 3)
+    }
+    assert(e.getMessage.contains("mg<capacity>_nope"))
     SummaryRewrite.clear()
   }
 }
