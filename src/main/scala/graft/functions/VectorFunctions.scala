@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StringType}
 
 import graft.operators.MgSketch
 
@@ -117,10 +117,13 @@ object VectorFunctions {
         L1Distance(cd(e(0)), cd(e(1)))),
       "vector_norm_f64" -> ((e: Seq[Expression]) =>
         VectorNorm(cd(e.head))),
+      // item cast to string up front: frequent-items identity is the
+      // textual value, and the cast is deterministic for every
+      // atomic type (vs a runtime class cast failing on non-strings)
       "mg_sketch" -> ((e: Seq[Expression]) =>
-        MgSketch(e(0), lit(e(1), "capacity"))),
+        MgSketch(Cast(e(0), StringType), lit(e(1), "capacity"))),
       "sketch_topk" -> ((e: Seq[Expression]) =>
-        MgSketch(e(0), lit(e(2), "capacity"),
+        MgSketch(Cast(e(0), StringType), lit(e(2), "capacity"),
           topK = Some(lit(e(1), "k")))),
       // fold persisted Misra-Gries summaries (per day/partition/rollup
       // chunk) back into one: mg_merge(entries, capacity) /

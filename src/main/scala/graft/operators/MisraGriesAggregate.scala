@@ -92,6 +92,19 @@ case class MgSketch(
   override def nullable: Boolean = false
   override def dataType: DataType = MgSketch.resultType
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    itemExpr.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires a STRING item (cast first), got " +
+              other.simpleString)
+    }
+
   override def createAggregationBuffer(): MgBuffer = new MgBuffer(capacity)
 
   override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {

@@ -99,6 +99,13 @@ class HeavyHittersSpec extends SparkSuite {
     // k/capacity parameterize the sketch: non-literals are rejected
     intercept[Exception](spark.sql(
       "SELECT sketch_topk(item, CAST(rand() * 3 AS INT), 64) FROM hh_items"))
+    // non-string items are cast, not class-cast-crashed: ints sketch
+    // by their textual value
+    val ints = spark.sql(
+      "SELECT explode(sketch_topk(length(item), 1, 64)) AS e FROM hh_items")
+      .selectExpr("e.item", "e.est").as[(String, Long)].collect()
+    // 250x length-3 ("w_0".."w_9") vs 250x length-4; tie broken item asc
+    assert(ints.toSeq === Seq(("3", 250L)), ints.mkString(", "))
   }
 
   test("sketch aggregate plans a partial before the shuffle") {
