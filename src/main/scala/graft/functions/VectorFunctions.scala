@@ -147,6 +147,25 @@ object VectorFunctions {
         graft.operators.HllEstimate(e.head)),
       "hll_merge" -> ((e: Seq[Expression]) =>
         graft.operators.HllMerge(e.head)),
+      // KMV (k-minimum-values) distinct sketch — the set-operation
+      // sibling of HLL: kmv_sketch(key, k) -> sorted ARRAY<BIGINT> of
+      // the k smallest unsigned key hashes; kmv_merge(arr, k) folds
+      // persisted sketches; kmv_estimate(arr, k) reads the distinct
+      // count (exact below saturation); kmv_intersect(a, b, k) and
+      // kmv_jaccard(a, b, k) estimate the overlap of two key sets
+      // from their sketches alone — the "distinct users shared by day
+      // A and day B" shape no union-only sketch can answer. Key
+      // typing matches hll_sketch (integral value / string FNV-1a).
+      "kmv_sketch" -> ((e: Seq[Expression]) =>
+        graft.operators.KmvSketch(e(0), lit(e(1), "k"))),
+      "kmv_merge" -> ((e: Seq[Expression]) =>
+        graft.operators.KmvMerge(e(0), lit(e(1), "k"))),
+      "kmv_estimate" -> ((e: Seq[Expression]) =>
+        graft.operators.KmvEstimate(e(0), lit(e(1), "k"))),
+      "kmv_intersect" -> ((e: Seq[Expression]) =>
+        graft.operators.KmvIntersect(e(0), e(1), lit(e(2), "k"))),
+      "kmv_jaccard" -> ((e: Seq[Expression]) =>
+        graft.operators.KmvJaccard(e(0), e(1), lit(e(2), "k"))),
       // Fixed-bin histogram sketch family — the mergeable shape for
       // approximate quantiles over a declared [lo, hi) range:
       // hist_sketch(x, lo, hi, nbins) -> ARRAY<BIGINT> counts,

@@ -127,6 +127,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/summary/distinct" -> "HLL distinct estimate from the rollup",
       "post /collections/{name}/summary/quantile" -> "histogram quantiles from the rollup",
       "post /collections/{name}/summary/topitems" -> "Misra-Gries frequent items from the rollup",
+      "post /collections/{name}/summary/overlap" -> "KMV distinct-overlap of dim groups from the rollup",
       "delete /collections/{name}/summary" -> "uninstall rollup rewrite")
     val paths = routes.groupBy(_._1.split(" ")(1)).toSeq.sortBy(_._1)
       .map { case (p, ms) =>
@@ -152,7 +153,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       dims: Seq[String], measures: Seq[String],
       sketches: Seq[graft.plans.SummaryRewrite.SketchSpec] = Nil,
       histograms: Seq[graft.plans.SummaryRewrite.HistSpec] = Nil,
-      items: Seq[graft.plans.SummaryRewrite.ItemsSpec] = Nil)
+      items: Seq[graft.plans.SummaryRewrite.ItemsSpec] = Nil,
+      kmvs: Seq[graft.plans.SummaryRewrite.KmvSpec] = Nil)
   private val summaries = new java.util.concurrent.ConcurrentHashMap[
     String, SummaryReg]()
 
@@ -1169,6 +1171,13 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             graft.plans.SummaryRewrite.SketchSpec(k, hllP))
           val histRaw = jsonStringArray(body, "histograms").getOrElse(Nil)
           val itemsRaw = jsonStringArray(body, "items").getOrElse(Nil)
+          // optional KMV overlap sketches ("kmv_keys":["o_custkey"],
+          // k via "kmv_k", default 2048)
+          val kmvK = jsonField(body, "kmv_k").flatMap(s =>
+            scala.util.Try(s.toInt).toOption).getOrElse(2048)
+          val kmvKeys = jsonStringArray(body, "kmv_keys").getOrElse(Nil)
+          val kmvs = kmvKeys.map(k =>
+            graft.plans.SummaryRewrite.KmvSpec(k, kmvK))
           val cols = df.columns.toSet
           val paths = df.queryExecution.optimizedPlan.collect {
             case l: org.apache.spark.sql.execution.datasources
@@ -1189,8 +1198,12 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               if (dims.isEmpty || measures.isEmpty)
                 respond(ex, 400,
                   """{"error":"dims and measures arrays are required"}""")
+              else if (kmvK < 2 || kmvK > graft.operators.Kmv.MaxK)
+                respond(ex, 400,
+                  s"""{"error":"kmv_k must be in [2, """ +
+                    s"""${graft.operators.Kmv.MaxK}]"}""")
               else if (!(dims ++ measures ++ hllKeys ++
-                  histograms.map(_.col) ++ items.map(_.col))
+                  histograms.map(_.col) ++ items.map(_.col) ++ kmvKeys)
                   .forall(c => validIdent(c) && cols.contains(c)))
                 respond(ex, 400,
                   s"""{"error":"dims/measures/sketch columns must be """ +
@@ -1205,9 +1218,9 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 graft.plans.SummaryRewrite.register(spark, paths.head,
                   sumDir, dims, measures, refresh = refresh,
                   sketches = sketches, histograms = histograms,
-                  items = items)
+                  items = items, kmvs = kmvs)
                 summaries.put(name, SummaryReg(paths.head, sumDir, dims,
-                  measures, sketches, histograms, items))
+                  measures, sketches, histograms, items, kmvs))
                 val chunks = spark.read.parquet(sumDir)
                   .select(col("chunk")).distinct().count()
                 respond(ex, 200,
@@ -1216,6 +1229,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                     s""""sketches":${sketches.size},""" +
                     s""""histograms":${histograms.size},""" +
                     s""""items":${items.size},""" +
+                    s""""kmvs":${kmvs.size},""" +
                     s""""chunks":$chunks}""")
               }
           }
@@ -1331,6 +1345,47 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   s""""item":${jsonId(r.getString(gdims.size + 1))}""",
                   s""""est":${r.getLong(gdims.size + 2)}""")
                 (ds ++ rest).mkString("{", ",", "}")
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+            }
+        }
+
+      // serve the pairwise distinct-key overlap of dim groups from
+      // the rollup's KMV sketches: {"key":"o_custkey",
+      // "dims":["o_orderstatus"]} — every unordered group pair gets
+      // est_a/est_b/est_common/jaccard without touching the base
+      case ("POST", List("collections", name, "summary", "overlap")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val key = jsonField(body, "key")
+            val gdims = jsonStringArray(body, "dims").getOrElse(Nil)
+            if (!key.exists(k => reg.kmvs.exists(_.key == k)))
+              respond(ex, 400,
+                s"""{"error":"key must be one of the registered """ +
+                  s"""kmv_keys: ${reg.kmvs.map(_.key).mkString(",")}"}""")
+            else if (gdims.isEmpty || !gdims.forall(reg.dims.contains))
+              respond(ex, 400,
+                s"""{"error":"dims must be a non-empty subset of """ +
+                  s"""rollup dims"}""")
+            else {
+              val rows = graft.plans.SummaryRewrite.approxOverlap(
+                spark, reg.summaryDir, gdims, key.get).collect()
+              val n = gdims.size
+              val items = rows.map { r =>
+                val da = gdims.indices.map(i =>
+                  s""""${gdims(i)}_a":${jsonId(r.get(i))}""")
+                val db = gdims.indices.map(i =>
+                  s""""${gdims(i)}_b":${jsonId(r.get(n + i))}""")
+                val rest = Seq(
+                  s""""est_a":${r.getLong(2 * n)}""",
+                  s""""est_b":${r.getLong(2 * n + 1)}""",
+                  s""""est_common":${r.getLong(2 * n + 2)}""",
+                  s""""jaccard":${r.getDouble(2 * n + 3)}""")
+                (da ++ db ++ rest).mkString("{", ",", "}")
               }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"results":$items}""")
             }

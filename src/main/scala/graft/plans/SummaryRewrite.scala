@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, struct, sum}
 import org.apache.spark.sql.types._
 
 /** Materialized-rollup aggregate rewrite: queries that group a
@@ -107,12 +107,29 @@ object SummaryRewrite {
     def colName: String = s"mg${capacity}_$col"
   }
 
+  /** A set-operation distinct sketch carried by the rollup: KMV
+    * (k-minimum-values) hashes of `key`, stored per dim group as
+    * column `kmv<k>_<key>` — k rides in the NAME like the Misra–Gries
+    * capacity, so the compact fold and [[approxOverlap]] recover it
+    * without the registry. Arrays fold by k-smallest-of-union (the
+    * associative rollup combiner contract), and unlike HLL registers
+    * two groups' sketches INTERSECT: distinct-key overlap between any
+    * two dim groups is servable from the rollup alone
+    * ([[graft.operators.Kmv]]). With k >= the per-group distinct
+    * count the sketch is the exact hash set and every overlap read is
+    * integer-exact.
+    */
+  case class KmvSpec(key: String, k: Int = 2048) {
+    def colName: String = s"kmv${k}_$key"
+  }
+
   case class Entry(summaryDir: String, dims: Seq[String],
       measures: Seq[String],
       declaredScale: Map[String, Int] = Map.empty,
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
-      items: Seq[ItemsSpec] = Nil)
+      items: Seq[ItemsSpec] = Nil,
+      kmvs: Seq[KmvSpec] = Nil)
 
   private val registry = TrieMap[String, Entry]()
 
@@ -136,7 +153,8 @@ object SummaryRewrite {
       measures: Seq[String],
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
-      items: Seq[ItemsSpec] = Nil): DataFrame = {
+      items: Seq[ItemsSpec] = Nil,
+      kmvs: Seq[KmvSpec] = Nil): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShims
     val aggs = (count(lit(1)).as("cnt") +:
       (measures.flatMap(m => Seq(
@@ -157,7 +175,11 @@ object SummaryRewrite {
          .column(graft.operators.MgSketch(
            GraftShims.expression(col(it.col).cast("string")),
            it.capacity)
-           .toAggregateExpression()).as(it.colName))))
+           .toAggregateExpression()).as(it.colName)) ++
+       kmvs.map(kv => GraftShims
+         .column(graft.operators.KmvSketch(
+           GraftShims.expression(col(kv.key)), kv.k)
+           .toAggregateExpression()).as(kv.colName))))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -171,9 +193,10 @@ object SummaryRewrite {
       summaryDir: String, dims: Seq[String],
       measures: Seq[String], sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
-      items: Seq[ItemsSpec] = Nil): Unit = {
+      items: Seq[ItemsSpec] = Nil,
+      kmvs: Seq[KmvSpec] = Nil): Unit = {
     partialRollup(spark.read.parquet(basePath), dims, measures, sketches,
-        histograms, items)
+        histograms, items, kmvs)
       .withColumn("chunk", lit(-1L))
       .coalesce(8)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
@@ -198,7 +221,8 @@ object SummaryRewrite {
       declaredScale: Map[String, Int] = Map.empty,
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
-      items: Seq[ItemsSpec] = Nil): Unit = {
+      items: Seq[ItemsSpec] = Nil,
+      kmvs: Seq[KmvSpec] = Nil): Unit = {
     declaredScale.foreach { case (m, d) =>
       require(measures.contains(m), s"declaredScale for non-measure $m")
       require(d >= 0 && d <= 6,
@@ -214,7 +238,8 @@ object SummaryRewrite {
         s"mx_$m")) ++
       sketches.map(sk => s"hll_${sk.key}") ++
       histograms.map(h => s"hist_${h.col}") ++
-      items.map(_.colName)
+      items.map(_.colName) ++
+      kmvs.map(_.colName)
     val all = dims ++ measures
     require(all.distinct.size == all.size,
       s"dims/measures must be distinct, got $all")
@@ -235,11 +260,11 @@ object SummaryRewrite {
       registry.remove(key)
       spark.catalog.refreshByPath(dataPath)
       buildSummary(spark, dataPath, summaryDir, dims, measures, sketches,
-        histograms, items)
+        histograms, items, kmvs)
       spark.catalog.refreshByPath(summaryDir)
     }
     registry.put(key, Entry(summaryDir, dims, measures, declaredScale,
-      sketches, histograms, items))
+      sketches, histograms, items, kmvs))
     ensureRule(spark)
   }
 
@@ -312,6 +337,56 @@ object SummaryRewrite {
         (col("idx") + 1).cast("int").as("rank") :+
         col("entry.item").as("item") :+
         col("entry.est").as("est")): _*)
+  }
+
+  /** Serve the pairwise distinct-key overlap of dim groups from the
+    * rollup's KMV column: per-group sketches fold with the k-smallest
+    * combiner (k parsed from the stored column's own name), then every
+    * unordered group pair (a < b by the dim tuple) gets its two
+    * distinct estimates, the intersection estimate, and the Jaccard —
+    * all computed from the sketches alone. Cost is quadratic in the
+    * GROUP count (dim cardinality) and never touches the fact table —
+    * the only viable shape for "users shared by day A and day B" over
+    * a 100 TB base. With k >= every per-group distinct count the
+    * whole answer is integer-exact (the oracled regime).
+    */
+  def approxOverlap(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], key: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    require(groupDims.nonEmpty, "approxOverlap needs at least one group dim")
+    val rollup = spark.read.parquet(summaryDir)
+    val pat = s"^kmv(\\d+)_${java.util.regex.Pattern.quote(key)}$$".r
+    val (colName, k) = rollup.schema.fieldNames.collectFirst {
+      case n @ pat(kk) => (n, kk.toInt)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no kmv<k>_$key column in the rollup at $summaryDir"))
+    val merged = GraftShims.column(graft.operators.KmvMerge(
+      GraftShims.expression(col(colName)), k)
+      .toAggregateExpression()).as("sk")
+    val g = rollup.groupBy(groupDims.map(col): _*).agg(merged)
+    val a = g.select(groupDims.map(c => col(c).as(s"${c}_a")) :+
+      col("sk").as("sk_a"): _*)
+    val b = g.select(groupDims.map(c => col(c).as(s"${c}_b")) :+
+      col("sk").as("sk_b"): _*)
+    val pairLt = struct(groupDims.map(c => col(s"${c}_a")): _*) <
+      struct(groupDims.map(c => col(s"${c}_b")): _*)
+    def sc2(name: String, l: String, r: String,
+        f: (org.apache.spark.sql.catalyst.expressions.Expression,
+            org.apache.spark.sql.catalyst.expressions.Expression)
+          => org.apache.spark.sql.catalyst.expressions.Expression) =
+      GraftShims.column(f(GraftShims.expression(col(l)),
+        GraftShims.expression(col(r)))).as(name)
+    a.join(b, pairLt)
+      .select(groupDims.map(c => col(s"${c}_a")) ++
+        groupDims.map(c => col(s"${c}_b")) ++ Seq(
+          GraftShims.column(graft.operators.KmvEstimate(
+            GraftShims.expression(col("sk_a")), k)).as("est_a"),
+          GraftShims.column(graft.operators.KmvEstimate(
+            GraftShims.expression(col("sk_b")), k)).as("est_b"),
+          sc2("est_common", "sk_a", "sk_b",
+            graft.operators.KmvIntersect(_, _, k)),
+          sc2("jaccard", "sk_a", "sk_b",
+            graft.operators.KmvJaccard(_, _, k))): _*)
   }
 
   def approxQuantile(spark: SparkSession, summaryDir: String,

@@ -340,6 +340,50 @@ object RelationalQueries {
         .orderBy($"o_orderstatus", $"rank")
     }),
 
+    // Day-over-day returning users from KMV sketches alone: one
+    // bounded sketch per day (k smallest user-id hashes), consecutive
+    // days joined and intersected WITHOUT revisiting the event rows —
+    // the set-operation read HLL registers cannot answer. k=2048
+    // exceeds every per-day distinct count at the gate SF, so the
+    // sketch is the exact hash set and DuckDB restates the whole
+    // answer as exact distinct joins on the raw table; at larger SFs
+    // the same plan degrades gracefully into the Beyer et al.
+    // estimator (spec-bounded error), shipping k longs per day either
+    // way.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val sk = t(s, dir, "events")
+        .select(to_date($"ts").as("day"), $"user_id")
+        .groupBy($"day")
+        .agg(expr("kmv_sketch(user_id, 2048)").as("sk"))
+      val a = sk.select($"day".as("day_a"), $"sk".as("sk_a"))
+      val b = sk.select($"day".as("day_b"), $"sk".as("sk_b"))
+      a.join(b, $"day_b" === date_add($"day_a", 1))
+        .select($"day_a", $"day_b",
+          expr("kmv_estimate(sk_a, 2048)").as("users_a"),
+          expr("kmv_estimate(sk_b, 2048)").as("users_b"),
+          expr("kmv_intersect(sk_a, sk_b, 2048)").as("returning"))
+        .orderBy($"day_a")
+    }),
+
+    // Distinct-customer overlap between order statuses served from
+    // the rollup's KMV column: per-chunk sketches fold with the
+    // k-smallest combiner (k parsed from the column's own name, the
+    // same registry-free stance as the Misra–Gries capacity), then
+    // every status pair reads its two distinct estimates, the
+    // intersection, and the Jaccard from the sketches alone — the
+    // fact table is never touched (cost is quadratic in STATUS count,
+    // not data volume). Exact at the gate SF (k=2048 > every
+    // per-status distinct count), restated by DuckDB as exact
+    // distinct-intersection SQL on raw orders.
+    "q_mv_overlap" -> ((s, dir) => {
+      registerMvOrders(s, dir)
+      graft.plans.SummaryRewrite.approxOverlap(s,
+          mvSummaryDir(dir) + "_orders", Seq("o_orderstatus"),
+          "o_custkey")
+        .withColumn("jaccard", round($"jaccard", 4))
+        .orderBy($"o_orderstatus_a", $"o_orderstatus_b")
+    }),
+
     // X4-analog: deterministic sampling via key modulo (portable vs RANDOM()).
     "q_sample_mod" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -421,7 +465,9 @@ object RelationalQueries {
       Seq("o_orderstatus", "o_orderdate"),
       Seq("o_totalprice"),
       items = Seq(
-        graft.plans.SummaryRewrite.ItemsSpec("o_orderpriority", 64)))
+        graft.plans.SummaryRewrite.ItemsSpec("o_orderpriority", 64)),
+      kmvs = Seq(
+        graft.plans.SummaryRewrite.KmvSpec("o_custkey", 2048)))
 
   private def registerMv(s: SparkSession, dir: String): Unit =
     graft.plans.SummaryRewrite.register(s, s"$dir/lineitem.parquet",
@@ -567,6 +613,34 @@ object RelationalQueries {
         |SELECT o_orderstatus, CAST(rank AS INT) AS rank, item, est
         |FROM r WHERE rank <= 3
         |ORDER BY o_orderstatus, rank""".stripMargin,
+    // k=2048 >= every per-day distinct count at the gate SF, so the
+    // KMV sketch is the full hash set and the overlap is the exact
+    // distinct-user intersection of consecutive days
+    "q_kmv_overlap" ->
+      """WITH u AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |c AS (SELECT day, count(*) AS n FROM u GROUP BY day)
+        |SELECT a.day AS day_a, b.day AS day_b,
+        |  ca.n AS users_a, cb.n AS users_b, count(*) AS returning
+        |FROM u a JOIN u b ON a.user_id = b.user_id AND b.day = a.day + 1
+        |JOIN c ca ON ca.day = a.day JOIN c cb ON cb.day = b.day
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY day_a""".stripMargin,
+    // exact regime again: per-status KMV sketches hold every customer
+    // hash, so estimates, intersection, and Jaccard all equal the
+    // exact distinct-set reads on raw orders
+    "q_mv_overlap" ->
+      """WITH u AS (
+        |  SELECT DISTINCT o_orderstatus AS s, o_custkey AS c FROM orders),
+        |n AS (SELECT s, count(*) AS n FROM u GROUP BY s),
+        |i AS (SELECT a.s AS sa, b.s AS sb, count(*) AS common
+        |      FROM u a JOIN u b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2)
+        |SELECT i.sa AS o_orderstatus_a, i.sb AS o_orderstatus_b,
+        |  na.n AS est_a, nb.n AS est_b, i.common AS est_common,
+        |  round(CAST(i.common AS DOUBLE) / (na.n + nb.n - i.common), 4)
+        |    AS jaccard
+        |FROM i JOIN n na ON na.s = i.sa JOIN n nb ON nb.s = i.sb
+        |ORDER BY 1, 2""".stripMargin,
     // the PLAIN join: salting must be invisible in the result
     "q_salted_join" ->
       """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.plans.SummaryRewrite
-import graft.plans.SummaryRewrite.{HistSpec, ItemsSpec, SketchSpec}
+import graft.plans.SummaryRewrite.{HistSpec, ItemsSpec, KmvSpec, SketchSpec}
 import graft.util.DirSwap
 
 /** Incrementally maintained materialized rollup — the streaming face
@@ -62,17 +62,18 @@ object SummaryStream {
       declaredScale: Map[String, Int] = Map.empty,
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
-      items: Seq[ItemsSpec] = Nil): Unit = {
+      items: Seq[ItemsSpec] = Nil,
+      kmvs: Seq[KmvSpec] = Nil): Unit = {
     SummaryRewrite.partialRollup(
         spark.read.parquet(basePath).limit(0), dims, measures, sketches,
-        histograms, items)
+        histograms, items, kmvs)
       .withColumn("chunk", lit(-1L))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
     spark.catalog.refreshByPath(summaryDir)
     SummaryRewrite.register(spark, basePath, summaryDir, dims, measures,
       declaredScale = declaredScale, sketches = sketches,
-      histograms = histograms, items = items)
+      histograms = histograms, items = items, kmvs = kmvs)
   }
 
   /** Start maintaining `summaryDir` from base files appearing under
@@ -86,7 +87,8 @@ object SummaryStream {
       maxFilesPerTrigger: Int = 8,
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
-      items: Seq[ItemsSpec] = Nil): StreamingQuery = {
+      items: Seq[ItemsSpec] = Nil,
+      kmvs: Seq[KmvSpec] = Nil): StreamingQuery = {
     val schema = spark.read.parquet(basePath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -95,7 +97,7 @@ object SummaryStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, summaryDir, dims, measures, sketches,
-          histograms, items)
+          histograms, items, kmvs)
         ()
       }
       .start()
@@ -110,10 +112,11 @@ object SummaryStream {
       summaryDir: String, dims: Seq[String], measures: Seq[String],
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
-      items: Seq[ItemsSpec] = Nil): Unit = {
+      items: Seq[ItemsSpec] = Nil,
+      kmvs: Seq[KmvSpec] = Nil): Unit = {
     val spark = batch.sparkSession
     SummaryRewrite.partialRollup(batch, dims, measures, sketches,
-        histograms, items)
+        histograms, items, kmvs)
       .withColumn("chunk", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite")
@@ -160,6 +163,11 @@ object SummaryStream {
       case n if n.startsWith("hist_") =>
         GraftShims.column(graft.operators.HistMerge(
           GraftShims.expression(col(n))).toAggregateExpression()).as(n)
+      case n if n.matches("^kmv\\d+_.*") =>
+        val k = "^kmv(\\d+)_".r.findFirstMatchIn(n).get.group(1).toInt
+        GraftShims.column(graft.operators.KmvMerge(
+          GraftShims.expression(col(n)), k)
+          .toAggregateExpression()).as(n)
       case n if n.matches("^mg\\d+_.*") =>
         val cap = "^mg(\\d+)_".r.findFirstMatchIn(n).get.group(1).toInt
         GraftShims.column(graft.operators.MgMerge(

@@ -819,6 +819,51 @@ class HttpApiSpec extends SparkSuite {
     assert(delete("/collections/ord_mv_it/summary").statusCode() === 200)
   }
 
+  test("summary KMV overlap over REST: register with kmv_keys, serve " +
+      "exact pairwise distinct overlap of dim groups; guards 400") {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .createOrReplaceTempView("ord_mv_kmv")
+    // k=2048 > every per-status distinct custkey count at sf0.001 =>
+    // the sketches are exact hash sets and overlap reads are exact
+    val reg = post("/collections/ord_mv_kmv/summary",
+      """{"dims":["o_orderstatus"],"measures":["o_totalprice"],
+        |"kmv_keys":["o_custkey"]}"""
+        .stripMargin.replace("\n", ""))
+    assert(reg.statusCode() === 200, reg.body())
+    assert(reg.body().contains("\"kmvs\":1"), reg.body())
+    val r = post("/collections/ord_mv_kmv/summary/overlap",
+      """{"key":"o_custkey","dims":["o_orderstatus"]}""")
+    assert(r.statusCode() === 200, r.body())
+    // exact pairwise overlap from the raw table
+    val u = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderstatus").as("s"), col("o_custkey").as("c"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val expect = (for {
+      a <- u.keys; b <- u.keys if a < b
+    } yield (a, b, u(a).size.toLong, u(b).size.toLong,
+      (u(a) & u(b)).size.toLong)).toSet
+    val got = ("""\{"o_orderstatus_a":"([^"]+)",""" +
+      """"o_orderstatus_b":"([^"]+)","est_a":(\d+),"est_b":(\d+),""" +
+      """"est_common":(\d+),"jaccard":[0-9.]+\}""").r
+      .findAllMatchIn(r.body())
+      .map(m => (m.group(1), m.group(2), m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong)).toSet
+    assert(got === expect, r.body())
+    // guards: unregistered key, missing dims, bad k at registration
+    assert(post("/collections/ord_mv_kmv/summary/overlap",
+      """{"key":"nope","dims":["o_orderstatus"]}""").statusCode() === 400)
+    assert(post("/collections/ord_mv_kmv/summary/overlap",
+      """{"key":"o_custkey"}""").statusCode() === 400)
+    assert(post("/collections/ord_mv_kmv/summary",
+      """{"dims":["o_orderstatus"],"measures":["o_totalprice"],
+        |"kmv_keys":["o_custkey"],"kmv_k":"1"}"""
+        .stripMargin.replace("\n", "")).statusCode() === 400)
+    assert(delete("/collections/ord_mv_kmv/summary").statusCode() === 200)
+  }
+
   test("OpenAPI doc at / and /openapi.json enumerates every route; " +
       "oversized request bodies get 413 before any handler runs") {
     val doc = get("/openapi.json")
