@@ -38,6 +38,16 @@ object VectorFunctions {
   def fp16_encode(a: Column): Column = col(Fp16Encode(f(a)))
   def fp16_decode(a: Column): Column = col(Fp16Decode(expr(a)))
 
+  /** One-pass (n, mean, covariance-upper-triangle) aggregate — the
+    * cluster half of PCA/whitening (see [[graft.operators.Pca]]).
+    */
+  def vector_moments(a: Column): Column =
+    col(graft.operators.VectorMoments(f(a)).toAggregateExpression())
+
+  /** Seeded Johnson–Lindenstrauss sparse projection to k dims. */
+  def rand_project(a: Column, k: Int): Column =
+    col(RandomProject(f(a), k))
+
   /** F64 surface: the same distance expressions reading ARRAY<DOUBLE>
     * natively (reference kind F64, external_index/server.rs:93-99).
     * Explicit names rather than implicit dispatch so the unsuffixed
@@ -117,6 +127,14 @@ object VectorFunctions {
         L1Distance(cd(e(0)), cd(e(1)))),
       "vector_norm_f64" -> ((e: Seq[Expression]) =>
         VectorNorm(cd(e.head))),
+      // linear algebra: rand_project(vec, k) -> ARRAY<DOUBLE> (seeded
+      // JL reduction); vector_moments(vec) -> STRUCT(n, mean, cov)
+      // one-pass covariance aggregate (ResolveFunctions wraps the
+      // returned AggregateFunction, as with mg_sketch below)
+      "rand_project" -> ((e: Seq[Expression]) =>
+        RandomProject(cf(e(0)), lit(e(1), "k"))),
+      "vector_moments" -> ((e: Seq[Expression]) =>
+        graft.operators.VectorMoments(cf(e.head))),
       // item cast to string up front: frequent-items identity is the
       // textual value, and the cast is deterministic for every
       // atomic type (vs a runtime class cast failing on non-strings)

@@ -113,6 +113,75 @@ object VectorQueries {
         .toDF("vec_id", "pos", "val")
         .orderBy($"vec_id", $"pos")),
 
+    // Linear algebra over the corpus (see graft.operators.Pca /
+    // VectorMoments): one-pass mergeable moments — per-dimension mean
+    // and the population covariance of the leading 8 dims, exploded to
+    // (i, j, cov). The aggregate moves ONE O(d^2) buffer per partition
+    // regardless of corpus size; the 36-pair index map is a constant
+    // literal.
+    "q_vec_cov" -> ((s, dir) => {
+      import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      val emb = Tables(s, dir, "embeddings")
+        .select(slice($"embedding", 1, 8).as("v"))
+      val m = emb.agg(V.vector_moments($"v").as("m"))
+        .select($"m.cov".as("cov"))
+      val d = 8
+      val pairs = (for { i <- 0 until d; j <- i until d } yield (i, j))
+        .zipWithIndex.map { case ((i, j), t) => (i, j, t) }
+      val pdf = pairs.toDF("i", "j", "t")
+      pdf.crossJoin(m)
+        .select($"i", $"j",
+          round(element_at($"cov", $"t" + 1), 4).as("cov"))
+        .orderBy($"i", $"j")
+    }),
+
+    // Per-dimension corpus mean from the same moments pass.
+    "q_vec_mean" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .agg(V.vector_moments($"embedding").as("m"))
+        .select(posexplode($"m.mean"))
+        .toDF("j", "mean")
+        .select($"j", round($"mean", 4).as("mean"))
+        .orderBy($"j")),
+
+    // PCA spectrum sanity served as a face: the Jacobi eigenvalue sum
+    // must equal the covariance trace, which DuckDB recomputes as the
+    // sum of per-dimension population variances over the RAW table —
+    // an oracled invariant of the full eigen-decomposition (the
+    // k-means-style "model content" itself is invariant-tested in
+    // VectorLinalgSpec, same split as q_pq_codebook).
+    "q_pca_trace" -> ((s, dir) => {
+      import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.Pca.fit(emb, "embedding", 64)
+      Seq((model.dims, BigDecimal(model.eigenvalues.sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("dims", "trace")
+    }),
+
+    // PCA projection to the top-4 axes (rows-only: eigenvectors are
+    // not SQL-restatable; twinned by the oracled q_pca_trace above and
+    // VectorLinalgSpec's projected-variance == eigenvalue invariant).
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.Pca.fit(emb, "embedding", 4)
+      graft.operators.Pca.project(emb, "embedding", model, "p")
+        .select($"vec_id", posexplode($"p"))
+        .toDF("vec_id", "c", "val")
+        .orderBy($"vec_id", $"c")
+    }),
+
+    // Seeded Johnson–Lindenstrauss sparse projection to 8 dims — the
+    // training-free dimension reduction ahead of LSH/clustering. Pure
+    // per-row map (no shuffle); the oracle restates the same v^3 mod
+    // 101 mod 6 sign hash and index-ordered fold.
+    "q_rand_project" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", posexplode(V.rand_project($"embedding", 8)))
+        .toDF("vec_id", "c", "val")
+        .select($"vec_id", $"c", round($"val", 4).as("val"))
+        .orderBy($"vec_id", $"c")),
+
     // F15: all three metrics against an anchor vector (vec_id = 0).
     "q_dist_anchor" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -1941,6 +2010,49 @@ object VectorQueries {
     "q_vec_norm" ->
       s"""SELECT vec_id, round(sqrt(${dkNormSq("embedding")}), 4) AS nrm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // population covariance restated with the same E[ab] - E[a]E[b]
+    // algebra the VectorMoments aggregate computes (double sums; the
+    // ~1e-15 sum-order noise is absorbed by round 4)
+    "q_vec_cov" ->
+      """WITH e AS (SELECT vec_id, CAST(j AS INT) AS j,
+        |    CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(embedding[1:8]) AS v,
+        |          unnest(range(0, 8)) AS j FROM embeddings))
+        |SELECT CAST(a.j AS INT) AS i, CAST(b.j AS INT) AS j,
+        |  round((sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*))
+        |    / count(*), 4) AS cov
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.j <= b.j
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q_vec_mean" ->
+      """SELECT CAST(j AS INT) AS j,
+        |  round(sum(v) / count(*), 4) AS mean
+        |FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+        |        unnest(range(0, len(embedding))) AS j FROM embeddings)
+        |GROUP BY j ORDER BY j""".stripMargin,
+    // trace invariant: sum of Jacobi eigenvalues == sum of per-dim
+    // population variances over the raw table
+    "q_pca_trace" ->
+      """WITH e AS (SELECT vec_id, j, CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          unnest(range(0, len(embedding))) AS j
+        |        FROM embeddings)),
+        |pv AS (SELECT j,
+        |    (sum(v * v) - sum(v) * sum(v) / count(*)) / count(*) AS vv
+        |  FROM e GROUP BY j)
+        |SELECT CAST(count(*) AS INT) AS dims,
+        |  round(sum(vv), 4) AS trace FROM pv""".stripMargin,
+    // same v^3 mod 101 mod 6 sign hash, same index-ordered fold
+    "q_rand_project" ->
+      """SELECT vec_id, CAST(c AS INT) AS c,
+        |  round(sqrt(3.0 / 8) * list_sum(list_transform(
+        |    range(1, len(embedding) + 1),
+        |    j -> CAST(embedding[j] AS DOUBLE) *
+        |      (CASE (((c + 1) * 12345 + j) * ((c + 1) * 12345 + j)
+        |             * ((c + 1) * 12345 + j)) % 101 % 6
+        |       WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))), 4)
+        |    AS val
+        |FROM embeddings, (SELECT unnest(range(0, 8)) AS c)
+        |ORDER BY vec_id, c""".stripMargin,
     "q_vec_slice" ->
       """SELECT vec_id, CAST(unnest(range(0, 8)) AS INT) AS pos,
         | unnest(embedding[1:8]) AS val
