@@ -316,6 +316,55 @@ object Pca {
       model.mean.toIndexedSeq,
       model.components.map(_.toIndexedSeq).toIndexedSeq)))
 
+  /** Append `outCol` = whitened coordinates: projections scaled by
+    * 1/sqrt(eigenvalue), so every axis has unit population variance.
+    * Near-null axes are floored at 1e-12 to keep the map finite.
+    */
+  def whiten(df: DataFrame, vecCol: String, model: PcaModel,
+      outCol: String): DataFrame = {
+    val scaled = model.components.zip(model.eigenvalues).map {
+      case (row, ev) =>
+        val s = 1.0 / math.sqrt(math.max(ev, 1e-12))
+        row.map(_ * s).toIndexedSeq
+    }
+    df.withColumn(outCol, VF.col(MatVecProject(
+      VF.expr(df.col(vecCol)),
+      model.mean.toIndexedSeq, scaled.toIndexedSeq)))
+  }
+
+  /** Squared Mahalanobis distance to the corpus distribution (full
+    * covariance, via the whitened coordinates of a FULL-RANK model) —
+    * the classical OOD / outlier score for embedding curation. Trace
+    * identity: its mean over the fitting corpus is EXACTLY d, which
+    * the q_mahalanobis_mean face serves as a hash-oracled invariant.
+    */
+  def mahalanobis(df: DataFrame, vecCol: String, model: PcaModel,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    whiten(df, vecCol, model, "__white")
+      .withColumn(outCol, aggregate(col("__white"), lit(0.0),
+        (acc, x) => acc + x * x))
+      .drop("__white")
+  }
+
+  /** Diagonal (z-score) squared OOD: sum_j ((x_j - mean_j)/std_j)^2 —
+    * the covariance-free sibling of [[mahalanobis]], fully
+    * SQL-restatable (q_ood_zscore is hash-oracled vs DuckDB). One
+    * moments pass for the model, then a pure codegen'd map.
+    */
+  def zscoreSquared(df: DataFrame, vecCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (_, mean, cov) = moments(df, vecCol)
+    val meanLit = array(mean.map(lit).toIndexedSeq: _*)
+    val stdLit = array(mean.indices
+      .map(i => lit(math.sqrt(cov(i)(i)))): _*)
+    val z = zip_with(df.col(vecCol).cast("array<double>"), meanLit,
+      (x, m) => x - m)
+    val u = zip_with(z, stdLit, (a, sd) => (a / sd) * (a / sd))
+    df.withColumn(outCol, aggregate(u, lit(0.0), (acc, x) => acc + x))
+  }
+
   /** Squared reconstruction error per row against the k-dim basis:
     * |x - mean|^2 - |proj|^2 (exact for an orthonormal basis) — the
     * OOD / compression-loss score, again a pure map.

@@ -182,6 +182,32 @@ object VectorQueries {
         .select($"vec_id", $"c", round($"val", 4).as("val"))
         .orderBy($"vec_id", $"c")),
 
+    // Diagonal z-score OOD: sum of squared per-dimension z-scores —
+    // the covariance-free outlier score a curation pipeline gates on.
+    // One moments pass for the model, then a pure map; fully restated
+    // in SQL.
+    "q_ood_zscore" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Pca.zscoreSquared(emb, "embedding", "score")
+        .select($"vec_id", round($"score", 4).as("score"))
+        .orderBy($"vec_id")
+    }),
+
+    // Full-covariance Mahalanobis OOD, served through its exact trace
+    // identity: the mean of squared Mahalanobis distances over the
+    // fitting corpus equals the dimension d EXACTLY (E[(x-mu)'
+    // Sigma^-1 (x-mu)] = tr(Sigma^-1 Sigma) = d), so DuckDB restates
+    // the answer from len(embedding) alone while the Spark side must
+    // actually run moments -> Jacobi -> whiten -> score to land on it
+    // — a hash-oracled end-to-end check of the whole pipeline.
+    "q_mahalanobis_mean" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.Pca.fit(emb, "embedding", 64)
+      graft.operators.Pca.mahalanobis(emb, "embedding", model, "score")
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg($"score"), 4).as("mean_score"))
+    }),
+
     // F15: all three metrics against an anchor vector (vec_id = 0).
     "q_dist_anchor" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -2041,6 +2067,27 @@ object VectorQueries {
         |  FROM e GROUP BY j)
         |SELECT CAST(count(*) AS INT) AS dims,
         |  round(sum(vv), 4) AS trace FROM pv""".stripMargin,
+    "q_ood_zscore" ->
+      """WITH e AS (SELECT vec_id, j, CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          unnest(range(0, len(embedding))) AS j
+        |        FROM embeddings)),
+        |m AS (SELECT j, sum(v) / count(*) AS mu,
+        |    sqrt((sum(v * v) - sum(v) * sum(v) / count(*))
+        |      / count(*)) AS sd
+        |  FROM e GROUP BY j)
+        |SELECT e.vec_id,
+        |  round(sum(((e.v - m.mu) / m.sd) * ((e.v - m.mu) / m.sd)), 4)
+        |    AS score
+        |FROM e JOIN m ON e.j = m.j
+        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+    // trace identity: mean squared Mahalanobis over the fitting
+    // corpus == d; the oracle reads d from the schema, the Spark side
+    // must earn it through moments -> eigen -> whiten -> score
+    "q_mahalanobis_mean" ->
+      """SELECT count(*) AS n_rows,
+        |  round(CAST(max(len(embedding)) AS DOUBLE), 4) AS mean_score
+        |FROM embeddings""".stripMargin,
     // same v^3 mod 101 mod 6 sign hash, same index-ordered fold
     "q_rand_project" ->
       """SELECT vec_id, CAST(c AS INT) AS c,

@@ -97,6 +97,41 @@ class VectorLinalgSpec extends SparkSuite {
     assert(math.abs(errs(1) - dropped) < 1e-6 * math.max(1.0, dropped))
   }
 
+  test("Mahalanobis: mean over fitting corpus == d (trace identity); " +
+      "synthetic direction scores t^2/lambda") {
+    val df = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val model = Pca.fit(df, "embedding", 64)
+    val meanScore = Pca.mahalanobis(df, "embedding", model, "s")
+      .agg(avg($"s")).collect()(0).getDouble(0)
+    assert(math.abs(meanScore - 64.0) < 1e-6, s"mean $meanScore")
+    // x = mean + t * v_0 has squared Mahalanobis t^2 / lambda_0
+    val t = 0.37
+    val x = model.mean.zip(model.components(0))
+      .map { case (m, v) => (m + t * v).toFloat }
+    val one = Seq(Tuple1(x)).toDF("embedding")
+    val s0 = Pca.mahalanobis(one, "embedding", model, "s")
+      .collect()(0).getAs[Double]("s")
+    val expect = t * t / model.eigenvalues(0)
+    // float32 storage of x costs ~1e-7 relative precision
+    assert(math.abs(s0 - expect) < 1e-4 * math.max(1.0, expect),
+      s"$s0 vs $expect")
+  }
+
+  test("zscoreSquared matches the naive per-dimension computation") {
+    val df = data.toDF("id", "v")
+    val (em, ec) = naiveMoments(data.map(_._2.map(_.toDouble)))
+    val sds = em.indices.map(i => math.sqrt(ec(i)(i)))
+    val got = Pca.zscoreSquared(df, "v", "s")
+      .select($"id", $"s").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    data.foreach { case (id, v) =>
+      val want = v.indices.map { j =>
+        val z = (v(j) - em(j)) / sds(j); z * z
+      }.sum
+      assert(math.abs(got(id) - want) < 1e-9, s"row $id")
+    }
+  }
+
   test("RandomProject matches a reference computation and is usable " +
       "from SQL") {
     val df = data.toDF("id", "v")
