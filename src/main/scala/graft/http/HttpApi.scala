@@ -121,13 +121,14 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/topk" -> "frequent items (Misra-Gries + recount)",
       "post /collections/{name}/keywords" -> "per-doc tf-idf keywords",
       "post /lsh_tune" -> "LSH banding tuner",
-      "post /collections/{name}/summary" -> "register materialized rollup (+ hll_keys, histograms, items)",
+      "post /collections/{name}/summary" -> "register materialized rollup (+ hll_keys, histograms, items, kmv_keys, vec_cols)",
       "get /collections/{name}/summary/stats" -> "rollup chunk debt",
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
       "post /collections/{name}/summary/distinct" -> "HLL distinct estimate from the rollup",
       "post /collections/{name}/summary/quantile" -> "histogram quantiles from the rollup",
       "post /collections/{name}/summary/topitems" -> "Misra-Gries frequent items from the rollup",
       "post /collections/{name}/summary/overlap" -> "KMV distinct-overlap of dim groups from the rollup",
+      "post /collections/{name}/summary/centroid" -> "per-group embedding centroids from the rollup",
       "delete /collections/{name}/summary" -> "uninstall rollup rewrite")
     val paths = routes.groupBy(_._1.split(" ")(1)).toSeq.sortBy(_._1)
       .map { case (p, ms) =>
@@ -154,7 +155,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       sketches: Seq[graft.plans.SummaryRewrite.SketchSpec] = Nil,
       histograms: Seq[graft.plans.SummaryRewrite.HistSpec] = Nil,
       items: Seq[graft.plans.SummaryRewrite.ItemsSpec] = Nil,
-      kmvs: Seq[graft.plans.SummaryRewrite.KmvSpec] = Nil)
+      kmvs: Seq[graft.plans.SummaryRewrite.KmvSpec] = Nil,
+      vecs: Seq[graft.plans.SummaryRewrite.VecSpec] = Nil)
   private val summaries = new java.util.concurrent.ConcurrentHashMap[
     String, SummaryReg]()
 
@@ -1178,6 +1180,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           val kmvKeys = jsonStringArray(body, "kmv_keys").getOrElse(Nil)
           val kmvs = kmvKeys.map(k =>
             graft.plans.SummaryRewrite.KmvSpec(k, kmvK))
+          // optional vector-sum (centroid) measures over ARRAY<FLOAT>
+          // embedding columns ("vec_cols":["embedding"])
+          val vecCols = jsonStringArray(body, "vec_cols").getOrElse(Nil)
+          val vecs = vecCols.map(c =>
+            graft.plans.SummaryRewrite.VecSpec(c))
           val cols = df.columns.toSet
           val paths = df.queryExecution.optimizedPlan.collect {
             case l: org.apache.spark.sql.execution.datasources
@@ -1203,7 +1210,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   s"""{"error":"kmv_k must be in [2, """ +
                     s"""${graft.operators.Kmv.MaxK}]"}""")
               else if (!(dims ++ measures ++ hllKeys ++
-                  histograms.map(_.col) ++ items.map(_.col) ++ kmvKeys)
+                  histograms.map(_.col) ++ items.map(_.col) ++ kmvKeys ++
+                  vecCols)
                   .forall(c => validIdent(c) && cols.contains(c)))
                 respond(ex, 400,
                   s"""{"error":"dims/measures/sketch columns must be """ +
@@ -1218,9 +1226,9 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 graft.plans.SummaryRewrite.register(spark, paths.head,
                   sumDir, dims, measures, refresh = refresh,
                   sketches = sketches, histograms = histograms,
-                  items = items, kmvs = kmvs)
+                  items = items, kmvs = kmvs, vecs = vecs)
                 summaries.put(name, SummaryReg(paths.head, sumDir, dims,
-                  measures, sketches, histograms, items, kmvs))
+                  measures, sketches, histograms, items, kmvs, vecs))
                 val chunks = spark.read.parquet(sumDir)
                   .select(col("chunk")).distinct().count()
                 respond(ex, 200,
@@ -1230,6 +1238,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                     s""""histograms":${histograms.size},""" +
                     s""""items":${items.size},""" +
                     s""""kmvs":${kmvs.size},""" +
+                    s""""vecs":${vecs.size},""" +
                     s""""chunks":$chunks}""")
               }
           }
@@ -1386,6 +1395,41 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   s""""est_common":${r.getLong(2 * n + 2)}""",
                   s""""jaccard":${r.getDouble(2 * n + 3)}""")
                 (da ++ db ++ rest).mkString("{", ",", "}")
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+            }
+        }
+
+      // serve per-group embedding centroids from the rollup's vector-
+      // sum partials: {"col":"embedding","dims":["label"]} — dims
+      // empty or absent = global corpus centroid. The read is dim-
+      // cardinality-sized; the base table is never touched.
+      case ("POST", List("collections", name, "summary", "centroid")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val colName = jsonField(body, "col")
+            val gdims = jsonStringArray(body, "dims").getOrElse(Nil)
+            if (!colName.exists(c => reg.vecs.exists(_.col == c)))
+              respond(ex, 400,
+                s"""{"error":"col must be one of the registered """ +
+                  s"""vec_cols: ${reg.vecs.map(_.col).mkString(",")}"}""")
+            else if (!gdims.forall(reg.dims.contains))
+              respond(ex, 400, s"""{"error":"dims must be rollup dims"}""")
+            else {
+              val rows = graft.plans.SummaryRewrite.groupCentroids(
+                spark, reg.summaryDir, gdims, colName.get).collect()
+              val items = rows.map { r =>
+                val ds = gdims.indices.map(i =>
+                  s""""${gdims(i)}":${jsonId(r.get(i))}""")
+                val n = s""""n":${r.getLong(gdims.size)}"""
+                val cent = Option(r.getSeq[Double](gdims.size + 1))
+                  .map(_.mkString("[", ",", "]")).getOrElse("null")
+                (ds ++ Seq(n, s""""centroid":$cent"""))
+                  .mkString("{", ",", "}")
               }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"results":$items}""")
             }

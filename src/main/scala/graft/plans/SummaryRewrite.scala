@@ -123,13 +123,29 @@ object SummaryRewrite {
     def colName: String = s"kmv${k}_$key"
   }
 
+  /** A vector-sum measure carried by the rollup: per-dim-group
+    * elementwise sums + contributing count of an ARRAY<FLOAT>
+    * embedding column, stored as column `vsum_<col>`
+    * (struct(n, sums)). Partials fold by elementwise sum — the
+    * associative rollup-combiner contract — so per-group CENTROIDS
+    * (sums / n) are servable at the rollup grain via
+    * [[groupCentroids]]: cluster/segment mean embeddings over a
+    * 100 TB corpus read from a dim-cardinality-sized table, the
+    * aggregate a training pipeline needs for per-source drift checks
+    * and SemDeDup-style cluster seeding.
+    */
+  case class VecSpec(col: String) {
+    def colName: String = s"vsum_$col"
+  }
+
   case class Entry(summaryDir: String, dims: Seq[String],
       measures: Seq[String],
       declaredScale: Map[String, Int] = Map.empty,
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
-      kmvs: Seq[KmvSpec] = Nil)
+      kmvs: Seq[KmvSpec] = Nil,
+      vecs: Seq[VecSpec] = Nil)
 
   private val registry = TrieMap[String, Entry]()
 
@@ -154,7 +170,8 @@ object SummaryRewrite {
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
-      kmvs: Seq[KmvSpec] = Nil): DataFrame = {
+      kmvs: Seq[KmvSpec] = Nil,
+      vecs: Seq[VecSpec] = Nil): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShims
     val aggs = (count(lit(1)).as("cnt") +:
       (measures.flatMap(m => Seq(
@@ -179,7 +196,11 @@ object SummaryRewrite {
        kmvs.map(kv => GraftShims
          .column(graft.operators.KmvSketch(
            GraftShims.expression(col(kv.key)), kv.k)
-           .toAggregateExpression()).as(kv.colName))))
+           .toAggregateExpression()).as(kv.colName)) ++
+       vecs.map(v => GraftShims
+         .column(graft.operators.VectorSum(
+           GraftShims.expression(col(v.col)))
+           .toAggregateExpression()).as(v.colName))))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -194,9 +215,10 @@ object SummaryRewrite {
       measures: Seq[String], sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
-      kmvs: Seq[KmvSpec] = Nil): Unit = {
+      kmvs: Seq[KmvSpec] = Nil,
+      vecs: Seq[VecSpec] = Nil): Unit = {
     partialRollup(spark.read.parquet(basePath), dims, measures, sketches,
-        histograms, items, kmvs)
+        histograms, items, kmvs, vecs)
       .withColumn("chunk", lit(-1L))
       .coalesce(8)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
@@ -222,7 +244,8 @@ object SummaryRewrite {
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
-      kmvs: Seq[KmvSpec] = Nil): Unit = {
+      kmvs: Seq[KmvSpec] = Nil,
+      vecs: Seq[VecSpec] = Nil): Unit = {
     declaredScale.foreach { case (m, d) =>
       require(measures.contains(m), s"declaredScale for non-measure $m")
       require(d >= 0 && d <= 6,
@@ -239,7 +262,8 @@ object SummaryRewrite {
       sketches.map(sk => s"hll_${sk.key}") ++
       histograms.map(h => s"hist_${h.col}") ++
       items.map(_.colName) ++
-      kmvs.map(_.colName)
+      kmvs.map(_.colName) ++
+      vecs.map(_.colName)
     val all = dims ++ measures
     require(all.distinct.size == all.size,
       s"dims/measures must be distinct, got $all")
@@ -260,11 +284,11 @@ object SummaryRewrite {
       registry.remove(key)
       spark.catalog.refreshByPath(dataPath)
       buildSummary(spark, dataPath, summaryDir, dims, measures, sketches,
-        histograms, items, kmvs)
+        histograms, items, kmvs, vecs)
       spark.catalog.refreshByPath(summaryDir)
     }
     registry.put(key, Entry(summaryDir, dims, measures, declaredScale,
-      sketches, histograms, items, kmvs))
+      sketches, histograms, items, kmvs, vecs))
     ensureRule(spark)
   }
 
@@ -387,6 +411,31 @@ object SummaryRewrite {
             graft.operators.KmvIntersect(_, _, k)),
           sc2("jaccard", "sk_a", "sk_b",
             graft.operators.KmvJaccard(_, _, k))): _*)
+  }
+
+  /** Serve per-group embedding CENTROIDS from the rollup's vector-sum
+    * column: struct(n, sums) partials fold by elementwise sum across
+    * rollup rows ([[graft.operators.VectorSumMerge]]), then centroid =
+    * sums / n. Grouping by a dim subset stays exact (sum-of-sums).
+    * Cost is dim-cardinality × d — never a base scan: the "mean
+    * embedding per source/day" read a drift monitor or SemDeDup
+    * seeding pass runs over a 100 TB corpus.
+    */
+  def groupCentroids(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], vecCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    import org.apache.spark.sql.functions.transform
+    val merged = GraftShims.column(graft.operators.VectorSumMerge(
+      GraftShims.expression(col(s"vsum_$vecCol")))
+      .toAggregateExpression()).as("vs")
+    val rollup = spark.read.parquet(summaryDir)
+    val folded =
+      if (groupDims.isEmpty) rollup.agg(merged)
+      else rollup.groupBy(groupDims.map(col): _*).agg(merged)
+    folded.select(groupDims.map(col) ++ Seq(
+      col("vs.n").as("n"),
+      transform(col("vs.sums"), x => x / col("vs.n"))
+        .as("centroid")): _*)
   }
 
   def approxQuantile(spark: SparkSession, summaryDir: String,

@@ -34,6 +34,20 @@ object VectorQueries {
       s"${java.lang.ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
 
+  /** Shared per-JVM rollup dir for the embeddings-table MV faces: one
+    * build (label-grain, carrying the vector-sum measure) serves every
+    * rep — register is idempotent once the _SUCCESS marker exists.
+    */
+  private[graft] def embMvDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_embmv_" +
+      s"${java.lang.ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+
+  private def registerEmbMv(s: SparkSession, dir: String): Unit =
+    graft.plans.SummaryRewrite.register(s, s"$dir/embeddings.parquet",
+      embMvDir(dir), Seq("label"), Nil,
+      vecs = Seq(graft.plans.SummaryRewrite.VecSpec("embedding")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F15 / vector_norm over the embeddings table.
     "q_vec_norm" -> ((s, dir) =>
@@ -206,6 +220,23 @@ object VectorQueries {
       graft.operators.Pca.mahalanobis(emb, "embedding", model, "score")
         .agg(count(lit(1)).as("n_rows"),
           round(avg($"score"), 4).as("mean_score"))
+    }),
+
+    // Per-label embedding centroids served from a materialized rollup
+    // (SummaryRewrite.VecSpec): the base table is aggregated ONCE into
+    // per-label struct(n, sums) partials; the serve folds partials and
+    // divides — at 100 TB the read touches a label-cardinality-sized
+    // table, never the corpus. DuckDB recomputes the per-(label, j)
+    // mean from the RAW table, proving the partial-sum fold value-
+    // exact (to the 4-decimal rounding every vector face uses).
+    "q_mv_centroid" -> ((s, dir) => {
+      registerEmbMv(s, dir)
+      graft.plans.SummaryRewrite.groupCentroids(s, embMvDir(dir),
+          Seq("label"), "embedding")
+        .select($"label", $"n", posexplode($"centroid").as(Seq("j", "c")))
+        .select($"label", $"n", $"j".cast("int").as("j"),
+          round($"c", 4).as("c"))
+        .orderBy($"label", $"j")
     }),
 
     // F15: all three metrics against an anchor vector (vec_id = 0).
@@ -2081,6 +2112,16 @@ object VectorQueries {
         |    AS score
         |FROM e JOIN m ON e.j = m.j
         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+    // per-(label, j) mean over the RAW table — the rollup serve must
+    // reproduce it from its struct(n, sums) partials
+    "q_mv_centroid" ->
+      """WITH e AS (SELECT label, CAST(v AS DOUBLE) AS v, j
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          unnest(range(0, len(embedding))) AS j
+        |        FROM embeddings WHERE embedding IS NOT NULL))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(j AS INT) AS j,
+        |  round(sum(v) / count(*), 4) AS c
+        |FROM e GROUP BY label, j ORDER BY label, j""".stripMargin,
     // trace identity: mean squared Mahalanobis over the fitting
     // corpus == d; the oracle reads d from the schema, the Spark side
     // must earn it through moments -> eigen -> whiten -> score

@@ -7,7 +7,8 @@ import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.plans.SummaryRewrite
-import graft.plans.SummaryRewrite.{HistSpec, ItemsSpec, KmvSpec, SketchSpec}
+import graft.plans.SummaryRewrite.{HistSpec, ItemsSpec, KmvSpec,
+  SketchSpec, VecSpec}
 import graft.util.DirSwap
 
 /** Incrementally maintained materialized rollup — the streaming face
@@ -63,17 +64,18 @@ object SummaryStream {
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
-      kmvs: Seq[KmvSpec] = Nil): Unit = {
+      kmvs: Seq[KmvSpec] = Nil,
+      vecs: Seq[VecSpec] = Nil): Unit = {
     SummaryRewrite.partialRollup(
         spark.read.parquet(basePath).limit(0), dims, measures, sketches,
-        histograms, items, kmvs)
+        histograms, items, kmvs, vecs)
       .withColumn("chunk", lit(-1L))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
     spark.catalog.refreshByPath(summaryDir)
     SummaryRewrite.register(spark, basePath, summaryDir, dims, measures,
       declaredScale = declaredScale, sketches = sketches,
-      histograms = histograms, items = items, kmvs = kmvs)
+      histograms = histograms, items = items, kmvs = kmvs, vecs = vecs)
   }
 
   /** Start maintaining `summaryDir` from base files appearing under
@@ -88,7 +90,8 @@ object SummaryStream {
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
-      kmvs: Seq[KmvSpec] = Nil): StreamingQuery = {
+      kmvs: Seq[KmvSpec] = Nil,
+      vecs: Seq[VecSpec] = Nil): StreamingQuery = {
     val schema = spark.read.parquet(basePath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -97,7 +100,7 @@ object SummaryStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, summaryDir, dims, measures, sketches,
-          histograms, items, kmvs)
+          histograms, items, kmvs, vecs)
         ()
       }
       .start()
@@ -113,10 +116,11 @@ object SummaryStream {
       sketches: Seq[SketchSpec] = Nil,
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
-      kmvs: Seq[KmvSpec] = Nil): Unit = {
+      kmvs: Seq[KmvSpec] = Nil,
+      vecs: Seq[VecSpec] = Nil): Unit = {
     val spark = batch.sparkSession
     SummaryRewrite.partialRollup(batch, dims, measures, sketches,
-        histograms, items, kmvs)
+        histograms, items, kmvs, vecs)
       .withColumn("chunk", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite")
@@ -168,6 +172,9 @@ object SummaryStream {
         GraftShims.column(graft.operators.KmvMerge(
           GraftShims.expression(col(n)), k)
           .toAggregateExpression()).as(n)
+      case n if n.startsWith("vsum_") =>
+        GraftShims.column(graft.operators.VectorSumMerge(
+          GraftShims.expression(col(n))).toAggregateExpression()).as(n)
       case n if n.matches("^mg\\d+_.*") =>
         val cap = "^mg(\\d+)_".r.findFirstMatchIn(n).get.group(1).toInt
         GraftShims.column(graft.operators.MgMerge(

@@ -864,6 +864,52 @@ class HttpApiSpec extends SparkSuite {
     assert(delete("/collections/ord_mv_kmv/summary").statusCode() === 200)
   }
 
+  test("summary centroid over REST: register with vec_cols, serve " +
+      "per-label embedding centroids from the rollup; guards 400") {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("emb_mv_vec")
+    val reg = post("/collections/emb_mv_vec/summary",
+      """{"dims":["label"],"measures":["vec_id"],
+        |"vec_cols":["embedding"]}"""
+        .stripMargin.replace("\n", ""))
+    assert(reg.statusCode() === 200, reg.body())
+    assert(reg.body().contains("\"vecs\":1"), reg.body())
+    val r = post("/collections/emb_mv_vec/summary/centroid",
+      """{"col":"embedding","dims":["label"]}""")
+    assert(r.statusCode() === 200, r.body())
+    // every label group appears with its row count and a full-width
+    // centroid; spot-check one group's first coordinate against the
+    // raw table mean
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        avg(element_at(col("embedding"), 1)).as("c0"))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    val pat = """\{"label":(\d+),"n":(\d+),"centroid":\[([^\]]+)\]\}""".r
+    val got = pat.findAllMatchIn(r.body()).map(m =>
+      (m.group(1).toInt, m.group(2).toLong,
+        m.group(3).split(",").head.toDouble)).toList
+    assert(got.size === raw.length, r.body().take(300))
+    raw.foreach { case (lbl, n, c0) =>
+      val g = got.find(_._1 == lbl).get
+      assert(g._2 === n)
+      assert(math.abs(g._3 - c0) < 1e-6, s"label $lbl: ${g._3} vs $c0")
+    }
+    // global (no dims) centroid serves one row
+    val g = post("/collections/emb_mv_vec/summary/centroid",
+      """{"col":"embedding"}""")
+    assert(g.statusCode() === 200, g.body())
+    assert("\"n\":(\\d+)".r.findAllMatchIn(g.body()).size === 1)
+    // guards: unregistered col, non-dim dims
+    assert(post("/collections/emb_mv_vec/summary/centroid",
+      """{"col":"nope","dims":["label"]}""").statusCode() === 400)
+    assert(post("/collections/emb_mv_vec/summary/centroid",
+      """{"col":"embedding","dims":["vec_id"]}""").statusCode() === 400)
+    assert(delete("/collections/emb_mv_vec/summary").statusCode() === 200)
+  }
+
   test("OpenAPI doc at / and /openapi.json enumerates every route; " +
       "oversized request bodies get 413 before any handler runs") {
     val doc = get("/openapi.json")

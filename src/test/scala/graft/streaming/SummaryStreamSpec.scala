@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSuite
 import graft.plans.SummaryRewrite
-import graft.plans.SummaryRewrite.{ItemsSpec, SketchSpec}
+import graft.plans.SummaryRewrite.{ItemsSpec, SketchSpec, VecSpec}
 import org.apache.spark.sql.functions._
 
 class SummaryStreamSpec extends SparkSuite {
@@ -185,6 +185,50 @@ class SummaryStreamSpec extends SparkSuite {
     val est = SummaryRewrite.approxDistinct(spark, sumDir, Seq("flag"),
       "k").orderBy($"flag").collect().map(_.getLong(1))
     est.foreach(e => assert(e > 100 && e < 200, s"estimate $e for 150"))
+    SummaryRewrite.clear()
+  }
+
+  test("streamed vector-sum measures: chunked struct(n, sums) partials " +
+      "fold to the one-shot centroid, through compact, null rows " +
+      "excluded") {
+    val baseDir = tmp("graft_ss7_base") + "/fact.parquet"
+    val sumDir = tmp("graft_ss7_sum") + "/rollup"
+    // every third row carries a NULL vector (must not count toward n)
+    def mk(from: Int, n: Int) = (from until from + n).map { i =>
+      val v = if (i % 3 == 2) null
+        else Array(i.toFloat, (i % 5).toFloat, 1.0f)
+      (if (i % 2 == 0) "A" else "B", v, 1.0)
+    }.toDF("flag", "vec", "qty")
+    mk(0, 90).write.mode("append").parquet(baseDir)
+    val vecs = Seq(VecSpec("vec"))
+    SummaryStream.registerStreaming(spark, baseDir, sumDir,
+      Seq("flag"), Seq("qty"), vecs = vecs)
+    SummaryStream.processBatch(mk(0, 90), 0L, sumDir, Seq("flag"),
+      Seq("qty"), vecs = vecs)
+    SummaryStream.processBatch(mk(90, 60), 1L, sumDir, Seq("flag"),
+      Seq("qty"), vecs = vecs)
+    val all = mk(0, 90).unionByName(mk(90, 60))
+    def expect = all.where($"vec".isNotNull)
+      .select($"flag", posexplode($"vec").as(Seq("j", "x")))
+      .groupBy($"flag", $"j")
+      .agg(count(lit(1)).as("n"), avg($"x".cast("double")).as("c"))
+      .select($"flag", $"n", $"j", round($"c", 9).as("c"))
+      .orderBy($"flag", $"j").collect().map(_.toSeq).toSeq
+    def served = SummaryRewrite.groupCentroids(spark, sumDir,
+        Seq("flag"), "vec")
+      .select($"flag", $"n", posexplode($"centroid").as(Seq("j", "c")))
+      .select($"flag", $"n", $"j", round($"c", 9).as("c"))
+      .orderBy($"flag", $"j").collect().map(_.toSeq).toSeq
+    assert(served == expect)
+    // survives the rollup-local fold
+    SummaryStream.compact(spark, sumDir, Seq("flag"))
+    assert(served == expect)
+    // a dim-subset (global) read folds groups exactly: n == all
+    // non-null rows
+    val global = SummaryRewrite.groupCentroids(spark, sumDir,
+      Nil, "vec").collect().head
+    assert(global.getLong(0) ==
+      all.where($"vec".isNotNull).count())
     SummaryRewrite.clear()
   }
 
