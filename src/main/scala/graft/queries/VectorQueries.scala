@@ -239,6 +239,35 @@ object VectorQueries {
         .orderBy($"label", $"j")
     }),
 
+    // Nearest-centroid assignment FROM THE ROLLUP: the per-label
+    // centroids are read from the materialized rollup (dim-
+    // cardinality-sized — never the corpus), broadcast, and every
+    // vector is assigned to its closest centroid map-side (argmin as
+    // min-of-struct partial agg, one shuffled row per vector). The
+    // drift-check / pseudo-label read a training pipeline runs after
+    // q_mv_centroid; output is the label x assigned confusion count,
+    // which DuckDB restates exactly from the raw table.
+    "q_centroid_assign" -> ((s, dir) => {
+      registerEmbMv(s, dir)
+      val cents = broadcast(
+        graft.plans.SummaryRewrite.groupCentroids(s, embMvDir(dir),
+            Seq("label"), "embedding")
+          .select($"label".as("clabel"), $"centroid"))
+      Tables(s, dir, "embeddings")
+        .where($"embedding".isNotNull)
+        .select($"vec_id", $"label",
+          $"embedding".cast("array<double>").as("e"))
+        .crossJoin(cents)
+        .select($"vec_id", $"label",
+          struct(V.l2sq_dist_f64($"e", $"centroid").as("dist"),
+            $"clabel").as("dc"))
+        .groupBy($"vec_id", $"label").agg(min($"dc").as("m"))
+        .select($"label", $"m.clabel".as("assigned"))
+        .groupBy($"label", $"assigned")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"label", $"assigned")
+    }),
+
     // F15: all three metrics against an anchor vector (vec_id = 0).
     "q_dist_anchor" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -2122,6 +2151,27 @@ object VectorQueries {
         |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(j AS INT) AS j,
         |  round(sum(v) / count(*), 4) AS c
         |FROM e GROUP BY label, j ORDER BY label, j""".stripMargin,
+    // nearest-centroid confusion counts: DuckDB recomputes per-label
+    // means, per-(vector, centroid) squared distance, argmin with the
+    // same (dist, clabel) tie order, then counts
+    "q_centroid_assign" ->
+      """WITH e AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, j
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          unnest(range(0, len(embedding))) AS j
+        |        FROM embeddings WHERE embedding IS NOT NULL)),
+        |c AS (SELECT label AS clabel, j, sum(v) / count(*) AS cv
+        |  FROM e GROUP BY label, j),
+        |d AS (SELECT e.vec_id, e.label, c.clabel,
+        |    sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+        |  FROM e JOIN c ON e.j = c.j
+        |  GROUP BY e.vec_id, e.label, c.clabel),
+        |r AS (SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, clabel) AS rk
+        |  FROM d)
+        |SELECT label, clabel AS assigned, count(*) AS n
+        |FROM r WHERE rk = 1
+        |GROUP BY label, clabel ORDER BY label, assigned""".stripMargin,
     // trace identity: mean squared Mahalanobis over the fitting
     // corpus == d; the oracle reads d from the schema, the Spark side
     // must earn it through moments -> eigen -> whiten -> score
