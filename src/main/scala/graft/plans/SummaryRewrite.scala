@@ -4,10 +4,12 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Cast, Coalesce, Divide, Expression, If,
-  IsNotNull, Literal, NamedExpression}
+  Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo,
+  Expression, If, IsNotNull, LessThan, LessThanOrEqual, Literal,
+  Multiply, NamedExpression, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Count, Max, Min, Sum}
+  AggregateExpression, Average, Count, Max, Min, StddevPop,
+  StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -61,6 +63,13 @@ import org.apache.spark.sql.types._
   *    (its result-scale rules are not reproducible from a scale-6
   *    partial)
   *  - MIN/MAX(m) → MIN(mn_m)/MAX(mx_m)
+  *  - VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(m) for a non-decimal
+  *    measure → m2 = SUM(ss_m) - SUM(sd_m)²/n over the rollup's
+  *    sum-of-squares partial, in double (Spark's own variance
+  *    domain; Welford-vs-textbook rounding differs at ~1e-12
+  *    relative — the same class as float sum reordering); NULL
+  *    semantics matched (n=0 → null, n=1 → null for sample forms,
+  *    0 for population forms)
   *  - grouping keys and filters must reference dimension columns
   *    only AND be deterministic (a rand() filter or group key must
   *    evaluate per base row, not per rollup row); DISTINCT
@@ -177,6 +186,8 @@ object SummaryRewrite {
       (measures.flatMap(m => Seq(
         sum(col(m).cast("decimal(38,6)")).as(s"s_$m"),
         sum(col(m)).as(s"sd_$m"),
+        sum(col(m).cast("double") * col(m).cast("double"))
+          .as(s"ss_$m"),
         count(col(m)).as(s"c_$m"),
         min(col(m)).as(s"mn_$m"),
         max(col(m)).as(s"mx_$m"))) ++
@@ -257,8 +268,8 @@ object SummaryRewrite {
     // reserved names) would corrupt both the serve translation and
     // the compact fold's prefix dispatch
     val derived = Seq("cnt", "chunk") ++
-      measures.flatMap(m => Seq(s"s_$m", s"sd_$m", s"c_$m", s"mn_$m",
-        s"mx_$m")) ++
+      measures.flatMap(m => Seq(s"s_$m", s"sd_$m", s"ss_$m", s"c_$m",
+        s"mn_$m", s"mx_$m")) ++
       sketches.map(sk => s"hll_${sk.key}") ++
       histograms.map(h => s"hist_${h.col}") ++
       items.map(_.colName) ++
@@ -617,6 +628,27 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           Some(sum2(sOut(s"sd_$m")))
         else None
 
+      /** Variance family serve: n, s, ss from the rollup partials,
+        * m2 = ss - s*s/n clamped at 0, then pop/samp divisor and an
+        * optional sqrt. All double (Spark's own variance domain).
+        */
+      def varServe(m: String, samp: Boolean, sqrtIt: Boolean,
+          outType: DataType): Expression = {
+        val n = Cast(sum2(sOut(s"c_$m")), DoubleType)
+        val s = Cast(sum2(sOut(s"sd_$m")), DoubleType)
+        val ss = Cast(sum2(sOut(s"ss_$m")), DoubleType)
+        val zero = Literal(0.0, DoubleType)
+        val m2raw = Subtract(ss, Divide(Multiply(s, s), n))
+        val m2 = If(LessThan(m2raw, zero), zero, m2raw)
+        val nullD = Literal(null, DoubleType)
+        val core =
+          if (samp)
+            If(LessThanOrEqual(n, Literal(1.0, DoubleType)), nullD,
+              Divide(m2, Subtract(n, Literal(1.0, DoubleType))))
+          else
+            If(EqualTo(n, zero), nullD, Divide(m2, n))
+        Cast(if (sqrtIt) Sqrt(core) else core, outType)
+      }
       // translate one base-side aggregate call to its rollup re-agg
       def reAgg(ae: AggregateExpression): Option[Expression] = {
         if (ae.isDistinct || ae.filter.isDefined) return None
@@ -673,6 +705,24 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
               }
             case _ => None
           }
+          // VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(m) for a
+          // non-decimal measure: m2 = SUM(ss_m) - SUM(sd_m)^2/n over
+          // the rollup's sum-of-squares partial, all in double —
+          // Spark's own CentralMomentAgg casts every input to double
+          // first, so the value domain is identical; the only
+          // difference is Welford-vs-textbook rounding at ~1e-12
+          // relative (clamped at 0 so sqrt never sees FP-negative
+          // m2). NULL semantics matched to Spark: n=0 -> null (all
+          // four), n=1 -> null for the sample forms, 0.0 for the
+          // population forms.
+          case vp: VariancePop => varMeasure(vp.child, e).map(m =>
+            varServe(m, samp = false, sqrtIt = false, ae.dataType))
+          case vs: VarianceSamp => varMeasure(vs.child, e).map(m =>
+            varServe(m, samp = true, sqrtIt = false, ae.dataType))
+          case sp: StddevPop => varMeasure(sp.child, e).map(m =>
+            varServe(m, samp = false, sqrtIt = true, ae.dataType))
+          case ss: StddevSamp => varMeasure(ss.child, e).map(m =>
+            varServe(m, samp = true, sqrtIt = true, ae.dataType))
           // MIN/MAX: the bare measure, or a value-preserving decimal
           // cast of it — decimal rounding is monotone, so
           // MIN(CAST(m, dec)) == CAST(MIN(m), dec) whenever no per-row
@@ -772,6 +822,27 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         ds <= math.min(d.scale, 6) && d.precision - d.scale >= 16)
     case _ => false
   }
+
+  /** The measure column a variance-family aggregate reads: the bare
+    * attribute (double measures), or Spark's own implicit
+    * cast-to-double of it (every other numeric type — Variance
+    * analyzes as e.g. var_pop(cast(m as double))). Decimal measures
+    * are refused: their variance is still computed in double by
+    * Spark, but the per-row decimal->double cast order vs the
+    * rollup's direct double partial can differ beyond reorder noise.
+    */
+  private def varMeasure(child: Expression, e: Entry): Option[String] =
+    child match {
+      case ar: AttributeReference
+          if e.measures.contains(ar.name) &&
+            !ar.dataType.isInstanceOf[DecimalType] =>
+        Some(ar.name)
+      case Cast(ar: AttributeReference, DoubleType, _, _)
+          if e.measures.contains(ar.name) &&
+            !ar.dataType.isInstanceOf[DecimalType] =>
+        Some(ar.name)
+      case _ => None
+    }
 
   /** The measure column a MIN/MAX reads: the bare attribute, or a
     * value-preserving decimal cast of it (monotone rounding commutes

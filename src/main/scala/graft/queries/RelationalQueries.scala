@@ -242,6 +242,22 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Variance/stddev served from the rollup's sum-of-squares
+    // partial (m2 = SUM(ss_m) - SUM(sd_m)^2/n): the dispersion read
+    // every monitoring dashboard runs next to AVG. Both engines
+    // compute in double; the 4-decimal rounding absorbs the
+    // Welford-vs-textbook last-ulp difference.
+    "q_mv_var" -> ((s, dir) => {
+      registerMv(s, dir)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(round(var_pop($"l_quantity"), 4).as("vp"),
+          round(var_samp($"l_quantity"), 4).as("vs"),
+          round(stddev_pop($"l_quantity"), 4).as("sdp"),
+          round(stddev_samp($"l_quantity"), 4).as("sds"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Distinct orders per returnflag served from the rollup's HLL
     // register sketch: per-chunk registers merge by elementwise max
     // (hll_merge), then the integer-exact estimator — the estimate is
@@ -746,6 +762,14 @@ object RelationalQueries {
       """SELECT l_returnflag, avg(l_quantity) AS avg_qty,
         | count(l_quantity) AS n_qty, count(l_linestatus) AS n_status,
         | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_mv_var" ->
+      """SELECT l_returnflag,
+        | round(var_pop(l_quantity), 4) AS vp,
+        | round(var_samp(l_quantity), 4) AS vs,
+        | round(stddev_pop(l_quantity), 4) AS sdp,
+        | round(stddev_samp(l_quantity), 4) AS sds
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_mv_hll" -> mvHllOracle,

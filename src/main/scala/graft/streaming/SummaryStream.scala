@@ -158,7 +158,8 @@ object SummaryStream {
       .filterNot(dimSet.contains).collect {
       case "cnt" => typed("cnt", sum(col("cnt")))
       case n if n.startsWith("s_") || n.startsWith("sd_") ||
-          n.startsWith("c_") => typed(n, sum(col(n)))
+          n.startsWith("ss_") || n.startsWith("c_") =>
+        typed(n, sum(col(n)))
       case n if n.startsWith("mn_") => typed(n, min(col(n)))
       case n if n.startsWith("mx_") => typed(n, max(col(n)))
       case n if n.startsWith("hll_") =>

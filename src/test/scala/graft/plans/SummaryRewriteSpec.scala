@@ -148,6 +148,79 @@ class SummaryRewriteSpec extends SparkSuite {
     }
   }
 
+  test("variance family rewrites onto the sum-of-squares partial: " +
+      "pop/samp x var/stddev, NULL-bearing measure, ~1e-9 agreement") {
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(var_pop($"qty").as("vp"), var_samp($"qty").as("vs"),
+          stddev_pop($"price").as("sp"), stddev_samp($"price").as("ss"),
+          var_pop($"sparse").as("vn"))
+        .orderBy($"flag")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    // Welford (base) vs textbook-from-partials (rollup): same double
+    // domain, rounding differs at ~1e-12 relative
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.head == w.head)
+      g.tail.zip(w.tail).foreach {
+        case (null, null) =>
+        case (a: Double, b: Double) =>
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+            s"$a vs $b")
+        case (a, b) => fail(s"$a vs $b")
+      }
+    }
+  }
+
+  test("single-row and all-null groups: population forms serve 0/null, " +
+      "sample forms null — matching Spark exactly") {
+    // dedicated base: one group with 1 row, one with an all-null
+    // measure, one normal
+    val dir1 = java.nio.file.Files
+      .createTempDirectory("graft_mv_var1").toString + "/fact.parquet"
+    val sum1 = java.nio.file.Files
+      .createTempDirectory("graft_mv_var1s").toString + "/rollup"
+    Seq(("one", java.lang.Double.valueOf(5.0)),
+        ("nul", null), ("nul", null),
+        ("two", java.lang.Double.valueOf(1.0)),
+        ("two", java.lang.Double.valueOf(3.0)))
+      .toDF("g", "m")
+      .write.mode("overwrite").parquet(dir1)
+    SummaryRewrite.register(spark, dir1, sum1, Seq("g"), Seq("m"))
+    def q = spark.read.parquet(dir1).groupBy($"g")
+      .agg(var_pop($"m").as("vp"), var_samp($"m").as("vs"),
+        stddev_pop($"m").as("sp"), stddev_samp($"m").as("ss"))
+      .orderBy($"g")
+    val got = q.collect().map(_.toSeq).toSeq
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    SummaryRewrite.clear()
+    val want = q.collect().map(_.toSeq).toSeq
+    reRegister()
+    assert(got == want) // exact: 0.0, nulls, and tiny-n arithmetic
+  }
+
+  test("variance over a DECIMAL measure does NOT rewrite") {
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_mv_var2").toString + "/fact.parquet"
+    val sum2 = java.nio.file.Files
+      .createTempDirectory("graft_mv_var2s").toString + "/rollup"
+    Seq(("a", BigDecimal("1.50")), ("a", BigDecimal("2.25")))
+      .toDF("g", "m")
+      .write.mode("overwrite").parquet(dir2)
+    SummaryRewrite.register(spark, dir2, sum2, Seq("g"), Seq("m"))
+    val q = spark.read.parquet(dir2).groupBy($"g")
+      .agg(var_pop($"m").as("vp"))
+    val paths = scanPaths(q)
+    assert(!paths.exists(_.contains("rollup")), s"scanned $paths")
+    SummaryRewrite.unregister(spark, dir2)
+    reRegister()
+  }
+
   test("COUNT(dim) rewrites by excluding null-dim groups") {
     val (paths, got, want) = withAndWithout {
       base.groupBy($"flag").agg(count($"day").as("nd")).orderBy($"flag")
