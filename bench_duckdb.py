@@ -73,6 +73,7 @@ WRITE_FACES = {
     "q_ivf_merge_knn": "TWO shard index builds + merge + compaction (durable artifacts)",
     "q_ivf_f16_append": "fresh F16 index build + append (durable artifact)",
     "q_sparse_append": "fresh sparse inverted-file build + append + sidecar swap",
+    "q_sparse_compact": "fresh sparse build + 2 appends + full bucket-compaction rewrite",
 }
 
 

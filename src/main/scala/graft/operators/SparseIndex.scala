@@ -95,8 +95,9 @@ object SparseIndex {
     * (appending an existing id duplicates its postings, exactly as in
     * [[IvfIndex.append]]); idf scores shift as n_docs/df grow, which
     * is the correct BM25/impact behavior, not drift. Many small
-    * appends accumulate file debt per bucket — rebuild via [[build]]
-    * on the full corpus to compact (the documented maintenance op).
+    * appends accumulate file debt per bucket — fold it with
+    * [[compact]] (postings-local, no corpus re-tokenization); a full
+    * [[build]] remains the explicit retrain path.
     */
   def append(model: Model, docs: DataFrame, idCol: String,
       textCol: String): Model = graft.util.BuildTimer.timed {
@@ -138,6 +139,74 @@ object SparseIndex {
     while (it.hasNext) if (it.next().getKey._6 == model.path) it.remove()
     spark.catalog.refreshByPath(model.path)
     load(spark, model.path)
+  }
+
+  case class CompactionStats(buckets: Int, filesBefore: Int,
+      filesAfter: Int)
+
+  private def listPostingFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val out = scala.collection.mutable.ArrayBuffer[
+      org.apache.hadoop.fs.Path]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      // data files only: skip _stats/_meta sidecars and _SUCCESS
+      if (f.getPath.toString.contains("bucket=") &&
+          !name.startsWith("_") && !name.startsWith("."))
+        out += f.getPath
+    }
+    out.toSeq
+  }
+
+  /** Fold the file debt [[append]] accumulates — each batch adds one
+    * file per touched bucket; a year of daily batches turns every
+    * query's `bucket IN` scan into hundreds of file opens. Compaction
+    * reads the bucket-partitioned postings and rewrites each bucket's
+    * rows into `targetFilesPerBucket` files (default 1), POSTINGS-
+    * LOCAL: the corpus is never re-tokenized and the df sidecar /
+    * meta are copied through unchanged (df and n_docs are properties
+    * of the posting set, which a pure data move preserves). Published
+    * with [[graft.util.DirSwap]]'s two-rename swap, so a crash
+    * mid-compaction heals on the next call — the same maintenance
+    * contract as [[IvfIndex.compact]].
+    */
+  def compact(spark: SparkSession, indexDir: String,
+      targetFilesPerBucket: Int = 1): CompactionStats =
+      graft.util.BuildTimer.timed {
+    require(targetFilesPerBucket >= 1,
+      s"targetFilesPerBucket must be >= 1 (got $targetFilesPerBucket)")
+    // memoized Models cache a file listing the rewrite deletes
+    buildMemo.entrySet.removeIf(_.getKey._6 == indexDir)
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.util.DirSwap.recover(fs, live)
+    graft.util.DirSwap.clearSiblings(fs, live)
+    spark.catalog.refreshByPath(indexDir)
+    val before = listPostingFiles(fs, live)
+    val postings = spark.read.option("basePath", indexDir)
+      .parquet(s"$indexDir/bucket=*")
+    val fresh = graft.util.DirSwap.rebuildPath(indexDir)
+    val keys: Seq[org.apache.spark.sql.Column] =
+      if (targetFilesPerBucket == 1) Seq(col("bucket"))
+      else Seq(col("bucket"),
+        pmod(hash(col("id")), lit(targetFilesPerBucket)))
+    postings.repartition(keys: _*)
+      .write.partitionBy("bucket").mode("overwrite").parquet(fresh)
+    // sidecars travel with the artifact
+    for (side <- Seq("_stats", "_meta")) {
+      val src = new org.apache.hadoop.fs.Path(s"$indexDir/$side")
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(s"$fresh/$side"),
+          false, spark.sessionState.newHadoopConf())
+    }
+    graft.util.DirSwap.publish(fs, live)
+    spark.catalog.refreshByPath(indexDir)
+    val after = listPostingFiles(fs, live)
+    val buckets = after.map(_.getParent.getName).distinct.size
+    CompactionStats(buckets, before.size, after.size)
   }
 
   /** Reopen a built artifact: postings off the bucket-partitioned

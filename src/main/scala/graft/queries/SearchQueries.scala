@@ -88,6 +88,30 @@ object SearchQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Sparse file-debt maintenance: two appends leave one file per
+    // touched bucket per batch; compact folds each bucket back to a
+    // single file POSTINGS-LOCAL (no corpus re-tokenization, df
+    // sidecar/meta copied through) behind the crash-safe two-rename
+    // swap. Search after compact is a pure data move away from the
+    // append search, so the shared full-corpus sparse oracle restates
+    // it — the same lifecycle shape as q_ivf_compact_knn.
+    "q_sparse_compact" -> ((s, dir) => {
+      val sdocs = docs(s, dir).where(col("doc_id") < 300)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_sparse_cmpf").toString + "/idx"
+      val base = graft.operators.SparseIndex.build(
+        sdocs.where(col("doc_id") % 3 === 0), "doc_id", "text", idxDir,
+        nBuckets = 16)
+      val m1 = graft.operators.SparseIndex.append(base,
+        sdocs.where(col("doc_id") % 3 === 1), "doc_id", "text")
+      graft.operators.SparseIndex.append(m1,
+        sdocs.where(col("doc_id") % 3 === 2), "doc_id", "text")
+      graft.operators.SparseIndex.compact(s, idxDir)
+      val m = graft.operators.SparseIndex.load(s, idxDir)
+      graft.operators.SparseIndex.search(m, QueryWords, 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Pairwise sparse dot products via the SparseDot merge expression
     // over (sorted indices, values) columns — the similarity primitive
     // for sparse dedup/clustering; doc 0's vector against the slice.
@@ -255,6 +279,7 @@ object SearchQueries {
     // append face: build(half) + append(half) must equal the
     // full-corpus scoring — df/n_docs sidecar math included
     "q_sparse_append" -> sparseSearchSql,
+    "q_sparse_compact" -> sparseSearchSql,
     "q_sparse_dot" ->
       s"""WITH $sparseCte,
          |q0 AS (SELECT idx, w FROM spost WHERE id = 0),

@@ -81,6 +81,48 @@ class SparseIndexSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSeq === gotF)
   }
 
+  test("compact folds append file debt to one file per bucket, " +
+      "postings-local: identical search, df sidecar and meta " +
+      "untouched; heals an interrupted swap") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_cmp").toString + "/idx"
+    val corpus = docs.where($"doc_id" < 300)
+    val base = SparseIndex.build(corpus.where($"doc_id" % 3 === 0),
+      "doc_id", "text", dir, nBuckets = 8)
+    val m1 = SparseIndex.append(base,
+      corpus.where($"doc_id" % 3 === 1), "doc_id", "text")
+    val m2 = SparseIndex.append(m1,
+      corpus.where($"doc_id" % 3 === 2), "doc_id", "text")
+    val words = Seq("table", "scan", "fast")
+    val before = SparseIndex.search(m2, words, 15)
+      .as[(Long, Long)].collect().toSeq
+    val sideBefore = m2.stats.orderBy($"idx").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val stats = SparseIndex.compact(spark, dir)
+    // three writes' worth of files folded to exactly one per bucket
+    assert(stats.filesBefore > stats.filesAfter,
+      s"$stats should shrink")
+    assert(stats.filesAfter === stats.buckets, s"$stats")
+    val m3 = SparseIndex.load(spark, dir)
+    assert(SparseIndex.search(m3, words, 15)
+      .as[(Long, Long)].collect().toSeq === before)
+    assert(m3.nDocs === m2.nDocs && m3.vocab === m2.vocab &&
+      m3.nBuckets === m2.nBuckets)
+    assert(m3.stats.orderBy($"idx").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq === sideBefore)
+    // crash between the two renames: live moved to .old, nothing
+    // published — the next compact must heal, then fold
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(graft.util.DirSwap.oldPath(dir))))
+    spark.catalog.refreshByPath(dir)
+    SparseIndex.compact(spark, dir)
+    val healed = SparseIndex.load(spark, dir)
+    assert(SparseIndex.search(healed, words, 15)
+      .as[(Long, Long)].collect().toSeq === before)
+  }
+
   test("build validates nBuckets and the meta round-trips") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sparse_idx2").toString + "/idx"
