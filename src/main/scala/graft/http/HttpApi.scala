@@ -1425,9 +1425,14 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               val items = rows.map { r =>
                 val ds = gdims.indices.map(i =>
                   s""""${gdims(i)}":${jsonId(r.get(i))}""")
-                val n = s""""n":${r.getLong(gdims.size)}"""
-                val cent = Option(r.getSeq[Double](gdims.size + 1))
-                  .map(_.mkString("[", ",", "]")).getOrElse("null")
+                // an all-null vector group serves n=0, centroid=null
+                val n = s""""n":${
+                  if (r.isNullAt(gdims.size)) 0L
+                  else r.getLong(gdims.size)}"""
+                val cent =
+                  if (r.isNullAt(gdims.size + 1)) "null"
+                  else r.getSeq[Double](gdims.size + 1)
+                    .mkString("[", ",", "]")
                 (ds ++ Seq(n, s""""centroid":$cent"""))
                   .mkString("{", ",", "}")
               }.mkString("[", ",", "]")

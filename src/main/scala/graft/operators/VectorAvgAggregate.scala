@@ -18,6 +18,8 @@ final class VecSumBuffer(var sums: Array[Double], var count: Long) {
   def add(a: ArrayData): Unit = {
     val n = a.numElements()
     if (sums == null) sums = new Array[Double](n)
+    else require(n == sums.length,
+      s"ragged vector column: got dimension $n after ${sums.length}")
     var i = 0
     while (i < n) { sums(i) += a.getFloat(i); i += 1 }
     count += 1L
@@ -26,6 +28,9 @@ final class VecSumBuffer(var sums: Array[Double], var count: Long) {
     if (o.sums != null) {
       if (sums == null) { sums = o.sums.clone(); count = o.count }
       else {
+        require(o.sums.length == sums.length,
+          s"ragged vector column: merging dimension ${o.sums.length} " +
+            s"into ${sums.length}")
         var i = 0
         while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
         count += o.count

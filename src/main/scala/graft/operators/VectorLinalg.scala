@@ -33,7 +33,8 @@ final class MomentsBuffer(var n: Long, var sums: Array[Double],
     if (sums == null) {
       sums = new Array[Double](d)
       prods = new Array[Double](d * (d + 1) / 2)
-    }
+    } else require(d == sums.length,
+      s"ragged vector column: got dimension $d after ${sums.length}")
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
@@ -184,6 +185,9 @@ case class VectorSum(
         // VecSumBuffer.add reads floats; fold doubles inline
         val n = a.numElements()
         if (buf.sums == null) buf.sums = new Array[Double](n)
+        else require(n == buf.sums.length,
+          s"ragged vector column: got dimension $n after " +
+            s"${buf.sums.length}")
         var i = 0
         while (i < n) { buf.sums(i) += a.getDouble(i); i += 1 }
         buf.count += 1L
@@ -264,6 +268,9 @@ case class VectorSumMerge(
       val a = row.getArray(1)
       val d = a.numElements()
       if (buf.sums == null) buf.sums = new Array[Double](d)
+      else require(d == buf.sums.length,
+        s"ragged vector partials: got dimension $d after " +
+          s"${buf.sums.length}")
       var i = 0
       while (i < d) { buf.sums(i) += a.getDouble(i); i += 1 }
       buf.count += n

@@ -62,7 +62,13 @@ import org.apache.spark.sql.types._
   *    non-decimal inputs in double); decimal AVG is not rewritten
   *    (its result-scale rules are not reproducible from a scale-6
   *    partial)
-  *  - MIN/MAX(m) → MIN(mn_m)/MAX(mx_m)
+  *  - MIN/MAX(m) → MIN(mn_m)/MAX(mx_m); MIN/MAX(d) for a dim d →
+  *    MIN/MAX over the rollup's own dim rows (exact — every dim
+  *    combination survives)
+  *  - COUNT(DISTINCT d[, d2…]) over DIMS ONLY → COUNT(DISTINCT …)
+  *    over the rollup rows (exact — chunks may repeat a combination,
+  *    DISTINCT dedups; a distinct over a MEASURE is unrecoverable
+  *    and aborts)
   *  - VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(m) for a non-decimal
   *    measure → m2 = SUM(ss_m) - SUM(sd_m)²/n over the rollup's
   *    sum-of-squares partial, in double (Spark's own variance
@@ -74,7 +80,9 @@ import org.apache.spark.sql.types._
   *    only AND be deterministic (a rand() filter or group key must
   *    evaluate per base row, not per rollup row); DISTINCT
   *    aggregates, filtered aggregates, and anything not in the table
-  *    above abort the rewrite (the query runs on the base unchanged)
+  *    above abort the rewrite (the query runs on the base unchanged);
+  *    distinct aggregates abort UNLESS they are the dims-only COUNT
+  *    above
   *
   * Optional HLL sketch measures ([[SketchSpec]]) store per-group
   * HyperLogLog registers (`hll_<key>` ARRAY<INT>) so distinct counts
@@ -651,7 +659,24 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       }
       // translate one base-side aggregate call to its rollup re-agg
       def reAgg(ae: AggregateExpression): Option[Expression] = {
-        if (ae.isDistinct || ae.filter.isDefined) return None
+        if (ae.filter.isDefined) return None
+        // COUNT(DISTINCT dims...) is EXACT from the rollup: every
+        // surviving dim combination appears among the rollup's rows
+        // (possibly several times across chunks — DISTINCT dedups),
+        // and nulls are skipped identically. Distinct over a MEASURE
+        // is unrecoverable (per-row multiplicity is gone) — abort.
+        if (ae.isDistinct) {
+          ae.aggregateFunction match {
+            case c: Count if c.children.nonEmpty && c.children.forall {
+                case ar: AttributeReference => dimAttr(ar)
+                case _ => false
+              } =>
+              return Some(new Count(c.children.map {
+                case ar: AttributeReference => sOut(ar.name)
+              }).toAggregateExpression(isDistinct = true))
+            case _ => return None
+          }
+        }
         ae.aggregateFunction match {
           case c: Count if c.children.forall(x =>
               x.foldable && x.eval() != null) =>
@@ -727,13 +752,23 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           // cast of it — decimal rounding is monotone, so
           // MIN(CAST(m, dec)) == CAST(MIN(m), dec) whenever no per-row
           // cast can overflow (the same guard as Sum's cast spelling)
-          case mn: Min => minMaxMeasure(mn.child, e).map { m =>
-            Cast(new Min(sOut(s"mn_$m")).toAggregateExpression(),
-              ae.dataType)
+          // MIN/MAX of a DIM is exact straight off the rollup rows
+          // (every dim combination survives; nulls skipped identically)
+          case mn: Min => mn.child match {
+            case ar: AttributeReference if dimAttr(ar) =>
+              Some(new Min(sOut(ar.name)).toAggregateExpression())
+            case c => minMaxMeasure(c, e).map { m =>
+              Cast(new Min(sOut(s"mn_$m")).toAggregateExpression(),
+                ae.dataType)
+            }
           }
-          case mx: Max => minMaxMeasure(mx.child, e).map { m =>
-            Cast(new Max(sOut(s"mx_$m")).toAggregateExpression(),
-              ae.dataType)
+          case mx: Max => mx.child match {
+            case ar: AttributeReference if dimAttr(ar) =>
+              Some(new Max(sOut(ar.name)).toAggregateExpression())
+            case c => minMaxMeasure(c, e).map { m =>
+              Cast(new Max(sOut(s"mx_$m")).toAggregateExpression(),
+                ae.dataType)
+            }
           }
           case _ => None
         }

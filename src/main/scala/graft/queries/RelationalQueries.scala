@@ -242,6 +242,21 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Dim-side statistics served EXACTLY from the rollup's own rows:
+    // COUNT(DISTINCT shipdate) (active days) and MIN/MAX(shipdate)
+    // (coverage window) per flag — the "data freshness" dashboard
+    // tile. Exact because every dim combination survives in the
+    // rollup; chunks may repeat one, DISTINCT dedups.
+    "q_mv_dim_stats" -> ((s, dir) => {
+      registerMv(s, dir)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_shipdate").as("days"),
+          min($"l_shipdate").as("first_ship"),
+          max($"l_shipdate").as("last_ship"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Variance/stddev served from the rollup's sum-of-squares
     // partial (m2 = SUM(ss_m) - SUM(sd_m)^2/n): the dispersion read
     // every monitoring dashboard runs next to AVG. Both engines
@@ -762,6 +777,13 @@ object RelationalQueries {
       """SELECT l_returnflag, avg(l_quantity) AS avg_qty,
         | count(l_quantity) AS n_qty, count(l_linestatus) AS n_status,
         | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_mv_dim_stats" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_shipdate) AS days,
+        | min(l_shipdate) AS first_ship,
+        | max(l_shipdate) AS last_ship
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_mv_var" ->

@@ -221,6 +221,32 @@ class SummaryRewriteSpec extends SparkSuite {
     reRegister()
   }
 
+  test("COUNT(DISTINCT dim) and MIN/MAX(dim) rewrite exactly off the " +
+      "rollup's own dim rows; COUNT(DISTINCT measure) does not") {
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(countDistinct($"day").as("days"),
+          min($"day").as("first_day"), max($"day").as("last_day"),
+          count(lit(1)).as("n"))
+        .orderBy($"flag")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    assert(got == want) // exact: dim combos survive in the rollup
+    // two-dim distinct over dims-only is exact too
+    val (p2, g2, w2) = withAndWithout {
+      base.agg(countDistinct($"flag", $"day").as("combos"))
+    }
+    assert(p2.exists(_.contains("rollup")), s"scanned $p2")
+    assert(g2 == w2)
+    // distinct over a MEASURE is unrecoverable -> base scan
+    val q = base.groupBy($"flag").agg(countDistinct($"qty").as("d"))
+    assert(!scanPaths(q).exists(_.contains("rollup")),
+      s"scanned ${scanPaths(q)}")
+  }
+
   test("COUNT(dim) rewrites by excluding null-dim groups") {
     val (paths, got, want) = withAndWithout {
       base.groupBy($"flag").agg(count($"day").as("nd")).orderBy($"flag")
