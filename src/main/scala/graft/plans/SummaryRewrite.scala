@@ -4,14 +4,14 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo,
-  Expression, If, IsNotNull, LessThan, LessThanOrEqual, Literal,
-  Multiply, NamedExpression, Sqrt, Subtract}
+  Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce,
+  Divide, EqualTo, ExprId, Expression, If, IsNotNull, LessThan,
+  LessThanOrEqual, Literal, Multiply, NamedExpression, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, StddevPop,
   StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, Filter, LogicalPlan, Project}
+  Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
@@ -76,13 +76,25 @@ import org.apache.spark.sql.types._
   *    relative — the same class as float sum reordering); NULL
   *    semantics matched (n=0 → null, n=1 → null for sample forms,
   *    0 for population forms)
+  *  - FILTER (WHERE p) aggregate clauses rewrite when `p` is
+  *    deterministic and references dims only: the filter rides onto
+  *    the rollup rows (a dim predicate selects whole base groups, so
+  *    per-group partials filter exactly); a measure-referencing
+  *    filter aborts
+  *  - GROUP BY CUBE / ROLLUP / GROUPING SETS over dims (plans shaped
+  *    `Aggregate(… :+ gid, _, Expand(…))`) rewrite too: the Expand is
+  *    rebuilt over the rollup scan — partial columns pass through
+  *    every grouping-set projection, dim copies null out per set
+  *    exactly as the base plan's did — and each output group still
+  *    re-aggregates every contributing rollup row exactly once, so
+  *    all the combiners above stay exact; `grouping()`/`grouping_id()`
+  *    read the gid column unchanged
   *  - grouping keys and filters must reference dimension columns
   *    only AND be deterministic (a rand() filter or group key must
   *    evaluate per base row, not per rollup row); DISTINCT
-  *    aggregates, filtered aggregates, and anything not in the table
-  *    above abort the rewrite (the query runs on the base unchanged);
-  *    distinct aggregates abort UNLESS they are the dims-only COUNT
-  *    above
+  *    aggregates and anything not in the table above abort the
+  *    rewrite (the query runs on the base unchanged); distinct
+  *    aggregates abort UNLESS they are the dims-only COUNT above
   *
   * Optional HLL sketch measures ([[SketchSpec]]) store per-group
   * HyperLogLog registers (`hll_<key>` ARRAY<INT>) so distinct counts
@@ -500,7 +512,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     if (SummaryRewrite.isEmpty || rewriting.get()) plan
     else plan.transformDown {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
-        try rewrite(agg, groups, aggExprs, child).getOrElse(agg)
+        try rewrite(groups, aggExprs, child).getOrElse(agg)
         catch {
           case scala.util.control.NonFatal(e) =>
             if (sys.props.contains("graft.mv.debug")) e.printStackTrace()
@@ -560,12 +572,261 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
   private def isFloating(t: DataType): Boolean =
     t == FloatType || t == DoubleType
 
-  private def rewrite(agg: Aggregate, groups: Seq[Expression],
+  private def dbg(m: => String): Unit =
+    if (sys.props.contains("graft.mv.debug"))
+      System.err.println(s"[mv-debug] $m")
+
+  /** Shared translation context for one (query, registered entry)
+    * pair: the rollup scan subplan (fresh attribute ids) plus the
+    * aggregate-call and expression translators both rewrite paths —
+    * plain `Aggregate(…, scan)` and grouping-sets
+    * `Aggregate(…, Expand(…, scan))` — dispatch through.
+    */
+  private final class Serving(val e: Entry, rel: LogicalRelation) {
+
+    private val dimSet = e.dims.toSet
+
+    def dimAttr(a: Attribute): Boolean =
+      dimSet.contains(a.name) && rel.output.exists(_.exprId == a.exprId)
+
+    /** A filter condition that may ride the rollup: deterministic and
+      * dim-only (a dim predicate selects whole base groups, so
+      * per-group partials filter exactly).
+      */
+    def dimCond(c: Expression): Boolean =
+      c.deterministic && c.references.forall(dimAttr)
+
+    // the rollup scan subplan (fresh attribute ids)
+    val scan: LogicalPlan = {
+      val spark = SparkSession.active
+      rewriting.set(true)
+      try spark.read.parquet(e.summaryDir).queryExecution.optimizedPlan
+      finally rewriting.set(false)
+    }
+
+    def sOut(name: String): AttributeReference =
+      scan.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }.getOrElse(throw new IllegalStateException(
+        s"rollup at ${e.summaryDir} lacks column $name"))
+
+    /** Swap every base-column reference for the same-named rollup
+      * column (caller guarantees all refs are dims).
+      */
+    def toRollupRefs(c: Expression): Expression = c.transformDown {
+      case ar: AttributeReference => sOut(ar.name)
+    }
+
+    private def sum2(a: Expression,
+        filt: Option[Expression]): Expression =
+      new Sum(a).toAggregateExpression(isDistinct = false, filter = filt)
+
+    /** Serve an exact sum from s_m (decimal path) or sd_m (native
+      * path) depending on what the measure's type makes lossless.
+      */
+    private def servedSum(m: String, t: DataType,
+        filt: Option[Expression]): Option[Expression] =
+      if (decimal38_6Lossless(t)) Some(sum2(sOut(s"s_$m"), filt))
+      else if (isFloating(t) || t.isInstanceOf[DecimalType])
+        Some(sum2(sOut(s"sd_$m"), filt))
+      else None
+
+    /** Variance family serve: n, s, ss from the rollup partials,
+      * m2 = ss - s*s/n clamped at 0, then pop/samp divisor and an
+      * optional sqrt. All double (Spark's own variance domain). An
+      * aggregate FILTER applies to all three partial sums — a dim
+      * predicate selects whole base groups, so the filtered partials
+      * are exactly the subset's.
+      */
+    private def varServe(m: String, samp: Boolean, sqrtIt: Boolean,
+        outType: DataType, filt: Option[Expression]): Expression = {
+      val n = Cast(sum2(sOut(s"c_$m"), filt), DoubleType)
+      val s = Cast(sum2(sOut(s"sd_$m"), filt), DoubleType)
+      val ss = Cast(sum2(sOut(s"ss_$m"), filt), DoubleType)
+      val zero = Literal(0.0, DoubleType)
+      val m2raw = Subtract(ss, Divide(Multiply(s, s), n))
+      val m2 = If(LessThan(m2raw, zero), zero, m2raw)
+      val nullD = Literal(null, DoubleType)
+      val core =
+        if (samp)
+          If(LessThanOrEqual(n, Literal(1.0, DoubleType)), nullD,
+            Divide(m2, Subtract(n, Literal(1.0, DoubleType))))
+        else
+          If(EqualTo(n, zero), nullD, Divide(m2, n))
+      Cast(if (sqrtIt) Sqrt(core) else core, outType)
+    }
+
+    // translate one base-side aggregate call to its rollup re-agg
+    def reAgg(ae: AggregateExpression): Option[Expression] = {
+      // FILTER (WHERE p): rides the rollup when p is a dim condition
+      // (deterministic, dims-only) — the filtered re-aggregation sums
+      // exactly the selected groups' partials. Anything else aborts.
+      val filt: Option[Expression] = ae.filter match {
+        case None => None
+        case Some(f) =>
+          if (!dimCond(f)) return None
+          Some(toRollupRefs(f))
+      }
+      // COUNT(DISTINCT dims...) is EXACT from the rollup: every
+      // surviving dim combination appears among the rollup's rows
+      // (possibly several times across chunks — DISTINCT dedups),
+      // and nulls are skipped identically. Distinct over a MEASURE
+      // is unrecoverable (per-row multiplicity is gone) — abort.
+      if (ae.isDistinct) {
+        ae.aggregateFunction match {
+          case c: Count if c.children.nonEmpty && c.children.forall {
+              case ar: AttributeReference => dimAttr(ar)
+              case _ => false
+            } =>
+            return Some(new Count(c.children.map {
+              case ar: AttributeReference => sOut(ar.name)
+            }).toAggregateExpression(isDistinct = true, filter = filt))
+          case _ => return None
+        }
+      }
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(x =>
+            x.foldable && x.eval() != null) =>
+          Some(Coalesce(Seq(sum2(sOut("cnt"), filt),
+            Literal(0L, LongType))))
+        // COUNT(m) for a measure: the rollup's per-measure non-null
+        // count; COUNT(d) for a dim: null dims form their own rollup
+        // group, so exclude those groups' cnt
+        case c: Count if c.children.sizeIs == 1 =>
+          c.children.head match {
+            case ar: AttributeReference
+                if e.measures.contains(ar.name) =>
+              Some(Coalesce(Seq(sum2(sOut(s"c_${ar.name}"), filt),
+                Literal(0L, LongType))))
+            case ar: AttributeReference if dimAttr(ar) =>
+              Some(Coalesce(Seq(
+                new Sum(If(IsNotNull(sOut(ar.name)),
+                  Cast(sOut("cnt"), LongType),
+                  Literal(0L, LongType))).toAggregateExpression(
+                    isDistinct = false, filter = filt),
+                Literal(0L, LongType))))
+            case _ => None
+          }
+        case s: Sum => s.child match {
+          // bare SUM(m): decimal-exact when lossless, native
+          // partial sums otherwise (float reorder only)
+          case ar: AttributeReference
+              if e.measures.contains(ar.name) =>
+            servedSum(ar.name, ar.dataType, filt)
+              .map(x => Cast(x, ae.dataType))
+          // SUM(CAST(m AS DECIMAL(p,s))): only when the per-row
+          // cast provably preserves the value AND the rollup's
+          // scale-6 sum dominates it (see object scaladoc)
+          case Cast(ar: AttributeReference, d: DecimalType, _, _)
+              if e.measures.contains(ar.name) &&
+                castPreserving(ar.name, ar.dataType, d, e) =>
+            Some(Cast(sum2(sOut(s"s_${ar.name}"), filt), ae.dataType))
+          case _ => None
+        }
+        // AVG(m) = SUM(partials)/SUM(c_m) in double — identical to
+        // Spark's Average for non-decimal inputs (it sums those in
+        // double); decimal AVG result-scale rules are not
+        // reproducible from the scale-6 partial, so not rewritten
+        case a: Average => a.child match {
+          case ar: AttributeReference
+              if e.measures.contains(ar.name) &&
+                !ar.dataType.isInstanceOf[DecimalType] =>
+            servedSum(ar.name, ar.dataType, filt).map { sm =>
+              Cast(Divide(Cast(sm, DoubleType),
+                Cast(sum2(sOut(s"c_${ar.name}"), filt), DoubleType)),
+                ae.dataType)
+            }
+          case _ => None
+        }
+        // VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(m) for a
+        // non-decimal measure: m2 = SUM(ss_m) - SUM(sd_m)^2/n over
+        // the rollup's sum-of-squares partial, all in double —
+        // Spark's own CentralMomentAgg casts every input to double
+        // first, so the value domain is identical; the only
+        // difference is Welford-vs-textbook rounding at ~1e-12
+        // relative (clamped at 0 so sqrt never sees FP-negative
+        // m2). NULL semantics matched to Spark: n=0 -> null (all
+        // four), n=1 -> null for the sample forms, 0.0 for the
+        // population forms.
+        case vp: VariancePop => varMeasure(vp.child, e).map(m =>
+          varServe(m, samp = false, sqrtIt = false, ae.dataType, filt))
+        case vs: VarianceSamp => varMeasure(vs.child, e).map(m =>
+          varServe(m, samp = true, sqrtIt = false, ae.dataType, filt))
+        case sp: StddevPop => varMeasure(sp.child, e).map(m =>
+          varServe(m, samp = false, sqrtIt = true, ae.dataType, filt))
+        case ss: StddevSamp => varMeasure(ss.child, e).map(m =>
+          varServe(m, samp = true, sqrtIt = true, ae.dataType, filt))
+        // MIN/MAX: the bare measure, or a value-preserving decimal
+        // cast of it — decimal rounding is monotone, so
+        // MIN(CAST(m, dec)) == CAST(MIN(m), dec) whenever no per-row
+        // cast can overflow (the same guard as Sum's cast spelling)
+        // MIN/MAX of a DIM is exact straight off the rollup rows
+        // (every dim combination survives; nulls skipped identically)
+        case mn: Min => mn.child match {
+          case ar: AttributeReference if dimAttr(ar) =>
+            Some(new Min(sOut(ar.name)).toAggregateExpression(
+              isDistinct = false, filter = filt))
+          case c => minMaxMeasure(c, e).map { m =>
+            Cast(new Min(sOut(s"mn_$m")).toAggregateExpression(
+              isDistinct = false, filter = filt), ae.dataType)
+          }
+        }
+        case mx: Max => mx.child match {
+          case ar: AttributeReference if dimAttr(ar) =>
+            Some(new Max(sOut(ar.name)).toAggregateExpression(
+              isDistinct = false, filter = filt))
+          case c => minMaxMeasure(c, e).map { m =>
+            Cast(new Max(sOut(s"mx_$m")).toAggregateExpression(
+              isDistinct = false, filter = filt), ae.dataType)
+          }
+        }
+        case _ => None
+      }
+    }
+
+    // translate every output expression; bail out if any node can't.
+    // Manual recursion, NOT transformDown: a transform would descend
+    // into the freshly built replacement (whose sum(cnt)/sum(s_m)
+    // aggregates are not base measures) and wrongly reject it.
+    // `keepIds` names attributes that must survive untranslated (the
+    // Expand path's grouping-set dim copies and gid column).
+    var ok = true
+    def translate(expr: Expression,
+        keepIds: Set[ExprId] = Set.empty): Expression = expr match {
+      case ae: AggregateExpression =>
+        reAgg(ae) match {
+          case Some(x) => x
+          case None => ok = false; ae
+        }
+      case ar: AttributeReference if keepIds.contains(ar.exprId) => ar
+      case ar: AttributeReference if dimAttr(ar) =>
+        sOut(ar.name)
+      case other =>
+        // the non-aggregate scaffolding around translated aggs must
+        // be deterministic too: rand() in the select list would
+        // re-evaluate per rollup row
+        if (!other.deterministic && other.children.isEmpty) ok = false
+        other.mapChildren(translate(_, keepIds))
+    }
+  }
+
+  private def entryOf(rel: LogicalRelation): Option[Entry] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  private def rewrite(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = child match {
+    case ex: Expand => rewriteExpand(groups, aggExprs, ex)
+    case _ => rewritePlain(groups, aggExprs, child)
+  }
+
+  private def rewritePlain(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    def dbg(m: => String): Unit =
-      if (sys.props.contains("graft.mv.debug"))
-        System.err.println(s"[mv-debug] $m")
     val (conds0, subs, rel) = unwrap(child) match {
       case Some(x) => x
       case None => dbg("unwrap failed: " + child.nodeName); return None
@@ -575,20 +836,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         subs(ar.exprId)
     }
     val conds = conds0.map(inline)
-    val entry = rel.relation match {
-      case fs: HadoopFsRelation =>
-        lookup(fs.location.rootPaths.map(_.toString))
-      case _ => None
-    }
-    entry.flatMap { e =>
-      val dimSet = e.dims.toSet
-      def dimAttr(a: org.apache.spark.sql.catalyst.expressions.Attribute)
-          : Boolean =
-        dimSet.contains(a.name) && rel.output.exists(_.exprId == a.exprId)
-      def measureType(name: String): Option[DataType] =
-        rel.output.collectFirst {
-          case a: AttributeReference if a.name == name => a.dataType
-        }
+    entryOf(rel).flatMap { e =>
+      val sv = new Serving(e, rel)
       // grouping keys: expressions over dim attributes only — plain
       // dims, or DERIVED dims (month(day), substr(flag, ...)). A
       // derived key groups the rollup coarser than its grain; the
@@ -596,228 +845,47 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       // associative (sum of sums, min of mins), so rollup groups merge
       // exactly as base rows would.
       val groupsI = groups.map(inline)
-      if (!groupsI.forall(_.references.forall(dimAttr))) {
+      if (!groupsI.forall(_.references.forall(sv.dimAttr))) {
         dbg("group not dim-derived: " + groupsI); return None
       }
-      // filters: every referenced column must be a dimension
-      if (!conds.forall(_.references.forall(dimAttr))) {
-        dbg("filter touches non-dim: " + conds); return None
+      // filters: dim-only AND deterministic — a rand() filter samples
+      // per BASE row; re-evaluating it per rollup row changes the
+      // semantics entirely (and reference-only checks are vacuously
+      // true for reference-free expressions)
+      if (!conds.forall(sv.dimCond)) {
+        dbg("filter not a dim condition: " + conds); return None
       }
-      // determinism: a rand() filter or group key samples per BASE
-      // row; re-evaluating it per rollup row changes the semantics
-      // entirely (and the reference-only checks above are vacuously
-      // true for reference-free expressions) — abort to the base scan
-      if (!groupsI.forall(_.deterministic) ||
-          !conds.forall(_.deterministic)) {
-        dbg("nondeterministic group/filter: " + (groupsI ++ conds))
-        return None
+      if (!groupsI.forall(_.deterministic)) {
+        dbg("nondeterministic group key: " + groupsI); return None
       }
 
-      // the rollup scan subplan (fresh attribute ids)
-      val spark = SparkSession.active
-      rewriting.set(true)
-      val scan = try {
-        spark.read.parquet(e.summaryDir).queryExecution.optimizedPlan
-      } finally rewriting.set(false)
-      def sOut(name: String): AttributeReference =
-        scan.output.collectFirst {
-          case a: AttributeReference if a.name == name => a
-        }.getOrElse(throw new IllegalStateException(
-          s"rollup at ${e.summaryDir} lacks column $name"))
-
-      def sum2(a: AttributeReference): Expression =
-        new Sum(a).toAggregateExpression()
-      /** Serve an exact sum from s_m (decimal path) or sd_m (native
-        * path) depending on what the measure's type makes lossless.
-        */
-      def servedSum(m: String, t: DataType): Option[Expression] =
-        if (decimal38_6Lossless(t)) Some(sum2(sOut(s"s_$m")))
-        else if (isFloating(t) || t.isInstanceOf[DecimalType])
-          Some(sum2(sOut(s"sd_$m")))
-        else None
-
-      /** Variance family serve: n, s, ss from the rollup partials,
-        * m2 = ss - s*s/n clamped at 0, then pop/samp divisor and an
-        * optional sqrt. All double (Spark's own variance domain).
-        */
-      def varServe(m: String, samp: Boolean, sqrtIt: Boolean,
-          outType: DataType): Expression = {
-        val n = Cast(sum2(sOut(s"c_$m")), DoubleType)
-        val s = Cast(sum2(sOut(s"sd_$m")), DoubleType)
-        val ss = Cast(sum2(sOut(s"ss_$m")), DoubleType)
-        val zero = Literal(0.0, DoubleType)
-        val m2raw = Subtract(ss, Divide(Multiply(s, s), n))
-        val m2 = If(LessThan(m2raw, zero), zero, m2raw)
-        val nullD = Literal(null, DoubleType)
-        val core =
-          if (samp)
-            If(LessThanOrEqual(n, Literal(1.0, DoubleType)), nullD,
-              Divide(m2, Subtract(n, Literal(1.0, DoubleType))))
-          else
-            If(EqualTo(n, zero), nullD, Divide(m2, n))
-        Cast(if (sqrtIt) Sqrt(core) else core, outType)
-      }
-      // translate one base-side aggregate call to its rollup re-agg
-      def reAgg(ae: AggregateExpression): Option[Expression] = {
-        if (ae.filter.isDefined) return None
-        // COUNT(DISTINCT dims...) is EXACT from the rollup: every
-        // surviving dim combination appears among the rollup's rows
-        // (possibly several times across chunks — DISTINCT dedups),
-        // and nulls are skipped identically. Distinct over a MEASURE
-        // is unrecoverable (per-row multiplicity is gone) — abort.
-        if (ae.isDistinct) {
-          ae.aggregateFunction match {
-            case c: Count if c.children.nonEmpty && c.children.forall {
-                case ar: AttributeReference => dimAttr(ar)
-                case _ => false
-              } =>
-              return Some(new Count(c.children.map {
-                case ar: AttributeReference => sOut(ar.name)
-              }).toAggregateExpression(isDistinct = true))
-            case _ => return None
-          }
-        }
-        ae.aggregateFunction match {
-          case c: Count if c.children.forall(x =>
-              x.foldable && x.eval() != null) =>
-            Some(Coalesce(Seq(sum2(sOut("cnt")),
-              Literal(0L, LongType))))
-          // COUNT(m) for a measure: the rollup's per-measure non-null
-          // count; COUNT(d) for a dim: null dims form their own rollup
-          // group, so exclude those groups' cnt
-          case c: Count if c.children.sizeIs == 1 =>
-            c.children.head match {
-              case ar: AttributeReference
-                  if e.measures.contains(ar.name) =>
-                Some(Coalesce(Seq(sum2(sOut(s"c_${ar.name}")),
-                  Literal(0L, LongType))))
-              case ar: AttributeReference if dimAttr(ar) =>
-                Some(Coalesce(Seq(
-                  new Sum(If(IsNotNull(sOut(ar.name)),
-                    Cast(sOut("cnt"), LongType),
-                    Literal(0L, LongType))).toAggregateExpression(),
-                  Literal(0L, LongType))))
-              case _ => None
-            }
-          case s: Sum => s.child match {
-            // bare SUM(m): decimal-exact when lossless, native
-            // partial sums otherwise (float reorder only)
-            case ar: AttributeReference
-                if e.measures.contains(ar.name) =>
-              servedSum(ar.name, ar.dataType)
-                .map(x => Cast(x, ae.dataType))
-            // SUM(CAST(m AS DECIMAL(p,s))): only when the per-row
-            // cast provably preserves the value AND the rollup's
-            // scale-6 sum dominates it (see object scaladoc)
-            case Cast(ar: AttributeReference, d: DecimalType, _, _)
-                if e.measures.contains(ar.name) &&
-                  castPreserving(ar.name, ar.dataType, d, e) =>
-              Some(Cast(sum2(sOut(s"s_${ar.name}")), ae.dataType))
-            case _ => None
-          }
-          // AVG(m) = SUM(partials)/SUM(c_m) in double — identical to
-          // Spark's Average for non-decimal inputs (it sums those in
-          // double); decimal AVG result-scale rules are not
-          // reproducible from the scale-6 partial, so not rewritten
-          case a: Average => a.child match {
-            case ar: AttributeReference
-                if e.measures.contains(ar.name) &&
-                  !ar.dataType.isInstanceOf[DecimalType] =>
-              servedSum(ar.name, ar.dataType).map { sm =>
-                Cast(Divide(Cast(sm, DoubleType),
-                  Cast(sum2(sOut(s"c_${ar.name}")), DoubleType)),
-                  ae.dataType)
-              }
-            case _ => None
-          }
-          // VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(m) for a
-          // non-decimal measure: m2 = SUM(ss_m) - SUM(sd_m)^2/n over
-          // the rollup's sum-of-squares partial, all in double —
-          // Spark's own CentralMomentAgg casts every input to double
-          // first, so the value domain is identical; the only
-          // difference is Welford-vs-textbook rounding at ~1e-12
-          // relative (clamped at 0 so sqrt never sees FP-negative
-          // m2). NULL semantics matched to Spark: n=0 -> null (all
-          // four), n=1 -> null for the sample forms, 0.0 for the
-          // population forms.
-          case vp: VariancePop => varMeasure(vp.child, e).map(m =>
-            varServe(m, samp = false, sqrtIt = false, ae.dataType))
-          case vs: VarianceSamp => varMeasure(vs.child, e).map(m =>
-            varServe(m, samp = true, sqrtIt = false, ae.dataType))
-          case sp: StddevPop => varMeasure(sp.child, e).map(m =>
-            varServe(m, samp = false, sqrtIt = true, ae.dataType))
-          case ss: StddevSamp => varMeasure(ss.child, e).map(m =>
-            varServe(m, samp = true, sqrtIt = true, ae.dataType))
-          // MIN/MAX: the bare measure, or a value-preserving decimal
-          // cast of it — decimal rounding is monotone, so
-          // MIN(CAST(m, dec)) == CAST(MIN(m), dec) whenever no per-row
-          // cast can overflow (the same guard as Sum's cast spelling)
-          // MIN/MAX of a DIM is exact straight off the rollup rows
-          // (every dim combination survives; nulls skipped identically)
-          case mn: Min => mn.child match {
-            case ar: AttributeReference if dimAttr(ar) =>
-              Some(new Min(sOut(ar.name)).toAggregateExpression())
-            case c => minMaxMeasure(c, e).map { m =>
-              Cast(new Min(sOut(s"mn_$m")).toAggregateExpression(),
-                ae.dataType)
-            }
-          }
-          case mx: Max => mx.child match {
-            case ar: AttributeReference if dimAttr(ar) =>
-              Some(new Max(sOut(ar.name)).toAggregateExpression())
-            case c => minMaxMeasure(c, e).map { m =>
-              Cast(new Max(sOut(s"mx_$m")).toAggregateExpression(),
-                ae.dataType)
-            }
-          }
-          case _ => None
-        }
-      }
-
-      // translate every output expression; bail out if any node can't.
-      // Manual recursion, NOT transformDown: a transform would descend
-      // into the freshly built replacement (whose sum(cnt)/sum(s_m)
-      // aggregates are not base measures) and wrongly reject it.
-      var ok = true
-      def translate(expr: Expression): Expression = expr match {
-        case ae: AggregateExpression =>
-          reAgg(ae) match {
-            case Some(x) => x
-            case None => ok = false; ae
-          }
-        case ar: AttributeReference if dimAttr(ar) =>
-          sOut(ar.name)
-        case other =>
-          // the non-aggregate scaffolding around translated aggs must
-          // be deterministic too: rand() in the select list would
-          // re-evaluate per rollup row
-          if (!other.deterministic && other.children.isEmpty) ok = false
-          other.mapChildren(translate)
-      }
       val newAggExprs = aggExprs.map { ne =>
         val translated = ne match {
-          case ar: AttributeReference if dimAttr(ar) =>
-            Alias(sOut(ar.name), ar.name)(exprId = ar.exprId)
+          case ar: AttributeReference if sv.dimAttr(ar) =>
+            Alias(sv.sOut(ar.name), ar.name)(exprId = ar.exprId)
           case ar: AttributeReference if subs.contains(ar.exprId) =>
-            Alias(translate(inline(ar)), ar.name)(exprId = ar.exprId)
+            Alias(sv.translate(inline(ar)), ar.name)(exprId = ar.exprId)
           case al: Alias =>
-            Alias(translate(inline(al.child)), al.name)(exprId = al.exprId)
-          case _ => ok = false; ne
+            Alias(sv.translate(inline(al.child)),
+              al.name)(exprId = al.exprId)
+          case _ => sv.ok = false; ne
         }
         translated
       }
-      if (!ok) { dbg("agg expr not translatable: " + aggExprs); return None }
+      if (!sv.ok) {
+        dbg("agg expr not translatable: " + aggExprs); return None
+      }
       // a translated tree must reference only rollup attributes
-      val scanAttrIds = scan.outputSet
+      val scanAttrIds = sv.scan.outputSet
       if (!newAggExprs.forall(_.references.subsetOf(scanAttrIds))) {
         dbg("translated refs escape rollup: " + newAggExprs); return None
       }
 
-      val newGroups = groupsI.map(translate)
-      if (!ok) { dbg("group expr not translatable: " + groupsI); return None }
-      val newConds = conds.map(_.transformDown {
-        case ar: AttributeReference => sOut(ar.name)
-      })
+      val newGroups = groupsI.map(g => sv.translate(g))
+      if (!sv.ok) {
+        dbg("group expr not translatable: " + groupsI); return None
+      }
+      val newConds = conds.map(sv.toRollupRefs)
       // explicit column pruning: this rule runs in extraOptimizations,
       // AFTER the optimizer's ColumnPruning batch — without a Project
       // the physical scan reads EVERY rollup column (all measures'
@@ -825,15 +893,152 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       // query that needs one of them. The Project collapses into the
       // parquet ReadSchema at physical planning (spec-pinned).
       val refIds = (newAggExprs ++ newGroups ++ newConds)
-        .foldLeft(org.apache.spark.sql.catalyst.expressions
-          .AttributeSet.empty)(_ ++ _.references)
-      val needed = scan.output.filter(refIds.contains)
+        .foldLeft(AttributeSet.empty)(_ ++ _.references)
+      val needed = sv.scan.output.filter(refIds.contains)
       val pruned =
-        if (needed.size == scan.output.size) scan
-        else Project(needed, scan)
+        if (needed.size == sv.scan.output.size) sv.scan
+        else Project(needed, sv.scan)
       val filtered = newConds.foldLeft(pruned)((p, c) => Filter(c, p))
       fireCount.incrementAndGet()
       Some(Aggregate(newGroups, newAggExprs, filtered))
+    }
+  }
+
+  /** GROUPING SETS / CUBE / ROLLUP path: the analyzer plans these as
+    * `Aggregate(groupByAttrs :+ gid, aggs, Expand(projections, out,
+    * child))` where each projection replays the base rows once per
+    * grouping set with non-member dims nulled out and a literal
+    * grouping id appended. The rewrite rebuilds the SAME Expand shape
+    * over the rollup scan: partial columns pass through every
+    * projection unchanged, the dim-copy columns keep their original
+    * output attributes (so the Aggregate's grouping keys and any
+    * `grouping()`/`grouping_id()` reads bind untouched) with base dim
+    * references swapped for rollup dims, and the base-column
+    * pass-through columns (aggregate inputs) are dropped — their
+    * consumers were translated to rollup partial re-aggregations.
+    * Exactness: within one output group each contributing rollup row
+    * appears exactly once (the grouping id separates the expanded
+    * copies), so every associative combiner argument above holds
+    * per grouping set.
+    */
+  private def rewriteExpand(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      ex: Expand): Option[LogicalPlan] = {
+    val (conds0, subs, rel) = unwrap(ex.child) match {
+      case Some(x) => x
+      case None => dbg("expand unwrap failed: " + ex.child.nodeName)
+        return None
+    }
+    def inline(e: Expression): Expression = e.transformUp {
+      case ar: AttributeReference if subs.contains(ar.exprId) =>
+        subs(ar.exprId)
+    }
+    entryOf(rel).flatMap { e =>
+      val sv = new Serving(e, rel)
+      val conds = conds0.map(inline)
+      if (!conds.forall(sv.dimCond)) {
+        dbg("expand filter not a dim condition: " + conds); return None
+      }
+
+      // classify each Expand output position by its projection column
+      val nOut = ex.output.size
+      if (ex.projections.exists(_.size != nOut)) return None
+      // 0 = all-literal (gid / grouping-set id columns): kept as-is
+      // 1 = dim-expanded (dim expression or null per set): kept, with
+      //     base dim refs swapped for rollup dims
+      // 2 = pass-through of one base expression (aggregate inputs):
+      //     dropped; consumers are translated
+      val kinds = new Array[Int](nOut)
+      val inlinedCols = Array.tabulate(nOut) { i =>
+        ex.projections.map(p => inline(p(i)))
+      }
+      var i = 0
+      while (i < nOut) {
+        val es = inlinedCols(i)
+        if (es.forall(x => x.foldable && x.deterministic)) kinds(i) = 0
+        else if (es.forall(x => x.deterministic &&
+            x.references.forall(sv.dimAttr))) kinds(i) = 1
+        else if (es.forall(x => x.deterministic &&
+            x.semanticEquals(es.head))) kinds(i) = 2
+        else {
+          dbg(s"unclassifiable expand column $i: " + es); return None
+        }
+        i += 1
+      }
+      val keptIdx = (0 until nOut).filter(kinds(_) != 2)
+      val keepIds: Set[ExprId] = keptIdx.map(ex.output(_).exprId).toSet
+
+      // grouping keys must bind to kept columns only (dim copies/gid)
+      if (!groups.forall(_.references.forall(r =>
+          keepIds.contains(r.exprId)))) {
+        dbg("expand group refs escape kept columns: " + groups)
+        return None
+      }
+
+      // translate aggregate outputs: dim-copy/gid refs survive (they
+      // stay in the rebuilt Expand's output); everything else inlines
+      // down to base expressions first, then the shared translator
+      // maps aggregate calls onto rollup partial re-aggregations
+      def inlineExcept(expr: Expression): Expression = expr.transformUp {
+        case ar: AttributeReference
+            if !keepIds.contains(ar.exprId) &&
+              subs.contains(ar.exprId) => subs(ar.exprId)
+      }
+      val newAggExprs = aggExprs.map { ne =>
+        val translated = ne match {
+          case ar: AttributeReference if keepIds.contains(ar.exprId) =>
+            ar
+          case al: Alias =>
+            Alias(sv.translate(inlineExcept(al.child), keepIds),
+              al.name)(exprId = al.exprId)
+          case _ => sv.ok = false; ne
+        }
+        translated
+      }
+      if (!sv.ok) {
+        dbg("expand agg expr not translatable: " + aggExprs); return None
+      }
+      val scanAttrIds = sv.scan.outputSet
+      if (!newAggExprs.forall(_.references.forall(r =>
+          keepIds.contains(r.exprId) || scanAttrIds.contains(r)))) {
+        dbg("expand translated refs escape: " + newAggExprs); return None
+      }
+
+      // rollup partials the translated aggregates consume: passed
+      // through every projection of the rebuilt Expand unchanged
+      val aggRefs = newAggExprs
+        .foldLeft(AttributeSet.empty)(_ ++ _.references)
+      val rollupNeeded = sv.scan.output.filter(aggRefs.contains)
+
+      // dim-copy projection expressions over rollup columns
+      val newKeptCols: Seq[Seq[Expression]] = keptIdx.map { i =>
+        if (kinds(i) == 0) ex.projections.map(_(i))
+        else inlinedCols(i).map(x => x.transformUp {
+          case ar: AttributeReference if sv.dimAttr(ar) =>
+            sv.sOut(ar.name)
+        })
+      }
+      val newOutput: Seq[Attribute] =
+        rollupNeeded ++ keptIdx.map(ex.output(_))
+      val newProjections: Seq[Seq[Expression]] =
+        ex.projections.indices.map { j =>
+          rollupNeeded.map(identity[Expression]) ++
+            newKeptCols.map(_(j))
+        }
+
+      val newConds = conds.map(sv.toRollupRefs)
+      val dimRefs = newKeptCols.flatten
+        .foldLeft(AttributeSet.empty)(_ ++ _.references) ++
+        newConds.foldLeft(AttributeSet.empty)(_ ++ _.references)
+      val needed = sv.scan.output.filter(a =>
+        aggRefs.contains(a) || dimRefs.contains(a))
+      val pruned =
+        if (needed.size == sv.scan.output.size) sv.scan
+        else Project(needed, sv.scan)
+      val filtered = newConds.foldLeft(pruned)((p, c) => Filter(c, p))
+      fireCount.incrementAndGet()
+      Some(Aggregate(groups, newAggExprs,
+        Expand(newProjections, newOutput, filtered)))
     }
   }
 

@@ -300,6 +300,52 @@ object RelationalQueries {
           max($"l_extendedprice").as("max_price"))
     }),
 
+    // CUBE over the rollup dims, served from the rollup: the Expand
+    // (one projection per grouping set, non-member dims nulled, a
+    // literal grouping id appended) is rebuilt over the rollup scan —
+    // partial columns ride through every projection, so each grouping
+    // set re-aggregates each contributing rollup row exactly once.
+    // The whole OLAP cube (subtotals + grand total + grouping flags)
+    // answered at dim cardinality, never re-reading the fact table;
+    // DuckDB recomputes the identical cube from raw lineitem.
+    "q_mv_cube" -> ((s, dir) => {
+      registerMv(s, dir)
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity").as("sum_qty"),
+          max($"l_extendedprice").as("max_price"),
+          grouping($"l_returnflag").cast("int").as("g_rf"),
+          grouping($"l_linestatus").cast("int").as("g_ls"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"n", $"sum_qty", $"max_price", $"g_rf", $"g_ls")
+        .orderBy($"g_rf", $"g_ls", $"rf", $"ls")
+    }),
+
+    // FILTER (WHERE dim-pred) aggregates served from the rollup: a
+    // dim predicate selects whole base groups, so the filtered
+    // re-aggregation sums exactly the selected groups' partials —
+    // the conditional-metrics dashboard row (counts/sums/avgs split
+    // by status or period inside one GROUP BY) without a fact scan.
+    "q_mv_filter" -> ((s, dir) => {
+      registerMv(s, dir)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("count(*) FILTER (WHERE l_linestatus = 'F')")
+            .as("n_f"),
+          expr("sum(l_quantity) FILTER " +
+            "(WHERE l_shipdate >= timestamp'1996-01-01')")
+            .as("qty_recent"),
+          expr("avg(l_quantity) FILTER (WHERE l_linestatus = 'O')")
+            .as("avg_o"),
+          expr("max(l_extendedprice) FILTER " +
+            "(WHERE l_shipdate < timestamp'1995-01-01')")
+            .as("max_early"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // HyperLogLog registers over lineitem order keys (p=8, 256
     // registers): the mergeable distinct sketch as a real Catalyst
     // partial aggregate — each task ships 256 bytes, never its key
@@ -773,6 +819,25 @@ object RelationalQueries {
         | count(*) AS n, sum(l_quantity) AS sum_qty,
         | max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_mv_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | count(*) AS n, sum(l_quantity) AS sum_qty,
+        | max(l_extendedprice) AS max_price,
+        | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+    "q_mv_filter" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        | sum(l_quantity) FILTER (WHERE l_shipdate >= TIMESTAMP '1996-01-01') AS qty_recent,
+        | avg(l_quantity) FILTER (WHERE l_linestatus = 'O') AS avg_o,
+        | max(l_extendedprice) FILTER (WHERE l_shipdate < TIMESTAMP '1995-01-01') AS max_early,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_mv_avg" ->
       """SELECT l_returnflag, avg(l_quantity) AS avg_qty,
         | count(l_quantity) AS n_qty, count(l_linestatus) AS n_status,

@@ -359,6 +359,94 @@ class SummaryRewriteSpec extends SparkSuite {
         s"unpruned rollup column $absent in $schema")
   }
 
+  test("FILTER (WHERE dim-pred) aggregates rewrite; measure-referencing " +
+      "filters do not") {
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(expr("count(*) FILTER (WHERE day >= date'2024-01-10')")
+            .as("n_late"),
+          expr("sum(qty) FILTER (WHERE day < date'2024-01-10')")
+            .as("sq_early"),
+          expr("avg(qty) FILTER (WHERE day >= date'2024-01-10')")
+            .as("aq_late"),
+          expr("min(price) FILTER (WHERE day >= date'2024-01-10')")
+            .as("mn_late"),
+          count(lit(1)).as("n"))
+        .orderBy($"flag")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    assert(got == want)
+    // the filtered count really is a strict subset of count(*)
+    want.foreach { r =>
+      assert(r(1).asInstanceOf[Long] < r(5).asInstanceOf[Long])
+    }
+    // a filter over a MEASURE cannot ride the rollup (nondeterministic
+    // FILTER expressions are rejected by Spark's own analyzer, so the
+    // dimCond determinism check has no reachable counterexample here)
+    val q = base.groupBy($"flag")
+      .agg(expr("count(*) FILTER (WHERE qty > 4)").as("n"))
+    assert(scanPaths(q).exists(_.contains("fact.parquet")),
+      s"measure filter was re-planned: ${scanPaths(q)}")
+  }
+
+  test("CUBE over dims rewrites onto the rollup (Expand rebuilt over " +
+      "partial columns), value-exact incl. grouping()") {
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.cube($"flag", $"day")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
+          min($"qty").as("mn"), max($"price").as("mx"),
+          avg($"qty").as("aq"),
+          grouping($"flag").cast("int").as("gf"),
+          grouping($"day").cast("int").as("gd"))
+        .orderBy($"gf", $"gd", $"flag", $"day")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    assert(got == want)
+    // a cube produces all four grouping-set shapes
+    assert(want.map(r => (r(7), r(8))).distinct.size == 4)
+  }
+
+  test("ROLLUP and GROUPING SETS rewrite; derived-dim sets stay exact") {
+    val (p1, g1, w1) = withAndWithout {
+      base.rollup($"flag")
+        .agg(count(lit(1)).as("n"), sum($"tiny").as("st"))
+        .orderBy($"flag")
+    }
+    assert(p1.exists(_.contains("rollup")), s"scanned $p1")
+    assert(g1 == w1)
+    // SQL GROUPING SETS with a derived dim and a WHERE below the cube
+    base.createOrReplaceTempView("mv_base_gs")
+    val (p2, g2, w2) = withAndWithout {
+      spark.sql(
+        """SELECT flag, month(day) AS m, count(*) AS n, sum(qty) AS sq
+          |FROM mv_base_gs
+          |WHERE day >= date'2024-01-05'
+          |GROUP BY GROUPING SETS ((flag), (month(day)), ())
+          |ORDER BY flag NULLS FIRST, m NULLS FIRST""".stripMargin)
+    }
+    assert(p2.exists(_.contains("rollup")), s"scanned $p2")
+    assert(g2 == w2)
+  }
+
+  test("CUBE with a measure-referencing aggregate input does NOT " +
+      "rewrite; CUBE over a non-dim key does not either") {
+    // sum over a derived measure expression: unrecoverable
+    val q1 = base.cube($"flag").agg(sum($"qty" * 2).as("s"))
+    assert(scanPaths(q1).exists(_.contains("fact.parquet")),
+      s"scanned ${scanPaths(q1)}")
+    // cube key over a non-dim column: base rows required
+    val q2 = base.cube(($"k" % 10).as("b")).agg(sum($"qty").as("s"))
+    assert(scanPaths(q2).exists(_.contains("fact.parquet")),
+      s"scanned ${scanPaths(q2)}")
+    assert(q1.collect().length == 3 && q2.collect().length == 6)
+  }
+
   test("refresh after base append picks up new rows") {
     val extra = Seq(("A",
       java.sql.Date.valueOf("2024-01-02"), 999L, 100.0, 1.0, 0.5,
