@@ -11,7 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, StddevPop,
   StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, Expand, Filter, LogicalPlan, Project}
+  Aggregate, Expand, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{
+  Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
@@ -821,7 +823,9 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = child match {
     case ex: Expand => rewriteExpand(groups, aggExprs, ex)
-    case _ => rewritePlain(groups, aggExprs, child)
+    case _ =>
+      rewritePlain(groups, aggExprs, child)
+        .orElse(rewriteJoin(groups, aggExprs, child))
   }
 
   private def rewritePlain(groups: Seq[Expression],
@@ -1040,6 +1044,174 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       Some(Aggregate(groups, newAggExprs,
         Expand(newProjections, newOutput, filtered)))
     }
+  }
+
+  /** Star-schema path: `Aggregate` over `fact JOIN other` re-plans to
+    * the same aggregate over `rollup JOIN other` when the join
+    * condition (and any post-join filters / grouping keys) reference
+    * only the fact side's DIMS plus the other side's columns, and
+    * every aggregate call reads only fact measures/dims. Exactness:
+    * the join multiplies each dim group's rows by a factor that
+    * depends only on the dim values, and every served aggregate is a
+    * function of Σ(multiplicity × partial) — Sum(cnt)/Sum(s_m) over
+    * the joined rollup rows reproduce COUNT(*)/SUM(m) over the joined
+    * base exactly (chunk rows sum back to group partials first), and
+    * MIN/MAX/COUNT(DISTINCT dims) ignore multiplicity altogether.
+    * Join types where a base row's presence/multiplicity is a
+    * function of its dims alone qualify: INNER/CROSS anywhere,
+    * LEFT OUTER / LEFT SEMI / LEFT ANTI with the fact on the left,
+    * RIGHT OUTER with the fact on the right. FULL OUTER does not
+    * (unmatched OTHER-side rows surface once each with a null cnt —
+    * COUNT(*) would undercount) and aborts. At 100 TB this is the
+    * dims-vs-facts read a BI layer issues constantly: fact ⋈ small
+    * dimension table GROUP BY dimension attribute, served at rollup
+    * cardinality with the dim join broadcast.
+    */
+  private def rewriteJoin(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    // peel post-join Projects (attrs/aliases) and Filters down to the
+    // topmost Join
+    def peel(p: LogicalPlan): Option[(Seq[Expression],
+        Map[ExprId, Expression], Join)] = p match {
+      case j: Join => Some((Nil, Map.empty, j))
+      case Filter(c, u) =>
+        peel(u).map { case (cs, subs, j) => (c +: cs, subs, j) }
+      case Project(pl, u) if pl.forall(e =>
+          e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+        peel(u).map { case (cs, subs, j) =>
+          val inlined = pl.collect { case al: Alias =>
+            al.exprId -> al.child.transformUp {
+              case ar: AttributeReference if subs.contains(ar.exprId) =>
+                subs(ar.exprId)
+            }
+          }
+          (cs, subs ++ inlined, j)
+        }
+      case _ => None
+    }
+    val (upConds0, upSubs, join) = peel(child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    // which side is the registered fact? (left preferred; join types
+    // are side-sensitive for the outer/semi/anti forms)
+    val sides = Seq(
+      (join.left, join.right,
+        Set[org.apache.spark.sql.catalyst.plans.JoinType](
+          Inner, Cross, LeftOuter, LeftSemi, LeftAnti)),
+      (join.right, join.left,
+        Set[org.apache.spark.sql.catalyst.plans.JoinType](
+          Inner, Cross, RightOuter)))
+    sides.view.flatMap { case (factSide, otherSide, okTypes) =>
+      if (!okTypes.contains(join.joinType)) None
+      else unwrap(factSide).flatMap { case (conds0, baseSubs, rel) =>
+        entryOf(rel).flatMap { e =>
+          val sv = new Serving(e, rel)
+          val subs = upSubs ++ baseSubs
+          def inline(x: Expression): Expression = x.transformUp {
+            case ar: AttributeReference if subs.contains(ar.exprId) =>
+              subs(ar.exprId)
+          }
+          val keep: AttributeSet = otherSide.outputSet
+          def ridable(c: Expression): Boolean =
+            c.deterministic && c.references.forall(r =>
+              keep.contains(r) || sv.dimAttr(r))
+          val baseConds = conds0.map(inline)
+          if (!baseConds.forall(sv.dimCond)) {
+            dbg("join base filter not a dim condition: " + baseConds)
+            return None
+          }
+          val joinCond = join.condition.map(inline)
+          if (!joinCond.forall(ridable)) {
+            dbg("join condition touches a measure: " + joinCond)
+            return None
+          }
+          val upConds = upConds0.map(inline)
+          if (!upConds.forall(ridable)) {
+            dbg("post-join filter not ridable: " + upConds)
+            return None
+          }
+          val groupsI = groups.map(inline)
+          if (!groupsI.forall(g => g.deterministic &&
+              g.references.forall(r =>
+                keep.contains(r) || sv.dimAttr(r)))) {
+            dbg("join group key not ridable: " + groupsI)
+            return None
+          }
+
+          val keepIds: Set[ExprId] = keep.map(_.exprId).toSet
+          val newAggExprs = aggExprs.map { ne =>
+            val translated = ne match {
+              case ar: AttributeReference if keepIds.contains(ar.exprId) =>
+                ar
+              case ar: AttributeReference if sv.dimAttr(ar) =>
+                Alias(sv.sOut(ar.name), ar.name)(exprId = ar.exprId)
+              case ar: AttributeReference if subs.contains(ar.exprId) =>
+                Alias(sv.translate(inline(ar), keepIds),
+                  ar.name)(exprId = ar.exprId)
+              case al: Alias =>
+                Alias(sv.translate(inline(al.child), keepIds),
+                  al.name)(exprId = al.exprId)
+              case _ => sv.ok = false; ne
+            }
+            translated
+          }
+          if (!sv.ok) {
+            dbg("join agg expr not translatable: " + aggExprs)
+            return None
+          }
+          val scanAttrIds = sv.scan.outputSet
+          if (!newAggExprs.forall(_.references.forall(r =>
+              keepIds.contains(r.exprId) || scanAttrIds.contains(r)))) {
+            dbg("join translated refs escape: " + newAggExprs)
+            return None
+          }
+          // an aggregate call over OTHER-side columns would need a
+          // multiplicity weight the rollup can't provide; sv.translate
+          // already aborted those (reAgg only matches fact measures),
+          // but a bare other-side ref inside a translated agg would
+          // have slipped through the keepIds case — re-check: no
+          // AggregateExpression in the ORIGINAL tree may reference
+          // the other side
+          val aggsTouchOther = aggExprs.exists(_.collect {
+            case ae: AggregateExpression => ae
+          }.exists(ae => inline(ae).references.exists(keep.contains)))
+          if (aggsTouchOther) {
+            dbg("aggregate over other-side columns: " + aggExprs)
+            return None
+          }
+
+          def toRollup(c: Expression): Expression = c.transformUp {
+            case ar: AttributeReference if sv.dimAttr(ar) =>
+              sv.sOut(ar.name)
+          }
+          val newGroups = groupsI.map(toRollup)
+          val newJoinCond = joinCond.map(toRollup)
+          val newUpConds = upConds.map(toRollup)
+          val newBaseConds = baseConds.map(sv.toRollupRefs)
+
+          val refIds = (newAggExprs ++ newGroups ++ newUpConds ++
+            newJoinCond.toSeq ++ newBaseConds)
+            .foldLeft(AttributeSet.empty)(_ ++ _.references)
+          val needed = sv.scan.output.filter(refIds.contains)
+          val pruned =
+            if (needed.size == sv.scan.output.size) sv.scan
+            else Project(needed, sv.scan)
+          val newFact =
+            newBaseConds.foldLeft(pruned: LogicalPlan)((p, c) =>
+              Filter(c, p))
+          val newJoin =
+            if (factSide eq join.left)
+              join.copy(left = newFact, condition = newJoinCond)
+            else join.copy(right = newFact, condition = newJoinCond)
+          val aboveJoin = newUpConds
+            .foldLeft(newJoin: LogicalPlan)((p, c) => Filter(c, p))
+          fireCount.incrementAndGet()
+          Some(Aggregate(newGroups, newAggExprs, aboveJoin))
+        }
+      }
+    }.headOption
   }
 
   /** Whether `CAST(m AS d)` provably preserves per-row values in a

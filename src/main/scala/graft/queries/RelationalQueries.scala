@@ -346,6 +346,29 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Star-schema serving: fact JOIN dim-table GROUP BY dim attribute,
+    // re-planned onto the rollup joined to the same dim table — the
+    // BI-layer read at 100 TB (rollup is dim-cardinality-sized, the
+    // dim join broadcasts). Exact because the join multiplies each
+    // dim group's partials uniformly, and every served aggregate is a
+    // function of sum(multiplicity x partial); DuckDB recomputes the
+    // star join from raw lineitem with the dim table as a VALUES CTE.
+    "q_mv_star" -> ((s, dir) => {
+      registerMv(s, dir)
+      val dimT = s.createDataFrame(Seq(
+        ("A", "returned"), ("N", "in_flight"), ("R", "refused")))
+        .toDF("rf", "rf_name")
+      t(s, dir, "lineitem")
+        .join(dimT, $"l_returnflag" === $"rf")
+        .groupBy($"rf_name")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity").as("sum_qty"),
+          avg($"l_quantity").as("avg_qty"),
+          max($"l_extendedprice").as("max_price"),
+          countDistinct($"l_shipdate").as("days"))
+        .orderBy($"rf_name")
+    }),
+
     // HyperLogLog registers over lineitem order keys (p=8, 256
     // registers): the mergeable distinct sketch as a real Catalyst
     // partial aggregate — each task ships 256 bytes, never its key
@@ -838,6 +861,14 @@ object RelationalQueries {
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_mv_star" ->
+      """WITH dim(rf, rf_name) AS (
+        |  VALUES ('A', 'returned'), ('N', 'in_flight'), ('R', 'refused'))
+        |SELECT rf_name, count(*) AS n, sum(l_quantity) AS sum_qty,
+        | avg(l_quantity) AS avg_qty, max(l_extendedprice) AS max_price,
+        | count(DISTINCT l_shipdate) AS days
+        |FROM lineitem JOIN dim ON l_returnflag = rf
+        |GROUP BY rf_name ORDER BY rf_name""".stripMargin,
     "q_mv_avg" ->
       """SELECT l_returnflag, avg(l_quantity) AS avg_qty,
         | count(l_quantity) AS n_qty, count(l_linestatus) AS n_status,

@@ -447,6 +447,89 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(q1.collect().length == 3 && q2.collect().length == 6)
   }
 
+  test("star join: fact JOIN dim-table GROUP BY dim attr serves from " +
+      "the rollup joined to the dim table") {
+    val dimT = Seq(("A", "alpha"), ("B", "beta")).toDF("f", "fname")
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.join(dimT, $"flag" === $"f")
+        .groupBy($"fname")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
+          avg($"qty").as("aq"), min($"price").as("mn"),
+          countDistinct($"day").as("days"))
+        .orderBy($"fname")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    assert(got == want)
+  }
+
+  test("star join: one-to-many dim side multiplies group partials " +
+      "uniformly (multiplicity-correct counts and sums)") {
+    // two dim rows match flag A -> every A-group partial counts twice
+    val dimT = Seq(("A", "a1"), ("A", "a2"), ("B", "b1"))
+      .toDF("f", "tag")
+    val (paths, got, want) = withAndWithout {
+      base.join(dimT, $"flag" === $"f")
+        .groupBy($"flag")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"))
+        .orderBy($"flag")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
+    // the A group really did double
+    val aN = want.find(_.head == "A").get(1).asInstanceOf[Long]
+    val bN = want.find(_.head == "B").get(1).asInstanceOf[Long]
+    assert(aN == 2 * bN, s"expected A=2*B, got $aN vs $bN")
+  }
+
+  test("star join: LEFT OUTER with the fact on the left rewrites; " +
+      "post-join filter on the dim side rides") {
+    val dimT = Seq(("A", "alpha")).toDF("f", "fname")
+    val (p1, g1, w1) = withAndWithout {
+      base.join(dimT, $"flag" === $"f", "left")
+        .groupBy($"fname")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"))
+        .orderBy($"fname")
+    }
+    assert(p1.exists(_.contains("rollup")), s"scanned $p1")
+    assert(g1 == w1)
+    assert(w1.exists(_.head == null)) // unmatched B rows kept
+    val (p2, g2, w2) = withAndWithout {
+      base.join(dimT, $"flag" === $"f")
+        .where($"fname" =!= "nope")
+        .groupBy($"fname").agg(sum($"qty").as("sq"))
+    }
+    assert(p2.exists(_.contains("rollup")), s"scanned $p2")
+    assert(g2 == w2)
+  }
+
+  test("star join guards: measure join keys, aggregates over the dim " +
+      "side, and FULL OUTER do not rewrite") {
+    val dimT = Seq((2.0, "two")).toDF("q", "qname")
+    // join condition touches a measure
+    val j1 = base.join(dimT, $"qty" === $"q")
+      .groupBy($"qname").agg(count(lit(1)).as("n"))
+    assert(scanPaths(j1).exists(_.contains("fact.parquet")),
+      s"measure join key was re-planned: ${scanPaths(j1)}")
+    // aggregate over a dim-side column (multiplicity-weighted sum is
+    // unrecoverable from the rollup)
+    val dimT2 = Seq(("A", 10.0), ("B", 20.0)).toDF("f", "w")
+    val j2 = base.join(dimT2, $"flag" === $"f")
+      .groupBy($"flag").agg(sum($"w").as("sw"))
+    assert(scanPaths(j2).exists(_.contains("fact.parquet")),
+      s"dim-side aggregate was re-planned: ${scanPaths(j2)}")
+    // FULL OUTER surfaces unmatched dim rows once each — COUNT(*)
+    // would undercount from the rollup
+    val j3 = base.join(dimT2, $"flag" === $"f", "full")
+      .groupBy($"f").agg(count(lit(1)).as("n"))
+    assert(scanPaths(j3).exists(_.contains("fact.parquet")),
+      s"full outer was re-planned: ${scanPaths(j3)}")
+    assert(j1.collect().length >= 0 && j2.collect().length == 2 &&
+      j3.collect().length == 2)
+  }
+
   test("refresh after base append picks up new rows") {
     val extra = Seq(("A",
       java.sql.Date.valueOf("2024-01-02"), 999L, 100.0, 1.0, 0.5,
