@@ -104,7 +104,12 @@ import org.apache.spark.sql.types._
   * merge by elementwise max ([[graft.operators.HllMerge]] — exactly
   * the associative-combiner contract every other rollup column
   * follows). Never auto-rewritten (an estimate must be asked for
-  * explicitly): serve via [[approxDistinct]].
+  * explicitly): serve via [[approxDistinct]], or OPT IN per session
+  * with `spark.conf.set("graft.mv.approxDistinct", "true")` — then
+  * `COUNT(DISTINCT key)` for a sketched key re-plans to the rollup's
+  * register estimate (the BigQuery/Calcite approximate-query-
+  * processing contract: the caller, not the optimizer, decides that
+  * an estimate is acceptable).
   */
 object SummaryRewrite {
 
@@ -683,6 +688,25 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
             return Some(new Count(c.children.map {
               case ar: AttributeReference => sOut(ar.name)
             }).toAggregateExpression(isDistinct = true, filter = filt))
+          // OPT-IN approximate serving: COUNT(DISTINCT key) for a key
+          // the rollup carries an HLL sketch of, ONLY under
+          // graft.mv.approxDistinct=true (an estimate must never
+          // silently replace an exact count — the caller flips the
+          // flag per session/query block, the BigQuery/Calcite
+          // approximate-query-processing contract). Registers merge
+          // by elementwise max across rollup rows (order-independent),
+          // so the estimate equals sketching the raw subset directly.
+          case c: Count => c.children match {
+            case Seq(ar: AttributeReference)
+                if e.sketches.exists(_.key == ar.name) &&
+                  SparkSession.active.conf
+                    .get("graft.mv.approxDistinct", "false") == "true" =>
+              return Some(graft.operators.HllEstimate(
+                graft.operators.HllMerge(sOut(s"hll_${ar.name}"))
+                  .toAggregateExpression(isDistinct = false,
+                    filter = filt)))
+            case _ => return None
+          }
           case _ => return None
         }
       }

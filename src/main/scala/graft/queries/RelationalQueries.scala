@@ -346,6 +346,27 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Opt-in approximate COUNT(DISTINCT): under
+    // graft.mv.approxDistinct=true, COUNT(DISTINCT l_orderkey) — a
+    // key the rollup carries an HLL sketch of — re-plans to the
+    // register estimate (register max is order-independent, so the
+    // served estimate equals sketching the raw table; DuckDB restates
+    // the full HLL pipeline and must match bit for bit). The flag is
+    // frozen into the returned plan so it cannot leak into the exact
+    // faces that follow.
+    "q_mv_approx_distinct" -> ((s, dir) => {
+      registerMv(s, dir)
+      s.conf.set("graft.mv.approxDistinct", "true")
+      try {
+        val df = t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("est_distinct"))
+          .orderBy($"l_returnflag")
+        org.apache.spark.sql.graftshim.GraftShims.dataFrame(s,
+          df.queryExecution.optimizedPlan)
+      } finally s.conf.set("graft.mv.approxDistinct", "false")
+    }),
+
     // Star-schema serving: fact JOIN dim-table GROUP BY dim attribute,
     // re-planned onto the rollup joined to the same dim table — the
     // BI-layer read at 100 TB (rollup is dim-cardinality-sized, the
@@ -891,6 +912,7 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_mv_hll" -> mvHllOracle,
+    "q_mv_approx_distinct" -> mvHllOracle,
     "q_sessionize" ->
       """WITH d AS (
         |  SELECT user_id, ts,

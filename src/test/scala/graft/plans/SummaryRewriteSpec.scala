@@ -530,6 +530,43 @@ class SummaryRewriteSpec extends SparkSuite {
       j3.collect().length == 2)
   }
 
+  test("opt-in approx COUNT(DISTINCT sketch-key): serves the HLL " +
+      "estimate from the rollup only under graft.mv.approxDistinct") {
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft_mv_ad").toString + "/fact.parquet"
+    val sum3 = java.nio.file.Files
+      .createTempDirectory("graft_mv_ads").toString + "/rollup"
+    (1 to 2000).map(i => (if (i % 2 == 0) "X" else "Y", i.toLong, 1.0))
+      .toDF("g", "k", "m")
+      .write.mode("overwrite").parquet(dir3)
+    SummaryRewrite.register(spark, dir3, sum3, Seq("g"), Seq("m"),
+      sketches = Seq(SummaryRewrite.SketchSpec("k", 8)))
+    def q = spark.read.parquet(dir3).groupBy($"g")
+      .agg(countDistinct($"k").as("d")).orderBy($"g")
+    // flag off (default): exact path on the base
+    assert(scanPaths(q).exists(_.contains("fact.parquet")),
+      s"approx distinct served without opt-in: ${scanPaths(q)}")
+    val exact = q.collect().map(_.getLong(1))
+    // flag on: serves the register estimate from the rollup
+    spark.conf.set("graft.mv.approxDistinct", "true")
+    try {
+      assert(scanPaths(q).exists(_.contains("rollup")),
+        s"opt-in approx distinct did not fire: ${scanPaths(q)}")
+      val est = q.collect().map(_.getLong(1))
+      // p=8 registers: a few % relative error at n=1000 per group
+      exact.zip(est).foreach { case (ex, es) =>
+        assert(math.abs(es - ex).toDouble / ex < 0.15, s"$es vs $ex")
+      }
+      // the estimate equals sketching the raw table directly
+      // (register max is order-independent)
+      val raw = spark.read.parquet(dir3).groupBy($"g")
+        .agg(expr("hll_estimate(hll_sketch(k, 8))").as("d"))
+        .orderBy($"g").collect().map(_.getLong(1))
+      assert(est.toSeq == raw.toSeq)
+    } finally spark.conf.set("graft.mv.approxDistinct", "false")
+    SummaryRewrite.unregister(spark, dir3)
+  }
+
   test("refresh after base append picks up new rows") {
     val extra = Seq(("A",
       java.sql.Date.valueOf("2024-01-02"), 999L, 100.0, 1.0, 0.5,
