@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Average, Count, Max, Min, StddevPop,
+  StddevSamp, Sum, VariancePop, VarianceSamp}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{countDistinct, lit}
+import org.apache.spark.sql.types.{DataType, DecimalType, NumericType}
+
+/** Rollup advisor: given a WORKLOAD of aggregate queries over one base
+  * table, recommend the [[SummaryRewrite]] registration that would
+  * serve it — dims (union of grouping + filter columns), measures
+  * (union of bare numeric aggregate inputs), HLL sketch keys (distinct
+  * counts over non-dim columns) — and cost it before anything is
+  * built: the rollup's row count is the dim-combination cardinality,
+  * so `reduction = fact_rows / rollup_rows` is exactly the scan-cost
+  * ratio every served query enjoys. At 100 TB this is the decision
+  * that matters — a rollup is only worth materializing when the
+  * reduction is orders of magnitude, and a single high-cardinality
+  * grouping column in the workload (an id, a timestamp at full
+  * precision) silently destroys it; the advisor surfaces that number
+  * BEFORE the build, from one distinct-count pass.
+  *
+  * Reference analog: the usage-rollup views the reference's README
+  * pipelines hand-author over embedding usage (lantern_extras
+  * README.md) — here derived mechanically from the workload instead.
+  *
+  * The per-query servability flags apply the same acceptance rules as
+  * [[SummaryRewriteRule]]'s translator: dim-only groupings/filters,
+  * aggregate calls over bare measures (COUNT(*)/COUNT(col)/SUM/AVG/
+  * MIN/MAX/variance family), dims-only COUNT(DISTINCT), sketch-served
+  * COUNT(DISTINCT key) under the opt-in flag. A query aggregating an
+  * EXPRESSION (sum(qty * 2)) is reported unservable rather than
+  * widening the recommendation — derived measures belong in the base
+  * query, not the rollup schema.
+  */
+object SummaryAdvisor {
+
+  /** One workload query's analysis. */
+  case class QueryReport(
+      groupCols: Seq[String], filterCols: Seq[String],
+      measureCols: Seq[String], distinctKeys: Seq[String],
+      servable: Boolean, reason: String)
+
+  case class Recommendation(
+      dims: Seq[String], measures: Seq[String],
+      sketchKeys: Seq[String],
+      factRows: Long, rollupRows: Long, reduction: Double,
+      servable: Int, total: Int, reports: Seq[QueryReport]) {
+
+    /** Apply the recommendation: register (and build) the rollup. */
+    def register(spark: SparkSession, basePath: String,
+        summaryDir: String, refresh: Boolean = false): Unit =
+      SummaryRewrite.register(spark, basePath, summaryDir,
+        dims, measures, refresh = refresh,
+        sketches = sketchKeys.map(k => SummaryRewrite.SketchSpec(k)))
+  }
+
+  private def numeric(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Analyze `workload` (DataFrames over the parquet table at
+    * `basePath`) and produce the recommendation. The cardinality pass
+    * runs one exact multi-column distinct count over the proposed
+    * dims; at very large scale substitute `approx_count_distinct` —
+    * the verdict needs the exponent, not the last digit.
+    */
+  def recommend(spark: SparkSession, basePath: String,
+      workload: Seq[DataFrame]): Recommendation = {
+    val qualified = {
+      val p = new org.apache.hadoop.fs.Path(basePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.makeQualified(p).toString
+    }
+    def scansBase(plan: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Boolean =
+      plan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).contains(qualified)
+          case _ => false
+        }
+      }.exists(identity)
+
+    val base = spark.read.parquet(basePath)
+    val baseTypes: Map[String, DataType] =
+      base.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val reports = workload.map { df =>
+      val aggs = df.queryExecution.analyzed.collect {
+        case a @ Aggregate(_, _, child, _) if scansBase(child) => a
+      }
+      if (aggs.isEmpty)
+        QueryReport(Nil, Nil, Nil, Nil, servable = false,
+          "no aggregate over the base table")
+      else {
+        // analyze the LOWEST aggregate over the base (grouping sets
+        // and distinct rewrites stack aggregates; the bottom one holds
+        // the base-facing shape)
+        val a = aggs.last
+        val groupCols = a.groupingExpressions
+          .flatMap(_.references.map(_.name))
+          .filter(baseTypes.contains).distinct.sorted
+        val filterCols = a.child.collect {
+          case Filter(c, _) => c.references.map(_.name).toSeq
+        }.flatten.filter(baseTypes.contains).distinct.sorted
+
+        var measureCols = Vector.empty[String]
+        var distinctKeys = Vector.empty[String]
+        var bad = Option.empty[String]
+        def measureInput(c: Expression, what: String): Unit = c match {
+          case ar: AttributeReference
+              if baseTypes.get(ar.name).exists(numeric) =>
+            measureCols :+= ar.name
+          case _ =>
+            bad = bad.orElse(Some(
+              s"$what over a non-column expression: ${c.sql}"))
+        }
+        a.aggregateExpressions.foreach(_.foreach {
+          case ae: AggregateExpression =>
+            if (ae.isDistinct) ae.aggregateFunction match {
+              case c: Count => c.children.foreach {
+                case ar: AttributeReference => distinctKeys :+= ar.name
+                case other => bad = bad.orElse(Some(
+                  s"COUNT(DISTINCT expr): ${other.sql}"))
+              }
+              case f => bad = bad.orElse(Some(
+                s"distinct aggregate ${f.prettyName} is unservable"))
+            }
+            else ae.aggregateFunction match {
+              case c: Count if c.children.forall(x =>
+                  x.foldable && x.eval() != null) => ()
+              case c: Count if c.children.sizeIs == 1 =>
+                c.children.head match {
+                  case ar: AttributeReference => measureCols :+= ar.name
+                  case other => bad = bad.orElse(Some(
+                    s"COUNT over an expression: ${other.sql}"))
+                }
+              case s: Sum => measureInput(s.child, "SUM")
+              case av: Average => measureInput(av.child, "AVG")
+              case mn: Min => measureInput(mn.child, "MIN")
+              case mx: Max => measureInput(mx.child, "MAX")
+              case vp: VariancePop => measureInput(vp.child, "VAR_POP")
+              case vs: VarianceSamp =>
+                measureInput(vs.child, "VAR_SAMP")
+              case sp: StddevPop => measureInput(sp.child, "STDDEV_POP")
+              case ss: StddevSamp =>
+                measureInput(ss.child, "STDDEV_SAMP")
+              case f => bad = bad.orElse(Some(
+                s"aggregate ${f.prettyName} is unservable"))
+            }
+          case _ => ()
+        })
+        QueryReport(groupCols, filterCols,
+          measureCols.distinct.sorted, distinctKeys.distinct.sorted,
+          servable = bad.isEmpty, bad.getOrElse("ok"))
+      }
+    }
+
+    // dims = union of grouping + filter columns; COUNT(dim)/MIN(dim)
+    // reads of those columns serve off the rollup's own dim rows, so
+    // a column may be both grouped and aggregated — dims win and the
+    // measure set excludes them (registration requires disjoint sets)
+    val dims = reports.flatMap(r => r.groupCols ++ r.filterCols)
+      .distinct.sorted
+    val measures = reports.flatMap(_.measureCols)
+      .filterNot(dims.contains).distinct.sorted
+    // distinct counts over dims are exact off the rollup; any other
+    // distinct key gets an HLL sketch column (served under the
+    // approxDistinct opt-in)
+    val sketchKeys = reports.flatMap(_.distinctKeys)
+      .filterNot(dims.contains).distinct.sorted
+
+    // final servability pass against the ASSEMBLED recommendation:
+    // a query whose measure read landed in dims (grouped elsewhere in
+    // the workload) only serves COUNT/MIN/MAX forms — flag SUM/AVG/
+    // variance over a dim as unservable
+    val finalReports = reports.map { r =>
+      if (!r.servable) r
+      else if (!(r.groupCols ++ r.filterCols).forall(dims.contains))
+        r.copy(servable = false, reason = "grouping/filter column " +
+          "missing from recommended dims")
+      else r.measureCols.find(dims.contains) match {
+        case Some(m) => r.copy(servable = false,
+          reason = s"column $m is grouped elsewhere in the workload " +
+            "(a dim): SUM/AVG/variance over it cannot serve")
+        case None => r
+      }
+    }
+
+    val factRows = base.count()
+    val rollupRows =
+      if (dims.isEmpty) 1L
+      else base.agg(countDistinct(dims.head, dims.tail: _*)
+        .as("d")).collect().head.getLong(0)
+    Recommendation(dims, measures, sketchKeys, factRows, rollupRows,
+      if (rollupRows == 0) 0.0 else factRows.toDouble / rollupRows,
+      finalReports.count(_.servable), finalReports.size, finalReports)
+  }
+
+  /** The recommendation as a one-row DataFrame (REST/SQL-friendly).
+    * `reduction` is quantized to 4 decimals through exact integer
+    * division (fact*10000/rollup, then /10000.0) so an independent
+    * engine recomputing it from its own counts lands on the same
+    * double bit for bit.
+    */
+  def recommendFrame(spark: SparkSession, basePath: String,
+      workload: Seq[DataFrame]): DataFrame = {
+    val r = recommend(spark, basePath, workload)
+    val red =
+      if (r.rollupRows == 0) 0.0
+      else (r.factRows * 10000L / r.rollupRows) / 10000.0
+    spark.range(1).select(
+      lit(r.dims.mkString(",")).as("dims"),
+      lit(r.measures.mkString(",")).as("measures"),
+      lit(r.sketchKeys.mkString(",")).as("sketch_keys"),
+      lit(r.factRows).as("fact_rows"),
+      lit(r.rollupRows).as("rollup_rows"),
+      lit(red).as("reduction"),
+      lit(r.servable).as("servable"),
+      lit(r.total).as("total"))
+  }
+}

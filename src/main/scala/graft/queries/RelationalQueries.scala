@@ -346,6 +346,30 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Rollup ADVISOR: analyze a fixed 4-query workload over lineitem
+    // and emit the registration it recommends — dims from groupings+
+    // filters, measures from bare numeric agg inputs, HLL keys from
+    // non-dim distinct counts — plus the go/no-go economics: rollup
+    // rows = dim-combination cardinality vs fact rows. The 4th query
+    // aggregates an expression (sum(qty*2)) and must be reported
+    // unservable WITHOUT widening the recommendation. DuckDB restates
+    // the recommendation on literals and recomputes both counts and
+    // the integer-quantized reduction.
+    "q_mv_advisor" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.plans.SummaryAdvisor.recommendFrame(s,
+        s"$dir/lineitem.parquet", Seq(
+          li.groupBy($"l_returnflag", $"l_linestatus")
+            .agg(sum($"l_quantity").as("sq")),
+          li.where($"l_shipdate" >=
+              lit("1995-01-01").cast("timestamp"))
+            .groupBy($"l_returnflag")
+            .agg(avg($"l_quantity").as("aq"), count(lit(1)).as("n")),
+          li.agg(countDistinct($"l_orderkey").as("d")),
+          li.groupBy($"l_returnflag")
+            .agg(sum($"l_quantity" * 2).as("bad"))))
+    }),
+
     // Opt-in approximate COUNT(DISTINCT): under
     // graft.mv.approxDistinct=true, COUNT(DISTINCT l_orderkey) — a
     // key the rollup carries an HLL sketch of — re-plans to the
@@ -913,6 +937,19 @@ object RelationalQueries {
         |ORDER BY l_returnflag""".stripMargin,
     "q_mv_hll" -> mvHllOracle,
     "q_mv_approx_distinct" -> mvHllOracle,
+    "q_mv_advisor" ->
+      """WITH f AS (SELECT count(*) AS n FROM lineitem),
+        |r AS (SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+        |  FROM lineitem))
+        |SELECT 'l_linestatus,l_returnflag,l_shipdate' AS dims,
+        | 'l_quantity' AS measures,
+        | 'l_orderkey' AS sketch_keys,
+        | f.n AS fact_rows,
+        | r.n AS rollup_rows,
+        | (f.n * 10000 // r.n) / 10000.0 AS reduction,
+        | 3 AS servable, 4 AS total
+        |FROM f, r""".stripMargin,
     "q_sessionize" ->
       """WITH d AS (
         |  SELECT user_id, ts,

@@ -1,0 +1,89 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SummaryAdvisorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val baseDir = java.nio.file.Files
+    .createTempDirectory("graft_adv_base").toString + "/fact.parquet"
+
+  {
+    val rows = for {
+      d <- 1 to 20; f <- Seq("A", "B"); i <- 1 to 5
+    } yield (f, d.toLong * 100 + i, (i * 2).toDouble, i * 1.5)
+    rows.toDF("flag", "k", "qty", "price")
+      .withColumn("day",
+        expr("date_add(date'2024-03-01', cast(k % 10 as int))"))
+      .write.mode("overwrite").parquet(baseDir)
+  }
+
+  private def base = spark.read.parquet(baseDir)
+
+  test("recommends dims from groupings+filters, measures from bare " +
+      "numeric agg inputs, sketch keys from non-dim distinct counts") {
+    val rec = SummaryAdvisor.recommend(spark, baseDir, Seq(
+      base.groupBy($"flag").agg(sum($"qty").as("s")),
+      base.where($"day" >= lit("2024-03-05").cast("date"))
+        .groupBy($"flag", $"day")
+        .agg(avg($"price").as("a"), count(lit(1)).as("n")),
+      base.agg(countDistinct($"k").as("d"))))
+    assert(rec.dims == Seq("day", "flag"))
+    assert(rec.measures == Seq("price", "qty"))
+    assert(rec.sketchKeys == Seq("k"))
+    assert(rec.servable == 3 && rec.total == 3)
+    assert(rec.factRows == 200L)
+    // day = 2024-03-01 + (k % 10) and k % 10 = i, so 5 distinct days:
+    // 2 flags x 5 days, every combination populated
+    assert(rec.rollupRows == 10L)
+    assert(math.abs(rec.reduction - 20.0) < 1e-9)
+  }
+
+  test("flags expression aggregates and dim-grouped measures as " +
+      "unservable without widening the recommendation") {
+    val rec = SummaryAdvisor.recommend(spark, baseDir, Seq(
+      base.groupBy($"flag").agg(sum($"qty" * 2).as("s")),
+      // qty is grouped here -> becomes a dim; summing it elsewhere
+      // cannot serve
+      base.groupBy($"qty").agg(count(lit(1)).as("n")),
+      base.groupBy($"flag").agg(sum($"qty").as("s"))))
+    assert(rec.dims == Seq("flag", "qty"))
+    assert(rec.measures.isEmpty)
+    assert(rec.servable == 1 && rec.total == 3) // only the count query
+    assert(rec.reports.head.reason.contains("non-column expression"))
+    assert(rec.reports.last.reason.contains("grouped elsewhere"))
+  }
+
+  test("a recommendation registers and the workload then serves from " +
+      "the rollup") {
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_adv_sum").toString + "/rollup"
+    val rec = SummaryAdvisor.recommend(spark, baseDir, Seq(
+      base.groupBy($"flag").agg(sum($"qty").as("s"),
+        min($"price").as("mn"))))
+    rec.register(spark, baseDir, sumDir)
+    try {
+      val q = base.groupBy($"flag")
+        .agg(sum($"qty").as("s"), min($"price").as("mn"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.exists(_.contains("rollup")), s"scanned $scans")
+    } finally SummaryRewrite.unregister(spark, baseDir)
+  }
+
+  test("recommendFrame emits the one-row report") {
+    val row = SummaryAdvisor.recommendFrame(spark, baseDir, Seq(
+      base.groupBy($"flag").agg(sum($"qty").as("s"))))
+      .collect().head
+    assert(row.getAs[String]("dims") == "flag")
+    assert(row.getAs[String]("measures") == "qty")
+    assert(row.getAs[Long]("fact_rows") == 200L)
+    assert(row.getAs[Int]("servable") == 1)
+  }
+}
