@@ -129,6 +129,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/summary/topitems" -> "Misra-Gries frequent items from the rollup",
       "post /collections/{name}/summary/overlap" -> "KMV distinct-overlap of dim groups from the rollup",
       "post /collections/{name}/summary/centroid" -> "per-group embedding centroids from the rollup",
+      "post /collections/{name}/summary/advise" -> "recommend + cost a rollup registration from a SQL workload (analyzed, never executed)",
       "delete /collections/{name}/summary" -> "uninstall rollup rewrite")
     val paths = routes.groupBy(_._1.split(" ")(1)).toSeq.sortBy(_._1)
       .map { case (p, ms) =>
@@ -232,6 +233,22 @@ class HttpApi(spark: SparkSession, port: Int = 0,
     arr.findFirstMatchIn(body).map(_.group(1).split(",")
       .map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq)
+  }
+
+  /** Quote-aware array parser for elements that may CONTAIN commas or
+    * brackets (SQL strings, /summary/advise): each element is a JSON
+    * string literal with escapes honored — unlike [[jsonStringArray]],
+    * which splits the raw span on commas (fine for identifiers).
+    */
+  private def jsonQuotedArray(body: String, key: String)
+      : Option[Seq[String]] = {
+    val arr = ("\"" + key +
+      "\"\\s*:\\s*\\[((?:[^\\]\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\]").r
+    arr.findFirstMatchIn(body).map { m =>
+      val elem = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      elem.findAllMatchIn(m.group(1)).map(x =>
+        x.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
   }
 
   // shared by /search and /search_hybrid: explicit "vector" wins,
@@ -1438,6 +1455,65 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"results":$items}""")
             }
+        }
+
+      // ADVISE a rollup registration from a SQL workload: the queries
+      // are ANALYZED (never executed) against the collection's view;
+      // the response is the registration /summary would accept plus
+      // the go/no-go economics (rollup rows = dim-combination
+      // cardinality vs fact rows). {"queries":["SELECT ... FROM
+      // <collection> GROUP BY ...", ...]}
+      case ("POST", List("collections", name, "summary", "advise")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val qs = jsonQuotedArray(body, "queries").getOrElse(Nil)
+          val paths = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources
+                .LogicalRelation =>
+              l.relation match {
+                case fs: org.apache.spark.sql.execution.datasources
+                    .HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Nil
+              }
+          }.flatten
+          if (qs.isEmpty)
+            respond(ex, 400, """{"error":"queries array is required"}""")
+          else if (paths.size != 1)
+            respond(ex, 400,
+              """{"error":"advise needs a collection backed by one """ +
+                """parquet table"}""")
+          else {
+            try {
+              val workload = qs.map(q => spark.sql(q))
+              val rec = graft.plans.SummaryAdvisor.recommend(spark,
+                paths.head, workload)
+              def arr(xs: Seq[String]) =
+                xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+              val reports = rec.reports.map { r =>
+                s"""{"servable":${r.servable},""" +
+                  s""""reason":"${graft.util.Json.escape(r.reason)}"}"""
+              }.mkString("[", ",", "]")
+              respond(ex, 200,
+                s"""{"dims":${arr(rec.dims)},""" +
+                  s""""measures":${arr(rec.measures)},""" +
+                  s""""hll_keys":${arr(rec.sketchKeys)},""" +
+                  s""""fact_rows":${rec.factRows},""" +
+                  s""""rollup_rows":${rec.rollupRows},""" +
+                  s""""reduction":${
+                    if (rec.rollupRows == 0) 0.0
+                    else (rec.factRows * 10000L / rec.rollupRows) /
+                      10000.0},""" +
+                  s""""servable":${rec.servable},""" +
+                  s""""total":${rec.total},""" +
+                  s""""queries":$reports}""")
+            } catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                respond(ex, 400, s"""{"error":"${graft.util.Json
+                  .escape(e.getMessage.take(300))}"}""")
+            }
+          }
         }
 
       case ("GET", List("collections", name, "summary", "stats")) =>

@@ -775,6 +775,31 @@ class HttpApiSpec extends SparkSuite {
     assert(delete("/collections/li_mv_sk/summary").statusCode() === 200)
   }
 
+  test("summary advisor over REST: a SQL workload is analyzed (never " +
+      "executed) into a costed registration; guards 400") {
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("li_mv_adv")
+    // guards: empty workload, broken SQL
+    assert(post("/collections/li_mv_adv/summary/advise", "{}")
+      .statusCode() === 400)
+    assert(post("/collections/li_mv_adv/summary/advise",
+      """{"queries":["SELECT FROM nope"]}""").statusCode() === 400)
+    val r = post("/collections/li_mv_adv/summary/advise",
+      """{"queries":[
+        |"SELECT l_returnflag, sum(l_quantity) FROM li_mv_adv GROUP BY 1",
+        |"SELECT count(DISTINCT l_orderkey) FROM li_mv_adv",
+        |"SELECT l_returnflag, sum(l_quantity * 2) FROM li_mv_adv GROUP BY 1"
+        |]}""".stripMargin.replace("\n", ""))
+    assert(r.statusCode() === 200, r.body())
+    assert(r.body().contains(""""dims":["l_returnflag"]"""), r.body())
+    assert(r.body().contains(""""measures":["l_quantity"]"""), r.body())
+    assert(r.body().contains(""""hll_keys":["l_orderkey"]"""), r.body())
+    assert(r.body().contains(""""fact_rows":6000"""), r.body())
+    assert(r.body().contains(""""rollup_rows":3"""), r.body())
+    assert(r.body().contains(""""servable":2,"total":3"""), r.body())
+    assert(r.body().contains("non-column expression"), r.body())
+  }
+
   test("summary frequent-items over REST: register with items, serve " +
       "top-k per dim exactly at capacity >= vocab; guards 400") {
     import org.apache.spark.sql.functions._
