@@ -111,6 +111,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/reindex" -> "atomic rebuild (kind preserved)",
       "delete /collections/{name}/index" -> "drop index",
       "get /collections/{name}/index/stats" -> "per-cell rows/files",
+      "post /collections/{name}/index/delete" -> "tombstone-delete ids from the served index (purged by the next compact)",
       "get /indexes" -> "list indexes",
       "post /collections/{name}/compact" -> "fold index file debt",
       "post /collections/{name}/sq8" -> "scalar int8 quantization",
@@ -490,6 +491,36 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                  |"pct":${r.get(2)},"n_files":${r.get(3)}}""".stripMargin
                 .replace("\n", ""))
             respond(ex, 200, s"""{"cells":[${items.mkString(",")}]}""")
+        }
+
+      // Tombstone-delete vectors from the collection's SERVED index
+      // (the right-to-be-forgotten pass): {"ids":[1,2,3]} — O(|ids|)
+      // sidecar write, no cell rewrite; the served model reloads with
+      // the tombstones applied, and the next /compact purges them
+      // physically. A tombstoned id stays invisible even if
+      // re-appended until that compact (see IvfIndex.delete).
+      case ("POST", List("collections", name, "index", "delete")) =>
+        Option(ivfModels.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no index on $name"}""")
+          case Some(m) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val ids = jsonStringArray(body, "ids").getOrElse(Nil)
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+            if (ids.isEmpty)
+              respond(ex, 400,
+                """{"error":"ids array of integral ids is required"}""")
+            else {
+              val idsDf = spark.createDataset(ids)(
+                org.apache.spark.sql.Encoders.scalaLong).toDF(m.idCol)
+              val n = graft.operators.IvfIndex.delete(spark,
+                m.indexPath, idsDf)
+              ivfModels.put(name, graft.operators.IvfIndex.load(
+                spark, m.indexPath, m.idCol, m.vecCol))
+              respond(ex, 200,
+                s"""{"collection":"$name","deleted":$n}""")
+            }
         }
 
       case ("GET", List("indexes")) =>

@@ -225,16 +225,88 @@ object IvfIndex {
     out.repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(model.indexPath)
-    // fresh scan relation: the old `assigned` caches its file listing
-    val assigned = spark.read
+    // fresh scan relation: the old `assigned` caches its file listing;
+    // tombstones re-applied (a deleted id stays deleted even if the
+    // batch re-appends it — see [[delete]])
+    val assigned = minusDeleted(spark, model.indexPath, spark.read
       .option("basePath", model.indexPath)
-      .parquet(s"${model.indexPath}/cell_id=*")
+      .parquet(s"${model.indexPath}/cell_id=*"))
     Model(model.centroids, assigned, model.idCol, model.vecCol,
       model.indexPath)
   }
 
   case class CompactionStats(cells: Int, filesBefore: Int,
       filesAfter: Int)
+
+  /** Tombstone-filtered assignment scan: `_deleted` (written by
+    * [[delete]]) holds doomed ids; every artifact read path anti-joins
+    * them out until [[compact]] purges the rows physically. The
+    * tombstone side is broadcast — deletes between compactions are an
+    * operational trickle (account deletions, takedowns), never a
+    * data-scale set; the filter sits ABOVE the scan and references
+    * only the left side, so cell PartitionFilters still push down and
+    * unprobed cells stay unread.
+    */
+  private def minusDeleted(spark: SparkSession, path: String,
+      assigned: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_deleted")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) assigned
+    else {
+      // the sidecar's own column name IS the index id column
+      // (validated at [[delete]] time) — the join is self-describing,
+      // no registry or parameter needed
+      val delRaw = spark.read.parquet(s"$path/_deleted")
+      val name = delRaw.columns.head
+      val del = delRaw.select(col(name).as("__deleted_id")).distinct()
+      assigned.join(broadcast(del),
+        assigned(name) === col("__deleted_id"), "left_anti")
+    }
+  }
+
+  /** Delete vectors by id from the durable inverted file — the
+    * right-to-be-forgotten maintenance pass the build/append/compact/
+    * merge lifecycle otherwise lacks. The ids land in a `_deleted`
+    * tombstone sidecar (O(|ids|) write, no cell rewrite); every
+    * subsequent [[load]]/[[loadSq8]]/[[append]]/[[merge]] read
+    * anti-joins them out, and the next [[compact]] purges the rows
+    * physically and clears the sidecar. Contract: a tombstoned id
+    * stays invisible even if RE-APPENDED until a compact runs — run
+    * compact before re-ingesting a previously-deleted id. The id
+    * column's TYPE must match the index's; external PQ-code tables
+    * fed to [[searchAdc]] are the caller's to clean.
+    *
+    * Returns the number of distinct ids recorded. Reference anchor:
+    * the reference rebuilds its external index from a fresh table
+    * scan to drop rows (external_index.rs full-rebuild path); the
+    * tombstone + deferred-purge shape keeps the delete itself O(ids)
+    * at 100 TB.
+    */
+  def delete(spark: SparkSession, indexPath: String,
+      ids: DataFrame): Long = {
+    require(ids.columns.length == 1,
+      s"delete expects a single-id-column frame, got " +
+        ids.columns.mkString(","))
+    val idName = ids.columns.head
+    val artifactCols = spark.read.option("basePath", indexPath)
+      .parquet(s"$indexPath/cell_id=*").columns
+    require(artifactCols.contains(idName),
+      s"id column '$idName' is not a column of the index at " +
+        s"$indexPath (has ${artifactCols.mkString(",")}) — name the " +
+        "frame's column after the index id column")
+    buildMemo.entrySet.removeIf(e =>
+      e.getValue._2.indexPath == indexPath)
+    fixedBuildMemo.entrySet.removeIf(e =>
+      e.getValue._2.indexPath == indexPath)
+    sq8BuildMemo.entrySet.removeIf(e =>
+      e.getValue._2._1.indexPath == indexPath)
+    val del = ids.distinct()
+    val n = del.count()
+    del.coalesce(1).write.mode("append")
+      .parquet(s"$indexPath/_deleted")
+    spark.catalog.refreshByPath(indexPath)
+    n
+  }
 
   private def listPartFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
@@ -292,9 +364,12 @@ object IvfIndex {
     graft.util.DirSwap.recover(fs, live)
     graft.util.DirSwap.clearSiblings(fs, live)
     val before = listPartFiles(fs, live)
-    val assigned = spark.read
+    // tombstoned rows ([[delete]]) are purged physically here: the
+    // rewrite drops them and the _deleted sidecar is NOT copied into
+    // the fresh artifact (only _centroids/_sqmodel travel below)
+    val assigned = minusDeleted(spark, indexPath, spark.read
       .option("basePath", indexPath)
-      .parquet(s"$indexPath/cell_id=*")
+      .parquet(s"$indexPath/cell_id=*"))
     val fresh = graft.util.DirSwap.rebuildPath(indexPath)
     val keys: Seq[org.apache.spark.sql.Column] =
       if (targetFilesPerCell == 1) Seq(col("cell_id"))
@@ -356,9 +431,11 @@ object IvfIndex {
     src.assigned
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append").parquet(destPath)
-    val assigned = spark.read
+    // src rows arrive already tombstone-filtered (src was load()ed);
+    // dest's own tombstones re-apply on the fresh scan
+    val assigned = minusDeleted(spark, destPath, spark.read
       .option("basePath", destPath)
-      .parquet(s"$destPath/cell_id=*")
+      .parquet(s"$destPath/cell_id=*"))
     Model(dest.centroids, assigned, idCol, vecCol, destPath)
   }
 
@@ -411,9 +488,9 @@ object IvfIndex {
     require(cents.nonEmpty, s"no centroid sidecar under $path")
     // _centroids sits inside the index dir; exclude it from the
     // assignment read by listing only cell_id partition dirs
-    val assigned = spark.read
+    val assigned = minusDeleted(spark, path, spark.read
       .option("basePath", path)
-      .parquet(s"$path/cell_id=*")
+      .parquet(s"$path/cell_id=*"))
     Model(cents, assigned, idCol, vecCol, path)
   }
 
@@ -1034,9 +1111,9 @@ object IvfIndex {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("append")
       .parquet(model.indexPath)
-    val assigned = spark.read
+    val assigned = minusDeleted(spark, model.indexPath, spark.read
       .option("basePath", model.indexPath)
-      .parquet(s"${model.indexPath}/cell_id=*")
+      .parquet(s"${model.indexPath}/cell_id=*"))
     Model(model.centroids, assigned, model.idCol, "sq", model.indexPath)
   }
 
@@ -1062,9 +1139,9 @@ object IvfIndex {
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     require(sq.nonEmpty, s"no scalar-model sidecar under $path")
-    val assigned = spark.read
+    val assigned = minusDeleted(spark, path, spark.read
       .option("basePath", path)
-      .parquet(s"$path/cell_id=*")
+      .parquet(s"$path/cell_id=*"))
     (Model(cents, assigned, idCol, "sq", path),
       sq.map(_._2), sq.map(_._3))
   }

@@ -179,6 +179,23 @@ object IndexedKnn {
     stats
   }
 
+  /** Tombstone-delete ids from the named index's durable artifact
+    * (see [[IvfIndex.delete]]: O(|ids|) sidecar write, physical purge
+    * deferred to the next compact) and re-register, dropping the model
+    * memo so the next plan reloads with the tombstones applied — the
+    * right-to-be-forgotten pass over a SERVED index: subsequent
+    * planner-rewritten ORDER BY distance LIMIT k queries cannot return
+    * the deleted ids.
+    */
+  def deleteFromIndex(spark: SparkSession, name: String,
+      ids: org.apache.spark.sql.DataFrame): Long = {
+    val (path, e) = entryFor(name)
+    val n = IvfIndex.delete(spark, e.indexDir, ids)
+    register(spark, path, e.indexDir, e.idCol, e.vecCol, e.nprobe, name,
+      e.shortlist)
+    n
+  }
+
   /** Unregister the named index and delete its durable artifact.
     * Queries over the table fall back to the brute-force plan (the
     * rule no longer fires), matching the reference's index DELETE

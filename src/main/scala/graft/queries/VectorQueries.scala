@@ -583,6 +583,31 @@ object VectorQueries {
     // probe ⇒ exact kNN over the WHOLE corpus, so the q_knn oracle
     // restates it. A fresh per-invocation index dir keeps repeated
     // runs idempotent (append twice would duplicate rows).
+    // Right-to-be-forgotten maintenance: tombstone-delete every 10th
+    // id from the durable artifact (O(ids) sidecar write, no cell
+    // rewrite), then COMPACT to purge physically — full probe over the
+    // purged index == exact kNN over the corpus minus the deleted ids
+    // (the oracle restates that filter). Deleted ids must be absent
+    // from every neighbor list even where they were the query's own
+    // nearest neighbor.
+    "q_ivf_delete_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_delete").toString
+      val base = graft.operators.IvfIndex.build(emb, "vec_id",
+        "embedding", nCells = 16, maxIter = 5,
+        indexDir = Some(s"$tmp/idx"), force = true)
+      graft.operators.IvfIndex.delete(s, base.indexPath,
+        emb.where($"vec_id" % 10 === 0).select($"vec_id"))
+      graft.operators.IvfIndex.compact(s, base.indexPath)
+      val model = graft.operators.IvfIndex.load(s, base.indexPath,
+        "vec_id", "embedding")
+      graft.operators.IvfIndex.search(model,
+          emb.where($"vec_id" < 10), k = 10, nprobe = 16)
+        .select($"qid", $"nid", $"rank", round($"dist", 4).as("dist"))
+        .orderBy($"qid", $"rank")
+    }),
+
     "q_ivf_append_knn" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val resident = emb.where($"vec_id" % 2 === 0)
@@ -1840,6 +1865,17 @@ object VectorQueries {
          |FROM ranked WHERE rk <= 20 ORDER BY dist, vec_id""".stripMargin,
     // append face at full probe == exact kNN over the whole corpus
     "q_ivf_append_knn" -> knnOracle,
+    "q_ivf_delete_knn" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid, ${dkL2sq("c.embedding", "q.qe")} AS d
+         |  FROM embeddings c, q WHERE c.vec_id % 10 <> 0),
+         |ranked AS (
+         |  SELECT qid, nid, d,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rk AS INT) AS rank, round(d, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rank""".stripMargin,
     // compaction must be invisible to results: same exact-kNN oracle
     "q_ivf_compact_knn" -> knnOracle,
     // shard merge at full probe == exact kNN over the shard union

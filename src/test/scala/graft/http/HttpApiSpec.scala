@@ -299,6 +299,39 @@ class HttpApiSpec extends SparkSuite {
     assert(partial.body().contains("\"rank\":5"))
   }
 
+  test("POST /index/delete tombstones ids out of the served index; " +
+      "compact purges; guards 400/404") {
+    // self-query: vec 7 is its own nearest neighbor before the delete
+    val q7 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select(org.apache.spark.sql.functions.col("embedding"))
+      .collect().head.getSeq[Float](0).mkString(",")
+    val r = post("/collections/embeddings/index", """{"n_cells":8}""")
+    assert(r.statusCode() === 201, r.body())
+    val before = post("/collections/embeddings/search",
+      s"""{"vector":[$q7],"k":3}""").body()
+    assert(before.contains("\"id\":7") || before.contains(":7,"),
+      s"vec 7 should self-match first: $before")
+    val del = post("/collections/embeddings/index/delete",
+      """{"ids":[7]}""")
+    assert(del.statusCode() === 200, del.body())
+    assert(del.body().contains("\"deleted\":1"))
+    val after = post("/collections/embeddings/search",
+      s"""{"vector":[$q7],"k":3}""").body()
+    assert(!after.contains("\"id\":7,"), s"deleted id served: $after")
+    // compact purges physically and results stay identical
+    val comp = post("/collections/embeddings/compact", "{}")
+    assert(comp.statusCode() === 200, comp.body())
+    val afterCompact = post("/collections/embeddings/search",
+      s"""{"vector":[$q7],"k":3}""").body()
+    assert(afterCompact === after)
+    // guards
+    assert(post("/collections/embeddings/index/delete", "{}")
+      .statusCode() === 400)
+    assert(post("/collections/nope/index/delete", """{"ids":[1]}""")
+      .statusCode() === 404)
+  }
+
   test("bq-quantized index: build via quantization param, search " +
       "rescoring matches brute force, param guards 400") {
     spark.read.parquet(s"$sf0001/embeddings.parquet")

@@ -416,4 +416,105 @@ class IvfSpec extends SparkSuite {
       assert(sorted.sameElements(sorted.sorted), "rescore order broken")
     }
   }
+
+  test("delete tombstones ids: O(ids) sidecar write, search excludes " +
+      "them, partition pruning survives, compact purges physically") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_delete_spec").toString
+    val m0 = IvfIndex.build(emb, "vec_id", "embedding",
+      nCells = 8, maxIter = 5, indexDir = Some(s"$tmp/idx"), force = true)
+    val doomed = emb.where($"vec_id" < 5).select($"vec_id")
+    val partsBefore = new java.io.File(m0.indexPath).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).flatMap(_.listFiles())
+      .map(_.lastModified()).toSeq
+    assert(IvfIndex.delete(spark, m0.indexPath, doomed) == 5L)
+    // no cell file was rewritten by the delete itself
+    val partsAfter = new java.io.File(m0.indexPath).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).flatMap(_.listFiles())
+      .map(_.lastModified()).toSeq
+    assert(partsAfter == partsBefore, "delete rewrote cell files")
+    assert(new java.io.File(s"${m0.indexPath}/_deleted").exists())
+    // a reloaded model excludes the ids at FULL probe (exact regime)
+    val m1 = IvfIndex.load(spark, m0.indexPath, "vec_id", "embedding")
+    val got = pairs(IvfIndex.search(m1, queries, k = 10, nprobe = 8))
+    val exactRemaining = pairs(Knn.topK(emb.where($"vec_id" >= 5),
+      queries, "vec_id", "embedding", 10))
+    assert(got === exactRemaining)
+    assert(!got.exists(_._2 < 5), "a deleted id surfaced in search")
+    // the cell IN filter still reaches the scan through the anti-join
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val p = IvfIndex.search(m1, queries, k = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell_id#\\d+ (IN|INSET)".r
+      .findFirstIn(p).isDefined,
+      s"pruning lost under tombstones:\n$p")
+    // a RE-APPENDED doomed id stays invisible until compact
+    val reAdd = emb.where($"vec_id" === 3L)
+    val m2 = IvfIndex.append(m1, reAdd)
+    assert(!pairs(IvfIndex.search(m2, queries, k = 10, nprobe = 8))
+      .exists(_._2 == 3L), "tombstoned id resurfaced via append")
+    // compact purges rows AND clears the sidecar; results unchanged
+    IvfIndex.compact(spark, m0.indexPath)
+    assert(!new java.io.File(s"${m0.indexPath}/_deleted").exists(),
+      "compact did not clear the tombstone sidecar")
+    val m3 = IvfIndex.load(spark, m0.indexPath, "vec_id", "embedding")
+    assert(pairs(IvfIndex.search(m3, queries, k = 10, nprobe = 8))
+      === exactRemaining)
+    assert(m3.assigned.where($"vec_id" < 5).count() == 0,
+      "purge left tombstoned rows on disk")
+    // after the purge, re-appending a previously deleted id works
+    val m4 = IvfIndex.append(m3, emb.where($"vec_id" === 2L))
+    assert(pairs(IvfIndex.search(m4, queries, k = 10, nprobe = 8))
+      .exists(_._2 == 2L), "re-append after purge not visible")
+  }
+
+  test("delete refuses a mis-named id column") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_delete_guard").toString
+    val m0 = IvfIndex.build(emb, "vec_id", "embedding",
+      nCells = 4, maxIter = 3, indexDir = Some(s"$tmp/idx"), force = true)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.delete(spark, m0.indexPath,
+        emb.limit(1).select($"vec_id".as("nope")))
+    }
+    assert(e.getMessage.contains("not a column of the index"))
+  }
+
+  test("delete composes with the registered planner index via " +
+      "IndexedKnn.deleteFromIndex") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_delete_knn").toString
+    val dataDir = s"$tmp/emb.parquet"
+    emb.write.mode("overwrite").parquet(dataDir)
+    val corpus = spark.read.parquet(dataDir)
+    IvfIndex.build(corpus, "vec_id", "embedding", nCells = 8,
+      maxIter = 5, indexDir = Some(s"$tmp/idx"), force = true)
+    graft.plans.IndexedKnn.register(spark, dataDir, s"$tmp/idx",
+      "vec_id", "embedding", nprobe = 8, name = "del_spec")
+    try {
+      val n = graft.plans.IndexedKnn.deleteFromIndex(spark, "del_spec",
+        emb.where($"vec_id" === 0L).select($"vec_id"))
+      assert(n == 1L)
+      val q: Seq[Float] = emb.where($"vec_id" === 0L)
+        .select($"embedding").collect().head.getSeq[Float](0)
+      val df = spark.read.parquet(dataDir)
+        .select($"vec_id",
+          graft.functions.VectorFunctions
+            .l2sq_dist($"embedding", typedlit(q)).as("dist"))
+        .orderBy($"dist").limit(5)
+      // the rewrite must actually fire (probe plan, not brute force)
+      val fired = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+      assert(fired.exists(_.contains("idx")), s"rewrite silent: $fired")
+      val served = df.select($"vec_id").as[Long].collect()
+      // vec 0 is its own nearest neighbor in the corpus; after the
+      // index delete the served plan cannot return it
+      assert(!served.contains(0L), s"deleted id served: ${served.toSeq}")
+    } finally graft.plans.IndexedKnn.unregister(spark, dataDir)
+  }
 }
