@@ -144,6 +144,50 @@ object SparseIndex {
   case class CompactionStats(buckets: Int, filesBefore: Int,
       filesAfter: Int)
 
+  /** Tombstone-filtered posting scan: `_deleted` (written by
+    * [[delete]]) holds doomed document ids; [[load]] and [[compact]]
+    * anti-join them out until the compact purges the rows physically.
+    * Broadcast tombstone side (takedowns between compactions are an
+    * operational trickle); the filter references only the posting
+    * side, so `bucket IN` PartitionFilters still push to the scan.
+    */
+  private def minusDeleted(spark: SparkSession, indexDir: String,
+      postings: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_deleted")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) postings
+    else {
+      val del = spark.read.parquet(s"$indexDir/_deleted")
+        .select(col("id").as("__deleted_id")).distinct()
+      postings.join(broadcast(del),
+        postings("id") === col("__deleted_id"), "left_anti")
+    }
+  }
+
+  /** Tombstone-delete documents from the posting file — the takedown /
+    * right-to-be-forgotten pass (a DMCA'd or opted-out document must
+    * stop surfacing in retrieval NOW). O(|ids|) sidecar write, no
+    * bucket rewrite; [[search]] excludes the documents immediately via
+    * the load-time anti-join. Corpus statistics follow the Lucene
+    * delete-then-merge contract: df/n_docs stay at their pre-delete
+    * values until the next [[compact]] RECOMPUTES them from the purged
+    * postings — deleted docs are invisible at once, idf heals at the
+    * merge. A tombstoned id stays invisible even if re-appended until
+    * that compact (same contract as [[IvfIndex.delete]]).
+    */
+  def delete(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Long = {
+    require(ids.columns.length == 1,
+      s"delete expects a single-id-column frame, got " +
+        ids.columns.mkString(","))
+    buildMemo.entrySet.removeIf(_.getKey._6 == indexDir)
+    val del = ids.toDF("id").distinct()
+    val n = del.count()
+    del.coalesce(1).write.mode("append").parquet(s"$indexDir/_deleted")
+    spark.catalog.refreshByPath(indexDir)
+    n
+  }
+
   private def listPostingFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
     val out = scala.collection.mutable.ArrayBuffer[
@@ -185,8 +229,12 @@ object SparseIndex {
     graft.util.DirSwap.clearSiblings(fs, live)
     spark.catalog.refreshByPath(indexDir)
     val before = listPostingFiles(fs, live)
-    val postings = spark.read.option("basePath", indexDir)
-      .parquet(s"$indexDir/bucket=*")
+    // tombstoned documents ([[delete]]) are purged here
+    val hadTombstones = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$indexDir/_deleted"))
+    val postings = minusDeleted(spark, indexDir,
+      spark.read.option("basePath", indexDir)
+        .parquet(s"$indexDir/bucket=*"))
     val fresh = graft.util.DirSwap.rebuildPath(indexDir)
     val keys: Seq[org.apache.spark.sql.Column] =
       if (targetFilesPerBucket == 1) Seq(col("bucket"))
@@ -194,13 +242,33 @@ object SparseIndex {
         pmod(hash(col("id")), lit(targetFilesPerBucket)))
     postings.repartition(keys: _*)
       .write.partitionBy("bucket").mode("overwrite").parquet(fresh)
-    // sidecars travel with the artifact
-    for (side <- Seq("_stats", "_meta")) {
-      val src = new org.apache.hadoop.fs.Path(s"$indexDir/$side")
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-          new org.apache.hadoop.fs.Path(s"$fresh/$side"),
-          false, spark.sessionState.newHadoopConf())
+    if (!hadTombstones) {
+      // pure data move: df and n_docs are properties of the posting
+      // set — sidecars travel unchanged
+      for (side <- Seq("_stats", "_meta")) {
+        val src = new org.apache.hadoop.fs.Path(s"$indexDir/$side")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$fresh/$side"),
+            false, spark.sessionState.newHadoopConf())
+      }
+    } else {
+      // the purge changed the posting set: RECOMPUTE df and n_docs
+      // from the surviving postings (idf heals here — the Lucene
+      // merge step of the delete contract); _deleted is NOT copied,
+      // so the tombstones clear with the publish
+      val meta = spark.read.parquet(s"$indexDir/_meta").head()
+      val purged = spark.read.option("basePath", fresh)
+        .parquet(s"$fresh/bucket=*")
+      purged.groupBy(col("idx")).agg(count(lit(1)).as("df"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fresh/_stats")
+      val nDocs = purged.select(col("id")).distinct().count()
+      locally {
+        import spark.implicits._
+        Seq((nDocs, meta.getInt(1), meta.getInt(2)))
+          .toDF("n_docs", "vocab", "n_buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$fresh/_meta")
+      }
     }
     graft.util.DirSwap.publish(fs, live)
     spark.catalog.refreshByPath(indexDir)
@@ -215,8 +283,9 @@ object SparseIndex {
   def load(spark: SparkSession, indexDir: String): Model = {
     val meta = spark.read.parquet(s"$indexDir/_meta").head()
     Model(indexDir,
-      spark.read.option("basePath", indexDir)
-        .parquet(s"$indexDir/bucket=*"),
+      minusDeleted(spark, indexDir,
+        spark.read.option("basePath", indexDir)
+          .parquet(s"$indexDir/bucket=*")),
       spark.read.parquet(s"$indexDir/_stats"),
       meta.getLong(0), meta.getInt(1), meta.getInt(2))
   }

@@ -88,6 +88,27 @@ object SearchQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Takedown maintenance on the posting file: tombstone-delete every
+    // 10th document (O(ids) sidecar, docs invisible immediately), then
+    // COMPACT — which purges the postings AND recomputes df/n_docs
+    // from the survivors (the Lucene delete-then-merge contract: idf
+    // heals at the merge). Search afterwards must equal a fresh build
+    // over the corpus minus the deleted docs, which is exactly what
+    // the oracle restates.
+    "q_sparse_delete" -> ((s, dir) => {
+      val sdocs = docs(s, dir).where(col("doc_id") < 300)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_sparse_del").toString + "/idx"
+      graft.operators.SparseIndex.build(sdocs, "doc_id", "text",
+        idxDir, nBuckets = 16)
+      graft.operators.SparseIndex.delete(s, idxDir,
+        sdocs.where(col("doc_id") % 10 === 0).select(col("doc_id")))
+      graft.operators.SparseIndex.compact(s, idxDir)
+      val m = graft.operators.SparseIndex.load(s, idxDir)
+      graft.operators.SparseIndex.search(m, QueryWords, 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Sparse file-debt maintenance: two appends leave one file per
     // touched bucket per batch; compact folds each bucket back to a
     // single file POSTINGS-LOCAL (no corpus re-tokenization, df
@@ -280,6 +301,12 @@ object SearchQueries {
     // full-corpus scoring — df/n_docs sidecar math included
     "q_sparse_append" -> sparseSearchSql,
     "q_sparse_compact" -> sparseSearchSql,
+    // delete face: after the purge the artifact must score exactly as
+    // a fresh build over the corpus minus the deleted docs — restated
+    // by narrowing the shared CTE's corpus predicate
+    "q_sparse_delete" -> sparseSearchSql.replace(
+      "WHERE doc_id < 300 AND text IS NOT NULL",
+      "WHERE doc_id < 300 AND doc_id % 10 <> 0 AND text IS NOT NULL"),
     "q_sparse_dot" ->
       s"""WITH $sparseCte,
          |q0 AS (SELECT idx, w FROM spost WHERE id = 0),

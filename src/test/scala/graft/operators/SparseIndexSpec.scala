@@ -135,4 +135,47 @@ class SparseIndexSpec extends SparkSuite {
     val loaded = SparseIndex.load(spark, dir)
     assert(loaded.nBuckets === 8 && loaded.nDocs === m.nDocs)
   }
+
+  test("delete tombstones documents: invisible immediately (stale idf " +
+      "by contract), compact purges + heals df/n_docs, sidecar clears") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_delspec").toString + "/idx"
+    val words = Seq("table", "scan", "fast")
+    val corpus = docs.where($"doc_id" < 200)
+    val m0 = SparseIndex.build(corpus, "doc_id", "text", dir,
+      nBuckets = 16)
+    // doom the current top hit so the invisibility check has teeth
+    val top = SparseIndex.search(m0, words, 1)
+      .select($"id").as[Long].collect().head
+    assert(SparseIndex.delete(spark, dir,
+      corpus.where($"doc_id" === top).select($"doc_id")) == 1L)
+    assert(new java.io.File(s"$dir/_deleted").exists())
+    // immediately invisible on a reload; stats sidecar still the old
+    // one (df heals only at compact — the delete is O(ids))
+    val m1 = SparseIndex.load(spark, dir)
+    val afterDelete = SparseIndex.search(m1, words, 10)
+      .select($"id").as[Long].collect()
+    assert(!afterDelete.contains(top), "tombstoned doc still served")
+    assert(m1.nDocs == m0.nDocs, "n_docs must heal at compact, not delete")
+    // compact purges rows, clears the sidecar, recomputes df/n_docs —
+    // search must now equal a FRESH build over the remaining corpus
+    // (idf healed, not just rows dropped)
+    SparseIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/_deleted").exists(),
+      "compact did not clear the tombstone sidecar")
+    val m2 = SparseIndex.load(spark, dir)
+    assert(m2.nDocs == m0.nDocs - 1, s"n_docs not healed: ${m2.nDocs}")
+    assert(m2.postings.where($"id" === top).count() == 0,
+      "purge left tombstoned postings on disk")
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_delspec2").toString + "/idx"
+    val fresh = SparseIndex.build(corpus.where($"doc_id" =!= top),
+      "doc_id", "text", freshDir, nBuckets = 16)
+    val got = SparseIndex.search(m2, words, 10)
+      .as[(Long, Long)].collect().toSeq
+    val want = SparseIndex.search(fresh, words, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want, "post-compact scoring differs from a fresh " +
+      "build over the remaining corpus")
+  }
 }
