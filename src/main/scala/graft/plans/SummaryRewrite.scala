@@ -1070,31 +1070,36 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** Star-schema path: `Aggregate` over `fact JOIN other` re-plans to
-    * the same aggregate over `rollup JOIN other` when the join
-    * condition (and any post-join filters / grouping keys) reference
-    * only the fact side's DIMS plus the other side's columns, and
-    * every aggregate call reads only fact measures/dims. Exactness:
-    * the join multiplies each dim group's rows by a factor that
-    * depends only on the dim values, and every served aggregate is a
-    * function of Σ(multiplicity × partial) — Sum(cnt)/Sum(s_m) over
-    * the joined rollup rows reproduce COUNT(*)/SUM(m) over the joined
-    * base exactly (chunk rows sum back to group partials first), and
+  /** Star/snowflake path: `Aggregate` over a JOIN SPINE rooted at the
+    * registered fact table re-plans to the same aggregate over the
+    * spine with the fact leaf swapped for the rollup scan — fact ⋈
+    * dim, and fact ⋈ dim1 ⋈ dim2 ⋈ … (snowflakes), with filters
+    * interleaved anywhere. Conditions at every level (and the
+    * post-join filters / grouping keys) must reference only the fact
+    * side's DIMS plus non-fact columns, and every aggregate call must
+    * read only fact measures/dims. Exactness: the whole join tree
+    * multiplies each dim group's rows by a factor that depends only on
+    * the dim values, and every served aggregate is a function of
+    * Σ(multiplicity × partial) — Sum(cnt)/Sum(s_m) over the joined
+    * rollup rows reproduce COUNT(*)/SUM(m) over the joined base
+    * exactly (chunk rows sum back to group partials first), and
     * MIN/MAX/COUNT(DISTINCT dims) ignore multiplicity altogether.
-    * Join types where a base row's presence/multiplicity is a
-    * function of its dims alone qualify: INNER/CROSS anywhere,
-    * LEFT OUTER / LEFT SEMI / LEFT ANTI with the fact on the left,
+    * Join types where a fact row's presence/multiplicity is a function
+    * of its dims alone qualify: INNER/CROSS anywhere, LEFT OUTER /
+    * LEFT SEMI / LEFT ANTI with the fact on the preserved left,
     * RIGHT OUTER with the fact on the right. FULL OUTER does not
     * (unmatched OTHER-side rows surface once each with a null cnt —
-    * COUNT(*) would undercount) and aborts. At 100 TB this is the
-    * dims-vs-facts read a BI layer issues constantly: fact ⋈ small
-    * dimension table GROUP BY dimension attribute, served at rollup
-    * cardinality with the dim join broadcast.
+    * COUNT(*) would undercount) and aborts. Fact-side pruning Projects
+    * between joins are dropped (the leaf re-prunes); alias-bearing
+    * intermediate Projects abort. At 100 TB this is the dims-vs-facts
+    * read a BI layer issues constantly: fact ⋈ small dimension tables
+    * GROUP BY dimension attributes, served at rollup cardinality with
+    * the dim joins broadcast.
     */
   private def rewriteJoin(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    // peel post-join Projects (attrs/aliases) and Filters down to the
+    // peel post-join Projects (attrs/aliases) and Filters above the
     // topmost Join
     def peel(p: LogicalPlan): Option[(Seq[Expression],
         Map[ExprId, Expression], Join)] = p match {
@@ -1114,128 +1119,192 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         }
       case _ => None
     }
-    val (upConds0, upSubs, join) = peel(child) match {
+    val (upConds0, upSubs, topJoin) = peel(child) match {
       case Some(x) => x
       case None => return None
     }
-    // which side is the registered fact? (left preferred; join types
-    // are side-sensitive for the outer/semi/anti forms)
-    val sides = Seq(
-      (join.left, join.right,
-        Set[org.apache.spark.sql.catalyst.plans.JoinType](
-          Inner, Cross, LeftOuter, LeftSemi, LeftAnti)),
-      (join.right, join.left,
-        Set[org.apache.spark.sql.catalyst.plans.JoinType](
-          Inner, Cross, RightOuter)))
-    sides.view.flatMap { case (factSide, otherSide, okTypes) =>
-      if (!okTypes.contains(join.joinType)) None
-      else unwrap(factSide).flatMap { case (conds0, baseSubs, rel) =>
-        entryOf(rel).flatMap { e =>
-          val sv = new Serving(e, rel)
-          val subs = upSubs ++ baseSubs
-          def inline(x: Expression): Expression = x.transformUp {
-            case ar: AttributeReference if subs.contains(ar.exprId) =>
-              subs(ar.exprId)
-          }
-          val keep: AttributeSet = otherSide.outputSet
-          def ridable(c: Expression): Boolean =
-            c.deterministic && c.references.forall(r =>
-              keep.contains(r) || sv.dimAttr(r))
-          val baseConds = conds0.map(inline)
-          if (!baseConds.forall(sv.dimCond)) {
-            dbg("join base filter not a dim condition: " + baseConds)
-            return None
-          }
-          val joinCond = join.condition.map(inline)
-          if (!joinCond.forall(ridable)) {
-            dbg("join condition touches a measure: " + joinCond)
-            return None
-          }
-          val upConds = upConds0.map(inline)
-          if (!upConds.forall(ridable)) {
-            dbg("post-join filter not ridable: " + upConds)
-            return None
-          }
-          val groupsI = groups.map(inline)
-          if (!groupsI.forall(g => g.deterministic &&
-              g.references.forall(r =>
-                keep.contains(r) || sv.dimAttr(r)))) {
-            dbg("join group key not ridable: " + groupsI)
-            return None
-          }
 
-          val keepIds: Set[ExprId] = keep.map(_.exprId).toSet
-          val newAggExprs = aggExprs.map { ne =>
-            val translated = ne match {
-              case ar: AttributeReference if keepIds.contains(ar.exprId) =>
-                ar
-              case ar: AttributeReference if sv.dimAttr(ar) =>
-                Alias(sv.sOut(ar.name), ar.name)(exprId = ar.exprId)
-              case ar: AttributeReference if subs.contains(ar.exprId) =>
-                Alias(sv.translate(inline(ar), keepIds),
-                  ar.name)(exprId = ar.exprId)
-              case al: Alias =>
-                Alias(sv.translate(inline(al.child), keepIds),
-                  al.name)(exprId = al.exprId)
-              case _ => sv.ok = false; ne
+    val leftTypes = Set[org.apache.spark.sql.catalyst.plans.JoinType](
+      Inner, Cross, LeftOuter, LeftSemi, LeftAnti)
+    val rightTypes = Set[org.apache.spark.sql.catalyst.plans.JoinType](
+      Inner, Cross, RightOuter)
+
+    // state discovered at the fact leaf by walk()
+    var svOpt: Option[Serving] = None
+    var leafSubs: Map[ExprId, Expression] = Map.empty
+    var baseConds: Seq[Expression] = Nil
+    val levelConds = scala.collection.mutable.Buffer[Expression]()
+
+    def inlineAll(x: Expression): Expression = x.transformUp {
+      case ar: AttributeReference
+          if leafSubs.contains(ar.exprId) => leafSubs(ar.exprId)
+      case ar: AttributeReference
+          if upSubs.contains(ar.exprId) => upSubs(ar.exprId)
+    }
+    def toRollup(sv: Serving)(c: Expression): Expression = c.transformUp {
+      case ar: AttributeReference if sv.dimAttr(ar) => sv.sOut(ar.name)
+    }
+    def ridable(sv: Serving, visible: AttributeSet)(
+        c: Expression): Boolean =
+      c.deterministic && c.references.forall(r =>
+        visible.contains(r) || sv.dimAttr(r))
+
+    /** Descend the fact spine. Returns (rebuilt subtree with the fact
+      * leaf replaced by the raw rollup scan, non-fact attrs visible
+      * above this subtree). The leaf's own filters and every join/
+      * filter condition along the spine are validated, translated to
+      * rollup refs, and recorded for the final pruning Project.
+      */
+    def walk(p: LogicalPlan): Option[(LogicalPlan, AttributeSet)] =
+      p match {
+        case j: Join =>
+          def trySide(side: LogicalPlan, other: LogicalPlan,
+              isLeft: Boolean): Option[(LogicalPlan, AttributeSet)] = {
+            val ok = if (isLeft) leftTypes else rightTypes
+            if (!ok.contains(j.joinType)) None
+            else walk(side).flatMap { case (newSide, passOut) =>
+              val sv = svOpt.get
+              val visible = other.outputSet ++ passOut
+              val condI = j.condition.map(inlineAll)
+              if (!condI.forall(ridable(sv, visible))) {
+                dbg("join condition not ridable: " + condI); None
+              } else {
+                val newCond = condI.map(toRollup(sv))
+                levelConds ++= newCond
+                val rebuilt =
+                  if (isLeft) j.copy(left = newSide, condition = newCond)
+                  else j.copy(right = newSide, condition = newCond)
+                // semi/anti joins do not expose the other side above
+                val visibleUp =
+                  if (j.joinType == LeftSemi || j.joinType == LeftAnti)
+                    passOut
+                  else visible
+                Some((rebuilt, visibleUp))
+              }
             }
-            translated
           }
-          if (!sv.ok) {
-            dbg("join agg expr not translatable: " + aggExprs)
-            return None
+          trySide(j.left, j.right, isLeft = true)
+            .orElse(trySide(j.right, j.left, isLeft = false))
+        case Filter(c, u) =>
+          walk(u).flatMap { case (nu, passOut) =>
+            val sv = svOpt.get
+            val ci = inlineAll(c)
+            if (!ridable(sv, passOut)(ci)) {
+              dbg("interleaved filter not ridable: " + ci); None
+            } else {
+              val nc = toRollup(sv)(ci)
+              levelConds += nc
+              Some((Filter(nc, nu), passOut))
+            }
           }
-          val scanAttrIds = sv.scan.outputSet
-          if (!newAggExprs.forall(_.references.forall(r =>
-              keepIds.contains(r.exprId) || scanAttrIds.contains(r)))) {
-            dbg("join translated refs escape: " + newAggExprs)
-            return None
+        // fact-side pruning Project between joins: drop it — its fact
+        // columns no longer exist post-rewrite, and the leaf re-prunes
+        case Project(pl, u) if pl.forall(
+            _.isInstanceOf[AttributeReference]) && walkable(u) =>
+          walk(u)
+        case leaf =>
+          unwrap(leaf).flatMap { case (conds0, subs, rel) =>
+            entryOf(rel).flatMap { e =>
+              if (svOpt.isDefined) None // one fact leaf per spine
+              else {
+                val sv = new Serving(e, rel)
+                svOpt = Some(sv)
+                leafSubs = subs
+                val condsI = conds0.map(inlineAll)
+                if (!condsI.forall(sv.dimCond)) {
+                  dbg("fact filter not a dim condition: " + condsI)
+                  None
+                } else {
+                  baseConds = condsI.map(sv.toRollupRefs)
+                  Some((sv.scan, AttributeSet.empty))
+                }
+              }
+            }
           }
-          // an aggregate call over OTHER-side columns would need a
-          // multiplicity weight the rollup can't provide; sv.translate
-          // already aborted those (reAgg only matches fact measures),
-          // but a bare other-side ref inside a translated agg would
-          // have slipped through the keepIds case — re-check: no
-          // AggregateExpression in the ORIGINAL tree may reference
-          // the other side
-          val aggsTouchOther = aggExprs.exists(_.collect {
-            case ae: AggregateExpression => ae
-          }.exists(ae => inline(ae).references.exists(keep.contains)))
-          if (aggsTouchOther) {
-            dbg("aggregate over other-side columns: " + aggExprs)
-            return None
-          }
-
-          def toRollup(c: Expression): Expression = c.transformUp {
-            case ar: AttributeReference if sv.dimAttr(ar) =>
-              sv.sOut(ar.name)
-          }
-          val newGroups = groupsI.map(toRollup)
-          val newJoinCond = joinCond.map(toRollup)
-          val newUpConds = upConds.map(toRollup)
-          val newBaseConds = baseConds.map(sv.toRollupRefs)
-
-          val refIds = (newAggExprs ++ newGroups ++ newUpConds ++
-            newJoinCond.toSeq ++ newBaseConds)
-            .foldLeft(AttributeSet.empty)(_ ++ _.references)
-          val needed = sv.scan.output.filter(refIds.contains)
-          val pruned =
-            if (needed.size == sv.scan.output.size) sv.scan
-            else Project(needed, sv.scan)
-          val newFact =
-            newBaseConds.foldLeft(pruned: LogicalPlan)((p, c) =>
-              Filter(c, p))
-          val newJoin =
-            if (factSide eq join.left)
-              join.copy(left = newFact, condition = newJoinCond)
-            else join.copy(right = newFact, condition = newJoinCond)
-          val aboveJoin = newUpConds
-            .foldLeft(newJoin: LogicalPlan)((p, c) => Filter(c, p))
-          fireCount.incrementAndGet()
-          Some(Aggregate(newGroups, newAggExprs, aboveJoin))
-        }
       }
-    }.headOption
+    // a Project is only droppable when a fact spine continues below it
+    def walkable(p: LogicalPlan): Boolean = p match {
+      case j: Join => true
+      case Filter(_, u) => walkable(u)
+      case Project(_, u) => walkable(u)
+      case _ => false
+    }
+
+    walk(topJoin).flatMap { case (rebuilt, visible) =>
+      val sv = svOpt.get
+      val upConds = upConds0.map(inlineAll)
+      if (!upConds.forall(ridable(sv, visible))) {
+        dbg("post-join filter not ridable: " + upConds); return None
+      }
+      val groupsI = groups.map(inlineAll)
+      if (!groupsI.forall(g => g.deterministic &&
+          g.references.forall(r =>
+            visible.contains(r) || sv.dimAttr(r)))) {
+        dbg("join group key not ridable: " + groupsI); return None
+      }
+      // an aggregate call over non-fact columns would need a
+      // multiplicity weight the rollup can't provide — abort before
+      // reAgg's NAME-based measure match could hit a same-named
+      // non-fact column
+      val aggsTouchOther = aggExprs.exists(_.collect {
+        case ae: AggregateExpression => ae
+      }.exists(ae => inlineAll(ae).references.exists(visible.contains)))
+      if (aggsTouchOther) {
+        dbg("aggregate over non-fact columns: " + aggExprs); return None
+      }
+
+      val keepIds: Set[ExprId] = visible.map(_.exprId).toSet
+      val newAggExprs = aggExprs.map { ne =>
+        val translated = ne match {
+          case ar: AttributeReference if keepIds.contains(ar.exprId) =>
+            ar
+          case ar: AttributeReference if sv.dimAttr(ar) =>
+            Alias(sv.sOut(ar.name), ar.name)(exprId = ar.exprId)
+          case ar: AttributeReference
+              if leafSubs.contains(ar.exprId) ||
+                upSubs.contains(ar.exprId) =>
+            Alias(sv.translate(inlineAll(ar), keepIds),
+              ar.name)(exprId = ar.exprId)
+          case al: Alias =>
+            Alias(sv.translate(inlineAll(al.child), keepIds),
+              al.name)(exprId = al.exprId)
+          case _ => sv.ok = false; ne
+        }
+        translated
+      }
+      if (!sv.ok) {
+        dbg("join agg expr not translatable: " + aggExprs); return None
+      }
+      val scanAttrIds = sv.scan.outputSet
+      if (!newAggExprs.forall(_.references.forall(r =>
+          keepIds.contains(r.exprId) || scanAttrIds.contains(r)))) {
+        dbg("join translated refs escape: " + newAggExprs); return None
+      }
+
+      val newGroups = groupsI.map(toRollup(sv))
+      val newUpConds = upConds.map(toRollup(sv))
+
+      // prune the rollup scan to every referenced partial/dim column
+      // and apply the fact-side filters, swapping them in for the raw
+      // scan node the walk planted at the leaf
+      val refIds = (newAggExprs ++ newGroups ++ newUpConds ++
+        levelConds ++ baseConds)
+        .foldLeft(AttributeSet.empty)(_ ++ _.references)
+      val needed = sv.scan.output.filter(refIds.contains)
+      val pruned =
+        if (needed.size == sv.scan.output.size) sv.scan
+        else Project(needed, sv.scan)
+      val leafPlan = baseConds.foldLeft(pruned)((p, c) => Filter(c, p))
+      val swapped =
+        if (leafPlan eq sv.scan) rebuilt
+        else rebuilt.transformUp {
+          case n if n eq sv.scan => leafPlan
+        }
+      val aboveJoin = newUpConds
+        .foldLeft(swapped)((p, c) => Filter(c, p))
+      fireCount.incrementAndGet()
+      Some(Aggregate(newGroups, newAggExprs, aboveJoin))
+    }
   }
 
   /** Whether `CAST(m AS d)` provably preserves per-row values in a

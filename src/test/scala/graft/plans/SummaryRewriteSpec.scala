@@ -505,6 +505,33 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(g2 == w2)
   }
 
+  test("snowflake: fact JOIN dim1 JOIN dim2 (two levels, filter " +
+      "interleaved) serves from the rollup; value-exact") {
+    val dim1 = Seq(("A", 1), ("B", 2)).toDF("f", "region_id")
+    val dim2 = Seq((1, "east"), (2, "west"), (3, "north"))
+      .toDF("rid", "region")
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.join(dim1, $"flag" === $"f")
+        .where($"region_id" >= 1)
+        .join(dim2, $"region_id" === $"rid")
+        .groupBy($"region")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
+          avg($"price").as("ap"), countDistinct($"day").as("days"))
+        .orderBy($"region")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    assert(got == want)
+    // a dim-side aggregate still aborts at depth 2
+    val q = base.join(dim1, $"flag" === $"f")
+      .join(dim2, $"region_id" === $"rid")
+      .groupBy($"region").agg(sum($"rid").as("s"))
+    assert(scanPaths(q).exists(_.contains("fact.parquet")),
+      s"level-2 dim aggregate was re-planned: ${scanPaths(q)}")
+  }
+
   test("star join guards: measure join keys, aggregates over the dim " +
       "side, and FULL OUTER do not rewrite") {
     val dimT = Seq((2.0, "two")).toDF("q", "qname")
