@@ -67,6 +67,87 @@ object SummaryAdvisor {
     case _ => false
   }
 
+  // ---- workload capture ------------------------------------------
+  // Observe the session's own aggregate queries as they EXECUTE and
+  // feed them back to the advisor: run the dashboard for a day, then
+  // ask what rollup would have served it. The listener records only
+  // analyzed plans (bounded, deduped by semantic hash) — no results,
+  // no extra work per query.
+
+  private val capturedPlans = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+  private val MaxCaptured = 256
+  @volatile private var listener:
+      Option[org.apache.spark.sql.util.QueryExecutionListener] = None
+
+  /** Start recording aggregate-over-parquet queries executed on this
+    * session. Idempotent; call [[stopCapture]] to detach.
+    */
+  def startCapture(spark: SparkSession): Unit = synchronized {
+    if (listener.isEmpty) {
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val plan = qe.analyzed
+          val hasAgg = plan.collectFirst {
+            case a: Aggregate => a }.isDefined
+          val overParquet = plan.collectFirst {
+            case l: LogicalRelation
+                if l.relation.isInstanceOf[HadoopFsRelation] => l
+          }.isDefined
+          if (hasAgg && overParquet &&
+              capturedPlans.size < MaxCaptured)
+            capturedPlans.putIfAbsent(plan.semanticHash(), plan)
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      listener = Some(l)
+    }
+  }
+
+  def stopCapture(spark: SparkSession): Unit = synchronized {
+    listener.foreach(spark.listenerManager.unregister)
+    listener = None
+  }
+
+  def clearCaptured(): Unit = capturedPlans.clear()
+
+  private[plans] def capturedCount: Int = capturedPlans.size
+
+  /** Recommend from the queries captured so far that scan `basePath`
+    * (the observe → advise → register → serve loop, no workload list
+    * needed). Listener delivery is asynchronous — an immediate call
+    * after the last action may miss it by milliseconds; production
+    * callers ask after a day of traffic, not a millisecond.
+    */
+  def recommendCaptured(spark: SparkSession,
+      basePath: String): Recommendation = {
+    import scala.jdk.CollectionConverters._
+    val q = qualifyPath(spark, basePath)
+    // only the captured queries that scan THIS base table — unrelated
+    // session traffic must not pollute the report
+    val plans = capturedPlans.values.asScala.toSeq.filter(p =>
+      p.collectFirst {
+        case l: LogicalRelation
+            if (l.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString).contains(q)
+              case _ => false
+            }) => l
+      }.isDefined)
+    recommendPlans(spark, basePath, plans)
+  }
+
+  private def qualifyPath(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.makeQualified(p).toString
+  }
+
   /** Analyze `workload` (DataFrames over the parquet table at
     * `basePath`) and produce the recommendation. The cardinality pass
     * runs one exact multi-column distinct count over the proposed
@@ -74,12 +155,14 @@ object SummaryAdvisor {
     * the verdict needs the exponent, not the last digit.
     */
   def recommend(spark: SparkSession, basePath: String,
-      workload: Seq[DataFrame]): Recommendation = {
-    val qualified = {
-      val p = new org.apache.hadoop.fs.Path(basePath)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.makeQualified(p).toString
-    }
+      workload: Seq[DataFrame]): Recommendation =
+    recommendPlans(spark, basePath,
+      workload.map(_.queryExecution.analyzed))
+
+  private def recommendPlans(spark: SparkSession, basePath: String,
+      workload: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan]): Recommendation = {
+    val qualified = qualifyPath(spark, basePath)
     def scansBase(plan: org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan): Boolean =
       plan.collect {
@@ -94,8 +177,8 @@ object SummaryAdvisor {
     val baseTypes: Map[String, DataType] =
       base.schema.fields.map(f => f.name -> f.dataType).toMap
 
-    val reports = workload.map { df =>
-      val aggs = df.queryExecution.analyzed.collect {
+    val reports = workload.map { analyzed =>
+      val aggs = analyzed.collect {
         case a @ Aggregate(_, _, child, _) if scansBase(child) => a
       }
       if (aggs.isEmpty)

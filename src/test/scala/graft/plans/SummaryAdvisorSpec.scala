@@ -77,6 +77,32 @@ class SummaryAdvisorSpec extends SparkSuite {
     } finally SummaryRewrite.unregister(spark, baseDir)
   }
 
+  test("workload capture: executed aggregate queries feed " +
+      "recommendCaptured (observe -> advise loop)") {
+    SummaryAdvisor.clearCaptured()
+    SummaryAdvisor.startCapture(spark)
+    try {
+      base.groupBy($"flag").agg(sum($"qty").as("s")).collect()
+      base.where($"day" >= lit("2024-03-05").cast("date"))
+        .groupBy($"day").agg(avg($"price").as("a")).collect()
+      // a non-aggregate query must NOT be captured
+      base.select($"flag").limit(1).collect()
+      // listener delivery is async: poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (SummaryAdvisor.capturedCount < 2 &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(SummaryAdvisor.capturedCount >= 2,
+        s"captured ${SummaryAdvisor.capturedCount}")
+      val rec = SummaryAdvisor.recommendCaptured(spark, baseDir)
+      assert(rec.dims == Seq("day", "flag"), rec.dims)
+      assert(rec.measures == Seq("price", "qty"), rec.measures)
+      assert(rec.servable == rec.total && rec.total >= 2)
+    } finally {
+      SummaryAdvisor.stopCapture(spark)
+      SummaryAdvisor.clearCaptured()
+    }
+  }
+
   test("recommendFrame emits the one-row report") {
     val row = SummaryAdvisor.recommendFrame(spark, baseDir, Seq(
       base.groupBy($"flag").agg(sum($"qty").as("s"))))
