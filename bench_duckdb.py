@@ -74,6 +74,8 @@ WRITE_FACES = {
     "q_ivf_f16_append": "fresh F16 index build + append (durable artifact)",
     "q_sparse_append": "fresh sparse inverted-file build + append + sidecar swap",
     "q_sparse_compact": "fresh sparse build + 2 appends + full bucket-compaction rewrite",
+    "q_ivf_delete_knn": "fresh index build + tombstone delete + full compaction purge",
+    "q_sparse_delete": "fresh sparse build + tombstone delete + purge-with-recount compaction",
 }
 
 
