@@ -1121,7 +1121,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     }
     val (upConds0, upSubs, topJoin) = peel(child) match {
       case Some(x) => x
-      case None => return None
+      case None =>
+        dbg("join peel failed: " + child.nodeName); return None
     }
 
     val leftTypes = Set[org.apache.spark.sql.catalyst.plans.JoinType](
@@ -1204,7 +1205,10 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           walk(u)
         case leaf =>
           unwrap(leaf).flatMap { case (conds0, subs, rel) =>
-            entryOf(rel).flatMap { e =>
+            val eo = entryOf(rel)
+            if (eo.isEmpty) dbg("join leaf not registered: " +
+              rel.relation.toString.take(80))
+            eo.flatMap { e =>
               if (svOpt.isDefined) None // one fact leaf per spine
               else {
                 val sv = new Serving(e, rel)

@@ -58,6 +58,60 @@ class SummaryStreamSpec extends SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("CUBE and star joins serve exactly from a CHUNK-maintained " +
+      "rollup (the Expand/join paths re-aggregate chunk rows too)") {
+    val baseDir = tmp("graft_ss_cube") + "/fact.parquet"
+    val sumDir = tmp("graft_ss_cubes") + "/rollup"
+    mkRows(0, 100).write.mode("append").parquet(baseDir)
+    SummaryStream.registerStreaming(spark, baseDir, sumDir,
+      Seq("flag"), Seq("qty"))
+    SummaryStream.processBatch(mkRows(0, 100), 0L, sumDir,
+      Seq("flag"), Seq("qty"))
+    mkRows(100, 60).write.mode("append").parquet(baseDir)
+    SummaryStream.processBatch(mkRows(100, 60), 1L, sumDir,
+      Seq("flag"), Seq("qty"))
+    // two chunks now repeat each dim group; cube subtotals must still
+    // be exact (each output group folds every chunk row exactly once
+    // per grouping set)
+    def cube = spark.read.parquet(baseDir).cube($"flag")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("s"))
+      .orderBy($"flag")
+    val scans = cube.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution
+          .datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("rollup")), s"scanned $scans")
+    val got = cube.collect().map(_.toSeq).toSeq
+    SummaryRewrite.clear()
+    val want = cube.collect().map(_.toSeq).toSeq
+    // re-register WITHOUT registerStreaming: that would rewrite the
+    // empty chunk=-1 build over the accumulated chunks (it is the
+    // start-of-stream call, not the re-attach call)
+    SummaryRewrite.register(spark, baseDir, sumDir,
+      Seq("flag"), Seq("qty"))
+    assert(got == want)
+    // star join over the chunked rollup
+    val dim = Seq(("A", "alpha"), ("B", "beta")).toDF("f", "fn")
+    def star = spark.read.parquet(baseDir)
+      .join(dim, $"flag" === $"f")
+      .groupBy($"fn").agg(sum($"qty").as("s")).orderBy($"fn")
+    val s2 = star.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution
+          .datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(s2.exists(_.contains("rollup")), s"scanned $s2")
+    val gotStar = star.collect().map(_.toSeq).toSeq
+    SummaryRewrite.clear()
+    val wantStar = star.collect().map(_.toSeq).toSeq
+    assert(gotStar == wantStar)
+  }
+
   test("the real file-source stream drains existing files into the " +
       "rollup and compaction folds chunks without changing answers") {
     val baseDir = tmp("graft_ss2_base") + "/fact.parquet"
