@@ -23,6 +23,24 @@ object PipelineQueries {
     "q_gopher_quality" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.gopherQualitySql(TA.SparkDialect))),
 
+    // Link-graph authority (integer-exact PageRank, GraphOps): the
+    // corpus-curation centrality signal, 3 rounds over the part →
+    // supplier bipartite edge set derived from lineitem. Every rank is
+    // a pure integer recurrence (floor divisions, damping in
+    // hundredths), so DuckDB restates all three unrolled rounds with
+    // `//` arithmetic and must match every micro-unit. Suppliers live
+    // at id+10^7 to keep the two key namespaces disjoint.
+    "q_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("src"),
+          ($"l_suppkey".cast("long") + 10000000L).as("dst"))
+        .distinct()
+      graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy($"rank".desc, $"node").limit(100)
+        .select($"node", $"rank")
+    }),
+
     // Tokenize-and-pack bookkeeping: per-source running token offsets
     // → fixed-length sequence ids. One window shuffle per shard key.
     "q_seq_pack" -> ((s, dir) =>
@@ -201,6 +219,38 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_prepare_corpus" -> prepareOracle,
+    // three unrolled integer PageRank rounds: floor division (//),
+    // damping 85/100, base = 150000 micro-units — the exact recurrence
+    // GraphOps.pageRank computes, so every rank hash-matches
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT src AS node FROM e
+        |  UNION SELECT dst AS node FROM e),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r0.rank // d.outdeg) AS s
+        |  FROM e JOIN r0 ON r0.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |  150000 + (85 * coalesce(c1.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.rank // d.outdeg) AS s
+        |  FROM e JOIN r1 ON r1.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |  150000 + (85 * coalesce(c2.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.rank // d.outdeg) AS s
+        |  FROM e JOIN r2 ON r2.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |  150000 + (85 * coalesce(c3.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
     "q_gopher_quality" -> PO.gopherQualitySql(TA.DuckDialect),
     "q_seq_pack" -> PO.seqPackSql(TA.DuckDialect),
     "q_domain_mix" -> PO.domainMixSql(TA.DuckDialect),

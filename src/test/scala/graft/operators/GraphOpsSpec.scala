@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // A -> B, A -> C, B -> C, C -> A (1=A, 2=B, 3=C)
+  private lazy val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    .toDF("src", "dst")
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("one integer PageRank round matches the hand recurrence") {
+    // scale 1e6, d=0.85, base = 150000; all start at 1000000
+    // contribs: A sends 500000 to B and C; B sends 1000000 to C;
+    // C sends 1000000 to A
+    // r(A) = 150000 + 85*1000000 div 100 = 1000000
+    // r(B) = 150000 + 85*500000  div 100 =  575000
+    // r(C) = 150000 + 85*1500000 div 100 = 1425000
+    val r1 = ranksOf(GraphOps.pageRank(tri, "src", "dst", iters = 1))
+    assert(r1 == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+  }
+
+  test("two rounds stay integer-exact (floor divisions included)") {
+    // round 2 from (1000000, 575000, 1425000):
+    // A: 150000 + 85*1425000 div 100 = 1361250
+    // B: 150000 + 85*(1000000 div 2) div 100 = 575000
+    // C: 150000 + 85*(500000 + 575000) div 100 = 1063750
+    val r2 = ranksOf(GraphOps.pageRank(tri, "src", "dst", iters = 2))
+    assert(r2 == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("a dangling node absorbs rank (simplified variant, documented) " +
+      "and a source-only node keeps the base term") {
+    // 1 -> 2 only: 2 has no out-edges (dangling), 1 receives nothing
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r = ranksOf(GraphOps.pageRank(e, "src", "dst", iters = 2))
+    // round 1: r(1) = 150000 + 0 = 150000; r(2) = 150000 + 850000
+    // round 2: r(1) = 150000; r(2) = 150000 + 85*150000 div 100
+    assert(r == Map(1L -> 150000L, 2L -> (150000L + 127500L)))
+  }
+
+  test("degreeStats profiles hubs and sinks with full-outer fill") {
+    val d = GraphOps.degreeStats(tri, "src", "dst")
+      .orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("parameter guards") {
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(tri, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(tri, "src", "dst", iters = 3, d100 = 101)
+    }
+  }
+}
