@@ -131,7 +131,8 @@ object Bench {
     val failed = results.collect {
       case (k, _, ts) if ts.forall(!_.ok) => k
     }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"detail":"full per-query JSON on first output line; file via SPARK_GRAFT_BENCH_OUT"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"out":"$outPath","detail":"full per-query JSON on first output line and in the out file"}""")
   }
 }

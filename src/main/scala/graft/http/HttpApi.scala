@@ -247,9 +247,42 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "\"\\s*:\\s*\\[((?:[^\\]\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\]").r
     arr.findFirstMatchIn(body).map { m =>
       val elem = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      elem.findAllMatchIn(m.group(1)).map(x =>
-        x.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      elem.findAllMatchIn(m.group(1))
+        .map(x => unescapeJson(x.group(1))).toSeq
     }
+  }
+
+  /** Decode the FULL JSON string escape set — clients that JSON-encode
+    * a multiline SQL query send \n / \t / \uXXXX, which must arrive as
+    * the characters, not literal backslash sequences.
+    */
+  private def unescapeJson(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => out.append('"');  i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '/'  => out.append('/');  i += 2
+          case 'n'  => out.append('\n'); i += 2
+          case 't'  => out.append('\t'); i += 2
+          case 'r'  => out.append('\r'); i += 2
+          case 'b'  => out.append('\b'); i += 2
+          case 'f'  => out.append('\f'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            try {
+              out.append(Integer.parseInt(
+                s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            } catch { case _: NumberFormatException =>
+              out.append(c); i += 1 }
+          case other => out.append(c).append(other); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   // shared by /search and /search_hybrid: explicit "vector" wins,
@@ -1517,7 +1550,30 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 """parquet table"}""")
           else {
             try {
-              val workload = qs.map(q => spark.sql(q))
+              // Honor the "analyzed, never executed" contract: spark.sql
+              // EAGERLY executes command plans (DROP/CREATE/INSERT/
+              // INSERT OVERWRITE DIRECTORY), so a mutation smuggled into
+              // the workload array would run. Parse first, reject any
+              // plan containing a command node, and only then wrap the
+              // pure-query plan as a (lazy) DataFrame for analysis.
+              import org.apache.spark.sql.catalyst.plans.logical.{
+                Command, InsertIntoDir, ParsedStatement}
+              val workload = qs.map { q =>
+                val plan = spark.sessionState.sqlParser.parsePlan(q)
+                val cmd = plan.collectFirst {
+                  case c: Command => c
+                  case c: ParsedStatement => c
+                  case c: InsertIntoDir => c
+                }
+                if (cmd.isDefined)
+                  throw new org.apache.spark.sql.AnalysisException(
+                    "INTERNAL_ERROR",
+                    Map("message" ->
+                      ("advise analyzes queries only; statement is a " +
+                        s"command: ${cmd.get.nodeName}")))
+                org.apache.spark.sql.graftshim.GraftShims
+                  .dataFrame(spark, plan)
+              }
               val rec = graft.plans.SummaryAdvisor.recommend(spark,
                 paths.head, workload)
               def arr(xs: Seq[String]) =

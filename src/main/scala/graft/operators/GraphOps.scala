@@ -40,13 +40,26 @@ object GraphOps {
       iters: Int, d100: Int = 85, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1, 50], got $iters")
     require(d100 >= 0 && d100 <= 100, s"d100 in [0, 100], got $d100")
+    // persist the loop invariants ONCE — without this, every round's
+    // composed plan re-derives e/nodes/deg from the source scan and
+    // the edge table is re-read O(iters) times
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100L - d100) / 100L
+    // localCheckpoint each round (the connected-components discipline,
+    // see Dedup): ranks feeds the next round's join, so an unchecked
+    // chain grows the logical plan superlinearly with iters and the
+    // DRIVER (analysis/optimization time) dies long before the data
+    // does. On a cluster with executor-loss concerns, set a checkpoint
+    // dir and swap for checkpoint() — same shape.
     var ranks = nodes.withColumn("rank", lit(scale))
+      .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val contribs = e
@@ -63,8 +76,15 @@ object GraphOps {
         .select(col("node"),
           (lit(base) + expr(s"($d100 * coalesce(s, 0L)) div 100"))
             .as("rank"))
+        .localCheckpoint(true)
+      // the previous round's checkpoint blocks become unreferenced
+      // here; the ContextCleaner reclaims them (same discipline as the
+      // connected-components loop)
       i += 1
     }
+    // the final ranks are checkpoint-materialized: lineage no longer
+    // references the loop invariants, so their blocks can go
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
     ranks
   }
 

@@ -288,12 +288,42 @@ object IvfIndex {
       s"delete expects a single-id-column frame, got " +
         ids.columns.mkString(","))
     val idName = ids.columns.head
-    val artifactCols = spark.read.option("basePath", indexPath)
-      .parquet(s"$indexPath/cell_id=*").columns
-    require(artifactCols.contains(idName),
+    val artifactSchema = spark.read.option("basePath", indexPath)
+      .parquet(s"$indexPath/cell_id=*").schema
+    require(artifactSchema.fieldNames.contains(idName),
       s"id column '$idName' is not a column of the index at " +
-        s"$indexPath (has ${artifactCols.mkString(",")}) — name the " +
-        "frame's column after the index id column")
+        s"$indexPath (has ${artifactSchema.fieldNames.mkString(",")})" +
+        " — name the frame's column after the index id column")
+    // Only the index's id column may drive a tombstone: 'cell_id'
+    // would anti-join away whole cells, and a payload/vector column
+    // isn't an identity at all. The id column is integral by build
+    // contract (requireIntegralId), so enforce that here too.
+    require(idName != "cell_id",
+      "cannot tombstone by 'cell_id' — deletes are by document id")
+    artifactSchema(idName).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => ()
+      case other => throw new IllegalArgumentException(
+        s"'$idName' has type ${other.simpleString} — the index id " +
+          "column is integral; a non-id column cannot drive a delete")
+    }
+    // The sidecar is self-describing via its single column name; two
+    // appends with DIFFERENT names would produce mixed-schema parquet
+    // whose merged read nulls out the older files and silently
+    // RESURFACES previously tombstoned ids. Reject the second name.
+    val sidecarPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_deleted")
+    val sidecarFs = sidecarPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (sidecarFs.exists(sidecarPath)) {
+      val existing = spark.read.parquet(s"$indexPath/_deleted")
+        .columns.head
+      require(existing == idName,
+        s"the _deleted sidecar at $indexPath already tombstones by " +
+          s"'$existing'; a second delete must use the same id column " +
+          s"(got '$idName')")
+    }
     buildMemo.entrySet.removeIf(e =>
       e.getValue._2.indexPath == indexPath)
     fixedBuildMemo.entrySet.removeIf(e =>

@@ -151,6 +151,25 @@ object SparseIndex {
     * operational trickle); the filter references only the posting
     * side, so `bucket IN` PartitionFilters still push to the scan.
     */
+  /** Posting scan that tolerates an index whose every document was
+    * purged: a full-purge [[compact]] publishes no `bucket=*` dirs
+    * (parquet writes nothing for zero rows) plus a 0-row `_schema`
+    * sidecar carrying the posting schema — read that instead of the
+    * glob, so load/search/compact keep working on a validly-empty
+    * index instead of throwing "Path does not exist".
+    */
+  private def bucketScan(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasBuckets = fs.exists(root) && fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("bucket="))
+    if (hasBuckets)
+      spark.read.option("basePath", indexDir)
+        .parquet(s"$indexDir/bucket=*")
+    else spark.read.parquet(s"$indexDir/_schema")
+  }
+
   private def minusDeleted(spark: SparkSession, indexDir: String,
       postings: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/_deleted")
@@ -233,8 +252,7 @@ object SparseIndex {
     val hadTombstones = fs.exists(
       new org.apache.hadoop.fs.Path(s"$indexDir/_deleted"))
     val postings = minusDeleted(spark, indexDir,
-      spark.read.option("basePath", indexDir)
-        .parquet(s"$indexDir/bucket=*"))
+      bucketScan(spark, indexDir))
     val fresh = graft.util.DirSwap.rebuildPath(indexDir)
     val keys: Seq[org.apache.spark.sql.Column] =
       if (targetFilesPerBucket == 1) Seq(col("bucket"))
@@ -258,8 +276,24 @@ object SparseIndex {
       // merge step of the delete contract); _deleted is NOT copied,
       // so the tombstones clear with the publish
       val meta = spark.read.parquet(s"$indexDir/_meta").head()
-      val purged = spark.read.option("basePath", fresh)
-        .parquet(s"$fresh/bucket=*")
+      // if EVERY document was tombstoned the overwrite above wrote no
+      // bucket=* partition dirs and a globbed read would throw "Path
+      // does not exist" — read the fresh dir non-globbed with the
+      // surviving postings' schema instead (0 rows, correct columns),
+      // so a full purge compacts to a valid empty index
+      val freshBuckets = fs.listStatus(
+          new org.apache.hadoop.fs.Path(fresh))
+        .exists(_.getPath.getName.startsWith("bucket="))
+      if (!freshBuckets)
+        // persist the posting schema so later load/search/compact
+        // calls can open the validly-empty index (see [[bucketScan]])
+        postings.limit(0).coalesce(1).write.mode("overwrite")
+          .parquet(s"$fresh/_schema")
+      val purged =
+        if (freshBuckets)
+          spark.read.option("basePath", fresh)
+            .parquet(s"$fresh/bucket=*")
+        else postings.limit(0)
       purged.groupBy(col("idx")).agg(count(lit(1)).as("df"))
         .coalesce(1).write.mode("overwrite").parquet(s"$fresh/_stats")
       val nDocs = purged.select(col("id")).distinct().count()
@@ -283,9 +317,7 @@ object SparseIndex {
   def load(spark: SparkSession, indexDir: String): Model = {
     val meta = spark.read.parquet(s"$indexDir/_meta").head()
     Model(indexDir,
-      minusDeleted(spark, indexDir,
-        spark.read.option("basePath", indexDir)
-          .parquet(s"$indexDir/bucket=*")),
+      minusDeleted(spark, indexDir, bucketScan(spark, indexDir)),
       spark.read.parquet(s"$indexDir/_stats"),
       meta.getLong(0), meta.getInt(1), meta.getInt(2))
   }

@@ -41,11 +41,16 @@ import org.apache.spark.sql.types.{DataType, DecimalType, NumericType}
   */
 object SummaryAdvisor {
 
-  /** One workload query's analysis. */
+  /** One workload query's analysis. `sumLikeCols` ⊆ `measureCols` are
+    * the SUM/AVG/variance-family inputs — the only measure reads that
+    * become unservable when their column is also a dim (COUNT/MIN/MAX
+    * of a dim serve off the rollup's own dim rows).
+    */
   case class QueryReport(
       groupCols: Seq[String], filterCols: Seq[String],
       measureCols: Seq[String], distinctKeys: Seq[String],
-      servable: Boolean, reason: String)
+      servable: Boolean, reason: String,
+      sumLikeCols: Seq[String] = Nil)
 
   case class Recommendation(
       dims: Seq[String], measures: Seq[String],
@@ -197,12 +202,15 @@ object SummaryAdvisor {
         }.flatten.filter(baseTypes.contains).distinct.sorted
 
         var measureCols = Vector.empty[String]
+        var sumLikeCols = Vector.empty[String]
         var distinctKeys = Vector.empty[String]
         var bad = Option.empty[String]
-        def measureInput(c: Expression, what: String): Unit = c match {
+        def measureInput(c: Expression, what: String,
+            sumLike: Boolean = false): Unit = c match {
           case ar: AttributeReference
               if baseTypes.get(ar.name).exists(numeric) =>
             measureCols :+= ar.name
+            if (sumLike) sumLikeCols :+= ar.name
           case _ =>
             bad = bad.orElse(Some(
               s"$what over a non-column expression: ${c.sql}"))
@@ -227,16 +235,20 @@ object SummaryAdvisor {
                   case other => bad = bad.orElse(Some(
                     s"COUNT over an expression: ${other.sql}"))
                 }
-              case s: Sum => measureInput(s.child, "SUM")
-              case av: Average => measureInput(av.child, "AVG")
+              case s: Sum => measureInput(s.child, "SUM",
+                sumLike = true)
+              case av: Average => measureInput(av.child, "AVG",
+                sumLike = true)
               case mn: Min => measureInput(mn.child, "MIN")
               case mx: Max => measureInput(mx.child, "MAX")
-              case vp: VariancePop => measureInput(vp.child, "VAR_POP")
+              case vp: VariancePop => measureInput(vp.child, "VAR_POP",
+                sumLike = true)
               case vs: VarianceSamp =>
-                measureInput(vs.child, "VAR_SAMP")
-              case sp: StddevPop => measureInput(sp.child, "STDDEV_POP")
+                measureInput(vs.child, "VAR_SAMP", sumLike = true)
+              case sp: StddevPop => measureInput(sp.child,
+                "STDDEV_POP", sumLike = true)
               case ss: StddevSamp =>
-                measureInput(ss.child, "STDDEV_SAMP")
+                measureInput(ss.child, "STDDEV_SAMP", sumLike = true)
               case f => bad = bad.orElse(Some(
                 s"aggregate ${f.prettyName} is unservable"))
             }
@@ -244,7 +256,8 @@ object SummaryAdvisor {
         })
         QueryReport(groupCols, filterCols,
           measureCols.distinct.sorted, distinctKeys.distinct.sorted,
-          servable = bad.isEmpty, bad.getOrElse("ok"))
+          servable = bad.isEmpty, bad.getOrElse("ok"),
+          sumLikeCols = sumLikeCols.distinct.sorted)
       }
     }
 
@@ -271,7 +284,7 @@ object SummaryAdvisor {
       else if (!(r.groupCols ++ r.filterCols).forall(dims.contains))
         r.copy(servable = false, reason = "grouping/filter column " +
           "missing from recommended dims")
-      else r.measureCols.find(dims.contains) match {
+      else r.sumLikeCols.find(dims.contains) match {
         case Some(m) => r.copy(servable = false,
           reason = s"column $m is grouped elsewhere in the workload " +
             "(a dim): SUM/AVG/variance over it cannot serve")

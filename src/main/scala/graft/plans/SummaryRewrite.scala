@@ -174,6 +174,22 @@ object SummaryRewrite {
     def colName: String = s"vsum_$col"
   }
 
+  /** A DERIVED (expression) measure carried by the rollup: the named
+    * partials of `sql` evaluated per base row — e.g.
+    * `ExprMeasure("revenue", "l_extendedprice * (1 - l_discount)")`,
+    * the TPC-H Q1 shape. The rollup stores the same six partials a
+    * bare-column measure gets (s_/sd_/ss_/c_/mn_/mx_<name>); at match
+    * time the registered text is parsed and analyzer-resolved against
+    * the query's own fact relation, and any aggregate whose input is
+    * SEMANTICALLY EQUAL to the resolved expression (same canonical
+    * tree after Spark's own type coercion — a different spelling of
+    * the same math, like a reordered multiply, matches; genuinely
+    * different expressions never do) serves from those partials.
+    * The expression must be deterministic and reference base columns
+    * only; registration fails otherwise.
+    */
+  case class ExprMeasure(name: String, sql: String)
+
   case class Entry(summaryDir: String, dims: Seq[String],
       measures: Seq[String],
       declaredScale: Map[String, Int] = Map.empty,
@@ -181,7 +197,8 @@ object SummaryRewrite {
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
-      vecs: Seq[VecSpec] = Nil)
+      vecs: Seq[VecSpec] = Nil,
+      exprs: Seq[ExprMeasure] = Nil)
 
   private val registry = TrieMap[String, Entry]()
 
@@ -207,17 +224,23 @@ object SummaryRewrite {
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
-      vecs: Seq[VecSpec] = Nil): DataFrame = {
+      vecs: Seq[VecSpec] = Nil,
+      exprs: Seq[ExprMeasure] = Nil): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShims
+    // an expression measure gets the SAME six partials as a bare
+    // column — downstream (serve translation, the compact fold's
+    // prefix dispatch, streaming delta batches) cannot tell them apart
+    def measurePartials(m: String, c: Column): Seq[Column] = Seq(
+      sum(c.cast("decimal(38,6)")).as(s"s_$m"),
+      sum(c).as(s"sd_$m"),
+      sum(c.cast("double") * c.cast("double")).as(s"ss_$m"),
+      count(c).as(s"c_$m"),
+      min(c).as(s"mn_$m"),
+      max(c).as(s"mx_$m"))
     val aggs = (count(lit(1)).as("cnt") +:
-      (measures.flatMap(m => Seq(
-        sum(col(m).cast("decimal(38,6)")).as(s"s_$m"),
-        sum(col(m)).as(s"sd_$m"),
-        sum(col(m).cast("double") * col(m).cast("double"))
-          .as(s"ss_$m"),
-        count(col(m)).as(s"c_$m"),
-        min(col(m)).as(s"mn_$m"),
-        max(col(m)).as(s"mx_$m"))) ++
+      (measures.flatMap(m => measurePartials(m, col(m))) ++
+       exprs.flatMap(em => measurePartials(em.name,
+         org.apache.spark.sql.functions.expr(em.sql))) ++
        sketches.map(sk => GraftShims
          .column(graft.operators.HllSketch(
            GraftShims.expression(col(sk.key)), sk.p)
@@ -254,9 +277,10 @@ object SummaryRewrite {
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
-      vecs: Seq[VecSpec] = Nil): Unit = {
+      vecs: Seq[VecSpec] = Nil,
+      exprs: Seq[ExprMeasure] = Nil): Unit = {
     partialRollup(spark.read.parquet(basePath), dims, measures, sketches,
-        histograms, items, kmvs, vecs)
+        histograms, items, kmvs, vecs, exprs)
       .withColumn("chunk", lit(-1L))
       .coalesce(8)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
@@ -283,28 +307,49 @@ object SummaryRewrite {
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
-      vecs: Seq[VecSpec] = Nil): Unit = {
+      vecs: Seq[VecSpec] = Nil,
+      exprs: Seq[ExprMeasure] = Nil): Unit = {
     declaredScale.foreach { case (m, d) =>
       require(measures.contains(m), s"declaredScale for non-measure $m")
       require(d >= 0 && d <= 6,
         s"declaredScale must be in [0, 6] (the rollup's sum scale), " +
           s"got $m -> $d")
     }
+    exprs.foreach { em =>
+      // fail registration, not the (silently falling-back) serve:
+      // the expression must parse, resolve against the base schema,
+      // be deterministic, and evaluate to a numeric type
+      val resolved = spark.read.parquet(dataPath)
+        .selectExpr(s"(${em.sql}) AS __em")
+        .queryExecution.analyzed.collectFirst {
+          case Project(Seq(al: Alias), _) => al.child
+        }.getOrElse(throw new IllegalArgumentException(
+          s"expression measure ${em.name} did not resolve: ${em.sql}"))
+      require(resolved.deterministic,
+        s"expression measure ${em.name} must be deterministic")
+      resolved.dataType match {
+        case _: NumericType => ()
+        case t => throw new IllegalArgumentException(
+          s"expression measure ${em.name} has non-numeric type " +
+            s"${t.simpleString}")
+      }
+    }
     // the rollup's column names are derived by prefix: a dim or
     // measure that collides with a derived name (or the cnt/chunk
     // reserved names) would corrupt both the serve translation and
     // the compact fold's prefix dispatch
     val derived = Seq("cnt", "chunk") ++
-      measures.flatMap(m => Seq(s"s_$m", s"sd_$m", s"ss_$m", s"c_$m",
-        s"mn_$m", s"mx_$m")) ++
+      (measures ++ exprs.map(_.name)).flatMap(m =>
+        Seq(s"s_$m", s"sd_$m", s"ss_$m", s"c_$m", s"mn_$m", s"mx_$m")) ++
       sketches.map(sk => s"hll_${sk.key}") ++
       histograms.map(h => s"hist_${h.col}") ++
       items.map(_.colName) ++
       kmvs.map(_.colName) ++
       vecs.map(_.colName)
-    val all = dims ++ measures
+    val all = dims ++ measures ++ exprs.map(_.name)
     require(all.distinct.size == all.size,
-      s"dims/measures must be distinct, got $all")
+      s"dims/measures/expression-measure names must be distinct, " +
+        s"got $all")
     all.foreach { c =>
       require(!derived.contains(c),
         s"column name '$c' collides with a derived rollup column")
@@ -322,11 +367,11 @@ object SummaryRewrite {
       registry.remove(key)
       spark.catalog.refreshByPath(dataPath)
       buildSummary(spark, dataPath, summaryDir, dims, measures, sketches,
-        histograms, items, kmvs, vecs)
+        histograms, items, kmvs, vecs, exprs)
       spark.catalog.refreshByPath(summaryDir)
     }
     registry.put(key, Entry(summaryDir, dims, measures, declaredScale,
-      sketches, histograms, items, kmvs, vecs))
+      sketches, histograms, items, kmvs, vecs, exprs))
     ensureRule(spark)
   }
 
@@ -591,6 +636,16 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     */
   private final class Serving(val e: Entry, rel: LogicalRelation) {
 
+    /** Set by the join path when the spine contains a join that can
+      * emit rows WITHOUT a fact match (fact on the right of a LEFT
+      * OUTER / left of a RIGHT OUTER): every null-extended output row
+      * is exactly ONE base row, so COUNT(*) serves as
+      * SUM(coalesce(cnt, 1)); every other combiner already skips the
+      * null-extended rows' null partials exactly as the base plan
+      * skips their null fact columns.
+      */
+    var nullExtendedFact = false
+
     private val dimSet = e.dims.toSet
 
     def dimAttr(a: Attribute): Boolean =
@@ -610,6 +665,58 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       try spark.read.parquet(e.summaryDir).queryExecution.optimizedPlan
       finally rewriting.set(false)
     }
+
+    /** Registered expression measures resolved against THIS query's
+      * fact relation: (name, analyzer-resolved expression, type).
+      * Resolving the stored SQL text through a select over the same
+      * relation instance makes the attribute ids line up with the
+      * query's own and runs Spark's type coercion on the registered
+      * side exactly as the analyzer ran it on the query side —
+      * `semanticEquals` is then the right matcher (a reordered
+      * commutative spelling matches; different math never does).
+      */
+    private lazy val exprMeasures: Seq[(String, Expression)] =
+      if (e.exprs.isEmpty) Nil
+      else {
+        // OPTIMIZED, not merely analyzed: this rule sees the query
+        // AFTER ConstantFolding/SimplifyCasts, so the registered side
+        // must pass through the same scalar simplifications (e.g.
+        // `1 - CAST(d AS DEC(12,2))` analyzes with a cast around the
+        // literal that the optimizer folds away) or semanticEquals
+        // can never hold. The `rewriting` latch stops the nested
+        // optimization from re-entering this rule.
+        val spark = SparkSession.active
+        rewriting.set(true)
+        try e.exprs.flatMap { em =>
+          try org.apache.spark.sql.graftshim.GraftShims
+            .dataFrame(spark, rel)
+            .selectExpr(s"(${em.sql}) AS __em")
+            .queryExecution.optimizedPlan.collectFirst {
+              case Project(Seq(al: Alias), _) => al.child
+            }.map(em.name -> _)
+          catch { case scala.util.control.NonFatal(_) => None }
+        } finally rewriting.set(false)
+      }
+
+    /** The expression measure an aggregate input reads, if any. */
+    def exprMeasureOf(c: Expression): Option[(String, DataType)] =
+      exprMeasures.collectFirst {
+        case (n, r) if c.semanticEquals(r) => (n, r.dataType)
+      }
+
+    /** Variance-family form of [[exprMeasureOf]]: unwrap Spark's own
+      * implicit cast-to-double (CentralMomentAgg casts every input)
+      * before matching; decimal-typed expressions refused for the
+      * same rounding-order reason as [[varMeasure]].
+      */
+    def varExprMeasure(child: Expression): Option[String] =
+      (child match {
+        case Cast(x, DoubleType, _, _) =>
+          exprMeasureOf(x).orElse(exprMeasureOf(child))
+        case x => exprMeasureOf(x)
+      }).collect {
+        case (n, t) if !t.isInstanceOf[DecimalType] => n
+      }
 
     def sOut(name: String): AttributeReference =
       scan.output.collectFirst {
@@ -713,7 +820,13 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       ae.aggregateFunction match {
         case c: Count if c.children.forall(x =>
             x.foldable && x.eval() != null) =>
-          Some(Coalesce(Seq(sum2(sOut("cnt"), filt),
+          // under a null-extending spine each null-extended row is
+          // exactly one base row — count it as 1
+          val cntIn: Expression =
+            if (nullExtendedFact)
+              Coalesce(Seq(sOut("cnt"), Literal(1L, LongType)))
+            else sOut("cnt")
+          Some(Coalesce(Seq(sum2(cntIn, filt),
             Literal(0L, LongType))))
         // COUNT(m) for a measure: the rollup's per-measure non-null
         // count; COUNT(d) for a dim: null dims form their own rollup
@@ -731,7 +844,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
                   Literal(0L, LongType))).toAggregateExpression(
                     isDistinct = false, filter = filt),
                 Literal(0L, LongType))))
-            case _ => None
+            // COUNT(expr) for a registered expression measure: its
+            // per-group non-null count partial
+            case other => exprMeasureOf(other).map { case (n, _) =>
+              Coalesce(Seq(sum2(sOut(s"c_$n"), filt),
+                Literal(0L, LongType)))
+            }
           }
         case s: Sum => s.child match {
           // bare SUM(m): decimal-exact when lossless, native
@@ -747,7 +865,13 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
               if e.measures.contains(ar.name) &&
                 castPreserving(ar.name, ar.dataType, d, e) =>
             Some(Cast(sum2(sOut(s"s_${ar.name}"), filt), ae.dataType))
-          case _ => None
+          // SUM(expr) for a registered expression measure — the
+          // TPC-H Q1 `SUM(price * (1 - discount))` shape: the same
+          // decimal-exact / native-partial dispatch as a bare
+          // measure, keyed on the RESOLVED expression's type
+          case other => exprMeasureOf(other).flatMap { case (n, t) =>
+            servedSum(n, t, filt).map(x => Cast(x, ae.dataType))
+          }
         }
         // AVG(m) = SUM(partials)/SUM(c_m) in double — identical to
         // Spark's Average for non-decimal inputs (it sums those in
@@ -762,7 +886,15 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
                 Cast(sum2(sOut(s"c_${ar.name}"), filt), DoubleType)),
                 ae.dataType)
             }
-          case _ => None
+          // AVG(expr) for a non-decimal expression measure
+          case other => exprMeasureOf(other).flatMap { case (n, t) =>
+            if (t.isInstanceOf[DecimalType]) None
+            else servedSum(n, t, filt).map { sm =>
+              Cast(Divide(Cast(sm, DoubleType),
+                Cast(sum2(sOut(s"c_$n"), filt), DoubleType)),
+                ae.dataType)
+            }
+          }
         }
         // VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(m) for a
         // non-decimal measure: m2 = SUM(ss_m) - SUM(sd_m)^2/n over
@@ -774,14 +906,22 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         // m2). NULL semantics matched to Spark: n=0 -> null (all
         // four), n=1 -> null for the sample forms, 0.0 for the
         // population forms.
-        case vp: VariancePop => varMeasure(vp.child, e).map(m =>
-          varServe(m, samp = false, sqrtIt = false, ae.dataType, filt))
-        case vs: VarianceSamp => varMeasure(vs.child, e).map(m =>
-          varServe(m, samp = true, sqrtIt = false, ae.dataType, filt))
-        case sp: StddevPop => varMeasure(sp.child, e).map(m =>
-          varServe(m, samp = false, sqrtIt = true, ae.dataType, filt))
-        case ss: StddevSamp => varMeasure(ss.child, e).map(m =>
-          varServe(m, samp = true, sqrtIt = true, ae.dataType, filt))
+        case vp: VariancePop =>
+          varMeasure(vp.child, e).orElse(varExprMeasure(vp.child))
+            .map(m => varServe(m, samp = false, sqrtIt = false,
+              ae.dataType, filt))
+        case vs: VarianceSamp =>
+          varMeasure(vs.child, e).orElse(varExprMeasure(vs.child))
+            .map(m => varServe(m, samp = true, sqrtIt = false,
+              ae.dataType, filt))
+        case sp: StddevPop =>
+          varMeasure(sp.child, e).orElse(varExprMeasure(sp.child))
+            .map(m => varServe(m, samp = false, sqrtIt = true,
+              ae.dataType, filt))
+        case ss: StddevSamp =>
+          varMeasure(ss.child, e).orElse(varExprMeasure(ss.child))
+            .map(m => varServe(m, samp = true, sqrtIt = true,
+              ae.dataType, filt))
         // MIN/MAX: the bare measure, or a value-preserving decimal
         // cast of it — decimal rounding is monotone, so
         // MIN(CAST(m, dec)) == CAST(MIN(m), dec) whenever no per-row
@@ -792,7 +932,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           case ar: AttributeReference if dimAttr(ar) =>
             Some(new Min(sOut(ar.name)).toAggregateExpression(
               isDistinct = false, filter = filt))
-          case c => minMaxMeasure(c, e).map { m =>
+          case c => minMaxMeasure(c, e)
+            .orElse(exprMeasureOf(c).map(_._1)).map { m =>
             Cast(new Min(sOut(s"mn_$m")).toAggregateExpression(
               isDistinct = false, filter = filt), ae.dataType)
           }
@@ -801,7 +942,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           case ar: AttributeReference if dimAttr(ar) =>
             Some(new Max(sOut(ar.name)).toAggregateExpression(
               isDistinct = false, filter = filt))
-          case c => minMaxMeasure(c, e).map { m =>
+          case c => minMaxMeasure(c, e)
+            .orElse(exprMeasureOf(c).map(_._1)).map { m =>
             Cast(new Max(sOut(s"mx_$m")).toAggregateExpression(
               isDistinct = false, filter = filt), ae.dataType)
           }
@@ -1162,9 +1304,21 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           def trySide(side: LogicalPlan, other: LogicalPlan,
               isLeft: Boolean): Option[(LogicalPlan, AttributeSet)] = {
             val ok = if (isLeft) leftTypes else rightTypes
-            if (!ok.contains(j.joinType)) None
+            // fact on the NON-preserved side of an outer join (`dim
+            // LEFT JOIN fact`, `fact RIGHT JOIN dim`): rows can
+            // surface with no fact match. Servable — each such row is
+            // exactly one base row — with COUNT(*) switched to
+            // SUM(coalesce(cnt, 1)) (see Serving.nullExtendedFact);
+            // all other combiners skip the null partials exactly as
+            // the base plan skips the null fact columns. FULL OUTER
+            // stays unservable by contract.
+            val nullExt =
+              if (isLeft) j.joinType == RightOuter
+              else j.joinType == LeftOuter
+            if (!ok.contains(j.joinType) && !nullExt) None
             else walk(side).flatMap { case (newSide, passOut) =>
               val sv = svOpt.get
+              if (nullExt) sv.nullExtendedFact = true
               val visible = other.outputSet ++ passOut
               val condI = j.condition.map(inlineAll)
               if (!condI.forall(ridable(sv, visible))) {

@@ -346,6 +346,28 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // DERIVED (expression) measure served from the rollup — the
+    // TPC-H Q1 revenue shape SUM(price * (1 - discount)): the
+    // registration stored per-row partials of the expression itself
+    // (s_/c_/mn_/mx_revenue), and any aggregate whose input is
+    // semantically equal to the registered expression re-plans onto
+    // them. Spelled with per-row decimal casts (decimal(32,4)) so the
+    // decimal(38,6) partial is lossless and DuckDB reproduces every
+    // value bit for bit from the raw table — the dashboard's revenue
+    // rollup at 100 TB without a fact scan.
+    "q_mv_derived_measure" -> ((s, dir) => {
+      registerMv(s, dir)
+      val rev = expr(mvRevenueSql)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(rev).cast("double").as("revenue"),
+          min(rev).cast("double").as("min_rev"),
+          max(rev).cast("double").as("max_rev"),
+          count(rev).as("n_rev"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // Rollup ADVISOR: analyze a fixed 4-query workload over lineitem
     // and emit the registration it recommends — dims from groupings+
     // filters, measures from bare numeric agg inputs, HLL keys from
@@ -409,6 +431,32 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum($"l_quantity").as("sum_qty"),
           avg($"l_quantity").as("avg_qty"),
+          max($"l_extendedprice").as("max_price"),
+          countDistinct($"l_shipdate").as("days"))
+        .orderBy($"rf_name")
+    }),
+
+    // Outer-join star serving with the fact on the NON-preserved
+    // side — `dim LEFT JOIN fact`, the lookup-table spelling BI
+    // layers emit constantly: the unmatched dim row ('X') surfaces
+    // null-extended, and the rewrite serves it exactly by counting
+    // each null-extended row as one base row (COUNT(*) →
+    // SUM(coalesce(cnt, 1))) while every other aggregate skips its
+    // null partials just as the base plan skips its null fact
+    // columns. DuckDB recomputes the outer join from raw lineitem.
+    "q_mv_star_louter" -> ((s, dir) => {
+      registerMv(s, dir)
+      val dimT = s.createDataFrame(Seq(
+        ("A", "returned"), ("N", "in_flight"), ("R", "refused"),
+        ("X", "never_seen")))
+        .toDF("rf", "rf_name")
+      dimT.join(t(s, dir, "lineitem"), $"rf" === $"l_returnflag",
+          "left")
+        .groupBy($"rf_name")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity").as("sum_qty"),
+          avg($"l_quantity").as("avg_qty"),
+          count($"l_quantity").as("n_qty"),
           max($"l_extendedprice").as("max_price"),
           countDistinct($"l_shipdate").as("days"))
         .orderBy($"rf_name")
@@ -614,6 +662,19 @@ object RelationalQueries {
       kmvs = Seq(
         graft.plans.SummaryRewrite.KmvSpec("o_custkey", 2048)))
 
+  /** The registered DERIVED measure: TPC-H Q1's revenue, spelled with
+    * per-row decimal casts so every partial (and therefore the serve)
+    * is integer-exact — `CAST(price AS DEC(18,2)) * (1 - CAST(disc AS
+    * DEC(12,2)))` has decimal(32,4) type, scale <= 6, so the rollup's
+    * DECIMAL(38,6) partial sum is lossless and the DuckDB oracle
+    * reproduces it bit for bit from the raw table. (The bare
+    * double-arithmetic spelling would serve only up to float-sum
+    * reorder, which a hash oracle can't accept.)
+    */
+  private[graft] val mvRevenueSql: String =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(12,2)))"
+
   private def registerMv(s: SparkSession, dir: String): Unit =
     graft.plans.SummaryRewrite.register(s, s"$dir/lineitem.parquet",
       mvSummaryDir(dir),
@@ -624,7 +685,10 @@ object RelationalQueries {
         graft.plans.SummaryRewrite.SketchSpec("l_orderkey", 8)),
       histograms = Seq(
         graft.plans.SummaryRewrite.HistSpec("l_quantity", 1.0, 51.0,
-          50)))
+          50)),
+      exprs = Seq(
+        graft.plans.SummaryRewrite.ExprMeasure("revenue",
+          mvRevenueSql)))
 
   /** DuckDB restatement of Hll.hash64/bucket/rho (HllAggregate.scala)
     * at p=8, carried out entirely in the non-negative u64 slice of
@@ -906,6 +970,19 @@ object RelationalQueries {
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_mv_derived_measure" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        | CAST(min(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS min_rev,
+        | CAST(max(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS max_rev,
+        | count(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(12,2)))) AS n_rev
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_mv_star" ->
       """WITH dim(rf, rf_name) AS (
         |  VALUES ('A', 'returned'), ('N', 'in_flight'), ('R', 'refused'))
@@ -913,6 +990,16 @@ object RelationalQueries {
         | avg(l_quantity) AS avg_qty, max(l_extendedprice) AS max_price,
         | count(DISTINCT l_shipdate) AS days
         |FROM lineitem JOIN dim ON l_returnflag = rf
+        |GROUP BY rf_name ORDER BY rf_name""".stripMargin,
+    "q_mv_star_louter" ->
+      """WITH dim(rf, rf_name) AS (
+        |  VALUES ('A', 'returned'), ('N', 'in_flight'),
+        |         ('R', 'refused'), ('X', 'never_seen'))
+        |SELECT rf_name, count(*) AS n, sum(l_quantity) AS sum_qty,
+        | avg(l_quantity) AS avg_qty, count(l_quantity) AS n_qty,
+        | max(l_extendedprice) AS max_price,
+        | count(DISTINCT l_shipdate) AS days
+        |FROM dim LEFT JOIN lineitem ON rf = l_returnflag
         |GROUP BY rf_name ORDER BY rf_name""".stripMargin,
     "q_mv_avg" ->
       """SELECT l_returnflag, avg(l_quantity) AS avg_qty,

@@ -7,8 +7,8 @@ import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.plans.SummaryRewrite
-import graft.plans.SummaryRewrite.{HistSpec, ItemsSpec, KmvSpec,
-  SketchSpec, VecSpec}
+import graft.plans.SummaryRewrite.{ExprMeasure, HistSpec, ItemsSpec,
+  KmvSpec, SketchSpec, VecSpec}
 import graft.util.DirSwap
 
 /** Incrementally maintained materialized rollup — the streaming face
@@ -65,17 +65,19 @@ object SummaryStream {
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
-      vecs: Seq[VecSpec] = Nil): Unit = {
+      vecs: Seq[VecSpec] = Nil,
+      exprs: Seq[ExprMeasure] = Nil): Unit = {
     SummaryRewrite.partialRollup(
         spark.read.parquet(basePath).limit(0), dims, measures, sketches,
-        histograms, items, kmvs, vecs)
+        histograms, items, kmvs, vecs, exprs)
       .withColumn("chunk", lit(-1L))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
     spark.catalog.refreshByPath(summaryDir)
     SummaryRewrite.register(spark, basePath, summaryDir, dims, measures,
       declaredScale = declaredScale, sketches = sketches,
-      histograms = histograms, items = items, kmvs = kmvs, vecs = vecs)
+      histograms = histograms, items = items, kmvs = kmvs, vecs = vecs,
+      exprs = exprs)
   }
 
   /** Start maintaining `summaryDir` from base files appearing under
@@ -91,7 +93,8 @@ object SummaryStream {
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
-      vecs: Seq[VecSpec] = Nil): StreamingQuery = {
+      vecs: Seq[VecSpec] = Nil,
+      exprs: Seq[ExprMeasure] = Nil): StreamingQuery = {
     val schema = spark.read.parquet(basePath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -100,7 +103,7 @@ object SummaryStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, summaryDir, dims, measures, sketches,
-          histograms, items, kmvs, vecs)
+          histograms, items, kmvs, vecs, exprs)
         ()
       }
       .start()
@@ -117,10 +120,11 @@ object SummaryStream {
       histograms: Seq[HistSpec] = Nil,
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
-      vecs: Seq[VecSpec] = Nil): Unit = {
+      vecs: Seq[VecSpec] = Nil,
+      exprs: Seq[ExprMeasure] = Nil): Unit = {
     val spark = batch.sparkSession
     SummaryRewrite.partialRollup(batch, dims, measures, sketches,
-        histograms, items, kmvs, vecs)
+        histograms, items, kmvs, vecs, exprs)
       .withColumn("chunk", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite")

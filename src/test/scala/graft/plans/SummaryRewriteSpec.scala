@@ -45,7 +45,14 @@ class SummaryRewriteSpec extends SparkSuite {
       refresh = refresh,
       // data contract: price = i * 10.5 has exactly one fractional
       // decimal digit — unlocks SUM(CAST(price AS DECIMAL(p>=17, s>=1)))
-      declaredScale = Map("price" -> 1))
+      declaredScale = Map("price" -> 1),
+      // derived measures: qty * price = 21*i^2 is integer-valued in
+      // double, so ruled-vs-bare comparisons below are EXACT; drev
+      // carries a literal whose analyzed cast the optimizer folds —
+      // the registered side must match the query's FOLDED spelling
+      exprs = Seq(SummaryRewrite.ExprMeasure("rev", "qty * price"),
+        SummaryRewrite.ExprMeasure("drev",
+          "CAST(qty AS DECIMAL(10,1)) * 2")))
 
   writeBase()
   reRegister()
@@ -505,6 +512,40 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(g2 == w2)
   }
 
+  test("star join: dim LEFT JOIN fact (fact on the non-preserved " +
+      "side) serves; COUNT(*) counts each null-extended row once") {
+    // 'Z' matches nothing: its null-extended row is exactly one base
+    // row — COUNT(*) counts it once, every other aggregate skips it
+    val dimT = Seq(("A", "alpha"), ("B", "beta"), ("Z", "zeta"))
+      .toDF("f", "fname")
+    val before = SummaryRewriteRule.fireCount.get()
+    val (p1, g1, w1) = withAndWithout {
+      dimT.join(base, $"f" === $"flag", "left")
+        .groupBy($"fname")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
+          avg($"qty").as("aq"), min($"price").as("mp"),
+          count($"qty").as("nq"), countDistinct($"day").as("days"))
+        .orderBy($"fname")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(p1.exists(_.contains("rollup")), s"scanned $p1")
+    assert(!p1.exists(_.contains("fact.parquet")), s"scanned $p1")
+    assert(g1 == w1)
+    // the zeta group is the null-extension witness: n=1, all else null/0
+    val zeta = w1.find(_.head == "zeta").get
+    assert(zeta(1) == 1L && zeta(2) == null && zeta(5) == 0L, s"$zeta")
+    // mirrored spelling: fact RIGHT JOIN dim
+    val (p2, g2, w2) = withAndWithout {
+      base.join(dimT, $"flag" === $"f", "right")
+        .groupBy($"fname")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"))
+        .orderBy($"fname")
+    }
+    assert(p2.exists(_.contains("rollup")), s"scanned $p2")
+    assert(g2 == w2)
+    assert(w2.find(_.head == "zeta").get(1) == 1L)
+  }
+
   test("snowflake: fact JOIN dim1 JOIN dim2 (two levels, filter " +
       "interleaved) serves from the rollup; value-exact") {
     val dim1 = Seq(("A", 1), ("B", 2)).toDF("f", "region_id")
@@ -592,6 +633,93 @@ class SummaryRewriteSpec extends SparkSuite {
       assert(est.toSeq == raw.toSeq)
     } finally spark.conf.set("graft.mv.approxDistinct", "false")
     SummaryRewrite.unregister(spark, dir3)
+  }
+
+  test("a registered EXPRESSION measure (qty * price) serves " +
+      "SUM/AVG/MIN/MAX/COUNT from its own partials") {
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(sum($"qty" * $"price").as("rev"),
+          avg($"qty" * $"price").as("avg_rev"),
+          min($"qty" * $"price").as("mn_rev"),
+          max($"qty" * $"price").as("mx_rev"),
+          count($"qty" * $"price").as("n_rev"))
+        .orderBy($"flag")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    assert(got == want) // integer-valued doubles: exact in any order
+  }
+
+  test("a commutative respelling (price * qty) still serves; different " +
+      "math stays on the base") {
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag").agg(sum($"price" * $"qty").as("rev"))
+        .orderBy($"flag")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
+    // qty + price and qty * price * 2 are NOT the registered
+    // expression — they must run on the fact table (and still be
+    // right, trivially, because nothing rewrote)
+    for (e <- Seq($"qty" + $"price", $"qty" * $"price" * 2)) {
+      val q = base.groupBy($"flag").agg(sum(e).as("x")).orderBy($"flag")
+      val p2 = scanPaths(q)
+      assert(p2.exists(_.contains("fact.parquet")), s"scanned $p2")
+      assert(!p2.exists(_.contains("rollup")), s"scanned $p2")
+    }
+  }
+
+  test("an expression measure with a foldable literal (decimal cast) " +
+      "serves: registered spelling matches the optimizer-folded query") {
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(sum(expr("CAST(qty AS DECIMAL(10,1)) * 2")).as("d2"),
+          max(expr("CAST(qty AS DECIMAL(10,1)) * 2")).as("mx"))
+        .orderBy($"flag")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    assert(got == want) // decimal arithmetic: exact
+  }
+
+  test("variance family over an expression measure serves from its " +
+      "sum-of-squares partial, ~1e-9 agreement") {
+    val before = SummaryRewriteRule.fireCount.get()
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(var_pop($"qty" * $"price").as("vp"),
+          stddev_samp($"qty" * $"price").as("ss"))
+        .orderBy($"flag")
+    }
+    assert(SummaryRewriteRule.fireCount.get() > before)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.head == w.head)
+      g.tail.zip(w.tail).foreach {
+        case (null, null) =>
+        case (a: Double, b: Double) =>
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+            s"$a vs $b")
+        case (a, b) => fail(s"$a vs $b")
+      }
+    }
+  }
+
+  test("expression measure under a dim FILTER clause and a dim group " +
+      "serves exactly") {
+    val (paths, got, want) = withAndWithout {
+      base.groupBy($"flag")
+        .agg(expr("sum(qty * price) FILTER (WHERE day >= date'2024-01-10')")
+          .as("rev_late"))
+        .orderBy($"flag")
+    }
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(got == want)
   }
 
   test("refresh after base append picks up new rows") {
