@@ -61,9 +61,12 @@ import org.apache.spark.sql.types._
   *    decimal cast and could silently change rounding).
   *  - AVG(m) for integral/float/double m → SUM(partial sums) /
   *    SUM(c_m) in double, matching Spark's Average (which sums
-  *    non-decimal inputs in double); decimal AVG is not rewritten
-  *    (its result-scale rules are not reproducible from a scale-6
-  *    partial)
+  *    non-decimal inputs in double); AVG(m) for a DECIMAL m →
+  *    Average's own internal arithmetic rebuilt from the partials
+  *    (native sum cast to DECIMAL(p+10, s), count cast to
+  *    DECIMAL(20, 0), Catalyst decimal division, cast to Average's
+  *    result type) — the identical exact-rational division, so
+  *    value-exact
   *  - MIN/MAX(m) → MIN(mn_m)/MAX(mx_m); MIN/MAX(d) for a dim d →
   *    MIN/MAX over the rollup's own dim rows (exact — every dim
   *    combination survives)
@@ -875,27 +878,62 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         }
         // AVG(m) = SUM(partials)/SUM(c_m) in double — identical to
         // Spark's Average for non-decimal inputs (it sums those in
-        // double); decimal AVG result-scale rules are not
-        // reproducible from the scale-6 partial, so not rewritten
-        case a: Average => a.child match {
-          case ar: AttributeReference
-              if e.measures.contains(ar.name) &&
-                !ar.dataType.isInstanceOf[DecimalType] =>
-            servedSum(ar.name, ar.dataType, filt).map { sm =>
-              Cast(Divide(Cast(sm, DoubleType),
-                Cast(sum2(sOut(s"c_${ar.name}"), filt), DoubleType)),
-                ae.dataType)
-            }
-          // AVG(expr) for a non-decimal expression measure
-          case other => exprMeasureOf(other).flatMap { case (n, t) =>
-            if (t.isInstanceOf[DecimalType]) None
-            else servedSum(n, t, filt).map { sm =>
-              Cast(Divide(Cast(sm, DoubleType),
-                Cast(sum2(sOut(s"c_$n"), filt), DoubleType)),
-                ae.dataType)
+        // double). Decimal AVG rebuilds Average's OWN internal
+        // arithmetic from the partials: the native-typed sum cast to
+        // Average's sumDataType (DECIMAL(p+10, s)) divided by the
+        // count cast to DECIMAL(20, 0) — Catalyst's decimal-divide
+        // result-scale rules then produce the identical value and
+        // type, so the serve is value-exact (the same exact-rational
+        // division, not a double detour).
+        case a: Average =>
+          def decAvg(m: String, dt: DecimalType): Option[Expression] = {
+            val sumT = DecimalType(
+              math.min(dt.precision + 10, DecimalType.MAX_PRECISION),
+              dt.scale)
+            val sm = Cast(sum2(sOut(s"sd_$m"), filt), sumT)
+            val cnt = Coalesce(Seq(sum2(sOut(s"c_$m"), filt),
+              Literal(0L, LongType)))
+            // DecimalType.LongDecimal (private[sql]) = (20, 0)
+            val n = Cast(cnt, DecimalType(20, 0))
+            ae.dataType match {
+              // the very node Average.evaluateExpression builds: one
+              // exact division rounded HALF_UP directly at the result
+              // type — not generic Divide, whose two-step scale rules
+              // round differently. Like Average, the zero-count group
+              // short-circuits to null BEFORE the divide: under ANSI
+              // the divide treats a null sum as sum overflow and
+              // throws, which must happen for a genuine overflow but
+              // not for an empty/all-null group.
+              case rt: DecimalType =>
+                val divide = org.apache.spark.sql.catalyst.expressions
+                  .DecimalDivideWithOverflowCheck(sm, n, rt, null,
+                    nullOnOverflow = !org.apache.spark.sql.internal
+                      .SQLConf.get.ansiEnabled)
+                Some(If(EqualTo(cnt, Literal(0L, LongType)),
+                  Literal(null, rt), divide))
+              case _ => None
             }
           }
-        }
+          def dblAvg(m: String, t: DataType): Option[Expression] =
+            servedSum(m, t, filt).map { sm =>
+              Cast(Divide(Cast(sm, DoubleType),
+                Cast(sum2(sOut(s"c_$m"), filt), DoubleType)),
+                ae.dataType)
+            }
+          a.child match {
+            case ar: AttributeReference
+                if e.measures.contains(ar.name) =>
+              ar.dataType match {
+                case dt: DecimalType => decAvg(ar.name, dt)
+                case t => dblAvg(ar.name, t)
+              }
+            case other => exprMeasureOf(other).flatMap { case (m, t) =>
+              t match {
+                case dt: DecimalType => decAvg(m, dt)
+                case _ => dblAvg(m, t)
+              }
+            }
+          }
         // VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(m) for a
         // non-decimal measure: m2 = SUM(ss_m) - SUM(sd_m)^2/n over
         // the rollup's sum-of-squares partial, all in double —

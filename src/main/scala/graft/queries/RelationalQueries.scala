@@ -368,6 +368,24 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // Decimal AVG served from the rollup: Average-over-decimal is
+    // rebuilt from the partials with Spark's own internal types (sum
+    // as DECIMAL(p+10,s) / count as DECIMAL(20,0), one HALF_UP
+    // rounding at the result scale), so the serve is value-exact —
+    // and restatable: the face scales the scale-6 average to an
+    // integer (x1e6, exact decimal multiply) and DuckDB reproduces it
+    // with pure BIGINT arithmetic ((2*s*10^4 + n) // (2*n) is
+    // half-up division for positives).
+    "q_mv_avg_decimal" -> ((s, dir) => {
+      registerMv(s, dir)
+      val qd = expr("CAST(l_quantity AS DECIMAL(12,2))")
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg((avg(qd) * lit(1000000L)).cast("long").as("avg_qty_e6"),
+          count(qd).as("n_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Rollup ADVISOR: analyze a fixed 4-query workload over lineitem
     // and emit the registration it recommends — dims from groupings+
     // filters, measures from bare numeric agg inputs, HLL keys from
@@ -688,7 +706,9 @@ object RelationalQueries {
           50)),
       exprs = Seq(
         graft.plans.SummaryRewrite.ExprMeasure("revenue",
-          mvRevenueSql)))
+          mvRevenueSql),
+        graft.plans.SummaryRewrite.ExprMeasure("qty_dec",
+          "CAST(l_quantity AS DECIMAL(12,2))")))
 
   /** DuckDB restatement of Hll.hash64/bucket/rho (HllAggregate.scala)
     * at p=8, carried out entirely in the non-negative u64 slice of
@@ -991,6 +1011,16 @@ object RelationalQueries {
         | count(DISTINCT l_shipdate) AS days
         |FROM lineitem JOIN dim ON l_returnflag = rf
         |GROUP BY rf_name ORDER BY rf_name""".stripMargin,
+    "q_mv_avg_decimal" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS s2,
+        |    count(l_quantity) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | (2 * s2 * 10000 + n) // (2 * n) AS avg_qty_e6,
+        | n AS n_qty
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q_mv_star_louter" ->
       """WITH dim(rf, rf_name) AS (
         |  VALUES ('A', 'returned'), ('N', 'in_flight'),

@@ -573,4 +573,34 @@ class ScaleGrowthSpec extends SparkSuite {
       SummaryRewrite.unregister(spark, dirB)
     }
   }
+
+  test("PageRank grows ~linearly in edges (100k -> 1M, iters=10) and " +
+      "the per-round plan stays bounded (persist + localCheckpoint)") {
+    // synthetic power-law-ish graph: src uniform, dst biased to low
+    // ids (hubs) — fully determined by edge id, generated distributed
+    def edges(n: Long): DataFrame = spark.range(n).select(
+      pmod(xxhash64($"id"), lit(n / 10)).as("src"),
+      pmod(xxhash64($"id" + 1000000007L),
+        pmod(xxhash64($"id" * 31L), lit(n / 10)) + lit(1)).as("dst"))
+    def run(n: Long): Double = timedSecs {
+      GraphOps.pageRank(edges(n), "src", "dst", iters = 10).count()
+    }
+    run(100000L) // warm (codegen, shuffle service)
+    val tS = run(100000L)
+    val tB = run(1000000L)
+    val r = ratio(tB, tS)
+    info(f"pagerank 100k edges: $tS%.1f s, 1M: $tB%.1f s, growth $r%.1fx")
+    assertPerf(r < 30.0, f"10x edges grew $r%.1fx — not linear")
+    // the plan-growth contract directly: after 10 rounds the returned
+    // frame's logical plan must be a checkpoint scan, not a 10-round
+    // join tower (the driver dies on plan handling long before data
+    // does if lineage is left to compound)
+    val ranks = GraphOps.pageRank(edges(100000L), "src", "dst",
+      iters = 10)
+    val planNodes = ranks.queryExecution.optimizedPlan.collect {
+      case n => n
+    }.size
+    assert(planNodes <= 4,
+      s"rank plan has $planNodes nodes — lineage is compounding")
+  }
 }

@@ -228,6 +228,35 @@ class SummaryRewriteSpec extends SparkSuite {
     reRegister()
   }
 
+  test("decimal AVG serves value-exactly (Average's own internal " +
+      "arithmetic rebuilt from the partials), incl. nulls and a " +
+      "decimal expression measure") {
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_mv_davg").toString + "/fact.parquet"
+    val sum2 = java.nio.file.Files
+      .createTempDirectory("graft_mv_davgs").toString + "/rollup"
+    Seq(("a", BigDecimal("1.50")), ("a", BigDecimal("2.25")),
+        ("a", BigDecimal("0.10")), ("b", BigDecimal("7.77")),
+        ("b", null), ("c", null))
+      .toDF("g", "m")
+      .write.mode("overwrite").parquet(dir2)
+    SummaryRewrite.register(spark, dir2, sum2, Seq("g"), Seq("m"),
+      exprs = Seq(SummaryRewrite.ExprMeasure("m3", "m * 3")))
+    def q = spark.read.parquet(dir2).groupBy($"g")
+      .agg(avg($"m").as("a"), avg(expr("m * 3")).as("a3"),
+        count(lit(1)).as("n"))
+      .orderBy($"g")
+    val got = q.collect().map(_.toSeq).toSeq
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains("rollup")), s"scanned $paths")
+    assert(!paths.exists(_.contains("fact.parquet")), s"scanned $paths")
+    SummaryRewrite.unregister(spark, dir2)
+    val want = q.collect().map(_.toSeq).toSeq
+    assert(got == want) // exact decimal division, bit-for-bit
+    assert(want.exists(_(1) == null)) // the all-null group serves null
+    reRegister()
+  }
+
   test("COUNT(DISTINCT dim) and MIN/MAX(dim) rewrite exactly off the " +
       "rollup's own dim rows; COUNT(DISTINCT measure) does not") {
     val before = SummaryRewriteRule.fireCount.get()
