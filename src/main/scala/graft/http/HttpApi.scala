@@ -130,7 +130,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/summary/topitems" -> "Misra-Gries frequent items from the rollup",
       "post /collections/{name}/summary/overlap" -> "KMV distinct-overlap of dim groups from the rollup",
       "post /collections/{name}/summary/centroid" -> "per-group embedding centroids from the rollup",
-      "post /collections/{name}/summary/advise" -> "recommend + cost a rollup registration from a SQL workload (analyzed, never executed)",
+      "post /collections/{name}/summary/advise" -> "recommend + cost a rollup registration from a SQL workload (analyzed, never executed) or from the captured workload ({\\\"captured\\\":true})",
+      "post /capture/start" -> "start capturing the session's aggregate queries for the advisor",
+      "post /capture/stop" -> "stop the workload capture listener",
+      "get /capture" -> "capture status: active flag + captured query count",
+      "delete /capture" -> "clear the captured workload set",
       "delete /collections/{name}/summary" -> "uninstall rollup rewrite")
     val paths = routes.groupBy(_._1.split(" ")(1)).toSeq.sortBy(_._1)
       .map { case (p, ms) =>
@@ -1527,11 +1531,40 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       // the go/no-go economics (rollup rows = dim-combination
       // cardinality vs fact rows). {"queries":["SELECT ... FROM
       // <collection> GROUP BY ...", ...]}
+      // session-wide workload CAPTURE lifecycle: start/stop the
+      // QueryExecutionListener, inspect/clear the captured set — so
+      // the observe → advise → register → serve loop is operable
+      // without Scala, like every other artifact
+      case ("POST", List("capture", "start")) =>
+        graft.plans.SummaryAdvisor.startCapture(spark)
+        respond(ex, 200, s"""{"capture":"started","captured":${
+          graft.plans.SummaryAdvisor.capturedCount}}""")
+
+      case ("POST", List("capture", "stop")) =>
+        graft.plans.SummaryAdvisor.stopCapture(spark)
+        respond(ex, 200, s"""{"capture":"stopped","captured":${
+          graft.plans.SummaryAdvisor.capturedCount}}""")
+
+      case ("GET", List("capture")) =>
+        respond(ex, 200, s"""{"active":${
+          graft.plans.SummaryAdvisor.captureActive},"captured":${
+          graft.plans.SummaryAdvisor.capturedCount}}""")
+
+      case ("DELETE", List("capture")) =>
+        graft.plans.SummaryAdvisor.clearCaptured()
+        respond(ex, 200, """{"cleared":true}""")
+
       case ("POST", List("collections", name, "summary", "advise")) =>
         tableOr404(ex, name).foreach { df =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
           val qs = jsonQuotedArray(body, "queries").getOrElse(Nil)
+          // {"captured": true} (or ?captured=true) advises from the
+          // session's CAPTURED workload instead of an explicit list
+          val captured =
+            ("\"captured\"\\s*:\\s*true").r.findFirstIn(body).isDefined ||
+              Option(ex.getRequestURI.getQuery)
+                .exists(_.contains("captured=true"))
           val paths = df.queryExecution.optimizedPlan.collect {
             case l: org.apache.spark.sql.execution.datasources
                 .LogicalRelation =>
@@ -1542,8 +1575,10 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 case _ => Nil
               }
           }.flatten
-          if (qs.isEmpty)
-            respond(ex, 400, """{"error":"queries array is required"}""")
+          if (qs.isEmpty && !captured)
+            respond(ex, 400,
+              """{"error":"queries array (or captured:true) is """ +
+                """required"}""")
           else if (paths.size != 1)
             respond(ex, 400,
               """{"error":"advise needs a collection backed by one """ +
@@ -1574,8 +1609,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 org.apache.spark.sql.graftshim.GraftShims
                   .dataFrame(spark, plan)
               }
-              val rec = graft.plans.SummaryAdvisor.recommend(spark,
-                paths.head, workload)
+              val rec =
+                if (captured) graft.plans.SummaryAdvisor
+                  .recommendCaptured(spark, paths.head)
+                else graft.plans.SummaryAdvisor.recommend(spark,
+                  paths.head, workload)
               def arr(xs: Seq[String]) =
                 xs.map("\"" + _ + "\"").mkString("[", ",", "]")
               val reports = rec.reports.map { r =>

@@ -121,7 +121,10 @@ object SummaryAdvisor {
 
   def clearCaptured(): Unit = capturedPlans.clear()
 
-  private[plans] def capturedCount: Int = capturedPlans.size
+  private[graft] def capturedCount: Int = capturedPlans.size
+
+  /** Whether a capture listener is currently attached. */
+  def captureActive: Boolean = listener.isDefined
 
   /** Recommend from the queries captured so far that scan `basePath`
     * (the observe → advise → register → serve loop, no workload list

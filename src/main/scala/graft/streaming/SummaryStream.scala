@@ -67,12 +67,24 @@ object SummaryStream {
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
       exprs: Seq[ExprMeasure] = Nil): Unit = {
+    // write the 0-row build INTO the chunk=-1 partition dir (no
+    // partitionBy: a partitioned write of zero rows writes no
+    // partition dirs at all, leaving the rollup unreadable and every
+    // pre-first-batch query silently falling back to the base) — this
+    // way partition discovery sees one schema-bearing empty file and
+    // the rewrite serves correct EMPTY aggregates immediately
     SummaryRewrite.partialRollup(
         spark.read.parquet(basePath).limit(0), dims, measures, sketches,
         histograms, items, kmvs, vecs, exprs)
-      .withColumn("chunk", lit(-1L))
       .coalesce(1)
-      .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
+      .write.mode("overwrite").parquet(s"$summaryDir/chunk=-1")
+    // register() keys the already-built check on a ROOT _SUCCESS
+    // marker; the subdir write above only created one inside chunk=-1
+    locally {
+      val root = new org.apache.hadoop.fs.Path(summaryDir, "_SUCCESS")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.create(root, true).close()
+    }
     spark.catalog.refreshByPath(summaryDir)
     SummaryRewrite.register(spark, basePath, summaryDir, dims, measures,
       declaredScale = declaredScale, sketches = sketches,

@@ -833,6 +833,50 @@ class HttpApiSpec extends SparkSuite {
     assert(r.body().contains("non-column expression"), r.body())
   }
 
+  test("advise rejects command statements (never executes the " +
+      "workload) and serves the CAPTURED workload over REST") {
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("li_mv_cap")
+    // a mutation smuggled into the workload array must be REJECTED at
+    // parse time — spark.sql would have eagerly executed it
+    val evil = post("/collections/li_mv_cap/summary/advise",
+      """{"queries":["DROP VIEW li_mv_cap"]}""")
+    assert(evil.statusCode() === 400, evil.body())
+    assert(evil.body().contains("command"), evil.body())
+    assert(spark.catalog.tableExists("li_mv_cap"), "the DROP ran!")
+    val evil2 = post("/collections/li_mv_cap/summary/advise",
+      """{"queries":["INSERT OVERWRITE DIRECTORY '/tmp/graft_evil' """ +
+        """USING parquet SELECT 1"]}""")
+    assert(evil2.statusCode() === 400, evil2.body())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/tmp/graft_evil")), "the INSERT ran!")
+    // capture lifecycle: start, run live traffic, advise from it
+    assert(post("/capture/start", "").statusCode() === 200)
+    spark.sql("SELECT l_returnflag, sum(l_quantity) AS s " +
+      "FROM li_mv_cap GROUP BY 1").collect()
+    spark.sql("SELECT l_linestatus, count(*) AS n " +
+      "FROM li_mv_cap GROUP BY 1").collect()
+    // listener delivery is asynchronous
+    var tries = 0
+    while (graft.plans.SummaryAdvisor.capturedCount < 2 &&
+        tries < 100) { Thread.sleep(50); tries += 1 }
+    val st = get("/capture")
+    assert(st.statusCode() === 200 &&
+      st.body().contains("\"active\":true"), st.body())
+    val r = post("/collections/li_mv_cap/summary/advise",
+      """{"captured":true}""")
+    assert(r.statusCode() === 200, r.body())
+    assert(r.body().contains(
+      """"dims":["l_linestatus","l_returnflag"]"""), r.body())
+    assert(r.body().contains(""""measures":["l_quantity"]"""),
+      r.body())
+    assert(post("/capture/stop", "").statusCode() === 200)
+    assert(delete("/capture").statusCode() === 200)
+    val st2 = get("/capture")
+    assert(st2.body().contains("\"active\":false") &&
+      st2.body().contains("\"captured\":0"), st2.body())
+  }
+
   test("summary frequent-items over REST: register with items, serve " +
       "top-k per dim exactly at capacity >= vocab; guards 400") {
     import org.apache.spark.sql.functions._

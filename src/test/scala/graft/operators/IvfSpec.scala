@@ -480,6 +480,45 @@ class IvfSpec extends SparkSuite {
     assert(e.getMessage.contains("not a column of the index"))
   }
 
+  test("delete refuses non-id artifact columns (cell_id, the vector) " +
+      "and a second delete under a DIFFERENT id column name") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_delete_guard2").toString
+    val m0 = IvfIndex.build(emb, "vec_id", "embedding",
+      nCells = 4, maxIter = 3, indexDir = Some(s"$tmp/idx"), force = true)
+    // cell_id would anti-join away whole cells
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndex.delete(spark, m0.indexPath,
+        emb.limit(1).select(lit(0).as("cell_id")))
+    }
+    assert(e1.getMessage.contains("cell_id"))
+    // a non-integral artifact column is not an identity
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.delete(spark, m0.indexPath,
+        emb.limit(1).select($"embedding"))
+    }
+    assert(e2.getMessage.contains("integral"))
+    // mixed-schema sidecar: two deletes naming DIFFERENT (both valid,
+    // both integral) artifact columns would append parquet files whose
+    // merged read nulls the older files and silently RESURFACES their
+    // tombstones — the second name must be rejected. Needs an index
+    // whose artifact carries a second integral column (a payload).
+    val withAlt = emb.withColumn("alt_id", $"vec_id" + 1000000L)
+    val m1 = IvfIndex.build(withAlt, "vec_id", "embedding",
+      nCells = 4, maxIter = 3, indexDir = Some(s"$tmp/idx2"),
+      force = true)
+    assert(IvfIndex.delete(spark, m1.indexPath,
+      withAlt.where($"vec_id" === 1L).select($"vec_id")) == 1L)
+    val e3 = intercept[IllegalArgumentException] {
+      IvfIndex.delete(spark, m1.indexPath,
+        withAlt.where($"vec_id" === 2L).select($"alt_id"))
+    }
+    assert(e3.getMessage.contains("already tombstones by"))
+    // the SAME name keeps appending fine
+    assert(IvfIndex.delete(spark, m1.indexPath,
+      withAlt.where($"vec_id" === 2L).select($"vec_id")) == 1L)
+  }
+
   test("delete composes with the registered planner index via " +
       "IndexedKnn.deleteFromIndex") {
     val tmp = java.nio.file.Files

@@ -178,4 +178,30 @@ class SparseIndexSpec extends SparkSuite {
     assert(got === want, "post-compact scoring differs from a fresh " +
       "build over the remaining corpus")
   }
+
+  test("full purge: tombstoning EVERY document still compacts to a " +
+      "valid empty index that loads, searches empty, and re-appends") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_purge").toString + "/idx"
+    val corpus = docs.where($"doc_id" < 40)
+    SparseIndex.build(corpus, "doc_id", "text", dir, nBuckets = 8)
+    assert(SparseIndex.delete(spark, dir,
+      corpus.select($"doc_id")) == 40L)
+    // the compact must publish (not abort on the missing bucket dirs)
+    SparseIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/_deleted").exists())
+    val m = SparseIndex.load(spark, dir)
+    assert(m.nDocs == 0L, s"n_docs should be 0, got ${m.nDocs}")
+    assert(m.postings.count() == 0L)
+    assert(SparseIndex.search(m, Seq("table", "scan"), 5)
+      .collect().isEmpty)
+    // the empty index is still a live artifact: append works and the
+    // next compact folds back to a normal bucketed layout
+    SparseIndex.append(m, corpus.where($"doc_id" < 10),
+      "doc_id", "text")
+    val m2 = SparseIndex.load(spark, dir)
+    assert(m2.postings.select($"id").distinct().count() == 10L)
+    assert(SparseIndex.search(m2, Seq("table", "scan"), 5)
+      .collect().nonEmpty)
+  }
 }

@@ -58,6 +58,45 @@ class SummaryStreamSpec extends SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("a streaming-registered rollup is readable BEFORE the first " +
+      "batch: serves correct empty aggregates, then batch values") {
+    val baseDir = tmp("graft_ss_empty") + "/fact.parquet"
+    val sumDir = tmp("graft_ss_emptys") + "/rollup"
+    mkRows(0, 100).write.mode("append").parquet(baseDir)
+    SummaryStream.registerStreaming(spark, baseDir, sumDir,
+      Seq("flag"), Seq("qty"))
+    def grouped = spark.read.parquet(baseDir).groupBy($"flag")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("s"))
+      .orderBy($"flag")
+    def global = spark.read.parquet(baseDir)
+      .agg(count(lit(1)).as("n"))
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+    // pre-first-batch: SERVED (not a silent base fallback), zero
+    // committed batches => empty grouped result / zero global count —
+    // the documented bounded-staleness contract
+    assert(scans(grouped).exists(_.contains("rollup")),
+      s"scanned ${scans(grouped)}")
+    assert(grouped.schema.fieldNames.toSeq == Seq("flag", "n", "s"))
+    assert(grouped.collect().isEmpty)
+    assert(global.collect().head.getLong(0) == 0L)
+    // first batch commits: the same queries now serve its values
+    SummaryStream.processBatch(mkRows(0, 100), 0L, sumDir,
+      Seq("flag"), Seq("qty"))
+    assert(scans(grouped).exists(_.contains("rollup")))
+    val got = grouped.collect().map(_.toSeq).toSeq
+    SummaryRewrite.clear()
+    val want = grouped.collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(want.map(_(1).asInstanceOf[Long]).sum == 100L)
+  }
+
   test("CUBE and star joins serve exactly from a CHUNK-maintained " +
       "rollup (the Expand/join paths re-aggregate chunk rows too)") {
     val baseDir = tmp("graft_ss_cube") + "/fact.parquet"
