@@ -26,6 +26,25 @@ object PqQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** The frozen OPQ face's rotation: a Hadamard-style butterfly
+    * pairing dimension i with i+32 — orthonormal (hence an isometry),
+    * two double ops per output dim, restatable token for token in any
+    * engine. Computed in double, stored as float (the PQ pipeline's
+    * storage type; IEEE round-to-nearest in both engines).
+    */
+  private def opqButterfly(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val inv = lit(0.7071067811865476)
+    array((0 until 64).map { i =>
+      if (i < 32)
+        (element_at(v, i + 1).cast("double") +
+          element_at(v, i + 33).cast("double")) * inv
+      else
+        (element_at(v, i - 31).cast("double") -
+          element_at(v, i + 1).cast("double")) * inv
+    }: _*).cast("array<float>")
+  }
+
   /** Codebook from the first FixedCentroids vectors' slices. Shared
     * with VectorQueries' q_ivfpq_adc_fixed, which scores ADC against
     * the same deterministic construction.
@@ -52,6 +71,32 @@ object PqQueries {
         .select($"vec_id", posexplode($"codes".cast("array<int>")))
         .toDF("vec_id", "pos", "code")
         .orderBy($"vec_id", $"pos")),
+
+    // OPQ pipeline under a FROZEN rotation: rotate -> slice -> argmin,
+    // the exact operator chain an OPQ index runs per row, with the
+    // rotation pinned to a deterministic orthonormal butterfly
+    // (y_i = (x_i + x_{i+32})/sqrt2, y_{i+32} = (x_i - x_{i+32})/sqrt2)
+    // so DuckDB restates every double op token for token (the LEARNED
+    // rotation — PCA + eigenvalue allocation, Opq.fitRotation — is
+    // iterative float math no independent engine reproduces; its
+    // improvement invariant lives in PqSpec). Codebook = slices of the
+    // first 16 ROTATED vectors, mirroring q_pq_assign_fixed.
+    "q_pq_opq_fixed" -> ((s, dir) => {
+      val e = emb(s, dir).select($"vec_id",
+        opqButterfly($"embedding").as("r"))
+      val sub = 64 / Splits
+      val splitCols = (0 until Splits).map(sp =>
+        struct(lit(sp).as("subvector_id"),
+          $"vec_id".cast("int").as("centroid_id"),
+          slice($"r", sp * sub + 1, sub).as("c")))
+      val cb = e.where($"vec_id" < FixedCentroids)
+        .select(explode(array(splitCols: _*)).as("x"))
+        .select($"x.subvector_id", $"x.centroid_id", $"x.c")
+      ProductQuantizer.quantizeColumn(e, "r", "codes", cb)
+        .select($"vec_id", posexplode($"codes".cast("array<int>")))
+        .toDF("vec_id", "pos", "code")
+        .orderBy($"vec_id", $"pos")
+    }),
 
     // Q5 fitted codebook (rows-only; shape checked in PqSpec too).
     "q_pq_codebook" -> ((s, dir) =>
@@ -140,6 +185,38 @@ object PqQueries {
            |  CAST(sum(CAST(centroid_id AS BIGINT)
            |    << (CAST(split_id AS INT) * 4)) AS BIGINT) AS packed_code
            |FROM scored WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      // the frozen-rotation face: identical assignment pipeline over
+      // the butterfly-rotated embedding — (x_i + x_{i+32})/sqrt2 in
+      // DOUBLE then rounded to REAL, token for token what the Spark
+      // side computes
+      "q_pq_opq_fixed" ->
+        s"""WITH r0 AS (
+           |  SELECT vec_id, list_transform(range(0, 64), i -> CASE
+           |    WHEN i < 32 THEN CAST((CAST(embedding[i+1] AS DOUBLE)
+           |      + CAST(embedding[i+33] AS DOUBLE))
+           |      * 0.7071067811865476 AS REAL)
+           |    ELSE CAST((CAST(embedding[i-31] AS DOUBLE)
+           |      - CAST(embedding[i+1] AS DOUBLE))
+           |      * 0.7071067811865476 AS REAL) END) AS r
+           |  FROM embeddings),
+           |sp AS (SELECT unnest(range(0, $Splits)) AS split_id),
+           |cb AS (
+           |  SELECT sp.split_id, CAST(vec_id AS INT) AS centroid_id,
+           |         r[sp.split_id*$SubDim+1 : sp.split_id*$SubDim+$SubDim] AS b_c
+           |  FROM r0, sp WHERE vec_id < $FixedCentroids),
+           |sub AS (
+           |  SELECT e.vec_id, sp.split_id,
+           |         r[sp.split_id*$SubDim+1 : sp.split_id*$SubDim+$SubDim] AS a_sv
+           |  FROM r0 e, sp),
+           |scored AS (
+           |  SELECT sub.vec_id, sub.split_id, cb.centroid_id,
+           |    row_number() OVER (PARTITION BY sub.vec_id, sub.split_id
+           |      ORDER BY ${dkL2sq("a_sv", "b_c")}, cb.centroid_id) AS rn
+           |  FROM sub JOIN cb ON sub.split_id = cb.split_id)
+           |SELECT vec_id, CAST(split_id AS INT) AS pos,
+           |  CAST(centroid_id AS INT) AS code
+           |FROM scored WHERE rn = 1 ORDER BY vec_id, pos""".stripMargin,
 
       "q_pq_reconstruction" ->
         s"""$base
