@@ -1623,6 +1623,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               respond(ex, 200,
                 s"""{"dims":${arr(rec.dims)},""" +
                   s""""measures":${arr(rec.measures)},""" +
+                  s""""expr_measures":${arr(rec.exprMeasures
+                    .map(em => graft.util.Json.escape(em.sql)))},""" +
                   s""""hll_keys":${arr(rec.sketchKeys)},""" +
                   s""""fact_rows":${rec.factRows},""" +
                   s""""rollup_rows":${rec.rollupRows},""" +

@@ -50,20 +50,23 @@ object SummaryAdvisor {
       groupCols: Seq[String], filterCols: Seq[String],
       measureCols: Seq[String], distinctKeys: Seq[String],
       servable: Boolean, reason: String,
-      sumLikeCols: Seq[String] = Nil)
+      sumLikeCols: Seq[String] = Nil,
+      exprSqls: Seq[String] = Nil)
 
   case class Recommendation(
       dims: Seq[String], measures: Seq[String],
       sketchKeys: Seq[String],
       factRows: Long, rollupRows: Long, reduction: Double,
-      servable: Int, total: Int, reports: Seq[QueryReport]) {
+      servable: Int, total: Int, reports: Seq[QueryReport],
+      exprMeasures: Seq[SummaryRewrite.ExprMeasure] = Nil) {
 
     /** Apply the recommendation: register (and build) the rollup. */
     def register(spark: SparkSession, basePath: String,
         summaryDir: String, refresh: Boolean = false): Unit =
       SummaryRewrite.register(spark, basePath, summaryDir,
         dims, measures, refresh = refresh,
-        sketches = sketchKeys.map(k => SummaryRewrite.SketchSpec(k)))
+        sketches = sketchKeys.map(k => SummaryRewrite.SketchSpec(k)),
+        exprs = exprMeasures)
   }
 
   private def numeric(t: DataType): Boolean = t match {
@@ -207,6 +210,7 @@ object SummaryAdvisor {
         var measureCols = Vector.empty[String]
         var sumLikeCols = Vector.empty[String]
         var distinctKeys = Vector.empty[String]
+        var exprSqls = Vector.empty[String]
         var bad = Option.empty[String]
         def measureInput(c: Expression, what: String,
             sumLike: Boolean = false): Unit = c match {
@@ -214,6 +218,15 @@ object SummaryAdvisor {
               if baseTypes.get(ar.name).exists(numeric) =>
             measureCols :+= ar.name
             if (sumLike) sumLikeCols :+= ar.name
+          // a DERIVED aggregate input (sum(qty * price), the TPC-H Q1
+          // shape): servable by registering it as an expression
+          // measure — the rollup stores its partials per base row, so
+          // recommend exactly that. Deterministic + numeric + base
+          // columns only, the ExprMeasure registration contract.
+          case e2 if e2.deterministic && e2.references.nonEmpty &&
+              e2.references.forall(r => baseTypes.contains(r.name)) &&
+              numeric(e2.dataType) =>
+            exprSqls :+= e2.sql
           case _ =>
             bad = bad.orElse(Some(
               s"$what over a non-column expression: ${c.sql}"))
@@ -235,8 +248,7 @@ object SummaryAdvisor {
               case c: Count if c.children.sizeIs == 1 =>
                 c.children.head match {
                   case ar: AttributeReference => measureCols :+= ar.name
-                  case other => bad = bad.orElse(Some(
-                    s"COUNT over an expression: ${other.sql}"))
+                  case other => measureInput(other, "COUNT")
                 }
               case s: Sum => measureInput(s.child, "SUM",
                 sumLike = true)
@@ -260,7 +272,8 @@ object SummaryAdvisor {
         QueryReport(groupCols, filterCols,
           measureCols.distinct.sorted, distinctKeys.distinct.sorted,
           servable = bad.isEmpty, bad.getOrElse("ok"),
-          sumLikeCols = sumLikeCols.distinct.sorted)
+          sumLikeCols = sumLikeCols.distinct.sorted,
+          exprSqls = exprSqls.distinct.sorted)
       }
     }
 
@@ -295,6 +308,13 @@ object SummaryAdvisor {
       }
     }
 
+    // derived aggregate inputs across the workload, deduped by their
+    // SQL text and named in sorted order (deterministic registration)
+    val exprMeasures = reports.flatMap(_.exprSqls).distinct.sorted
+      .zipWithIndex.map { case (s, i) =>
+        SummaryRewrite.ExprMeasure(s"em_${i + 1}", s)
+      }
+
     val factRows = base.count()
     val rollupRows =
       if (dims.isEmpty) 1L
@@ -302,7 +322,8 @@ object SummaryAdvisor {
         .as("d")).collect().head.getLong(0)
     Recommendation(dims, measures, sketchKeys, factRows, rollupRows,
       if (rollupRows == 0) 0.0 else factRows.toDouble / rollupRows,
-      finalReports.count(_.servable), finalReports.size, finalReports)
+      finalReports.count(_.servable), finalReports.size, finalReports,
+      exprMeasures)
   }
 
   /** The recommendation as a one-row DataFrame (REST/SQL-friendly).
@@ -320,6 +341,7 @@ object SummaryAdvisor {
     spark.range(1).select(
       lit(r.dims.mkString(",")).as("dims"),
       lit(r.measures.mkString(",")).as("measures"),
+      lit(r.exprMeasures.map(_.sql).mkString("; ")).as("expr_measures"),
       lit(r.sketchKeys.mkString(",")).as("sketch_keys"),
       lit(r.factRows).as("fact_rows"),
       lit(r.rollupRows).as("rollup_rows"),

@@ -389,12 +389,12 @@ object RelationalQueries {
     // Rollup ADVISOR: analyze a fixed 4-query workload over lineitem
     // and emit the registration it recommends — dims from groupings+
     // filters, measures from bare numeric agg inputs, HLL keys from
-    // non-dim distinct counts — plus the go/no-go economics: rollup
-    // rows = dim-combination cardinality vs fact rows. The 4th query
-    // aggregates an expression (sum(qty*2)) and must be reported
-    // unservable WITHOUT widening the recommendation. DuckDB restates
-    // the recommendation on literals and recomputes both counts and
-    // the integer-quantized reduction.
+    // non-dim distinct counts, and EXPRESSION measures from derived
+    // aggregate inputs (the 4th query's sum(qty*2) is recommended as
+    // ExprMeasure em_1 and counts as servable) — plus the go/no-go
+    // economics: rollup rows = dim-combination cardinality vs fact
+    // rows. DuckDB restates the recommendation on literals and
+    // recomputes both counts and the integer-quantized reduction.
     "q_mv_advisor" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       graft.plans.SummaryAdvisor.recommendFrame(s,
@@ -1061,11 +1061,12 @@ object RelationalQueries {
         |  FROM lineitem))
         |SELECT 'l_linestatus,l_returnflag,l_shipdate' AS dims,
         | 'l_quantity' AS measures,
+        | '(l_quantity * CAST(2 AS DOUBLE))' AS expr_measures,
         | 'l_orderkey' AS sketch_keys,
         | f.n AS fact_rows,
         | r.n AS rollup_rows,
         | (f.n * 10000 // r.n) / 10000.0 AS reduction,
-        | 3 AS servable, 4 AS total
+        | 4 AS servable, 4 AS total
         |FROM f, r""".stripMargin,
     "q_sessionize" ->
       """WITH d AS (

@@ -829,8 +829,12 @@ class HttpApiSpec extends SparkSuite {
     assert(r.body().contains(""""hll_keys":["l_orderkey"]"""), r.body())
     assert(r.body().contains(""""fact_rows":6000"""), r.body())
     assert(r.body().contains(""""rollup_rows":3"""), r.body())
-    assert(r.body().contains(""""servable":2,"total":3"""), r.body())
-    assert(r.body().contains("non-column expression"), r.body())
+    // the derived input sum(l_quantity * 2) is recommended as an
+    // EXPRESSION measure and counts as servable
+    assert(r.body().contains(""""servable":3,"total":3"""), r.body())
+    assert(r.body().contains(""""expr_measures":["""), r.body())
+    assert("\"expr_measures\":\\[\"[^\"]*l_quantity[^\"]*\"\\]".r
+      .findFirstIn(r.body()).isDefined, r.body())
   }
 
   test("advise rejects command statements (never executes the " +

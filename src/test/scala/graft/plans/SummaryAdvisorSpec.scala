@@ -40,9 +40,10 @@ class SummaryAdvisorSpec extends SparkSuite {
     assert(math.abs(rec.reduction - 20.0) < 1e-9)
   }
 
-  test("flags expression aggregates and dim-grouped measures as " +
-      "unservable without widening the recommendation") {
+  test("recommends EXPRESSION measures for derived aggregate inputs; " +
+      "dim-grouped bare measures stay unservable") {
     val rec = SummaryAdvisor.recommend(spark, baseDir, Seq(
+      // derived input -> recommended as an ExprMeasure, SERVABLE
       base.groupBy($"flag").agg(sum($"qty" * 2).as("s")),
       // qty is grouped here -> becomes a dim; summing it elsewhere
       // cannot serve
@@ -50,9 +51,42 @@ class SummaryAdvisorSpec extends SparkSuite {
       base.groupBy($"flag").agg(sum($"qty").as("s"))))
     assert(rec.dims == Seq("flag", "qty"))
     assert(rec.measures.isEmpty)
-    assert(rec.servable == 1 && rec.total == 3) // only the count query
-    assert(rec.reports.head.reason.contains("non-column expression"))
+    assert(rec.exprMeasures.map(_.name) == Seq("em_1"),
+      rec.exprMeasures)
+    assert(rec.exprMeasures.head.sql.contains("qty"),
+      rec.exprMeasures.head.sql)
+    assert(rec.servable == 2 && rec.total == 3)
+    assert(rec.reports.head.servable, rec.reports.head.reason)
     assert(rec.reports.last.reason.contains("grouped elsewhere"))
+    // a NON-base-column input (a literal-only expression) still aborts
+    val rec2 = SummaryAdvisor.recommend(spark, baseDir, Seq(
+      base.groupBy($"flag").agg(sum(lit(1.0)).as("s"))))
+    assert(rec2.servable == 0)
+    assert(rec2.reports.head.reason.contains("non-column expression"))
+  }
+
+  test("a recommendation with expression measures registers and the " +
+      "derived-input workload then serves from the rollup") {
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_adv_expr").toString + "/rollup"
+    def q = base.groupBy($"flag").agg(sum($"qty" * $"price").as("s"))
+    val rec = SummaryAdvisor.recommend(spark, baseDir, Seq(q))
+    assert(rec.exprMeasures.size == 1 && rec.servable == 1)
+    rec.register(spark, baseDir, sumDir)
+    try {
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.exists(_.contains("rollup")), s"scanned $scans")
+      val got = q.orderBy($"flag").collect().map(_.toSeq).toSeq
+      SummaryRewrite.unregister(spark, baseDir)
+      val want = q.orderBy($"flag").collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally SummaryRewrite.unregister(spark, baseDir)
   }
 
   test("a recommendation registers and the workload then serves from " +
