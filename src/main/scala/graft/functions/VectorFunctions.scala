@@ -199,6 +199,25 @@ object VectorFunctions {
       "hist_quantile" -> ((e: Seq[Expression]) =>
         graft.operators.HistQuantile(e(0), dlit(e(1), "q"),
           dlit(e(2), "lo"), dlit(e(3), "hi"))),
+      // Bottom-k uniform row-sample sketch — the range-free quantile
+      // sibling of hist_*: sample_sketch(id, value, k) keeps the k
+      // rows with the smallest unsigned id hashes as STRUCT(hs, vs);
+      // sample_merge(s, k) folds persisted sketches;
+      // sample_quantile(s, q) reads the lower order statistic of the
+      // sampled values (exact below saturation, bottom-k estimator at
+      // it — and DETERMINISTIC in both regimes, membership being a
+      // pure function of the id hashes); sample_n(s) the sample size.
+      // Compose: sample_quantile(sample_sketch(pk, x, 1024), 0.5).
+      "sample_sketch" -> ((e: Seq[Expression]) =>
+        graft.operators.SampleSketch(e(0),
+          Cast(e(1), org.apache.spark.sql.types.DoubleType),
+          lit(e(2), "k"))),
+      "sample_merge" -> ((e: Seq[Expression]) =>
+        graft.operators.SampleMerge(e(0), lit(e(1), "k"))),
+      "sample_quantile" -> ((e: Seq[Expression]) =>
+        graft.operators.SampleQuantile(e(0), dlit(e(1), "q"))),
+      "sample_n" -> ((e: Seq[Expression]) =>
+        graft.operators.SampleSize(e(0))),
       // bounded top-k-by-score aggregate on the SQL surface: per group,
       // the k (id, score) pairs with the smallest scores, map-side
       // bounded — the SQL spelling of the kNN result aggregation,

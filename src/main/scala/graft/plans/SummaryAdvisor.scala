@@ -70,8 +70,7 @@ object SummaryAdvisor {
   }
 
   private def numeric(t: DataType): Boolean = t match {
-    case _: NumericType => true
-    case _: DecimalType => true
+    case _: NumericType => true // DecimalType is a NumericType
     case _ => false
   }
 

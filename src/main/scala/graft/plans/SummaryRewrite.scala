@@ -5,8 +5,9 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce,
-  Divide, EqualTo, ExprId, Expression, If, IsNotNull, LessThan,
-  LessThanOrEqual, Literal, Multiply, NamedExpression, Sqrt, Subtract}
+  Divide, EqualTo, ExprId, Expression, GreaterThan, If, IsNotNull,
+  LessThan, LessThanOrEqual, Literal, Multiply, NamedExpression, Sqrt,
+  Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, StddevPop,
   StddevSamp, Sum, VariancePop, VarianceSamp}
@@ -177,6 +178,25 @@ object SummaryRewrite {
     def colName: String = s"vsum_$col"
   }
 
+  /** A range-free quantile sketch carried by the rollup: a bottom-k
+    * uniform ROW sample of `value` keyed by the unique row id
+    * expression `id` ([[graft.operators.Smp]]), stored per dim group
+    * as column `smp<k>_<value>` — k rides in the NAME like the
+    * Misra–Gries capacity, so the compact fold and [[sampleQuantiles]]
+    * recover it without the registry. Sketches fold by
+    * k-hash-smallest-of-union (the associative rollup combiner
+    * contract), and the sample membership is a pure function of the
+    * id hashes, so ANY partitioning / chunking yields the identical
+    * sketch — quantiles served from the rollup are deterministic in
+    * both regimes (exact below saturation; bottom-k estimator with
+    * O(1/sqrt k) error, independent of data volume, at it). The
+    * complement of [[HistSpec]]: no declared [lo, hi) range, and the
+    * quantile read is an actual data value.
+    */
+  case class SampleQSpec(id: String, value: String, k: Int = 1024) {
+    def colName: String = s"smp${k}_$value"
+  }
+
   /** A DERIVED (expression) measure carried by the rollup: the named
     * partials of `sql` evaluated per base row — e.g.
     * `ExprMeasure("revenue", "l_extendedprice * (1 - l_discount)")`,
@@ -201,9 +221,34 @@ object SummaryRewrite {
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
-      exprs: Seq[ExprMeasure] = Nil)
+      exprs: Seq[ExprMeasure] = Nil,
+      samples: Seq[SampleQSpec] = Nil,
+      retracted: Boolean = false)
 
   private val registry = TrieMap[String, Entry]()
+
+  /** Marker a retraction chunk leaves at the rollup root: the rollup
+    * now contains NEGATIVE partials, so the serve must stay inside
+    * the sign-foldable family (see [[graft.streaming.SummaryStream
+    * .retract]]). On disk (not only in the registry) so a later
+    * process that re-registers the same artifact inherits the
+    * restriction; cleared by a `refresh = true` rebuild, which
+    * recomputes every partial from the post-delete base.
+    */
+  private[graft] val RetractedMarker = "_RETRACTED"
+
+  private[graft] def markRetracted(spark: SparkSession,
+      dataPath: String): Unit = {
+    registry.updateWith(qualify(spark, dataPath))(
+      _.map(_.copy(retracted = true)))
+    ()
+  }
+
+  private def retractedMarkerExists(spark: SparkSession,
+      summaryDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(summaryDir, RetractedMarker)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   private def qualify(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -228,7 +273,8 @@ object SummaryRewrite {
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
-      exprs: Seq[ExprMeasure] = Nil): DataFrame = {
+      exprs: Seq[ExprMeasure] = Nil,
+      samples: Seq[SampleQSpec] = Nil): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShims
     // an expression measure gets the SAME six partials as a bare
     // column — downstream (serve translation, the compact fold's
@@ -264,7 +310,13 @@ object SummaryRewrite {
        vecs.map(v => GraftShims
          .column(graft.operators.VectorSum(
            GraftShims.expression(col(v.col)))
-           .toAggregateExpression()).as(v.colName))))
+           .toAggregateExpression()).as(v.colName)) ++
+       samples.map(sp => GraftShims
+         .column(graft.operators.SampleSketch(
+           GraftShims.expression(
+             org.apache.spark.sql.functions.expr(sp.id)),
+           GraftShims.expression(col(sp.value).cast("double")), sp.k)
+           .toAggregateExpression()).as(sp.colName))))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -281,9 +333,10 @@ object SummaryRewrite {
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
-      exprs: Seq[ExprMeasure] = Nil): Unit = {
+      exprs: Seq[ExprMeasure] = Nil,
+      samples: Seq[SampleQSpec] = Nil): Unit = {
     partialRollup(spark.read.parquet(basePath), dims, measures, sketches,
-        histograms, items, kmvs, vecs, exprs)
+        histograms, items, kmvs, vecs, exprs, samples)
       .withColumn("chunk", lit(-1L))
       .coalesce(8)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
@@ -311,7 +364,8 @@ object SummaryRewrite {
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
-      exprs: Seq[ExprMeasure] = Nil): Unit = {
+      exprs: Seq[ExprMeasure] = Nil,
+      samples: Seq[SampleQSpec] = Nil): Unit = {
     declaredScale.foreach { case (m, d) =>
       require(measures.contains(m), s"declaredScale for non-measure $m")
       require(d >= 0 && d <= 6,
@@ -348,7 +402,8 @@ object SummaryRewrite {
       histograms.map(h => s"hist_${h.col}") ++
       items.map(_.colName) ++
       kmvs.map(_.colName) ++
-      vecs.map(_.colName)
+      vecs.map(_.colName) ++
+      samples.map(_.colName)
     val all = dims ++ measures ++ exprs.map(_.name)
     require(all.distinct.size == all.size,
       s"dims/measures/expression-measure names must be distinct, " +
@@ -370,11 +425,17 @@ object SummaryRewrite {
       registry.remove(key)
       spark.catalog.refreshByPath(dataPath)
       buildSummary(spark, dataPath, summaryDir, dims, measures, sketches,
-        histograms, items, kmvs, vecs, exprs)
+        histograms, items, kmvs, vecs, exprs, samples)
+      // a refresh recomputes every partial from the (post-delete)
+      // base, so any standing retraction restriction clears with it
+      val rm = new org.apache.hadoop.fs.Path(summaryDir, RetractedMarker)
+      val rfs = rm.getFileSystem(spark.sessionState.newHadoopConf())
+      if (rfs.exists(rm)) rfs.delete(rm, false)
       spark.catalog.refreshByPath(summaryDir)
     }
     registry.put(key, Entry(summaryDir, dims, measures, declaredScale,
-      sketches, histograms, items, kmvs, vecs, exprs))
+      sketches, histograms, items, kmvs, vecs, exprs, samples,
+      retracted = retractedMarkerExists(spark, summaryDir)))
     ensureRule(spark)
   }
 
@@ -541,6 +602,52 @@ object SummaryRewrite {
       .agg(outs.head, outs.tail: _*)
   }
 
+  /** Serve quantiles of sample-sketch column `valueCol` from the
+    * rollup at `summaryDir`, grouped by `groupDims` (must be rollup
+    * dims; empty = global): per-chunk/per-group bottom-k samples fold
+    * with the k-hash-smallest combiner (k parsed from the stored
+    * column's own name), then each requested q reads the lower order
+    * statistic of the folded sample's values. Because membership is a
+    * pure function of the row-id hashes, the folded sample is
+    * IDENTICAL to sketching the raw table — the served quantiles are
+    * deterministic at any partitioning, chunking, or dim subset
+    * (exact below saturation, the bottom-k estimator past it). Cost
+    * is group-cardinality × k, never a base scan: "p99 per region"
+    * over a 100 TB fact from a dim-sized read.
+    */
+  def sampleQuantiles(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    require(qs.nonEmpty, "need at least one quantile")
+    val rollup = spark.read.parquet(summaryDir)
+    val pat = s"^smp(\\d+)_${java.util.regex.Pattern.quote(valueCol)}$$".r
+    val (colName, k) = rollup.schema.fieldNames.collectFirst {
+      case n @ pat(kk) => (n, kk.toInt)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no smp<k>_$valueCol column in the rollup at $summaryDir"))
+    val merged = graft.operators.SampleMerge(
+      GraftShims.expression(col(colName)), k).toAggregateExpression()
+    val outs = GraftShims.column(
+        graft.operators.SampleSize(merged)).as("n_sample") +:
+      qs.map(q => GraftShims.column(
+        graft.operators.SampleQuantile(merged, q))
+        .as(s"p${math.round(q * 100)}"))
+    if (groupDims.isEmpty) rollup.agg(outs.head, outs.tail: _*)
+    else rollup.groupBy(groupDims.map(col): _*)
+      .agg(outs.head, outs.tail: _*)
+  }
+
+  /** Rule health counters: (rewrites fired, rule-internal errors
+    * swallowed by the fallback catch). A growing error count means
+    * queries silently running on the base that a registration claims
+    * to serve — the observable the `graft.mv.debug` stack traces are
+    * too noisy for production to keep on.
+    */
+  def stats: (Int, Int) =
+    (SummaryRewriteRule.fireCount.get(),
+      SummaryRewriteRule.errorCount.get())
+
   def ensureRule(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(SummaryRewriteRule))
@@ -563,6 +670,15 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
   private[plans] val fireCount =
     new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Rule-internal exceptions swallowed by the fallback catch (the
+    * correct behavior — an MV rule must never fail the query — but a
+    * GROWING counter marks a rule bug that `graft.mv.debug` would
+    * print). Surfaced with [[fireCount]] through
+    * [[SummaryRewrite.stats]] and the REST /summary/stats read.
+    */
+  private[plans] val errorCount =
+    new java.util.concurrent.atomic.AtomicInteger()
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (SummaryRewrite.isEmpty || rewriting.get()) plan
     else plan.transformDown {
@@ -570,6 +686,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         try rewrite(groups, aggExprs, child).getOrElse(agg)
         catch {
           case scala.util.control.NonFatal(e) =>
+            errorCount.incrementAndGet()
             if (sys.props.contains("graft.mv.debug")) e.printStackTrace()
             agg
         }
@@ -742,11 +859,24 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       * path) depending on what the measure's type makes lossless.
       */
     private def servedSum(m: String, t: DataType,
-        filt: Option[Expression]): Option[Expression] =
-      if (decimal38_6Lossless(t)) Some(sum2(sOut(s"s_$m"), filt))
-      else if (isFloating(t) || t.isInstanceOf[DecimalType])
-        Some(sum2(sOut(s"sd_$m"), filt))
-      else None
+        filt: Option[Expression]): Option[Expression] = {
+      val raw =
+        if (decimal38_6Lossless(t)) Some(sum2(sOut(s"s_$m"), filt))
+        else if (isFloating(t) || t.isInstanceOf[DecimalType])
+          Some(sum2(sOut(s"sd_$m"), filt))
+        else None
+      // retraction null-gate: a surviving group whose non-null
+      // measure rows were ALL deleted sums its signed partials to a
+      // non-null 0, but the base SUM over zero non-null inputs is
+      // NULL — recover Sum's semantics from the signed count
+      if (!e.retracted) raw
+      else raw.map { s =>
+        val c = Coalesce(Seq(sum2(sOut(s"c_$m"), filt),
+          Literal(0L, LongType)))
+        If(EqualTo(c, Literal(0L, LongType)),
+          Literal(null, s.dataType), s)
+      }
+    }
 
     /** Variance family serve: n, s, ss from the rollup partials,
       * m2 = ss - s*s/n clamped at 0, then pop/samp divisor and an
@@ -790,6 +920,10 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       // and nulls are skipped identically. Distinct over a MEASURE
       // is unrecoverable (per-row multiplicity is gone) — abort.
       if (ae.isDistinct) {
+        // a retracted rollup still carries every PRE-delete dim
+        // combination among its rows (net counts may be zero);
+        // DISTINCT over them would resurrect deleted groups — abort
+        if (e.retracted) return None
         ae.aggregateFunction match {
           case c: Count if c.children.nonEmpty && c.children.forall {
               case ar: AttributeReference => dimAttr(ar)
@@ -867,7 +1001,16 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
           case Cast(ar: AttributeReference, d: DecimalType, _, _)
               if e.measures.contains(ar.name) &&
                 castPreserving(ar.name, ar.dataType, d, e) =>
-            Some(Cast(sum2(sOut(s"s_${ar.name}"), filt), ae.dataType))
+            val s0 = sum2(sOut(s"s_${ar.name}"), filt)
+            val gated = // same retraction null-gate as servedSum
+              if (!e.retracted) s0
+              else {
+                val c = Coalesce(Seq(sum2(sOut(s"c_${ar.name}"), filt),
+                  Literal(0L, LongType)))
+                If(EqualTo(c, Literal(0L, LongType)),
+                  Literal(null, s0.dataType), s0)
+              }
+            Some(Cast(gated, ae.dataType))
           // SUM(expr) for a registered expression measure — the
           // TPC-H Q1 `SUM(price * (1 - discount))` shape: the same
           // decimal-exact / native-partial dispatch as a bare
@@ -966,6 +1109,13 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         // cast can overflow (the same guard as Sum's cast spelling)
         // MIN/MAX of a DIM is exact straight off the rollup rows
         // (every dim combination survives; nulls skipped identically)
+        // MIN/MAX under retraction: a deleted row may have BEEN the
+        // group extreme, and min/max partials are not sign-invertible
+        // — fall back to the base until a refresh rebuild. (Dim
+        // min/max would survive the net-count group filter, but the
+        // measure forms cannot, and a uniformly-unserved family is
+        // the predictable contract.)
+        case _: Min | _: Max if e.retracted => None
         case mn: Min => mn.child match {
           case ar: AttributeReference if dimAttr(ar) =>
             Some(new Min(sOut(ar.name)).toAggregateExpression(
@@ -1100,15 +1250,32 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       // five partials plus any 2^p-int HLL register arrays) for a
       // query that needs one of them. The Project collapses into the
       // parquet ReadSchema at physical planning (spec-pinned).
+      val cntAttr = sv.sOut("cnt")
       val refIds = (newAggExprs ++ newGroups ++ newConds)
-        .foldLeft(AttributeSet.empty)(_ ++ _.references)
+        .foldLeft(AttributeSet.empty)(_ ++ _.references) ++
+        (if (sv.e.retracted) AttributeSet(cntAttr)
+         else AttributeSet.empty)
       val needed = sv.scan.output.filter(refIds.contains)
       val pruned =
         if (needed.size == sv.scan.output.size) sv.scan
         else Project(needed, sv.scan)
       val filtered = newConds.foldLeft(pruned)((p, c) => Filter(c, p))
       fireCount.incrementAndGet()
-      Some(Aggregate(newGroups, newAggExprs, filtered))
+      if (!sv.e.retracted || newGroups.isEmpty)
+        // (a global aggregate emits its one row even over zero
+        // surviving base rows — exactly what the ungated serve does)
+        Some(Aggregate(newGroups, newAggExprs, filtered))
+      else {
+        // retraction net-count guard: a group whose rows were all
+        // deleted folds to net cnt 0 but still has rollup rows — the
+        // base GROUP BY emits no row for it, so neither may the serve
+        val netCnt = Alias(new Sum(cntAttr).toAggregateExpression(),
+          "__net_cnt")()
+        val agg = Aggregate(newGroups, newAggExprs :+ netCnt, filtered)
+        Some(Project(newAggExprs.map(_.toAttribute),
+          Filter(GreaterThan(netCnt.toAttribute,
+            Literal(0L, LongType)), agg)))
+      }
     }
   }
 
@@ -1142,6 +1309,10 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         subs(ar.exprId)
     }
     entryOf(rel).flatMap { e =>
+      // grouping-set serves replay each rollup row once per set; the
+      // retraction net-count guard would need a per-set gate — fall
+      // back to base until a refresh rebuild
+      if (e.retracted) { dbg("expand path: retracted rollup"); return None }
       val sv = new Serving(e, rel)
       val conds = conds0.map(inline)
       if (!conds.forall(sv.dimCond)) {
@@ -1401,7 +1572,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
             if (eo.isEmpty) dbg("join leaf not registered: " +
               rel.relation.toString.take(80))
             eo.flatMap { e =>
-              if (svOpt.isDefined) None // one fact leaf per spine
+              // a join serve emits one row per surviving dim JOIN
+              // key; the retraction net-count guard would need to
+              // thread through the spine — fall back to base until a
+              // refresh rebuild
+              if (e.retracted) None
+              else if (svOpt.isDefined) None // one fact leaf per spine
               else {
                 val sv = new Serving(e, rel)
                 svOpt = Some(sv)

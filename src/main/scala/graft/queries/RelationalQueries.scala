@@ -410,6 +410,44 @@ object RelationalQueries {
             .agg(sum($"l_quantity" * 2).as("bad"))))
     }),
 
+    // Bottom-k uniform row-sample quantiles, direct aggregate: the k
+    // rows with the smallest unsigned id hashes carry their values,
+    // and the quantile read is the lower order statistic of the
+    // sample (SampleAggregate.scala). Deliberately run SATURATED
+    // (k=256 << ~20k rows per flag) — membership is a pure function
+    // of the row-id hashes, so unlike HLL / histogram estimates the
+    // SAMPLED regime itself is deterministic and DuckDB restates the
+    // whole pipeline (hash chain, k-smallest cut, order statistic)
+    // bit for bit. 256 doubles per group answer "p90 per region"
+    // over a 100 TB fact with O(1/sqrt k) error independent of scale.
+    "q_sample_quantile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr(s"sample_sketch($mvSampleIdSql, l_extendedprice, " +
+          "256)").as("sk"))
+        .select($"l_returnflag",
+          expr("sample_n(sk)").as("n_sample"),
+          expr("sample_quantile(sk, 0.25)").as("p25"),
+          expr("sample_quantile(sk, 0.5)").as("p50"),
+          expr("sample_quantile(sk, 0.9)").as("p90"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // The same quantiles served from the ROLLUP's sample column:
+    // per-(flag, status, day) bottom-k sketches fold with the
+    // k-hash-smallest combiner across dim groups and chunks, and
+    // because membership is hash-determined the folded sample is
+    // IDENTICAL to sketching the raw table — so this face shares
+    // q_sample_quantile's oracle (grouped at the dim subset), proving
+    // fold-equals-rescan the way q_mv_hll does for registers. The
+    // read costs dim-cardinality × k, never a fact scan.
+    "q_mv_sample_quantile" -> ((s, dir) => {
+      registerMv(s, dir)
+      graft.plans.SummaryRewrite.sampleQuantiles(s, mvSummaryDir(dir),
+          Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.9))
+        .orderBy($"l_returnflag")
+    }),
+
     // Opt-in approximate COUNT(DISTINCT): under
     // graft.mv.approxDistinct=true, COUNT(DISTINCT l_orderkey) — a
     // key the rollup carries an HLL sketch of — re-plans to the
@@ -708,7 +746,61 @@ object RelationalQueries {
         graft.plans.SummaryRewrite.ExprMeasure("revenue",
           mvRevenueSql),
         graft.plans.SummaryRewrite.ExprMeasure("qty_dec",
-          "CAST(l_quantity AS DECIMAL(12,2))")))
+          "CAST(l_quantity AS DECIMAL(12,2))")),
+      samples = Seq(
+        graft.plans.SummaryRewrite.SampleQSpec(mvSampleIdSql,
+          "l_extendedprice", 256)))
+
+  /** Unique row id for the lineitem sample sketch: l_linenumber is
+    * 1..7 in TPC-H, so orderkey*8+linenumber is injective — the same
+    * composite-key trick the DuckDB restatement repeats verbatim.
+    */
+  private[graft] val mvSampleIdSql: String =
+    "l_orderkey * 8 + l_linenumber"
+
+  /** DuckDB restatement of the bottom-k sample-quantile pipeline
+    * (SampleAggregate.scala) at k=256 over lineitem per returnflag:
+    * the same Hll.hash64 HUGEINT chain as [[hllPipelineSql]] carrying
+    * the VALUE alongside, min-value combine per hash (the sketch's
+    * deterministic collision rule), the k-smallest cut by unsigned
+    * hash, then the lower order statistic floor(q*(m-1)) per
+    * requested q — every step the Scala takes, so BOTH regimes (this
+    * face is deliberately saturated) hash-match bit for bit. Shared
+    * verbatim by the direct face and the rollup-served one: the fold
+    * across dim groups and chunks must equal sketching the raw table.
+    */
+  private val sampleQuantileOracle: String =
+    """WITH ids AS (
+      |  SELECT l_returnflag AS g,
+      |    l_orderkey * 8 + l_linenumber AS id, l_extendedprice AS val
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |u0 AS (SELECT g, ((CAST(id AS HUGEINT) % 18446744073709551616
+      |    + 18446744073709551616) % 18446744073709551616) AS v, val
+      |  FROM ids),
+      |s1 AS (SELECT g, xor(v, v // 4096) AS v, val FROM u0),
+      |m1 AS (SELECT g, (v * 2685821657736338717)
+      |    % 18446744073709551616 AS v, val FROM s1),
+      |s2 AS (SELECT g, xor(v, v // 33554432) AS v, val FROM m1),
+      |m2 AS (SELECT g, (v * 2685821657736338717)
+      |    % 18446744073709551616 AS v, val FROM s2),
+      |hh AS (SELECT g, xor(v, v // 134217728) AS h, val FROM m2),
+      |d AS (SELECT g, h, min(val) AS val FROM hh GROUP BY g, h),
+      |r AS (SELECT g, val,
+      |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d),
+      |smp AS (SELECT g, val FROM r WHERE rn <= 256),
+      |c AS (SELECT g, CAST(count(*) AS INT) AS m FROM smp GROUP BY g),
+      |vv AS (SELECT smp.g, smp.val, c.m,
+      |    row_number() OVER (PARTITION BY smp.g ORDER BY smp.val)
+      |      AS vr
+      |  FROM smp JOIN c ON c.g = smp.g)
+      |SELECT g AS l_returnflag, max(m) AS n_sample,
+      |  max(CASE WHEN vr = CAST(floor(0.25 * (m - 1)) AS BIGINT) + 1
+      |    THEN val END) AS p25,
+      |  max(CASE WHEN vr = CAST(floor(0.5 * (m - 1)) AS BIGINT) + 1
+      |    THEN val END) AS p50,
+      |  max(CASE WHEN vr = CAST(floor(0.9 * (m - 1)) AS BIGINT) + 1
+      |    THEN val END) AS p90
+      |FROM vv GROUP BY g ORDER BY l_returnflag""".stripMargin
 
   /** DuckDB restatement of Hll.hash64/bucket/rho (HllAggregate.scala)
     * at p=8, carried out entirely in the non-negative u64 slice of
@@ -1021,6 +1113,8 @@ object RelationalQueries {
         | (2 * s2 * 10000 + n) // (2 * n) AS avg_qty_e6,
         | n AS n_qty
         |FROM g ORDER BY l_returnflag""".stripMargin,
+    "q_sample_quantile" -> sampleQuantileOracle,
+    "q_mv_sample_quantile" -> sampleQuantileOracle,
     "q_mv_star_louter" ->
       """WITH dim(rf, rf_name) AS (
         |  VALUES ('A', 'returned'), ('N', 'in_flight'),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.plans.SummaryRewrite
 import graft.plans.SummaryRewrite.{ExprMeasure, HistSpec, ItemsSpec,
-  KmvSpec, SketchSpec, VecSpec}
+  KmvSpec, SampleQSpec, SketchSpec, VecSpec}
 import graft.util.DirSwap
 
 /** Incrementally maintained materialized rollup — the streaming face
@@ -66,7 +66,8 @@ object SummaryStream {
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
-      exprs: Seq[ExprMeasure] = Nil): Unit = {
+      exprs: Seq[ExprMeasure] = Nil,
+      samples: Seq[SampleQSpec] = Nil): Unit = {
     // write the 0-row build INTO the chunk=-1 partition dir (no
     // partitionBy: a partitioned write of zero rows writes no
     // partition dirs at all, leaving the rollup unreadable and every
@@ -75,7 +76,7 @@ object SummaryStream {
     // the rewrite serves correct EMPTY aggregates immediately
     SummaryRewrite.partialRollup(
         spark.read.parquet(basePath).limit(0), dims, measures, sketches,
-        histograms, items, kmvs, vecs, exprs)
+        histograms, items, kmvs, vecs, exprs, samples)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$summaryDir/chunk=-1")
     // register() keys the already-built check on a ROOT _SUCCESS
@@ -89,7 +90,7 @@ object SummaryStream {
     SummaryRewrite.register(spark, basePath, summaryDir, dims, measures,
       declaredScale = declaredScale, sketches = sketches,
       histograms = histograms, items = items, kmvs = kmvs, vecs = vecs,
-      exprs = exprs)
+      exprs = exprs, samples = samples)
   }
 
   /** Start maintaining `summaryDir` from base files appearing under
@@ -106,7 +107,8 @@ object SummaryStream {
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
-      exprs: Seq[ExprMeasure] = Nil): StreamingQuery = {
+      exprs: Seq[ExprMeasure] = Nil,
+      samples: Seq[SampleQSpec] = Nil): StreamingQuery = {
     val schema = spark.read.parquet(basePath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -115,7 +117,7 @@ object SummaryStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, summaryDir, dims, measures, sketches,
-          histograms, items, kmvs, vecs, exprs)
+          histograms, items, kmvs, vecs, exprs, samples)
         ()
       }
       .start()
@@ -133,10 +135,11 @@ object SummaryStream {
       items: Seq[ItemsSpec] = Nil,
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
-      exprs: Seq[ExprMeasure] = Nil): Unit = {
+      exprs: Seq[ExprMeasure] = Nil,
+      samples: Seq[SampleQSpec] = Nil): Unit = {
     val spark = batch.sparkSession
     SummaryRewrite.partialRollup(batch, dims, measures, sketches,
-        histograms, items, kmvs, vecs, exprs)
+        histograms, items, kmvs, vecs, exprs, samples)
       .withColumn("chunk", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite")
@@ -189,6 +192,11 @@ object SummaryStream {
         GraftShims.column(graft.operators.KmvMerge(
           GraftShims.expression(col(n)), k)
           .toAggregateExpression()).as(n)
+      case n if n.matches("^smp\\d+_.*") =>
+        val k = "^smp(\\d+)_".r.findFirstMatchIn(n).get.group(1).toInt
+        GraftShims.column(graft.operators.SampleMerge(
+          GraftShims.expression(col(n)), k)
+          .toAggregateExpression()).as(n)
       case n if n.startsWith("vsum_") =>
         GraftShims.column(graft.operators.VectorSumMerge(
           GraftShims.expression(col(n))).toAggregateExpression()).as(n)
@@ -205,7 +213,16 @@ object SummaryStream {
       .coalesce(1)
       .write.mode("overwrite").partitionBy("chunk")
       .parquet(DirSwap.rebuildPath(summaryDir))
+    // retraction restriction survives compaction: the folded mn_/mx_
+    // still include deleted rows' extremes (min over chunk minima
+    // skips the retraction chunks' nulls), so only a refresh rebuild
+    // from the post-delete base may clear the marker
+    val wasRetracted = fs.exists(
+      new Path(summaryDir, SummaryRewrite.RetractedMarker))
     DirSwap.publish(fs, live)
+    if (wasRetracted)
+      fs.create(new Path(summaryDir, SummaryRewrite.RetractedMarker),
+        true).close()
     spark.catalog.refreshByPath(summaryDir)
   }
 
@@ -217,4 +234,91 @@ object SummaryStream {
   def compact(spark: SparkSession, basePath: String, summaryDir: String,
       dims: Seq[String], measures: Seq[String]): Unit =
     compact(spark, summaryDir, dims)
+
+  // ---- deletes -----------------------------------------------------
+  // Two lifecycles, matching how data actually leaves a 100 TB fact:
+  //  - RETENTION (whole ingest batches expire): [[deleteChunk]] drops
+  //    the batch's partial rows — an exact subtraction for EVERY
+  //    measure kind (sums, min/max, HLL/hist/KMV/MG/sample sketches),
+  //    because the chunk's partials are precisely its contribution.
+  //  - ROW-LEVEL deletes (GDPR erasure, bad-record takedowns):
+  //    [[retract]] appends a chunk of NEGATED partials, so the
+  //    sign-foldable family (COUNT/SUM/AVG/variance) nets out exactly
+  //    with no rollup rewrite; non-invertible partials (MIN/MAX,
+  //    sketches) cannot retract, so the serve falls back to base for
+  //    them until a `register(refresh = true)` rebuild clears the
+  //    [[SummaryRewrite.RetractedMarker]].
+
+  /** Drop one ingest batch's partials from the rollup — the retention
+    * delete. The caller deletes the matching base files under its own
+    * protocol; the rollup subtraction here is exact for every measure
+    * kind, including the non-invertible ones, because a chunk's
+    * partial rows are exactly its contribution to every fold.
+    */
+  def deleteChunk(spark: SparkSession, summaryDir: String,
+      chunk: Long): Unit = {
+    val dir = new Path(summaryDir, s"chunk=$chunk")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir),
+      s"no chunk=$chunk partition under $summaryDir")
+    fs.delete(dir, true)
+    spark.catalog.refreshByPath(summaryDir)
+  }
+
+  /** Append a retraction chunk for `deleted` base rows (the caller
+    * removes the rows from the base itself): sign-foldable partials
+    * (cnt, s_/sd_/ss_/c_) are NEGATED so every serve-side SUM nets
+    * them out per dim group; non-invertible partials (mn_/mx_ and all
+    * sketch columns) are written NULL — their combiners skip nulls —
+    * and the [[SummaryRewrite.RetractedMarker]] makes the rewrite
+    * refuse to serve the aggregates they back (plus grouping-set and
+    * join-spine shapes, and it net-count-filters groups whose rows
+    * were ALL deleted) until a `refresh = true` rebuild. `measures` /
+    * `exprs` must cover the registration's — a missing measure would
+    * write a NULL partial that a SUM fold silently SKIPS (checked
+    * against the live schema).
+    *
+    * `chunk` must be unique among retraction chunks and never collide
+    * with an append batch id — use descending ids from -2 (the base
+    * build owns -1, stream batches own 0..N).
+    */
+  def retract(spark: SparkSession, basePath: String, summaryDir: String,
+      deleted: DataFrame, dims: Seq[String], measures: Seq[String],
+      chunk: Long,
+      exprs: Seq[ExprMeasure] = Nil): Unit = {
+    require(chunk <= -2,
+      s"retraction chunks use ids <= -2 (got $chunk): -1 is the base " +
+        "build, 0..N are stream batches")
+    val live = spark.read.parquet(summaryDir).schema
+    val part = SummaryRewrite.partialRollup(deleted, dims, measures,
+      exprs = exprs)
+    val have = part.columns.toSet
+    val needed = live.fieldNames.filter(n =>
+      n.startsWith("s_") || n.startsWith("sd_") ||
+        n.startsWith("ss_") || n.startsWith("c_"))
+    val missing = needed.filterNot(have.contains)
+    require(missing.isEmpty,
+      s"retract must cover every sign-foldable partial of the rollup " +
+        s"at $summaryDir; missing: ${missing.mkString(", ")} — pass " +
+        "the registration's full measures/exprs lists")
+    val cols = live.fields.toSeq.filter(_.name != "chunk").map { f =>
+      f.name match {
+        case n if dims.contains(n) => col(n).cast(f.dataType).as(n)
+        case "cnt" => (-col("cnt")).cast(f.dataType).as("cnt")
+        case n if needed.contains(n) => (-col(n)).cast(f.dataType).as(n)
+        case n => lit(null).cast(f.dataType).as(n)
+      }
+    }
+    part.select(cols: _*)
+      .withColumn("chunk", lit(chunk))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk").parquet(summaryDir)
+    val marker = new Path(summaryDir, SummaryRewrite.RetractedMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(marker, true).close()
+    SummaryRewrite.markRetracted(spark, basePath)
+    spark.catalog.refreshByPath(summaryDir)
+  }
 }
