@@ -127,6 +127,9 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
       "post /collections/{name}/summary/distinct" -> "HLL distinct estimate from the rollup",
       "post /collections/{name}/summary/quantile" -> "histogram quantiles from the rollup",
+      "post /collections/{name}/summary/samplequantile" -> "bottom-k sample quantiles from the rollup (range-free, deterministic)",
+      "post /collections/{name}/summary/retract" -> "propagate a row-level base delete into the rollup as negated partials",
+      "delete /collections/{name}/summary/chunk/{id}" -> "retention delete: drop one ingest batch's partials",
       "post /collections/{name}/summary/topitems" -> "Misra-Gries frequent items from the rollup",
       "post /collections/{name}/summary/overlap" -> "KMV distinct-overlap of dim groups from the rollup",
       "post /collections/{name}/summary/centroid" -> "per-group embedding centroids from the rollup",
@@ -162,7 +165,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       histograms: Seq[graft.plans.SummaryRewrite.HistSpec] = Nil,
       items: Seq[graft.plans.SummaryRewrite.ItemsSpec] = Nil,
       kmvs: Seq[graft.plans.SummaryRewrite.KmvSpec] = Nil,
-      vecs: Seq[graft.plans.SummaryRewrite.VecSpec] = Nil)
+      vecs: Seq[graft.plans.SummaryRewrite.VecSpec] = Nil,
+      samples: Seq[graft.plans.SummaryRewrite.SampleQSpec] = Nil)
   private val summaries = new java.util.concurrent.ConcurrentHashMap[
     String, SummaryReg]()
 
@@ -1270,6 +1274,19 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           val vecCols = jsonStringArray(body, "vec_cols").getOrElse(Nil)
           val vecs = vecCols.map(c =>
             graft.plans.SummaryRewrite.VecSpec(c))
+          // optional bottom-k sample-quantile sketches
+          // ("sample_cols":["latency:request_id"] — value:unique-id
+          // pairs; k via "sample_k", default 1024)
+          val smpK = jsonField(body, "sample_k").flatMap(s =>
+            scala.util.Try(s.toInt).toOption).getOrElse(1024)
+          val smpRaw = jsonStringArray(body, "sample_cols").getOrElse(Nil)
+          val samples = smpRaw.flatMap { s =>
+            s.split(':') match {
+              case Array(v, id) => Some(
+                graft.plans.SummaryRewrite.SampleQSpec(id, v, smpK))
+              case _ => None
+            }
+          }
           val cols = df.columns.toSet
           val paths = df.queryExecution.optimizedPlan.collect {
             case l: org.apache.spark.sql.execution.datasources
@@ -1294,9 +1311,17 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 respond(ex, 400,
                   s"""{"error":"kmv_k must be in [2, """ +
                     s"""${graft.operators.Kmv.MaxK}]"}""")
+              else if (smpK < 2 || smpK > graft.operators.Smp.MaxK)
+                respond(ex, 400,
+                  s"""{"error":"sample_k must be in [2, """ +
+                    s"""${graft.operators.Smp.MaxK}]"}""")
+              else if (samples.size != smpRaw.size)
+                respond(ex, 400,
+                  """{"error":"sample_cols entries must be """ +
+                    """value:id pairs"}""")
               else if (!(dims ++ measures ++ hllKeys ++
                   histograms.map(_.col) ++ items.map(_.col) ++ kmvKeys ++
-                  vecCols)
+                  vecCols ++ samples.map(_.value) ++ samples.map(_.id))
                   .forall(c => validIdent(c) && cols.contains(c)))
                 respond(ex, 400,
                   s"""{"error":"dims/measures/sketch columns must be """ +
@@ -1311,9 +1336,11 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 graft.plans.SummaryRewrite.register(spark, paths.head,
                   sumDir, dims, measures, refresh = refresh,
                   sketches = sketches, histograms = histograms,
-                  items = items, kmvs = kmvs, vecs = vecs)
+                  items = items, kmvs = kmvs, vecs = vecs,
+                  samples = samples)
                 summaries.put(name, SummaryReg(paths.head, sumDir, dims,
-                  measures, sketches, histograms, items, kmvs, vecs))
+                  measures, sketches, histograms, items, kmvs, vecs,
+                  samples))
                 val chunks = spark.read.parquet(sumDir)
                   .select(col("chunk")).distinct().count()
                 respond(ex, 200,
@@ -1324,6 +1351,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                     s""""items":${items.size},""" +
                     s""""kmvs":${kmvs.size},""" +
                     s""""vecs":${vecs.size},""" +
+                    s""""samples":${samples.size},""" +
                     s""""chunks":$chunks}""")
               }
           }
@@ -1402,6 +1430,123 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 (ds ++ vs).mkString("{", ",", "}")
               }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"results":$items}""")
+            }
+        }
+
+      // serve range-free quantiles from the rollup's bottom-k sample
+      // sketches: {"col":"latency","qs":[0.5,0.99],"dims":["day"]} —
+      // per-chunk samples fold by k-hash-smallest, the read is the
+      // lower order statistic of the folded sample's values (an
+      // actual data value; exact below saturation, deterministic
+      // always). dims empty or absent = global
+      case ("POST",
+          List("collections", name, "summary", "samplequantile")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val colName = jsonField(body, "col")
+            val gdims = jsonStringArray(body, "dims").getOrElse(Nil)
+            val qs = jsonFloatArray(body, "qs")
+              .map(_.toSeq.map(_.toDouble)).getOrElse(Seq(0.5))
+            if (!colName.exists(c => reg.samples.exists(_.value == c)))
+              respond(ex, 400,
+                s"""{"error":"col must be one of the registered """ +
+                  s"""sample_cols: ${reg.samples.map(_.value)
+                    .mkString(",")}"}""")
+            else if (!gdims.forall(reg.dims.contains))
+              respond(ex, 400, s"""{"error":"dims must be rollup dims"}""")
+            else if (qs.isEmpty || qs.exists(q => q < 0 || q > 1))
+              respond(ex, 400, """{"error":"qs must be in [0, 1]"}""")
+            else {
+              val rows = graft.plans.SummaryRewrite.sampleQuantiles(
+                spark, reg.summaryDir, gdims, colName.get, qs).collect()
+              val items = rows.map { r =>
+                val ds = gdims.indices.map(i =>
+                  s""""${gdims(i)}":${jsonId(r.get(i))}""")
+                val n = s""""n_sample":${
+                  if (r.isNullAt(gdims.size)) "null"
+                  else r.getInt(gdims.size).toString}"""
+                val vs = qs.indices.map { i =>
+                  val v = r.get(gdims.size + 1 + i)
+                  s""""p${math.round(qs(i) * 100)}":${
+                    if (v == null) "null" else v.toString}"""
+                }
+                (ds ++ (n +: vs)).mkString("{", ",", "}")
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+            }
+        }
+
+      // row-level delete propagation: {"where":"<predicate over base
+      // columns>","chunk":-2} appends sign-negated partials for the
+      // matching rows (SummaryStream.retract), so COUNT/SUM/AVG keep
+      // serving net values while MIN/MAX and distinct shapes fall
+      // back to base until a refresh rebuild. The BASE delete itself
+      // is the caller's storage operation — this endpoint keeps the
+      // rollup consistent with it.
+      case ("POST", List("collections", name, "summary", "retract")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val pred = jsonField(body, "where")
+            val chunk = jsonField(body, "chunk").flatMap(s =>
+              scala.util.Try(s.toLong).toOption).getOrElse(-2L)
+            tableOr404(ex, name).foreach { df =>
+              if (pred.isEmpty)
+                respond(ex, 400,
+                  """{"error":"where predicate is required"}""")
+              else {
+                try {
+                  val deleted = df.where(expr(pred.get))
+                  val n = deleted.count()
+                  graft.streaming.SummaryStream.retract(spark,
+                    reg.dataPath, reg.summaryDir, deleted, reg.dims,
+                    reg.measures, chunk)
+                  respond(ex, 200,
+                    s"""{"retracted":"$name","rows":$n,""" +
+                      s""""chunk":$chunk,"restriction":"min/max and """ +
+                      """distinct shapes serve from base until a """ +
+                      """refresh rebuild"}""")
+                } catch {
+                  case e: IllegalArgumentException =>
+                    respond(ex, 400, s"""{"error":"${graft.util.Json
+                      .escape(e.getMessage)}"}""")
+                  case scala.util.control.NonFatal(e) =>
+                    respond(ex, 400, s"""{"error":"${graft.util.Json
+                      .escape("bad predicate: " + e.getMessage)}"}""")
+                }
+              }
+            }
+        }
+
+      // retention delete: drop one ingest batch's partials — exact
+      // for every measure kind, no serve restriction
+      case ("DELETE",
+          List("collections", name, "summary", "chunk", chunkId)) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            scala.util.Try(chunkId.toLong).toOption match {
+              case None =>
+                respond(ex, 400, """{"error":"chunk must be a long"}""")
+              case Some(c) =>
+                try {
+                  graft.streaming.SummaryStream.deleteChunk(spark,
+                    reg.summaryDir, c)
+                  respond(ex, 200,
+                    s"""{"deleted_chunk":$c,"summary":"$name"}""")
+                } catch {
+                  case e: IllegalArgumentException =>
+                    respond(ex, 404, s"""{"error":"${graft.util.Json
+                      .escape(e.getMessage)}"}""")
+                }
             }
         }
 
@@ -1654,10 +1799,15 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             val items = byChunk.map(r =>
               s"""{"chunk":${r.get(0)},"rows":${r.getLong(1)}}""")
               .mkString("[", ",", "]")
+            val (fired, errors) = graft.plans.SummaryRewrite.stats
+            val retracted = graft.plans.SummaryRewrite
+              .entryFor(spark, reg.dataPath).exists(_.retracted)
             respond(ex, 200,
               s"""{"summary":"$name","n_chunks":${byChunk.length},""" +
                 s""""dims":[${reg.dims.map("\"" + _ + "\"").mkString(",")}],""" +
                 s""""measures":[${reg.measures.map("\"" + _ + "\"").mkString(",")}],""" +
+                s""""retracted":$retracted,""" +
+                s""""rule":{"fired":$fired,"errors":$errors},""" +
                 s""""chunks":$items}""")
         }
 

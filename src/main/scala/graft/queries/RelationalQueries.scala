@@ -448,6 +448,76 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // RETENTION delete lifecycle: data leaves a 100 TB fact as whole
+    // expired ingest batches, and because the rollup keeps each
+    // batch's PARTIALS under its own chunk partition, retention is
+    // one partition drop (SummaryStream.deleteChunk) — an exact
+    // subtraction for EVERY measure kind including the
+    // non-invertible MIN/MAX (a chunk's partial rows are precisely
+    // its contribution to every fold). The face ingests two "days",
+    // expires the newer one from base and rollup, and the query —
+    // counts, exact decimal sum, min AND max — still serves from the
+    // rollup, hash-matched by DuckDB on the retained rows.
+    "q_mv_retention" -> ((s, dir) => {
+      val root = mvSummaryDir(dir) + "_retention"
+      val base = s"${root}_base"; val roll = s"${root}_roll"
+      val orders = t(s, dir, "orders")
+      val cut = lit("1998-01-01").cast("timestamp")
+      val part0 = orders.where($"o_orderdate" < cut)
+      val part1 = orders.where($"o_orderdate" >= cut)
+      part0.write.mode("overwrite").parquet(base)
+      graft.plans.SummaryRewrite.register(s, base, roll,
+        Seq("o_orderstatus"), Seq("o_totalprice"), refresh = true,
+        declaredScale = Map("o_totalprice" -> 2))
+      graft.streaming.SummaryStream.processBatch(part1, 1L, roll,
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      part1.write.mode("append").parquet(base)
+      // the newer batch expires: drop its partials and its base files
+      graft.streaming.SummaryStream.deleteChunk(s, roll, 1L)
+      part0.write.mode("overwrite").parquet(base)
+      s.catalog.refreshByPath(base)
+      s.read.parquet(base).groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count($"o_totalprice").as("n_vals"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+            .as("total"),
+          min($"o_totalprice").as("lo"),
+          max($"o_totalprice").as("hi"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // ROW-LEVEL delete lifecycle (GDPR erasure / bad-record
+    // takedowns): SummaryStream.retract appends a chunk of NEGATED
+    // partials, so COUNT/SUM/AVG net out per dim group with no
+    // rollup rewrite — including a group whose rows were ALL deleted
+    // ('P' here), which the serve's net-count guard drops exactly as
+    // the base GROUP BY does. MIN/MAX and distinct shapes fall back
+    // to base until a refresh rebuild (pinned in
+    // SummaryRewriteSpec). DuckDB restates the post-delete truth on
+    // the raw table; the exact decimal sum must match bit for bit
+    // through the sign-folded partials.
+    "q_mv_retract" -> ((s, dir) => {
+      val root = mvSummaryDir(dir) + "_retract"
+      val base = s"${root}_base"; val roll = s"${root}_roll"
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").parquet(base)
+      graft.plans.SummaryRewrite.register(s, base, roll,
+        Seq("o_orderstatus"), Seq("o_totalprice"), refresh = true,
+        declaredScale = Map("o_totalprice" -> 2))
+      val doomed = $"o_orderstatus" === "P" || $"o_orderkey" % 7 === 0
+      graft.streaming.SummaryStream.retract(s, base, roll,
+        orders.where(doomed), Seq("o_orderstatus"),
+        Seq("o_totalprice"), chunk = -2L)
+      orders.where(!doomed).write.mode("overwrite").parquet(base)
+      s.catalog.refreshByPath(base)
+      s.read.parquet(base).groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count($"o_totalprice").as("n_vals"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // Opt-in approximate COUNT(DISTINCT): under
     // graft.mv.approxDistinct=true, COUNT(DISTINCT l_orderkey) — a
     // key the rollup carries an HLL sketch of — re-plans to the
@@ -1115,6 +1185,26 @@ object RelationalQueries {
         |FROM g ORDER BY l_returnflag""".stripMargin,
     "q_sample_quantile" -> sampleQuantileOracle,
     "q_mv_sample_quantile" -> sampleQuantileOracle,
+    // retention drop of the post-cut ingest batch: the rollup-served
+    // answer must equal the raw table filtered to the retained rows
+    "q_mv_retention" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | count(o_totalprice) AS n_vals,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS total,
+        | min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // row-level retraction: sign-folded partials must reproduce the
+    // post-delete truth, and the all-deleted 'P' group must vanish
+    "q_mv_retract" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | count(o_totalprice) AS n_vals,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS total
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'P' OR o_orderkey % 7 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_mv_star_louter" ->
       """WITH dim(rf, rf_name) AS (
         |  VALUES ('A', 'returned'), ('N', 'in_flight'),

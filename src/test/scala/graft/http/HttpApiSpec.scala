@@ -808,6 +808,98 @@ class HttpApiSpec extends SparkSuite {
     assert(delete("/collections/li_mv_sk/summary").statusCode() === 200)
   }
 
+  test("summary delete lifecycles over REST: sample quantiles serve " +
+      "deterministically, retract nets sums and flips stats, chunk " +
+      "delete drops a batch") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max,
+      min, sum}
+    val ordPath = s"$sf0001/orders.parquet"
+    spark.read.parquet(ordPath).createOrReplaceTempView("ord_mv_del")
+    val reg = post("/collections/ord_mv_del/summary",
+      """{"dims":["o_orderstatus"],
+        |"measures":["o_totalprice","o_custkey"],"refresh":true,
+        |"sample_cols":["o_totalprice:o_orderkey"],"sample_k":64}"""
+        .stripMargin.replace("\n", ""))
+    assert(reg.statusCode() === 200, reg.body())
+    assert(reg.body().contains("\"samples\":1"), reg.body())
+    // malformed sample_cols entry is a 400, not a silent drop
+    assert(post("/collections/ord_mv_del/summary",
+      """{"dims":["o_orderstatus"],"measures":["o_totalprice"],
+        |"sample_cols":["o_totalprice"]}"""
+        .stripMargin.replace("\n", "")).statusCode() === 400)
+    // sample quantiles: 3 status groups, saturated k=64, and the read
+    // is DETERMINISTIC — two calls byte-match
+    val sq = post("/collections/ord_mv_del/summary/samplequantile",
+      """{"col":"o_totalprice","qs":[0.5,1.0],"dims":["o_orderstatus"]}""")
+    assert(sq.statusCode() === 200, sq.body())
+    assert("\"n_sample\":64".r.findAllIn(sq.body()).size === 3,
+      sq.body())
+    val mx = spark.read.parquet(ordPath).agg(max(col("o_totalprice")))
+      .head().getDouble(0)
+    val p100s = "\"p100\":([0-9.E]+)".r.findAllMatchIn(sq.body())
+      .map(_.group(1).toDouble).toSeq
+    assert(p100s.size === 3 && p100s.forall(_ <= mx), sq.body())
+    val sq2 = post("/collections/ord_mv_del/summary/samplequantile",
+      """{"col":"o_totalprice","qs":[0.5,1.0],"dims":["o_orderstatus"]}""")
+    assert(sq2.body() === sq.body(), "sample reads must be deterministic")
+    assert(post("/collections/ord_mv_del/summary/samplequantile",
+      """{"col":"nope","qs":[0.5]}""").statusCode() === 400)
+    // retract a row-level delete: sums/counts serve NET values from
+    // the rollup; stats flips retracted; min/max falls back to base
+    val r = post("/collections/ord_mv_del/summary/retract",
+      """{"where":"o_orderkey % 10 = 0","chunk":-2}""")
+    assert(r.statusCode() === 200, r.body())
+    val stats = get("/collections/ord_mv_del/summary/stats")
+    assert(stats.body().contains("\"retracted\":true"), stats.body())
+    assert(stats.body().contains("\"rule\":{\"fired\":"), stats.body())
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+    val net = spark.read.parquet(ordPath).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"))
+      .orderBy(col("o_orderstatus"))
+    assert(scansOf(net).exists(_.contains("graft_http_summary")),
+      "sum family must keep serving under retraction")
+    val want = spark.read.parquet(ordPath)
+      .where(expr("o_orderkey % 10 <> 0"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"))
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    assert(net.collect().toSeq === want,
+      "served sums must net out the retracted rows")
+    val mnq = spark.read.parquet(ordPath).groupBy(col("o_orderstatus"))
+      .agg(min(col("o_totalprice")).as("lo"))
+    assert(!scansOf(mnq).exists(_.contains("graft_http_summary")),
+      "min/max must fall back to base under retraction")
+    // bad predicate is a 400, not a 500
+    assert(post("/collections/ord_mv_del/summary/retract",
+      """{"where":"NOT A PREDICATE ((","chunk":-3}""").statusCode()
+      === 400)
+    // retention: plant a delta batch, then expire it over REST
+    val sumDir = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_http_summary_${java.lang.ProcessHandle.current().pid()}_ord_mv_del"
+    graft.streaming.SummaryStream.processBatch(
+      spark.read.parquet(ordPath).limit(7), 9L, sumDir,
+      Seq("o_orderstatus"), Seq("o_totalprice", "o_custkey"),
+      samples = Seq(graft.plans.SummaryRewrite.SampleQSpec(
+        "o_orderkey", "o_totalprice", 64)))
+    assert(get("/collections/ord_mv_del/summary/stats").body()
+      .contains("\"chunk\":9"))
+    assert(delete("/collections/ord_mv_del/summary/chunk/9")
+      .statusCode() === 200)
+    assert(!get("/collections/ord_mv_del/summary/stats").body()
+      .contains("\"chunk\":9"))
+    assert(delete("/collections/ord_mv_del/summary/chunk/99")
+      .statusCode() === 404)
+    assert(delete("/collections/ord_mv_del/summary").statusCode()
+      === 200)
+  }
+
   test("summary advisor over REST: a SQL workload is analyzed (never " +
       "executed) into a costed registration; guards 400") {
     spark.read.parquet(s"$sf0001/lineitem.parquet")
