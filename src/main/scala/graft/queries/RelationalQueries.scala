@@ -816,7 +816,16 @@ object RelationalQueries {
         graft.plans.SummaryRewrite.ExprMeasure("revenue",
           mvRevenueSql),
         graft.plans.SummaryRewrite.ExprMeasure("qty_dec",
-          "CAST(l_quantity AS DECIMAL(12,2))")),
+          "CAST(l_quantity AS DECIMAL(12,2))"),
+        // q_pricing_summary's OWN revenue spelling (both discount
+        // operands at DECIMAL(18,2)): registering it means the
+        // headline TPC-H Q1 face itself re-plans onto the rollup
+        // once this registration is live — the dashboard query the
+        // whole MV family exists for (pinned in SummaryRewriteSpec)
+        graft.plans.SummaryRewrite.ExprMeasure("disc_price",
+          "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(CAST(1 AS DECIMAL(18,2)) - " +
+            "CAST(l_discount AS DECIMAL(18,2)))")),
       samples = Seq(
         graft.plans.SummaryRewrite.SampleQSpec(mvSampleIdSql,
           "l_extendedprice", 256)))

@@ -763,4 +763,22 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(scanPaths(q).exists(_.contains("rollup")))
     assert(q.collect().head.getLong(0) == 401L)
   }
+
+  test("the headline TPC-H Q1 face (q_pricing_summary) itself serves " +
+      "from the registered lineitem rollup, value-exact") {
+    val dir = sf0001
+    // any mv face installs the lineitem registration (idempotent);
+    // the Q1 face's own revenue spelling is a registered ExprMeasure
+    graft.SparkEntry.queries("q_mv_derived_measure")(spark, dir)
+      .collect()
+    val q = graft.SparkEntry.queries("q_pricing_summary")(spark, dir)
+    assert(scanPaths(q).exists(_.contains("graft_mv_")),
+      s"Q1 must re-plan onto the rollup, scanned: ${scanPaths(q)}")
+    val got = q.collect().map(_.toSeq).toSeq
+    SummaryRewrite.clear()
+    val want = graft.SparkEntry.queries("q_pricing_summary")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "rollup-served Q1 must be value-exact")
+    reRegister() // restore this spec's registration
+  }
 }
