@@ -218,6 +218,14 @@ object VectorFunctions {
         graft.operators.SampleQuantile(e(0), dlit(e(1), "q"))),
       "sample_n" -> ((e: Seq[Expression]) =>
         graft.operators.SampleSize(e(0))),
+      // integer-grid priority-sampling key (Duffield/Lund/Thorup):
+      // floor(unsigned(hash64(id)) * 2^20 / w) as DECIMAL(38,0) —
+      // the k smallest keys are a deterministic weighted sample
+      // (inclusion probability ∝ w). ORDER BY priority_key(id, w)
+      // LIMIT k plans as TakeOrderedAndProject: no global sort.
+      "priority_key" -> ((e: Seq[Expression]) =>
+        graft.operators.PriorityKey(e(0),
+          Cast(e(1), org.apache.spark.sql.types.LongType))),
       // bounded top-k-by-score aggregate on the SQL surface: per group,
       // the k (id, score) pairs with the smallest scores, map-side
       // bounded — the SQL spelling of the kNN result aggregation,

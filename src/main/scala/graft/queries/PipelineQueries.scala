@@ -92,6 +92,22 @@ object PipelineQueries {
     "q_token_budget_mix" -> ((s, dir) =>
       viaSql(s, dir, "documents", PO.tokenBudgetMixSql(TA.SparkDialect))),
 
+    // Deterministic WEIGHTED sampling (integer-grid priority
+    // sampling, PrioritySample.scala): the 64 documents with the
+    // smallest floor(U(doc_id) * 2^20 / n_chars) keys — inclusion
+    // probability ∝ length, membership a pure function of (id, w),
+    // so the draw is reproducible across runs/partitionings and
+    // DuckDB restates the hash chain + integer key + top-k exactly.
+    // Plans as TakeOrderedAndProject: per-partition top-k, no global
+    // sort — the weighted corpus-mixing draw at 100 TB.
+    "q_priority_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.PrioritySample.sample(
+          Tables(s, dir, "documents"), $"doc_id", $"n_chars", 64)
+        .select($"doc_id", $"n_chars", $"source")
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic 90/5/5 split assignment, decorrelated from the
     // mixing draw — leak-free eval sets under retries and re-runs.
     "q_dataset_split" -> ((s, dir) =>
@@ -267,6 +283,34 @@ object PipelineQueries {
     "q_token_budget_mix" -> PO.tokenBudgetMixSql(TA.DuckDialect),
     "q_zorder_key" -> PO.zorderSql(TA.DuckDialect,
       "orders", "o_orderkey", "o_custkey", "o_orderkey"),
+    // the same Hll.hash64 HUGEINT chain as the HLL/sample oracles,
+    // then the integer-grid priority key (u * 2^20) // w and the
+    // 64 smallest (ties by doc_id) — every step pure integer math,
+    // so the weighted draw matches the JVM bit for bit
+    "q_priority_sample" ->
+      """WITH u0 AS (
+        |  SELECT doc_id, n_chars, source,
+        |    ((CAST(doc_id AS HUGEINT) % 18446744073709551616
+        |      + 18446744073709551616) % 18446744073709551616) AS v
+        |  FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL),
+        |s1 AS (SELECT doc_id, n_chars, source, xor(v, v // 4096) AS v
+        |  FROM u0),
+        |m1 AS (SELECT doc_id, n_chars, source,
+        |  (v * 2685821657736338717) % 18446744073709551616 AS v
+        |  FROM s1),
+        |s2 AS (SELECT doc_id, n_chars, source,
+        |  xor(v, v // 33554432) AS v FROM m1),
+        |m2 AS (SELECT doc_id, n_chars, source,
+        |  (v * 2685821657736338717) % 18446744073709551616 AS v
+        |  FROM s2),
+        |h AS (SELECT doc_id, n_chars, source,
+        |  xor(v, v // 134217728) AS u FROM m2),
+        |kk AS (SELECT doc_id, n_chars, source,
+        |  (u * 1048576) // n_chars AS pk FROM h),
+        |top AS (SELECT doc_id, n_chars, source FROM kk
+        |  ORDER BY pk, doc_id LIMIT 64)
+        |SELECT doc_id, n_chars, source FROM top
+        |ORDER BY doc_id""".stripMargin,
     "q_dataset_split" -> PO.datasetSplitSql(TA.DuckDialect),
     "q_leakage_split" -> PO.leakageSplitSql(TA.DuckDialect),
     "q_corpus_diff" ->
