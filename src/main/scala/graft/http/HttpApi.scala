@@ -1771,6 +1771,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   s""""expr_measures":${arr(rec.exprMeasures
                     .map(em => graft.util.Json.escape(em.sql)))},""" +
                   s""""hll_keys":${arr(rec.sketchKeys)},""" +
+                  s""""sample_cols":${arr(rec.sampleCols)},""" +
                   s""""fact_rows":${rec.factRows},""" +
                   s""""rollup_rows":${rec.rollupRows},""" +
                   s""""reduction":${

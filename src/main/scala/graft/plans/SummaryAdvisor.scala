@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Count, Max, Min, StddevPop,
-  StddevSamp, Sum, VariancePop, VarianceSamp}
+  AggregateExpression, ApproximatePercentile, Average, Count, Max,
+  Min, Percentile, StddevPop, StddevSamp, Sum, VariancePop,
+  VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
@@ -51,22 +52,38 @@ object SummaryAdvisor {
       measureCols: Seq[String], distinctKeys: Seq[String],
       servable: Boolean, reason: String,
       sumLikeCols: Seq[String] = Nil,
-      exprSqls: Seq[String] = Nil)
+      exprSqls: Seq[String] = Nil,
+      percentileCols: Seq[String] = Nil)
 
   case class Recommendation(
       dims: Seq[String], measures: Seq[String],
       sketchKeys: Seq[String],
       factRows: Long, rollupRows: Long, reduction: Double,
       servable: Int, total: Int, reports: Seq[QueryReport],
-      exprMeasures: Seq[SummaryRewrite.ExprMeasure] = Nil) {
+      exprMeasures: Seq[SummaryRewrite.ExprMeasure] = Nil,
+      sampleCols: Seq[String] = Nil) {
 
-    /** Apply the recommendation: register (and build) the rollup. */
+    /** Apply the recommendation: register (and build) the rollup.
+      * A workload with percentile reads recommends bottom-k sample
+      * sketches ([[sampleCols]]) — those need a UNIQUE row id to
+      * hash, which only the caller knows: pass it as `sampleId`.
+      */
     def register(spark: SparkSession, basePath: String,
-        summaryDir: String, refresh: Boolean = false): Unit =
+        summaryDir: String, refresh: Boolean = false,
+        sampleId: String = ""): Unit = {
+      require(sampleCols.isEmpty || sampleId.nonEmpty,
+        "the workload reads percentiles of " +
+          s"${sampleCols.mkString(", ")}: pass sampleId (a unique " +
+          "row id column/expression) to carry the sample sketches")
       SummaryRewrite.register(spark, basePath, summaryDir,
         dims, measures, refresh = refresh,
         sketches = sketchKeys.map(k => SummaryRewrite.SketchSpec(k)),
-        exprs = exprMeasures)
+        exprs = exprMeasures,
+        samples =
+          if (sampleId.isEmpty) Nil
+          else sampleCols.map(c =>
+            SummaryRewrite.SampleQSpec(sampleId, c)))
+    }
   }
 
   private def numeric(t: DataType): Boolean = t match {
@@ -210,6 +227,7 @@ object SummaryAdvisor {
         var sumLikeCols = Vector.empty[String]
         var distinctKeys = Vector.empty[String]
         var exprSqls = Vector.empty[String]
+        var percentileCols = Vector.empty[String]
         var bad = Option.empty[String]
         def measureInput(c: Expression, what: String,
             sumLike: Boolean = false): Unit = c match {
@@ -263,6 +281,28 @@ object SummaryAdvisor {
                 "STDDEV_POP", sumLike = true)
               case ss: StddevSamp =>
                 measureInput(ss.child, "STDDEV_SAMP", sumLike = true)
+              // percentile reads over a bare numeric column:
+              // recommend a bottom-k sample sketch — served through
+              // the explicit sampleQuantiles read (like sketch-served
+              // distinct counts, an estimate is asked for, never
+              // silently substituted)
+              case p: Percentile => p.children.head match {
+                case ar: AttributeReference
+                    if baseTypes.get(ar.name).exists(numeric) =>
+                  percentileCols :+= ar.name
+                case other => bad = bad.orElse(Some(
+                  s"PERCENTILE over a non-column expression: " +
+                    s"${other.sql}"))
+              }
+              case ap: ApproximatePercentile =>
+                ap.children.head match {
+                  case ar: AttributeReference
+                      if baseTypes.get(ar.name).exists(numeric) =>
+                    percentileCols :+= ar.name
+                  case other => bad = bad.orElse(Some(
+                    s"PERCENTILE_APPROX over a non-column " +
+                      s"expression: ${other.sql}"))
+                }
               case f => bad = bad.orElse(Some(
                 s"aggregate ${f.prettyName} is unservable"))
             }
@@ -272,7 +312,8 @@ object SummaryAdvisor {
           measureCols.distinct.sorted, distinctKeys.distinct.sorted,
           servable = bad.isEmpty, bad.getOrElse("ok"),
           sumLikeCols = sumLikeCols.distinct.sorted,
-          exprSqls = exprSqls.distinct.sorted)
+          exprSqls = exprSqls.distinct.sorted,
+          percentileCols = percentileCols.distinct.sorted)
       }
     }
 
@@ -322,7 +363,8 @@ object SummaryAdvisor {
     Recommendation(dims, measures, sketchKeys, factRows, rollupRows,
       if (rollupRows == 0) 0.0 else factRows.toDouble / rollupRows,
       finalReports.count(_.servable), finalReports.size, finalReports,
-      exprMeasures)
+      exprMeasures,
+      sampleCols = reports.flatMap(_.percentileCols).distinct.sorted)
   }
 
   /** The recommendation as a one-row DataFrame (REST/SQL-friendly).
@@ -342,6 +384,7 @@ object SummaryAdvisor {
       lit(r.measures.mkString(",")).as("measures"),
       lit(r.exprMeasures.map(_.sql).mkString("; ")).as("expr_measures"),
       lit(r.sketchKeys.mkString(",")).as("sketch_keys"),
+      lit(r.sampleCols.mkString(",")).as("sample_cols"),
       lit(r.factRows).as("fact_rows"),
       lit(r.rollupRows).as("rollup_rows"),
       lit(red).as("reduction"),

@@ -407,7 +407,12 @@ object RelationalQueries {
             .agg(avg($"l_quantity").as("aq"), count(lit(1)).as("n")),
           li.agg(countDistinct($"l_orderkey").as("d")),
           li.groupBy($"l_returnflag")
-            .agg(sum($"l_quantity" * 2).as("bad"))))
+            .agg(sum($"l_quantity" * 2).as("bad")),
+          // a percentile read recommends a bottom-k SAMPLE sketch
+          // (sample_cols, served via the explicit sampleQuantiles
+          // read) and stays servable
+          li.groupBy($"l_returnflag")
+            .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))))
     }),
 
     // Bottom-k uniform row-sample quantiles, direct aggregate: the k
@@ -1256,10 +1261,11 @@ object RelationalQueries {
         | 'l_quantity' AS measures,
         | '(l_quantity * CAST(2 AS DOUBLE))' AS expr_measures,
         | 'l_orderkey' AS sketch_keys,
+        | 'l_extendedprice' AS sample_cols,
         | f.n AS fact_rows,
         | r.n AS rollup_rows,
         | (f.n * 10000 // r.n) / 10000.0 AS reduction,
-        | 4 AS servable, 4 AS total
+        | 5 AS servable, 5 AS total
         |FROM f, r""".stripMargin,
     "q_sessionize" ->
       """WITH d AS (

@@ -146,4 +146,45 @@ class SummaryAdvisorSpec extends SparkSuite {
     assert(row.getAs[Long]("fact_rows") == 200L)
     assert(row.getAs[Int]("servable") == 1)
   }
+
+  test("percentile reads recommend sample sketches; register needs a " +
+      "sampleId and the quantiles then serve from the rollup") {
+    val rec = SummaryAdvisor.recommend(spark, baseDir, Seq(
+      base.groupBy($"flag")
+        .agg(expr("percentile(price, 0.5)").as("p50")),
+      base.groupBy($"flag")
+        .agg(expr("percentile_approx(qty, 0.9)").as("p90"),
+          sum($"qty").as("s"))))
+    assert(rec.sampleCols == Seq("price", "qty"), rec.sampleCols)
+    assert(rec.servable == 2 && rec.total == 2,
+      rec.reports.map(_.reason))
+    // percentile over an expression is reported, not recommended
+    val bad = SummaryAdvisor.recommend(spark, baseDir, Seq(
+      base.groupBy($"flag")
+        .agg(expr("percentile(price * 2, 0.5)").as("p"))))
+    assert(bad.servable == 0 &&
+      bad.reports.head.reason.contains("PERCENTILE"))
+    // register refuses without a sampleId, accepts with one, and the
+    // rollup then serves the quantiles through sampleQuantiles
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_adv_smp").toString + "/rollup"
+    intercept[IllegalArgumentException] {
+      rec.register(spark, baseDir, sumDir, refresh = true)
+    }
+    rec.register(spark, baseDir, sumDir, refresh = true,
+      sampleId = "k")
+    try {
+      val got = SummaryRewrite.sampleQuantiles(spark, sumDir,
+        Seq("flag"), "price", Seq(0.5)).orderBy($"flag")
+        .collect().map(r => (r.getString(0), r.getDouble(2)))
+      // k=1024 default >= 100 rows per flag: exact order statistic
+      val want = base.select($"flag", $"price").collect()
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+          case (f, rows) =>
+            val vs = rows.map(_.getDouble(1)).sorted
+            (f, vs(math.floor(0.5 * (vs.length - 1)).toInt))
+        }
+      assert(got.toSeq == want)
+    } finally SummaryRewrite.unregister(spark, baseDir)
+  }
 }
