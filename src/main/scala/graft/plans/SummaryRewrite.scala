@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   LessThan, LessThanOrEqual, Literal, Multiply, NamedExpression, Sqrt,
   Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Count, Max, Min, StddevPop,
-  StddevSamp, Sum, VariancePop, VarianceSamp}
+  AggregateExpression, ApproximatePercentile, Average, Count, Max,
+  Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Expand, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.{
@@ -1109,6 +1109,44 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         // cast can overflow (the same guard as Sum's cast spelling)
         // MIN/MAX of a DIM is exact straight off the rollup rows
         // (every dim combination survives; nulls skipped identically)
+        // OPT-IN approximate percentile serving: percentile_approx
+        // over a measure the rollup carries a sample sketch of, ONLY
+        // under graft.mv.approxQuantile=true — percentile_approx is
+        // already an estimate by contract, and the flag makes the
+        // substitution of THIS estimator (the bottom-k sample's lower
+        // order statistic — deterministic, so the served value is
+        // reproducible and oracle-checkable) explicit, the same
+        // stance as graft.mv.approxDistinct. Not under retraction:
+        // sample sketches cannot retract deleted rows.
+        case ap: ApproximatePercentile
+            if !e.retracted && ap.percentageExpression.foldable &&
+              SparkSession.active.conf
+                .get("graft.mv.approxQuantile", "false") == "true" =>
+          ap.child match {
+            case ar: AttributeReference
+                if e.samples.exists(_.value == ar.name) =>
+              val sp = e.samples.find(_.value == ar.name).get
+              val merged = graft.operators.SampleMerge(
+                sOut(sp.colName), sp.k).toAggregateExpression(
+                  isDistinct = false, filter = filt)
+              def read(d: Double, t: DataType): Expression =
+                Cast(graft.operators.SampleQuantile(merged, d), t)
+              ap.percentageExpression.eval() match {
+                case d: java.lang.Double =>
+                  Some(read(d.doubleValue(), ae.dataType))
+                case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+                  ae.dataType match {
+                    case ArrayType(elemT, _) =>
+                      Some(org.apache.spark.sql.catalyst.expressions
+                        .CreateArray(arr.toDoubleArray().toSeq
+                          .map(read(_, elemT))))
+                    case _ => None
+                  }
+                case _ => None
+              }
+            case _ => None
+          }
+
         // MIN/MAX under retraction: a deleted row may have BEEN the
         // group extreme, and min/max partials are not sign-invertible
         // — fall back to the base until a refresh rebuild. (Dim

@@ -453,6 +453,34 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Opt-in approximate PERCENTILE serving: under
+    // graft.mv.approxQuantile=true, percentile_approx(m, q) for a
+    // sample-sketched measure re-plans to the rollup sample's lower
+    // order statistic — percentile_approx is an estimate by its own
+    // contract, the flag makes substituting THIS estimator explicit
+    // (the approxDistinct stance), and because bottom-k membership is
+    // deterministic the served estimate is hash-oracled bit for bit,
+    // scalar and array forms both. Flag frozen into the returned plan.
+    "q_mv_approx_quantile" -> ((s, dir) => {
+      registerMv(s, dir)
+      s.conf.set("graft.mv.approxQuantile", "true")
+      try {
+        val df = t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile_approx(l_extendedprice, 0.5)")
+              .as("p50"),
+            expr("percentile_approx(l_extendedprice, " +
+              "array(0.25, 0.9))").as("ps"))
+          // the array form exercises the CreateArray serve path; the
+          // gate hashes scalars, so project its elements out
+          .select($"l_returnflag", $"p50",
+            expr("ps[0]").as("p25"), expr("ps[1]").as("p90"))
+          .orderBy($"l_returnflag")
+        org.apache.spark.sql.graftshim.GraftShims.dataFrame(s,
+          df.queryExecution.optimizedPlan)
+      } finally s.conf.set("graft.mv.approxQuantile", "false")
+    }),
+
     // RETENTION delete lifecycle: data leaves a 100 TB fact as whole
     // expired ingest batches, and because the rollup keeps each
     // batch's PARTIALS under its own chunk partition, retention is
@@ -853,8 +881,8 @@ object RelationalQueries {
     * verbatim by the direct face and the rollup-served one: the fold
     * across dim groups and chunks must equal sketching the raw table.
     */
-  private val sampleQuantileOracle: String =
-    """WITH ids AS (
+  private def samplePipelineOracle(selects: String): String =
+    s"""WITH ids AS (
       |  SELECT l_returnflag AS g,
       |    l_orderkey * 8 + l_linenumber AS id, l_extendedprice AS val
       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
@@ -877,14 +905,20 @@ object RelationalQueries {
       |    row_number() OVER (PARTITION BY smp.g ORDER BY smp.val)
       |      AS vr
       |  FROM smp JOIN c ON c.g = smp.g)
-      |SELECT g AS l_returnflag, max(m) AS n_sample,
-      |  max(CASE WHEN vr = CAST(floor(0.25 * (m - 1)) AS BIGINT) + 1
-      |    THEN val END) AS p25,
-      |  max(CASE WHEN vr = CAST(floor(0.5 * (m - 1)) AS BIGINT) + 1
-      |    THEN val END) AS p50,
-      |  max(CASE WHEN vr = CAST(floor(0.9 * (m - 1)) AS BIGINT) + 1
-      |    THEN val END) AS p90
+      |SELECT g AS l_returnflag, $selects
       |FROM vv GROUP BY g ORDER BY l_returnflag""".stripMargin
+
+  /** One quantile's order-statistic read over the `vv` CTE. */
+  private def sampleQExpr(q: String): String =
+    s"""max(CASE WHEN vr = CAST(floor($q * (m - 1)) AS BIGINT) + 1
+       |    THEN val END)""".stripMargin
+  private def sampleQSel(q: String, as: String): String =
+    s"${sampleQExpr(q)} AS $as"
+
+  private val sampleQuantileOracle: String = samplePipelineOracle(
+    Seq("max(m) AS n_sample", sampleQSel("0.25", "p25"),
+      sampleQSel("0.5", "p50"), sampleQSel("0.9", "p90"))
+      .mkString(",\n  "))
 
   /** DuckDB restatement of Hll.hash64/bucket/rho (HllAggregate.scala)
     * at p=8, carried out entirely in the non-negative u64 slice of
@@ -1199,6 +1233,11 @@ object RelationalQueries {
         |FROM g ORDER BY l_returnflag""".stripMargin,
     "q_sample_quantile" -> sampleQuantileOracle,
     "q_mv_sample_quantile" -> sampleQuantileOracle,
+    // the OPT-IN percentile_approx substitution must equal the same
+    // bottom-k pipeline (scalar and array forms)
+    "q_mv_approx_quantile" -> samplePipelineOracle(Seq(
+      sampleQSel("0.5", "p50"), sampleQSel("0.25", "p25"),
+      sampleQSel("0.9", "p90")).mkString(",\n  ")),
     // retention drop of the post-cut ingest batch: the rollup-served
     // answer must equal the raw table filtered to the retained rows
     "q_mv_retention" ->

@@ -52,7 +52,10 @@ class SummaryRewriteSpec extends SparkSuite {
       // the registered side must match the query's FOLDED spelling
       exprs = Seq(SummaryRewrite.ExprMeasure("rev", "qty * price"),
         SummaryRewrite.ExprMeasure("drev",
-          "CAST(qty AS DECIMAL(10,1)) * 2")))
+          "CAST(qty AS DECIMAL(10,1)) * 2")),
+      // k=1024 >= every row count here: the sample IS the data, so
+      // opt-in percentile serves are exact order statistics
+      samples = Seq(SummaryRewrite.SampleQSpec("k", "price", 1024)))
 
   writeBase()
   reRegister()
@@ -762,6 +765,41 @@ class SummaryRewriteSpec extends SparkSuite {
     val q = base.agg(count(lit(1)).as("n"))
     assert(scanPaths(q).exists(_.contains("rollup")))
     assert(q.collect().head.getLong(0) == 401L)
+  }
+
+  test("percentile_approx serves from the sample sketch ONLY under " +
+      "the graft.mv.approxQuantile opt-in, scalar and array forms") {
+    def q() = base.groupBy($"flag")
+      .agg(expr("percentile_approx(price, 0.5)").as("p50"),
+        expr("percentile_approx(price, array(0.25, 0.9))").as("ps"))
+      .orderBy($"flag")
+    assert(!scanPaths(q()).exists(_.contains("rollup")),
+      "an estimate must never silently replace percentile_approx")
+    spark.conf.set("graft.mv.approxQuantile", "true")
+    try {
+      val served = q()
+      assert(scanPaths(served).exists(_.contains("rollup")))
+      val got = served.collect().map(r => (r.getString(0),
+        r.getDouble(1), r.getSeq[Double](2))).toSeq
+      // unsaturated: the served value is the exact lower order
+      // statistic of the data
+      def stat(vs: Seq[Double], p: Double): Double = {
+        val sorted = vs.sorted
+        sorted(math.floor(p * (sorted.length - 1)).toInt)
+      }
+      val byFlag = base.select($"flag", $"price").collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getDouble(1)).toSeq).toMap
+      val want = byFlag.keys.toSeq.sorted.map { f =>
+        (f, stat(byFlag(f), 0.5),
+          Seq(stat(byFlag(f), 0.25), stat(byFlag(f), 0.9)))
+      }
+      assert(got == want)
+      // percentile (the EXACT form) must never be substituted
+      val exact = base.groupBy($"flag")
+        .agg(expr("percentile(price, 0.5)").as("p"))
+      assert(!scanPaths(exact).exists(_.contains("rollup")))
+    } finally spark.conf.set("graft.mv.approxQuantile", "false")
   }
 
   test("the headline TPC-H Q1 face (q_pricing_summary) itself serves " +
