@@ -574,6 +574,59 @@ class ScaleGrowthSpec extends SparkSuite {
     }
   }
 
+  test("sample-quantile serving stays dim-bounded as the base grows " +
+      "10x; priority sampling grows ~linearly with a bounded top-k " +
+      "plan") {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smp_grow")
+    def mkBase(n: Long, tag: String): String = {
+      val dir = s"$tmp/fact_$tag.parquet"
+      spark.range(n).select($"id",
+          concat(lit("f"), pmod($"id", lit(4))).as("flag"),
+          ($"id" % 97 + 1).cast("double").as("m"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val dirS = mkBase(50000, "s")
+    val dirB = mkBase(500000, "b")
+    val smp = Seq(SummaryRewrite.SampleQSpec("id", "m", 1024))
+    SummaryRewrite.register(spark, dirS, s"$tmp/roll_s",
+      Seq("flag"), Seq("m"), samples = smp)
+    SummaryRewrite.register(spark, dirB, s"$tmp/roll_b",
+      Seq("flag"), Seq("m"), samples = smp)
+    try {
+      // quantile serving reads |dims| * k pairs whatever the base is
+      def serve(roll: String) = SummaryRewrite.sampleQuantiles(
+        spark, roll, Seq("flag"), "m", Seq(0.5, 0.99))
+      serve(s"$tmp/roll_s").collect(); serve(s"$tmp/roll_b").collect()
+      val tS = timedSecs { serve(s"$tmp/roll_s").collect() }
+      val tB = timedSecs { serve(s"$tmp/roll_b").collect() }
+      val r = ratio(tB, tS)
+      info(f"sample-quantile serve 50k-base: $tS%.2f s, 500k-base: " +
+        f"$tB%.2f s, growth $r%.1fx")
+      assertPerf(r < 3.0, f"10x base grew sample-quantile serve $r%.1fx")
+      // weighted priority sampling is one bounded top-k pass: ~linear
+      // in rows, never a global sort
+      def draw(dir: String) = PrioritySample.sample(
+        spark.read.parquet(dir), $"id", ($"m" * 10).cast("long"), 64)
+      draw(dirS).collect(); draw(dirB).collect()
+      val pS = timedSecs { draw(dirS).collect() }
+      val qB = draw(dirB)
+      val pB = timedSecs { qB.collect() }
+      val rp = ratio(pB, pS)
+      info(f"priority sample 50k: $pS%.2f s, 500k: $pB%.2f s, " +
+        f"growth $rp%.1fx")
+      assertPerf(rp < 30.0, f"10x rows grew priority sampling $rp%.1fx")
+      assert(qB.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+        "big-size draw must keep the bounded top-k plan")
+    } finally {
+      SummaryRewrite.unregister(spark, dirS)
+      SummaryRewrite.unregister(spark, dirB)
+    }
+  }
+
   test("PageRank grows ~linearly in edges (100k -> 1M, iters=10) and " +
       "the per-round plan stays bounded (persist + localCheckpoint)") {
     // synthetic power-law-ish graph: src uniform, dst biased to low
