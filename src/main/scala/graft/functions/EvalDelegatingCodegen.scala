@@ -26,6 +26,16 @@ trait EvalDelegatingCodegen { self: UnaryExpression =>
     nullSafeCodeGen(ctx, ev, c => {
       val ref = ctx.addReferenceObj("graftExpr", this)
       dataType match {
+        case LongType if nullable =>
+          // nullable long results (hdr_quantile of an empty sketch)
+          // surface null through isNull, not a sentinel — only when
+          // the expression declares nullability (a false-literal
+          // isNull is not assignable in generated code)
+          val r = ctx.freshName("graftRes")
+          s"""Object $r = $ref.compute($c);
+             |if ($r == null) { ${ev.isNull} = true; }
+             |else { ${ev.value} = ((java.lang.Long) $r)
+             |  .longValue(); }""".stripMargin
         case LongType =>
           s"${ev.value} = ((java.lang.Long) $ref.compute($c)).longValue();"
         case IntegerType =>

@@ -199,6 +199,30 @@ object VectorFunctions {
       "hist_quantile" -> ((e: Seq[Expression]) =>
         graft.operators.HistQuantile(e(0), dlit(e(1), "q"),
           dlit(e(2), "lo"), dlit(e(3), "hi"))),
+      // Log2-bucket ("HDR") quantile sketch — the RELATIVE-error
+      // complement of hist_*: no declared range, error <= 2^-p of the
+      // value, integer-exact bucket map (pure bit arithmetic, so the
+      // approximation itself is oracle-able). hdr_sketch(x, p) ->
+      // ARRAY<BIGINT> dense counts (fold with hist_merge);
+      // hdr_quantile(counts, qNum, qDen, p) reads the integer
+      // quantile as the holding bucket's lower bound. Compose:
+      // hdr_quantile(hdr_sketch(micros, 5), 99, 100, 5).
+      "hdr_sketch" -> ((e: Seq[Expression]) =>
+        graft.operators.HdrSketch(e(0), lit(e(1), "p"))),
+      "hdr_quantile" -> ((e: Seq[Expression]) =>
+        graft.operators.HdrQuantile(e(0), lit(e(1), "qNum").toLong,
+          lit(e(2), "qDen").toLong, lit(e(3), "p"))),
+      // Count-min point-frequency sketch: cms_sketch(key, d, w) ->
+      // ARRAY<BIGINT> of d*w registers (row-major; fold with
+      // hist_merge), cms_estimate(regs, key, d, w) -> BIGINT
+      // one-sided frequency estimate (>= true count). Affine hashes
+      // mod 2^31-1 with fixed published constants — exact integer
+      // arithmetic, oracle-restatable.
+      "cms_sketch" -> ((e: Seq[Expression]) =>
+        graft.operators.CmsSketch(e(0), lit(e(1), "d"), lit(e(2), "w"))),
+      "cms_estimate" -> ((e: Seq[Expression]) =>
+        graft.operators.CmsEstimate(e(0), e(1), lit(e(2), "d"),
+          lit(e(3), "w"))),
       // Bottom-k uniform row-sample sketch — the range-free quantile
       // sibling of hist_*: sample_sketch(id, value, k) keeps the k
       // rows with the smallest unsigned id hashes as STRUCT(hs, vs);

@@ -197,6 +197,40 @@ object SummaryRewrite {
     def colName: String = s"smp${k}_$value"
   }
 
+  /** A relative-error quantile sketch carried by the rollup: dense
+    * log2-bucket ("HDR") counts of the integral expression `sql`
+    * ([[graft.operators.Hdr]]) at sub-bucket precision `p`, stored
+    * per dim group as column `hdr<p>_<name>` — p rides in the NAME
+    * like the Misra–Gries capacity, so the compact fold and
+    * [[hdrQuantiles]] recover it without the registry. Counts fold by
+    * elementwise sum (the associative rollup-combiner contract, same
+    * fold as [[HistSpec]]), and the bucket map is pure integer bit
+    * arithmetic: quantiles served from the rollup are deterministic
+    * at any partitioning/chunking AND hash-oracle-able. The
+    * complement of [[HistSpec]] (no declared range; error is
+    * RELATIVE, <= 2^-p) and of [[SampleQSpec]] (no dependence on a
+    * row-id; error does not grow past sketch saturation).
+    */
+  case class HdrSpec(name: String, sql: String, p: Int = 5) {
+    def colName: String = s"hdr${p}_$name"
+  }
+
+  /** A point-frequency sketch carried by the rollup: count-min
+    * registers of integral key column `key` ([[graft.operators.Cms]])
+    * at depth `d` × width `w`, stored per dim group as column
+    * `cms<d>x<w>_<key>` — d and w ride in the NAME so the compact
+    * fold and [[approxFreq]] recover them without the registry.
+    * Registers fold by elementwise sum (the associative
+    * rollup-combiner contract), so ANY key's frequency in any dim
+    * slice is servable from the rollup alone with one-sided error
+    * (estimate >= truth; excess > 2N/w with probability <= 2^-d) —
+    * the per-key read [[ItemsSpec]]'s top-k summary cannot answer for
+    * keys outside its counter set.
+    */
+  case class CmsSpec(key: String, d: Int = 4, w: Int = 512) {
+    def colName: String = s"cms${d}x${w}_$key"
+  }
+
   /** A DERIVED (expression) measure carried by the rollup: the named
     * partials of `sql` evaluated per base row — e.g.
     * `ExprMeasure("revenue", "l_extendedprice * (1 - l_discount)")`,
@@ -223,6 +257,8 @@ object SummaryRewrite {
       vecs: Seq[VecSpec] = Nil,
       exprs: Seq[ExprMeasure] = Nil,
       samples: Seq[SampleQSpec] = Nil,
+      hdrs: Seq[HdrSpec] = Nil,
+      cmss: Seq[CmsSpec] = Nil,
       retracted: Boolean = false)
 
   private val registry = TrieMap[String, Entry]()
@@ -274,7 +310,9 @@ object SummaryRewrite {
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
       exprs: Seq[ExprMeasure] = Nil,
-      samples: Seq[SampleQSpec] = Nil): DataFrame = {
+      samples: Seq[SampleQSpec] = Nil,
+      hdrs: Seq[HdrSpec] = Nil,
+      cmss: Seq[CmsSpec] = Nil): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShims
     // an expression measure gets the SAME six partials as a bare
     // column — downstream (serve translation, the compact fold's
@@ -316,7 +354,16 @@ object SummaryRewrite {
            GraftShims.expression(
              org.apache.spark.sql.functions.expr(sp.id)),
            GraftShims.expression(col(sp.value).cast("double")), sp.k)
-           .toAggregateExpression()).as(sp.colName))))
+           .toAggregateExpression()).as(sp.colName)) ++
+       hdrs.map(h => GraftShims
+         .column(graft.operators.HdrSketch(
+           GraftShims.expression(
+             org.apache.spark.sql.functions.expr(h.sql)), h.p)
+           .toAggregateExpression()).as(h.colName)) ++
+       cmss.map(cs => GraftShims
+         .column(graft.operators.CmsSketch(
+           GraftShims.expression(col(cs.key)), cs.d, cs.w)
+           .toAggregateExpression()).as(cs.colName))))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -334,9 +381,11 @@ object SummaryRewrite {
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
       exprs: Seq[ExprMeasure] = Nil,
-      samples: Seq[SampleQSpec] = Nil): Unit = {
+      samples: Seq[SampleQSpec] = Nil,
+      hdrs: Seq[HdrSpec] = Nil,
+      cmss: Seq[CmsSpec] = Nil): Unit = {
     partialRollup(spark.read.parquet(basePath), dims, measures, sketches,
-        histograms, items, kmvs, vecs, exprs, samples)
+        histograms, items, kmvs, vecs, exprs, samples, hdrs, cmss)
       .withColumn("chunk", lit(-1L))
       .coalesce(8)
       .write.mode("overwrite").partitionBy("chunk").parquet(summaryDir)
@@ -365,7 +414,9 @@ object SummaryRewrite {
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
       exprs: Seq[ExprMeasure] = Nil,
-      samples: Seq[SampleQSpec] = Nil): Unit = {
+      samples: Seq[SampleQSpec] = Nil,
+      hdrs: Seq[HdrSpec] = Nil,
+      cmss: Seq[CmsSpec] = Nil): Unit = {
     declaredScale.foreach { case (m, d) =>
       require(measures.contains(m), s"declaredScale for non-measure $m")
       require(d >= 0 && d <= 6,
@@ -391,6 +442,27 @@ object SummaryRewrite {
             s"${t.simpleString}")
       }
     }
+    hdrs.foreach { h =>
+      // same fail-at-registration stance as expression measures: the
+      // bucket expression must parse, resolve, be deterministic, and
+      // be INTEGRAL — the sketch's integer-exact contract (float
+      // inputs must be gridded explicitly, e.g. floor(x * 100))
+      val resolved = spark.read.parquet(dataPath)
+        .selectExpr(s"(${h.sql}) AS __hdr")
+        .queryExecution.analyzed.collectFirst {
+          case Project(Seq(al: Alias), _) => al.child
+        }.getOrElse(throw new IllegalArgumentException(
+          s"hdr sketch ${h.name} did not resolve: ${h.sql}"))
+      require(resolved.deterministic,
+        s"hdr sketch ${h.name} must be deterministic")
+      resolved.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case t => throw new IllegalArgumentException(
+          s"hdr sketch ${h.name} must be integral (got " +
+            s"${t.simpleString}) — grid floats first, e.g. " +
+            "CAST(floor(x * 100) AS BIGINT)")
+      }
+    }
     // the rollup's column names are derived by prefix: a dim or
     // measure that collides with a derived name (or the cnt/chunk
     // reserved names) would corrupt both the serve translation and
@@ -403,7 +475,9 @@ object SummaryRewrite {
       items.map(_.colName) ++
       kmvs.map(_.colName) ++
       vecs.map(_.colName) ++
-      samples.map(_.colName)
+      samples.map(_.colName) ++
+      hdrs.map(_.colName) ++
+      cmss.map(_.colName)
     val all = dims ++ measures ++ exprs.map(_.name)
     require(all.distinct.size == all.size,
       s"dims/measures/expression-measure names must be distinct, " +
@@ -425,7 +499,7 @@ object SummaryRewrite {
       registry.remove(key)
       spark.catalog.refreshByPath(dataPath)
       buildSummary(spark, dataPath, summaryDir, dims, measures, sketches,
-        histograms, items, kmvs, vecs, exprs, samples)
+        histograms, items, kmvs, vecs, exprs, samples, hdrs, cmss)
       // a refresh recomputes every partial from the (post-delete)
       // base, so any standing retraction restriction clears with it
       val rm = new org.apache.hadoop.fs.Path(summaryDir, RetractedMarker)
@@ -434,8 +508,8 @@ object SummaryRewrite {
       spark.catalog.refreshByPath(summaryDir)
     }
     registry.put(key, Entry(summaryDir, dims, measures, declaredScale,
-      sketches, histograms, items, kmvs, vecs, exprs, samples,
-      retracted = retractedMarkerExists(spark, summaryDir)))
+      sketches, histograms, items, kmvs, vecs, exprs, samples, hdrs,
+      cmss, retracted = retractedMarkerExists(spark, summaryDir)))
     ensureRule(spark)
   }
 
@@ -636,6 +710,85 @@ object SummaryRewrite {
     if (groupDims.isEmpty) rollup.agg(outs.head, outs.tail: _*)
     else rollup.groupBy(groupDims.map(col): _*)
       .agg(outs.head, outs.tail: _*)
+  }
+
+  /** Serve integer-exact relative-error quantiles of HDR sketch
+    * `name` from the rollup at `summaryDir`, grouped by `groupDims`
+    * (must be rollup dims; empty = global): per-chunk/per-group count
+    * arrays fold by elementwise sum (p parsed from the stored
+    * column's own name), then each requested qNum/qDen reads the
+    * holding bucket's lower bound — deterministic at any
+    * partitioning, chunking, or dim subset, within 2^-p relative
+    * error of the true quantile. Cost is group-cardinality × the
+    * 15 KB array, never a base scan.
+    */
+  def hdrQuantiles(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], name: String,
+      qs: Seq[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    require(qs.nonEmpty, "need at least one quantile")
+    val rollup = spark.read.parquet(summaryDir)
+    val pat = s"^hdr(\\d+)_${java.util.regex.Pattern.quote(name)}$$".r
+    val (colName, p) = rollup.schema.fieldNames.collectFirst {
+      case n @ pat(pp) => (n, pp.toInt)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no hdr<p>_$name column in the rollup at $summaryDir"))
+    val merged = graft.operators.HistMerge(
+      GraftShims.expression(col(colName))).toAggregateExpression()
+    val outs = qs.map { case (qn, qd) =>
+      GraftShims.column(graft.operators.HdrQuantile(merged, qn, qd, p))
+        .as(s"p${qn * 100 / qd}")
+    }
+    if (groupDims.isEmpty) rollup.agg(outs.head, outs.tail: _*)
+    else rollup.groupBy(groupDims.map(col): _*)
+      .agg(outs.head, outs.tail: _*)
+  }
+
+  /** Serve count-min point-frequency estimates of `keys` for sketch
+    * key column `key` from the rollup at `summaryDir`, grouped by
+    * `groupDims` (must be rollup dims; empty = global): registers
+    * fold by elementwise sum (d, w parsed from the stored column's
+    * own name), then each requested key reads its min-over-rows
+    * register. One-sided: est >= true count always. Explicit by
+    * design, like [[approxDistinct]] — an estimate never silently
+    * replaces an exact per-key COUNT.
+    */
+  def approxFreq(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], key: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key")
+    import spark.implicits._
+    approxFreq(spark, summaryDir, groupDims, key, keys.toDF(key))
+  }
+
+  /** [[approxFreq]] with the probe keys as a one-column DataFrame
+    * (column name = `key`) — the fully distributed spelling: the
+    * folded sketch side is dim-cardinality rows and broadcasts; the
+    * key side can be any size.
+    */
+  def approxFreq(spark: SparkSession, summaryDir: String,
+      groupDims: Seq[String], key: String, keysDf: DataFrame,
+      outCol: String = "est"): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    val rollup = spark.read.parquet(summaryDir)
+    val pat =
+      s"^cms(\\d+)x(\\d+)_${java.util.regex.Pattern.quote(key)}$$".r
+    val (colName, d, w) = rollup.schema.fieldNames.collectFirst {
+      case n @ pat(dd, ww) => (n, dd.toInt, ww.toInt)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no cms<d>x<w>_$key column in the rollup at $summaryDir"))
+    val merged = GraftShims.column(graft.operators.HistMerge(
+      GraftShims.expression(col(colName))).toAggregateExpression())
+      .as("__cms")
+    val folded =
+      if (groupDims.isEmpty) rollup.agg(merged)
+      else rollup.groupBy(groupDims.map(col): _*).agg(merged)
+    // the sketch side is dim-cardinality rows (one d·w array each) —
+    // always the broadcast side; the key side streams through
+    keysDf.crossJoin(org.apache.spark.sql.functions.broadcast(folded))
+      .select(groupDims.map(col) ++ Seq(col(key),
+        GraftShims.column(graft.operators.CmsEstimate(
+          GraftShims.expression(col("__cms")),
+          GraftShims.expression(col(key)), d, w)).as(outCol)): _*)
   }
 
   /** Rule health counters: (rewrites fired, rule-internal errors

@@ -425,7 +425,33 @@ object DocumentQueries {
         .where($"rn" % 10 === 1)
         .select($"doc_id", $"lang", $"rn")
         .orderBy($"doc_id")
-    })
+    }),
+
+    // STRING edit-distance near-dup (typo/OCR variant collapse): the
+    // character-level member of the dedup family, between exact
+    // (q_dedup_exact) and token-set Jaccard (q_jaccard_dups). Full
+    // semantics — ALL distinct part names within Levenshtein 2, found
+    // via PassJoin segment signatures (never all-pairs), verified by
+    // the engine's codegen levenshtein; DuckDB restates the SEMANTICS
+    // as a length-filtered self-join, so the signature scheme's
+    // completeness is hash-checked, not assumed.
+    "q_editdist_dups" -> ((s, dir) =>
+      graft.operators.EditDistanceJoin
+        .pairs(Tables(s, dir, "part"), "p_name", 2)
+        .toDF("name_a", "name_b", "ed")
+        .orderBy($"name_a", $"name_b")),
+
+    // The adversarial-skew variant: 1500 customer names sharing the
+    // 9-char "Customer#" prefix, so one segment key buckets the whole
+    // corpus — the worst case for signature joins (the candidate set
+    // degenerates toward all-pairs because the DATA is near-identical,
+    // not because the scheme over-generates). 19.5k true ed=1 pairs
+    // (single-digit typos) must all surface.
+    "q_editdist_typos" -> ((s, dir) =>
+      graft.operators.EditDistanceJoin
+        .pairs(Tables(s, dir, "customer"), "c_name", 1)
+        .toDF("name_a", "name_b", "ed")
+        .orderBy($"name_a", $"name_b"))
   )
 
   // DuckDB restatement of SimHash64 (TextHashExpressions.scala): FNV-1a
@@ -1076,7 +1102,29 @@ object DocumentQueries {
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |  FROM documents)
-        |WHERE rn % 10 = 1 ORDER BY doc_id""".stripMargin
+        |WHERE rn % 10 = 1 ORDER BY doc_id""".stripMargin,
+    // the oracle states the SEMANTICS (all pairs within the distance),
+    // not the signature scheme: a length filter + levenshtein verify
+    // over the distinct-name self-join — completeness of the PassJoin
+    // candidate generation is exactly what the hash compare checks
+    "q_editdist_dups" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part
+        |  WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS ed
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q_editdist_typos" ->
+      """WITH n AS (SELECT DISTINCT c_name FROM customer
+        |  WHERE c_name IS NOT NULL)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS ed
+        |FROM n a JOIN n b ON a.c_name < b.c_name
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) = 1
+        |ORDER BY name_a, name_b""".stripMargin
   )
 
   private lazy val incrementalOracle: String =

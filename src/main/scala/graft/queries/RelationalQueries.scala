@@ -788,7 +788,87 @@ object RelationalQueries {
         .groupBy(date_trunc("hour", $"ts").as("batch_hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(18,6)")).cast("double").as("sm"))
-        .orderBy($"batch_hour", $"event_type"))
+        .orderBy($"batch_hour", $"event_type")),
+
+    // Log2-bucket ("HDR") quantile sketch — RELATIVE-error quantiles
+    // with no declared range (the long-tail complement of
+    // q_hist_quantiles): the bucket map is pure integer bit
+    // arithmetic, so the sketch CONTENT hash-matches the DuckDB
+    // restatement bucket for bucket. value grids to cents first
+    // (floor(value*100)) — the sketch's integer-exact contract.
+    "q_hdr_buckets" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(expr("hdr_sketch(CAST(floor(value * 100) AS BIGINT), 5)")
+          .as("sk"))
+        .select($"event_type", posexplode($"sk"))
+        .toDF("event_type", "bucket", "cnt")
+        .where($"cnt" > 0)
+        .orderBy($"event_type", $"bucket")),
+
+    // The quantile read off the same sketch: rank target by integer
+    // ceil-division, answer = holding bucket's LOWER bound — every
+    // step integer arithmetic, so p50/p95/p99 hash-match exactly
+    // (within 2^-5 ≈ 3% of the true quantile by construction).
+    "q_hdr_quantile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          expr("hdr_quantile(hdr_sketch(CAST(floor(value * 100) AS " +
+            "BIGINT), 5), 50, 100, 5)").as("p50"),
+          expr("hdr_quantile(hdr_sketch(CAST(floor(value * 100) AS " +
+            "BIGINT), 5), 95, 100, 5)").as("p95"),
+          expr("hdr_quantile(hdr_sketch(CAST(floor(value * 100) AS " +
+            "BIGINT), 5), 99, 100, 5)").as("p99"))
+        .orderBy($"event_type")),
+
+    // The same quantiles served from the ROLLUP's persisted per-group
+    // HDR arrays (hdr<p>_ measures fold across chunks by elementwise
+    // sum): long-tail latency percentiles answerable at the rollup
+    // grain without touching the fact table. Shares q_hdr_quantile's
+    // raw-table oracle: the fold must reproduce the direct sketch bit
+    // for bit.
+    "q_mv_hdr" -> ((s, dir) => {
+      registerMvEvents(s, dir)
+      graft.plans.SummaryRewrite.hdrQuantiles(s,
+          mvSummaryDir(dir) + "_events", Seq("event_type"), "value_c",
+          Seq((50L, 100L), (95L, 100L), (99L, 100L)))
+        .orderBy($"event_type")
+    }),
+
+    // Count-min point-frequency sketch (Cormode–Muthukrishnan): the
+    // per-key read the Misra–Gries top-k summary cannot answer.
+    // Affine hashes mod 2^31-1 with fixed published constants keep
+    // every register exact BIGINT arithmetic, so estimates hash-match
+    // the DuckDB restatement; the exact count rides alongside as an
+    // in-row witness of the one-sided bound (est >= exact, typically
+    // equal at this width). The distinct-key probe side stays a
+    // DataFrame — nothing collects.
+    "q_cms_freq" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where($"user_id".isNotNull)
+      val sk = ev.agg(expr("cms_sketch(user_id, 4, 512)").as("__cms"))
+      ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(sk))
+        .select($"user_id",
+          expr("cms_estimate(__cms, user_id, 4, 512)").as("est"),
+          $"exact_cnt")
+        .orderBy($"user_id")
+    }),
+
+    // The same estimates served from the ROLLUP's persisted per-group
+    // CMS registers (cms<d>x<w>_ measures fold across dims and chunks
+    // by elementwise sum): any key's frequency over the whole fact,
+    // read from a dim-cardinality table. The fold across event_type
+    // groups must equal the direct global sketch — pinned by sharing
+    // the register pipeline with q_cms_freq's oracle.
+    "q_mv_cms" -> ((s, dir) => {
+      registerMvEvents(s, dir)
+      val keys = t(s, dir, "events").select($"user_id")
+        .where($"user_id".isNotNull).distinct()
+      graft.plans.SummaryRewrite.approxFreq(s,
+          mvSummaryDir(dir) + "_events", Seq(), "user_id", keys)
+        .orderBy($"user_id")
+    })
   )
 
 
@@ -820,6 +900,25 @@ object RelationalQueries {
         graft.plans.SummaryRewrite.ItemsSpec("o_orderpriority", 64)),
       kmvs = Seq(
         graft.plans.SummaryRewrite.KmvSpec("o_custkey", 2048)))
+
+  /** Third rollup (events): carries the round's two new sketch
+    * measures — an HDR log2-bucket quantile sketch of the cents grid
+    * floor(value*100) at p=5 (relative-error latency-style
+    * percentiles, q_mv_hdr) and a 4×512 count-min register sketch of
+    * user_id (point frequencies, q_mv_cms). Both fold by elementwise
+    * sum, so serve-side reads are deterministic at any chunking and
+    * hash-oracle-able against the raw table.
+    */
+  private def registerMvEvents(s: SparkSession, dir: String): Unit =
+    graft.plans.SummaryRewrite.register(s, s"$dir/events.parquet",
+      mvSummaryDir(dir) + "_events",
+      Seq("event_type"),
+      Seq("value"),
+      hdrs = Seq(
+        graft.plans.SummaryRewrite.HdrSpec("value_c",
+          "CAST(floor(value * 100) AS BIGINT)", 5)),
+      cmss = Seq(
+        graft.plans.SummaryRewrite.CmsSpec("user_id", 4, 512)))
 
   /** The registered DERIVED measure: TPC-H Q1's revenue, spelled with
     * per-row decimal casts so every partial (and therefore the serve)
@@ -1034,9 +1133,113 @@ object RelationalQueries {
       |FROM p50 JOIN p90 ON p90.g = p50.g
       |ORDER BY l_returnflag""".stripMargin
 
+  /** DuckDB restatement of the HDR log2-bucket map (Hdr.bucket,
+    * HdrAggregate.scala) at p=5 over floor(value*100) per event_type:
+    * the highest set bit e is recovered from floor(log2 v) with a ±1
+    * integer correction against exact shifts — libm rounding cannot
+    * move a bucket boundary — then sub-buckets by pure integer
+    * shift/mask, token for token the Scala's arithmetic. Values below
+    * 2^5 are their own bucket (exact region); v <= 0 clamps to
+    * bucket 0. Prefix shared by all three HDR faces.
+    */
+  private val hdrBucketsCte: String =
+    """WITH v AS (
+      |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |pe AS (SELECT g, v, CAST(floor(log2(v)) AS INT) AS cand
+      |  FROM v WHERE v > 0),
+      |ee AS (SELECT g, v,
+      |    CASE WHEN (CAST(1 AS BIGINT) << (cand + 1)) <= v THEN cand + 1
+      |         WHEN (CAST(1 AS BIGINT) << cand) > v THEN cand - 1
+      |         ELSE cand END AS e
+      |  FROM pe),
+      |bk AS (
+      |  SELECT g, CASE WHEN v < 32 THEN CAST(v AS INT)
+      |                 ELSE CAST((e - 4) * 32 + ((v >> (e - 5)) - 32)
+      |                   AS INT) END AS bucket
+      |  FROM ee
+      |  UNION ALL
+      |  SELECT g, 0 AS bucket FROM v WHERE v <= 0),
+      |b AS (SELECT g, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2)
+      |""".stripMargin
+
+  /** DuckDB restatement of the HDR quantile read (Hdr.quantile): rank
+    * target by integer ceil-division, first bucket whose INCLUSIVE
+    * cumulative count reaches it, decoded to the bucket's lower bound
+    * with exact shifts. Shared by q_hdr_quantile (direct sketch) and
+    * q_mv_hdr (rollup-served fold): the chunk/dim fold must reproduce
+    * the direct counts exactly.
+    */
+  private val hdrQuantileOracle: String = {
+    def pq(name: String, qn: Int): String =
+      s"""$name AS (SELECT g,
+         |    CASE WHEN bucket < 32 THEN CAST(bucket AS BIGINT)
+         |         ELSE (CAST(1 AS BIGINT) << ((bucket // 32) + 4))
+         |            + (CAST(bucket % 32 AS BIGINT)
+         |               << ((bucket // 32) - 1)) END AS val
+         |  FROM cum WHERE cum >= (total * $qn + 99) // 100
+         |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY bucket)
+         |    = 1)""".stripMargin
+    hdrBucketsCte +
+      s""",t AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM b GROUP BY g),
+         |cum AS (SELECT b.g, b.bucket, t.total,
+         |    CAST(sum(b.cnt) OVER (PARTITION BY b.g ORDER BY b.bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM b JOIN t ON t.g = b.g),
+         |${pq("p50", 50)},
+         |${pq("p95", 95)},
+         |${pq("p99", 99)}
+         |SELECT p50.g AS event_type, p50.val AS p50, p95.val AS p95,
+         |  p99.val AS p99
+         |FROM p50 JOIN p95 ON p95.g = p50.g JOIN p99 ON p99.g = p50.g
+         |ORDER BY event_type""".stripMargin
+  }
+
+  /** DuckDB restatement of the count-min register pipeline
+    * (CmsAggregate.scala) at d=4, w=512 over user_id: per-key exact
+    * counts, the four affine slot maps with the published constants
+    * (every operand below 2^62 — exact BIGINT), register sums, then
+    * the min-over-rows estimate per key. Register arithmetic shared
+    * by q_cms_freq (direct global sketch, with the exact count as an
+    * in-row witness) and q_mv_cms (rollup fold across event_type
+    * groups and chunks — must equal the direct sketch).
+    */
+  private def cmsEstCte: String =
+    """WITH c AS (SELECT user_id AS k, count(*) AS exact_cnt
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |h AS (SELECT * FROM (VALUES
+      |  (0, CAST(1103515245 AS BIGINT), CAST(12345 AS BIGINT)),
+      |  (1, CAST(1679979167 AS BIGINT), CAST(1013904223 AS BIGINT)),
+      |  (2, CAST(1534285569 AS BIGINT), CAST(998244353 AS BIGINT)),
+      |  (3, CAST(987654321 AS BIGINT), CAST(543219876 AS BIGINT)))
+      |  t(r, a, b)),
+      |s AS (SELECT c.k, h.r,
+      |    ((h.a * ((c.k % 2147483647 + 2147483647) % 2147483647) + h.b)
+      |      % 2147483647) % 512 AS slot,
+      |    c.exact_cnt
+      |  FROM c CROSS JOIN h),
+      |reg AS (SELECT r, slot, CAST(sum(exact_cnt) AS BIGINT) AS rc
+      |  FROM s GROUP BY 1, 2),
+      |est AS (SELECT s.k, CAST(min(reg.rc) AS BIGINT) AS est,
+      |    CAST(min(s.exact_cnt) AS BIGINT) AS exact_cnt
+      |  FROM s JOIN reg ON reg.r = s.r AND reg.slot = s.slot
+      |  GROUP BY s.k)
+      |""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_hist_quantiles" -> histQuantilesOracle,
     "q_mv_hist" -> histQuantilesOracle,
+    "q_hdr_buckets" -> (hdrBucketsCte +
+      "SELECT g AS event_type, bucket, cnt FROM b " +
+      "ORDER BY event_type, bucket"),
+    "q_hdr_quantile" -> hdrQuantileOracle,
+    "q_mv_hdr" -> hdrQuantileOracle,
+    "q_cms_freq" -> (cmsEstCte +
+      "SELECT k AS user_id, est, exact_cnt FROM est ORDER BY user_id"),
+    "q_mv_cms" -> (cmsEstCte +
+      "SELECT k AS user_id, est FROM est ORDER BY user_id"),
     // capacity >> vocab ⇒ the mergeable MG summary is exact counts;
     // the oracle is the raw-table count + (est DESC, item) rank
     "q_mv_topitems" ->

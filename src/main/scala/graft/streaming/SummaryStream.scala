@@ -7,8 +7,8 @@ import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.plans.SummaryRewrite
-import graft.plans.SummaryRewrite.{ExprMeasure, HistSpec, ItemsSpec,
-  KmvSpec, SampleQSpec, SketchSpec, VecSpec}
+import graft.plans.SummaryRewrite.{CmsSpec, ExprMeasure, HdrSpec,
+  HistSpec, ItemsSpec, KmvSpec, SampleQSpec, SketchSpec, VecSpec}
 import graft.util.DirSwap
 
 /** Incrementally maintained materialized rollup — the streaming face
@@ -67,7 +67,9 @@ object SummaryStream {
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
       exprs: Seq[ExprMeasure] = Nil,
-      samples: Seq[SampleQSpec] = Nil): Unit = {
+      samples: Seq[SampleQSpec] = Nil,
+      hdrs: Seq[HdrSpec] = Nil,
+      cmss: Seq[CmsSpec] = Nil): Unit = {
     // write the 0-row build INTO the chunk=-1 partition dir (no
     // partitionBy: a partitioned write of zero rows writes no
     // partition dirs at all, leaving the rollup unreadable and every
@@ -76,7 +78,7 @@ object SummaryStream {
     // the rewrite serves correct EMPTY aggregates immediately
     SummaryRewrite.partialRollup(
         spark.read.parquet(basePath).limit(0), dims, measures, sketches,
-        histograms, items, kmvs, vecs, exprs, samples)
+        histograms, items, kmvs, vecs, exprs, samples, hdrs, cmss)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$summaryDir/chunk=-1")
     // register() keys the already-built check on a ROOT _SUCCESS
@@ -90,7 +92,7 @@ object SummaryStream {
     SummaryRewrite.register(spark, basePath, summaryDir, dims, measures,
       declaredScale = declaredScale, sketches = sketches,
       histograms = histograms, items = items, kmvs = kmvs, vecs = vecs,
-      exprs = exprs, samples = samples)
+      exprs = exprs, samples = samples, hdrs = hdrs, cmss = cmss)
   }
 
   /** Start maintaining `summaryDir` from base files appearing under
@@ -108,7 +110,9 @@ object SummaryStream {
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
       exprs: Seq[ExprMeasure] = Nil,
-      samples: Seq[SampleQSpec] = Nil): StreamingQuery = {
+      samples: Seq[SampleQSpec] = Nil,
+      hdrs: Seq[HdrSpec] = Nil,
+      cmss: Seq[CmsSpec] = Nil): StreamingQuery = {
     val schema = spark.read.parquet(basePath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -117,7 +121,7 @@ object SummaryStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, summaryDir, dims, measures, sketches,
-          histograms, items, kmvs, vecs, exprs, samples)
+          histograms, items, kmvs, vecs, exprs, samples, hdrs, cmss)
         ()
       }
       .start()
@@ -136,10 +140,12 @@ object SummaryStream {
       kmvs: Seq[KmvSpec] = Nil,
       vecs: Seq[VecSpec] = Nil,
       exprs: Seq[ExprMeasure] = Nil,
-      samples: Seq[SampleQSpec] = Nil): Unit = {
+      samples: Seq[SampleQSpec] = Nil,
+      hdrs: Seq[HdrSpec] = Nil,
+      cmss: Seq[CmsSpec] = Nil): Unit = {
     val spark = batch.sparkSession
     SummaryRewrite.partialRollup(batch, dims, measures, sketches,
-        histograms, items, kmvs, vecs, exprs, samples)
+        histograms, items, kmvs, vecs, exprs, samples, hdrs, cmss)
       .withColumn("chunk", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite")
@@ -185,6 +191,13 @@ object SummaryStream {
         GraftShims.column(graft.operators.HllMerge(
           GraftShims.expression(col(n))).toAggregateExpression()).as(n)
       case n if n.startsWith("hist_") =>
+        GraftShims.column(graft.operators.HistMerge(
+          GraftShims.expression(col(n))).toAggregateExpression()).as(n)
+      // HDR log2-bucket and count-min register arrays fold by the
+      // same elementwise sum as fixed-bin histograms — HistMerge's
+      // equal-length guard doubles as the p / d×w compatibility check
+      case n if n.matches("^hdr\\d+_.*") ||
+          n.matches("^cms\\d+x\\d+_.*") =>
         GraftShims.column(graft.operators.HistMerge(
           GraftShims.expression(col(n))).toAggregateExpression()).as(n)
       case n if n.matches("^kmv\\d+_.*") =>
