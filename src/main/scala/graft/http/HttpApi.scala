@@ -122,12 +122,14 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/topk" -> "frequent items (Misra-Gries + recount)",
       "post /collections/{name}/keywords" -> "per-doc tf-idf keywords",
       "post /lsh_tune" -> "LSH banding tuner",
-      "post /collections/{name}/summary" -> "register materialized rollup (+ hll_keys, histograms, items, kmv_keys, vec_cols)",
+      "post /collections/{name}/summary" -> "register materialized rollup (+ hll_keys, histograms, items, kmv_keys, vec_cols, hdr_cols, cms_keys)",
       "get /collections/{name}/summary/stats" -> "rollup chunk debt",
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
       "post /collections/{name}/summary/distinct" -> "HLL distinct estimate from the rollup",
       "post /collections/{name}/summary/quantile" -> "histogram quantiles from the rollup",
       "post /collections/{name}/summary/samplequantile" -> "bottom-k sample quantiles from the rollup (range-free, deterministic)",
+      "post /collections/{name}/summary/hdrquantile" -> "HDR log2-bucket quantiles from the rollup (relative error <= 2^-p)",
+      "post /collections/{name}/summary/freq" -> "count-min per-key frequency estimates from the rollup (one-sided)",
       "post /collections/{name}/summary/retract" -> "propagate a row-level base delete into the rollup as negated partials",
       "delete /collections/{name}/summary/chunk/{id}" -> "retention delete: drop one ingest batch's partials",
       "post /collections/{name}/summary/topitems" -> "Misra-Gries frequent items from the rollup",
@@ -166,7 +168,9 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       items: Seq[graft.plans.SummaryRewrite.ItemsSpec] = Nil,
       kmvs: Seq[graft.plans.SummaryRewrite.KmvSpec] = Nil,
       vecs: Seq[graft.plans.SummaryRewrite.VecSpec] = Nil,
-      samples: Seq[graft.plans.SummaryRewrite.SampleQSpec] = Nil)
+      samples: Seq[graft.plans.SummaryRewrite.SampleQSpec] = Nil,
+      hdrs: Seq[graft.plans.SummaryRewrite.HdrSpec] = Nil,
+      cmss: Seq[graft.plans.SummaryRewrite.CmsSpec] = Nil)
   private val summaries = new java.util.concurrent.ConcurrentHashMap[
     String, SummaryReg]()
 
@@ -1287,6 +1291,25 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               case _ => None
             }
           }
+          // optional HDR log2-bucket quantile sketches over INTEGRAL
+          // columns ("hdr_cols":["latency_us"], sub-bucket bits via
+          // "hdr_p", default 5 — relative error <= 2^-p, no range
+          // declaration needed; the expression form stays Scala-only)
+          val hdrP = jsonField(body, "hdr_p").flatMap(s =>
+            scala.util.Try(s.toInt).toOption).getOrElse(5)
+          val hdrCols = jsonStringArray(body, "hdr_cols").getOrElse(Nil)
+          val hdrs = hdrCols.map(c =>
+            graft.plans.SummaryRewrite.HdrSpec(c, c, hdrP))
+          // optional count-min point-frequency sketches over integral
+          // key columns ("cms_keys":["user_id"], depth/width via
+          // "cms_d"/"cms_w", defaults 4x512)
+          val cmsD = jsonField(body, "cms_d").flatMap(s =>
+            scala.util.Try(s.toInt).toOption).getOrElse(4)
+          val cmsW = jsonField(body, "cms_w").flatMap(s =>
+            scala.util.Try(s.toInt).toOption).getOrElse(512)
+          val cmsKeys = jsonStringArray(body, "cms_keys").getOrElse(Nil)
+          val cmss = cmsKeys.map(k =>
+            graft.plans.SummaryRewrite.CmsSpec(k, cmsD, cmsW))
           val cols = df.columns.toSet
           val paths = df.queryExecution.optimizedPlan.collect {
             case l: org.apache.spark.sql.execution.datasources
@@ -1319,9 +1342,19 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 respond(ex, 400,
                   """{"error":"sample_cols entries must be """ +
                     """value:id pairs"}""")
+              else if (hdrP < 1 || hdrP > 8)
+                respond(ex, 400,
+                  """{"error":"hdr_p must be in [1, 8]"}""")
+              else if (cmsD < 1 || cmsD > graft.operators.Cms.maxDepth ||
+                  cmsW < 2 || cmsW > (1 << 20))
+                respond(ex, 400,
+                  s"""{"error":"cms_d must be in [1, """ +
+                    s"""${graft.operators.Cms.maxDepth}], cms_w in """ +
+                    """[2, 2^20]"}""")
               else if (!(dims ++ measures ++ hllKeys ++
                   histograms.map(_.col) ++ items.map(_.col) ++ kmvKeys ++
-                  vecCols ++ samples.map(_.value) ++ samples.map(_.id))
+                  vecCols ++ samples.map(_.value) ++ samples.map(_.id) ++
+                  hdrCols ++ cmsKeys)
                   .forall(c => validIdent(c) && cols.contains(c)))
                 respond(ex, 400,
                   s"""{"error":"dims/measures/sketch columns must be """ +
@@ -1337,10 +1370,10 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   sumDir, dims, measures, refresh = refresh,
                   sketches = sketches, histograms = histograms,
                   items = items, kmvs = kmvs, vecs = vecs,
-                  samples = samples)
+                  samples = samples, hdrs = hdrs, cmss = cmss)
                 summaries.put(name, SummaryReg(paths.head, sumDir, dims,
                   measures, sketches, histograms, items, kmvs, vecs,
-                  samples))
+                  samples, hdrs, cmss))
                 val chunks = spark.read.parquet(sumDir)
                   .select(col("chunk")).distinct().count()
                 respond(ex, 200,
@@ -1352,6 +1385,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                     s""""kmvs":${kmvs.size},""" +
                     s""""vecs":${vecs.size},""" +
                     s""""samples":${samples.size},""" +
+                    s""""hdrs":${hdrs.size},""" +
+                    s""""cms":${cmss.size},""" +
                     s""""chunks":$chunks}""")
               }
           }
@@ -1475,6 +1510,90 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                     if (v == null) "null" else v.toString}"""
                 }
                 (ds ++ (n +: vs)).mkString("{", ",", "}")
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+            }
+        }
+
+      // serve relative-error quantiles from the rollup's HDR
+      // log2-bucket counts: {"col":"latency_us","qs":[0.5,0.99],
+      // "dims":["day"]} — integer-exact rank walk, answer = holding
+      // bucket's lower bound (within 2^-p of the true quantile).
+      // dims empty or absent = global
+      case ("POST",
+          List("collections", name, "summary", "hdrquantile")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val colName = jsonField(body, "col")
+            val gdims = jsonStringArray(body, "dims").getOrElse(Nil)
+            val qs = jsonFloatArray(body, "qs")
+              .map(_.toSeq.map(_.toDouble)).getOrElse(Seq(0.5))
+            if (!colName.exists(c => reg.hdrs.exists(_.name == c)))
+              respond(ex, 400,
+                s"""{"error":"col must be one of the registered """ +
+                  s"""hdr_cols: ${reg.hdrs.map(_.name).mkString(",")}"}""")
+            else if (!gdims.forall(reg.dims.contains))
+              respond(ex, 400, s"""{"error":"dims must be rollup dims"}""")
+            else if (qs.isEmpty || qs.exists(q => q <= 0 || q > 1))
+              respond(ex, 400, """{"error":"qs must be in (0, 1]"}""")
+            else {
+              // rationals at 1/10000 grain: the read is integer-exact
+              // in (qNum, qDen), so the REST float only picks the rank
+              val rats = qs.map(q => (math.round(q * 10000), 10000L))
+              val rows = graft.plans.SummaryRewrite.hdrQuantiles(
+                spark, reg.summaryDir, gdims, colName.get, rats)
+                .collect()
+              val items = rows.map { r =>
+                val ds = gdims.indices.map(i =>
+                  s""""${gdims(i)}":${jsonId(r.get(i))}""")
+                val vs = qs.indices.map { i =>
+                  val v = r.get(gdims.size + i)
+                  s""""p${math.round(qs(i) * 100)}":${
+                    if (v == null) "null" else v.toString}"""
+                }
+                (ds ++ vs).mkString("{", ",", "}")
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"results":$items}""")
+            }
+        }
+
+      // serve count-min point-frequency estimates from the rollup's
+      // registers: {"key":"user_id","values":[7,42],"dims":["day"]} —
+      // one-sided (est >= true count). dims empty or absent = global
+      case ("POST", List("collections", name, "summary", "freq")) =>
+        Option(summaries.get(name)) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no summary on $name"}""")
+          case Some(reg) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val key = jsonField(body, "key")
+            val gdims = jsonStringArray(body, "dims").getOrElse(Nil)
+            val values = jsonFloatArray(body, "values")
+              .map(_.toSeq.map(_.toLong)).getOrElse(Nil)
+            if (!key.exists(k => reg.cmss.exists(_.key == k)))
+              respond(ex, 400,
+                s"""{"error":"key must be one of the registered """ +
+                  s"""cms_keys: ${reg.cmss.map(_.key).mkString(",")}"}""")
+            else if (!gdims.forall(reg.dims.contains))
+              respond(ex, 400, s"""{"error":"dims must be rollup dims"}""")
+            else if (values.isEmpty)
+              respond(ex, 400,
+                """{"error":"values array is required"}""")
+            else {
+              val rows = graft.plans.SummaryRewrite.approxFreq(
+                spark, reg.summaryDir, gdims, key.get, values)
+                .collect()
+              val items = rows.map { r =>
+                val ds = gdims.indices.map(i =>
+                  s""""${gdims(i)}":${jsonId(r.get(i))}""")
+                val kv = s""""${key.get}":${r.getLong(gdims.size)}"""
+                val est = s""""est":${r.getLong(gdims.size + 1)}"""
+                (ds ++ Seq(kv, est)).mkString("{", ",", "}")
               }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"results":$items}""")
             }

@@ -808,6 +808,60 @@ class HttpApiSpec extends SparkSuite {
     assert(delete("/collections/li_mv_sk/summary").statusCode() === 200)
   }
 
+  test("summary HDR + CMS sketches over REST: register with hdr_cols " +
+      "+ cms_keys, serve relative-error quantiles and per-key " +
+      "frequency estimates; params 400") {
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .createOrReplaceTempView("ev_mv_hc")
+    val reg = post("/collections/ev_mv_hc/summary",
+      """{"dims":["event_type"],"measures":["value"],
+        |"hdr_cols":["user_id"],"cms_keys":["user_id"]}"""
+        .stripMargin.replace("\n", ""))
+    assert(reg.statusCode() === 200, reg.body())
+    assert(reg.body().contains("\"hdrs\":1") &&
+      reg.body().contains("\"cms\":1"), reg.body())
+    // global hdr p50 of user_id within 2^-5 relative of the exact
+    val qr = post("/collections/ev_mv_hc/summary/hdrquantile",
+      """{"col":"user_id","qs":[0.5]}""")
+    assert(qr.statusCode() === 200, qr.body())
+    val p50 = "\"p50\":(\\d+)".r.findFirstMatchIn(qr.body())
+      .get.group(1).toLong
+    val ids = spark.read.parquet(s"$sf0001/events.parquet")
+      .where("user_id IS NOT NULL")
+      .select("user_id").collect().map(_.getLong(0)).sorted
+    val exact = ids((0.5 * ids.length).ceil.toInt - 1)
+    assert(p50 <= exact && exact - p50 <= math.max(1L, exact >> 5),
+      s"p50=$p50 exact=$exact")
+    // per-key frequency: one-sided and near-exact at 4x512
+    val someKey = ids.head
+    val exactCnt = ids.count(_ == someKey).toLong
+    val fr = post("/collections/ev_mv_hc/summary/freq",
+      s"""{"key":"user_id","values":[$someKey]}""")
+    assert(fr.statusCode() === 200, fr.body())
+    val est = "\"est\":(\\d+)".r.findFirstMatchIn(fr.body())
+      .get.group(1).toLong
+    assert(est >= exactCnt && est <= exactCnt + 50,
+      s"est=$est exact=$exactCnt")
+    // guards: unknown cols, bad qs, missing values, bad params
+    assert(post("/collections/ev_mv_hc/summary/hdrquantile",
+      """{"col":"nope"}""").statusCode() === 400)
+    assert(post("/collections/ev_mv_hc/summary/hdrquantile",
+      """{"col":"user_id","qs":[0]}""").statusCode() === 400)
+    assert(post("/collections/ev_mv_hc/summary/freq",
+      """{"key":"nope","values":[1]}""").statusCode() === 400)
+    assert(post("/collections/ev_mv_hc/summary/freq",
+      """{"key":"user_id"}""").statusCode() === 400)
+    assert(post("/collections/ev_mv_hc/summary",
+      """{"dims":["event_type"],"measures":["value"],
+        |"hdr_cols":["user_id"],"hdr_p":99}"""
+        .stripMargin.replace("\n", "")).statusCode() === 400)
+    assert(post("/collections/ev_mv_hc/summary",
+      """{"dims":["event_type"],"measures":["value"],
+        |"cms_keys":["user_id"],"cms_w":1}"""
+        .stripMargin.replace("\n", "")).statusCode() === 400)
+    assert(delete("/collections/ev_mv_hc/summary").statusCode() === 200)
+  }
+
   test("summary delete lifecycles over REST: sample quantiles serve " +
       "deterministically, retract nets sums and flips stats, chunk " +
       "delete drops a batch") {
