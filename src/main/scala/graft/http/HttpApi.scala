@@ -1891,6 +1891,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                     .map(em => graft.util.Json.escape(em.sql)))},""" +
                   s""""hll_keys":${arr(rec.sketchKeys)},""" +
                   s""""sample_cols":${arr(rec.sampleCols)},""" +
+                  s""""hdr_cols":${arr(rec.hdrCols)},""" +
                   s""""fact_rows":${rec.factRows},""" +
                   s""""rollup_rows":${rec.rollupRows},""" +
                   s""""reduction":${

@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{countDistinct, lit}
-import org.apache.spark.sql.types.{DataType, DecimalType, NumericType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType,
+  IntegerType, LongType, NumericType, ShortType}
 
 /** Rollup advisor: given a WORKLOAD of aggregate queries over one base
   * table, recommend the [[SummaryRewrite]] registration that would
@@ -61,12 +62,16 @@ object SummaryAdvisor {
       factRows: Long, rollupRows: Long, reduction: Double,
       servable: Int, total: Int, reports: Seq[QueryReport],
       exprMeasures: Seq[SummaryRewrite.ExprMeasure] = Nil,
-      sampleCols: Seq[String] = Nil) {
+      sampleCols: Seq[String] = Nil,
+      hdrCols: Seq[String] = Nil) {
 
     /** Apply the recommendation: register (and build) the rollup.
-      * A workload with percentile reads recommends bottom-k sample
-      * sketches ([[sampleCols]]) — those need a UNIQUE row id to
-      * hash, which only the caller knows: pass it as `sampleId`.
+      * Percentile reads over INTEGRAL columns recommend HDR
+      * log2-bucket sketches ([[hdrCols]]) — self-contained, no row id
+      * needed, relative error fixed at 2^-5 regardless of data
+      * volume. Percentiles over fractional columns recommend bottom-k
+      * sample sketches ([[sampleCols]]) — those need a UNIQUE row id
+      * to hash, which only the caller knows: pass it as `sampleId`.
       */
     def register(spark: SparkSession, basePath: String,
         summaryDir: String, refresh: Boolean = false,
@@ -82,7 +87,8 @@ object SummaryAdvisor {
         samples =
           if (sampleId.isEmpty) Nil
           else sampleCols.map(c =>
-            SummaryRewrite.SampleQSpec(sampleId, c)))
+            SummaryRewrite.SampleQSpec(sampleId, c)),
+        hdrs = hdrCols.map(c => SummaryRewrite.HdrSpec(c, c)))
     }
   }
 
@@ -360,11 +366,21 @@ object SummaryAdvisor {
       if (dims.isEmpty) 1L
       else base.agg(countDistinct(dims.head, dims.tail: _*)
         .as("d")).collect().head.getLong(0)
+    // percentile reads: an INTEGRAL column gets a self-contained HDR
+    // log2-bucket sketch (no row id needed, fixed 2^-p relative
+    // error); a fractional column gets a bottom-k sample sketch
+    // (needs the caller's unique row id at register time)
+    val (hdrCols, sampleCols) = reports.flatMap(_.percentileCols)
+      .distinct.sorted.partition(c => baseTypes.get(c).exists {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
     Recommendation(dims, measures, sketchKeys, factRows, rollupRows,
       if (rollupRows == 0) 0.0 else factRows.toDouble / rollupRows,
       finalReports.count(_.servable), finalReports.size, finalReports,
       exprMeasures,
-      sampleCols = reports.flatMap(_.percentileCols).distinct.sorted)
+      sampleCols = sampleCols,
+      hdrCols = hdrCols)
   }
 
   /** The recommendation as a one-row DataFrame (REST/SQL-friendly).
@@ -385,6 +401,7 @@ object SummaryAdvisor {
       lit(r.exprMeasures.map(_.sql).mkString("; ")).as("expr_measures"),
       lit(r.sketchKeys.mkString(",")).as("sketch_keys"),
       lit(r.sampleCols.mkString(",")).as("sample_cols"),
+      lit(r.hdrCols.mkString(",")).as("hdr_cols"),
       lit(r.factRows).as("fact_rows"),
       lit(r.rollupRows).as("rollup_rows"),
       lit(red).as("reduction"),

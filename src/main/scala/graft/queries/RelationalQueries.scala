@@ -408,11 +408,16 @@ object RelationalQueries {
           li.agg(countDistinct($"l_orderkey").as("d")),
           li.groupBy($"l_returnflag")
             .agg(sum($"l_quantity" * 2).as("bad")),
-          // a percentile read recommends a bottom-k SAMPLE sketch
-          // (sample_cols, served via the explicit sampleQuantiles
-          // read) and stays servable
+          // a percentile read over a FRACTIONAL column recommends a
+          // bottom-k SAMPLE sketch (sample_cols, served via the
+          // explicit sampleQuantiles read) and stays servable
           li.groupBy($"l_returnflag")
-            .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))))
+            .agg(expr("percentile(l_extendedprice, 0.5)").as("p50")),
+          // ... while one over an INTEGRAL column recommends a
+          // self-contained HDR log2-bucket sketch (hdr_cols — no row
+          // id needed, fixed relative error)
+          li.groupBy($"l_returnflag")
+            .agg(expr("percentile(l_linenumber, 0.9)").as("p90"))))
     }),
 
     // Bottom-k uniform row-sample quantiles, direct aggregate: the k
@@ -1504,10 +1509,11 @@ object RelationalQueries {
         | '(l_quantity * CAST(2 AS DOUBLE))' AS expr_measures,
         | 'l_orderkey' AS sketch_keys,
         | 'l_extendedprice' AS sample_cols,
+        | 'l_linenumber' AS hdr_cols,
         | f.n AS fact_rows,
         | r.n AS rollup_rows,
         | (f.n * 10000 // r.n) / 10000.0 AS reduction,
-        | 5 AS servable, 5 AS total
+        | 6 AS servable, 6 AS total
         |FROM f, r""".stripMargin,
     "q_sessionize" ->
       """WITH d AS (

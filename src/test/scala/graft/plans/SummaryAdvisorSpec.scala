@@ -187,4 +187,34 @@ class SummaryAdvisorSpec extends SparkSuite {
       assert(got.toSeq == want)
     } finally SummaryRewrite.unregister(spark, baseDir)
   }
+
+  test("percentile over an INTEGRAL column recommends an HDR sketch " +
+      "instead (self-contained: register needs no sampleId) and the " +
+      "quantiles serve within the 2^-5 relative bound") {
+    val rec = SummaryAdvisor.recommend(spark, baseDir, Seq(
+      base.groupBy($"flag").agg(expr("percentile(k, 0.5)").as("p50"))))
+    assert(rec.hdrCols == Seq("k"), rec.hdrCols)
+    assert(rec.sampleCols.isEmpty, rec.sampleCols)
+    assert(rec.servable == 1 && rec.total == 1,
+      rec.reports.map(_.reason))
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_adv_hdr").toString + "/rollup"
+    rec.register(spark, baseDir, sumDir, refresh = true) // no sampleId
+    try {
+      val got = SummaryRewrite.hdrQuantiles(spark, sumDir,
+        Seq("flag"), "k", Seq((50L, 100L))).orderBy($"flag")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val want = base.select($"flag", $"k").collect()
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+          case (f, rows) =>
+            val vs = rows.map(_.getLong(1)).sorted
+            (f, vs((0.5 * vs.length).ceil.toInt - 1))
+        }
+      got.zip(want).foreach { case ((f, est), (f2, ex)) =>
+        assert(f == f2)
+        assert(est <= ex && ex - est <= math.max(1L, ex >> 5),
+          s"flag=$f est=$est exact=$ex")
+      }
+    } finally SummaryRewrite.unregister(spark, baseDir)
+  }
 }
