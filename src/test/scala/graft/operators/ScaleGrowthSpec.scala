@@ -656,4 +656,99 @@ class ScaleGrowthSpec extends SparkSuite {
     assert(planNodes <= 4,
       s"rank plan has $planNodes nodes — lineage is compounding")
   }
+
+  test("HDR + CMS rollup serving stays dim-bounded as the base grows " +
+      "10x (sketch arrays move at dim cardinality, never base rows)") {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hc_grow")
+    def mkBase(n: Long, tag: String): String = {
+      val dir = s"$tmp/fact_$tag.parquet"
+      spark.range(n).select(
+          concat(lit("f"), pmod($"id", lit(4))).as("flag"),
+          pmod(xxhash64($"id"), lit(100000)).as("lat"),
+          pmod(xxhash64($"id" * 7L), lit(500)).as("uid"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val dirS = mkBase(50000, "s")
+    val dirB = mkBase(500000, "b")
+    def reg(base: String, roll: String): Unit =
+      SummaryRewrite.register(spark, base, roll, Seq("flag"), Nil,
+        hdrs = Seq(SummaryRewrite.HdrSpec("lat", "lat", 5)),
+        cmss = Seq(SummaryRewrite.CmsSpec("uid", 4, 512)))
+    reg(dirS, s"$tmp/roll_s"); reg(dirB, s"$tmp/roll_b")
+    try {
+      def srvQ(roll: String) = SummaryRewrite.hdrQuantiles(spark, roll,
+        Seq("flag"), "lat", Seq((50L, 100L), (99L, 100L)))
+      def srvF(roll: String) = SummaryRewrite.approxFreq(spark, roll,
+        Seq(), "uid", (0L until 100L))
+      srvQ(s"$tmp/roll_s").collect(); srvQ(s"$tmp/roll_b").collect()
+      val tS = timedSecs { srvQ(s"$tmp/roll_s").collect() }
+      val tB = timedSecs { srvQ(s"$tmp/roll_b").collect() }
+      val r = ratio(tB, tS)
+      info(f"hdr serve 50k-base: $tS%.2f s, 500k-base: $tB%.2f s, " +
+        f"growth $r%.1fx")
+      assertPerf(r < 3.0, f"10x base grew hdr serving $r%.1fx")
+      srvF(s"$tmp/roll_s").collect(); srvF(s"$tmp/roll_b").collect()
+      val fS = timedSecs { srvF(s"$tmp/roll_s").collect() }
+      val fB = timedSecs { srvF(s"$tmp/roll_b").collect() }
+      val rf = ratio(fB, fS)
+      info(f"cms serve 50k-base: $fS%.2f s, 500k-base: $fB%.2f s, " +
+        f"growth $rf%.1fx")
+      assertPerf(rf < 3.0, f"10x base grew cms serving $rf%.1fx")
+      // and the served values track the base exactly: p50 of the big
+      // base's lat distribution within the 2^-5 relative bound
+      val p50 = srvQ(s"$tmp/roll_b").orderBy($"flag").collect()
+        .head.getLong(1)
+      val exact = spark.read.parquet(dirB).where($"flag" === "f0")
+        .selectExpr("percentile(lat, 0.5)").collect().head.getDouble(0)
+      assert(p50 <= exact && exact - p50 <= math.max(1.0, exact / 32),
+        s"p50=$p50 exact=$exact")
+    } finally {
+      SummaryRewrite.unregister(spark, dirS)
+      SummaryRewrite.unregister(spark, dirB)
+    }
+  }
+
+  test("edit-distance join grows sub-quadratically from 5k to 50k " +
+      "strings and finds every planted typo pair") {
+    // pseudo-random 13-char strings fully determined by id, plus
+    // planted single-char typos (id+1M = id with one char replaced)
+    def strs(n: Long, typos: Long): DataFrame = {
+      val mk = "concat('str', lpad(cast(pmod(xxhash64(%s), " +
+        "10000000000) as string), 10, '0'))"
+      val base = spark.range(n)
+        .select(expr(mk.format("id")).as("s"))
+      val dup = spark.range(typos)
+        .select(expr("concat(substring(" + mk.format("id") +
+          ", 1, 7), 'X', substring(" + mk.format("id") + ", 9))")
+          .as("s"))
+      base.unionByName(dup).repartition(32)
+    }
+    def run(n: Long): Double = timedSecs {
+      EditDistanceJoin.pairs(strs(n, 50), "s", 1).count()
+    }
+    run(5000L) // warm
+    val tS = run(5000L)
+    val tB = run(50000L)
+    val r = ratio(tB, tS)
+    info(f"editdist 5k: $tS%.1f s, 50k: $tB%.1f s, growth $r%.1fx")
+    assertPerf(r < 30.0, f"10x strings grew $r%.1fx — quadratic")
+    // every planted typo is found (other legit ed=1 pairs may exist
+    // among the pseudo-random strings; the planted ones are a lower
+    // bound and each must be present)
+    val found = EditDistanceJoin.pairs(strs(5000, 50), "s", 1)
+      .collect().map(r0 => Set(r0.getString(0), r0.getString(1)))
+      .toSet
+    val origs = spark.range(50).select(expr(
+      "concat('str', lpad(cast(pmod(xxhash64(id), 10000000000) " +
+        "as string), 10, '0'))").as("s"))
+      .collect().map(_.getString(0))
+    origs.foreach { o =>
+      val typo = o.substring(0, 7) + "X" + o.substring(8)
+      assert(found.contains(Set(o, typo)),
+        s"planted pair ($o, $typo) missing")
+    }
+  }
 }
