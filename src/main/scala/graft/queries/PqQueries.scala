@@ -98,6 +98,34 @@ object PqQueries {
         .orderBy($"vec_id", $"pos")
     }),
 
+    // Residual (two-stage) quantization under FROZEN codebooks: code
+    // the whole vector against level-0 (the first 8 embeddings), then
+    // code the residual against level-1 (the same centroids scaled by
+    // 0.125 — a fixed derivation both engines restate exactly). The
+    // additive complement of PQ's slicing; distances run on the
+    // integer micro-grid (floor(d*d*1e6 + 0.5) summed as BIGINT) so
+    // the argmin is associativity-proof and the WHOLE two-level
+    // assignment hash-matches. Fitted codebooks (k-means per level on
+    // residuals) are invariant-tested in ResidualQuantizerSpec.
+    "q_rvq_assign_fixed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb0 = e.where($"vec_id" < 8)
+        .select(lit(0).as("level"),
+          $"vec_id".cast("int").as("centroid_id"),
+          $"embedding".cast("array<double>").as("c"))
+      val cb1 = e.where($"vec_id" < 8)
+        .select(lit(1).as("level"),
+          $"vec_id".cast("int").as("centroid_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.125)")
+            .as("c"))
+      graft.operators.ResidualQuantizer.quantizeColumn(
+          e.select($"vec_id", $"embedding"), "embedding", "codes",
+          cb0.unionByName(cb1))
+        .select($"vec_id", posexplode($"codes"))
+        .toDF("vec_id", "level", "code")
+        .orderBy($"vec_id", $"level")
+    }),
+
     // Q5 fitted codebook (rows-only; shape checked in PqSpec too).
     "q_pq_codebook" -> ((s, dir) =>
       ProductQuantizer.fitCodebook(emb(s, dir), "vec_id", "embedding",
@@ -225,7 +253,45 @@ object PqQueries {
            |  SELECT vec_id, list_sum(list_transform(range(1, len($svA)+1),
            |    i -> CAST(floor($sqTerm * 1000000 + 0.5) AS BIGINT))) AS e
            |  FROM scored WHERE rn = 1) _t
-           |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      // the residual-quantizer restatement: exact-double residuals,
+      // integer micro-grid distances (associativity-proof), smallest
+      // centroid_id on ties — every step the Scala encoder takes
+      "q_rvq_assign_fixed" ->
+        """WITH cb0 AS (
+          |  SELECT CAST(vec_id AS INT) AS cid,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+          |  FROM embeddings WHERE vec_id < 8),
+          |cb1 AS (SELECT cid,
+          |    list_transform(c, x -> x * 0.125) AS c FROM cb0),
+          |v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |s0 AS (SELECT v.vec_id, cb0.cid,
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(floor((v.v[i] - cb0.c[i]) * (v.v[i] - cb0.c[i])
+          |        * 1000000 + 0.5) AS BIGINT))) AS d
+          |  FROM v, cb0),
+          |a0 AS (SELECT vec_id, cid AS c0 FROM s0
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY d, cid) = 1),
+          |r AS (SELECT v.vec_id, a0.c0,
+          |    list_transform(range(1, 65), i -> v.v[i] - k.c[i]) AS res
+          |  FROM v JOIN a0 ON a0.vec_id = v.vec_id
+          |  JOIN cb0 k ON k.cid = a0.c0),
+          |s1 AS (SELECT r.vec_id, r.c0, cb1.cid,
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(floor((res[i] - cb1.c[i]) * (res[i] - cb1.c[i])
+          |        * 1000000 + 0.5) AS BIGINT))) AS d
+          |  FROM r, cb1),
+          |a1 AS (SELECT vec_id, c0, cid AS c1 FROM s1
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY d, cid) = 1)
+          |SELECT vec_id, CAST(0 AS INT) AS level, c0 AS code FROM a1
+          |UNION ALL
+          |SELECT vec_id, CAST(1 AS INT) AS level, c1 AS code FROM a1
+          |ORDER BY vec_id, level""".stripMargin
     )
   }
 }
