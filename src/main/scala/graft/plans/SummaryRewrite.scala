@@ -977,6 +977,32 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         case (n, r) if c.semanticEquals(r) => (n, r.dataType)
       }
 
+    /** Registered HDR sketch expressions resolved against THIS
+      * query's fact relation — same optimize-then-semanticEquals
+      * machinery as [[exprMeasures]], so
+      * `percentile_approx(CAST(floor(x*100) AS BIGINT), q)` matches
+      * the registered grid spelling and nothing else.
+      */
+    private lazy val hdrExprs: Seq[(HdrSpec, Expression)] =
+      if (e.hdrs.isEmpty) Nil
+      else {
+        val spark = SparkSession.active
+        rewriting.set(true)
+        try e.hdrs.flatMap { h =>
+          try org.apache.spark.sql.graftshim.GraftShims
+            .dataFrame(spark, rel)
+            .selectExpr(s"(${h.sql}) AS __hdr")
+            .queryExecution.optimizedPlan.collectFirst {
+              case Project(Seq(al: Alias), _) => al.child
+            }.map(h -> _)
+          catch { case scala.util.control.NonFatal(_) => None }
+        } finally rewriting.set(false)
+      }
+
+    /** The HDR sketch an aggregate input reads, if any. */
+    def hdrSpecOf(c: Expression): Option[HdrSpec] =
+      hdrExprs.collectFirst { case (h, r) if c.semanticEquals(r) => h }
+
     /** Variance-family form of [[exprMeasureOf]]: unwrap Spark's own
       * implicit cast-to-double (CentralMomentAgg casts every input)
       * before matching; decimal-typed expressions refused for the
@@ -1297,7 +1323,34 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
                   }
                 case _ => None
               }
-            case _ => None
+            // ... or an HDR log2-bucket sketch registered over this
+            // exact (semantically matched) integral expression: the
+            // quantile reads as the holding bucket's lower bound —
+            // deterministic, within 2^-p relative error, served from
+            // a dim-cardinality fold. Rank rationals at 1/10000 grain.
+            case c =>
+              hdrSpecOf(c).flatMap { h =>
+                val merged = graft.operators.HistMerge(sOut(h.colName))
+                  .toAggregateExpression(isDistinct = false,
+                    filter = filt)
+                def read(d: Double, t: DataType): Expression =
+                  Cast(graft.operators.HdrQuantile(merged,
+                    math.round(d * 10000), 10000L, h.p), t)
+                ap.percentageExpression.eval() match {
+                  case d: java.lang.Double =>
+                    Some(read(d.doubleValue(), ae.dataType))
+                  case arr: org.apache.spark.sql.catalyst.util
+                      .ArrayData =>
+                    ae.dataType match {
+                      case ArrayType(elemT, _) =>
+                        Some(org.apache.spark.sql.catalyst.expressions
+                          .CreateArray(arr.toDoubleArray().toSeq
+                            .map(read(_, elemT))))
+                      case _ => None
+                    }
+                  case _ => None
+                }
+              }
           }
 
         // MIN/MAX under retraction: a deleted row may have BEEN the

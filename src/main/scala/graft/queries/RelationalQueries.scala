@@ -841,6 +841,32 @@ object RelationalQueries {
         .orderBy($"event_type")
     }),
 
+    // The RULE path for HDR: percentile_approx over the registered
+    // grid spelling re-plans onto the rollup's HDR arrays under the
+    // graft.mv.approxQuantile opt-in (semantic expression match, like
+    // derived measures — a different grid spelling stays on base).
+    // The oracle is the HDR restatement, so a silently-unfired rule
+    // (exact percentile_approx values, not bucket lower bounds) FAILS
+    // the hash — the fired path is what's checked.
+    "q_mv_hdr_rewrite" -> ((s, dir) => {
+      registerMvEvents(s, dir)
+      s.conf.set("graft.mv.approxQuantile", "true")
+      try {
+        val df = t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(
+            expr("percentile_approx(CAST(floor(value * 100) AS " +
+              "BIGINT), 0.5)").as("p50"),
+            expr("percentile_approx(CAST(floor(value * 100) AS " +
+              "BIGINT), array(0.95, 0.99))").as("ps"))
+          .select($"event_type", $"p50",
+            expr("ps[0]").as("p95"), expr("ps[1]").as("p99"))
+          .orderBy($"event_type")
+        org.apache.spark.sql.graftshim.GraftShims.dataFrame(s,
+          df.queryExecution.optimizedPlan)
+      } finally s.conf.set("graft.mv.approxQuantile", "false")
+    }),
+
     // Count-min point-frequency sketch (Cormode–Muthukrishnan): the
     // per-key read the Misra–Gries top-k summary cannot answer.
     // Affine hashes mod 2^31-1 with fixed published constants keep
@@ -1241,6 +1267,7 @@ object RelationalQueries {
       "ORDER BY event_type, bucket"),
     "q_hdr_quantile" -> hdrQuantileOracle,
     "q_mv_hdr" -> hdrQuantileOracle,
+    "q_mv_hdr_rewrite" -> hdrQuantileOracle,
     "q_cms_freq" -> (cmsEstCte +
       "SELECT k AS user_id, est, exact_cnt FROM est ORDER BY user_id"),
     "q_mv_cms" -> (cmsEstCte +

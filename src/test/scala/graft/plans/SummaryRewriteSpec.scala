@@ -55,7 +55,11 @@ class SummaryRewriteSpec extends SparkSuite {
           "CAST(qty AS DECIMAL(10,1)) * 2")),
       // k=1024 >= every row count here: the sample IS the data, so
       // opt-in percentile serves are exact order statistics
-      samples = Seq(SummaryRewrite.SampleQSpec("k", "price", 1024)))
+      samples = Seq(SummaryRewrite.SampleQSpec("k", "price", 1024)),
+      // HDR sketch over an integral grid of qty: the rule-path serve
+      // for percentile_approx(CAST(qty AS BIGINT), q)
+      hdrs = Seq(SummaryRewrite.HdrSpec("qty_g",
+        "CAST(qty AS BIGINT)")))
 
   writeBase()
   reRegister()
@@ -799,6 +803,38 @@ class SummaryRewriteSpec extends SparkSuite {
       val exact = base.groupBy($"flag")
         .agg(expr("percentile(price, 0.5)").as("p"))
       assert(!scanPaths(exact).exists(_.contains("rollup")))
+    } finally spark.conf.set("graft.mv.approxQuantile", "false")
+  }
+
+  test("percentile_approx over the registered HDR grid spelling " +
+      "serves from the rollup under the opt-in; a different grid " +
+      "stays on base") {
+    def q(grid: String) = base.groupBy($"flag")
+      .agg(expr(s"percentile_approx(CAST($grid AS BIGINT), 0.5)")
+        .as("p50"))
+      .orderBy($"flag")
+    // never without the opt-in
+    assert(!scanPaths(q("qty")).exists(_.contains("rollup")))
+    spark.conf.set("graft.mv.approxQuantile", "true")
+    try {
+      val served = q("qty")
+      assert(scanPaths(served).exists(_.contains("rollup")),
+        "registered HDR grid spelling must serve from the rollup")
+      // served value = HDR bucket lower bound: within 2^-5 relative
+      // of the exact ceil-rank statistic, never above it
+      val got = served.collect().map(r =>
+        (r.getString(0), r.getLong(1)))
+      val byFlag = base.select($"flag", $"qty").collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getDouble(1).toLong).toSeq).toMap
+      got.foreach { case (f, est) =>
+        val vs = byFlag(f).sorted
+        val ex = vs((0.5 * vs.length).ceil.toInt - 1)
+        assert(est <= ex && ex - est <= math.max(1L, ex >> 5),
+          s"flag=$f est=$est exact=$ex")
+      }
+      // a semantically different grid must stay on base
+      assert(!scanPaths(q("qty * 10")).exists(_.contains("rollup")))
     } finally spark.conf.set("graft.mv.approxQuantile", "false")
   }
 

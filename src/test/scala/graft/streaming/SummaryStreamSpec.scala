@@ -281,6 +281,45 @@ class SummaryStreamSpec extends SparkSuite {
     SummaryRewrite.clear()
   }
 
+  test("streamed HDR + CMS measures: chunked count arrays fold to " +
+      "exactly the one-shot sketches, through compact too") {
+    val baseDir = tmp("graft_ss_hc_base") + "/fact.parquet"
+    val sumDir = tmp("graft_ss_hc_sum") + "/rollup"
+    val all = mkRows(0, 300)
+    all.write.mode("append").parquet(baseDir)
+    val hdrs = Seq(SummaryRewrite.HdrSpec("k", "k", 5))
+    val cmss = Seq(SummaryRewrite.CmsSpec("k", 4, 128))
+    SummaryStream.registerStreaming(spark, baseDir, sumDir,
+      Seq("flag"), Seq("qty"), hdrs = hdrs, cmss = cmss)
+    SummaryStream.processBatch(mkRows(0, 150), 0L, sumDir,
+      Seq("flag"), Seq("qty"), hdrs = hdrs, cmss = cmss)
+    SummaryStream.processBatch(mkRows(150, 150), 1L, sumDir,
+      Seq("flag"), Seq("qty"), hdrs = hdrs, cmss = cmss)
+    def hdrServed() = SummaryRewrite.hdrQuantiles(spark, sumDir,
+      Seq("flag"), "k", Seq((50L, 100L), (99L, 100L)))
+      .orderBy($"flag").collect().map(_.toSeq).toSeq
+    val hdrDirect = all.groupBy($"flag")
+      .agg(expr("hdr_quantile(hdr_sketch(k, 5), 50, 100, 5)").as("p50"),
+        expr("hdr_quantile(hdr_sketch(k, 5), 99, 100, 5)").as("p99"))
+      .orderBy($"flag").collect().map(_.toSeq).toSeq
+    assert(hdrServed() == hdrDirect)
+    def freqServed() = SummaryRewrite.approxFreq(spark, sumDir,
+      Seq(), "k", Seq(5L, 7L, 250L)).orderBy($"k")
+      .collect().map(_.toSeq).toSeq
+    val freqDirect = {
+      val sk = all.agg(expr("cms_sketch(k, 4, 128)").as("__cms"))
+      Seq(5L, 7L, 250L).toDF("k").crossJoin(broadcast(sk))
+        .select($"k", expr("cms_estimate(__cms, k, 4, 128)").as("est"))
+        .orderBy($"k").collect().map(_.toSeq).toSeq
+    }
+    assert(freqServed() == freqDirect)
+    // both survive the rollup-local compact fold bit for bit
+    SummaryStream.compact(spark, sumDir, Seq("flag"))
+    assert(hdrServed() == hdrDirect)
+    assert(freqServed() == freqDirect)
+    SummaryRewrite.clear()
+  }
+
   test("streamed vector-sum measures: chunked struct(n, sums) partials " +
       "fold to the one-shot centroid, through compact, null rows " +
       "excluded") {
