@@ -3,6 +3,14 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** One segment-signature emission: candidate partner length, segment
+  * ordinal, and the segment/substring text. Top-level and public so
+  * Spark's encoder CODEGEN can call the accessors — as a private
+  * nested class Janino fails to resolve them and every serializer in
+  * the join falls back to the interpreted path.
+  */
+case class SegEmit(len: Int, seg: Int, sub: String)
+
 /** Edit-distance similarity join — all unordered pairs of distinct
   * strings within Levenshtein distance k — via PASS-JOIN-style
   * segment signatures (Li/Deng/Feng's partition scheme, a published
@@ -41,8 +49,6 @@ import org.apache.spark.sql.functions._
   */
 object EditDistanceJoin {
 
-  private case class Emit(len: Int, seg: Int, sub: String)
-
   /** Near-even PassJoin segmentation: k+1 segments, longer ones
     * first; total = s.length.
     */
@@ -71,11 +77,11 @@ object EditDistanceJoin {
 
     val minSeg = k + 1
     val idxEmit = udf((s: String) =>
-      if (s.length < minSeg) Seq.empty[Emit]
-      else segments(s, k).map { case (i, sub) => Emit(s.length, i, sub) })
+      if (s.length < minSeg) Seq.empty[SegEmit]
+      else segments(s, k).map { case (i, sub) => SegEmit(s.length, i, sub) })
     val probeEmit = udf((t: String) => {
       val m = t.length
-      val out = scala.collection.mutable.LinkedHashSet[Emit]()
+      val out = scala.collection.mutable.LinkedHashSet[SegEmit]()
       var pl = math.max(minSeg, m - k)
       while (pl <= m + k) {
         val base = pl / (k + 1)
@@ -87,7 +93,7 @@ object EditDistanceJoin {
           var pos = math.max(0, start - k)
           val hi = math.min(m - len, start + k)
           while (pos <= hi) {
-            out += Emit(pl, i, t.substring(pos, pos + len))
+            out += SegEmit(pl, i, t.substring(pos, pos + len))
             pos += 1
           }
           start += len
