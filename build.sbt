@@ -11,10 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Emit forked-run stdout verbatim (no "[info] " prefix): downstream
-// tooling tail-captures the run and json-parses the final line, which
-// must start with '{' for the parse to succeed.
+// `runMain` resolves fork/outputStrategy in ITS OWN scope, not run's —
+// r10's bench tail still carried "[info] " prefixes because only
+// `run /` was set. Set both (plus the unscoped fallback) so program
+// stdout is emitted verbatim: downstream tooling tail-captures the run
+// and json-parses the final line, which must start with '{'.
+Compile / runMain / fork := true
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
