@@ -126,6 +126,7 @@ object IvfIndex {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_centroids")
     }
+    writeMeta(spark, path, idCol, vecCol)
     val model = Model(local, assigned, idCol, vecCol, path)
     if (!force && buildMemo.size < 32) buildMemo.put(key, (plan, model))
     model
@@ -183,6 +184,7 @@ object IvfIndex {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_centroids")
     }
+    writeMeta(spark, path, idCol, vecCol)
     val model = Model(centroids, assigned, idCol, vecCol, path)
     if (fixedBuildMemo.size < 32) fixedBuildMemo.put(key, (plan, model))
     model
@@ -237,6 +239,32 @@ object IvfIndex {
 
   case class CompactionStats(cells: Int, filesBefore: Int,
       filesAfter: Int)
+
+  /** Durable record of the index's id (and stored-vector) column name,
+    * written by every build path — [[delete]] validates its id column
+    * against this instead of trusting "any integral artifact column",
+    * which would let an integral payload column drive an anti-join
+    * against itself and silently remove the wrong rows.
+    */
+  private def writeMeta(spark: SparkSession, path: String,
+      idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    Seq((idCol, vecCol)).toDF("id_col", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** The id column recorded at build time, if this artifact carries a
+    * `_meta` sidecar (indexes built before the sidecar existed don't;
+    * [[delete]] falls back to its schema/type checks for those).
+    */
+  private[graft] def metaIdCol(spark: SparkSession, path: String)
+      : Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path/_meta")
+      .select("id_col").head().getString(0))
+  }
 
   /** Tombstone-filtered assignment scan: `_deleted` (written by
     * [[delete]]) holds doomed ids; every artifact read path anti-joins
@@ -300,6 +328,16 @@ object IvfIndex {
     // contract (requireIntegralId), so enforce that here too.
     require(idName != "cell_id",
       "cannot tombstone by 'cell_id' — deletes are by document id")
+    // the build-time _meta record is authoritative when present: only
+    // the index's ACTUAL id column may drive a tombstone, not merely
+    // any integral artifact column (an integral payload column would
+    // anti-join against itself and remove the wrong rows)
+    metaIdCol(spark, indexPath).foreach { recorded =>
+      require(idName == recorded,
+        s"id column '$idName' is not the index's id column " +
+          s"('$recorded' per $indexPath/_meta) — deletes are by the " +
+          "build-time id column")
+    }
     artifactSchema(idName).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -413,7 +451,7 @@ object IvfIndex {
     assigned.repartition(keys: _*)
       .write.partitionBy("cell_id").mode("overwrite").parquet(fresh)
     // sidecars travel with the artifact
-    for (side <- Seq("_centroids", "_sqmodel")) {
+    for (side <- Seq("_centroids", "_sqmodel", "_meta")) {
       val src = new org.apache.hadoop.fs.Path(s"$indexPath/$side")
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
@@ -804,6 +842,7 @@ object IvfIndex {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_centroids")
     }
+    writeMeta(spark, path, idCol, vecCol)
     val model = Model(centroids, assigned, idCol, vecCol, path)
     if (!force && fixedBuildMemo.size < 32)
       fixedBuildMemo.put(key, (plan, model))
@@ -877,6 +916,7 @@ object IvfIndex {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_centroids")
     }
+    writeMeta(spark, path, idCol, "half")
     val model = Model(centroids, assigned, idCol, vecCol, path)
     if (!force && fixedBuildMemo.size < 32)
       fixedBuildMemo.put(key, (plan, model))
@@ -1058,6 +1098,7 @@ object IvfIndex {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_sqmodel")
     }
+    writeMeta(spark, path, idCol, "sq")
     val result = (Model(local, assigned, idCol, "sq", path), mn, mx)
     if (sq8BuildMemo.size < 32) sq8BuildMemo.put(key, (plan, result))
     result
@@ -1114,6 +1155,7 @@ object IvfIndex {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/_sqmodel")
     }
+    writeMeta(spark, path, idCol, "sq")
     val result = (Model(centroids, assigned, idCol, "sq", path), mn, mx)
     if (sq8BuildMemo.size < 32) sq8BuildMemo.put(key, (plan, result))
     result

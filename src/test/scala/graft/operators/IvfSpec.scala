@@ -492,17 +492,18 @@ class IvfSpec extends SparkSuite {
         emb.limit(1).select(lit(0).as("cell_id")))
     }
     assert(e1.getMessage.contains("cell_id"))
-    // a non-integral artifact column is not an identity
+    // a non-id artifact column (the vector) is not an identity: the
+    // build-time _meta record rejects it by name
     val e2 = intercept[IllegalArgumentException] {
       IvfIndex.delete(spark, m0.indexPath,
         emb.limit(1).select($"embedding"))
     }
-    assert(e2.getMessage.contains("integral"))
-    // mixed-schema sidecar: two deletes naming DIFFERENT (both valid,
-    // both integral) artifact columns would append parquet files whose
-    // merged read nulls the older files and silently RESURFACES their
-    // tombstones — the second name must be rejected. Needs an index
-    // whose artifact carries a second integral column (a payload).
+    assert(e2.getMessage.contains("not the index's id column"))
+    // an integral PAYLOAD column is still not an identity: the
+    // build-time _meta record rejects it even as the FIRST delete
+    // (it would anti-join the payload against itself and remove the
+    // wrong rows). Needs an index whose artifact carries a second
+    // integral column.
     val withAlt = emb.withColumn("alt_id", $"vec_id" + 1000000L)
     val m1 = IvfIndex.build(withAlt, "vec_id", "embedding",
       nCells = 4, maxIter = 3, indexDir = Some(s"$tmp/idx2"),
@@ -513,10 +514,24 @@ class IvfSpec extends SparkSuite {
       IvfIndex.delete(spark, m1.indexPath,
         withAlt.where($"vec_id" === 2L).select($"alt_id"))
     }
-    assert(e3.getMessage.contains("already tombstones by"))
+    assert(e3.getMessage.contains("_meta"))
     // the SAME name keeps appending fine
     assert(IvfIndex.delete(spark, m1.indexPath,
       withAlt.where($"vec_id" === 2L).select($"vec_id")) == 1L)
+    // pre-_meta artifacts (built before the sidecar existed) fall back
+    // to the mixed-schema guard: two deletes naming DIFFERENT (both
+    // valid, both integral) artifact columns would append parquet
+    // files whose merged read nulls the older files and silently
+    // RESURFACES their tombstones — the second name must be rejected.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"${m1.indexPath}/_meta"))
+    val e4 = intercept[IllegalArgumentException] {
+      IvfIndex.delete(spark, m1.indexPath,
+        withAlt.where($"vec_id" === 3L).select($"alt_id"))
+    }
+    assert(e4.getMessage.contains("already tombstones by"))
   }
 
   test("delete composes with the registered planner index via " +
