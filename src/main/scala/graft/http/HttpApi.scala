@@ -122,7 +122,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/topk" -> "frequent items (Misra-Gries + recount)",
       "post /collections/{name}/keywords" -> "per-doc tf-idf keywords",
       "post /lsh_tune" -> "LSH banding tuner",
-      "post /collections/{name}/summary" -> "register materialized rollup (+ hll_keys, histograms, items, kmv_keys, vec_cols, hdr_cols, cms_keys)",
+      "post /collections/{name}/summary" -> "register materialized rollup (+ expr_measures name:sql, hll_keys, histograms, items, kmv_keys, vec_cols, hdr_cols, cms_keys)",
       "get /collections/{name}/summary/stats" -> "rollup chunk debt",
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
       "post /collections/{name}/summary/distinct" -> "HLL distinct estimate from the rollup",
@@ -163,6 +163,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
   // artifact like any other and gets the same CRUD lifecycle
   private case class SummaryReg(dataPath: String, summaryDir: String,
       dims: Seq[String], measures: Seq[String],
+      exprs: Seq[graft.plans.SummaryRewrite.ExprMeasure] = Nil,
       sketches: Seq[graft.plans.SummaryRewrite.SketchSpec] = Nil,
       histograms: Seq[graft.plans.SummaryRewrite.HistSpec] = Nil,
       items: Seq[graft.plans.SummaryRewrite.ItemsSpec] = Nil,
@@ -1257,6 +1258,43 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           val dims = jsonStringArray(body, "dims").getOrElse(Nil)
           val measures = jsonStringArray(body, "measures").getOrElse(Nil)
           val refresh = jsonField(body, "refresh").contains("true")
+          // optional EXPRESSION measures ("expr_measures":
+          // ["revenue:l_extendedprice * (1 - l_discount)"] — name:sql
+          // split on the first ':', the format /summary/advise emits),
+          // so the advise → register loop closes for derived-aggregate
+          // workloads like the TPC-H Q1 shape
+          val exprRaw = jsonStringArray(body, "expr_measures")
+            .getOrElse(Nil)
+          val exprs = exprRaw.flatMap { s =>
+            val i = s.indexOf(':')
+            if (i <= 0 || i == s.length - 1) None
+            else Some(graft.plans.SummaryRewrite.ExprMeasure(
+              s.substring(0, i).trim, s.substring(i + 1).trim))
+          }
+          // parse-validate each expression up front (400, not a 500
+          // out of the rollup build) and pin its references to the
+          // collection's columns
+          val exprErr: Option[String] = exprs.flatMap { em =>
+            if (!validIdent(em.name))
+              Some(s"expr measure name '${em.name}' is not a valid " +
+                "identifier")
+            else scala.util.Try(
+                spark.sessionState.sqlParser.parseExpression(em.sql))
+              .toOption match {
+              case None =>
+                Some(s"expr measure '${em.name}' does not parse")
+              case Some(pe) =>
+                val refs = pe.collect {
+                  case a: org.apache.spark.sql.catalyst.analysis
+                      .UnresolvedAttribute => a.name
+                }
+                if (refs.isEmpty)
+                  Some(s"expr measure '${em.name}' references no column")
+                else refs.find(r => !df.columns.contains(r))
+                  .map(r => s"expr measure '${em.name}' references " +
+                    s"'$r', not a column of $name")
+            }
+          }.headOption
           // optional sketch measures: HLL keys ("hll_keys":["user_id"],
           // precision via "hll_p") and histogram descriptors
           // ("histograms":["latency:0:60000:600"])
@@ -1327,9 +1365,17 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             case (_, Left(err)) =>
               respond(ex, 400, s"""{"error":"$err"}""")
             case (Right(histograms), Right(items)) =>
-              if (dims.isEmpty || measures.isEmpty)
+              if (dims.isEmpty || (measures.isEmpty && exprs.isEmpty))
                 respond(ex, 400,
-                  """{"error":"dims and measures arrays are required"}""")
+                  """{"error":"dims and measures (or expr_measures) """ +
+                    """arrays are required"}""")
+              else if (exprs.size != exprRaw.size)
+                respond(ex, 400,
+                  """{"error":"expr_measures entries must be """ +
+                    """name:sql pairs"}""")
+              else if (exprErr.isDefined)
+                respond(ex, 400, s"""{"error":"${graft.util.Json
+                  .escape(exprErr.get)}"}""")
               else if (kmvK < 2 || kmvK > graft.operators.Kmv.MaxK)
                 respond(ex, 400,
                   s"""{"error":"kmv_k must be in [2, """ +
@@ -1370,15 +1416,17 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   sumDir, dims, measures, refresh = refresh,
                   sketches = sketches, histograms = histograms,
                   items = items, kmvs = kmvs, vecs = vecs,
+                  exprs = exprs,
                   samples = samples, hdrs = hdrs, cmss = cmss)
                 summaries.put(name, SummaryReg(paths.head, sumDir, dims,
-                  measures, sketches, histograms, items, kmvs, vecs,
-                  samples, hdrs, cmss))
+                  measures, exprs, sketches, histograms, items, kmvs,
+                  vecs, samples, hdrs, cmss))
                 val chunks = spark.read.parquet(sumDir)
                   .select(col("chunk")).distinct().count()
                 respond(ex, 200,
                   s"""{"summary":"$name","dims":${dims.size},""" +
                     s""""measures":${measures.size},""" +
+                    s""""exprs":${exprs.size},""" +
                     s""""sketches":${sketches.size},""" +
                     s""""histograms":${histograms.size},""" +
                     s""""items":${items.size},""" +
@@ -1888,7 +1936,8 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 s"""{"dims":${arr(rec.dims)},""" +
                   s""""measures":${arr(rec.measures)},""" +
                   s""""expr_measures":${arr(rec.exprMeasures
-                    .map(em => graft.util.Json.escape(em.sql)))},""" +
+                    .map(em => graft.util.Json
+                      .escape(s"${em.name}:${em.sql}")))},""" +
                   s""""hll_keys":${arr(rec.sketchKeys)},""" +
                   s""""sample_cols":${arr(rec.sampleCols)},""" +
                   s""""hdr_cols":${arr(rec.hdrCols)},""" +
@@ -1927,6 +1976,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               s"""{"summary":"$name","n_chunks":${byChunk.length},""" +
                 s""""dims":[${reg.dims.map("\"" + _ + "\"").mkString(",")}],""" +
                 s""""measures":[${reg.measures.map("\"" + _ + "\"").mkString(",")}],""" +
+                s""""exprs":[${reg.exprs.map("\"" + _.name + "\"").mkString(",")}],""" +
                 s""""retracted":$retracted,""" +
                 s""""rule":{"fired":$fired,"errors":$errors},""" +
                 s""""chunks":$items}""")

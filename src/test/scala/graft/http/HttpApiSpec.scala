@@ -808,6 +808,55 @@ class HttpApiSpec extends SparkSuite {
     assert(delete("/collections/li_mv_sk/summary").statusCode() === 200)
   }
 
+  test("summary expression measures over REST: register with " +
+      "expr_measures (the advise output format) -> rewrite serves the " +
+      "derived aggregate from the rollup; malformed exprs 400") {
+    import org.apache.spark.sql.functions.{col, expr}
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("li_mv_em")
+    // malformed entries first: no name, unparseable sql, non-column ref
+    assert(post("/collections/li_mv_em/summary",
+      """{"dims":["l_returnflag"],"expr_measures":["no_colon_here"]}""")
+      .statusCode() === 400)
+    assert(post("/collections/li_mv_em/summary",
+      """{"dims":["l_returnflag"],"expr_measures":["rev:(((("]}""")
+      .statusCode() === 400)
+    assert(post("/collections/li_mv_em/summary",
+      """{"dims":["l_returnflag"],"expr_measures":["rev:nope * 2"]}""")
+      .statusCode() === 400)
+    // the TPC-H Q1 shape, registered exactly as /summary/advise emits
+    val reg = post("/collections/li_mv_em/summary",
+      """{"dims":["l_returnflag"],"measures":["l_quantity"],
+        |"expr_measures":["revenue:l_extendedprice * (1 - l_discount)"]}"""
+        .stripMargin.replace("\n", ""))
+    assert(reg.statusCode() === 200, reg.body())
+    assert(reg.body().contains("\"exprs\":1"), reg.body())
+    assert(get("/collections/li_mv_em/summary/stats").body()
+      .contains("\"exprs\":[\"revenue\"]"))
+    // the installed rewrite serves the derived aggregate from the
+    // rollup, and the served values match the base scan exactly
+    val base = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val q = base.groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.sum(
+        expr("l_extendedprice * (1 - l_discount)")).as("rev"))
+      .orderBy(col("l_returnflag"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("graft_http_summary")),
+      s"expr-measure rewrite not installed, scanned $scans")
+    val served = q.collect().map(_.toSeq)
+    assert(delete("/collections/li_mv_em/summary").statusCode() === 200)
+    val raw = base.groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.sum(
+        expr("l_extendedprice * (1 - l_discount)")).as("rev"))
+      .orderBy(col("l_returnflag")).collect().map(_.toSeq)
+    assert(served.toSeq === raw.toSeq)
+  }
+
   test("summary HDR + CMS sketches over REST: register with hdr_cols " +
       "+ cms_keys, serve relative-error quantiles and per-key " +
       "frequency estimates; params 400") {
