@@ -135,7 +135,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/summary/topitems" -> "Misra-Gries frequent items from the rollup",
       "post /collections/{name}/summary/overlap" -> "KMV distinct-overlap of dim groups from the rollup",
       "post /collections/{name}/summary/centroid" -> "per-group embedding centroids from the rollup",
-      "post /collections/{name}/summary/advise" -> "recommend + cost a rollup registration from a SQL workload (analyzed, never executed) or from the captured workload ({\\\"captured\\\":true})",
+      "post /collections/{name}/summary/advise" -> "recommend + cost a rollup registration from a SQL workload (analyzed, never executed) or from the captured workload ({\\\"captured\\\":true}); {\\\"apply\\\":true} registers it in the same call",
       "post /capture/start" -> "start capturing the session's aggregate queries for the advisor",
       "post /capture/stop" -> "stop the workload capture listener",
       "get /capture" -> "capture status: active flag + captured query count",
@@ -1932,6 +1932,43 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 s"""{"servable":${r.servable},""" +
                   s""""reason":"${graft.util.Json.escape(r.reason)}"}"""
               }.mkString("[", ",", "]")
+              // {"apply":true} registers the recommendation in the
+              // same call (one round-trip observe → advise → serve;
+              // percentile workloads over fractional columns also need
+              // "sample_id", the unique row id the sample sketch
+              // hashes). The advisory-only default stays side-effect
+              // free.
+              val applyNow =
+                ("\"apply\"\\s*:\\s*true").r.findFirstIn(body).isDefined
+              val sampleId = jsonField(body, "sample_id").getOrElse("")
+              val applied =
+                if (!applyNow) ""
+                else if (rec.dims.isEmpty ||
+                    (rec.measures.isEmpty && rec.exprMeasures.isEmpty))
+                  ""","applied":false,"apply_error":"nothing to register: the workload yields no dims+measures""""
+                else if (rec.sampleCols.nonEmpty && sampleId.isEmpty)
+                  ""","applied":false,"apply_error":"workload reads percentiles of fractional columns: pass sample_id""""
+                else {
+                  val sumDir =
+                    s"${System.getProperty("java.io.tmpdir")}/" +
+                      "graft_http_summary_" +
+                      s"${java.lang.ProcessHandle.current().pid()}_$name"
+                  rec.register(spark, paths.head, sumDir,
+                    refresh = true, sampleId = sampleId)
+                  summaries.put(name, SummaryReg(paths.head, sumDir,
+                    rec.dims, rec.measures, rec.exprMeasures,
+                    rec.sketchKeys.map(k =>
+                      graft.plans.SummaryRewrite.SketchSpec(k)),
+                    samples =
+                      if (sampleId.isEmpty) Nil
+                      else rec.sampleCols.map(c => graft.plans
+                        .SummaryRewrite.SampleQSpec(sampleId, c)),
+                    hdrs = rec.hdrCols.map(c =>
+                      graft.plans.SummaryRewrite.HdrSpec(c, c))))
+                  val chunks = spark.read.parquet(sumDir)
+                    .select(col("chunk")).distinct().count()
+                  s""","applied":true,"chunks":$chunks"""
+                }
               respond(ex, 200,
                 s"""{"dims":${arr(rec.dims)},""" +
                   s""""measures":${arr(rec.measures)},""" +
@@ -1949,7 +1986,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                       10000.0},""" +
                   s""""servable":${rec.servable},""" +
                   s""""total":${rec.total},""" +
-                  s""""queries":$reports}""")
+                  s""""queries":$reports$applied}""")
             } catch {
               case e: org.apache.spark.sql.AnalysisException =>
                 respond(ex, 400, s"""{"error":"${graft.util.Json

@@ -479,6 +479,14 @@ object IvfIndex {
     */
   def merge(spark: SparkSession, destPath: String, srcPath: String,
       idCol: String, vecCol: String): Model = graft.util.BuildTimer.timed {
+    // both artifacts' build-time id records must match the caller's
+    // (checked before load, which would fail less legibly): appending
+    // src rows under a different id column would union parquet schemas
+    // and null the id on one side of every later scan
+    for (p <- Seq(destPath, srcPath); rec <- metaIdCol(spark, p))
+      require(rec == idCol,
+        s"cannot merge: the index at $p was built with id column " +
+          s"'$rec' (per _meta), not '$idCol'")
     val dest = load(spark, destPath, idCol, vecCol)
     val src = load(spark, srcPath, idCol, vecCol)
     require(dest.centroids.length == src.centroids.length &&

@@ -249,7 +249,13 @@ object SummaryAdvisor {
           case e2 if e2.deterministic && e2.references.nonEmpty &&
               e2.references.forall(r => baseTypes.contains(r.name)) &&
               numeric(e2.dataType) =>
-            exprSqls :+= e2.sql
+            // render UNQUALIFIED: the analyzed tree's attributes carry
+            // the workload's own view/table qualifier, which does not
+            // resolve when the registration parses this text against
+            // the bare base relation (advise → register round-trip)
+            exprSqls :+= e2.transform {
+              case ar: AttributeReference => ar.withQualifier(Seq.empty)
+            }.sql
           case _ =>
             bad = bad.orElse(Some(
               s"$what over a non-column expression: ${c.sql}"))

@@ -1030,6 +1030,40 @@ class HttpApiSpec extends SparkSuite {
     assert(r.body().contains(""""expr_measures":["""), r.body())
     assert("\"expr_measures\":\\[\"[^\"]*l_quantity[^\"]*\"\\]".r
       .findFirstIn(r.body()).isDefined, r.body())
+    // the advisory call is side-effect free: no summary registered yet
+    assert(get("/collections/li_mv_adv/summary/stats").statusCode()
+      === 404)
+    // {"apply":true} registers the recommendation in the same call —
+    // the one-round-trip observe → advise → serve loop
+    val ap = post("/collections/li_mv_adv/summary/advise",
+      """{"apply":true,"queries":[
+        |"SELECT l_returnflag, sum(l_quantity) FROM li_mv_adv GROUP BY 1",
+        |"SELECT l_returnflag, sum(l_quantity * 2) FROM li_mv_adv GROUP BY 1"
+        |]}""".stripMargin.replace("\n", ""))
+    assert(ap.statusCode() === 200, ap.body())
+    assert(ap.body().contains(""""applied":true"""), ap.body())
+    assert(get("/collections/li_mv_adv/summary/stats").statusCode()
+      === 200)
+    // the registered rollup (incl. the expression measure) serves
+    import org.apache.spark.sql.functions.{col, expr, sum => ssum}
+    val q = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(ssum(expr("l_quantity * 2")).as("s2"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("graft_http_summary")),
+      s"applied recommendation not serving, scanned $scans")
+    val served = q.orderBy(col("l_returnflag")).collect().map(_.toSeq)
+    assert(delete("/collections/li_mv_adv/summary").statusCode() === 200)
+    val raw = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(ssum(expr("l_quantity * 2")).as("s2"))
+      .orderBy(col("l_returnflag")).collect().map(_.toSeq)
+    assert(served.toSeq === raw.toSeq)
   }
 
   test("advise rejects command statements (never executes the " +

@@ -238,6 +238,18 @@ class IvfSpec extends SparkSuite {
         "embedding")
     }
     assert(e.getMessage.contains("bits"))
+    // shards built under DIFFERENT id columns cannot merge either:
+    // the appended rows would union parquet schemas and null the id
+    // on one side of every later scan
+    IvfIndex.buildWithCentroids(
+      emb.where($"vec_id" >= 20 && $"vec_id" < 40)
+        .withColumnRenamed("vec_id", "other_id"),
+      "other_id", "embedding", cents, Some(s"$tmp/otherid"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.merge(spark, s"$tmp/plain", s"$tmp/otherid", "vec_id",
+        "embedding")
+    }
+    assert(e2.getMessage.contains("_meta"), e2.getMessage)
   }
 
   test("F16 inverted file: the artifact stores halves ONLY (no float " +
