@@ -67,9 +67,27 @@ object EditDistanceJoin {
 
   /** All unordered pairs (a < b) of distinct non-null values of
     * `strCol` with 1 <= levenshtein <= k, as (a, b, ed).
+    *
+    * Skew guard (`saltDfCap`/`saltBuckets`): a corpus of
+    * near-identical strings (a shared prefix like "Customer#…") makes
+    * ONE segment key carry the whole population, and since both join
+    * inputs are small Spark broadcasts the join — the quadratic
+    * candidate explosion then runs in a SINGLE task (AQE cannot see
+    * it: the skew is in the join OUTPUT, not the shuffle blocks).
+    * So the index side counts its keys first; any key whose string
+    * count exceeds `saltDfCap` joins on an extra salt column —
+    * hash(a) % saltBuckets on the index side, exploded 0..buckets-1
+    * on the probe side (replicate-one-side salting, exact) — which
+    * spreads the hot bucket's pairs across `saltBuckets` tasks. Cold
+    * keys pay one extra literal column, nothing else; probe
+    * replication is confined to the (broadcast, capped) hot-key set.
     */
-  def pairs(df: DataFrame, strCol: String, k: Int): DataFrame = {
+  def pairs(df: DataFrame, strCol: String, k: Int,
+      saltDfCap: Int = 256, saltBuckets: Int = 32): DataFrame = {
     require(k >= 1 && k <= 4, s"k must be in [1, 4], got $k")
+    require(saltDfCap >= 1, s"saltDfCap must be >= 1, got $saltDfCap")
+    require(saltBuckets >= 1 && saltBuckets <= 4096,
+      s"saltBuckets must be in [1, 4096], got $saltBuckets")
     val spark = df.sparkSession
     import spark.implicits._
     val strs = df.select(col(strCol).cast("string").as("s"))
@@ -104,18 +122,59 @@ object EditDistanceJoin {
       out.toSeq
     })
 
-    val idx = strs
+    val idxRaw = strs
       .select($"s".as("a"), explode(idxEmit($"s")).as("e"))
       .select($"a", $"e.len", $"e.seg", $"e.sub")
-    val probe = strs
+    val probeRaw = strs
       .select($"s".as("b"), explode(probeEmit($"s")).as("e"))
       .select($"b", $"e.len", $"e.seg", $"e.sub")
+    // hot-key census on the (cheaper) index side: segment keys whose
+    // string count exceeds the cap get salted. The collect is bounded:
+    // emission volume is (k+1)·|corpus| and only keys above the cap
+    // survive, so the hot set has at most (k+1)·|corpus|/cap entries
+    // — and near-identical corpora concentrate it into a handful.
+    val hotKeys = idxRaw.groupBy($"len", $"seg", $"sub")
+      .agg(count(lit(1)).as("df"))
+      .where($"df" > saltDfCap)
+      .select($"len", $"seg", $"sub")
+    // Both sides get a FIXED-COUNT repartition on the full salted key
+    // and the join is pinned to a SHUFFLED hash join. Left to itself,
+    // Spark broadcasts one tiny side and AQE coalesces the other's
+    // exchanges down to one partition (every input here is small
+    // BEFORE the join — the explosion only exists in the join
+    // OUTPUT, which neither broadcast sizing nor AQE skew handling
+    // can see), putting the whole candidate flood in a single task.
+    // User-numbered repartitions satisfy the SHJ's distribution
+    // as-is, AQE leaves their count alone, and the hot key's salt
+    // spread puts each bucket's pairs in its own task.
+    val idx = idxRaw
+      .join(broadcast(hotKeys.withColumn("hot", lit(true))),
+        Seq("len", "seg", "sub"), "left")
+      .withColumn("salt",
+        when($"hot", pmod(hash($"a"), lit(saltBuckets)))
+          .otherwise(lit(0)))
+      .select($"a", $"len", $"seg", $"sub", $"salt")
+      .repartition(saltBuckets, $"len", $"seg", $"sub", $"salt")
+    val probe = probeRaw
+      .join(broadcast(hotKeys.withColumn("hot", lit(true))),
+        Seq("len", "seg", "sub"), "left")
+      .withColumn("salt", explode(
+        when($"hot", sequence(lit(0), lit(saltBuckets - 1)))
+          .otherwise(array(lit(0)))))
+      .select($"b", $"len", $"seg", $"sub", $"salt")
+      .repartition(saltBuckets, $"len", $"seg", $"sub", $"salt")
     // the pigeonhole guarantees the (index = x, probe = y) direction
     // for EVERY qualifying pair, so a<b loses nothing and drops self
-    // pairs and mirror duplicates in one move
-    val candidates = idx.join(probe, Seq("len", "seg", "sub"))
+    // pairs and mirror duplicates in one move. Verify BEFORE the
+    // dedup: the thresholded (banded O(k·n)) levenshtein prunes the
+    // candidate flood down to true pairs, so the distinct shuffles
+    // survivors, not candidates.
+    val candidates = idx.hint("shuffle_hash").join(probe,
+        Seq("len", "seg", "sub", "salt"))
       .where($"a" < $"b")
-      .select($"a", $"b")
+      .withColumn("ed", levenshtein($"a", $"b", k))
+      .where($"ed".between(1, k))
+      .select($"a", $"b", $"ed")
 
     // degenerate-length path: a string shorter than k+1 cannot carry
     // k+1 nonempty segments; its partners are at most 2k chars, so
@@ -126,10 +185,12 @@ object EditDistanceJoin {
       .crossJoin(shortPop.select($"s".as("y")))
       .where($"x" =!= $"y")
       .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-
-    candidates.union(shortPairs).distinct()
-      .withColumn("ed", levenshtein($"a", $"b"))
+      .withColumn("ed", levenshtein($"a", $"b", k))
       .where($"ed".between(1, k))
-      .select($"a", $"b", $"ed")
+
+    // survivors only: true pairs are output-sized, so the dedup of
+    // multi-segment matches shuffles thousands of rows, not the
+    // candidate flood
+    candidates.union(shortPairs).distinct()
   }
 }
