@@ -37,7 +37,28 @@ object GraphOps {
     * the classic 0.85).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, d100: Int = 85, scale: Long = 1000000L): DataFrame = {
+      iters: Int, d100: Int = 85, scale: Long = 1000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, None, iters, d100, scale)
+
+  /** Personalized (seeded) PageRank: the teleport mass lands ONLY on
+    * the `seeds` node set — rank becomes proximity-to-the-seeds, the
+    * trusted-domain expansion primitive of web-corpus curation
+    * (seed = allowlisted hosts; high-PPR unlisted hosts are the
+    * candidates to admit next). Same integer-exact recurrence as
+    * [[pageRank]] with the base term gated on seed membership and the
+    * initial mass placed on the seeds, so the oracle restatement is
+    * the plain-PR SQL with one extra LEFT JOIN per round. `seeds`
+    * must have a single node-id column (any name, cast to long);
+    * non-seed nodes start at 0 and earn rank only via in-links.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iters: Int, d100: Int = 85,
+      scale: Long = 1000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, Some(seeds), iters, d100, scale)
+
+  private def pageRankCore(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Option[DataFrame], iters: Int, d100: Int,
+      scale: Long): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1, 50], got $iters")
     require(d100 >= 0 && d100 <= 100, s"d100 in [0, 100], got $d100")
     // persist the loop invariants ONCE — without this, every round's
@@ -46,9 +67,22 @@ object GraphOps {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed membership is a per-node flag joined once up front (seed
+    // sets are tiny vs the graph — a broadcast-ready dim); the loop
+    // below then reads it as a column, never re-joining per round
+    val nodes = seeds match {
+      case None => nodes0.withColumn("seed", lit(true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case Some(sd) =>
+        val sc = sd.columns.head
+        val s = sd.select(col(sc).cast("long").as("node")).distinct()
+          .withColumn("seed", lit(true))
+        nodes0.join(s, Seq("node"), "left")
+          .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100L - d100) / 100L
@@ -58,7 +92,9 @@ object GraphOps {
     // DRIVER (analysis/optimization time) dies long before the data
     // does. On a cluster with executor-loss concerns, set a checkpoint
     // dir and swap for checkpoint() — same shape.
-    var ranks = nodes.withColumn("rank", lit(scale))
+    var ranks = nodes
+      .select(col("node"),
+        when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
@@ -74,7 +110,8 @@ object GraphOps {
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"($d100 * coalesce(s, 0L)) div 100"))
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($d100 * coalesce(s, 0L)) div 100"))
             .as("rank"))
         .localCheckpoint(true)
       // the previous round's checkpoint blocks become unreferenced
@@ -86,6 +123,137 @@ object GraphOps {
     // references the loop invariants, so their blocks can go
     e.unpersist(); nodes.unpersist(); deg.unpersist()
     ranks
+  }
+
+  /** Exact triangle census via degree-ordered orientation (the
+    * node-iterator bound of Schank/Wagner; same orientation MapReduce
+    * triangle counting uses at web scale). Input edges are read as
+    * UNDIRECTED: canonicalized to (min, max), de-duplicated, self
+    * loops dropped. Every undirected edge is then ORIENTED from its
+    * (degree, id)-smaller endpoint to the larger, which caps any
+    * node's oriented out-degree at O(√m) — wedge generation (the
+    * quadratic step of triangle counting) becomes O(m^{3/2}) total
+    * and, crucially for 100 TB, per-task bounded: a 10^7-degree hub
+    * contributes wedges only through its √m-bounded oriented
+    * out-list, so no task materializes deg² pairs. The plan is three
+    * shuffles: orient (join deg twice), wedge (self-join on u),
+    * close (join wedges against the oriented set on (v, w)); every
+    * quantity is integral, so the census is hash-exact.
+    *
+    * Returns (node, tri, deg, lcc_ppm): per-node triangle count,
+    * undirected degree, and the local clustering coefficient in
+    * parts-per-million as floor(2·tri·10^6 / (deg·(deg−1)))
+    * (0 when deg < 2) — the curation-facing signal (link-farm pages
+    * show implausibly high LCC at high degree).
+    */
+  def triangles(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // total order for orientation: (deg, node) lexicographic — struct
+    // comparison keeps it one codegen'd predicate, no composite key
+    val joined = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // oriented edge u → v carries dv (v's degree): the wedge join
+    // below orders the two far endpoints by the SAME total order, so
+    // the closing edge's orientation is known to be v → w
+    val oriented = joined.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    val wedges = e1.join(e2,
+        col("e1.u") === col("e2.u") &&
+        (struct(col("e1.dv"), col("e1.v")) <
+          struct(col("e2.dv"), col("e2.v"))))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"),
+        col("e2.v").as("w"))
+    val triRows = wedges.join(
+        oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = triRows
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri"),
+        col("deg"),
+        when(col("deg") >= 2,
+          expr("(2 * coalesce(tri, 0L) * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_ppm"))
+    // materialize before dropping the oriented cache (out's lineage
+    // references it); LCC output is node-cardinality, far below the
+    // edge set, so the localCheckpoint is cheap
+    val ck = out.localCheckpoint(true)
+    oriented.unpersist()
+    ck
+  }
+
+  /** HITS hubs-and-authorities, integer-exact. Each round computes
+    * auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v} auth(v), each
+    * renormalized to `scale` micro-units by floor(x·scale / max(x))
+    * — max-normalization instead of the classical L2 so the whole
+    * recurrence stays in BIGINT and any engine restating it matches
+    * bit for bit (the ranking HITS exists for is unchanged; only the
+    * normalizing constant differs). The per-round max is a one-row
+    * aggregate broadcast into the scaling projection — no extra
+    * shuffle of the big side. Same persist + localCheckpoint loop
+    * discipline as [[pageRank]].
+    *
+    * Returns (node, hub, auth) over all nodes, 0-filled where a node
+    * has no out-(resp. in-)edges. Overflow headroom: Σ hub over an
+    * in-neighborhood ≤ indeg·scale, and the ·scale renormalization
+    * multiply needs indeg·scale² < 2^63 — at the default scale=10^6
+    * that holds to ~9×10^6 in-degree; drop `scale` for denser graphs.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1, 50], got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var hub = nodes.withColumn("hub", lit(scale)).localCheckpoint(true)
+    var auth: DataFrame = nodes.withColumn("auth", lit(0L))
+    var i = 0
+    while (i < iters) {
+      val authRaw = e
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("x"))
+      val authMax = authRaw.agg(max(col("x")).as("mx"))
+      auth = nodes.join(authRaw, Seq("node"), "left")
+        .crossJoin(broadcast(authMax))
+        .select(col("node"),
+          expr(s"(coalesce(x, 0L) * $scale) div greatest(mx, 1L)")
+            .as("auth"))
+        .localCheckpoint(true)
+      val hubRaw = e
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("x"))
+      val hubMax = hubRaw.agg(max(col("x")).as("mx"))
+      hub = nodes.join(hubRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hubMax))
+        .select(col("node"),
+          expr(s"(coalesce(x, 0L) * $scale) div greatest(mx, 1L)")
+            .as("hub"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val out = hub.join(auth, Seq("node")).localCheckpoint(true)
+    e.unpersist(); nodes.unpersist()
+    out
   }
 
   /** Degree statistics of `edges(src, dst)`: per-node out/in degree —

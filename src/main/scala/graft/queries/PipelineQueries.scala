@@ -41,6 +41,64 @@ object PipelineQueries {
         .select($"node", $"rank")
     }),
 
+    // Exact triangle census + local clustering coefficient over the
+    // co-purchase graph (parts sharing an order). Degree-ordered
+    // orientation caps wedge fan-out at O(√m) per node — the shape
+    // that survives hub skew at web scale — and every count/LCC is
+    // integral, so DuckDB restates orientation, wedge, and closing
+    // joins and must match bit for bit.
+    "q_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val pairs = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" &&
+          $"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".cast("long").as("a"),
+          $"y.l_partkey".cast("long").as("b"))
+      graft.operators.GraphOps.triangles(pairs, "a", "b")
+        .orderBy($"tri".desc, $"node").limit(100)
+        .select($"node", $"tri", $"deg", $"lcc_ppm")
+    }),
+
+    // Integer-exact HITS over the part → supplier bipartite graph:
+    // hub = breadth of a part's supplier base, authority = reach of a
+    // supplier's catalog. Two rounds, max-normalized in micro-units
+    // (floor divisions only), so the DuckDB unrolled restatement
+    // hash-matches every score.
+    "q_hits" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("src"),
+          ($"l_suppkey".cast("long") + 10000000L).as("dst"))
+      graft.operators.GraphOps.hits(edges, "src", "dst", iters = 2)
+        .orderBy($"auth".desc, $"hub".desc, $"node").limit(100)
+        .select($"node", $"hub", $"auth")
+    }),
+
+    // Personalized PageRank from a trusted seed set (partkey % 50 =
+    // 0) over the SYMMETRIZED part–supplier graph — the allowlist
+    // expansion primitive: mass teleports only to seeds, so rank is
+    // proximity-to-trust. Directed bipartite edges are closed
+    // symmetrically first (else all mass strands on the supplier
+    // side). Integer-exact like q_pagerank; three unrolled rounds in
+    // the oracle.
+    "q_ppr_seeded" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = Tables(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("src"),
+          ($"l_suppkey".cast("long") + 10000000L).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = Tables(s, dir, "part")
+        .select($"p_partkey".cast("long").as("node"))
+        .where($"node" % 50 === 0)
+      graft.operators.GraphOps
+        .personalizedPageRank(sym, "src", "dst", seeds, iters = 3)
+        .where($"rank" > 0)
+        .orderBy($"rank".desc, $"node").limit(100)
+        .select($"node", $"rank")
+    }),
+
     // Tokenize-and-pack bookkeeping: per-source running token offsets
     // → fixed-length sequence ids. One window shuffle per shard key.
     "q_seq_pack" -> ((s, dir) =>
@@ -267,6 +325,120 @@ object PipelineQueries {
         |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
         |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
+    // orientation → wedge → closing-edge restatement of
+    // GraphOps.triangles; (deg, node) tuple comparisons mirror the
+    // struct comparisons, all counts integral
+    "q_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+        |    CAST(y.l_partkey AS BIGINT) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und
+        |    UNION ALL SELECT b AS node FROM und) GROUP BY node),
+        |ori AS (SELECT
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+        |      THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+        |      THEN u.b ELSE u.a END AS v,
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+        |      THEN db.deg ELSE da.deg END AS dv
+        |  FROM und u JOIN deg da ON da.node = u.a
+        |  JOIN deg db ON db.node = u.b),
+        |wed AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+        |   AND (e1.dv, e1.v) < (e2.dv, e2.v)),
+        |tr AS (SELECT wed.u AS u, wed.v AS v, wed.w AS w
+        |  FROM wed JOIN ori o ON o.u = wed.v AND o.v = wed.w),
+        |pn AS (SELECT node, count(*) AS tri FROM (
+        |    SELECT u AS node FROM tr
+        |    UNION ALL SELECT v AS node FROM tr
+        |    UNION ALL SELECT w AS node FROM tr) GROUP BY node)
+        |SELECT d.node AS node, coalesce(pn.tri, 0) AS tri,
+        |  d.deg AS deg,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    (2 * coalesce(pn.tri, 0) * 1000000)
+        |      // (d.deg * (d.deg - 1))
+        |  ELSE 0 END AS lcc_ppm
+        |FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |ORDER BY tri DESC, node LIMIT 100""".stripMargin,
+    // two unrolled HITS rounds, max-normalized with floor division —
+    // the exact GraphOps.hits recurrence
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT src AS node FROM e
+        |  UNION SELECT dst AS node FROM e),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+        |a1r AS (SELECT e.dst AS node, sum(h0.hub) AS x
+        |  FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+        |a1 AS (SELECT n.node, (coalesce(a1r.x, 0) * 1000000)
+        |    // greatest((SELECT max(x) FROM a1r), 1) AS auth
+        |  FROM nodes n LEFT JOIN a1r ON a1r.node = n.node),
+        |h1r AS (SELECT e.src AS node, sum(a1.auth) AS x
+        |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+        |h1 AS (SELECT n.node, (coalesce(h1r.x, 0) * 1000000)
+        |    // greatest((SELECT max(x) FROM h1r), 1) AS hub
+        |  FROM nodes n LEFT JOIN h1r ON h1r.node = n.node),
+        |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS x
+        |  FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+        |a2 AS (SELECT n.node, (coalesce(a2r.x, 0) * 1000000)
+        |    // greatest((SELECT max(x) FROM a2r), 1) AS auth
+        |  FROM nodes n LEFT JOIN a2r ON a2r.node = n.node),
+        |h2r AS (SELECT e.src AS node, sum(a2.auth) AS x
+        |  FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+        |h2 AS (SELECT n.node, (coalesce(h2r.x, 0) * 1000000)
+        |    // greatest((SELECT max(x) FROM h2r), 1) AS hub
+        |  FROM nodes n LEFT JOIN h2r ON h2r.node = n.node)
+        |SELECT h2.node AS node, CAST(h2.hub AS BIGINT) AS hub,
+        |  CAST(a2.auth AS BIGINT) AS auth
+        |FROM h2 JOIN a2 ON a2.node = h2.node
+        |ORDER BY auth DESC, hub DESC, node LIMIT 100""".stripMargin,
+    // three unrolled seeded-PageRank rounds over the symmetrized
+    // bipartite graph; the base/init terms are gated on the seed flag
+    "q_ppr_seeded" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |nodes AS (SELECT src AS node FROM e
+        |  UNION SELECT dst AS node FROM e),
+        |sd AS (SELECT CAST(p_partkey AS BIGINT) AS node FROM part
+        |  WHERE p_partkey % 50 = 0),
+        |ns AS (SELECT n.node, (sd.node IS NOT NULL) AS seed
+        |  FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CASE WHEN seed
+        |    THEN CAST(1000000 AS BIGINT) ELSE 0 END AS rank FROM ns),
+        |c1 AS (SELECT e.dst AS node, sum(r0.rank // d.outdeg) AS s
+        |  FROM e JOIN r0 ON r0.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |  (CASE WHEN n.seed THEN 150000 ELSE 0 END)
+        |    + (85 * coalesce(c1.s, 0)) // 100 AS rank
+        |  FROM ns n LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.rank // d.outdeg) AS s
+        |  FROM e JOIN r1 ON r1.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |  (CASE WHEN n.seed THEN 150000 ELSE 0 END)
+        |    + (85 * coalesce(c2.s, 0)) // 100 AS rank
+        |  FROM ns n LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.rank // d.outdeg) AS s
+        |  FROM e JOIN r2 ON r2.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |  (CASE WHEN n.seed THEN 150000 ELSE 0 END)
+        |    + (85 * coalesce(c3.s, 0)) // 100 AS rank
+        |  FROM ns n LEFT JOIN c3 ON c3.node = n.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+        |WHERE rank > 0 ORDER BY rank DESC, node LIMIT 100""".stripMargin,
     "q_gopher_quality" -> PO.gopherQualitySql(TA.DuckDialect),
     "q_seq_pack" -> PO.seqPackSql(TA.DuckDialect),
     "q_domain_mix" -> PO.domainMixSql(TA.DuckDialect),

@@ -51,6 +51,61 @@ class GraphOpsSpec extends SparkSuite {
     assert(d.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 2L)))
   }
 
+  test("triangles counts the census and LCC on a known graph, " +
+      "collapsing duplicate/reversed/self edges") {
+    // undirected {1-2, 1-3, 2-3, 3-4} with noise: reversed duplicate
+    // (2,1), a repeat (1,3), and a self loop (4,4)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (2L, 1L), (1L, 3L), (4L, 4L)).toDF("src", "dst")
+    val r = GraphOps.triangles(e, "src", "dst")
+      .orderBy($"node").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // one triangle {1,2,3}; deg = 2,2,3,1; LCC ppm = 2*tri*1e6/(d(d-1))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 2L, 1000000L), (2L, 1L, 2L, 1000000L),
+      (3L, 1L, 3L, 333333L), (4L, 0L, 1L, 0L)))
+  }
+
+  test("triangles on a triangle-free (bipartite) graph is all zero") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("src", "dst")
+    val r = GraphOps.triangles(e, "src", "dst")
+    assert(r.agg(sum($"tri")).collect()(0).getLong(0) == 0L)
+    assert(r.count() == 4L)
+  }
+
+  test("one HITS round matches the hand recurrence (max-normalized)") {
+    // 1→3, 2→3, 2→4; round 1:
+    // auth raw: 3 = 2e6, 4 = 1e6; max 2e6 → auth 3 = 1e6, 4 = 5e5
+    // hub raw: 1 = 1e6, 2 = 1.5e6; max → hub 1 = 666666, 2 = 1e6
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r = GraphOps.hits(e, "src", "dst", iters = 1)
+      .orderBy($"node").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 666666L, 0L), (2L, 1000000L, 0L),
+      (3L, 0L, 1000000L), (4L, 0L, 500000L)))
+  }
+
+  test("personalized PageRank gates base mass on the seed set") {
+    // 1 → 2, seeds = {1}:
+    // r0: 1=1e6, 2=0; round 1: 1 = 150000, 2 = 0 + 850000
+    // round 2: 1 = 150000, 2 = 0 + 85*150000 div 100 = 127500
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = ranksOf(
+      GraphOps.personalizedPageRank(e, "src", "dst", seeds, iters = 2))
+    assert(r == Map(1L -> 150000L, 2L -> 127500L))
+  }
+
+  test("seeds outside the graph's node set are ignored") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val r = GraphOps.personalizedPageRank(e, "src", "dst", seeds,
+      iters = 1)
+    assert(r.count() == 2L)
+    assert(ranksOf(r) == Map(1L -> 150000L, 2L -> 850000L))
+  }
+
   test("parameter guards") {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(tri, "src", "dst", iters = 0)
