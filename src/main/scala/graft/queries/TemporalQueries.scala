@@ -79,6 +79,32 @@ object TemporalQueries {
     // Rolling 5-event mean per user in event-time order (tie-broken by
     // event_id so the frame is deterministic): the feature-engineering
     // window shape. One shuffle on user_id; frames never cross users.
+    // Regular-grid resampling with LOCF fill (TimeSeries.resample):
+    // per-user hourly series of the latest event value in cents, one
+    // row per hour between the user's first and last event, filled
+    // rows flagged observed=false. The user_id < 40 predicate keeps
+    // the output SF-invariant (the grid depends on span, not volume)
+    // and is pushed to the scan.
+    "q_gap_fill" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").where($"user_id" < 40)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      graft.operators.TimeSeries
+        .resample(ev, "user_id", "ts", "cents", 3600L)
+        .orderBy($"key", $"bucket")
+    }),
+
+    // Same grid machinery at a 6-hour step with integer LINEAR
+    // interpolation between the surrounding observations — truncating
+    // division in both engines, so filled values hash-match.
+    "q_resample_interp" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").where($"user_id" < 40)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      graft.operators.TimeSeries
+        .resample(ev, "user_id", "ts", "cents", 21600L,
+          interpolate = true)
+        .orderBy($"key", $"bucket")
+    }),
+
     "q_event_rolling" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables(s, dir, "events")
@@ -161,6 +187,69 @@ object TemporalQueries {
         |FROM events e JOIN st ON st.event_type = e.event_type
         |WHERE st.sigma > 0 AND abs(e.value - st.mu) > 3 * st.sigma
         |ORDER BY e.event_id""".stripMargin,
+    // grid + LOCF restatement: latest-in-bucket via row_number (the
+    // max(struct) tie order), generate_series grid, IGNORE NULLS
+    // carry-forward window
+    "q_gap_fill" ->
+      """WITH obs0 AS (
+        |  SELECT CAST(user_id AS BIGINT) AS key,
+        |    (epoch_us(ts) // 1000000) // 3600 AS bucket, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 40),
+        |ob AS (SELECT key, bucket, v FROM (
+        |    SELECT key, bucket, v, row_number() OVER (
+        |      PARTITION BY key, bucket ORDER BY ts DESC, v DESC) AS rn
+        |    FROM obs0) WHERE rn = 1),
+        |span AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM ob GROUP BY key),
+        |grid AS (SELECT key,
+        |    unnest(generate_series(b0, b1)) AS bucket FROM span),
+        |j AS (SELECT g.key, g.bucket, ob.v FROM grid g
+        |  LEFT JOIN ob ON ob.key = g.key AND ob.bucket = g.bucket)
+        |SELECT key, bucket,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY key
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  v IS NOT NULL AS observed
+        |FROM j ORDER BY key, bucket""".stripMargin,
+    // the interpolating variant: prev/next observation via IGNORE
+    // NULLS windows, then the integer segment draw with truncating //
+    "q_resample_interp" ->
+      """WITH obs0 AS (
+        |  SELECT CAST(user_id AS BIGINT) AS key,
+        |    (epoch_us(ts) // 1000000) // 21600 AS bucket, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 40),
+        |ob AS (SELECT key, bucket, v FROM (
+        |    SELECT key, bucket, v, row_number() OVER (
+        |      PARTITION BY key, bucket ORDER BY ts DESC, v DESC) AS rn
+        |    FROM obs0) WHERE rn = 1),
+        |span AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM ob GROUP BY key),
+        |grid AS (SELECT key,
+        |    unnest(generate_series(b0, b1)) AS bucket FROM span),
+        |j AS (SELECT g.key, g.bucket, ob.v FROM grid g
+        |  LEFT JOIN ob ON ob.key = g.key AND ob.bucket = g.bucket),
+        |fb AS (SELECT key, bucket, v,
+        |  last_value(v IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN bucket END
+        |    IGNORE NULLS) OVER wp AS pb,
+        |  first_value(v IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN bucket END
+        |    IGNORE NULLS) OVER wn AS nb
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key, bucket,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + ((nv - pv) * (bucket - pb)) // (nb - pb)
+        |  END AS value,
+        |  v IS NOT NULL AS observed
+        |FROM fb ORDER BY key, bucket""".stripMargin,
     "q_event_rolling" ->
       """SELECT event_id, user_id, ts,
         |  round(avg(value) OVER w, 4) AS avg5,
