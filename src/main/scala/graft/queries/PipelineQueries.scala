@@ -99,6 +99,36 @@ object PipelineQueries {
         .select($"node", $"rank")
     }),
 
+    // Declarative data-contract validation (DataQuality.validate,
+    // the Deequ-shaped pre-flight gate): all row-local checks fold
+    // into ONE scan; uniqueness adds a groupBy, referential checks an
+    // anti-join each. Every metric is an integer count, restated
+    // check-by-check in the oracle.
+    "q_data_checks" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val li = Tables(s, dir, "lineitem")
+      graft.operators.DataQuality.validate(li, Seq(
+        NotNull("l_orderkey"),
+        NotNull("l_returnflag"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        Satisfies("quantity_range",
+          "l_quantity >= 1 AND l_quantity <= 50"),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        RefIn("l_orderkey", Tables(s, dir, "orders"), "o_orderkey"),
+        RefIn("l_partkey", Tables(s, dir, "part"), "p_partkey")
+      )).orderBy(col("check_name"))
+    }),
+
+    // One-pass column profiling (count / nulls / exact distinct /
+    // min / max as strings) — the table-level ANALYZE for ingest
+    // review. Exact COUNT(DISTINCT) keeps the face hash-checkable;
+    // the operator's approxDistinct flag is the 100 TB default.
+    "q_profile" -> ((s, dir) =>
+      graft.operators.DataQuality.profile(Tables(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"))
+        .orderBy(col("col_name"))),
+
     // Tokenize-and-pack bookkeeping: per-source running token offsets
     // → fixed-length sequence ids. One window shuffle per shard key.
     "q_seq_pack" -> ((s, dir) =>
@@ -439,6 +469,79 @@ object PipelineQueries {
         |  FROM ns n LEFT JOIN c3 ON c3.node = n.node)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
         |WHERE rank > 0 ORDER BY rank DESC, node LIMIT 100""".stripMargin,
+    // check-by-check restatement of DataQuality.validate; HUGEINT
+    // sums cast back to BIGINT for schema parity
+    "q_data_checks" ->
+      """WITH tn AS (SELECT count(*) AS total FROM lineitem),
+        |res AS (
+        |  SELECT 'not_null(l_orderkey)' AS check_name, tn.total,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IS NULL) AS violations FROM tn
+        |  UNION ALL
+        |  SELECT 'not_null(l_returnflag)', tn.total,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_returnflag IS NULL) FROM tn
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)', tn.total,
+        |    (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+        |      SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber
+        |      HAVING count(*) > 1)) FROM tn
+        |  UNION ALL
+        |  SELECT 'satisfies(quantity_range)', tn.total,
+        |    (SELECT count(*) FROM lineitem WHERE NOT coalesce(
+        |      l_quantity >= 1 AND l_quantity <= 50, FALSE)) FROM tn
+        |  UNION ALL
+        |  SELECT 'in_set(l_returnflag)', tn.total,
+        |    (SELECT count(*) FROM lineitem WHERE NOT coalesce(
+        |      l_returnflag IN ('A', 'N', 'R'), FALSE)) FROM tn
+        |  UNION ALL
+        |  SELECT 'ref_in(l_orderkey)', tn.total,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM orders o
+        |       WHERE o.o_orderkey = l.l_orderkey)) FROM tn
+        |  UNION ALL
+        |  SELECT 'ref_in(l_partkey)', tn.total,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM part p
+        |       WHERE p.p_partkey = l.l_partkey)) FROM tn)
+        |SELECT check_name, total, violations,
+        |  violations = 0 AS pass
+        |FROM res ORDER BY check_name""".stripMargin,
+    // per-column UNION ALL restatement of the one-pass profile
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(l_orderkey) AS n_nulls,
+        |    count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*),
+        |    count(*) - count(l_partkey), count(DISTINCT l_partkey),
+        |    CAST(min(l_partkey) AS VARCHAR),
+        |    CAST(max(l_partkey) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', count(*),
+        |    count(*) - count(l_linenumber),
+        |    count(DISTINCT l_linenumber),
+        |    CAST(min(l_linenumber) AS VARCHAR),
+        |    CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*),
+        |    count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(*),
+        |    count(*) - count(l_linestatus),
+        |    count(DISTINCT l_linestatus),
+        |    CAST(min(l_linestatus) AS VARCHAR),
+        |    CAST(max(l_linestatus) AS VARCHAR) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "q_gopher_quality" -> PO.gopherQualitySql(TA.DuckDialect),
     "q_seq_pack" -> PO.seqPackSql(TA.DuckDialect),
     "q_domain_mix" -> PO.domainMixSql(TA.DuckDialect),
