@@ -657,6 +657,59 @@ class ScaleGrowthSpec extends SparkSuite {
       s"rank plan has $planNodes nodes — lineage is compounding")
   }
 
+  test("triangle census grows sub-quadratically in edges (20k -> " +
+      "200k) under the degree-ordered orientation") {
+    // hub-skewed random graph (dst biased to low ids): the shape that
+    // explodes an unoriented wedge join — per-hub deg² pairs — and
+    // that orientation caps at O(√m) per node
+    def edges(n: Long): DataFrame = spark.range(n).select(
+      pmod(xxhash64($"id"), lit(n / 10)).as("src"),
+      pmod(xxhash64($"id" + 1000000007L),
+        pmod(xxhash64($"id" * 31L), lit(n / 10)) + lit(1)).as("dst"))
+    def run(n: Long): Double = timedSecs {
+      GraphOps.triangles(edges(n), "src", "dst").count()
+    }
+    run(20000L) // warm
+    val tS = run(20000L)
+    val tB = run(200000L)
+    val r = ratio(tB, tS)
+    info(f"triangles 20k edges: $tS%.1f s, 200k: $tB%.1f s, growth $r%.1fx")
+    assertPerf(r < 30.0, f"10x edges grew $r%.1fx — wedge join is " +
+      "super-linear; check the orientation")
+  }
+
+  test("resample is span-bounded, not volume-bounded: 10x events on " +
+      "the same grid grow ~linearly (the grid itself is unchanged)") {
+    // n events from 100 keys over a FIXED 30-day span: the output
+    // grid (key x hourly bucket) is identical at both sizes, so cost
+    // above the per-bucket collapse must not scale with raw volume
+    def events(n: Long): DataFrame = spark.range(n).select(
+      pmod(xxhash64($"id"), lit(100L)).as("k"),
+      timestamp_seconds(pmod(xxhash64($"id" * 7L), lit(720L * 3600L)))
+        .as("ts"),
+      pmod(xxhash64($"id" * 13L), lit(1000L)).as("v"))
+    def run(n: Long): Double = timedSecs {
+      TimeSeries.resample(events(n), "k", "ts", "v", 3600L,
+        interpolate = true).count()
+    }
+    run(100000L) // warm
+    val tS = run(100000L)
+    val tB = run(1000000L)
+    val r = ratio(tB, tS)
+    info(f"resample 100k events: $tS%.1f s, 1M: $tB%.1f s, growth $r%.1fx")
+    assertPerf(r < 30.0, f"10x events grew $r%.1fx on a fixed grid")
+    // grid-size contract: the 1M-event run (a superset of the 100k
+    // ids, so spans only widen) still lives under the span cap of
+    // 100 keys x 720 hourly buckets — output is span-, not
+    // volume-cardinality
+    val g1 = TimeSeries.resample(events(100000L), "k", "ts", "v",
+      3600L).count()
+    val g2 = TimeSeries.resample(events(1000000L), "k", "ts", "v",
+      3600L).count()
+    assert(g1 <= g2 && g2 <= 100L * 720L,
+      s"grid not span-bounded: $g1 -> $g2")
+  }
+
   test("HDR + CMS rollup serving stays dim-bounded as the base grows " +
       "10x (sketch arrays move at dim cardinality, never base rows)") {
     import graft.plans.SummaryRewrite
