@@ -122,6 +122,10 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/topk" -> "frequent items (Misra-Gries + recount)",
       "post /collections/{name}/keywords" -> "per-doc tf-idf keywords",
       "post /lsh_tune" -> "LSH banding tuner",
+      "post /collections/{name}/checks" -> "data-contract validation (not_null, unique, in_set, range, satisfies, ref_in)",
+      "post /collections/{name}/profile" -> "one-pass column profile (nulls, distinct, min/max)",
+      "post /collections/{name}/resample" -> "regular-grid time-series resample (LOCF or linear interpolation)",
+      "post /collections/{name}/graph" -> "link-graph analytics over an edge table (pagerank, ppr, hits, triangles, degree)",
       "post /collections/{name}/summary" -> "register materialized rollup (+ expr_measures name:sql, hll_keys, histograms, items, kmv_keys, vec_cols, hdr_cols, cms_keys)",
       "get /collections/{name}/summary/stats" -> "rollup chunk debt",
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
@@ -215,6 +219,73 @@ class HttpApi(spark: SparkSession, port: Int = 0,
     if (parsed.contains(None))
       Left("items entries must be 'col[:capacity]' with capacity > 0")
     else Right(parsed.flatten)
+  }
+
+  /** Parse the /checks compact specs into [[graft.operators
+    * .DataQuality.Check]]s. `range:<col>:<lo>:<hi>` desugars to a
+    * Satisfies with re-rendered NUMERIC bounds (the free-form SQL
+    * path exists, but range bounds are parsed, not spliced).
+    */
+  private def parseChecks(specs: Seq[String])
+      : Either[String, Seq[graft.operators.DataQuality.Check]] = {
+    import graft.operators.DataQuality._
+    val parsed: Seq[Either[String, Check]] = specs.map { s =>
+      val parts = s.split(":", 2)
+      (parts(0).trim, parts.lift(1)) match {
+        case ("not_null", Some(c)) if c.trim.nonEmpty =>
+          Right(NotNull(c.trim))
+        case ("unique", Some(cs)) =>
+          val columns = cs.split(",").map(_.trim).filter(_.nonEmpty)
+          if (columns.isEmpty) Left(s"unique needs columns: '$s'")
+          else Right(Unique(columns.toSeq))
+        case ("in_set", Some(rest)) => rest.split(":", 2) match {
+          case Array(c, vs) if c.trim.nonEmpty =>
+            val values = vs.split("\\|").map(_.trim).filter(_.nonEmpty)
+            if (values.isEmpty) Left(s"in_set needs values: '$s'")
+            else Right(InSet(c.trim, values.toSeq))
+          case _ => Left(s"in_set needs 'in_set:<col>:<v1|v2>': '$s'")
+        }
+        case ("range", Some(rest)) => rest.split(":", 3) match {
+          case Array(c, lo, hi) if c.trim.nonEmpty =>
+            (scala.util.Try(lo.trim.toDouble).toOption,
+              scala.util.Try(hi.trim.toDouble).toOption) match {
+              case (Some(l), Some(h)) if l <= h =>
+                Right(Satisfies(s"range(${c.trim})",
+                  s"`${c.trim}` >= $l AND `${c.trim}` <= $h"))
+              case _ => Left(s"range bounds must be numbers with " +
+                s"lo <= hi: '$s'")
+            }
+          case _ => Left(s"range needs 'range:<col>:<lo>:<hi>': '$s'")
+        }
+        case ("satisfies", Some(rest)) => rest.split(":", 2) match {
+          case Array(label, pred) if label.trim.nonEmpty &&
+              pred.trim.nonEmpty =>
+            Right(Satisfies(label.trim, pred))
+          case _ =>
+            Left(s"satisfies needs 'satisfies:<label>:<expr>': '$s'")
+        }
+        case ("ref_in", Some(rest)) => rest.split(":", 3) match {
+          case Array(c, coll, refCol) if c.trim.nonEmpty &&
+              validIdent(coll.trim) && refCol.trim.nonEmpty =>
+            if (!spark.catalog.tableExists(coll.trim))
+              Left(s"no such collection '${coll.trim}'")
+            else Right(RefIn(c.trim, spark.table(coll.trim),
+              refCol.trim))
+          case _ =>
+            Left(s"ref_in needs 'ref_in:<col>:<collection>:<ref_col>'" +
+              s": '$s'")
+        }
+        case (kind, _) => Left(s"unknown check kind '$kind'")
+      }
+    }
+    parsed.collectFirst { case Left(e) => e } match {
+      case Some(e) => Left(e)
+      case None =>
+        val checks = parsed.collect { case Right(c) => c }
+        if (checks.map(_.name).distinct.size != checks.size)
+          Left("duplicate check names")
+        else Right(checks)
+    }
   }
 
   def boundPort: Int = server.getAddress.getPort
@@ -764,6 +835,201 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             val items = rows.map(r =>
               s"""{"i":${r.get(0)},"j":${r.get(1)},"cont":${r.get(2)}}""")
             respond(ex, 200, s"""{"pairs":[${items.mkString(",")}]}""")
+          }
+        }
+
+      // Data-contract validation (DataQuality.validate) over a
+      // collection. Body: {"checks":[...]} with compact string specs
+      // (the ItemsSpec idiom): "not_null:<col>", "unique:<c1,c2>",
+      // "in_set:<col>:<v1|v2>", "range:<col>:<lo>:<hi>" (numeric,
+      // inclusive), "satisfies:<label>:<boolean SQL expr>",
+      // "ref_in:<col>:<collection>:<ref_col>". Read-only: all
+      // row-local checks share one scan; nothing is registered.
+      case ("POST", List("collections", name, "checks")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val specs = jsonQuotedArray(body, "checks").getOrElse(Nil)
+          if (specs.isEmpty)
+            respond(ex, 400,
+              """{"error":"need a non-empty checks array"}""")
+          else parseChecks(specs) match {
+            case Left(err) =>
+              respond(ex, 400,
+                s"""{"error":"${graft.util.Json.escape(err)}"}""")
+            case Right(checks) =>
+              // missing columns / bad predicates surface at analysis
+              // time — map them to 400, the client named them
+              scala.util.Try(
+                graft.operators.DataQuality.validate(df, checks)
+                  .orderBy(col("check_name")).collect()) match {
+                case scala.util.Failure(e) =>
+                  respond(ex, 400, s"""{"error":"${graft.util.Json
+                    .escape(String.valueOf(e.getMessage).take(300))}"}""")
+                case scala.util.Success(rows) =>
+                  val items = rows.map(r =>
+                    s"""{"check":"${graft.util.Json.escape(r.getString(0))}",""" +
+                      s""""total":${r.getLong(1)},""" +
+                      s""""violations":${r.getLong(2)},""" +
+                      s""""pass":${r.getBoolean(3)}}""")
+                  val failed = rows.count(!_.getBoolean(3))
+                  respond(ex, 200,
+                    s"""{"passed":${rows.length - failed},""" +
+                      s""""failed":$failed,""" +
+                      s""""checks":[${items.mkString(",")}]}""")
+              }
+          }
+        }
+
+      // One-pass column profile. Body: {"columns":["a","b"],
+      // "approx_distinct":true} — columns default to the whole schema
+      // (capped at 64), approx swaps exact COUNT(DISTINCT) for HLL
+      // (the 100 TB stance). Read-only.
+      case ("POST", List("collections", name, "profile")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val cols = jsonStringArray(body, "columns")
+            .getOrElse(df.columns.toSeq)
+          val approx = jsonField(body, "approx_distinct")
+            .contains("true")
+          val missing = cols.filterNot(df.columns.contains)
+          if (cols.isEmpty || cols.size > 64)
+            respond(ex, 400,
+              """{"error":"columns must name 1..64 columns"}""")
+          else if (missing.nonEmpty)
+            respond(ex, 400, s"""{"error":"no such columns: ${graft
+              .util.Json.escape(missing.mkString(", "))}"}""")
+          else {
+            val rows = graft.operators.DataQuality
+              .profile(df, cols, approxDistinct = approx)
+              .orderBy(col("col_name")).collect()
+            val items = rows.map { r =>
+              def str(i: Int): String =
+                if (r.isNullAt(i)) "null"
+                else "\"" + graft.util.Json.escape(r.getString(i)) + "\""
+              s"""{"column":"${graft.util.Json.escape(r.getString(0))}",""" +
+                s""""n_rows":${r.getLong(1)},"n_nulls":${r.getLong(2)},""" +
+                s""""n_distinct":${r.getLong(3)},""" +
+                s""""min":${str(4)},"max":${str(5)}}"""
+            }
+            respond(ex, 200,
+              s"""{"profile":[${items.mkString(",")}]}""")
+          }
+        }
+
+      // Regular-grid time-series resample (TimeSeries.resample).
+      // Body: {"key_column":"user_id","ts_column":"ts","value_column":
+      // "value","step_sec":3600,"interpolate":false,"limit":1000}.
+      // The value column is cast to long (pre-quantize floats to
+      // integer units upstream or accept truncation). Read-only.
+      case ("POST", List("collections", name, "resample")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val keyCol = jsonField(body, "key_column").getOrElse("")
+          val tsCol = jsonField(body, "ts_column").getOrElse("ts")
+          val valCol = jsonField(body, "value_column").getOrElse("value")
+          val step = jsonField(body, "step_sec")
+            .map(v => scala.util.Try(v.toLong).getOrElse(-1L))
+            .getOrElse(3600L)
+          val interp = jsonField(body, "interpolate").contains("true")
+          val limit = jsonField(body, "limit")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1))
+            .getOrElse(1000)
+          val need = Seq(keyCol, tsCol, valCol)
+          if (need.exists(c => c.isEmpty || !df.columns.contains(c)))
+            respond(ex, 400, """{"error":"key_column, ts_column and """ +
+              """value_column must name existing columns"}""")
+          else if (step < 1)
+            respond(ex, 400,
+              """{"error":"step_sec must be a positive integer"}""")
+          else if (limit < 1 || limit > 100000)
+            respond(ex, 400,
+              """{"error":"limit must be in [1, 100000]"}""")
+          else {
+            val rows = graft.operators.TimeSeries
+              .resample(df, keyCol, tsCol, valCol, step, interp)
+              .orderBy(col("key"), col("bucket")).limit(limit).collect()
+            val items = rows.map(r =>
+              s"""{"key":${r.getLong(0)},"bucket":${r.getLong(1)},""" +
+                s""""value":${if (r.isNullAt(2)) "null"
+                  else r.getLong(2).toString},""" +
+                s""""observed":${r.getBoolean(3)}}""")
+            respond(ex, 200,
+              s"""{"rows":[${items.mkString(",")}]}""")
+          }
+        }
+
+      // Link-graph analytics over an edge collection (GraphOps).
+      // Body: {"op":"pagerank|ppr|hits|triangles|degree",
+      // "src_column":"src","dst_column":"dst","iters":3,"top":20,
+      // "seeds":[1,2]} — seeds required for ppr. Read-only; returns
+      // the top rows of the op's natural ordering.
+      case ("POST", List("collections", name, "graph")) =>
+        tableOr404(ex, name).foreach { df =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val op = jsonField(body, "op").getOrElse("")
+          val srcCol = jsonField(body, "src_column").getOrElse("src")
+          val dstCol = jsonField(body, "dst_column").getOrElse("dst")
+          val iters = jsonField(body, "iters")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(3)
+          val top = jsonField(body, "top")
+            .map(v => scala.util.Try(v.toInt).getOrElse(-1)).getOrElse(20)
+          val seeds = jsonStringArray(body, "seeds").getOrElse(Nil)
+            .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          val G = graft.operators.GraphOps
+          if (!df.columns.contains(srcCol) || !df.columns.contains(dstCol))
+            respond(ex, 400,
+              s"""{"error":"need columns $srcCol and $dstCol"}""")
+          else if (iters < 1 || iters > 50)
+            respond(ex, 400, """{"error":"iters must be in [1, 50]"}""")
+          else if (top < 1 || top > 10000)
+            respond(ex, 400, """{"error":"top must be in [1, 10000]"}""")
+          else if (op == "ppr" && seeds.isEmpty)
+            respond(ex, 400,
+              """{"error":"ppr needs a non-empty seeds array"}""")
+          else op match {
+            case "pagerank" | "ppr" =>
+              val ranks =
+                if (op == "pagerank") G.pageRank(df, srcCol, dstCol, iters)
+                else {
+                  import spark.implicits._
+                  G.personalizedPageRank(df, srcCol, dstCol,
+                    seeds.toDF("node"), iters)
+                }
+              val rows = ranks.orderBy(col("rank").desc, col("node"))
+                .limit(top).collect()
+              respond(ex, 200, s"""{"nodes":[${rows.map(r =>
+                s"""{"node":${r.getLong(0)},"rank":${r.getLong(1)}}""")
+                .mkString(",")}]}""")
+            case "hits" =>
+              val rows = G.hits(df, srcCol, dstCol, iters)
+                .orderBy(col("auth").desc, col("hub").desc, col("node"))
+                .limit(top).collect()
+              respond(ex, 200, s"""{"nodes":[${rows.map(r =>
+                s"""{"node":${r.getLong(0)},"hub":${r.getLong(1)},""" +
+                  s""""auth":${r.getLong(2)}}""").mkString(",")}]}""")
+            case "triangles" =>
+              val rows = G.triangles(df, srcCol, dstCol)
+                .orderBy(col("tri").desc, col("node"))
+                .limit(top).collect()
+              respond(ex, 200, s"""{"nodes":[${rows.map(r =>
+                s"""{"node":${r.getLong(0)},"tri":${r.getLong(1)},""" +
+                  s""""deg":${r.getLong(2)},"lcc_ppm":${r.getLong(3)}}""")
+                .mkString(",")}]}""")
+            case "degree" =>
+              val rows = G.degreeStats(df, srcCol, dstCol)
+                .orderBy((col("outdeg") + col("indeg")).desc, col("node"))
+                .limit(top).collect()
+              respond(ex, 200, s"""{"nodes":[${rows.map(r =>
+                s"""{"node":${r.getLong(0)},"outdeg":${r.getLong(1)},""" +
+                  s""""indeg":${r.getLong(2)}}""").mkString(",")}]}""")
+            case other =>
+              respond(ex, 400, s"""{"error":"unknown op '${graft.util
+                .Json.escape(other)}' — use pagerank, ppr, hits, """ +
+                """triangles or degree"}""")
           }
         }
 

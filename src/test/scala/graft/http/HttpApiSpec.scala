@@ -1274,6 +1274,111 @@ class HttpApiSpec extends SparkSuite {
     } finally tiny.stop()
   }
 
+  test("POST /checks validates data contracts from compact specs") {
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("li_checks_api")
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .createOrReplaceTempView("ord_checks_api")
+    val r = post("/collections/li_checks_api/checks",
+      """{"checks":["not_null:l_orderkey",
+        |"range:l_quantity:1:50",
+        |"in_set:l_returnflag:A|N|R",
+        |"satisfies:disc:l_discount >= 0 AND l_discount <= 0.1",
+        |"ref_in:l_orderkey:ord_checks_api:o_orderkey"]}"""
+        .stripMargin.replace("\n", ""))
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"check\":\"not_null(l_orderkey)\""))
+    assert(r.body().contains("\"check\":\"ref_in(l_orderkey)\""))
+    // the synthetic lineitem has full referential integrity and no
+    // null keys: those two checks pass with zero violations
+    assert(r.body().contains(
+      "\"check\":\"not_null(l_orderkey)\",\"total\":6000," +
+        "\"violations\":0,\"pass\":true"))
+
+    // bad specs are a 400, not a 500
+    assert(post("/collections/li_checks_api/checks",
+      """{"checks":["frobnicate:x"]}""").statusCode() === 400)
+    assert(post("/collections/li_checks_api/checks",
+      """{"checks":["ref_in:l_orderkey:no_such_tbl:x"]}""")
+      .statusCode() === 400)
+    assert(post("/collections/li_checks_api/checks",
+      """{"checks":["not_null:no_such_col"]}""").statusCode() === 400)
+    assert(post("/collections/li_checks_api/checks",
+      """{}""").statusCode() === 400)
+  }
+
+  test("POST /profile reports per-column stats, exact and approx") {
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("li_prof_api")
+    val r = post("/collections/li_prof_api/profile",
+      """{"columns":["l_returnflag","l_orderkey"]}""")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"column\":\"l_returnflag\"") &&
+      r.body().contains("\"n_distinct\":3") &&
+      r.body().contains("\"min\":\"A\"") &&
+      r.body().contains("\"max\":\"R\""))
+    val ra = post("/collections/li_prof_api/profile",
+      """{"columns":["l_returnflag"],"approx_distinct":true}""")
+    assert(ra.statusCode() === 200)
+    assert(post("/collections/li_prof_api/profile",
+      """{"columns":["nope"]}""").statusCode() === 400)
+  }
+
+  test("POST /resample fills an hourly grid over REST") {
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .where("user_id < 3")
+      .selectExpr("user_id", "ts",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .createOrReplaceTempView("ev_rs_api")
+    val r = post("/collections/ev_rs_api/resample",
+      """{"key_column":"user_id","ts_column":"ts",
+        |"value_column":"cents","step_sec":3600,"limit":50}"""
+        .stripMargin.replace("\n", ""))
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"observed\":true"))
+    assert(r.body().contains("\"bucket\":"))
+    assert(post("/collections/ev_rs_api/resample",
+      """{"key_column":"user_id","ts_column":"ts",
+        |"value_column":"cents","step_sec":0}"""
+        .stripMargin.replace("\n", "")).statusCode() === 400)
+    assert(post("/collections/ev_rs_api/resample",
+      """{"key_column":"nope","ts_column":"ts","value_column":"cents"}""")
+      .statusCode() === 400)
+  }
+
+  test("POST /graph runs pagerank, ppr, hits, triangles and degree " +
+      "over an edge collection") {
+    import spark.implicits._
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst").createOrReplaceTempView("edges_api")
+    val pr = post("/collections/edges_api/graph",
+      """{"op":"pagerank","iters":1,"top":3}""")
+    assert(pr.statusCode() === 200)
+    // hand recurrence from GraphOpsSpec: C leads with 1425000
+    assert(pr.body().contains("\"node\":3,\"rank\":1425000"))
+    val ppr = post("/collections/edges_api/graph",
+      """{"op":"ppr","iters":1,"seeds":[1]}""")
+    assert(ppr.statusCode() === 200)
+    val hits = post("/collections/edges_api/graph",
+      """{"op":"hits","iters":1}""")
+    assert(hits.statusCode() === 200)
+    assert(hits.body().contains("\"auth\":1000000"))
+    val tri = post("/collections/edges_api/graph",
+      """{"op":"triangles","top":5}""")
+    assert(tri.statusCode() === 200)
+    assert(tri.body().contains("\"tri\":1"))
+    val deg = post("/collections/edges_api/graph",
+      """{"op":"degree","top":5}""")
+    assert(deg.statusCode() === 200)
+    assert(deg.body().contains("\"outdeg\":2"))
+    assert(post("/collections/edges_api/graph",
+      """{"op":"ppr","iters":1}""").statusCode() === 400)
+    assert(post("/collections/edges_api/graph",
+      """{"op":"nope"}""").statusCode() === 400)
+    assert(post("/collections/edges_api/graph",
+      """{"op":"pagerank","iters":0}""").statusCode() === 400)
+  }
+
   test("basic auth: wrong or missing credentials get 401 + challenge, " +
       "correct ones pass (reference http_server/mod.rs:62-75)") {
     val secured = new HttpApi(spark, auth = Some(("alice", "s3cret")))
