@@ -256,6 +256,53 @@ object GraphOps {
     out
   }
 
+  /** Iterative k-core peeling over the UNDIRECTED graph: `rounds`
+    * rounds of "drop every node whose current degree is below k, then
+    * recount" — run to convergence this yields the classic k-core,
+    * the dense-subgraph signal link-farm detection reads (organic
+    * pages fall out of high-k cores; mutually-linking spam clusters
+    * survive). Fixed `rounds` keeps the operator oracle-restatable
+    * (each round is one degree-count + two semi-joins, unrolled in
+    * SQL) and bounds the driver loop; rounds ~ graph diameter
+    * converges in practice. Same canonicalization as [[triangles]]
+    * (min/max, dedup, self-loops dropped) and the same persist-free
+    * localCheckpoint loop discipline as [[pageRank]]: the edge set
+    * SHRINKS monotonically, so each round's checkpoint is smaller
+    * than the last.
+    *
+    * Returns (node, deg): survivors of the last peel with their
+    * residual degree (degree within the surviving subgraph; nodes
+    * whose degree fell below k in the FINAL recount are reported —
+    * they peel in round rounds+1).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds in [1, 50], got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val keep = degrees(e).where(col("deg") >= k).select(col("node"))
+      e = e
+        .join(keep.withColumnRenamed("node", "a"), "a")
+        .join(keep.withColumnRenamed("node", "b"), "b")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    degrees(e)
+  }
+
   /** Degree statistics of `edges(src, dst)`: per-node out/in degree —
     * the cheap first-pass graph profile (hubs to cap, sinks to flag)
     * before anything iterative runs.

@@ -75,6 +75,25 @@ object PipelineQueries {
         .select($"node", $"hub", $"auth")
     }),
 
+    // k-core peeling (3 rounds, k=80) over the same co-purchase
+    // graph: the dense-subgraph membership signal (link-farm
+    // clusters survive high-k cores; organic pages peel away). Each
+    // round is a degree count + two semi-joins, monotone-shrinking —
+    // all integer counts, unrolled round-by-round in the oracle.
+    "q_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val pairs = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" &&
+          $"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".cast("long").as("a"),
+          $"y.l_partkey".cast("long").as("b"))
+      graft.operators.GraphOps.kCore(pairs, "a", "b", k = 80,
+          rounds = 3)
+        .orderBy($"deg".desc, $"node").limit(100)
+        .select($"node", $"deg")
+    }),
+
     // Personalized PageRank from a trusted seed set (partkey % 50 =
     // 0) over the SYMMETRIZED part–supplier graph — the allowlist
     // expansion primitive: mass teleports only to seeds, so rank is
@@ -394,6 +413,38 @@ object PipelineQueries {
         |  ELSE 0 END AS lcc_ppm
         |FROM deg d LEFT JOIN pn ON pn.node = d.node
         |ORDER BY tri DESC, node LIMIT 100""".stripMargin,
+    // three unrolled peel rounds of GraphOps.kCore (degree count →
+    // threshold → semi-join both endpoints), then the survivors'
+    // residual degrees
+    "q_kcore" ->
+      """WITH und AS (
+        |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+        |    CAST(y.l_partkey AS BIGINT) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey),
+        |d0 AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und
+        |    UNION ALL SELECT b AS node FROM und) GROUP BY node),
+        |k0 AS (SELECT node FROM d0 WHERE deg >= 80),
+        |e1 AS (SELECT e.a, e.b FROM und e
+        |  JOIN k0 x ON x.node = e.a JOIN k0 y ON y.node = e.b),
+        |d1 AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e1
+        |    UNION ALL SELECT b AS node FROM e1) GROUP BY node),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 80),
+        |e2 AS (SELECT e.a, e.b FROM e1 e
+        |  JOIN k1 x ON x.node = e.a JOIN k1 y ON y.node = e.b),
+        |d2 AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e2
+        |    UNION ALL SELECT b AS node FROM e2) GROUP BY node),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 80),
+        |e3 AS (SELECT e.a, e.b FROM e2 e
+        |  JOIN k2 x ON x.node = e.a JOIN k2 y ON y.node = e.b)
+        |SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e3
+        |    UNION ALL SELECT b AS node FROM e3) GROUP BY node
+        |ORDER BY deg DESC, node LIMIT 100""".stripMargin,
     // two unrolled HITS rounds, max-normalized with floor division —
     // the exact GraphOps.hits recurrence
     "q_hits" ->

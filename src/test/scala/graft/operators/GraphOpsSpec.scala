@@ -106,6 +106,32 @@ class GraphOpsSpec extends SparkSuite {
     assert(ranksOf(r) == Map(1L -> 150000L, 2L -> 850000L))
   }
 
+  test("kCore peels low-degree fringe and keeps the dense core") {
+    // K4 on {1,2,3,4} plus a pendant chain 4-5, 5-6: at k=3 the
+    // chain peels (deg(6)=1, deg(5)=2), then 4 still has deg 3 in
+    // the K4. Round 1 drops 5 and 6; stable after.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val r = GraphOps.kCore(e, "src", "dst", k = 3, rounds = 2)
+      .orderBy($"node").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("kCore with k above the max degree empties the graph") {
+    val r = GraphOps.kCore(tri, "src", "dst", k = 10, rounds = 1)
+    assert(r.count() == 0L)
+  }
+
+  test("kCore guards") {
+    intercept[IllegalArgumentException] {
+      GraphOps.kCore(tri, "src", "dst", k = 0, rounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.kCore(tri, "src", "dst", k = 2, rounds = 0)
+    }
+  }
+
   test("parameter guards") {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(tri, "src", "dst", iters = 0)
