@@ -67,8 +67,10 @@ object DataQuality {
   /** Evaluate `checks` against `df`. Returns one row per check:
     * (check_name, total, violations, pass), `pass` = zero
     * violations. Row-local checks (NotNull / Satisfies / InSet)
-    * share a single aggregate scan; each Unique adds one groupBy
-    * and each RefIn one anti-join.
+    * share a single aggregate scan; each Unique adds one groupBy and
+    * each RefIn one left join against the distinct dim keys — both
+    * compute total and violations in the SAME pass, so no check ever
+    * costs a second COUNT(*) scan of the fact table.
     */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "validate needs at least one check")
@@ -102,23 +104,28 @@ object DataQuality {
             }: _*)).as("r"))
           .select(col("r.*")))
       }
+    // structural checks derive total AND violations from one pass —
+    // never a second COUNT(*) scan of the fact table
     val otherResults: Seq[DataFrame] = checks.collect {
       case u @ Unique(cols) =>
-        val total = df.groupBy().agg(count(lit(1)).as("total"))
-        val dupRows = df.groupBy(cols.map(col): _*)
-          .agg(count(lit(1)).as("c")).where(col("c") > 1)
-          .groupBy().agg(coalesce(sum(col("c")), lit(0L)).as("violations"))
-        total.crossJoin(dupRows)
+        // total = Σ group sizes; violations = Σ sizes of groups > 1
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+          .groupBy().agg(
+            coalesce(sum(col("c")), lit(0L)).as("total"),
+            coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+              .as("violations"))
           .select(lit(u.name).as("check_name"), col("total"),
             col("violations"))
       case r @ RefIn(column, dim, dimColumn) =>
-        val total = df.groupBy().agg(count(lit(1)).as("total"))
-        val orphans = df.select(col(column).as("_k"))
-          .where(col("_k").isNotNull)
-          .join(dim.select(col(dimColumn).as("_k")).distinct(),
-            Seq("_k"), "left_anti")
-          .groupBy().agg(count(lit(1)).as("violations"))
-        total.crossJoin(orphans)
+        // left join against the distinct (broadcast-ready) dim keys,
+        // then count rows and non-null misses in the same aggregate
+        val dimKeys = dim.select(col(dimColumn).as("_k")).distinct()
+          .withColumn("_hit", lit(1))
+        df.select(col(column).as("_k"))
+          .join(dimKeys, Seq("_k"), "left")
+          .groupBy().agg(count(lit(1)).as("total"),
+            coalesce(sum(when(col("_k").isNotNull && col("_hit").isNull,
+              1L).otherwise(0L)), lit(0L)).as("violations"))
           .select(lit(r.name).as("check_name"), col("total"),
             col("violations"))
     }

@@ -56,6 +56,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("resample pushes the key predicate to the events scan and " +
+      "windows once per frame direction, never re-scanning") {
+    val p = plan("q_gap_fill")
+    // user_id < 40 must reach parquet: at 100 TB the grid math runs
+    // over 40 users' rows, not the full event stream
+    assert(p.contains("LessThan(user_id,40)"))
+    // one window (the LOCF carry-forward); the events file is read
+    // exactly twice (observation collapse + span), both filtered
+    assert("Window".r.findAllIn(p).size >= 1)
+  }
+
+  test("data checks fold every row-local metric into one scan and " +
+      "broadcast the referential dims") {
+    val p = plan("q_data_checks")
+    // 7 checks, but the fact table is scanned once per PASS, never
+    // per metric: 1 row-local scan (5 checks fused) + 1 unique
+    // groupBy + 2 ref left-joins, plus the 2 dim scans themselves = 6
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 6, s"$scans parquet scans — a check is paying " +
+      "an extra pass (total must come from the same scan)")
+    assert(p.contains("Broadcast"), "dim side of ref_in should broadcast")
+  }
+
+  test("profile is a single aggregation pass over a pruned scan") {
+    val p = plan("q_profile")
+    assert("Scan parquet".r.findAllIn(p).size === 1)
+    // only the 5 profiled columns are read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_linenumber:int,l_returnflag:string,l_linestatus:string>"))
+  }
+
   test("hash expressions keep their stage in whole-stage codegen") {
     // CodegenFallback would exclude the entire project stage from
     // WSCG; the delegating codegen keeps it compiled (the `*(n)`
