@@ -303,6 +303,56 @@ object GraphOps {
     degrees(e)
   }
 
+  /** Synchronous label propagation (Raghavan et al.) made
+    * DETERMINISTIC: every node starts as its own community (label =
+    * node id); each round a node adopts the label most frequent among
+    * its neighbors, ties broken by the SMALLEST label — so there is
+    * no random tie-walk and any engine restating the vote matches
+    * exactly. Edges are read undirected (symmetric closure + dedup +
+    * self-loop drop). Fixed `iters` (community structure emerges in a
+    * few rounds; run longer for finer convergence) keeps the unrolled
+    * oracle restatement finite and the loop driver-bounded, with the
+    * usual persist + localCheckpoint discipline.
+    *
+    * Per round: one join (edge × labels) + one (node, label) count +
+    * one argmax partial-agg — the vote is max(struct(cnt, -label)),
+    * so "most frequent, then smallest" rides a single aggregate, no
+    * per-node sort. Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1, 50], got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+    val e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // symmetric closure ⇒ every endpoint appears as `a`
+    val nodes = e.select(col("a").as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy(col("node"))
+        .agg(max(struct(col("cnt"), negate(col("label")).as("nl")))
+          .as("m"))
+        .select(col("node"), negate(col("m.nl")).as("label"))
+      labels = nodes.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.unpersist(); nodes.unpersist()
+    labels
+  }
+
   /** Degree statistics of `edges(src, dst)`: per-node out/in degree —
     * the cheap first-pass graph profile (hubs to cap, sinks to flag)
     * before anything iterative runs.

@@ -75,6 +75,21 @@ object PipelineQueries {
         .select($"node", $"hub", $"auth")
     }),
 
+    // Deterministic label propagation (2 rounds) over the symmetrized
+    // part–supplier graph: community sizes after the vote. Ties break
+    // to the smallest label (no random walk), so DuckDB restates both
+    // unrolled rounds with a row_number vote and matches exactly.
+    "q_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("src"),
+          ($"l_suppkey".cast("long") + 10000000L).as("dst"))
+      graft.operators.GraphOps
+        .labelPropagation(edges, "src", "dst", iters = 2)
+        .groupBy($"label").agg(count(lit(1)).as("size"))
+        .orderBy($"size".desc, $"label").limit(100)
+    }),
+
     // k-core peeling (3 rounds, k=80) over the same co-purchase
     // graph: the dense-subgraph membership signal (link-farm
     // clusters survive high-k cores; organic pages peel away). Each
@@ -413,6 +428,35 @@ object PipelineQueries {
         |  ELSE 0 END AS lcc_ppm
         |FROM deg d LEFT JOIN pn ON pn.node = d.node
         |ORDER BY tri DESC, node LIMIT 100""".stripMargin,
+    // two unrolled label-propagation rounds; the argmax vote
+    // restated as row_number ORDER BY cnt DESC, label ASC
+    "q_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS b
+        |  FROM lineitem),
+        |e AS (SELECT a, b FROM e0
+        |  UNION SELECT b AS a, a AS b FROM e0),
+        |nodes AS (SELECT DISTINCT a AS node FROM e),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |v1 AS (SELECT e.b AS node, l0.label AS label, count(*) AS cnt
+        |  FROM e JOIN l0 ON l0.node = e.a GROUP BY e.b, l0.label),
+        |b1 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, label ASC) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT n.node, coalesce(b1.label, n.node) AS label
+        |  FROM nodes n LEFT JOIN b1 ON b1.node = n.node),
+        |v2 AS (SELECT e.b AS node, l1.label AS label, count(*) AS cnt
+        |  FROM e JOIN l1 ON l1.node = e.a GROUP BY e.b, l1.label),
+        |b2 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, label ASC) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT n.node, coalesce(b2.label, n.node) AS label
+        |  FROM nodes n LEFT JOIN b2 ON b2.node = n.node)
+        |SELECT label, count(*) AS size FROM l2 GROUP BY label
+        |ORDER BY size DESC, label LIMIT 100""".stripMargin,
     // three unrolled peel rounds of GraphOps.kCore (degree count →
     // threshold → semi-join both endpoints), then the survivors'
     // residual degrees

@@ -123,6 +123,28 @@ class GraphOpsSpec extends SparkSuite {
     assert(r.count() == 0L)
   }
 
+  test("label propagation votes most-frequent-then-smallest and " +
+      "absorbs a pendant into the triangle community") {
+    // triangle {1,2,3} + pendant 4 on 3; after 2 rounds everyone
+    // lands on label 1 (hand-traced min-tie votes)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = GraphOps.labelPropagation(e, "src", "dst", iters = 2)
+      .orderBy($"node").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("label propagation round 1 on a path ties to the smaller " +
+      "neighbor label") {
+    // 1-2-3: node 2 sees {1, 3} once each → smallest label 1 wins
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphOps.labelPropagation(e, "src", "dst", iters = 1)
+      .orderBy($"node").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
   test("kCore guards") {
     intercept[IllegalArgumentException] {
       GraphOps.kCore(tri, "src", "dst", k = 0, rounds = 1)
