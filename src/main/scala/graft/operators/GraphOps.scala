@@ -38,7 +38,7 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, d100: Int = 85, scale: Long = 1000000L): DataFrame =
-    pageRankCore(edges, srcCol, dstCol, None, iters, d100, scale)
+    pageRankCore(edges, srcCol, dstCol, None, None, iters, d100, scale)
 
   /** Personalized (seeded) PageRank: the teleport mass lands ONLY on
     * the `seeds` node set — rank becomes proximity-to-the-seeds, the
@@ -54,19 +54,46 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, iters: Int, d100: Int = 85,
       scale: Long = 1000000L): DataFrame =
-    pageRankCore(edges, srcCol, dstCol, Some(seeds), iters, d100, scale)
+    pageRankCore(edges, srcCol, dstCol, None, Some(seeds), iters, d100,
+      scale)
+
+  /** Weighted PageRank: each out-edge carries a positive INTEGER
+    * weight (link multiplicity, click volume, co-occurrence count)
+    * and a node's rank splits proportionally —
+    * contribution(u→v) = floor(rank(u)·w(u,v) / Σ_out w(u,·)) — the
+    * curation-grade variant when edges are aggregated interaction
+    * counts rather than single links. Rows with NULL or non-positive
+    * weight are dropped (a zero-weight link carries no mass). Still
+    * integer-exact: the weighted split is one multiply + floor
+    * divide, so the oracle restates it verbatim. Overflow headroom:
+    * rank·w must stay under 2^63 — at the default scale, safe while
+    * max rank · max weight < 9.2×10^18 (e.g. ranks ≤ 10^12 with
+    * weights ≤ 10^6); rescale `scale` down for heavier graphs.
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iters: Int, d100: Int = 85,
+      scale: Long = 1000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, Some(weightCol), None, iters,
+      d100, scale)
 
   private def pageRankCore(edges: DataFrame, srcCol: String,
-      dstCol: String, seeds: Option[DataFrame], iters: Int, d100: Int,
+      dstCol: String, weightCol: Option[String],
+      seeds: Option[DataFrame], iters: Int, d100: Int,
       scale: Long): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1, 50], got $iters")
     require(d100 >= 0 && d100 <= 100, s"d100 in [0, 100], got $d100")
     // persist the loop invariants ONCE — without this, every round's
     // composed plan re-derives e/nodes/deg from the source scan and
-    // the edge table is re-read O(iters) times
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the edge table is re-read O(iters) times. Unweighted graphs
+    // ride the same path with w = 1 (rank·1 div Σ1 ≡ rank div count).
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+        .as("w"))
+    val e = (weightCol match {
+        case Some(_) => e0.where(col("w").isNotNull && col("w") > 0)
+        case None => e0
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // seed membership is a per-node flag joined once up front (seed
@@ -83,7 +110,7 @@ object GraphOps {
           .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100L - d100) / 100L
     // localCheckpoint each round (the connected-components discipline,
@@ -105,7 +132,7 @@ object GraphOps {
         // quotient can round across an integer boundary and break the
         // bit-exact recurrence the oracle restates
         .select(col("dst").as("node"),
-          expr("rank div outdeg").as("c"))
+          expr("(rank * w) div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")

@@ -75,6 +75,22 @@ object PipelineQueries {
         .select($"node", $"hub", $"auth")
     }),
 
+    // WEIGHTED PageRank: edges carry aggregated interaction volume
+    // (total quantity shipped per part→supplier pair) and rank splits
+    // proportionally — floor(rank·w / Σw). Still a pure integer
+    // recurrence; DuckDB restates the weighted split verbatim.
+    "q_pagerank_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "lineitem")
+        .groupBy($"l_partkey".cast("long").as("src"),
+          ($"l_suppkey".cast("long") + 10000000L).as("dst"))
+        .agg(sum($"l_quantity".cast("long")).as("w"))
+      graft.operators.GraphOps
+        .pageRankWeighted(edges, "src", "dst", "w", iters = 3)
+        .orderBy($"rank".desc, $"node").limit(100)
+        .select($"node", $"rank")
+    }),
+
     // Deterministic label propagation (2 rounds) over the symmetrized
     // part–supplier graph: community sizes after the vote. Ties break
     // to the smallest label (no random walk), so DuckDB restates both
@@ -428,6 +444,42 @@ object PipelineQueries {
         |  ELSE 0 END AS lcc_ppm
         |FROM deg d LEFT JOIN pn ON pn.node = d.node
         |ORDER BY tri DESC, node LIMIT 100""".stripMargin,
+    // three unrolled weighted-PageRank rounds: contribution =
+    // (rank * w) // Σw, damping as in q_pagerank
+    "q_pagerank_weighted" ->
+      """WITH e AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e
+        |  UNION SELECT dst AS node FROM e),
+        |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node,
+        |    sum((r0.rank * e.w) // d.outdeg) AS s
+        |  FROM e JOIN r0 ON r0.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |  150000 + (85 * coalesce(c1.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT e.dst AS node,
+        |    sum((r1.rank * e.w) // d.outdeg) AS s
+        |  FROM e JOIN r1 ON r1.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |  150000 + (85 * coalesce(c2.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT e.dst AS node,
+        |    sum((r2.rank * e.w) // d.outdeg) AS s
+        |  FROM e JOIN r2 ON r2.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |  150000 + (85 * coalesce(c3.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
     // two unrolled label-propagation rounds; the argmax vote
     // restated as row_number ORDER BY cnt DESC, label ASC
     "q_label_prop" ->

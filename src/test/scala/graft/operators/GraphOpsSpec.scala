@@ -123,6 +123,33 @@ class GraphOpsSpec extends SparkSuite {
     assert(r.count() == 0L)
   }
 
+  test("weighted PageRank splits rank proportionally to edge weight") {
+    // 1 → 2 (w=3), 1 → 3 (w=1): Σw = 4
+    // round 1: c(2) = (1e6*3) div 4 = 750000; c(3) = 250000
+    // r(2) = 150000 + 85*750000 div 100 = 787500
+    // r(3) = 150000 + 85*250000 div 100 = 362500; r(1) = 150000
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = ranksOf(GraphOps.pageRankWeighted(e, "src", "dst", "w",
+      iters = 1))
+    assert(r == Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
+  }
+
+  test("weighted PageRank drops non-positive and null weights") {
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 0L), (1L, 4L, -5L))
+      .toDF("src", "dst", "w")
+    val r = GraphOps.pageRankWeighted(e, "src", "dst", "w", iters = 1)
+    // only 1 → 2 survives: nodes {1, 2}
+    assert(ranksOf(r) == Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
+  test("uniform weights reproduce the unweighted recurrence") {
+    val w = tri.withColumn("w", lit(7L))
+    val a = ranksOf(GraphOps.pageRank(tri, "src", "dst", iters = 2))
+    val b = ranksOf(GraphOps.pageRankWeighted(w, "src", "dst", "w",
+      iters = 2))
+    assert(a == b)
+  }
+
   test("label propagation votes most-frequent-then-smallest and " +
       "absorbs a pendant into the triangle community") {
     // triangle {1,2,3} + pendant 4 on 3; after 2 rounds everyone
