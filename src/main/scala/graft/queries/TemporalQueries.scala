@@ -76,6 +76,39 @@ object TemporalQueries {
         .orderBy($"event_id")
     }),
 
+    // Robust (median/MAD) outlier gate — the breakdown-resistant
+    // complement of q_event_anomaly's mean/σ z-score: a few extreme
+    // rows cannot move the median, so contamination does not mask
+    // itself. INTEGER-EXACT via the ×2 trick: med2 = 2·median(cents)
+    // and mad4 = 4·MAD are integral even when the even-count median
+    // interpolates at .5, and the 3σ-equivalent cut
+    // dev > 3·1.4826·MAD becomes 10000·dev2 > 22239·mad4 — pure
+    // BIGINT in both engines. Exact per-group medians are the
+    // bounded-cardinality path (event types); unbounded keys use the
+    // HDR/sample sketch family instead.
+    "q_robust_outliers" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        WITH c AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        m AS (SELECT event_type,
+            CAST(2 * percentile(cents, 0.5) AS BIGINT) AS med2
+          FROM c GROUP BY event_type),
+        d AS (SELECT c.event_type, m.med2,
+            abs(2 * c.cents - m.med2) AS dev2
+          FROM c JOIN m ON m.event_type = c.event_type),
+        md AS (SELECT event_type,
+            CAST(2 * percentile(dev2, 0.5) AS BIGINT) AS mad4
+          FROM d GROUP BY event_type)
+        SELECT d.event_type AS event_type, d.med2 AS med2,
+          md.mad4 AS mad4, count(*) AS n,
+          sum(CASE WHEN 10000 * d.dev2 > 22239 * md.mad4
+            THEN 1 ELSE 0 END) AS n_outliers
+        FROM d JOIN md ON md.event_type = d.event_type
+        GROUP BY d.event_type, d.med2, md.mad4
+        ORDER BY d.event_type""")
+    }),
+
     // Rolling 5-event mean per user in event-time order (tie-broken by
     // event_id so the frame is deterministic): the feature-engineering
     // window shape. One shuffle on user_id; frames never cross users.
@@ -187,6 +220,28 @@ object TemporalQueries {
         |FROM events e JOIN st ON st.event_type = e.event_type
         |WHERE st.sigma > 0 AND abs(e.value - st.mu) > 3 * st.sigma
         |ORDER BY e.event_id""".stripMargin,
+    // the same ×2-integralized median/MAD pipeline; DuckDB median ≡
+    // Spark percentile(0.5) (both linear-interpolating), every
+    // comparison BIGINT
+    "q_robust_outliers" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(2 * median(cents) AS BIGINT) AS med2
+        |  FROM c GROUP BY event_type),
+        |d AS (SELECT c.event_type, m.med2,
+        |    abs(2 * c.cents - m.med2) AS dev2
+        |  FROM c JOIN m ON m.event_type = c.event_type),
+        |md AS (SELECT event_type,
+        |    CAST(2 * median(dev2) AS BIGINT) AS mad4
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type AS event_type, d.med2 AS med2,
+        |  md.mad4 AS mad4, count(*) AS n,
+        |  CAST(sum(CASE WHEN 10000 * d.dev2 > 22239 * md.mad4
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md ON md.event_type = d.event_type
+        |GROUP BY d.event_type, d.med2, md.mad4
+        |ORDER BY d.event_type""".stripMargin,
     // grid + LOCF restatement: latest-in-bucket via row_number (the
     // max(struct) tie order), generate_series grid, IGNORE NULLS
     // carry-forward window
