@@ -94,61 +94,83 @@ object GraphOps {
         case Some(_) => e0.where(col("w").isNotNull && col("w") > 0)
         case None => e0
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // node set AND weighted out-degree in ONE shuffle: explode each
+    // edge into (src, w) + (dst, 0) and sum — sinks surface with
+    // outdeg 0, sources with their Σw, and no separate union-distinct
+    // pass over the edge list is needed. At web scale this drops a
+    // whole edge-cardinality shuffle from the setup.
+    val nodeDeg = e.select(explode(array(
+        struct(col("src").as("node"), col("w")),
+        struct(col("dst").as("node"), lit(0L).as("w")))).as("nw"))
+      .groupBy(col("nw.node").as("node"))
+      .agg(sum(col("nw.w")).as("outdeg"))
     // seed membership is a per-node flag joined once up front (seed
     // sets are tiny vs the graph — a broadcast-ready dim); the loop
     // below then reads it as a column, never re-joining per round
-    val nodes = seeds match {
-      case None => nodes0.withColumn("seed", lit(true))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = (seeds match {
+      case None => nodeDeg.withColumn("seed", lit(true))
       case Some(sd) =>
         val sc = sd.columns.head
         val s = sd.select(col(sc).cast("long").as("node")).distinct()
           .withColumn("seed", lit(true))
-        nodes0.join(s, Seq("node"), "left")
-          .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        nodeDeg.join(broadcast(s), Seq("node"), "left")
+          .select(col("node"), col("outdeg"),
+            coalesce(col("seed"), lit(false)).as("seed"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100L - d100) / 100L
-    // localCheckpoint each round (the connected-components discipline,
-    // see Dedup): ranks feeds the next round's join, so an unchecked
-    // chain grows the logical plan superlinearly with iters and the
-    // DRIVER (analysis/optimization time) dies long before the data
-    // does. On a cluster with executor-loss concerns, set a checkpoint
-    // dir and swap for checkpoint() — same shape.
-    var ranks = nodes
-      .select(col("node"),
+    // Lineage truncation is ADAPTIVE (the round-12 rework of the old
+    // eager-every-round localCheckpoint, which paid a blocking
+    // materialization + row-copy + cache write + a codegen-fusion
+    // break per round and dominated the runtime at small scale): the
+    // rank recurrence references the previous round's ranks exactly
+    // ONCE, so the composed logical plan grows LINEARLY with iters —
+    // unlike kCore's 5-refs-per-round blowup — and a handful of
+    // rounds compose safely into one plan that Catalyst optimizes and
+    // executes as a single job. Every `truncateEvery` rounds a
+    // NON-EAGER localCheckpoint truncates the plan to a LogicalRDD
+    // (bounding analyzer/optimizer cost for large iters) without a
+    // job barrier; only the FINAL round is eager, so the loop
+    // invariants can be unpersisted below without forcing a
+    // recompute. On a cluster with executor-loss concerns, set a
+    // checkpoint dir and swap for checkpoint() — same shape.
+    // the loop state carries (node, outdeg, seed, rank): outdeg and
+    // seed are invariants FOLDED INTO the state row, so each round is
+    // ONE edge⋈state join + ONE partial-aggregated groupBy + ONE
+    // node-cardinality left join — the old per-round deg join (a
+    // second node-cardinality join every round, a real cost at
+    // billions of nodes) is gone
+    val truncateEvery = 8
+    var state = nodes
+      .select(col("node"), col("outdeg"), col("seed"),
         when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+        .join(state.select(col("node").as("src"), col("rank"),
+          col("outdeg")), "src")
         // TRUE integral division (`div`), never double `/`: a double
         // quotient can round across an integer boundary and break the
-        // bit-exact recurrence the oracle restates
+        // bit-exact recurrence the oracle restates (outdeg ≥ w > 0
+        // for every node that appears as a src, so no div-by-zero)
         .select(col("dst").as("node"),
           expr("(rank * w) div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"), col("seed"),
           (when(col("seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($d100 * coalesce(s, 0L)) div 100"))
             .as("rank"))
-        .localCheckpoint(true)
-      // the previous round's checkpoint blocks become unreferenced
-      // here; the ContextCleaner reclaims them (same discipline as the
-      // connected-components loop)
+      state =
+        if (i == iters - 1) next.localCheckpoint(true)
+        else if ((i + 1) % truncateEvery == 0) next.localCheckpoint(false)
+        else next
       i += 1
     }
-    // the final ranks are checkpoint-materialized: lineage no longer
+    val ranks = state.select(col("node"), col("rank"))
+    // the final state is checkpoint-materialized: lineage no longer
     // references the loop invariants, so their blocks can go
-    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    e.unpersist(); nodes.unpersist()
     ranks
   }
 
@@ -175,14 +197,24 @@ object GraphOps {
     */
   def triangles(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the canonical edge set: it feeds deg (two passes) and
+    // the orientation join — without the cache the CALLER'S edge
+    // derivation (often itself a join, e.g. the co-purchase self-join)
+    // re-executes once per consumer
     val und = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
+      .persist(MEMORY_AND_DISK)
+    // edge count read off the cache just materialized — it gates the
+    // broadcast pin below AND is the natural scale switch
+    val m = und.count()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
     // total order for orientation: (deg, node) lexicographic — struct
     // comparison keeps it one codegen'd predicate, no composite key
     val joined = und
@@ -196,18 +228,29 @@ object GraphOps {
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
+    // PIN the build-side broadcast when the edge set is modestly
+    // sized: the wedge pipeline is then ONE map stage (cached scan →
+    // self-BHJ → close-BHJ → explode → partial agg) and the O(m^{3/2})
+    // wedge set streams through without ever hitting a sort or a
+    // shuffle — leaving the choice to AQE let a memory-pressured rep
+    // flip to sort-merge and SORT all the wedges (the 100 s mode the
+    // r11 bench caught). Past the cap (where a broadcast would not
+    // fit anyway) the hint is withheld and the joins shuffle on their
+    // keys — the 100 TB path.
+    val pinBroadcast = m <= 2000000L
     val e1 = oriented.as("e1")
-    val e2 = oriented.as("e2")
+    val e2raw = oriented.as("e2")
+    val e2 = if (pinBroadcast) broadcast(e2raw) else e2raw
     val wedges = e1.join(e2,
         col("e1.u") === col("e2.u") &&
         (struct(col("e1.dv"), col("e1.v")) <
           struct(col("e2.dv"), col("e2.v"))))
       .select(col("e1.u").as("u"), col("e1.v").as("v"),
         col("e2.v").as("w"))
-    val triRows = wedges.join(
-        oriented.select(col("u").as("v"), col("v").as("w")),
-        Seq("v", "w"))
+    val closeRaw = oriented.select(col("u").as("v"), col("v").as("w"))
+    val close = if (pinBroadcast) broadcast(closeRaw) else closeRaw
+    val triRows = wedges.join(close, Seq("v", "w"))
       .select(col("u"), col("v"), col("w"))
     val perNode = triRows
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
@@ -218,11 +261,11 @@ object GraphOps {
         when(col("deg") >= 2,
           expr("(2 * coalesce(tri, 0L) * 1000000) div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("lcc_ppm"))
-    // materialize before dropping the oriented cache (out's lineage
-    // references it); LCC output is node-cardinality, far below the
-    // edge set, so the localCheckpoint is cheap
+    // materialize before dropping the caches (out's lineage references
+    // them); LCC output is node-cardinality, far below the edge set,
+    // so the localCheckpoint is cheap
     val ck = out.localCheckpoint(true)
-    oriented.unpersist()
+    oriented.unpersist(); deg.unpersist(); und.unpersist()
     ck
   }
 
@@ -252,6 +295,13 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // HITS is the one loop that NEEDS eager per-round checkpoints:
+    // authRaw/hubRaw are each consumed TWICE per round (the one-row
+    // max broadcast AND the scaling join), so composing rounds into
+    // one plan re-executes the whole recursive subtree once per
+    // consumer — a 2^(2·iters) blowup, measured 4× slower at sf0.1
+    // than materializing each half-round. The checkpoint makes the
+    // double-read a cache read instead.
     var hub = nodes.withColumn("hub", lit(scale)).localCheckpoint(true)
     var auth: DataFrame = nodes.withColumn("auth", lit(0L))
     var i = 0
@@ -311,6 +361,15 @@ object GraphOps {
       e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // EAGER checkpoints here, deliberately (unlike [[pageRank]]'s
+    // composed rounds): each round consumes e THREE times — the degree
+    // count plus both semi-joins — through stages the scheduler may
+    // run concurrently, so a lazily-cached e risks being computed once
+    // per consumer before the cache lands; and the peel recurrence
+    // references e multiple times per round, so an un-truncated plan
+    // grows exponentially with rounds. The eager materialization also
+    // pays off in data: the edge set SHRINKS monotonically, so each
+    // round's checkpoint is smaller than the last.
     var e = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
@@ -358,8 +417,13 @@ object GraphOps {
     // symmetric closure ⇒ every endpoint appears as `a`
     val nodes = e.select(col("a").as("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adaptive truncation (see [[pageRank]]): each round references
+    // the previous labels exactly once, so the composed plan grows
+    // linearly — compose rounds into one plan, truncate non-eagerly
+    // every few rounds, eager only on the final round so the
+    // persisted invariants can go
+    val truncateEvery = 8
     var labels = nodes.withColumn("label", col("node"))
-      .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val votes = e
@@ -370,10 +434,13 @@ object GraphOps {
         .agg(max(struct(col("cnt"), negate(col("label")).as("nl")))
           .as("m"))
         .select(col("node"), negate(col("m.nl")).as("label"))
-      labels = nodes.join(best, Seq("node"), "left")
+      val next = nodes.join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("label"), col("node")).as("label"))
-        .localCheckpoint(true)
+      labels =
+        if (i == iters - 1) next.localCheckpoint(true)
+        else if ((i + 1) % truncateEvery == 0) next.localCheckpoint(false)
+        else next
       i += 1
     }
     e.unpersist(); nodes.unpersist()
