@@ -889,8 +889,10 @@ class HttpApi(spark: SparkSession, port: Int = 0,
         tableOr404(ex, name).foreach { df =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
+          // duplicates would make profile's internal _nn_/_nd_ aliases
+          // ambiguous (AnalysisException → 500); dedupe, order kept
           val cols = jsonStringArray(body, "columns")
-            .getOrElse(df.columns.toSeq)
+            .getOrElse(df.columns.toSeq).distinct
           val approx = jsonField(body, "approx_distinct")
             .contains("true")
           val missing = cols.filterNot(df.columns.contains)
@@ -948,8 +950,12 @@ class HttpApi(spark: SparkSession, port: Int = 0,
             respond(ex, 400,
               """{"error":"limit must be in [1, 100000]"}""")
           else {
+            // a null source key/ts casts to a null key/bucket, which
+            // getLong below would NPE into the catch-all 500 — drop
+            // such rows (the value field is already null-guarded)
             val rows = graft.operators.TimeSeries
               .resample(df, keyCol, tsCol, valCol, step, interp)
+              .where(col("key").isNotNull && col("bucket").isNotNull)
               .orderBy(col("key"), col("bucket")).limit(limit).collect()
             val items = rows.map(r =>
               s"""{"key":${r.getLong(0)},"bucket":${r.getLong(1)},""" +
@@ -990,13 +996,18 @@ class HttpApi(spark: SparkSession, port: Int = 0,
           else if (op == "ppr" && seeds.isEmpty)
             respond(ex, 400,
               """{"error":"ppr needs a non-empty seeds array"}""")
-          else op match {
+          else {
+          // null src/dst values cast to null node ids, which getLong
+          // in the serializers below would NPE into the catch-all 500
+          // — drop such edges up front
+          val df2 = df.where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+          op match {
             case "pagerank" | "ppr" =>
               val ranks =
-                if (op == "pagerank") G.pageRank(df, srcCol, dstCol, iters)
+                if (op == "pagerank") G.pageRank(df2, srcCol, dstCol, iters)
                 else {
                   import spark.implicits._
-                  G.personalizedPageRank(df, srcCol, dstCol,
+                  G.personalizedPageRank(df2, srcCol, dstCol,
                     seeds.toDF("node"), iters)
                 }
               val rows = ranks.orderBy(col("rank").desc, col("node"))
@@ -1005,14 +1016,14 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                 s"""{"node":${r.getLong(0)},"rank":${r.getLong(1)}}""")
                 .mkString(",")}]}""")
             case "hits" =>
-              val rows = G.hits(df, srcCol, dstCol, iters)
+              val rows = G.hits(df2, srcCol, dstCol, iters)
                 .orderBy(col("auth").desc, col("hub").desc, col("node"))
                 .limit(top).collect()
               respond(ex, 200, s"""{"nodes":[${rows.map(r =>
                 s"""{"node":${r.getLong(0)},"hub":${r.getLong(1)},""" +
                   s""""auth":${r.getLong(2)}}""").mkString(",")}]}""")
             case "triangles" =>
-              val rows = G.triangles(df, srcCol, dstCol)
+              val rows = G.triangles(df2, srcCol, dstCol)
                 .orderBy(col("tri").desc, col("node"))
                 .limit(top).collect()
               respond(ex, 200, s"""{"nodes":[${rows.map(r =>
@@ -1020,7 +1031,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
                   s""""deg":${r.getLong(2)},"lcc_ppm":${r.getLong(3)}}""")
                 .mkString(",")}]}""")
             case "degree" =>
-              val rows = G.degreeStats(df, srcCol, dstCol)
+              val rows = G.degreeStats(df2, srcCol, dstCol)
                 .orderBy((col("outdeg") + col("indeg")).desc, col("node"))
                 .limit(top).collect()
               respond(ex, 200, s"""{"nodes":[${rows.map(r =>
@@ -1030,6 +1041,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               respond(ex, 400, s"""{"error":"unknown op '${graft.util
                 .Json.escape(other)}' — use pagerank, ppr, hits, """ +
                 """triangles or degree"}""")
+          }
           }
         }
 

@@ -146,6 +146,8 @@ object DataQuality {
   def profile(df: DataFrame, columns: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
+    require(columns.distinct.size == columns.size,
+      s"duplicate columns: ${columns.diff(columns.distinct).mkString(", ")}")
     val aggs = count(lit(1)).as("_n") +: columns.flatMap { c =>
       Seq(count(col(c)).as(s"_nn_$c"),
         (if (approxDistinct) approx_count_distinct(col(c))

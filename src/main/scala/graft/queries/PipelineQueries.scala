@@ -445,13 +445,17 @@ object PipelineQueries {
         |FROM deg d LEFT JOIN pn ON pn.node = d.node
         |ORDER BY tri DESC, node LIMIT 100""".stripMargin,
     // three unrolled weighted-PageRank rounds: contribution =
-    // (rank * w) // Σw, damping as in q_pagerank
+    // (rank * w) // Σw, damping as in q_pagerank. The HAVING clause
+    // restates the operator's NULL/non-positive weight drop verbatim
+    // (vacuous on TPC-H where l_quantity >= 1, but the oracle must
+    // mirror the operator, not the dataset).
     "q_pagerank_weighted" ->
       """WITH e AS (
         |  SELECT CAST(l_partkey AS BIGINT) AS src,
         |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst,
         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-        |  FROM lineitem GROUP BY 1, 2),
+        |  FROM lineitem GROUP BY 1, 2
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 0),
         |nodes AS (SELECT src AS node FROM e
         |  UNION SELECT dst AS node FROM e),
         |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg

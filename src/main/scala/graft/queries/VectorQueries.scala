@@ -185,6 +185,32 @@ object VectorQueries {
         .orderBy($"vec_id", $"c")
     }),
 
+    // PCA projection under a FROZEN basis (the OPQ/RVQ fixed-twin
+    // pattern): Pca.project runs its real per-row MatVecProject path,
+    // but the model is pinned — zero mean, 4 orthonormal butterfly
+    // axes (axis t = (e_t + e_{t+32})/sqrt2). Each axis row has TWO
+    // nonzero coefficients, so the double fold collapses to two
+    // multiply-adds that DuckDB restates token for token (zero terms
+    // are exact IEEE no-ops), and the micro-unit floor makes the face
+    // hash-exact — the projection arithmetic q_pca_project's learned
+    // basis can't oracle gets its ⊕ row here.
+    "q_pca_project_fixed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val d = 64
+      val s2 = 1.0 / math.sqrt(2.0)
+      val comps = Array.tabulate(4, d)((t, j) =>
+        if (j == t || j == t + 32) s2 else 0.0)
+      val model = graft.operators.PcaModel(d, 0L,
+        Array.fill(d)(0.0), Array.fill(4)(0.0), comps, 0.0)
+      graft.operators.Pca.project(emb, "embedding", model, "p")
+        .select($"vec_id", posexplode($"p"))
+        .toDF("vec_id", "c", "v")
+        .select($"vec_id", $"c",
+          expr("CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)")
+            .as("v_micro"))
+        .orderBy($"vec_id", $"c")
+    }),
+
     // Seeded Johnson–Lindenstrauss sparse projection to 8 dims — the
     // training-free dimension reduction ahead of LSH/clustering. Pure
     // per-row map (no shuffle); the oracle restates the same v^3 mod
@@ -1277,6 +1303,23 @@ object VectorQueries {
         .orderBy($"qid", $"mmr_rank")
     }),
 
+    // MMR at m=3: one more greedy step than q_mmr_pair — the third
+    // pick's redundancy term maxes over TWO picked vectors
+    // (max(0, max(cos(v,p1), cos(v,p2)))), the arithmetic that
+    // separates true MMR from simple re-ranking and that the m=2 face
+    // cannot distinguish. Still window-expressible, so DuckDB
+    // restates all three unrolled selections.
+    "q_mmr_triple" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 10)
+      val top = Knn.topK(emb, queries, "vec_id", "embedding", 20)
+      Knn.mmrRerank(top, emb, "vec_id", "embedding",
+          lambda = 0.5, m = 3)
+        .select($"qid", $"nid", $"mmr_rank",
+          (floor($"mmr_score" * 10000 + 0.5) / 10000).as("mmr_score"))
+        .orderBy($"qid", $"mmr_rank")
+    }),
+
     // J4/X7: recall of cos-metric kNN against l2sq ground truth.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -2163,6 +2206,19 @@ object VectorQueries {
         |  FROM e GROUP BY j)
         |SELECT CAST(count(*) AS INT) AS dims,
         |  round(sum(vv), 4) AS trace FROM pv""".stripMargin,
+    // frozen-basis projection: axis t = x[t]*(1/sqrt2) + x[t+32]*
+    // (1/sqrt2), both engines do the identical two double
+    // multiply-adds, then the same micro-unit floor
+    "q_pca_project_fixed" ->
+      """WITH axes AS (SELECT unnest(range(0, 4)) AS c)
+        |SELECT e.vec_id AS vec_id, CAST(a.c AS INT) AS c,
+        |  CAST(floor((CAST(e.embedding[a.c + 1] AS DOUBLE)
+        |      * (1.0 / sqrt(2.0))
+        |    + CAST(e.embedding[a.c + 33] AS DOUBLE)
+        |      * (1.0 / sqrt(2.0))) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS v_micro
+        |FROM embeddings e CROSS JOIN axes a
+        |ORDER BY vec_id, c""".stripMargin,
     "q_ood_zscore" ->
       """WITH e AS (SELECT vec_id, j, CAST(v AS DOUBLE) AS v
         |  FROM (SELECT vec_id, unnest(embedding) AS v,
@@ -2271,6 +2327,63 @@ object VectorQueries {
          |SELECT qid, nid, CAST(2 AS INT) AS mmr_rank,
          |  floor(s * 10000 + 0.5) / 10000 AS mmr_score
          |FROM snd
+         |ORDER BY qid, mmr_rank""".stripMargin,
+
+    // MMR m=3 unrolled: picks 1 and 2 as in q_mmr_pair; pick 3 =
+    // argmax of 0.5·(−d) − 0.5·GREATEST(0, cos(v,p1), cos(v,p2)) over
+    // the 18 remaining candidates (excluded by nid, since pick 2 is
+    // not necessarily rk=2)
+    "q_mmr_triple" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |cand AS (SELECT * FROM (
+         |  SELECT q.qid, e.vec_id AS nid, e.embedding AS v,
+         |    ${dkL2sq("e.embedding", "q.qe")} AS d,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qe")}, e.vec_id) AS rk
+         |  FROM embeddings e, q) _c WHERE rk <= 20),
+         |f AS (SELECT qid, nid, v, d FROM cand WHERE rk = 1),
+         |snd AS (SELECT * FROM (
+         |  SELECT c.qid, c.nid, c.v,
+         |    0.5 * (-c.d) - 0.5 * GREATEST(0.0,
+         |      ${dkDot("c.v", "f.v")} /
+         |        sqrt(${dkNormSq("c.v")} * ${dkNormSq("f.v")})) AS s,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY 0.5 * (-c.d) - 0.5 * GREATEST(0.0,
+         |        ${dkDot("c.v", "f.v")} /
+         |          sqrt(${dkNormSq("c.v")} * ${dkNormSq("f.v")})) DESC,
+         |        c.nid) AS rn
+         |  FROM cand c JOIN f ON c.qid = f.qid AND c.rk > 1) _s
+         |  WHERE rn = 1),
+         |trd AS (SELECT * FROM (
+         |  SELECT c.qid, c.nid,
+         |    0.5 * (-c.d) - 0.5 * GREATEST(0.0,
+         |      ${dkDot("c.v", "f.v")} /
+         |        sqrt(${dkNormSq("c.v")} * ${dkNormSq("f.v")}),
+         |      ${dkDot("c.v", "s2.v")} /
+         |        sqrt(${dkNormSq("c.v")} * ${dkNormSq("s2.v")})) AS s,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY 0.5 * (-c.d) - 0.5 * GREATEST(0.0,
+         |        ${dkDot("c.v", "f.v")} /
+         |          sqrt(${dkNormSq("c.v")} * ${dkNormSq("f.v")}),
+         |        ${dkDot("c.v", "s2.v")} /
+         |          sqrt(${dkNormSq("c.v")} * ${dkNormSq("s2.v")})) DESC,
+         |        c.nid) AS rn
+         |  FROM cand c JOIN f ON c.qid = f.qid
+         |  JOIN snd s2 ON c.qid = s2.qid
+         |  WHERE c.nid != f.nid AND c.nid != s2.nid) _t
+         |  WHERE rn = 1)
+         |SELECT qid, nid, CAST(1 AS INT) AS mmr_rank,
+         |  floor(0.5 * (-d) * 10000 + 0.5) / 10000 AS mmr_score
+         |FROM f
+         |UNION ALL
+         |SELECT qid, nid, CAST(2 AS INT) AS mmr_rank,
+         |  floor(s * 10000 + 0.5) / 10000 AS mmr_score
+         |FROM snd
+         |UNION ALL
+         |SELECT qid, nid, CAST(3 AS INT) AS mmr_rank,
+         |  floor(s * 10000 + 0.5) / 10000 AS mmr_score
+         |FROM trd
          |ORDER BY qid, mmr_rank""".stripMargin,
 
     // hardest positive / hardest negative per anchor, full-corpus rank
