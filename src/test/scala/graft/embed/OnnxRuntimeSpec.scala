@@ -96,4 +96,47 @@ class OnnxRuntimeSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("not a .graftonnx"))
   }
+
+  // A GENUINE .onnx model is checked in (src/test/resources/
+  // graft-test_idmask-1.onnx, 373 bytes, hand-assembled protobuf per
+  // the public onnx.proto schema: opset 11, Unsqueeze+Cast+Mul so
+  // last_hidden_state[b][t][0] = input_ids[b][t] * attention_mask
+  // [b][t]). This drives OnnxSession.open's REAL-model branch: when
+  // the ai.onnxruntime jar is on the classpath the session must run
+  // it and reproduce the id*mask arithmetic; in this zero-egress
+  // sandbox (no jar) the seam must still RESOLVE the .onnx — proving
+  // resolution prefers a real model over a .graftonnx — and fail with
+  // the documented add-the-jar message, not a silent fallback.
+  test("genuine .onnx drives the reflective ORT path (or gates on the jar)") {
+    val dir = Files.createTempDirectory("onnx-real").toString
+    val res = getClass.getResourceAsStream("/graft-test_idmask-1.onnx")
+    assert(res != null, "checked-in ONNX model resource missing")
+    Files.copy(res, java.nio.file.Paths.get(s"$dir/graft-test_idmask-1.onnx"))
+    // a decoy .graftonnx alongside: the real model must win resolution
+    GraftFileSession.write(s"$dir/graft-test_idmask-1.graftonnx", 8, 7L)
+    val ortPresent =
+      try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
+      catch { case _: ClassNotFoundException => false }
+    if (ortPresent) {
+      val sess = OnnxSession.open(dir, "graft-test/idmask-1")
+      try {
+        val ids = Array(Array(3L, 5L, 9L), Array(2L, 4L, 0L))
+        val mask = Array(Array(1L, 1L, 0L), Array(1L, 0L, 0L))
+        val out = sess.run(ids, mask)
+        for (b <- 0 until 2; t <- 0 until 3) {
+          assert(out(b)(t).length === 1)
+          assert(out(b)(t)(0) === (ids(b)(t) * mask(b)(t)).toFloat)
+        }
+      } finally sess.close()
+    } else {
+      val e = intercept[IllegalStateException] {
+        OnnxSession.open(dir, "graft-test/idmask-1")
+      }
+      assert(e.getMessage.contains("onnxruntime is not on the classpath"),
+        s"expected the documented jar gate, got: ${e.getMessage}")
+      info("onnxruntime jar absent (zero-egress sandbox): asserted " +
+        ".onnx resolution precedence + the documented jar gate; with " +
+        "the jar on the classpath this test runs the real session")
+    }
+  }
 }
