@@ -125,7 +125,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/checks" -> "data-contract validation (not_null, unique, in_set, range, satisfies, ref_in)",
       "post /collections/{name}/profile" -> "one-pass column profile (nulls, distinct, min/max)",
       "post /collections/{name}/resample" -> "regular-grid time-series resample (LOCF or linear interpolation)",
-      "post /collections/{name}/graph" -> "link-graph analytics over an edge table (pagerank, ppr, hits, triangles, degree)",
+      "post /collections/{name}/graph" -> "link-graph analytics over an edge table (pagerank, ppr, pagerank_weighted, hits, triangles, kcore, label_prop, degree)",
       "post /collections/{name}/summary" -> "register materialized rollup (+ expr_measures name:sql, hll_keys, histograms, items, kmv_keys, vec_cols, hdr_cols, cms_keys)",
       "get /collections/{name}/summary/stats" -> "rollup chunk debt",
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
@@ -968,10 +968,13 @@ class HttpApi(spark: SparkSession, port: Int = 0,
         }
 
       // Link-graph analytics over an edge collection (GraphOps).
-      // Body: {"op":"pagerank|ppr|hits|triangles|degree",
-      // "src_column":"src","dst_column":"dst","iters":3,"top":20,
-      // "seeds":[1,2]} — seeds required for ppr. Read-only; returns
-      // the top rows of the op's natural ordering.
+      // Body: {"op":"pagerank|ppr|pagerank_weighted|hits|triangles|
+      // kcore|label_prop|degree","src_column":"src","dst_column":
+      // "dst","iters":3,"top":20,"seeds":[1,2],"weight_column":"w",
+      // "k":2} — seeds required for ppr, weight_column for
+      // pagerank_weighted; kcore reads k (threshold) and iters
+      // (peel rounds). Read-only; returns the top rows of the op's
+      // natural ordering.
       case ("POST", List("collections", name, "graph")) =>
         tableOr404(ex, name).foreach { df =>
           val body = new String(ex.getRequestBody.readAllBytes(),
@@ -1037,10 +1040,48 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               respond(ex, 200, s"""{"nodes":[${rows.map(r =>
                 s"""{"node":${r.getLong(0)},"outdeg":${r.getLong(1)},""" +
                   s""""indeg":${r.getLong(2)}}""").mkString(",")}]}""")
+            case "pagerank_weighted" =>
+              val wCol = jsonField(body, "weight_column").getOrElse("")
+              if (wCol.isEmpty || !df.columns.contains(wCol))
+                respond(ex, 400, """{"error":"pagerank_weighted needs """ +
+                  """an existing weight_column"}""")
+              else {
+                val rows = G.pageRankWeighted(df2, srcCol, dstCol, wCol,
+                    iters)
+                  .orderBy(col("rank").desc, col("node"))
+                  .limit(top).collect()
+                respond(ex, 200, s"""{"nodes":[${rows.map(r =>
+                  s"""{"node":${r.getLong(0)},"rank":${r.getLong(1)}}""")
+                  .mkString(",")}]}""")
+              }
+            case "kcore" =>
+              val k = jsonField(body, "k")
+                .map(v => scala.util.Try(v.toInt).getOrElse(-1))
+                .getOrElse(2)
+              if (k < 1)
+                respond(ex, 400,
+                  """{"error":"k must be a positive integer"}""")
+              else {
+                val rows = G.kCore(df2, srcCol, dstCol, k, iters)
+                  .orderBy(col("deg").desc, col("node"))
+                  .limit(top).collect()
+                respond(ex, 200, s"""{"nodes":[${rows.map(r =>
+                  s"""{"node":${r.getLong(0)},"deg":${r.getLong(1)}}""")
+                  .mkString(",")}]}""")
+              }
+            case "label_prop" =>
+              val rows = G.labelPropagation(df2, srcCol, dstCol, iters)
+                .groupBy(col("label")).agg(count(lit(1)).as("size"))
+                .orderBy(col("size").desc, col("label"))
+                .limit(top).collect()
+              respond(ex, 200, s"""{"communities":[${rows.map(r =>
+                s"""{"label":${r.getLong(0)},"size":${r.getLong(1)}}""")
+                .mkString(",")}]}""")
             case other =>
               respond(ex, 400, s"""{"error":"unknown op '${graft.util
-                .Json.escape(other)}' — use pagerank, ppr, hits, """ +
-                """triangles or degree"}""")
+                .Json.escape(other)}' — use pagerank, ppr, """ +
+                """pagerank_weighted, hits, triangles, kcore, """ +
+                """label_prop or degree"}""")
           }
           }
         }

@@ -1098,6 +1098,38 @@ object Dedup {
           .cast("int").as("keep"))
   }
 
+  /** Quality-aware canonical selection: one representative per
+    * near-dup cluster by HIGHEST score (ties → smallest id), the
+    * curation policy real pipelines want over [[connectedComponents]]'
+    * min-id default ("keep the longest / highest-quality copy, drop
+    * the rest"). Docs outside every pair are their own cluster and
+    * always kept. The argmax is one partial-aggregated
+    * max(struct(score, -id)) per cluster — no window sort, so per-task
+    * state stays register-sized at any corpus size.
+    *
+    * @param docs     relation carrying `idCol` and `scoreCol` (any
+    *                 orderable score type; larger = better)
+    * @param pairs    near-dup pair graph (i, j) from any dedup family
+    * @return (id, cluster, keep) with keep ∈ {0, 1}
+    */
+  def clusterRepresentatives(docs: DataFrame, idCol: String,
+      scoreCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxRounds)
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).as("__score"))
+    val withC = base.join(comp, Seq("id"), "left")
+      .select(col("id"), col("__score"),
+        coalesce(col("component"), col("id")).as("cluster"))
+    val best = withC.groupBy(col("cluster"))
+      .agg(max(struct(col("__score"), negate(col("id")).as("ni")))
+        .as("m"))
+      .select(col("cluster"), negate(col("m.ni")).as("rep_id"))
+    withC.join(best, Seq("cluster"))
+      .select(col("id"), col("cluster"),
+        (col("id") === col("rep_id")).cast("int").as("keep"))
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (columns i, j) — the duplicate-CLUSTER view of the pair output:
     * every vertex maps to its component's minimum id, the canonical

@@ -240,6 +240,23 @@ object DocumentQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy($"doc_id")),
 
+    // Quality-aware canonical selection over the same cluster view:
+    // keep the LONGEST document of every near-dup cluster (ties →
+    // smallest id) instead of the min-id default — the curation
+    // policy that preserves the best copy. Oracle: the components
+    // restatement + a row_number argmax per cluster; the length score
+    // is integral, so keep flags hash-match.
+    "q_dedup_best_rep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clusterRepresentatives(
+          d.select($"doc_id",
+            coalesce(length($"text").cast("long"), lit(-1L)).as("tlen")),
+          "doc_id", "tlen",
+          Dedup.jaccardPairs(d, "doc_id", "text", n = 3, tau = 0.5))
+        .toDF("doc_id", "cluster", "keep")
+        .orderBy($"doc_id")
+    }),
+
     // Near-dup-safe leakage split: members of a MinHash near-dup
     // component draw ONE fold via their component representative
     // (min-label), so a near-copy of a training document can never
@@ -1061,6 +1078,23 @@ object DocumentQueries {
         |  UNION ALL SELECT doc_id, 2 FROM s2) _u
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_components" -> componentsOracleSql,
+    // components fixpoint (l12) + per-cluster argmax by (length DESC,
+    // id ASC); unpaired docs are their own cluster with keep = 1
+    "q_dedup_best_rep" ->
+      s"""$componentsCtePrefix,
+         |docs_c AS (SELECT d.doc_id,
+         |    coalesce(length(d.text), -1) AS sc,
+         |    coalesce(l.l, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN l12 l ON l.v = d.doc_id),
+         |best AS (SELECT cluster, doc_id AS rep_id FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (
+         |    PARTITION BY cluster ORDER BY sc DESC, doc_id) AS rn
+         |  FROM docs_c) _b WHERE rn = 1)
+         |SELECT c.doc_id, c.cluster,
+         |  CAST(CASE WHEN c.doc_id = b.rep_id THEN 1 ELSE 0 END AS INT)
+         |    AS keep
+         |FROM docs_c c JOIN best b ON b.cluster = c.cluster
+         |ORDER BY c.doc_id""".stripMargin,
     "q_simhash_dups" -> simhashOracle,
     "q_multimodal_features" -> multimodalOracle,
     "q_image_dedup" -> imageDedupOracle,

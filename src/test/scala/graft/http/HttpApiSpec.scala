@@ -1379,6 +1379,36 @@ class HttpApiSpec extends SparkSuite {
       """{"op":"pagerank","iters":0}""").statusCode() === 400)
   }
 
+  test("POST /graph runs pagerank_weighted, kcore and label_prop; " +
+      "null edges are dropped, not a 500") {
+    import spark.implicits._
+    Seq((Some(1L), Some(2L), 3L), (Some(1L), Some(3L), 1L),
+        (Some(2L), Some(3L), 2L), (Some(3L), Some(1L), 1L),
+        (None, Some(9L), 5L), (Some(9L), None, 5L))
+      .toDF("src", "dst", "w").createOrReplaceTempView("edges_w_api")
+    val wpr = post("/collections/edges_w_api/graph",
+      """{"op":"pagerank_weighted","weight_column":"w","iters":1}""")
+    assert(wpr.statusCode() === 200)
+    // null-endpoint edges dropped: node 9 never appears
+    assert(!wpr.body().contains("\"node\":9"))
+    assert(wpr.body().contains("\"rank\":"))
+    assert(post("/collections/edges_w_api/graph",
+      """{"op":"pagerank_weighted","iters":1}""").statusCode() === 400)
+    val kc = post("/collections/edges_w_api/graph",
+      """{"op":"kcore","k":2,"iters":2}""")
+    assert(kc.statusCode() === 200)
+    // the 1-2-3 triangle is the 2-core; every member keeps degree 2
+    assert(kc.body().contains("\"deg\":2"))
+    assert(!kc.body().contains("\"node\":9"))
+    assert(post("/collections/edges_w_api/graph",
+      """{"op":"kcore","k":0}""").statusCode() === 400)
+    val lp = post("/collections/edges_w_api/graph",
+      """{"op":"label_prop","iters":2}""")
+    assert(lp.statusCode() === 200)
+    assert(lp.body().contains("\"communities\":["))
+    assert(lp.body().contains("\"size\":"))
+  }
+
   test("basic auth: wrong or missing credentials get 401 + challenge, " +
       "correct ones pass (reference http_server/mod.rs:62-75)") {
     val secured = new HttpApi(spark, auth = Some(("alice", "s3cret")))

@@ -23,6 +23,22 @@ class DedupSpec extends SparkSuite {
     assert(g(1L) === (1L, 1L) && g(2L) === (2L, 1L))
   }
 
+  test("clusterRepresentatives keeps the highest score per cluster, " +
+      "ties to smallest id, unpaired docs always kept") {
+    // cluster {1,2,3} (scores 5,9,9 → 2 wins the tie with 3),
+    // cluster {7,8} (scores 4,1 → 7), doc 99 unpaired
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 1L),
+      (99L, 0L)).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("i", "j")
+    val out = Dedup.clusterRepresentatives(d, "id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(out(1L) === (1L, 0) && out(2L) === (1L, 1) &&
+      out(3L) === (1L, 0))
+    assert(out(7L) === (7L, 1) && out(8L) === (7L, 0))
+    assert(out(99L) === (99L, 1))
+  }
+
   test("word_shingles produces distinct n-grams; short text → empty") {
     val sh = Seq(("a b c d", 1L), ("a b", 2L)).toDF("text", "id")
       .select(T.word_shingles($"text", 3).as("s"))
