@@ -125,7 +125,7 @@ class HttpApi(spark: SparkSession, port: Int = 0,
       "post /collections/{name}/checks" -> "data-contract validation (not_null, unique, in_set, range, satisfies, ref_in)",
       "post /collections/{name}/profile" -> "one-pass column profile (nulls, distinct, min/max)",
       "post /collections/{name}/resample" -> "regular-grid time-series resample (LOCF or linear interpolation)",
-      "post /collections/{name}/graph" -> "link-graph analytics over an edge table (pagerank, ppr, pagerank_weighted, hits, triangles, kcore, label_prop, degree)",
+      "post /collections/{name}/graph" -> "link-graph analytics over an edge table (pagerank, ppr, pagerank_weighted, hits, triangles, kcore, label_prop, modularity, khop, degree)",
       "post /collections/{name}/summary" -> "register materialized rollup (+ expr_measures name:sql, hll_keys, histograms, items, kmv_keys, vec_cols, hdr_cols, cms_keys)",
       "get /collections/{name}/summary/stats" -> "rollup chunk debt",
       "post /collections/{name}/summary/compact" -> "fold rollup chunks",
@@ -1077,11 +1077,32 @@ class HttpApi(spark: SparkSession, port: Int = 0,
               respond(ex, 200, s"""{"communities":[${rows.map(r =>
                 s"""{"label":${r.getLong(0)},"size":${r.getLong(1)}}""")
                 .mkString(",")}]}""")
+            case "modularity" =>
+              val labels = G.labelPropagation(df2, srcCol, dstCol, iters)
+              val r = G.modularity(df2, srcCol, dstCol, labels)
+                .collect()(0)
+              respond(ex, 200,
+                s"""{"m":${r.getLong(0)},"intra":${r.getLong(1)},""" +
+                  s""""q_ppm":${r.getLong(2)}}""")
+            case "khop" =>
+              if (seeds.isEmpty)
+                respond(ex, 400,
+                  """{"error":"khop needs a non-empty seeds array"}""")
+              else {
+                import spark.implicits._
+                val rows = G.khopReach(df2, srcCol, dstCol,
+                    seeds.toDF("node"), iters)
+                  .orderBy(col("hop"), col("node"))
+                  .limit(top).collect()
+                respond(ex, 200, s"""{"nodes":[${rows.map(r =>
+                  s"""{"node":${r.getLong(0)},"hop":${r.getInt(1)}}""")
+                  .mkString(",")}]}""")
+              }
             case other =>
               respond(ex, 400, s"""{"error":"unknown op '${graft.util
                 .Json.escape(other)}' — use pagerank, ppr, """ +
                 """pagerank_weighted, hits, triangles, kcore, """ +
-                """label_prop or degree"}""")
+                """label_prop, modularity, khop or degree"}""")
           }
           }
         }

@@ -447,6 +447,113 @@ object GraphOps {
     labels
   }
 
+  /** Newman modularity of a node partition, in integer ppm — the
+    * standard "is this community structure real" score for grading a
+    * [[labelPropagation]] (or any) partition before acting on it
+    * (spam-cluster calls, domain grouping). Q = Σ_c [e_c/m −
+    * (d_c/2m)²] over communities c, with e_c = intra-community edge
+    * count, d_c = summed degree, m = |undirected edges|. Emitted as
+    * ONE row (m, q_ppm) with q_ppm = (10^6·(4·m·Σe_c − Σd_c²)) div
+    * (4m²) — a single fraction on a common denominator, so the whole
+    * score is BIGINT-exact and any engine restates it bit for bit
+    * (overflow headroom: 10^6·4·m·Σe_c < 2^63 holds to m ≈ 1.5×10^6;
+    * past that, rescale to parts-per-thousand). Edges are read
+    * undirected ((min,max) canonicalization, self-loops dropped);
+    * nodes missing from `labels` form singleton communities (their
+    * e_c = 0 rides through the d² term only). Three aggregate passes
+    * over the edge set, no iteration, no driver state beyond the
+    * one-row result.
+    *
+    * @param labels (node, label) partition, e.g. labelPropagation's
+    *   output
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String = "node",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("label"))
+    // label each endpoint once; a node outside `labels` keeps itself
+    // as a singleton community label
+    val la = und.join(lab.select(col("node").as("a"),
+        col("label").as("la")), Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("la"),
+        coalesce(col("lb"), col("b")).as("lb"))
+      .persist(MEMORY_AND_DISK)
+    val m = la.count()
+    // Σe_c: edges whose endpoints share a community
+    val intra = la.where(col("la") === col("lb")).count()
+    // Σd_c²: degree mass per community, squared and summed — degree
+    // from the labeled edge list itself (each edge adds 1 to both
+    // endpoints' communities)
+    val dsq = la.select(explode(array(col("la"), col("lb"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * d")).as("s"))
+      .collect()(0).getLong(0)
+    und.unpersist(); la.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // scalar arithmetic on the three aggregate results; Long `/`
+    // truncates toward zero exactly like Spark `div` and DuckDB `//`
+    val qppm =
+      if (m == 0L) 0L
+      else (1000000L * (4L * m * intra - dsq)) / (4L * m * m)
+    Seq((m, intra, qppm)).toDF("m", "intra", "q_ppm")
+  }
+
+  /** Minimum hop distance from a seed set, unrolled to `hops` rounds —
+    * BFS levels as bounded shuffle rounds ("how far is every page from
+    * the trusted frontier", the crawl-depth / trust-propagation
+    * companion to [[personalizedPageRank]]'s continuous score). Edges
+    * are followed DIRECTED src→dst (symmetrize upstream for
+    * undirected reach). Returns (node, hop) for every node reached
+    * within `hops` (seeds at hop 0); unreached nodes are absent.
+    * Each round: one frontier⋈edges join + one min-agg — frontier
+    * cardinality only ever grows toward node cardinality, and the
+    * reached set is checkpointed per round with the same adaptive
+    * discipline as [[pageRank]] (reached is referenced twice per
+    * round — union + anti-join — so rounds materialize eagerly, like
+    * [[hits]]; the sets SHRINK the work per round as the frontier
+    * saturates).
+    */
+  def khopReach(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 0 && hops <= 50, s"hops in [0, 50], got $hops")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val sc = seeds.columns.head
+    var reached = seeds.select(col(sc).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("hop", lit(0))
+      .localCheckpoint(true)
+    var frontier = reached
+    var h = 1
+    while (h <= hops) {
+      val next = e.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(true)
+      reached = reached.union(next).localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    e.unpersist()
+    reached
+  }
+
   /** Degree statistics of `edges(src, dst)`: per-node out/in degree —
     * the cheap first-pass graph profile (hubs to cap, sinks to flag)
     * before anything iterative runs.

@@ -149,6 +149,41 @@ object PipelineQueries {
         .select($"node", $"rank")
     }),
 
+    // Newman modularity of the LPA partition — "is the community
+    // structure real" as ONE integer-exact row: q_ppm =
+    // (10^6·(4·m·Σe_c − Σd_c²)) div (4m²), every aggregate a BIGINT
+    // count, so DuckDB restates the two LPA rounds AND the score and
+    // must match bit for bit.
+    "q_modularity" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("src"),
+          ($"l_suppkey".cast("long") + 10000000L).as("dst"))
+      val labels = graft.operators.GraphOps
+        .labelPropagation(edges, "src", "dst", iters = 2)
+      graft.operators.GraphOps.modularity(edges, "src", "dst", labels)
+    }),
+
+    // Minimum hop distance from the trusted seed set (partkey % 50 =
+    // 0), 2 unrolled BFS rounds over the symmetrized graph — the
+    // crawl-depth companion to q_ppr_seeded's continuous score. Every
+    // frontier is a distinct-join, every hop an integer literal;
+    // DuckDB restates both rounds with anti-joins.
+    "q_khop_reach" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = Tables(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("src"),
+          ($"l_suppkey".cast("long") + 10000000L).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = Tables(s, dir, "part")
+        .select($"p_partkey".cast("long").as("node"))
+        .where($"node" % 50 === 0)
+      graft.operators.GraphOps
+        .khopReach(sym, "src", "dst", seeds, hops = 2)
+        .orderBy($"node")
+    }),
+
     // Declarative data-contract validation (DataQuality.validate,
     // the Deequ-shaped pre-flight gate): all row-local checks fold
     // into ONE scan; uniqueness adds a groupBy, referential checks an
@@ -513,6 +548,79 @@ object PipelineQueries {
         |  FROM nodes n LEFT JOIN b2 ON b2.node = n.node)
         |SELECT label, count(*) AS size FROM l2 GROUP BY label
         |ORDER BY size DESC, label LIMIT 100""".stripMargin,
+    // the two q_label_prop rounds verbatim, then Newman modularity of
+    // the l2 partition over the canonical (part, supplier) edge set:
+    // intra count + per-community degree mass, one fraction on the
+    // common denominator 4m² — parts are always < the shifted
+    // supplier ids, so und ≡ e0
+    "q_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS b
+        |  FROM lineitem),
+        |e AS (SELECT a, b FROM e0
+        |  UNION SELECT b AS a, a AS b FROM e0),
+        |nodes AS (SELECT DISTINCT a AS node FROM e),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |v1 AS (SELECT e.b AS node, l0.label AS label, count(*) AS cnt
+        |  FROM e JOIN l0 ON l0.node = e.a GROUP BY e.b, l0.label),
+        |b1 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, label ASC) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT n.node, coalesce(b1.label, n.node) AS label
+        |  FROM nodes n LEFT JOIN b1 ON b1.node = n.node),
+        |v2 AS (SELECT e.b AS node, l1.label AS label, count(*) AS cnt
+        |  FROM e JOIN l1 ON l1.node = e.a GROUP BY e.b, l1.label),
+        |b2 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, label ASC) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT n.node, coalesce(b2.label, n.node) AS label
+        |  FROM nodes n LEFT JOIN b2 ON b2.node = n.node),
+        |la AS (SELECT coalesce(x.label, u.a) AS la,
+        |    coalesce(y.label, u.b) AS lb
+        |  FROM e0 u LEFT JOIN l2 x ON x.node = u.a
+        |  LEFT JOIN l2 y ON y.node = u.b),
+        |agg AS (SELECT count(*) AS m,
+        |  sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS intra FROM la),
+        |dd AS (SELECT c, count(*) AS d FROM (
+        |    SELECT la AS c FROM la
+        |    UNION ALL SELECT lb AS c FROM la) GROUP BY c),
+        |ds AS (SELECT sum(d * d) AS dsq FROM dd)
+        |SELECT CAST(agg.m AS BIGINT) AS m,
+        |  CAST(agg.intra AS BIGINT) AS intra,
+        |  CAST((1000000 * (4 * agg.m * agg.intra - ds.dsq))
+        |    // (4 * agg.m * agg.m) AS BIGINT) AS q_ppm
+        |FROM agg, ds""".stripMargin,
+    // two unrolled BFS rounds from the seed set: frontier =
+    // distinct neighbors, minus everything already reached
+    // (anti-join), hop literals 0/1/2
+    "q_khop_reach" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION SELECT dst AS src, src AS dst FROM e0),
+        |s0 AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS node
+        |  FROM part WHERE p_partkey % 50 = 0),
+        |r0 AS (SELECT node, CAST(0 AS INT) AS hop FROM s0),
+        |f1 AS (SELECT DISTINCT e.dst AS node
+        |  FROM e JOIN s0 ON s0.node = e.src),
+        |n1 AS (SELECT f1.node, CAST(1 AS INT) AS hop
+        |  FROM f1 LEFT JOIN r0 ON r0.node = f1.node
+        |  WHERE r0.node IS NULL),
+        |r1 AS (SELECT node, hop FROM r0
+        |  UNION ALL SELECT node, hop FROM n1),
+        |f2 AS (SELECT DISTINCT e.dst AS node
+        |  FROM e JOIN n1 ON n1.node = e.src),
+        |n2 AS (SELECT f2.node, CAST(2 AS INT) AS hop
+        |  FROM f2 LEFT JOIN r1 ON r1.node = f2.node
+        |  WHERE r1.node IS NULL)
+        |SELECT node, hop FROM r1
+        |UNION ALL SELECT node, hop FROM n2
+        |ORDER BY node""".stripMargin,
     // three unrolled peel rounds of GraphOps.kCore (degree count →
     // threshold → semi-join both endpoints), then the survivors'
     // residual degrees

@@ -1407,6 +1407,16 @@ class HttpApiSpec extends SparkSuite {
     assert(lp.statusCode() === 200)
     assert(lp.body().contains("\"communities\":["))
     assert(lp.body().contains("\"size\":"))
+    val mo = post("/collections/edges_w_api/graph",
+      """{"op":"modularity","iters":2}""")
+    assert(mo.statusCode() === 200)
+    assert(mo.body().contains("\"q_ppm\":"))
+    val kh = post("/collections/edges_w_api/graph",
+      """{"op":"khop","iters":2,"seeds":[1]}""")
+    assert(kh.statusCode() === 200)
+    assert(kh.body().contains("\"node\":1,\"hop\":0"))
+    assert(post("/collections/edges_w_api/graph",
+      """{"op":"khop","iters":2}""").statusCode() === 400)
   }
 
   test("basic auth: wrong or missing credentials get 401 + challenge, " +

@@ -189,4 +189,44 @@ class GraphOpsSpec extends SparkSuite {
       GraphOps.pageRank(tri, "src", "dst", iters = 3, d100 = 101)
     }
   }
+
+  test("modularity matches the hand formula; one-community graph " +
+      "scores 0; unlabeled nodes fall back to singletons") {
+    // triangle {1,2,3} + disjoint edge {4,5}: m=4, all intra, degree
+    // mass 6 and 2 => Q = (4*4*4 - 40)/(4*16) = 0.375
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val lab = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L),
+      (5L, 40L)).toDF("node", "label")
+    val r = GraphOps.modularity(e, "src", "dst", lab).collect()(0)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 375000L)
+    // everything in ONE community: Q = (4m*m - (2m)^2)/(4m^2) = 0
+    val one = lab.select($"node", lit(7L).as("label"))
+    assert(GraphOps.modularity(e, "src", "dst", one)
+      .collect()(0).getLong(2) === 0L)
+    // labels covering only {1,2,3}: 4 and 5 become singletons, the
+    // (4,5) edge turns inter-community => intra=3,
+    // dsq = 36 + 1 + 1 = 38, Q = (4*4*3 - 38)/64 = 10/64
+    val part = lab.where($"node" <= 3L)
+    val r2 = GraphOps.modularity(e, "src", "dst", part).collect()(0)
+    assert(r2.getLong(1) === 3L)
+    assert(r2.getLong(2) === 1000000L * 10 / 64)
+  }
+
+  test("khopReach: BFS levels, no re-relaxation on cycles, seeds at 0") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val out = GraphOps.khopReach(chain, "src", "dst",
+        Seq(1L).toDF("n"), hops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 1 at hop 0; 2 at hop 1; 3 at hop 2; 4 unreached; 1 NOT
+    // re-reached at hop 2 through the 2->1 back edge
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    val zero = GraphOps.khopReach(chain, "src", "dst",
+      Seq(9L).toDF("n"), hops = 0).collect()
+    assert(zero.map(_.getLong(0)).toSeq === Seq(9L))
+    intercept[IllegalArgumentException] {
+      GraphOps.khopReach(chain, "src", "dst", Seq(1L).toDF("n"), -1)
+    }
+  }
 }
