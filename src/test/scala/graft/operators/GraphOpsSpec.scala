@@ -190,6 +190,44 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("triangles at broadcast-guard scale never sort-merges the " +
+      "wedge pipeline (pins the fix for the r11 100 s mode)") {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = spark.range(0, 4000).selectExpr(
+        "pmod(xxhash64(id), 500) AS a",
+        "pmod(xxhash64(id * 31 + 7), 500) AS b")
+      GraphOps.triangles(edges, "a", "b").collect()
+      // listener delivery is async on the bus thread
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline && plans.isEmpty)
+        Thread.sleep(100)
+      Thread.sleep(1000)
+      // an AQE plan's toString carries BOTH the final and the INITIAL
+      // plan; the initial section legitimately shows SortMergeJoin
+      // before conversion — assert on the executed (final) section only
+      import scala.jdk.CollectionConverters._
+      val finals = plans.asScala.toSeq
+        .map(p => p.split("== Initial Plan ==")(0))
+      val joined = finals.mkString("\n===\n")
+      assert(joined.contains("BroadcastHashJoin"),
+        "no broadcast join captured during the census")
+      assert(!joined.contains("SortMergeJoin"),
+        s"wedge pipeline sort-merged under the broadcast guard:\n" +
+          joined.take(4000))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("modularity matches the hand formula; one-community graph " +
       "scores 0; unlabeled nodes fall back to singletons") {
     // triangle {1,2,3} + disjoint edge {4,5}: m=4, all intra, degree

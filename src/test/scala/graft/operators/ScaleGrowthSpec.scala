@@ -657,6 +657,31 @@ class ScaleGrowthSpec extends SparkSuite {
       s"rank plan has $planNodes nodes — lineage is compounding")
   }
 
+  test("modularity + khop grow sub-quadratically in edges (20k -> " +
+      "200k): three aggregate passes / bounded BFS rounds") {
+    def edges(n: Long): DataFrame = spark.range(n).select(
+      pmod(xxhash64($"id"), lit(n / 10)).as("src"),
+      pmod(xxhash64($"id" + 77L), lit(n / 10)).as("dst"))
+    def runMod(n: Long): Double = timedSecs {
+      val e = edges(n)
+      val lab = e.select($"src".as("node"),
+        pmod($"src", lit(50L)).as("label")).distinct()
+      GraphOps.modularity(e, "src", "dst", lab).count()
+    }
+    def runHop(n: Long): Double = timedSecs {
+      GraphOps.khopReach(edges(n), "src", "dst",
+        spark.range(0, 20).toDF("node"), hops = 2).count()
+    }
+    runMod(20000L); runHop(20000L) // warm
+    val mS = runMod(20000L); val mB = runMod(200000L)
+    val hS = runHop(20000L); val hB = runHop(200000L)
+    val rm = ratio(mB, mS); val rh = ratio(hB, hS)
+    info(f"modularity 20k: $mS%.1f s, 200k: $mB%.1f s, growth $rm%.1fx")
+    info(f"khop 20k: $hS%.1f s, 200k: $hB%.1f s, growth $rh%.1fx")
+    assertPerf(rm < 30.0, f"10x edges grew modularity $rm%.1fx")
+    assertPerf(rh < 30.0, f"10x edges grew khop $rh%.1fx")
+  }
+
   test("triangle census grows sub-quadratically in edges (20k -> " +
       "200k) under the degree-ordered orientation") {
     // hub-skewed random graph (dst biased to low ids): the shape that
