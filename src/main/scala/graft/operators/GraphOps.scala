@@ -235,10 +235,19 @@ object GraphOps {
     // wedge set streams through without ever hitting a sort or a
     // shuffle — leaving the choice to AQE let a memory-pressured rep
     // flip to sort-merge and SORT all the wedges (the 100 s mode the
-    // r11 bench caught). Past the cap (where a broadcast would not
-    // fit anyway) the hint is withheld and the joins shuffle on their
-    // keys — the 100 TB path.
-    val pinBroadcast = m <= 2000000L
+    // r11 bench caught). The gate is BYTES, not rows: a forced
+    // broadcast() bypasses autoBroadcastJoinThreshold, so estimate
+    // the hashed-relation footprint (3 longs/row in UnsafeRow plus
+    // LongHashedRelation overhead ≈ 64 B/row) against
+    // spark.graft.triangles.broadcastMaxBytes (default 128 MB ≈ the
+    // old 2M-row cap). Past the cap — where a broadcast would OOM a
+    // default-memory executor anyway — the hint is withheld and the
+    // joins shuffle on their keys: the 100 TB path.
+    val maxBroadcastBytes = edges.sparkSession.conf
+      .getOption("spark.graft.triangles.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val estOrientedBytes = m * 64L
+    val pinBroadcast = estOrientedBytes <= maxBroadcastBytes
     val e1 = oriented.as("e1")
     val e2raw = oriented.as("e2")
     val e2 = if (pinBroadcast) broadcast(e2raw) else e2raw
@@ -455,9 +464,12 @@ object GraphOps {
     * count, d_c = summed degree, m = |undirected edges|. Emitted as
     * ONE row (m, q_ppm) with q_ppm = (10^6·(4·m·Σe_c − Σd_c²)) div
     * (4m²) — a single fraction on a common denominator, so the whole
-    * score is BIGINT-exact and any engine restates it bit for bit
-    * (overflow headroom: 10^6·4·m·Σe_c < 2^63 holds to m ≈ 1.5×10^6;
-    * past that, rescale to parts-per-thousand). Edges are read
+    * score is BIGINT-exact and any engine restates it bit for bit.
+    * The one-fraction numerator 10^6·(4·m·Σe_c − Σd_c²) only fits in
+    * BIGINT to m ≈ 1.5×10^6, so the final scalar division runs in
+    * BigInt on the driver — three aggregate Longs in, one exact Long
+    * out, identical to BIGINT math wherever BIGINT doesn't overflow
+    * and still correct past it. Edges are read
     * undirected ((min,max) canonicalization, self-loops dropped);
     * nodes missing from `labels` form singleton communities (their
     * e_c = 0 rides through the d² term only). Three aggregate passes
@@ -490,22 +502,29 @@ object GraphOps {
       .persist(MEMORY_AND_DISK)
     val m = la.count()
     // Σe_c: edges whose endpoints share a community
-    val intra = la.where(col("la") === col("lb")).count()
+    val intra = if (m == 0L) 0L else la.where(col("la") === col("lb")).count()
     // Σd_c²: degree mass per community, squared and summed — degree
     // from the labeled edge list itself (each edge adds 1 to both
-    // endpoints' communities)
-    val dsq = la.select(explode(array(col("la"), col("lb"))).as("c"))
-      .groupBy(col("c")).agg(count(lit(1)).as("d"))
-      .agg(sum(expr("d * d")).as("s"))
-      .collect()(0).getLong(0)
+    // endpoints' communities). sum() over zero rows is NULL, so the
+    // aggregate is coalesced AND the whole job is skipped when the
+    // canonical edge set came out empty (all self-loops/nulls).
+    val dsq =
+      if (m == 0L) 0L
+      else la.select(explode(array(col("la"), col("lb"))).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("d * d")), lit(0L)).as("s"))
+        .collect()(0).getLong(0)
     und.unpersist(); la.unpersist()
     val spark = edges.sparkSession
     import spark.implicits._
-    // scalar arithmetic on the three aggregate results; Long `/`
-    // truncates toward zero exactly like Spark `div` and DuckDB `//`
+    // scalar arithmetic on the three aggregate results, in BigInt so
+    // the 10^6·4·m·Σe_c numerator can't wrap past m ≈ 1.5e6 edges;
+    // BigInt `/` truncates toward zero exactly like Long `/`, Spark
+    // `div` and DuckDB `//`, and |Q| ≤ 1 so the quotient fits a Long
     val qppm =
       if (m == 0L) 0L
-      else (1000000L * (4L * m * intra - dsq)) / (4L * m * m)
+      else ((BigInt(1000000L) * (BigInt(4L) * m * intra - dsq)) /
+        (BigInt(4L) * m * m)).toLong
     Seq((m, intra, qppm)).toDF("m", "intra", "q_ppm")
   }
 

@@ -192,12 +192,33 @@ class GraphOpsSpec extends SparkSuite {
 
   test("triangles at broadcast-guard scale never sort-merges the " +
       "wedge pipeline (pins the fix for the r11 100 s mode)") {
-    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, SortMergeJoinExec}
+    // walk ONLY the executed (final) tree: AQE wrappers expand to
+    // their final plan (the Initial Plan section, which legitimately
+    // contains SortMergeJoin before conversion, is never visited),
+    // query stages to their contained plan, cache scans to the cached
+    // plan — so the traversal covers the wedge pipeline even though
+    // it sits inside persisted InMemoryRelations
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: expanded.flatMap(allNodes)
+    }
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        plans.add(qe.executedPlan.toString)
+          durationNs: Long): Unit = captured.add(qe)
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
@@ -208,23 +229,26 @@ class GraphOpsSpec extends SparkSuite {
         "pmod(xxhash64(id), 500) AS a",
         "pmod(xxhash64(id * 31 + 7), 500) AS b")
       GraphOps.triangles(edges, "a", "b").collect()
-      // listener delivery is async on the bus thread
-      val deadline = System.currentTimeMillis() + 20000
-      while (System.currentTimeMillis() < deadline && plans.isEmpty)
-        Thread.sleep(100)
-      Thread.sleep(1000)
-      // an AQE plan's toString carries BOTH the final and the INITIAL
-      // plan; the initial section legitimately shows SortMergeJoin
-      // before conversion — assert on the executed (final) section only
       import scala.jdk.CollectionConverters._
-      val finals = plans.asScala.toSeq
-        .map(p => p.split("== Initial Plan ==")(0))
-      val joined = finals.mkString("\n===\n")
-      assert(joined.contains("BroadcastHashJoin"),
-        "no broadcast join captured during the census")
-      assert(!joined.contains("SortMergeJoin"),
+      // listener delivery is async on the bus thread — poll until the
+      // WEDGE join itself (the only BroadcastHashJoin referencing the
+      // `dv` orientation column) has landed, so a slow bus or an
+      // unrelated query on the shared session can't flake the census
+      def nodes: Seq[SparkPlan] =
+        captured.asScala.toSeq.flatMap(qe => allNodes(qe.executedPlan))
+      def wedgeBhj: Seq[SparkPlan] = nodes.collect {
+        case b: BroadcastHashJoinExec
+            if b.expressions.exists(_.references.exists(_.name == "dv")) => b
+      }
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline && wedgeBhj.isEmpty)
+        Thread.sleep(100)
+      assert(wedgeBhj.nonEmpty,
+        "no broadcast wedge join captured during the census")
+      val smj = nodes.collect { case s: SortMergeJoinExec => s }
+      assert(smj.isEmpty,
         s"wedge pipeline sort-merged under the broadcast guard:\n" +
-          joined.take(4000))
+          smj.map(_.toString).mkString("\n").take(4000))
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -249,6 +273,19 @@ class GraphOpsSpec extends SparkSuite {
     val r2 = GraphOps.modularity(e, "src", "dst", part).collect()(0)
     assert(r2.getLong(1) === 3L)
     assert(r2.getLong(2) === 1000000L * 10 / 64)
+  }
+
+  test("modularity on an empty / all-self-loop edge set returns the " +
+      "clean (0, 0, 0) row instead of NPEing on a NULL sum") {
+    val lab = Seq((1L, 10L)).toDF("node", "label")
+    val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    val r0 = GraphOps.modularity(empty, "src", "dst", lab).collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) === ((0L, 0L, 0L)))
+    // self-loops and null endpoints are dropped by canonicalization,
+    // so this edge set is ALSO empty after the where()
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    val r1 = GraphOps.modularity(loops, "src", "dst", lab).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((0L, 0L, 0L)))
   }
 
   test("khopReach: BFS levels, no re-relaxation on cycles, seeds at 0") {
