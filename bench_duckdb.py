@@ -76,6 +76,8 @@ WRITE_FACES = {
     "q_sparse_compact": "fresh sparse build + 2 appends + full bucket-compaction rewrite",
     "q_ivf_delete_knn": "fresh index build + tombstone delete + full compaction purge",
     "q_sparse_delete": "fresh sparse build + tombstone delete + purge-with-recount compaction",
+    "q_mv_retention": "two-day ingest lifecycle: 3 durable base parquet writes + rollup chunk write + chunk drop per call; writes-only control 0.68 s of the 2.17 s face (r13 measurement), oracle restates only the final group-by",
+    "q_mv_retract": "GDPR-erasure lifecycle: full base overwrite + negated-partials chunk write + post-delete base rewrite per call; writes-only control 0.58 s of the 1.74 s face (r13 measurement), oracle restates only the final group-by",
 }
 
 

@@ -326,7 +326,7 @@ object DocumentQueries {
         .createTempDirectory("graft_replay").toString
       graft.streaming.NearDupStream.replayBatches(
         (0 until 3).map(b => d.where(pmod($"doc_id", lit(3)) === b)),
-        "doc_id", "text", s"$root/index", s"$root/out", tau = 0.5)
+        "doc_id", "text", s"$root/out", tau = 0.5)
         .select($"doc_id", $"batch_id".cast("int").as("batch_id"))
         .orderBy($"doc_id")
     }),

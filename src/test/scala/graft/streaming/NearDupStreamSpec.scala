@@ -19,11 +19,11 @@ class NearDupStreamSpec extends SparkSuite {
 
   test("stream drops near-dups within and across batches") {
     implicit val sqlCtx = spark.sqlContext
-    val (idx, out, ckp) = (tmp(), tmp(), tmp())
+    val (out, ckp) = (tmp(), tmp())
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
     val q = NearDupStream.start(docs, "doc_id", "text",
-      idx, out, ckp, tau = 0.5)
+      out, ckp, tau = 0.5)
     // batch 0: a and its near-dup b arrive together → keep min id only
     mem.addData((1L, docA), (2L, docB), (3L, docC))
     q.processAllAvailable()
@@ -38,20 +38,20 @@ class NearDupStreamSpec extends SparkSuite {
   }
 
   test("replaying a batch is idempotent (no self-collision, no dupes)") {
-    val (idx, out) = (tmp(), tmp())
+    val out = tmp()
     val b0 = Seq((1L, docA), (2L, docC)).toDF("doc_id", "text")
-    NearDupStream.processBatch(b0, 0L, "doc_id", "text", idx, out,
+    NearDupStream.processBatch(b0, 0L, "doc_id", "text", out,
       3, 128, 64, 0.5, 42L)
     // crash-replay batch 0: must produce the identical survivor set,
-    // not flag rows against the index copy written by the first run
-    NearDupStream.processBatch(b0, 0L, "doc_id", "text", idx, out,
+    // not flag rows against the store copy written by the first run
+    NearDupStream.processBatch(b0, 0L, "doc_id", "text", out,
       3, 128, 64, 0.5, 42L)
     val kept0 = NearDupStream.survivorsView(spark, out)
       .select($"doc_id").as[Long].collect().toSet
     assert(kept0 === Set(1L, 2L))
     // next batch still dedups against the (single) index copy
     val b1 = Seq((3L, docB), (4L, docD)).toDF("doc_id", "text")
-    NearDupStream.processBatch(b1, 1L, "doc_id", "text", idx, out,
+    NearDupStream.processBatch(b1, 1L, "doc_id", "text", out,
       3, 128, 64, 0.5, 42L)
     val kept = NearDupStream.survivorsView(spark, out)
       .select($"doc_id").as[Long].collect().toSet
@@ -60,27 +60,28 @@ class NearDupStreamSpec extends SparkSuite {
 
   test("index compaction merges batch dirs without changing dedup " +
       "behavior") {
-    val (idx, out) = (tmp(), tmp())
+    val out = tmp()
     def run(b: Long, docs: Seq[(Long, String)]): Unit =
       NearDupStream.processBatch(docs.toDF("doc_id", "text"), b,
-        "doc_id", "text", idx, out, 3, 128, 64, 0.5, 42L)
+        "doc_id", "text", out, 3, 128, 64, 0.5, 42L)
     run(0L, Seq((1L, docA)))
     run(1L, Seq((2L, docC)))
     run(2L, Seq((3L, "yet another completely fresh subject here now")))
     // merge batches 0..1 (strictly below the latest committed batch 2)
-    val mergedAway = NearDupStream.compactIndex(spark, idx, upToBatch = 1L)
+    val mergedAway = NearDupStream.compactIndex(spark, out, upToBatch = 1L)
     assert(mergedAway === 1)
-    val dirs = new java.io.File(s"$idx/sets").list().sorted
+    val dirs = new java.io.File(out).list()
+      .filter(_.startsWith("batch_id=")).sorted
     assert(dirs.toSeq === Seq("batch_id=000000000001.c",
       "batch_id=000000000002"))
-    // dedup against the compacted index still works: near-dups of docs
+    // dedup against the compacted store still works: near-dups of docs
     // from BOTH merged batches are caught
     run(3L, Seq((4L, docB), (5L, docC), (6L, "only novel content words")))
     val kept = NearDupStream.survivorsView(spark, out)
       .select($"doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 3L, 6L))
     // idempotent no-op when there is nothing left to merge below
-    assert(NearDupStream.compactIndex(spark, idx, 1L) === 0)
+    assert(NearDupStream.compactIndex(spark, out, 1L) === 0)
   }
 
   test("stream agrees with the batch operator on the same corpus") {
@@ -88,10 +89,10 @@ class NearDupStreamSpec extends SparkSuite {
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text")
     val half = corpus.count() / 2
-    val (idx, out, ckp) = (tmp(), tmp(), tmp())
+    val (out, ckp) = (tmp(), tmp())
     val mem = MemoryStream[(Long, String)]
     val q = NearDupStream.start(mem.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", idx, out, ckp, tau = 0.5)
+      "doc_id", "text", out, ckp, tau = 0.5)
     val rows = corpus.as[(Long, String)].collect().sortBy(_._1)
     mem.addData(rows.filter(_._1 < half).toSeq: _*)
     q.processAllAvailable()
