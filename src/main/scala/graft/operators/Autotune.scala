@@ -423,6 +423,95 @@ object Autotune {
         col("buildTimeMs").as("build_time"))
   }
 
+  // ---- hash-checkable recall axes -----------------------------------
+  // The sweeps above carry wall-clock columns, which no restating
+  // engine can reproduce — so their registry faces were rows-only.
+  // These grids split the RECALL axis out: the same variant
+  // enumeration run under a caller-FROZEN coarse quantizer, reporting
+  // the integer truth-intersection count per variant. Every number is
+  // an argmin/count over deterministic inputs, so a DuckDB
+  // restatement matches bit for bit; the wall-clock axes stay graded
+  // by AutotuneSpec's bounds.
+
+  private def matchCount(res: DataFrame, truth: DataFrame): DataFrame =
+    res.select(col("qid"), col("nid")).join(truth, Seq("qid", "nid"))
+      .agg(count(lit(1)).cast("int").as("matches"))
+
+  /** Recall axis of [[runIvf]] under a frozen quantizer: the cell
+    * count is fixed by `centroids`, so the swept axis is `probes`
+    * (query-time I/O width) — per variant, how many of the exact
+    * top-k the partial probe recovers, summed over all queries.
+    */
+  def ivfRecallGrid(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Float]],
+      k: Int = 10, probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val model = IvfIndex.buildWithCentroids(corpus, idCol, vecCol,
+      centroids)
+    val truth = Knn.topK(corpus, queries, idCol, vecCol, k)
+      .select(col("qid"), col("nid"))
+    probes.zipWithIndex.map { case (np, i) =>
+      matchCount(IvfIndex.search(model, queries, k, np), truth)
+        .select(lit(i).as("experiment_id"),
+          lit(centroids.length).as("n_cells"), lit(np).as("nprobe"),
+          col("matches"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Recall axis of [[runBq]] under a frozen quantizer: the published
+    * (nprobe, shortlist) grid, each variant's two-stage search
+    * intersected with exact truth. Shortlists below k are clamped
+    * exactly as the timed sweep clamps them.
+    */
+  def bqRecallGrid(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Float]],
+      k: Int = 10,
+      grid: Seq[(Int, Int)] = bqGrid.map(v => (v.nprobe, v.shortlist)))
+      : DataFrame = {
+    val model = IvfIndex.buildBqWithCentroids(corpus, idCol, vecCol,
+      centroids)
+    val truth = Knn.topK(corpus, queries, idCol, vecCol, k)
+      .select(col("qid"), col("nid"))
+    grid.zipWithIndex.map { case ((np, sl0), i) =>
+      val sl = math.max(sl0, k)
+      matchCount(
+        IvfIndex.searchBqRefine(model, queries, k, np, sl), truth)
+        .select(lit(i).as("experiment_id"), lit(np).as("nprobe"),
+          lit(sl).as("shortlist"), col("matches"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Recall axis of [[runKinds]] under a frozen SHARED quantizer: the
+    * published kind × nprobe grid (every storage kind probing the
+    * same frozen cells), BQ rescoring through `shortlist`.
+    */
+  def kindsRecallGrid(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Float]],
+      k: Int = 10, shortlist: Int = 40): DataFrame = {
+    val truth = Knn.topK(corpus, queries, idCol, vecCol, k)
+      .select(col("qid"), col("nid"))
+    val I = IvfIndex
+    val f32 = I.buildWithCentroids(corpus, idCol, vecCol, centroids)
+    val f16 = I.buildF16WithCentroids(corpus, idCol, vecCol, centroids)
+    val (sq8, mn, mx) = I.buildSq8WithCentroids(corpus, idCol, vecCol,
+      centroids)
+    val bq = I.buildBqWithCentroids(corpus, idCol, vecCol, centroids)
+    def search(kind: String, q: DataFrame, np: Int): DataFrame =
+      kind match {
+        case "f32" => I.search(f32, q, k, np)
+        case "f16" => I.searchF16(f16, q, k, np)
+        case "sq8" => I.searchSq8(sq8, mn, mx, q, vecCol, k, np)
+        case "bq" => I.searchBqRefine(bq, q, k, np,
+          math.max(shortlist, k))
+        case other => throw new IllegalArgumentException(
+          s"unknown storage kind '$other'")
+      }
+    kindGrid.zipWithIndex.map { case (v, i) =>
+      matchCount(search(v.kind, queries, v.nprobe), truth)
+        .select(lit(i).as("experiment_id"), lit(v.kind).as("kind"),
+          lit(v.nprobe).as("nprobe"), col("matches"))
+    }.reduce(_ unionAll _)
+  }
+
   /** X9: persist results in the reference's autotune_results schema
     * (`daemon/autotune_jobs.rs:47-56`).
     */

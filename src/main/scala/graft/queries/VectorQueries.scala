@@ -1122,53 +1122,68 @@ object VectorQueries {
         .orderBy($"qid", $"rnk")
     }),
 
-    // X4-X9: the autotune sweep as a registry query — grid of variants
-    // over a hash-ranked sample, recall vs ground truth, results in the
-    // reference's autotune_results schema. targetRecall > 100 disables
-    // the early-stop so every grid variant reports (the default
-    // early-stops at the first >= 99.9 variant). Latency columns are
-    // wall-clock → rows-only check, no SQL oracle.
+    // X4-X9: the autotune sweep's RECALL axis as a hash-checked face —
+    // the full grid enumeration (targetRecall > 100 disables the
+    // early-stop) with only the deterministic columns kept. The exact
+    // top-k path recovers all of truth, so every variant reports 100;
+    // the wall-clock axes (latency, build time) stay graded by
+    // AutotuneSpec's bounds, and the full schema remains available via
+    // Autotune.toDF — splitting them out is what lets this face carry
+    // a bit-exact oracle instead of a rows-only check.
     "q_autotune" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val res = graft.operators.Autotune.run(emb, "vec_id", "embedding",
         k = 10, sampleN = 2000, nQueries = 10, targetRecall = 101.0)
-      graft.operators.Autotune.toDF(s, res).orderBy($"experiment_id")
+      graft.operators.Autotune.toDF(s, res)
+        .select($"experiment_id", $"m", $"efc", $"ef",
+          $"recall".cast("int").as("recall_pct"))
+        .orderBy($"experiment_id")
     }),
 
-    // X4-X9 over the index family that exists here: sweep
-    // (n_cells, nprobe), recall vs brute-force truth, query latency,
-    // build time per cell count (memo-amortized). Latency/build are
-    // wall-clock → rows-only check; bounds live in AutotuneSpec.
+    // The IVF sweep's recall axis under the frozen 16-anchor coarse
+    // quantizer (q_ivf_recall_fixed's trick lifted to the whole probe
+    // grid): per nprobe, the integer count of exact-top-10 hits the
+    // partial probe recovers across the 10 query points — assignment,
+    // probing, ranking and the count all restate as argmins in
+    // DuckDB. The learned-k-means + wall-clock sweep (Autotune.runIvf)
+    // stays spec-graded (AutotuneSpec).
     "q_autotune_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val res = graft.operators.Autotune.runIvf(emb, "vec_id",
-        "embedding", k = 10, sampleN = 2000, nQueries = 10,
-        targetRecall = 101.0, maxIter = 3)
-      graft.operators.Autotune.ivfToDF(s, res).orderBy($"experiment_id")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      graft.operators.Autotune.ivfRecallGrid(emb,
+          emb.where($"vec_id" < 10), "vec_id", "embedding", cents)
+        .orderBy($"experiment_id")
     }),
 
-    // BQ-axes sweep (nprobe × rescore shortlist) — wall-clock columns
-    // keep it rows-only like its autotune siblings; the approximation
-    // itself is hash-oracled through the q_bq_recall_fixed twin.
+    // The BQ sweep's recall axis, frozen quantizer: the published
+    // (nprobe, shortlist) grid, each variant's two-stage search
+    // (hamming shortlist → exact rescore) intersected with exact
+    // truth — the q_bq_recall_fixed restatement generalized over the
+    // grid. Wall-clock sweep (Autotune.runBq) stays spec-graded.
     "q_autotune_bq" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val res = graft.operators.Autotune.runBq(emb, "vec_id",
-        "embedding", k = 10, sampleN = 2000, nQueries = 10,
-        targetRecall = 101.0, maxIter = 3)
-      graft.operators.Autotune.bqToDF(s, res).orderBy($"experiment_id")
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      graft.operators.Autotune.bqRecallGrid(emb,
+          emb.where($"vec_id" < 10), "vec_id", "embedding", cents)
+        .orderBy($"experiment_id")
     }),
 
-    // Storage-kind sweep (kinds × nprobe under ONE shared k-means
-    // quantizer): recall, latency, build time, bytes/dim per kind —
-    // wall-clock columns keep it rows-only like its autotune siblings;
-    // the recall comparison itself is hash-oracled through the
-    // q_quant_kinds twin (fixed quantizer).
+    // The storage-kind sweep's recall axis under ONE frozen shared
+    // quantizer: the full kind × nprobe grid (q_quant_kinds
+    // generalized to both probe depths, keyed by experiment id).
+    // Wall-clock + bytes/dim sweep (Autotune.runKinds) stays
+    // spec-graded.
     "q_autotune_kinds" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val res = graft.operators.Autotune.runKinds(emb, "vec_id",
-        "embedding", k = 10, sampleN = 2000, nQueries = 10,
-        targetRecall = 101.0, maxIter = 3)
-      graft.operators.Autotune.kindsToDF(s, res)
+      val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      graft.operators.Autotune.kindsRecallGrid(emb,
+          emb.where($"vec_id" < 10), "vec_id", "embedding", cents)
         .orderBy($"experiment_id")
     }),
 
@@ -1748,6 +1763,201 @@ object VectorQueries {
          |  UNION ALL SELECT 'ivf_bq', CAST(count(*) AS INT)
          |    FROM kbq JOIN truth USING (qid, nid)
          |) _u ORDER BY kind""".stripMargin,
+    // the exact-path sweep recovers all of truth for every published
+    // grid variant by construction — the oracle IS that invariant,
+    // and any sampling/truth-join/recall regression breaks the hash
+    "q_autotune" ->
+      """SELECT * FROM (VALUES
+        |  (0, 6, 32, 64, 100), (1, 8, 40, 64, 100),
+        |  (2, 12, 48, 64, 100), (3, 16, 60, 76, 100),
+        |  (4, 32, 96, 96, 100), (5, 48, 128, 128, 100))
+        |  AS t(experiment_id, m, efc, ef, recall_pct)
+        |ORDER BY experiment_id""".stripMargin,
+    // q_ivf_recall_fixed generalized over the probe grid: per nprobe
+    // variant, candidates from the rn <= np probed cells, exact-rank
+    // top-10, counted against exact truth
+    "q_autotune_ivf" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 10),
+         |v AS (SELECT * FROM (VALUES (0, 1), (1, 2), (2, 4), (3, 8),
+         |      (4, 16)) t(eid, np)),
+         |prall AS (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qv", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |cand AS (SELECT v.eid, p.qid, a.vec_id AS nid
+         |  FROM v JOIN prall p ON p.rn <= v.np
+         |  JOIN asg a ON a.cell = p.cell),
+         |appr AS (SELECT eid, qid, nid FROM (
+         |  SELECT c.eid, c.qid, c.nid,
+         |    row_number() OVER (PARTITION BY c.eid, c.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qv")}, c.nid) AS rk
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.nid
+         |  JOIN q ON q.qid = c.qid) _r WHERE rk <= 10),
+         |ex AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.embedding", "q.qv")}, c.vec_id) AS rk
+         |  FROM embeddings c, q) _e WHERE rk <= 10),
+         |hits AS (SELECT a.eid, count(*) AS m
+         |  FROM appr a JOIN ex USING (qid, nid) GROUP BY a.eid)
+         |SELECT v.eid AS experiment_id, 16 AS n_cells, v.np AS nprobe,
+         |  CAST(coalesce(hits.m, 0) AS INT) AS matches
+         |FROM v LEFT JOIN hits ON hits.eid = v.eid
+         |ORDER BY experiment_id""".stripMargin,
+    // q_bq_recall_fixed generalized over the (nprobe, shortlist)
+    // grid: hamming over sign bits once per (query, vector), per
+    // variant the rn <= np candidate pool cut to its shortlist, exact
+    // rescore to top-10, counted against exact truth
+    "q_autotune_bq" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 10),
+         |v AS (SELECT * FROM (VALUES (0, 2, 20), (1, 2, 50),
+         |      (2, 4, 20), (3, 4, 50), (4, 8, 50), (5, 16, 100))
+         |      t(eid, np, sl)),
+         |prall AS (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qv", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |ham AS (SELECT q.qid, e.vec_id AS nid,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CASE WHEN (e.embedding[i] > 0) != (q.qv[i] > 0)
+         |           THEN 1 ELSE 0 END)) AS hd
+         |  FROM q CROSS JOIN embeddings e),
+         |cand AS (SELECT v.eid, v.sl, p.qid, a.vec_id AS nid
+         |  FROM v JOIN prall p ON p.rn <= v.np
+         |  JOIN asg a ON a.cell = p.cell),
+         |slr AS (SELECT eid, qid, nid FROM (
+         |  SELECT c.eid, c.sl, c.qid, c.nid,
+         |    row_number() OVER (PARTITION BY c.eid, c.qid
+         |      ORDER BY h.hd, c.nid) AS rn
+         |  FROM cand c JOIN ham h
+         |    ON h.qid = c.qid AND h.nid = c.nid) _s WHERE rn <= sl),
+         |ap AS (SELECT eid, qid, nid FROM (
+         |  SELECT s.eid, s.qid, s.nid,
+         |    row_number() OVER (PARTITION BY s.eid, s.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qv")}, s.nid) AS rk
+         |  FROM slr s JOIN embeddings e ON e.vec_id = s.nid
+         |  JOIN q ON q.qid = s.qid) _r WHERE rk <= 10),
+         |ex AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.embedding", "q.qv")}, c.vec_id) AS rk
+         |  FROM embeddings c, q) _e WHERE rk <= 10),
+         |hits AS (SELECT a.eid, count(*) AS m
+         |  FROM ap a JOIN ex USING (qid, nid) GROUP BY a.eid)
+         |SELECT v.eid AS experiment_id, v.np AS nprobe,
+         |  v.sl AS shortlist, CAST(coalesce(hits.m, 0) AS INT)
+         |    AS matches
+         |FROM v LEFT JOIN hits ON hits.eid = v.eid
+         |ORDER BY experiment_id""".stripMargin,
+    // q_quant_kinds generalized to both probe depths of the kind
+    // sweep, keyed by experiment id (kind-major, nprobe-minor order
+    // matching Autotune.kindGrid)
+    "q_autotune_kinds" ->
+      s"""WITH $f16Cte,
+         |$sqRecCte,
+         |cb AS (SELECT vec_id AS cid, embedding AS cv
+         |       FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 10),
+         |prall AS (
+         |  SELECT q.qid, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("q.qv", "cb.cv")}, cb.cid) AS rn
+         |  FROM q CROSS JOIN cb),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cb.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkL2sq("e.embedding", "cb.cv")}, cb.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cb) _a WHERE rn = 1),
+         |truth AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dkL2sq("c.embedding", "q.qv")}, c.vec_id) AS rk
+         |  FROM embeddings c, q) _t WHERE rk <= 10),
+         |cand AS (SELECT v.np, p.qid, a.vec_id AS nid
+         |  FROM (SELECT * FROM (VALUES (4), (16)) t(np)) v
+         |  JOIN prall p ON p.rn <= v.np
+         |  JOIN asg a ON a.cell = p.cell),
+         |kf32 AS (SELECT np, qid, nid FROM (
+         |  SELECT cand.np, cand.qid, cand.nid,
+         |    row_number() OVER (PARTITION BY cand.np, cand.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qv")}, cand.nid) AS rk
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.nid
+         |  JOIN q ON q.qid = cand.qid) _f WHERE rk <= 10),
+         |kf16 AS (SELECT np, qid, nid FROM (
+         |  SELECT cand.np, cand.qid, cand.nid,
+         |    row_number() OVER (PARTITION BY cand.np, cand.qid
+         |      ORDER BY ${dkL2sq("c.de", "qd.de")}, cand.nid) AS rk
+         |  FROM cand JOIN f16dl c ON c.vec_id = cand.nid
+         |  JOIN f16dl qd ON qd.vec_id = cand.qid) _h WHERE rk <= 10),
+         |ksq8 AS (SELECT np, qid, nid FROM (
+         |  SELECT cand.np, cand.qid, cand.nid,
+         |    row_number() OVER (PARTITION BY cand.np, cand.qid
+         |      ORDER BY ${dkL2sq("r.vhat", "q.qv")}, cand.nid) AS rk
+         |  FROM cand JOIN rec r ON r.vec_id = cand.nid
+         |  JOIN q ON q.qid = cand.qid) _s8 WHERE rk <= 10),
+         |ham AS (
+         |  SELECT cand.np, cand.qid, cand.nid,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CASE WHEN (e.embedding[i] > 0) != (q.qv[i] > 0)
+         |           THEN 1 ELSE 0 END)) AS hd
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.nid
+         |  JOIN q ON q.qid = cand.qid),
+         |sl AS (SELECT np, qid, nid FROM (
+         |  SELECT np, qid, nid,
+         |    row_number() OVER (PARTITION BY np, qid
+         |      ORDER BY hd, nid) AS rn
+         |  FROM ham) _sl WHERE rn <= 40),
+         |kbq AS (SELECT np, qid, nid FROM (
+         |  SELECT sl.np, sl.qid, sl.nid,
+         |    row_number() OVER (PARTITION BY sl.np, sl.qid
+         |      ORDER BY ${dkL2sq("e.embedding", "q.qv")}, sl.nid) AS rk
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.nid
+         |  JOIN q ON q.qid = sl.qid) _b WHERE rk <= 10)
+         |SELECT experiment_id, kind, nprobe, matches FROM (
+         |  SELECT 0 AS experiment_id, 'f32' AS kind, 4 AS nprobe,
+         |    CAST((SELECT count(*) FROM kf32 JOIN truth
+         |      USING (qid, nid) WHERE np = 4) AS INT) AS matches
+         |  UNION ALL SELECT 1, 'f32', 16,
+         |    CAST((SELECT count(*) FROM kf32 JOIN truth
+         |      USING (qid, nid) WHERE np = 16) AS INT)
+         |  UNION ALL SELECT 2, 'f16', 4,
+         |    CAST((SELECT count(*) FROM kf16 JOIN truth
+         |      USING (qid, nid) WHERE np = 4) AS INT)
+         |  UNION ALL SELECT 3, 'f16', 16,
+         |    CAST((SELECT count(*) FROM kf16 JOIN truth
+         |      USING (qid, nid) WHERE np = 16) AS INT)
+         |  UNION ALL SELECT 4, 'sq8', 4,
+         |    CAST((SELECT count(*) FROM ksq8 JOIN truth
+         |      USING (qid, nid) WHERE np = 4) AS INT)
+         |  UNION ALL SELECT 5, 'sq8', 16,
+         |    CAST((SELECT count(*) FROM ksq8 JOIN truth
+         |      USING (qid, nid) WHERE np = 16) AS INT)
+         |  UNION ALL SELECT 6, 'bq', 4,
+         |    CAST((SELECT count(*) FROM kbq JOIN truth
+         |      USING (qid, nid) WHERE np = 4) AS INT)
+         |  UNION ALL SELECT 7, 'bq', 16,
+         |    CAST((SELECT count(*) FROM kbq JOIN truth
+         |      USING (qid, nid) WHERE np = 16) AS INT)
+         |) _u ORDER BY experiment_id""".stripMargin,
     // recall of the deterministic BQ approximation: the q_ivf_bq_fixed
     // pipeline cut to top-10, intersected with exact top-10 per query
     "q_bq_recall_fixed" ->
