@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   *    triangle/rank/dup counts scale exactly linearly and any
   *    super-linear RUNTIME growth is the engine's, not the data's.
   *  - `customer`: custkey shifted; c_name regenerated in the same
-  *    `Customer#%09d` format from the shifted key, so the
-  *    adversarial shared-prefix regime of q_editdist_typos is
-  *    preserved at every scale.
+  *    `Customer#%09d` format from the shifted key and then passed
+  *    through the replica's letter cipher (digits and '#' untouched,
+  *    so every within-replica edit distance is preserved EXACTLY).
+  *    Without the cipher all 10 replicas share the literal
+  *    "Customer#" segment and the ed-join's hot candidate bucket
+  *    grows 10× — candidate work 100×, which measures the (real,
+  *    documented) quadratic nature of ONE shared-prefix namespace
+  *    rather than the engine's growth on 10× more data. Scaling as
+  *    10 disjoint namespaces keeps the per-replica adversarial
+  *    regime and makes the true pair count — and the intended
+  *    candidate volume — exactly linear.
   *  - `documents`: doc_id shifted; the text of replica k is passed
   *    through a per-replica alphabet-rotation cipher (`translate` of
   *    a–z/A–Z by k positions). A bijective character map preserves
@@ -72,9 +80,12 @@ object ScaleFixture {
   def customer(src: DataFrame, factor: Int): DataFrame = {
     val mc = src.agg(max("c_custkey")).collect()(0).getLong(0) + 1
     amplify(src, factor) { (d, k) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(k * mc))
+      val (from, to) = rotated(k)
+      val named = d.withColumn("c_custkey", col("c_custkey") + lit(k * mc))
         .withColumn("c_name",
-          format_string("Customer#%09d", col("c_custkey")))
+          format_string("Customer#%09d", col("c_custkey") % lit(mc)))
+      if (k == 0) named
+      else named.withColumn("c_name", translate(col("c_name"), from, to))
     }
   }
 
