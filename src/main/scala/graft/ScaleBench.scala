@@ -76,6 +76,7 @@ object ScaleBench {
         // reps otherwise reports the cache-hit time for dedup faces
         graft.operators.Dedup.releaseCaches()
         graft.operators.Autotune.releaseSamples()
+        graft.operators.IvfIndex.releaseModels()
         val t0 = System.nanoTime()
         val n = fn(dir).count()
         ((System.nanoTime() - t0) / 1e9, n)

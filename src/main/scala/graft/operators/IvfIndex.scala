@@ -132,6 +132,19 @@ object IvfIndex {
     model
   }
 
+  /** Forget every memoized build handle — the long-lived-session
+    * hygiene hook, mirroring `Dedup.releaseCaches` and
+    * `Autotune.releaseSamples`. Correctness never depends on the
+    * memos (a fresh call rebuilds from lineage), and index
+    * DIRECTORIES on disk are untouched: only the in-JVM model handles
+    * are dropped, so `load(path)` keeps working.
+    */
+  def releaseModels(): Unit = {
+    buildMemo.clear()
+    fixedBuildMemo.clear()
+    sq8BuildMemo.clear()
+  }
+
   // buildWithCentroids memo: several gate faces share one frozen
   // quantizer over one corpus (the first-16 anchors) — they should
   // share one artifact and one assignment write per JVM, like the
