@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * here (`sparse_search_full` drops q_sparse_search's doc_id < 300
   * probe-set cap) so the measured work actually grows with the data.
   *
-  * Usage: `runMain graft.ScaleBench <dirA> <dirB> [reps]`.
+  * Usage: `runMain graft.ScaleBench <dirA> <dirB> [reps] [faces]` —
+  * `faces` is an optional comma-separated subset (e.g. to exclude a
+  * face whose spill exceeds one host's scratch disk at high factors).
   */
 object ScaleBench {
 
@@ -35,9 +37,13 @@ object ScaleBench {
     })
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleBench <dirA> <dirB> [reps]")
+    require(args.length >= 2,
+      "usage: ScaleBench <dirA> <dirB> [reps] [faces]")
     val (dirA, dirB) = (args(0), args(1))
     val reps = if (args.length >= 3) args(2).toInt else 2
+    val only: Option[Set[String]] =
+      if (args.length >= 4) Some(args(3).split(",").toSet) else None
+    def wanted(n: String) = only.forall(_.contains(n))
     val spark = SparkSession.builder()
       .appName("graft-scale-bench").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -62,12 +68,12 @@ object ScaleBench {
       println(s"""{"guard":"triangles","dir":"$dir","und_edges":$m,""" +
         s""""broadcast_pinned":$pinned}""")
     }
-    guardReport(dirA); guardReport(dirB)
+    if (wanted("q_triangles")) { guardReport(dirA); guardReport(dirB) }
 
     val all: Seq[(String, String => DataFrame)] =
-      faceNames.map(n =>
+      (faceNames.map(n =>
         n -> ((dir: String) => SparkEntry.queries(n)(spark, dir))) ++
-      extras(spark).toSeq.sortBy(_._1)
+      extras(spark).toSeq.sortBy(_._1)).filter(p => wanted(p._1))
 
     val results = for ((name, fn) <- all; dir <- Seq(dirA, dirB)) yield {
       val times = (1 to reps).map { _ =>

@@ -48,12 +48,26 @@ import org.apache.spark.sql.functions._
   */
 object ScaleFixture {
 
+  /** Per-replica bijective character map: letters rotated by k mod 26
+    * composed with digits rotated by (k/26) mod 10 — two independent
+    * planes, so no two replicas k1 ≠ k2 share a cipher below factor
+    * 260 (a pure letter rotation cycles at 26, which made replicas 26+
+    * collide with 0+ and re-introduced cross-replica near-dups at
+    * factor 30). Bijections preserve every within-replica shingle
+    * set, Jaccard score and edit distance exactly; k = 0 is the
+    * identity.
+    */
   private def rotated(k: Int): (String, String) = {
+    require(k < 260, s"cipher supports at most 260 replicas, got $k")
     val lower = ('a' to 'z').mkString
     val upper = ('A' to 'Z').mkString
+    val digits = ('0' to '9').mkString
     val r = k % 26
-    val to = lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r)
-    (lower + upper, to)
+    val dj = (k / 26) % 10
+    val to = lower.drop(r) + lower.take(r) +
+      upper.drop(r) + upper.take(r) +
+      digits.drop(dj) + digits.take(dj)
+    (lower + upper + digits, to)
   }
 
   /** Replicate `df` `factor`× applying `shape(replicaId)` to each
