@@ -48,26 +48,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleFixture {
 
-  /** Per-replica bijective character map: letters rotated by k mod 26
-    * composed with digits rotated by (k/26) mod 10 — two independent
-    * planes, so no two replicas k1 ≠ k2 share a cipher below factor
-    * 260 (a pure letter rotation cycles at 26, which made replicas 26+
-    * collide with 0+ and re-introduced cross-replica near-dups at
-    * factor 30). Bijections preserve every within-replica shingle
-    * set, Jaccard score and edit distance exactly; k = 0 is the
-    * identity.
+  /** Per-replica bijective character map: the AFFINE cipher on the
+    * letter plane, i → (a·i + b) mod 26 with a coprime to 26 — 12
+    * multipliers × 26 shifts = 312 distinct letter bijections, so no
+    * two replicas k1 ≠ k2 share a cipher below factor 312. (A pure
+    * rotation cycles at 26: replicas 26+ collided with 0+ and
+    * re-introduced cross-replica near-dups at factor 30 — and a
+    * digit-plane fallback does not help text that carries no digits.)
+    * Character bijections preserve every within-replica shingle set,
+    * Jaccard score and edit distance exactly; k = 0 is the identity
+    * (a = 1, b = 0).
     */
   private def rotated(k: Int): (String, String) = {
-    require(k < 260, s"cipher supports at most 260 replicas, got $k")
+    require(k < 312, s"cipher supports at most 312 replicas, got $k")
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = coprimes(k / 26)
+    val b = k % 26
+    def affine(alpha: String): String =
+      alpha.indices.map(i => alpha((a * i + b) % 26)).mkString
     val lower = ('a' to 'z').mkString
     val upper = ('A' to 'Z').mkString
-    val digits = ('0' to '9').mkString
-    val r = k % 26
-    val dj = (k / 26) % 10
-    val to = lower.drop(r) + lower.take(r) +
-      upper.drop(r) + upper.take(r) +
-      digits.drop(dj) + digits.take(dj)
-    (lower + upper + digits, to)
+    (lower + upper, affine(lower) + affine(upper))
   }
 
   /** Replicate `df` `factor`× applying `shape(replicaId)` to each
