@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   private val faceNames = Seq("q_pagerank", "q_triangles",
-    "q_minhash_dups", "q_ivf_knn", "q_editdist_typos")
+    "q_minhash_dups", "q_ivf_knn", "q_editdist_typos",
+    "q_modularity", "q_khop_reach")
 
   private def extras(
       spark: SparkSession): Map[String, String => DataFrame] = Map(
