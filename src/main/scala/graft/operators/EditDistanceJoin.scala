@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 case class SegEmit(len: Int, seg: Int, sub: String)
 
+/** One deletion-neighborhood emission for the k=1 fast path: the
+  * variant text and the deleted position (-1 = the string itself).
+  * Top-level and public for the same Janino-codegen reason as
+  * [[SegEmit]].
+  */
+case class DelEmit(tag: Int, key: String)
+
 /** Edit-distance similarity join — all unordered pairs of distinct
   * strings within Levenshtein distance k — via PASS-JOIN-style
   * segment signatures (Li/Deng/Feng's partition scheme, a published
@@ -25,11 +32,23 @@ case class SegEmit(len: Int, seg: Int, sub: String)
   * segment) keys, the probe side emits every substring of t that
   * could be a partner's untouched segment — for each candidate
   * partner length L in [|t|-k, |t|+k], each ordinal's substring
-  * window of ±k positions — and an equi-join on (L, ordinal,
-  * substring) yields a candidate superset, verified by the engine's
-  * codegen Levenshtein. Probe fan-out is a constant ≈
-  * (2k+1)·(k+1)·(2k+1) per string (75 at k=2) — linear in the
-  * corpus, shuffled by short segment keys.
+  * window — and an equi-join on (L, ordinal, substring) yields a
+  * candidate superset, verified by the engine's codegen Levenshtein.
+  *
+  * The probe window is the paper's MULTI-MATCH-AWARE selection, not
+  * the naive ±k shift: a substring of t starting at position p can
+  * be segment i's (1-based) untouched match only if
+  * p ∈ [p_i-(i-1), p_i+(i-1)] ∩ [p_i+Δ-(k+1-i), p_i+Δ+(k+1-i)]
+  * with Δ = |t|-L. Left bound: a shift of more than i-1 before
+  * segment i needs ≥ i edits there, leaving ≤ k-i for the k+1-i
+  * later segments — pigeonhole hands the pair to one of THOSE
+  * ordinals instead, so dropping this emission loses nothing.
+  * Right bound is the mirror argument over the suffix (the remaining
+  * length difference must be absorbed by ≤ k+1-i trailing edits).
+  * Fan-out per string drops from (2k+1)·(k+1)·(2k+1) = 75 at k=2 to
+  * Σ over (Δ, i) of the intersected window = 19 — ~4× fewer probe
+  * emissions, join keys, and candidate verifications, still exact
+  * (the completeness property test pins it against brute force).
   *
   * Strings shorter than k+1 characters have empty segments (the
   * pigeonhole argument degenerates), so they pair all-against-all
@@ -94,6 +113,27 @@ object EditDistanceJoin {
       .where(col("s").isNotNull).distinct()
 
     val minSeg = k + 1
+    // k=1 fast path: FastSS deletion neighborhoods (Bocek et al. 2007,
+    // "Fast Similarity Search in Large Dictionaries"). ed(a,b)=1 iff
+    // the pair shares a SAME-POSITION single-deletion variant (one
+    // substitution) or one string IS a single-deletion variant of the
+    // other (one indel) — so an equi-join on near-full-length variant
+    // keys finds exactly the true pairs, with NO false positives and
+    // no hot segment bucket: a corpus sharing a long literal prefix
+    // ("Customer#…") degenerates PassJoin's prefix segment to an
+    // all-pairs bucket, while deletion keys keep every discriminative
+    // character. Emission is (L+1) keys of ~L chars per string, so the
+    // path is gated to short-string corpora (names, titles, typo
+    // vocabularies); longer strings take the O(k²)-emission PassJoin
+    // path below.
+    if (k == 1) {
+      val maxLen = strs.agg(coalesce(max(length($"s")), lit(0)))
+        .head.getInt(0)
+      if (maxLen <= 128)
+        return deletionCandidates(strs, saltDfCap, saltBuckets)
+          .union(shortPairs(strs, k))
+          .distinct()
+    }
     val idxEmit = udf((s: String) =>
       if (s.length < minSeg) Seq.empty[SegEmit]
       else segments(s, k).map { case (i, sub) => SegEmit(s.length, i, sub) })
@@ -102,14 +142,19 @@ object EditDistanceJoin {
       val out = scala.collection.mutable.LinkedHashSet[SegEmit]()
       var pl = math.max(minSeg, m - k)
       while (pl <= m + k) {
+        val delta = m - pl
         val base = pl / (k + 1)
         val extra = pl % (k + 1)
         var start = 0
-        var i = 0
+        var i = 0 // 0-based ordinal; the paper's i-1 is this i
         while (i <= k) {
           val len = base + (if (i < extra) 1 else 0)
-          var pos = math.max(0, start - k)
-          val hi = math.min(m - len, start + k)
+          // multi-match-aware window: shift ∈ [-i, i] from prefix
+          // edits AND ∈ [Δ-(k-i), Δ+(k-i)] from suffix edits
+          var pos = math.max(0,
+            math.max(start - i, start + delta - (k - i)))
+          val hi = math.min(m - len,
+            math.min(start + i, start + delta + (k - i)))
           while (pos <= hi) {
             out += SegEmit(pl, i, t.substring(pos, pos + len))
             pos += 1
@@ -176,21 +221,97 @@ object EditDistanceJoin {
       .where($"ed".between(1, k))
       .select($"a", $"b", $"ed")
 
-    // degenerate-length path: a string shorter than k+1 cannot carry
-    // k+1 nonempty segments; its partners are at most 2k chars, so
-    // the all-pairs block is confined to the <= 2k-char population
-    val shortSide = strs.where(length($"s") < minSeg)
+    // survivors only: true pairs are output-sized, so the dedup of
+    // multi-segment matches shuffles thousands of rows, not the
+    // candidate flood
+    candidates.union(shortPairs(strs, k)).distinct()
+  }
+
+  /** Degenerate-length path: a string shorter than k+1 cannot carry
+    * k+1 nonempty segments (nor, at k=1, a nonempty deletion key);
+    * its partners are at most 2k chars, so the all-pairs block is
+    * confined to the <= 2k-char population.
+    */
+  private def shortPairs(strs: DataFrame, k: Int): DataFrame = {
+    val spark = strs.sparkSession
+    import spark.implicits._
+    val shortSide = strs.where(length($"s") < k + 1)
     val shortPop = strs.where(length($"s") <= 2 * k)
-    val shortPairs = shortSide.select($"s".as("x"))
+    shortSide.select($"s".as("x"))
       .crossJoin(shortPop.select($"s".as("y")))
       .where($"x" =!= $"y")
       .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
       .withColumn("ed", levenshtein($"a", $"b", k))
       .where($"ed".between(1, k))
+  }
 
-    // survivors only: true pairs are output-sized, so the dedup of
-    // multi-segment matches shuffles thousands of rows, not the
-    // candidate flood
-    candidates.union(shortPairs).distinct()
+  /** k=1 candidates via position-tagged deletion neighborhoods.
+    *
+    * Every string of length >= 2 emits itself (tag -1) and its L
+    * single-deletion variants (tag = deleted position). Two distinct
+    * strings are within edit distance 1 iff they share a key with
+    * compatible tags: equal tags >= 0 is a substitution at that
+    * position; a tag -1 meeting a deletion tag is an indel. Matching
+    * keys with equal non-negative tags force equality everywhere but
+    * that position, and a self key equal to a deletion variant IS the
+    * indel — so survivors are true pairs by construction; the
+    * levenshtein verify is kept as a uniform belt-and-braces filter
+    * over output-sized rows.
+    *
+    * Skew: a hot deletion key means MANY strings differing only at
+    * one position — genuinely quadratic OUTPUT, not scheme slop — so
+    * the same replicate-one-side salting as the PassJoin path spreads
+    * each hot key's pair block across `saltBuckets` tasks.
+    */
+  private def deletionCandidates(strs: DataFrame, saltDfCap: Int,
+      saltBuckets: Int): DataFrame = {
+    val spark = strs.sparkSession
+    import spark.implicits._
+    val emit = udf((s: String) => {
+      val out = new scala.collection.mutable.ArrayBuffer[DelEmit](s.length + 1)
+      out += DelEmit(-1, s)
+      var i = 0
+      while (i < s.length) {
+        out += DelEmit(i, s.substring(0, i) + s.substring(i + 1))
+        i += 1
+      }
+      out.toSeq
+    })
+    val eligible = strs.where(length($"s") >= 2)
+    val idxRaw = eligible
+      .select($"s".as("a"), explode(emit($"s")).as("e"))
+      .select($"a", $"e.tag".as("ta"), $"e.key")
+    val probeRaw = eligible
+      .select($"s".as("b"), explode(emit($"s")).as("e"))
+      .select($"b", $"e.tag".as("tb"), $"e.key")
+    val hotKeys = idxRaw.groupBy($"key")
+      .agg(count(lit(1)).as("df"))
+      .where($"df" > saltDfCap)
+      .select($"key")
+    // same single-task-flood reasoning as the PassJoin path: pin a
+    // shuffled hash join on fixed-count repartitions so the hot key's
+    // (true-pair) output block parallelizes instead of broadcasting
+    val idx = idxRaw
+      .join(broadcast(hotKeys.withColumn("hot", lit(true))),
+        Seq("key"), "left")
+      .withColumn("salt",
+        when($"hot", pmod(hash($"a"), lit(saltBuckets)))
+          .otherwise(lit(0)))
+      .select($"a", $"ta", $"key", $"salt")
+      .repartition(saltBuckets, $"key", $"salt")
+    val probe = probeRaw
+      .join(broadcast(hotKeys.withColumn("hot", lit(true))),
+        Seq("key"), "left")
+      .withColumn("salt", explode(
+        when($"hot", sequence(lit(0), lit(saltBuckets - 1)))
+          .otherwise(array(lit(0)))))
+      .select($"b", $"tb", $"key", $"salt")
+      .repartition(saltBuckets, $"key", $"salt")
+    idx.hint("shuffle_hash").join(probe, Seq("key", "salt"))
+      .where($"a" < $"b" &&
+        ($"ta" === $"tb" || $"ta" === -1 || $"tb" === -1))
+      .withColumn("ed", levenshtein($"a", $"b", 1))
+      .where($"ed" === 1)
+      .select($"a", $"b", $"ed")
   }
 }

@@ -51,6 +51,29 @@ class EditDistanceJoinSpec extends SparkSuite {
     }
   }
 
+  test("multi-match-aware window stays complete on random strings") {
+    // the tightened probe window ([p_i-(i-1), p_i+(i-1)] ∩
+    // [p_i+Δ-(k+1-i), p_i+Δ+(k+1-i)]) must lose NO pair; stress it
+    // with a seeded random corpus dense in near-misses across a
+    // range of lengths, for every supported k
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd" // tiny alphabet → lots of close pairs
+    val vocab = (1 to 180).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    for (k <- 1 to 3) {
+      val expected = vocab.combinations(2).map(_.sorted)
+        .map { case Seq(a, b) => (a, b, lev(a, b)) }
+        .filter { case (_, _, e) => e >= 1 && e <= k }
+        .toSet
+      val got = EditDistanceJoin.pairs(vocab.toDF("s"), "s", k)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getInt(2))).toSet
+      assert(got === expected, s"k=$k")
+    }
+  }
+
   test("short strings (below k+1 chars) pair through the short path") {
     val vocab = Seq("a", "b", "ab", "xy", "x", "")
     val got = EditDistanceJoin.pairs(vocab.toDF("s"), "s", 1)
