@@ -21,6 +21,33 @@ object SparseIndex {
   case class Model(path: String, postings: DataFrame, stats: DataFrame,
       nDocs: Long, vocab: Int, nBuckets: Int)
 
+  /** One aggregation job over a posting set that returns BOTH sidecar
+    * facts: per-term document frequencies (rollup leaf rows) and the
+    * distinct-document count (the rollup's global row). The result is
+    * bounded by the hash vocabulary, so collecting it is a fixed-size
+    * driver round-trip — replacing the separate shuffled stats write
+    * + distinct().count() job pair each lifecycle step used to run.
+    */
+  private def dfAndDocCount(post: DataFrame): (Seq[(Int, Long)], Long) = {
+    val rows = post.rollup(col("idx"))
+      .agg(count(lit(1)).as("df"), count_distinct(col("id")).as("nd"))
+      .collect()
+    val nDocs = rows.find(_.isNullAt(0)).map(_.getLong(2)).getOrElse(0L)
+    val stats = rows.toSeq.filter(!_.isNullAt(0))
+      .map(r => (r.getInt(0), r.getLong(1)))
+    (stats, nDocs)
+  }
+
+  /** Write the (idx, df) sidecar from driver-local vocab-bounded rows
+    * — a LocalRelation single-file write, no shuffle.
+    */
+  private def writeStats(spark: SparkSession, rows: Seq[(Int, Long)],
+      path: String): Unit = {
+    import spark.implicits._
+    rows.toDF("idx", "df").coalesce(1).write.mode("overwrite")
+      .parquet(path)
+  }
+
   // builds are deterministic in (corpus plan, params, dir) — same memo
   // contract as IvfIndex's fixedBuildMemo: repeated faces/bench reps
   // over one corpus share one artifact write per JVM
@@ -55,13 +82,13 @@ object SparseIndex {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(indexDir)
-    // df per term id — bounded by vocab, the sidecar that makes
-    // idf scoring artifact-local
-    post.groupBy(col("idx")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/_stats")
-    val nDocs = post.select(col("id")).distinct().count()
+    // ONE aggregation pass yields both sidecar facts: df per term id
+    // (the rollup's leaf rows) AND the distinct-doc count (its global
+    // row) — the result is vocab-bounded, so the driver round-trip is
+    // fixed-size and the stats write needs no second shuffle
+    val (statsRows, nDocs) = dfAndDocCount(post)
     post.unpersist()
+    writeStats(spark, statsRows, s"$indexDir/_stats")
     val written = spark.read.option("basePath", indexDir)
       .parquet(s"$indexDir/bucket=*")
     locally {
@@ -112,16 +139,22 @@ object SparseIndex {
       val fs = new org.apache.hadoop.fs.Path(model.path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       // sidecar refresh from the batch alone: df_new = df_old + df_batch
-      val batchDf = post.groupBy(col("idx")).agg(count(lit(1)).as("df"))
+      // and n_docs_new = n_docs_old + batch doc count, both facts from
+      // ONE vocab-bounded aggregation over the batch postings; the old
+      // df sidecar is itself vocab-bounded, so the merge is a
+      // driver-local sum — no posting rescan, no second shuffle
+      val (batchDf, newDocs) = dfAndDocCount(post)
       val statsLive = new org.apache.hadoop.fs.Path(s"${model.path}/_stats")
       graft.util.DirSwap.recover(fs, statsLive)
       graft.util.DirSwap.clearSiblings(fs, statsLive)
-      model.stats.union(batchDf)
-        .groupBy(col("idx")).agg(sum(col("df")).as("df"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(graft.util.DirSwap.rebuildPath(statsLive.toString))
+      val oldDf = model.stats.collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val merged = (oldDf ++ batchDf).groupBy(_._1)
+        .map { case (idx, xs) => (idx, xs.map(_._2).sum) }
+        .toSeq.sortBy(_._1)
+      writeStats(spark, merged,
+        graft.util.DirSwap.rebuildPath(statsLive.toString))
       graft.util.DirSwap.publish(fs, statsLive)
-      val newDocs = post.select(col("id")).distinct().count()
       val metaLive = new org.apache.hadoop.fs.Path(s"${model.path}/_meta")
       graft.util.DirSwap.recover(fs, metaLive)
       graft.util.DirSwap.clearSiblings(fs, metaLive)
@@ -294,9 +327,8 @@ object SparseIndex {
           spark.read.option("basePath", fresh)
             .parquet(s"$fresh/bucket=*")
         else postings.limit(0)
-      purged.groupBy(col("idx")).agg(count(lit(1)).as("df"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$fresh/_stats")
-      val nDocs = purged.select(col("id")).distinct().count()
+      val (survDf, nDocs) = dfAndDocCount(purged)
+      writeStats(spark, survDf, s"$fresh/_stats")
       locally {
         import spark.implicits._
         Seq((nDocs, meta.getInt(1), meta.getInt(2)))
