@@ -437,6 +437,26 @@ object Autotune {
     res.select(col("qid"), col("nid")).join(truth, Seq("qid", "nid"))
       .agg(count(lit(1)).cast("int").as("matches"))
 
+  /** The exact-truth pair set, materialized ONCE per grid call: the
+    * truth DataFrame is referenced by EVERY union branch below, and
+    * left lazy the brute-force kNN subtree re-executes once per
+    * variant (5x for the probe grid, 8x for the kind grid — measured
+    * as the dominant cost of the q_autotune_{ivf,bq,kinds} faces).
+    * nQueries x k is at most a few hundred (qid, nid) pairs, the same
+    * bounded-control-state size as the codebook collects, so it comes
+    * to the driver and goes back out as a broadcast local relation —
+    * the rows (and hence every `matches` count) are identical.
+    */
+  private def materializedTruth(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val t = Knn.topK(corpus, queries, idCol, vecCol, k)
+      .select(col("qid"), col("nid"))
+    val spark = corpus.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    broadcast(local)
+  }
+
   /** Recall axis of [[runIvf]] under a frozen quantizer: the cell
     * count is fixed by `centroids`, so the swept axis is `probes`
     * (query-time I/O width) — per variant, how many of the exact
@@ -447,8 +467,7 @@ object Autotune {
       k: Int = 10, probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
     val model = IvfIndex.buildWithCentroids(corpus, idCol, vecCol,
       centroids)
-    val truth = Knn.topK(corpus, queries, idCol, vecCol, k)
-      .select(col("qid"), col("nid"))
+    val truth = materializedTruth(corpus, queries, idCol, vecCol, k)
     probes.zipWithIndex.map { case (np, i) =>
       matchCount(IvfIndex.search(model, queries, k, np), truth)
         .select(lit(i).as("experiment_id"),
@@ -469,8 +488,7 @@ object Autotune {
       : DataFrame = {
     val model = IvfIndex.buildBqWithCentroids(corpus, idCol, vecCol,
       centroids)
-    val truth = Knn.topK(corpus, queries, idCol, vecCol, k)
-      .select(col("qid"), col("nid"))
+    val truth = materializedTruth(corpus, queries, idCol, vecCol, k)
     grid.zipWithIndex.map { case ((np, sl0), i) =>
       val sl = math.max(sl0, k)
       matchCount(
@@ -487,8 +505,7 @@ object Autotune {
   def kindsRecallGrid(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, centroids: Array[Array[Float]],
       k: Int = 10, shortlist: Int = 40): DataFrame = {
-    val truth = Knn.topK(corpus, queries, idCol, vecCol, k)
-      .select(col("qid"), col("nid"))
+    val truth = materializedTruth(corpus, queries, idCol, vecCol, k)
     val I = IvfIndex
     val f32 = I.buildWithCentroids(corpus, idCol, vecCol, centroids)
     val f16 = I.buildF16WithCentroids(corpus, idCol, vecCol, centroids)
