@@ -514,12 +514,51 @@ object IvfIndex {
       s"cannot merge: exactly one of $srcPath / $destPath carries a " +
         "BQ bits column — a mixed artifact would drop the bit-less " +
         "rows from every BQ shortlist; rebuild the shards uniformly")
+    require(dest.assigned.columns.contains("half") ==
+      src.assigned.columns.contains("half"),
+      s"cannot merge: exactly one of $srcPath / $destPath stores f16 " +
+        "halves — a mixed artifact would null one side's payload on " +
+        "every probe; rebuild the shards uniformly")
     buildMemo.entrySet.removeIf(e => e.getValue._2.indexPath == destPath)
     fixedBuildMemo.entrySet.removeIf(
       e => e.getValue._2.indexPath == destPath)
-    src.assigned
-      .repartition(col("cell_id"))
-      .write.partitionBy("cell_id").mode("append").parquet(destPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val destRoot = new org.apache.hadoop.fs.Path(destPath)
+    val fs = destRoot.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$srcPath/_deleted"))) {
+      // Pure data move, literally: both artifacts share the quantizer,
+      // so every src part file already sits in its correct cell dir and
+      // (no src tombstones) every row in it is live. Copy the files
+      // into dest's cell dirs instead of re-reading, re-shuffling and
+      // re-encoding the whole shard through a Spark job — the merge
+      // cost becomes O(#files) I/O with zero compute, which is the
+      // faiss `merge_into` shape the scaladoc promises. Files land
+      // under dot-prefixed names (invisible to parquet listings) and
+      // flip visible in a final rename pass, so a crash mid-copy
+      // leaves the dest artifact exactly as it was.
+      val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
+      val fsrc = srcRoot.getFileSystem(conf)
+      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val staged = listPartFiles(fsrc, srcRoot).zipWithIndex.map {
+        case (f, i) =>
+          val cellDir = new org.apache.hadoop.fs.Path(
+            destPath, f.getParent.getName)
+          if (!fs.exists(cellDir)) fs.mkdirs(cellDir)
+          val hidden = new org.apache.hadoop.fs.Path(
+            cellDir, s".merge-$tag-$i.parquet.tmp")
+          org.apache.hadoop.fs.FileUtil.copy(fsrc, f, fs, hidden,
+            false, conf)
+          (hidden, new org.apache.hadoop.fs.Path(
+            cellDir, s"part-merge-$tag-$i.parquet"))
+      }
+      staged.foreach { case (h, v) => fs.rename(h, v) }
+    } else {
+      // src carries tombstones: the doomed rows must not travel, so
+      // this (operationally rare) shape pays the filtered rewrite
+      src.assigned
+        .repartition(col("cell_id"))
+        .write.partitionBy("cell_id").mode("append").parquet(destPath)
+    }
     // src rows arrive already tombstone-filtered (src was load()ed);
     // dest's own tombstones re-apply on the fresh scan
     val assigned = minusDeleted(spark, destPath, spark.read

@@ -159,6 +159,45 @@ class IvfCompactSpec extends SparkSuite {
     assert(other.assigned.count() === 100)
   }
 
+  test("merge with a TOMBSTONED src filters the doomed rows (rewrite " +
+      "fallback); a clean src merges as a pure file move") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_merge_tomb_spec").toString
+    val cents = emb.where($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cents, Some(s"$tmp/dest"))
+    val s2 = IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", cents, Some(s"$tmp/src"))
+    // tombstone part of src BEFORE the merge: those ids must not land
+    IvfIndex.delete(spark, s"$tmp/src",
+      emb.where($"vec_id" % 10 === 1).select($"vec_id"))
+    val merged = IvfIndex.merge(spark, s"$tmp/dest", s"$tmp/src",
+      "vec_id", "embedding")
+    val expect = emb.where($"vec_id" % 10 =!= 1 ||
+      $"vec_id" % 2 === 0).count()
+    assert(merged.assigned.count() === expect,
+      "src tombstones must not travel into dest")
+    // the clean-src fast path: file-level move, same rows, and the
+    // dest artifact gains files rather than being rewritten
+    IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cents, Some(s"$tmp/dest2"))
+    IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", cents, Some(s"$tmp/src2"))
+    val m2 = IvfIndex.merge(spark, s"$tmp/dest2", s"$tmp/src2",
+      "vec_id", "embedding")
+    assert(m2.assigned.count() === emb.count(),
+      "clean merge must union the shards exactly")
+    // moved files carry the merge tag, proving no Spark rewrite ran
+    val moved = new java.io.File(s"$tmp/dest2").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .count(_.getName.startsWith("part-merge-"))
+    assert(moved > 0, "clean src must merge as a file move")
+    // and a reopened artifact (fresh load, no memo) agrees
+    assert(IvfIndex.load(spark, s"$tmp/dest2", "vec_id", "embedding")
+      .assigned.count() === emb.count())
+  }
+
   test("IndexedKnn.compactIndex compacts the registered artifact and " +
       "the planner rewrite keeps serving it") {
     val path = s"$sf0001/embeddings.parquet"
