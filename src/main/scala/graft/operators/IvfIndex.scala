@@ -118,14 +118,8 @@ object IvfIndex {
     // index is a self-contained durable artifact (the reference's
     // saved-index analog): any later session loads it without
     // re-running k-means or touching the source corpus
-    locally {
-      import spark.implicits._
-      local.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_centroids")
-    }
+    graft.util.SidecarIO.writeCentroids(
+      spark.sessionState.newHadoopConf(), s"$path/_centroids", local)
     writeMeta(spark, path, idCol, vecCol)
     val model = Model(local, assigned, idCol, vecCol, path)
     if (!force && buildMemo.size < 32) buildMemo.put(key, (plan, model))
@@ -190,13 +184,8 @@ object IvfIndex {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
     val assigned = spark.read.parquet(path)
-    locally {
-      import spark.implicits._
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_centroids")
-    }
+    graft.util.SidecarIO.writeCentroids(
+      spark.sessionState.newHadoopConf(), s"$path/_centroids", centroids)
     writeMeta(spark, path, idCol, vecCol)
     val model = Model(centroids, assigned, idCol, vecCol, path)
     if (fixedBuildMemo.size < 32) fixedBuildMemo.put(key, (plan, model))
@@ -260,11 +249,9 @@ object IvfIndex {
     * against itself and silently remove the wrong rows.
     */
   private def writeMeta(spark: SparkSession, path: String,
-      idCol: String, vecCol: String): Unit = {
-    import spark.implicits._
-    Seq((idCol, vecCol)).toDF("id_col", "vec_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
-  }
+      idCol: String, vecCol: String): Unit =
+    graft.util.SidecarIO.writeMeta(spark.sessionState.newHadoopConf(),
+      s"$path/_meta", idCol, vecCol)
 
   /** The id column recorded at build time, if this artifact carries a
     * `_meta` sidecar (indexes built before the sidecar existed don't;
@@ -272,11 +259,10 @@ object IvfIndex {
     */
   private[graft] def metaIdCol(spark: SparkSession, path: String)
       : Option[String] = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(s"$path/_meta")
-      .select("id_col").head().getString(0))
+    if (!p.getFileSystem(conf).exists(p)) None
+    else graft.util.SidecarIO.readMetaIdCol(conf, s"$path/_meta")
   }
 
   /** Tombstone-filtered assignment scan: `_deleted` (written by
@@ -296,10 +282,12 @@ object IvfIndex {
     else {
       // the sidecar's own column name IS the index id column
       // (validated at [[delete]] time) — the join is self-describing,
-      // no registry or parameter needed
-      val delRaw = spark.read.parquet(s"$path/_deleted")
-      val name = delRaw.columns.head
-      val del = delRaw.select(col(name).as("__deleted_id")).distinct()
+      // no registry or parameter needed. Tombstones are bounded, so
+      // they come up as a driver-local relation: the anti-join was
+      // already broadcast (driver-resident at execution), and the
+      // local read removes a per-query sidecar listing + scan.
+      val (name, del) = graft.util.SidecarIO.readSingleColLocal(
+        spark, s"$path/_deleted", "__deleted_id")
       assigned.join(broadcast(del),
         assigned(name) === col("__deleted_id"), "left_anti")
     }
@@ -368,8 +356,10 @@ object IvfIndex {
     val sidecarFs = sidecarPath.getFileSystem(
       spark.sessionState.newHadoopConf())
     if (sidecarFs.exists(sidecarPath)) {
-      val existing = spark.read.parquet(s"$indexPath/_deleted")
-        .columns.head
+      val existing = graft.util.SidecarIO.schemaOf(
+        spark.sessionState.newHadoopConf(), s"$indexPath/_deleted")
+        .map(_.getFields.get(0).getName)
+        .getOrElse(idName)
       require(existing == idName,
         s"the _deleted sidecar at $indexPath already tombstones by " +
           s"'$existing'; a second delete must use the same id column " +
@@ -609,10 +599,8 @@ object IvfIndex {
       graft.util.DirSwap.recover(
         p.getFileSystem(spark.sessionState.newHadoopConf()), p)
     }
-    val cents = spark.read.parquet(s"$path/_centroids")
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-      .sortBy(_._1).map(_._2)
+    val cents = graft.util.SidecarIO.readCentroids(
+      spark.sessionState.newHadoopConf(), s"$path/_centroids")
     require(cents.nonEmpty, s"no centroid sidecar under $path")
     // _centroids sits inside the index dir; exclude it from the
     // assignment read by listing only cell_id partition dirs
@@ -895,13 +883,8 @@ object IvfIndex {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
     val assigned = spark.read.parquet(path)
-    locally {
-      import spark.implicits._
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_centroids")
-    }
+    graft.util.SidecarIO.writeCentroids(
+      spark.sessionState.newHadoopConf(), s"$path/_centroids", centroids)
     writeMeta(spark, path, idCol, vecCol)
     val model = Model(centroids, assigned, idCol, vecCol, path)
     if (!force && fixedBuildMemo.size < 32)
@@ -969,13 +952,8 @@ object IvfIndex {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
     val assigned = spark.read.parquet(path)
-    locally {
-      import spark.implicits._
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_centroids")
-    }
+    graft.util.SidecarIO.writeCentroids(
+      spark.sessionState.newHadoopConf(), s"$path/_centroids", centroids)
     writeMeta(spark, path, idCol, "half")
     val model = Model(centroids, assigned, idCol, vecCol, path)
     if (!force && fixedBuildMemo.size < 32)
@@ -1150,13 +1128,10 @@ object IvfIndex {
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
     val assigned = spark.read.parquet(path)
     locally {
-      local.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_centroids")
-      mn.indices.map(i => (i, mn(i), mx(i))).toDF("pos", "mn", "mx")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_sqmodel")
+      val conf = spark.sessionState.newHadoopConf()
+      graft.util.SidecarIO.writeCentroids(conf, s"$path/_centroids",
+        local)
+      graft.util.SidecarIO.writeSqModel(conf, s"$path/_sqmodel", mn, mx)
     }
     writeMeta(spark, path, idCol, "sq")
     val result = (Model(local, assigned, idCol, "sq", path), mn, mx)
@@ -1207,13 +1182,10 @@ object IvfIndex {
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
     val assigned = spark.read.parquet(path)
     locally {
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_centroids")
-      mn.indices.map(i => (i, mn(i), mx(i))).toDF("pos", "mn", "mx")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/_sqmodel")
+      val conf = spark.sessionState.newHadoopConf()
+      graft.util.SidecarIO.writeCentroids(conf, s"$path/_centroids",
+        centroids)
+      graft.util.SidecarIO.writeSqModel(conf, s"$path/_sqmodel", mn, mx)
     }
     writeMeta(spark, path, idCol, "sq")
     val result = (Model(centroids, assigned, idCol, "sq", path), mn, mx)
@@ -1261,21 +1233,17 @@ object IvfIndex {
       graft.util.DirSwap.recover(
         p.getFileSystem(spark.sessionState.newHadoopConf()), p)
     }
-    val cents = spark.read.parquet(s"$path/_centroids")
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-      .sortBy(_._1).map(_._2)
+    val conf = spark.sessionState.newHadoopConf()
+    val cents = graft.util.SidecarIO.readCentroids(
+      conf, s"$path/_centroids")
     require(cents.nonEmpty, s"no centroid sidecar under $path")
-    val sq = spark.read.parquet(s"$path/_sqmodel")
-      .collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    require(sq.nonEmpty, s"no scalar-model sidecar under $path")
+    val (mn, mx) = graft.util.SidecarIO.readSqModel(
+      conf, s"$path/_sqmodel")
+    require(mn.nonEmpty, s"no scalar-model sidecar under $path")
     val assigned = minusDeleted(spark, path, spark.read
       .option("basePath", path)
       .parquet(s"$path/cell_id=*"))
-    (Model(cents, assigned, idCol, "sq", path),
-      sq.map(_._2), sq.map(_._3))
+    (Model(cents, assigned, idCol, "sq", path), mn, mx)
   }
 
   /** ANN top-k over an SQ8 index: probe cells as in [[search]], decode

@@ -42,11 +42,9 @@ object SparseIndex {
     * — a LocalRelation single-file write, no shuffle.
     */
   private def writeStats(spark: SparkSession, rows: Seq[(Int, Long)],
-      path: String): Unit = {
-    import spark.implicits._
-    rows.toDF("idx", "df").coalesce(1).write.mode("overwrite")
-      .parquet(path)
-  }
+      path: String): Unit =
+    graft.util.SidecarIO.writeIdxDf(
+      spark.sessionState.newHadoopConf(), path, rows)
 
   // builds are deterministic in (corpus plan, params, dir) — same memo
   // contract as IvfIndex's fixedBuildMemo: repeated faces/bench reps
@@ -91,12 +89,9 @@ object SparseIndex {
     writeStats(spark, statsRows, s"$indexDir/_stats")
     val written = spark.read.option("basePath", indexDir)
       .parquet(s"$indexDir/bucket=*")
-    locally {
-      import spark.implicits._
-      Seq((nDocs, vocab, nBuckets)).toDF("n_docs", "vocab", "n_buckets")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexDir/_meta")
-    }
+    graft.util.SidecarIO.writeSparseMeta(
+      spark.sessionState.newHadoopConf(), s"$indexDir/_meta", nDocs,
+      vocab, nBuckets)
     val model = Model(indexDir, written,
       spark.read.parquet(s"$indexDir/_stats"), nDocs, vocab, nBuckets)
     if (buildMemo.size < 32) buildMemo.put(key, (plan, model))
@@ -209,8 +204,10 @@ object SparseIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) postings
     else {
-      val del = spark.read.parquet(s"$indexDir/_deleted")
-        .select(col("id").as("__deleted_id")).distinct()
+      // bounded tombstones, driver-local read — same shape as
+      // IvfIndex.minusDeleted (the join was broadcast already)
+      val (_, del) = graft.util.SidecarIO.readSingleColLocal(
+        spark, s"$indexDir/_deleted", "__deleted_id")
       postings.join(broadcast(del),
         postings("id") === col("__deleted_id"), "left_anti")
     }
@@ -308,7 +305,8 @@ object SparseIndex {
       // from the surviving postings (idf heals here — the Lucene
       // merge step of the delete contract); _deleted is NOT copied,
       // so the tombstones clear with the publish
-      val meta = spark.read.parquet(s"$indexDir/_meta").head()
+      val (_, vocab0, nBuckets0) = graft.util.SidecarIO.readSparseMeta(
+        spark.sessionState.newHadoopConf(), s"$indexDir/_meta")
       // if EVERY document was tombstoned the overwrite above wrote no
       // bucket=* partition dirs and a globbed read would throw "Path
       // does not exist" — read the fresh dir non-globbed with the
@@ -329,12 +327,9 @@ object SparseIndex {
         else postings.limit(0)
       val (survDf, nDocs) = dfAndDocCount(purged)
       writeStats(spark, survDf, s"$fresh/_stats")
-      locally {
-        import spark.implicits._
-        Seq((nDocs, meta.getInt(1), meta.getInt(2)))
-          .toDF("n_docs", "vocab", "n_buckets")
-          .coalesce(1).write.mode("overwrite").parquet(s"$fresh/_meta")
-      }
+      graft.util.SidecarIO.writeSparseMeta(
+        spark.sessionState.newHadoopConf(), s"$fresh/_meta", nDocs,
+        vocab0, nBuckets0)
     }
     graft.util.DirSwap.publish(fs, live)
     spark.catalog.refreshByPath(indexDir)
@@ -347,11 +342,12 @@ object SparseIndex {
     * parquet, df sidecar, meta. No corpus, no recount.
     */
   def load(spark: SparkSession, indexDir: String): Model = {
-    val meta = spark.read.parquet(s"$indexDir/_meta").head()
+    val (nDocs, vocab, nBuckets) = graft.util.SidecarIO.readSparseMeta(
+      spark.sessionState.newHadoopConf(), s"$indexDir/_meta")
     Model(indexDir,
       minusDeleted(spark, indexDir, bucketScan(spark, indexDir)),
       spark.read.parquet(s"$indexDir/_stats"),
-      meta.getLong(0), meta.getInt(1), meta.getInt(2))
+      nDocs, vocab, nBuckets)
   }
 
   /** Top-k for a bag-of-words query, served from the artifact:

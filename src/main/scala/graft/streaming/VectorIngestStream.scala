@@ -51,10 +51,8 @@ object VectorIngestStream {
 
   private def loadCentroids(spark: SparkSession,
       indexPath: String): Array[Array[Float]] = {
-    val cents = spark.read.parquet(s"$indexPath/_centroids")
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-      .sortBy(_._1).map(_._2)
+    val cents = graft.util.SidecarIO.readCentroids(
+      spark.sessionState.newHadoopConf(), s"$indexPath/_centroids")
     require(cents.nonEmpty, s"no centroid sidecar under $indexPath")
     cents
   }
@@ -155,14 +153,9 @@ object VectorIngestStream {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").mode("errorifexists")
       .parquet(targetDir)
-    locally {
-      import spark.implicits._
-      model.centroids.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$targetDir/_centroids")
-    }
+    graft.util.SidecarIO.writeCentroids(
+      spark.sessionState.newHadoopConf(), s"$targetDir/_centroids",
+      model.centroids)
     IvfIndex.load(spark, targetDir, idCol, vecCol)
   }
 
