@@ -331,6 +331,55 @@ case class NormalizeVector(child: Expression)
   * Capability analog of the reference's quantize_vector surface
   * (`lantern_extras/src/pq.rs`), codebook-free variant.
   */
+/** argmin cell assignment against a frozen centroid table — the IVF
+  * build/append/ingest hot loop as a whole-stage-friendly expression
+  * instead of a boxed Seq[Float] UDF (which copies and boxes every
+  * element of every corpus vector before the distance loop even
+  * starts, and blocks WSCG for the surrounding stage). Arithmetic is
+  * kept BIT-IDENTICAL to [[graft.operators.ProductQuantizer.l2sq]] /
+  * `nearestCentroid` (per-dimension double subtraction, in-order
+  * accumulation, strict `<` so the lowest index wins ties): partial-
+  * probe faces hash-check cell membership, so the assignment must not
+  * drift by a ULP. The centroid table is bounded by nCells — a model,
+  * never data — and travels as a constant reference in the compiled
+  * stage.
+  */
+case class NearestCentroid(child: Expression,
+    centroids: Array[Array[Float]]) extends UnaryExpression
+    with EvalDelegatingCodegen {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      VectorExprUtil.requireSameDim(cent.length, n)
+      var acc = 0.0
+      var i = 0
+      while (i < cent.length) {
+        val d = cent(i).toDouble - a.getFloat(i).toDouble
+        acc += d * d; i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class Sq8Encode(child: Expression, mins: Array[Double],
     maxs: Array[Double]) extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "sq8_encode"

@@ -36,6 +36,9 @@ object VectorFunctions {
   def bq_hamming(a: Column, b: Column): Column =
     col(BqHamming(expr(a), expr(b)))
   def fp16_encode(a: Column): Column = col(Fp16Encode(f(a)))
+  def nearest_centroid(a: Column,
+      centroids: Array[Array[Float]]): Column =
+    col(NearestCentroid(f(a), centroids))
   def fp16_decode(a: Column): Column = col(Fp16Decode(expr(a)))
 
   /** One-pass (n, mean, covariance-upper-triangle) aggregate — the

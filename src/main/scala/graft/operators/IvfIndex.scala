@@ -104,9 +104,8 @@ object IvfIndex {
     val cb = ProductQuantizer.fitCodebook(df, idCol, vecCol,
       clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
     val local = ProductQuantizer.localize(cb)(0)
-    val bc = spark.sparkContext.broadcast(local)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val cellU = (c: org.apache.spark.sql.Column) =>
+      VectorFunctions.nearest_centroid(c, local)
     val path = indexDir.getOrElse(
       s"$tmpBase/ivf_${buildCounter.getAndIncrement()}" +
         s"_c${nCells}_s$seed")
@@ -174,9 +173,10 @@ object IvfIndex {
     if (hit != null && hit._1.sameResult(plan) &&
         (hit._2.assigned.sparkSession eq spark))
       return hit._2
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    // codegen argmin assignment (NearestCentroid): no boxed-Seq UDF in
+    // the corpus-sized write stage, centroid table rides as a constant
+    val cellU = (c: org.apache.spark.sql.Column) =>
+      VectorFunctions.nearest_centroid(c, centroids)
     val path = indexDir.getOrElse(
       s"$tmpBase/ivffixed_${buildCounter.getAndIncrement()}" +
         s"_c${centroids.length}")
@@ -205,9 +205,8 @@ object IvfIndex {
     */
   def append(model: Model, df: DataFrame): Model = graft.util.BuildTimer.timed {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val cellU = (c: org.apache.spark.sql.Column) =>
+      VectorFunctions.nearest_centroid(c, model.centroids)
     // a quantized index must absorb batches in ITS representation: a
     // bits-bearing index without the arrivals' bits silently drops
     // them from every BQ shortlist (null hamming → bounded aggregate
@@ -872,9 +871,10 @@ object IvfIndex {
     if (hit != null && hit._1.sameResult(plan) &&
         (hit._2.assigned.sparkSession eq spark))
       return hit._2
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    // codegen argmin assignment (NearestCentroid): no boxed-Seq UDF in
+    // the corpus-sized write stage, centroid table rides as a constant
+    val cellU = (c: org.apache.spark.sql.Column) =>
+      VectorFunctions.nearest_centroid(c, centroids)
     val path = indexDir.getOrElse(
       s"$tmpBase/ivfbq_${buildCounter.getAndIncrement()}" +
         s"_c${centroids.length}")
@@ -940,9 +940,10 @@ object IvfIndex {
     if (hit != null && hit._1.sameResult(plan) &&
         (hit._2.assigned.sparkSession eq spark))
       return hit._2
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    // codegen argmin assignment (NearestCentroid): no boxed-Seq UDF in
+    // the corpus-sized write stage, centroid table rides as a constant
+    val cellU = (c: org.apache.spark.sql.Column) =>
+      VectorFunctions.nearest_centroid(c, centroids)
     val path = indexDir.getOrElse(
       s"$tmpBase/ivff16_${buildCounter.getAndIncrement()}" +
         s"_c${centroids.length}")
@@ -1111,9 +1112,8 @@ object IvfIndex {
     val cb = ProductQuantizer.fitCodebook(df, idCol, vecCol,
       clusters = nCells, splits = 1, maxIter = maxIter, seed = seed)
     val local = ProductQuantizer.localize(cb)(0)
-    val bc = spark.sparkContext.broadcast(local)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val cellU = (c: org.apache.spark.sql.Column) =>
+      VectorFunctions.nearest_centroid(c, local)
     val path = indexDir.getOrElse(
       s"$tmpBase/ivfsq_${buildCounter.getAndIncrement()}" +
         s"_c${nCells}_s$seed")
@@ -1165,9 +1165,10 @@ object IvfIndex {
     val sqModel = ScalarQuantizer.fit(df, vecCol)
     val rows = sqModel.collect().sortBy(_.getInt(0))
     val mn = rows.map(_.getDouble(1)); val mx = rows.map(_.getDouble(2))
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    // codegen argmin assignment (NearestCentroid): no boxed-Seq UDF in
+    // the corpus-sized write stage, centroid table rides as a constant
+    val cellU = (c: org.apache.spark.sql.Column) =>
+      VectorFunctions.nearest_centroid(c, centroids)
     val path = indexDir.getOrElse(
       s"$tmpBase/ivfsqf_${buildCounter.getAndIncrement()}" +
         s"_c${centroids.length}")
@@ -1204,9 +1205,8 @@ object IvfIndex {
       df: DataFrame, idCol: String, vecCol: String): Model = graft.util.BuildTimer.timed {
     val spark = df.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
+    val cellU = (c: org.apache.spark.sql.Column) =>
+      VectorFunctions.nearest_centroid(c, model.centroids)
     val sqModel = mins.indices.map(i => (i, mins(i), maxs(i)))
       .toDF("pos", "mn", "mx")
     ScalarQuantizer.quantize(df, vecCol, "sq", sqModel)

@@ -108,12 +108,9 @@ object VectorIngestStream {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       centroids: Array[Array[Float]], idCol: String, vecCol: String,
       indexPath: String): Unit = {
-    val spark = batch.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellU = udf((v: Seq[Float]) =>
-      ProductQuantizer.nearestCentroid(bc.value, v.toArray))
     batch.select(col(idCol), col(vecCol))
-      .withColumn("cell_id", cellU(col(vecCol)))
+      .withColumn("cell_id", graft.functions.VectorFunctions
+        .nearest_centroid(col(vecCol), centroids))
       .withColumn("batch_id", lit(batchId))
       .repartition(col("cell_id"))
       .write
