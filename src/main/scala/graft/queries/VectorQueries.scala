@@ -938,12 +938,10 @@ object VectorQueries {
       val cents = emb.where($"vec_id" < 16).orderBy($"vec_id")
         .select($"embedding").collect()
         .map(_.getSeq[Float](0).toArray)
-      val bc = s.sparkContext.broadcast(cents)
-      val cellU = udf((v: Seq[Float]) =>
-        graft.operators.ProductQuantizer.nearestCentroid(bc.value,
-          v.toArray))
       val assigned = emb.select(
-        cellU($"embedding").cast("long").as("cell"),
+        graft.functions.VectorFunctions
+          .nearest_centroid($"embedding", cents)
+          .cast("long").as("cell"),
         ($"vec_id" % 2 === 0).as("is_v1"),
         $"embedding")
       val dims = assigned.select($"cell", $"is_v1",
