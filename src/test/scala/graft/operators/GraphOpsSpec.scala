@@ -213,6 +213,14 @@ class GraphOpsSpec extends SparkSuite {
       }
       p +: expanded.flatMap(allNodes)
     }
+    // the wedge pipeline executes inside triangles' internal
+    // localCheckpoint action (the returned frame's plan is just the
+    // checkpoint scan), so a QueryExecutionListener is the only
+    // capture point — but the census is scoped to the query
+    // executions that actually bind the `dv` orientation column, so
+    // an unrelated query on the shared session can never flake the
+    // no-SortMergeJoin assertion (the r13 advisor's ask); polling
+    // remains only for the async listener bus
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.sql.execution.QueryExecution]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -230,22 +238,23 @@ class GraphOpsSpec extends SparkSuite {
         "pmod(xxhash64(id * 31 + 7), 500) AS b")
       GraphOps.triangles(edges, "a", "b").collect()
       import scala.jdk.CollectionConverters._
-      // listener delivery is async on the bus thread — poll until the
-      // WEDGE join itself (the only BroadcastHashJoin referencing the
-      // `dv` orientation column) has landed, so a slow bus or an
-      // unrelated query on the shared session can't flake the census
-      def nodes: Seq[SparkPlan] =
-        captured.asScala.toSeq.flatMap(qe => allNodes(qe.executedPlan))
-      def wedgeBhj: Seq[SparkPlan] = nodes.collect {
-        case b: BroadcastHashJoinExec
-            if b.expressions.exists(_.references.exists(_.name == "dv")) => b
+      def refsDv(n: SparkPlan): Boolean =
+        n.expressions.exists(_.references.exists(_.name == "dv"))
+      // only the triangles-internal executions: those whose final
+      // tree binds the orientation column
+      def triNodes: Seq[SparkPlan] = captured.asScala.toSeq
+        .map(qe => allNodes(qe.executedPlan))
+        .filter(_.exists(refsDv))
+        .flatten
+      def wedgeBhj: Seq[SparkPlan] = triNodes.collect {
+        case b: BroadcastHashJoinExec if refsDv(b) => b
       }
       val deadline = System.currentTimeMillis() + 20000
       while (System.currentTimeMillis() < deadline && wedgeBhj.isEmpty)
         Thread.sleep(100)
       assert(wedgeBhj.nonEmpty,
         "no broadcast wedge join captured during the census")
-      val smj = nodes.collect { case s: SortMergeJoinExec => s }
+      val smj = triNodes.collect { case s: SortMergeJoinExec => s }
       assert(smj.isEmpty,
         s"wedge pipeline sort-merged under the broadcast guard:\n" +
           smj.map(_.toString).mkString("\n").take(4000))
