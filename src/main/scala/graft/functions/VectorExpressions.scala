@@ -380,6 +380,62 @@ case class NearestCentroid(child: Expression,
     copy(child = c)
 }
 
+/** Product-quantization encode: per split, the argmin centroid of that
+  * split's subvector — [[NearestCentroid]] generalized over a
+  * (split → centroids) codebook, one code per split. Replaces the
+  * boxed-Seq UDF + per-split Arrays.copyOfRange in
+  * ProductQuantizer.quantizeColumn on the corpus-sized encode path.
+  * Semantics preserved exactly: in-order double accumulation, strict
+  * `<` lowest-index ties, `.toByte.toInt` wrap (codes ≤ 255 by
+  * construction; the caller's cast to ARRAY<TINYINT> is unchanged),
+  * and out-of-range subvector reads behave like copyOfRange's zero
+  * padding so even malformed short vectors encode identically.
+  */
+case class PqEncode(child: Expression,
+    codebook: Array[Array[Array[Float]]], starts: Array[Int])
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Int](starts.length)
+    var s = 0
+    while (s < starts.length) {
+      val cb = codebook(s)
+      val st = starts(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var i = 0
+        while (i < cent.length) {
+          val x = if (st + i < n) a.getFloat(st + i) else 0.0f
+          val d = cent(i).toDouble - x.toDouble
+          acc += d * d; i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(s) = best.toByte.toInt
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class Sq8Encode(child: Expression, mins: Array[Double],
     maxs: Array[Double]) extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "sq8_encode"

@@ -222,22 +222,15 @@ object ProductQuantizer {
       val starts = subdims.scanLeft(0)(_ + _)
       subdims.indices.map(i => SplitSpec(i, starts(i), subdims(i)))
     }
-    val bc: Broadcast[LocalCodebook] = spark.sparkContext.broadcast(local)
-    val layoutB = layout.toArray
-    // UDF emits wrapped two's-complement ints (Array[Byte] would map to
-    // BINARY); the cast to ARRAY<TINYINT> is ANSI-safe in [-128, 127].
-    val quantU = udf((v: Seq[Float]) => {
-      if (v == null) null
-      else {
-        val arr = v.toArray
-        layoutB.map { sp =>
-          nearestCentroid(bc.value(sp.splitId),
-            java.util.Arrays.copyOfRange(arr, sp.start, sp.start + sp.len))
-            .toByte.toInt
-        }
-      }
-    })
-    df.withColumn(outCol, quantU(col(vecCol)).cast("array<tinyint>"))
+    // codegen multi-split argmin (PqEncode): the expression emits
+    // wrapped two's-complement ints exactly as the former UDF did
+    // (Array[Byte] would map to BINARY); the cast to ARRAY<TINYINT>
+    // is ANSI-safe in [-128, 127].
+    val enc = graft.functions.VectorFunctions.col(
+      graft.functions.PqEncode(
+        graft.functions.VectorFunctions.expr(col(vecCol)),
+        local, layout.map(_.start).toArray))
+    df.withColumn(outCol, enc.cast("array<tinyint>"))
   }
 
   /** Reconstruct the approximate vector from PQ codes (ADC building
