@@ -24,6 +24,16 @@ import org.apache.spark.sql.SparkSession
   * index-bearing face.
   */
 object Bench {
+  /** 1-minute loadavg, or -1 where /proc is unavailable — recorded at
+    * suite start and end so a contended run identifies itself in the
+    * artifact (r13's driver bench was contention-corrupted and nothing
+    * in the artifact could prove it).
+    */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +69,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    val loadStart = loadavg()
     // Per rep: wall seconds, index-build seconds within it (drained
     // from BuildTimer — real instrumented time in IvfIndex
     // build/append/load, not a derived cold-vs-warm guess), success.
@@ -111,15 +122,42 @@ object Bench {
     }
     val splitJson = split.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Contention canary: re-run the suite's FIRST face once at suite
+    // end and compare to its recorded min. Identical code measured
+    // minutes apart can only drift through external load (or heap
+    // state) — a large drift ratio marks the whole run's wall-clock as
+    // contended, from the artifact alone. r13's 32-core driver run was
+    // judged contention-corrupted only by cross-referencing a separate
+    // 8-core run; this makes the next such run self-identifying.
+    val canary = results.headOption.map { case (name, min, _) =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val drift = if (min > 0) sec / min else -1.0
+      (name, sec, min, drift)
+    }
+    val loadEnd = loadavg()
+    val canaryJson = canary.map { case (n, s, m, d) =>
+      f"""{"query":"$n","end_sec":$s%.3f,"suite_min_sec":$m%.3f,"drift":$d%.2f}"""
+    }.getOrElse("null")
+    val envJson =
+      f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"canary":$canaryJson"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","rep_times":$repTimes,"build_split":$splitJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir",$envJson,"rep_times":$repTimes,"build_split":$splitJson}"""
     println(json)
     // The driver's captured stdout tail truncates on long suites (r5
-    // lost 8 queries from round-over-round comparison); a complete
-    // per-query record also lands in a file when asked.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        json + "\n")
+    // lost 8 queries from round-over-round comparison); the complete
+    // per-query record therefore ALWAYS lands in a file — at
+    // SPARK_GRAFT_BENCH_OUT when set, ./bench_full.json otherwise
+    // (r13's round-over-round comparison came up empty solely because
+    // the env var wasn't set and the stdout tail truncated).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
     }
     spark.stop()
     // The driver parses its captured TAIL (last ~2k chars): the full
@@ -127,12 +165,11 @@ object Bench {
     // why BENCH_r07..r09 all recorded "parsed": null. Emit a compact
     // summary as the LAST stdout line (after spark.stop(), ahead of
     // nothing) that always fits the tail; the full artifact stays in
-    // the first line + the SPARK_GRAFT_BENCH_OUT file.
+    // the first line + the out file.
     val failed = results.collect {
       case (k, _, ts) if ts.forall(!_.ok) => k
     }
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"out":"$outPath","detail":"full per-query JSON on first output line and in the out file"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"out":"$outPath",$envJson,"detail":"full per-query JSON on first output line and in the out file"}""")
   }
 }
