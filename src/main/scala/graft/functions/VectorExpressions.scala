@@ -345,10 +345,17 @@ case class NormalizeVector(child: Expression)
   * stage.
   */
 case class NearestCentroid(child: Expression,
-    centroids: Array[Array[Float]]) extends UnaryExpression
+    centroids: IndexedSeq[IndexedSeq[Float]]) extends UnaryExpression
     with EvalDelegatingCodegen {
   override def prettyName: String = "nearest_centroid"
   override def dataType: DataType = IntegerType
+  // model params are IndexedSeq (the MatVecProject convention) so case-
+  // class equality is structural: two instances built from equal
+  // centroid content are semanticEquals, which Catalyst subexpression
+  // elimination and exchange reuse depend on. The hot loop still runs
+  // over a private array view.
+  private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -362,8 +369,8 @@ case class NearestCentroid(child: Expression,
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
-    while (c < centroids.length) {
-      val cent = centroids(c)
+    while (c < cents.length) {
+      val cent = cents(c)
       VectorExprUtil.requireSameDim(cent.length, n)
       var acc = 0.0
       var i = 0
@@ -380,6 +387,68 @@ case class NearestCentroid(child: Expression,
     copy(child = c)
 }
 
+/** Per-split argmin against a split-indexed codebook — the Lloyd-
+  * iteration assignment of ProductQuantizer.fitCodebook as a binary
+  * expression over (split_id, subvec) instead of a boxed-Seq UDF. The
+  * exploded subvector table is |rows| x |splits| — corpus-scale per
+  * k-means iteration — so the UDF's per-row Seq boxing plus the stage-
+  * wide codegen fallback it forced were paid once per row per
+  * iteration. Arithmetic is bit-identical to nearestCentroid (in-order
+  * double accumulation, strict `<` lowest-index ties).
+  */
+case class SplitNearestCentroid(left: Expression, right: Expression,
+    codebook: IndexedSeq[IndexedSeq[IndexedSeq[Float]]])
+    extends BinaryExpression {
+  override def prettyName: String = "split_nearest_centroid"
+  override def dataType: DataType = IntegerType
+  private lazy val cb: Array[Array[Array[Float]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (INT, ARRAY<FLOAT>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  /** Public bridge to the protected nullSafeEval for generated code. */
+  final def compute(s: Any, v: Any): Any = nullSafeEval(s, v)
+  override def nullSafeEval(s: Any, v: Any): Any = {
+    val split = s.asInstanceOf[Int]
+    val a = v.asInstanceOf[ArrayData]
+    val cents = cb(split)
+    val n = a.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      VectorExprUtil.requireSameDim(cent.length, n)
+      var acc = 0.0
+      var i = 0
+      while (i < cent.length) {
+        val d = cent(i).toDouble - a.getFloat(i).toDouble
+        acc += d * d; i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+  // same delegation rationale as EvalDelegatingCodegen (that trait is
+  // unary-only): the argmin loop is plain JVM code either way; what
+  // matters is keeping the surrounding exploded-subvector stage inside
+  // whole-stage codegen instead of CodegenFallback de-compiling it.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, v) => {
+      val ref = ctx.addReferenceObj("graftExpr", this)
+      s"${ev.value} = ((java.lang.Integer) $ref.compute($s, $v))" +
+        ".intValue();"
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Product-quantization encode: per split, the argmin centroid of that
   * split's subvector — [[NearestCentroid]] generalized over a
   * (split → centroids) codebook, one code per split. Replaces the
@@ -392,11 +461,17 @@ case class NearestCentroid(child: Expression,
   * padding so even malformed short vectors encode identically.
   */
 case class PqEncode(child: Expression,
-    codebook: Array[Array[Array[Float]]], starts: Array[Int])
+    codebook: IndexedSeq[IndexedSeq[IndexedSeq[Float]]],
+    starts: IndexedSeq[Int])
     extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "pq_encode"
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
+  // IndexedSeq params for structural case-class equality (semanticEquals
+  // / exchange reuse), array views for the hot loop — see NearestCentroid
+  private lazy val cbArr: Array[Array[Array[Float]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  private lazy val startArr: Array[Int] = starts.toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -407,11 +482,11 @@ case class PqEncode(child: Expression,
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val out = new Array[Int](starts.length)
+    val out = new Array[Int](startArr.length)
     var s = 0
-    while (s < starts.length) {
-      val cb = codebook(s)
-      val st = starts(s)
+    while (s < startArr.length) {
+      val cb = cbArr(s)
+      val st = startArr(s)
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
@@ -436,10 +511,173 @@ case class PqEncode(child: Expression,
     copy(child = c)
 }
 
-case class Sq8Encode(child: Expression, mins: Array[Double],
-    maxs: Array[Double]) extends UnaryExpression with EvalDelegatingCodegen {
+/** Inverse of [[PqEncode]]: reconstruct the approximate vector by
+  * concatenating, per split, the codebook centroid the u8 code names
+  * (codes read as `b & 0xff` — the two's-complement u8 wrap of the
+  * TINYINT storage). Replaces the boxed-Seq UDF in
+  * ProductQuantizer.dequantizeColumn: the reconstruction faces
+  * (q_pq_reconstruction, OPQ distortion) run the decode corpus-wide,
+  * where the UDF's per-row Seq[Byte] boxing plus the builder-append
+  * loop sat outside whole-stage codegen.
+  */
+case class PqDecode(child: Expression,
+    codebook: IndexedSeq[IndexedSeq[IndexedSeq[Float]]])
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "pq_decode"
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+  private lazy val cbArr: Array[Array[Array[Float]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  private lazy val dim: Int = cbArr.map(_.head.length).sum
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<TINYINT>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    // match the former UDF's growable-builder shape: a short code row
+    // reconstructs only its splits' dims (dim is just the usual size)
+    val out = new Array[Float](
+      if (n == cbArr.length) dim
+      else (0 until n).map(s => cbArr(s).head.length).sum)
+    var s = 0
+    var o = 0
+    while (s < n) {
+      val cent = cbArr(s)(codes.getByte(s) & 0xff)
+      System.arraycopy(cent, 0, out, o, cent.length)
+      o += cent.length
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ADC distance: sum over splits of LUT[split][code]. The LUT is a
+  * per-query column (ARRAY<ARRAY<DOUBLE>>, built once per probe row
+  * from the codebook), the codes column is ARRAY<TINYINT> read as u8.
+  * True codegen — this is the IVF-PQ shortlist hot path, running once
+  * per (probed-cell row x query): nprobe/nCells x corpus rows, the
+  * corpus-fraction-scale path that made the former interpreted UDF the
+  * worst remaining per-row cost at volume. Accumulation is in-order
+  * double sum, bit-identical to the UDF it replaces.
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "pq_adc_score"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<ARRAY<DOUBLE>>, ARRAY<TINYINT>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    var acc = 0.0; var s = 0
+    while (s < codes.numElements()) {
+      acc += lut.getArray(s).getDouble(codes.getByte(s) & 0xff)
+      s += 1
+    }
+    acc
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $codes.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  $acc += $lut.getArray($s).getDouble($codes.getByte($s) & 0xff);
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Residual-quantization encode: per level, the integer-grid argmin
+  * centroid of the running residual (see
+  * [[graft.operators.ResidualQuantizer.encode]], which this delegates
+  * to for bit-identity). Replaces the boxed-Seq UDF on the corpus-
+  * sized encode path; the L x K codebook rides as a compiled-stage
+  * constant.
+  */
+case class RvqEncode(child: Expression,
+    levels: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "rvq_encode"
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  private lazy val lv: Array[Array[Array[Double]]] =
+    levels.map(_.map(_.toArray).toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    new GenericArrayData(
+      graft.operators.ResidualQuantizer.encode(lv, a.toDoubleArray()))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Inverse of [[RvqEncode]]: elementwise sum of the selected centroid
+  * per level — the decoded approximation as ARRAY<DOUBLE>.
+  */
+case class RvqDecode(child: Expression,
+    levels: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def prettyName: String = "rvq_decode"
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  private lazy val lv: Array[Array[Array[Double]]] =
+    levels.map(_.map(_.toArray).toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<INT>, got ${t.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = delegatedGenCode(ctx, ev)
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](lv(0)(0).length)
+    var l = 0
+    while (l < codes.numElements()) {
+      val cen = lv(l)(codes.getInt(l))
+      var i = 0
+      while (i < out.length) { out(i) += cen(i); i += 1 }
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class Sq8Encode(child: Expression, mins: IndexedSeq[Double],
+    maxs: IndexedSeq[Double])
+    extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "sq8_encode"
   override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  private lazy val mn: Array[Double] = mins.toArray
+  private lazy val mx: Array[Double] = maxs.toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -450,11 +688,11 @@ case class Sq8Encode(child: Expression, mins: Array[Double],
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
-    VectorExprUtil.requireSameDim(n, mins.length)
+    VectorExprUtil.requireSameDim(n, mn.length)
     val out = new Array[Short](n)
     var i = 0
     while (i < n) {
-      val lo = mins(i); val hi = maxs(i)
+      val lo = mn(i); val hi = mx(i)
       // clamp to [0,255]: quantize(df, model) is public API and a
       // mismatched model would otherwise wrap via Double.toShort into
       // negative codes that silently corrupt decode (standard SQ8
@@ -476,10 +714,13 @@ case class Sq8Encode(child: Expression, mins: Array[Double],
 /** Inverse of [[Sq8Encode]]: x̂_i = mn_i + code_i / 255 * (mx_i - mn_i),
   * cast to float — the exact op order the q_sq_knn oracle restates.
   */
-case class Sq8Decode(child: Expression, mins: Array[Double],
-    maxs: Array[Double]) extends UnaryExpression with EvalDelegatingCodegen {
+case class Sq8Decode(child: Expression, mins: IndexedSeq[Double],
+    maxs: IndexedSeq[Double])
+    extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "sq8_decode"
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  private lazy val mn: Array[Double] = mins.toArray
+  private lazy val mx: Array[Double] = maxs.toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(ShortType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -490,11 +731,11 @@ case class Sq8Decode(child: Expression, mins: Array[Double],
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
-    VectorExprUtil.requireSameDim(n, mins.length)
+    VectorExprUtil.requireSameDim(n, mn.length)
     val out = new Array[Float](n)
     var i = 0
     while (i < n) {
-      val lo = mins(i); val hi = maxs(i)
+      val lo = mn(i); val hi = mx(i)
       out(i) = (lo + a.getShort(i).toDouble / 255.0 * (hi - lo)).toFloat
       i += 1
     }

@@ -38,7 +38,10 @@ object VectorFunctions {
   def fp16_encode(a: Column): Column = col(Fp16Encode(f(a)))
   def nearest_centroid(a: Column,
       centroids: Array[Array[Float]]): Column =
-    col(NearestCentroid(f(a), centroids))
+    // IndexedSeq conversion here so every call site gets structural
+    // expression equality (semanticEquals) for free — see NearestCentroid
+    col(NearestCentroid(f(a),
+      centroids.map(_.toIndexedSeq: IndexedSeq[Float]).toIndexedSeq))
   def fp16_decode(a: Column): Column = col(Fp16Decode(expr(a)))
 
   /** One-pass (n, mean, covariance-upper-triangle) aggregate — the

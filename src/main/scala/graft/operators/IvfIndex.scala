@@ -776,14 +776,16 @@ object IvfIndex {
     val corpus = pruneToProbedCells(quantized, probes0)
       .select(col("cell_id"),
         col(model.idCol).cast("long").as("nid"), col(pqCol).as("codes"))
-    val adcU = udf((lut: Seq[Seq[Double]], codes: Seq[Byte]) => {
-      var acc = 0.0; var s = 0
-      while (s < codes.length) { acc += lut(s)(codes(s) & 0xff); s += 1 }
-      acc
-    })
+    // codegen ADC table-sum (PqAdcScore): this runs once per
+    // (probed-cell row x query) — nprobe/nCells x corpus rows, a
+    // corpus-fraction-scale path where the former interpreted UDF
+    // boxed a Seq[Seq[Double]] LUT and a Seq[Byte] code row per call
+    // and kept the whole shortlist stage out of whole-stage codegen
     val scored = corpus.join(probes, "cell_id")
       .select(col("qid"), col("nid"),
-        adcU(col("lut"), col("codes")).as("dist"))
+        graft.functions.VectorFunctions.col(graft.functions.PqAdcScore(
+          graft.functions.VectorFunctions.expr(col("lut")),
+          graft.functions.VectorFunctions.expr(col("codes")))).as("dist"))
     scored.groupBy(col("qid"))
       .agg(Knn.topk_by_score(col("dist"), col("nid"), k).as("nn"))
       .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
@@ -1264,7 +1266,8 @@ object IvfIndex {
       .select(col("cell_id"),
         col(model.idCol).cast("long").as("nid"),
         VectorFunctions.col(graft.functions.Sq8Decode(
-          VectorFunctions.expr(col("sq")), mins, maxs)).as("cvec"))
+          VectorFunctions.expr(col("sq")),
+          mins.toIndexedSeq, maxs.toIndexedSeq)).as("cvec"))
     val scored = corpus.join(probes, "cell_id")
       .select(col("qid"), col("nid"),
         Knn.distance(metric)(col("cvec"), col("qvec")).as("dist"))

@@ -161,12 +161,20 @@ object ProductQuantizer {
       var iter = 0
       var moved = Double.MaxValue
       while (iter < maxIter && moved > tol) {
-        val bc = spark.sparkContext.broadcast(codebook)
-        val assignU = udf((split: Int, v: Seq[Float]) =>
-          nearestCentroid(bc.value(split), v.toArray))
+        // codegen per-split argmin (SplitNearestCentroid): the exploded
+        // subvector table is |rows| x |splits| rows per Lloyd
+        // iteration; the former boxed-Seq UDF paid a Seq copy per row
+        // and de-compiled the aggregation's input stage. The evolving
+        // codebook rides as a constant in the compiled stage (≤ 256 x
+        // dim floats x splits — model-bounded), replacing the
+        // per-iteration broadcast/destroy cycle.
+        val assignCol = VectorFunctions.col(
+          graft.functions.SplitNearestCentroid(
+            VectorFunctions.expr(col("split_id")),
+            VectorFunctions.expr(col("subvec")),
+            localIndexed(codebook)))
         val newCentroids = subvecs
-          .groupBy(col("split_id"),
-            assignU(col("split_id"), col("subvec")).as("centroid_id"))
+          .groupBy(col("split_id"), assignCol.as("centroid_id"))
           .agg(VectorFunctions.col(
             VectorAvg(VectorFunctions.expr(col("subvec")))
               .toAggregateExpression()).as("c"))
@@ -179,7 +187,6 @@ object ProductQuantizer {
           codebook(s).indices.map(ci => l2sq(codebook(s)(ci), next(s)(ci))).max
         }.max
         codebook = next
-        bc.destroy()
         iter += 1
       }
     } finally subvecs.unpersist()
@@ -229,28 +236,31 @@ object ProductQuantizer {
     val enc = graft.functions.VectorFunctions.col(
       graft.functions.PqEncode(
         graft.functions.VectorFunctions.expr(col(vecCol)),
-        local, layout.map(_.start).toArray))
+        localIndexed(local), layout.map(_.start).toIndexedSeq))
     df.withColumn(outCol, enc.cast("array<tinyint>"))
   }
+
+  /** Nested-array codebook → IndexedSeq layers (structural equality for
+    * the expressions that carry it — see NearestCentroid's note).
+    */
+  private def localIndexed(local: LocalCodebook)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Float]]] =
+    local.map(_.map(_.toIndexedSeq: IndexedSeq[Float])
+      .toIndexedSeq: IndexedSeq[IndexedSeq[Float]]).toIndexedSeq
 
   /** Reconstruct the approximate vector from PQ codes (ADC building
     * block / `_lantern_internal.quantize_vector` inverse).
     */
   def dequantizeColumn(df: DataFrame, pqCol: String, outCol: String,
       codebook: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(localize(codebook))
-    val deqU = udf((codes: Seq[Byte]) => {
-      if (codes == null) null
-      else {
-        val cb = bc.value
-        val out = Array.newBuilder[Float]
-        codes.zipWithIndex.foreach { case (b, s) =>
-          out ++= cb(s)(b & 0xff)
-        }
-        out.result()
-      }
-    })
-    df.withColumn(outCol, deqU(col(pqCol)))
+    // codegen decode (PqDecode): the reconstruction faces run this
+    // corpus-wide, where the former Seq[Byte] UDF boxed every code row
+    // and dropped the whole stage out of whole-stage codegen. Null
+    // codes still decode to null (expression null-propagation ==
+    // the UDF's explicit null branch).
+    df.withColumn(outCol, graft.functions.VectorFunctions.col(
+      graft.functions.PqDecode(
+        graft.functions.VectorFunctions.expr(col(pqCol)),
+        localIndexed(localize(codebook)))))
   }
 }

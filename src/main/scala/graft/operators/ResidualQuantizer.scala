@@ -95,16 +95,26 @@ object ResidualQuantizer {
     }.toArray
   }
 
-  /** Append `outCol` = ARRAY<INT> of one code per level. */
+  /** Nested arrays → IndexedSeq layers for the expression params
+    * (structural equality — see NearestCentroid's note).
+    */
+  private def localIndexed(lv: Array[Array[Array[Double]]])
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    lv.map(_.map(_.toIndexedSeq: IndexedSeq[Double])
+      .toIndexedSeq: IndexedSeq[IndexedSeq[Double]]).toIndexedSeq
+
+  /** Append `outCol` = ARRAY<INT> of one code per level. Codegen
+    * expression (RvqEncode): the encode touches every corpus row, so
+    * the former boxed-Seq UDF both copied each vector and dropped the
+    * stage out of whole-stage codegen.
+    */
   def quantizeColumn(df: DataFrame, vecCol: String, outCol: String,
-      codebooks: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val bc: Broadcast[Array[Array[Array[Double]]]] =
-      spark.sparkContext.broadcast(localize(codebooks))
-    val encU = udf((v: Seq[Double]) =>
-      if (v == null) null else encode(bc.value, v.toArray))
-    df.withColumn(outCol, encU(col(vecCol).cast("array<double>")))
-  }
+      codebooks: DataFrame): DataFrame =
+    df.withColumn(outCol, graft.functions.VectorFunctions.col(
+      graft.functions.RvqEncode(
+        graft.functions.VectorFunctions.expr(
+          col(vecCol).cast("array<double>")),
+        localIndexed(localize(codebooks)))))
 
   /** Fit per-level codebooks: k-means the vectors (level 0), assign,
     * subtract, k-means the residuals (level 1), and so on — each
@@ -143,21 +153,9 @@ object ResidualQuantizer {
     * the selected centroid per level) as ARRAY<DOUBLE>.
     */
   def reconstructColumn(df: DataFrame, codesCol: String,
-      outCol: String, codebooks: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(localize(codebooks))
-    val decU = udf((codes: Seq[Int]) =>
-      if (codes == null) null
-      else {
-        val lv = bc.value
-        val out = new Array[Double](lv(0)(0).length)
-        codes.zipWithIndex.foreach { case (c, l) =>
-          val cen = lv(l)(c)
-          var i = 0
-          while (i < out.length) { out(i) += cen(i); i += 1 }
-        }
-        out
-      })
-    df.withColumn(outCol, decU(col(codesCol)))
-  }
+      outCol: String, codebooks: DataFrame): DataFrame =
+    df.withColumn(outCol, graft.functions.VectorFunctions.col(
+      graft.functions.RvqDecode(
+        graft.functions.VectorFunctions.expr(col(codesCol)),
+        localIndexed(localize(codebooks)))))
 }

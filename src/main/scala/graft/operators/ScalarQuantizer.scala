@@ -51,7 +51,8 @@ object ScalarQuantizer {
     val (mn, mx) = localize(model)
     df.withColumn(outCol, graft.functions.VectorFunctions.col(
       graft.functions.Sq8Encode(
-        graft.functions.VectorFunctions.expr(col(vecCol)), mn, mx)))
+        graft.functions.VectorFunctions.expr(col(vecCol)),
+        mn.toIndexedSeq, mx.toIndexedSeq)))
   }
 
   /** Reconstruct float vectors from codes: x̂ = mn + code/255 * (mx-mn). */
@@ -60,6 +61,7 @@ object ScalarQuantizer {
     val (mn, mx) = localize(model)
     df.withColumn(outCol, graft.functions.VectorFunctions.col(
       graft.functions.Sq8Decode(
-        graft.functions.VectorFunctions.expr(col(codeCol)), mn, mx)))
+        graft.functions.VectorFunctions.expr(col(codeCol)),
+        mn.toIndexedSeq, mx.toIndexedSeq)))
   }
 }
