@@ -33,6 +33,117 @@ object VectorExprUtil {
        |""".stripMargin
 }
 
+/** Wrappers for the model tables expressions carry as constructor
+  * params (centroid tables, PQ codebooks, SQ8 min/max, RVQ levels).
+  *
+  * Why not raw arrays: case-class equality on arrays is by REFERENCE,
+  * so two instances built from equal model content are never
+  * semanticEquals — breaking Catalyst subexpression elimination,
+  * canonicalized-plan matching and exchange reuse. Why not raw
+  * IndexedSeqs: Catalyst hashes and compares expressions many times
+  * per optimization pass and renders them into the plan-description
+  * string of every execution; an IndexedSeq recomputes an O(model)
+  * structural hash on every call and prints the entire model
+  * (measured: q_quant_kinds 1.72 → 2.67 s min, cold rep 8 → 19 s,
+  * from IndexedSeq params alone). These wrappers keep the structural
+  * semantics with a CACHED content hash, equals that short-circuits
+  * on reference then hash before comparing content, and a
+  * shape-only toString.
+  */
+final class FloatMatrixParam(val rows: Array[Array[Float]])
+    extends Serializable {
+  override lazy val hashCode: Int = {
+    var h = 17
+    var i = 0
+    while (i < rows.length) {
+      h = h * 31 + java.util.Arrays.hashCode(rows(i)); i += 1
+    }
+    h
+  }
+  override def equals(o: Any): Boolean = o match {
+    case t: FloatMatrixParam => (this eq t) ||
+      (hashCode == t.hashCode && rows.length == t.rows.length &&
+        rows.indices.forall(i =>
+          java.util.Arrays.equals(rows(i), t.rows(i))))
+    case _ => false
+  }
+  override def toString: String =
+    s"float_matrix(${rows.length}x${if (rows.isEmpty) 0 else rows(0).length})"
+}
+
+/** Split-indexed float codebook (PQ): splits x centroids x dims. */
+final class FloatCubeParam(val splits: Array[Array[Array[Float]]])
+    extends Serializable {
+  override lazy val hashCode: Int = {
+    var h = 17
+    var s = 0
+    while (s < splits.length) {
+      val rows = splits(s)
+      var i = 0
+      while (i < rows.length) {
+        h = h * 31 + java.util.Arrays.hashCode(rows(i)); i += 1
+      }
+      s += 1
+    }
+    h
+  }
+  override def equals(o: Any): Boolean = o match {
+    case t: FloatCubeParam => (this eq t) ||
+      (hashCode == t.hashCode && splits.length == t.splits.length &&
+        splits.indices.forall { s =>
+          splits(s).length == t.splits(s).length &&
+            splits(s).indices.forall(i =>
+              java.util.Arrays.equals(splits(s)(i), t.splits(s)(i)))
+        })
+    case _ => false
+  }
+  override def toString: String =
+    s"float_cube(${splits.length} splits)"
+}
+
+/** Level-indexed double codebook (RVQ): levels x centroids x dims. */
+final class DoubleCubeParam(val levels: Array[Array[Array[Double]]])
+    extends Serializable {
+  override lazy val hashCode: Int = {
+    var h = 17
+    var s = 0
+    while (s < levels.length) {
+      val rows = levels(s)
+      var i = 0
+      while (i < rows.length) {
+        h = h * 31 + java.util.Arrays.hashCode(rows(i)); i += 1
+      }
+      s += 1
+    }
+    h
+  }
+  override def equals(o: Any): Boolean = o match {
+    case t: DoubleCubeParam => (this eq t) ||
+      (hashCode == t.hashCode && levels.length == t.levels.length &&
+        levels.indices.forall { s =>
+          levels(s).length == t.levels(s).length &&
+            levels(s).indices.forall(i =>
+              java.util.Arrays.equals(levels(s)(i), t.levels(s)(i)))
+        })
+    case _ => false
+  }
+  override def toString: String =
+    s"double_cube(${levels.length} levels)"
+}
+
+/** Per-dimension double vector (SQ8 mins/maxs). */
+final class DoubleVecParam(val values: Array[Double])
+    extends Serializable {
+  override lazy val hashCode: Int = java.util.Arrays.hashCode(values)
+  override def equals(o: Any): Boolean = o match {
+    case t: DoubleVecParam => (this eq t) ||
+      (hashCode == t.hashCode &&
+        java.util.Arrays.equals(values, t.values))
+    case _ => false
+  }
+  override def toString: String = s"double_vec(${values.length})"
+}
+
 /** Distances are polymorphic over the element precision: both sides
   * `ARRAY<FLOAT>` (the F32 default everywhere) or both sides
   * `ARRAY<DOUBLE>` (the F64 kind of the reference index server,
@@ -345,17 +456,16 @@ case class NormalizeVector(child: Expression)
   * stage.
   */
 case class NearestCentroid(child: Expression,
-    centroids: IndexedSeq[IndexedSeq[Float]]) extends UnaryExpression
+    centroids: FloatMatrixParam) extends UnaryExpression
     with EvalDelegatingCodegen {
   override def prettyName: String = "nearest_centroid"
   override def dataType: DataType = IntegerType
-  // model params are IndexedSeq (the MatVecProject convention) so case-
-  // class equality is structural: two instances built from equal
+  // model param is a FloatMatrixParam (structural equality with a
+  // cached hash — see its scaladoc): two instances built from equal
   // centroid content are semanticEquals, which Catalyst subexpression
-  // elimination and exchange reuse depend on. The hot loop still runs
-  // over a private array view.
-  private lazy val cents: Array[Array[Float]] =
-    centroids.map(_.toArray).toArray
+  // elimination and exchange reuse depend on, without the O(model)
+  // per-call hashing and plan-string rendering of a raw IndexedSeq.
+  private def cents: Array[Array[Float]] = centroids.rows
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -397,12 +507,11 @@ case class NearestCentroid(child: Expression,
   * double accumulation, strict `<` lowest-index ties).
   */
 case class SplitNearestCentroid(left: Expression, right: Expression,
-    codebook: IndexedSeq[IndexedSeq[IndexedSeq[Float]]])
+    codebook: FloatCubeParam)
     extends BinaryExpression {
   override def prettyName: String = "split_nearest_centroid"
   override def dataType: DataType = IntegerType
-  private lazy val cb: Array[Array[Array[Float]]] =
-    codebook.map(_.map(_.toArray).toArray).toArray
+  private def cb: Array[Array[Array[Float]]] = codebook.splits
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (IntegerType, ArrayType(FloatType, _)) =>
@@ -461,16 +570,15 @@ case class SplitNearestCentroid(left: Expression, right: Expression,
   * padding so even malformed short vectors encode identically.
   */
 case class PqEncode(child: Expression,
-    codebook: IndexedSeq[IndexedSeq[IndexedSeq[Float]]],
+    codebook: FloatCubeParam,
     starts: IndexedSeq[Int])
     extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "pq_encode"
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
-  // IndexedSeq params for structural case-class equality (semanticEquals
-  // / exchange reuse), array views for the hot loop — see NearestCentroid
-  private lazy val cbArr: Array[Array[Array[Float]]] =
-    codebook.map(_.map(_.toArray).toArray).toArray
+  // FloatCubeParam for structural case-class equality with a cached
+  // hash (semanticEquals / exchange reuse) — see NearestCentroid
+  private def cbArr: Array[Array[Array[Float]]] = codebook.splits
   private lazy val startArr: Array[Int] = starts.toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -521,13 +629,12 @@ case class PqEncode(child: Expression,
   * loop sat outside whole-stage codegen.
   */
 case class PqDecode(child: Expression,
-    codebook: IndexedSeq[IndexedSeq[IndexedSeq[Float]]])
+    codebook: FloatCubeParam)
     extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "pq_decode"
   override def dataType: DataType =
     ArrayType(FloatType, containsNull = false)
-  private lazy val cbArr: Array[Array[Array[Float]]] =
-    codebook.map(_.map(_.toArray).toArray).toArray
+  private def cbArr: Array[Array[Array[Float]]] = codebook.splits
   private lazy val dim: Int = cbArr.map(_.head.length).sum
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
@@ -613,14 +720,12 @@ case class PqAdcScore(left: Expression, right: Expression)
   * sized encode path; the L x K codebook rides as a compiled-stage
   * constant.
   */
-case class RvqEncode(child: Expression,
-    levels: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+case class RvqEncode(child: Expression, levels: DoubleCubeParam)
     extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "rvq_encode"
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
-  private lazy val lv: Array[Array[Array[Double]]] =
-    levels.map(_.map(_.toArray).toArray).toArray
+  private def lv: Array[Array[Array[Double]]] = levels.levels
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -640,14 +745,12 @@ case class RvqEncode(child: Expression,
 /** Inverse of [[RvqEncode]]: elementwise sum of the selected centroid
   * per level — the decoded approximation as ARRAY<DOUBLE>.
   */
-case class RvqDecode(child: Expression,
-    levels: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+case class RvqDecode(child: Expression, levels: DoubleCubeParam)
     extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "rvq_decode"
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)
-  private lazy val lv: Array[Array[Array[Double]]] =
-    levels.map(_.map(_.toArray).toArray).toArray
+  private def lv: Array[Array[Array[Double]]] = levels.levels
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -671,13 +774,13 @@ case class RvqDecode(child: Expression,
     copy(child = c)
 }
 
-case class Sq8Encode(child: Expression, mins: IndexedSeq[Double],
-    maxs: IndexedSeq[Double])
+case class Sq8Encode(child: Expression, mins: DoubleVecParam,
+    maxs: DoubleVecParam)
     extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "sq8_encode"
   override def dataType: DataType = ArrayType(ShortType, containsNull = false)
-  private lazy val mn: Array[Double] = mins.toArray
-  private lazy val mx: Array[Double] = maxs.toArray
+  private def mn: Array[Double] = mins.values
+  private def mx: Array[Double] = maxs.values
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -714,13 +817,13 @@ case class Sq8Encode(child: Expression, mins: IndexedSeq[Double],
 /** Inverse of [[Sq8Encode]]: x̂_i = mn_i + code_i / 255 * (mx_i - mn_i),
   * cast to float — the exact op order the q_sq_knn oracle restates.
   */
-case class Sq8Decode(child: Expression, mins: IndexedSeq[Double],
-    maxs: IndexedSeq[Double])
+case class Sq8Decode(child: Expression, mins: DoubleVecParam,
+    maxs: DoubleVecParam)
     extends UnaryExpression with EvalDelegatingCodegen {
   override def prettyName: String = "sq8_decode"
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  private lazy val mn: Array[Double] = mins.toArray
-  private lazy val mx: Array[Double] = maxs.toArray
+  private def mn: Array[Double] = mins.values
+  private def mx: Array[Double] = maxs.values
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(ShortType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

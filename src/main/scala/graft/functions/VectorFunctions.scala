@@ -38,10 +38,9 @@ object VectorFunctions {
   def fp16_encode(a: Column): Column = col(Fp16Encode(f(a)))
   def nearest_centroid(a: Column,
       centroids: Array[Array[Float]]): Column =
-    // IndexedSeq conversion here so every call site gets structural
+    // FloatMatrixParam wrap here so every call site gets structural
     // expression equality (semanticEquals) for free — see NearestCentroid
-    col(NearestCentroid(f(a),
-      centroids.map(_.toIndexedSeq: IndexedSeq[Float]).toIndexedSeq))
+    col(NearestCentroid(f(a), new FloatMatrixParam(centroids)))
   def fp16_decode(a: Column): Column = col(Fp16Decode(expr(a)))
 
   /** One-pass (n, mean, covariance-upper-triangle) aggregate — the

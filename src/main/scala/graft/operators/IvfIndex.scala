@@ -1267,7 +1267,8 @@ object IvfIndex {
         col(model.idCol).cast("long").as("nid"),
         VectorFunctions.col(graft.functions.Sq8Decode(
           VectorFunctions.expr(col("sq")),
-          mins.toIndexedSeq, maxs.toIndexedSeq)).as("cvec"))
+          new graft.functions.DoubleVecParam(mins),
+          new graft.functions.DoubleVecParam(maxs))).as("cvec"))
     val scored = corpus.join(probes, "cell_id")
       .select(col("qid"), col("nid"),
         Knn.distance(metric)(col("cvec"), col("qvec")).as("dist"))

@@ -240,13 +240,12 @@ object ProductQuantizer {
     df.withColumn(outCol, enc.cast("array<tinyint>"))
   }
 
-  /** Nested-array codebook → IndexedSeq layers (structural equality for
-    * the expressions that carry it — see NearestCentroid's note).
+  /** Codebook → expression param (structural equality with a cached
+    * hash — see FloatCubeParam's scaladoc).
     */
   private def localIndexed(local: LocalCodebook)
-      : IndexedSeq[IndexedSeq[IndexedSeq[Float]]] =
-    local.map(_.map(_.toIndexedSeq: IndexedSeq[Float])
-      .toIndexedSeq: IndexedSeq[IndexedSeq[Float]]).toIndexedSeq
+      : graft.functions.FloatCubeParam =
+    new graft.functions.FloatCubeParam(local)
 
   /** Reconstruct the approximate vector from PQ codes (ADC building
     * block / `_lantern_internal.quantize_vector` inverse).

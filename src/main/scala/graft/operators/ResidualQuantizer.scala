@@ -95,13 +95,12 @@ object ResidualQuantizer {
     }.toArray
   }
 
-  /** Nested arrays → IndexedSeq layers for the expression params
-    * (structural equality — see NearestCentroid's note).
+  /** Level codebooks → expression param (structural equality with a
+    * cached hash — see FloatCubeParam's scaladoc).
     */
   private def localIndexed(lv: Array[Array[Array[Double]]])
-      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
-    lv.map(_.map(_.toIndexedSeq: IndexedSeq[Double])
-      .toIndexedSeq: IndexedSeq[IndexedSeq[Double]]).toIndexedSeq
+      : graft.functions.DoubleCubeParam =
+    new graft.functions.DoubleCubeParam(lv)
 
   /** Append `outCol` = ARRAY<INT> of one code per level. Codegen
     * expression (RvqEncode): the encode touches every corpus row, so

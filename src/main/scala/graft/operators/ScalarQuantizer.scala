@@ -52,7 +52,8 @@ object ScalarQuantizer {
     df.withColumn(outCol, graft.functions.VectorFunctions.col(
       graft.functions.Sq8Encode(
         graft.functions.VectorFunctions.expr(col(vecCol)),
-        mn.toIndexedSeq, mx.toIndexedSeq)))
+        new graft.functions.DoubleVecParam(mn),
+        new graft.functions.DoubleVecParam(mx))))
   }
 
   /** Reconstruct float vectors from codes: x̂ = mn + code/255 * (mx-mn). */
@@ -62,6 +63,7 @@ object ScalarQuantizer {
     df.withColumn(outCol, graft.functions.VectorFunctions.col(
       graft.functions.Sq8Decode(
         graft.functions.VectorFunctions.expr(col(codeCol)),
-        mn.toIndexedSeq, mx.toIndexedSeq)))
+        new graft.functions.DoubleVecParam(mn),
+        new graft.functions.DoubleVecParam(mx))))
   }
 }

@@ -39,8 +39,8 @@ class QuantExpressionsSpec extends SparkSuite {
 
   test("PqDecode == the centroid-concat UDF it replaced (u8 wrap, " +
       "null propagation)") {
-    val cb: IndexedSeq[IndexedSeq[IndexedSeq[Float]]] =
-      IndexedSeq.fill(2)(IndexedSeq.fill(256)(fvec(3).toIndexedSeq))
+    val cb = new FloatCubeParam(
+      Array.fill(2)(Array.fill(256)(fvec(3))))
     val codes: Seq[Seq[Byte]] =
       Seq(Seq(0, 255).map(_.toByte), Seq(130, 64).map(_.toByte))
     val df = (codes.map(Option(_)) :+ None).toDF("codes")
@@ -49,7 +49,7 @@ class QuantExpressionsSpec extends SparkSuite {
       .as[Option[Array[Float]]].collect()
     val want = codes.map { c =>
       val out = Array.newBuilder[Float]
-      c.zipWithIndex.foreach { case (b, s) => out ++= cb(s)(b & 0xff) }
+      c.zipWithIndex.foreach { case (b, s) => out ++= cb.splits(s)(b & 0xff) }
       Some(out.result())
     } :+ None
     assert(got.length == want.length)
@@ -61,21 +61,19 @@ class QuantExpressionsSpec extends SparkSuite {
 
   test("SplitNearestCentroid == nearestCentroid per split (in-order " +
       "double accumulation, lowest-index ties)") {
-    val cb: IndexedSeq[IndexedSeq[IndexedSeq[Float]]] =
-      IndexedSeq.tabulate(2)(_ =>
-        IndexedSeq.fill(5)(fvec(4).toIndexedSeq))
+    val cb = Array.tabulate(2)(_ => Array.fill(5)(fvec(4)))
     // include an exact tie: centroid 3 duplicates centroid 1 in split 0
-    val cbTie = cb.updated(0, cb(0).updated(3, cb(0)(1)))
+    cb(0)(3) = cb(0)(1)
+    val cbTie = new FloatCubeParam(cb)
     val rows = for (s <- 0 until 2; _ <- 0 until 20)
       yield (s, fvec(4))
-    val tieRow = (0, cbTie(0)(1).toArray) // distance 0 to both 1 and 3
+    val tieRow = (0, cb(0)(1).clone()) // distance 0 to both 1 and 3
     val df = (rows :+ tieRow).toDF("split_id", "subvec")
     val got = df.select(V.col(SplitNearestCentroid(
         V.expr(col("split_id")), V.expr(col("subvec")),
         cbTie))).as[Int].collect()
     val want = (rows :+ tieRow).map { case (s, v) =>
-      graft.operators.ProductQuantizer.nearestCentroid(
-        cbTie(s).map(_.toArray).toArray, v)
+      graft.operators.ProductQuantizer.nearestCentroid(cb(s), v)
     }
     assert(got.toSeq == want)
     assert(got.last == 1, "tie must break to the lowest index")
@@ -83,10 +81,9 @@ class QuantExpressionsSpec extends SparkSuite {
 
   test("RvqEncode/RvqDecode == ResidualQuantizer.encode + the decode " +
       "UDF they replaced") {
-    val lv: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
-      IndexedSeq.fill(3)(IndexedSeq.fill(4)(
-        IndexedSeq.fill(5)(rnd.nextDouble() * 2 - 1)))
-    val lvArr = lv.map(_.map(_.toArray).toArray).toArray
+    val lvArr = Array.fill(3)(Array.fill(4)(
+      Array.fill(5)(rnd.nextDouble() * 2 - 1)))
+    val lv = new DoubleCubeParam(lvArr)
     val vecs = Seq.fill(10)(Array.fill(5)(rnd.nextDouble() * 2 - 1))
     val df = vecs.toDF("v")
     val codes = df.select(V.col(RvqEncode(V.expr(col("v")), lv)))
@@ -123,13 +120,12 @@ class QuantExpressionsSpec extends SparkSuite {
     val child = Literal(new GenericArrayData(Array(1f, 2f)),
       ArrayType(FloatType, containsNull = false))
     def build() = NearestCentroid(child,
-      Array(Array(1f, 2f), Array(3f, 4f))
-        .map(_.toIndexedSeq: IndexedSeq[Float]).toIndexedSeq)
+      new FloatMatrixParam(Array(Array(1f, 2f), Array(3f, 4f))))
     assert(build() == build() && build().semanticEquals(build()),
       "NearestCentroid must compare structurally for subexpression " +
         "elimination / exchange reuse")
     def pq() = PqEncode(child,
-      IndexedSeq(IndexedSeq(IndexedSeq(1f, 2f))), IndexedSeq(0))
+      new FloatCubeParam(Array(Array(Array(1f, 2f)))), IndexedSeq(0))
     assert(pq() == pq() && pq().semanticEquals(pq()))
   }
 }

@@ -331,7 +331,7 @@ class IvfSpec extends SparkSuite {
     val got = pairs(IvfIndex.searchSq8(m, mn, mx,
       emb.where($"vec_id" < 10), "embedding", 10, nprobe = 16))
     val sqDf = m.assigned.select($"vec_id",
-      V.col(graft.functions.Sq8Decode(V.expr($"sq"), mn, mx))
+      V.col(graft.functions.Sq8Decode(V.expr($"sq"), new graft.functions.DoubleVecParam(mn), new graft.functions.DoubleVecParam(mx)))
         .as("embedding"))
     val exact = pairs(Knn.topK(sqDf, emb.where($"vec_id" < 10)
       .select($"vec_id", $"embedding"), "vec_id", "embedding", 10))
