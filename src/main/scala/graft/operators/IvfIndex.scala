@@ -159,6 +159,13 @@ object IvfIndex {
     * partial-probe search must be restatable by an independent engine
     * (assignment and probing are both plain argmins over the given
     * centroid table).
+    *
+    * Null vectors: the codegen assignment null-propagates, so a null
+    * vector lands with a null cell_id (the default partition
+    * directory) and is excluded from every probed search — the same
+    * "null never matches" contract as SQL predicates. Filter nulls
+    * before indexing if they should fail loudly instead. This applies
+    * to every assign path (build/buildWithCentroids/append/ingest).
     */
   def buildWithCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]],
@@ -508,6 +515,11 @@ object IvfIndex {
       s"cannot merge: exactly one of $srcPath / $destPath stores f16 " +
         "halves — a mixed artifact would null one side's payload on " +
         "every probe; rebuild the shards uniformly")
+    require(dest.assigned.columns.contains("sq") ==
+      src.assigned.columns.contains("sq"),
+      s"cannot merge: exactly one of $srcPath / $destPath stores SQ8 " +
+        "codes — a mixed artifact would null one side's codes on " +
+        "every probe; rebuild the shards uniformly")
     buildMemo.entrySet.removeIf(e => e.getValue._2.indexPath == destPath)
     fixedBuildMemo.entrySet.removeIf(
       e => e.getValue._2.indexPath == destPath)
@@ -524,10 +536,20 @@ object IvfIndex {
       // faiss `merge_into` shape the scaladoc promises. Files land
       // under dot-prefixed names (invisible to parquet listings) and
       // flip visible in a final rename pass, so a crash mid-copy
-      // leaves the dest artifact exactly as it was.
+      // leaves the dest artifact's visible file set exactly as it was.
+      //
+      // Retry safety: the tag is derived DETERMINISTICALLY from the
+      // src path, so re-running a crashed (or repeated) merge of the
+      // same src overwrites its own staged/visible names instead of
+      // duplicating the already-renamed rows under a fresh random tag.
+      // Each rename's boolean result is checked — on filesystems with
+      // object-store rename semantics a false return would otherwise
+      // leave a hidden .merge-*.tmp silently absent from every scan.
       val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
       val fsrc = srcRoot.getFileSystem(conf)
-      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val tag =
+        f"${scala.util.hashing.MurmurHash3.stringHash(srcPath)}%08x" +
+          f"${scala.util.hashing.MurmurHash3.stringHash(srcPath.reverse)}%08x"
       val staged = listPartFiles(fsrc, srcRoot).zipWithIndex.map {
         case (f, i) =>
           val cellDir = new org.apache.hadoop.fs.Path(
@@ -536,11 +558,16 @@ object IvfIndex {
           val hidden = new org.apache.hadoop.fs.Path(
             cellDir, s".merge-$tag-$i.parquet.tmp")
           org.apache.hadoop.fs.FileUtil.copy(fsrc, f, fs, hidden,
-            false, conf)
+            false, true, conf)
           (hidden, new org.apache.hadoop.fs.Path(
             cellDir, s"part-merge-$tag-$i.parquet"))
       }
-      staged.foreach { case (h, v) => fs.rename(h, v) }
+      staged.foreach { case (h, v) =>
+        if (fs.exists(v)) fs.delete(v, false) // rerun of a crashed merge
+        require(fs.rename(h, v),
+          s"merge: rename $h -> $v failed; the staged file would be " +
+            "invisible to scans and its rows silently missing")
+      }
     } else {
       // src carries tombstones: the doomed rows must not travel, so
       // this (operationally rare) shape pays the filtered rewrite

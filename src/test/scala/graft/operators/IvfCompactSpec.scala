@@ -198,6 +198,36 @@ class IvfCompactSpec extends SparkSuite {
       .assigned.count() === emb.count())
   }
 
+  test("re-running a clean-src merge is idempotent: deterministic " +
+      "staging names overwrite rather than duplicate") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_merge_retry_spec").toString
+    val cents = emb.where($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cents, Some(s"$tmp/dest"))
+    IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", cents, Some(s"$tmp/src"))
+    val m1 = IvfIndex.merge(spark, s"$tmp/dest", s"$tmp/src",
+      "vec_id", "embedding")
+    assert(m1.assigned.count() === emb.count())
+    // a crashed-and-retried (or doubly-invoked) merge of the SAME src
+    // must not duplicate rows: the tag derives from srcPath, so the
+    // rerun overwrites its own part-merge files
+    val m2 = IvfIndex.merge(spark, s"$tmp/dest", s"$tmp/src",
+      "vec_id", "embedding")
+    assert(m2.assigned.count() === emb.count(),
+      "re-merging the same src must overwrite, not duplicate")
+    // a DIFFERENT src under the same quantizer still appends
+    IvfIndex.buildWithCentroids(emb.where($"vec_id" % 2 =!= 0)
+      .withColumn("vec_id", $"vec_id" + 1000000),
+      "vec_id", "embedding", cents, Some(s"$tmp/src_b"))
+    val m3 = IvfIndex.merge(spark, s"$tmp/dest", s"$tmp/src_b",
+      "vec_id", "embedding")
+    assert(m3.assigned.count() ===
+      emb.count() + emb.where($"vec_id" % 2 =!= 0).count())
+  }
+
   test("IndexedKnn.compactIndex compacts the registered artifact and " +
       "the planner rewrite keeps serving it") {
     val path = s"$sf0001/embeddings.parquet"
