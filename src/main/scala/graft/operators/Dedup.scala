@@ -804,6 +804,79 @@ object Dedup {
       .where(col("jac") >= tau)
   }
 
+  /** Fused band machinery for the streaming micro-batch: the
+    * within-batch self-pairs (id < id) and the new-vs-resident cross
+    * pairs in ONE band exchange, one candidate distinct, and one
+    * verification pass, instead of two full [[dupPairsFromSets]]
+    * pipelines per batch. Returns one column `id` — the NEW-side ids
+    * to drop.
+    *
+    * Pair-for-pair equivalent to
+    * {{{
+    *   dupPairsFromSets(new, new, selfJoin = true)  → keep j (larger)
+    * ∪ dupPairsFromSets(new, old, selfJoin = false) → keep new_id
+    * }}}
+    * because: (1) the union band relation carries a side flag and the
+    * window guard counts EACH SIDE separately over the same
+    * (band, bkey) partition, reproducing each call's own
+    * maxBandDocFreq guard exactly (a pair only survives if its key
+    * survives on both of ITS sides, as before); (2) the join filter
+    * `l.new && (r.old || l.id < r.id)` yields exactly the self-join's
+    * ordered pairs plus the cross join's (new, old) pairs — including
+    * the self-pair (x, x) when one id sits in both stores, which the
+    * cross call also emits; (3) the Hoeffding prefilter and the exact
+    * hashed-shingle Jaccard verification run per pair with the same
+    * inputs and threshold. Both join sides project the SAME guarded
+    * relation, so the band join reuses the window's single exchange —
+    * no second band shuffle, half the per-batch QueryStages.
+    */
+  private[graft] def streamDupIds(newSets: DataFrame, oldSets: DataFrame,
+      numHashes: Int, bands: Int, tau: Double,
+      maxBandDocFreq: Option[Int]): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val bk = bandKeysUdf(bands, numHashes / bands)
+    def bandRel(sets: DataFrame, isNew: Boolean) = sets.select(
+      col("id"), lit(isNew).as("nu"),
+      posexplode(bk(col("sig"))).as(Seq("band", "bkey")))
+    val rel0 = bandRel(newSets, isNew = true)
+      .unionByName(bandRel(oldSets, isNew = false))
+    val rel = maxBandDocFreq.fold(rel0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey"))
+      // one Window pass computing the row's OWN side's bucket count
+      // (count(when(...)) per side collapses into a single Window
+      // operator because both share the frame)
+      rel0
+        .select(col("*"),
+          count(when(col("nu"), lit(1))).over(w).as("__bdfn"),
+          count(when(!col("nu"), lit(1))).over(w).as("__bdfo"))
+        .where(when(col("nu"), col("__bdfn") <= cap)
+          .otherwise(col("__bdfo") <= cap))
+        .drop("__bdfn", "__bdfo")
+    }
+    val cands = rel
+      .select(col("band"), col("bkey"), col("id").as("l_id"),
+        col("nu").as("l_nu"))
+      .join(rel.select(col("band"), col("bkey"), col("id").as("r_id"),
+        col("nu").as("r_nu")), Seq("band", "bkey"))
+      .where(col("l_nu") && (!col("r_nu") || col("l_id") < col("r_id")))
+      .select(col("l_id"), col("r_id"), col("r_nu")).distinct()
+    val estTau = math.max(0.0,
+      tau - math.sqrt(math.log(1e7) / (2.0 * numHashes)))
+    val rightSets = newSets.withColumn("r_nu", lit(true))
+      .unionByName(oldSets.withColumn("r_nu", lit(false)))
+    cands
+      .join(newSets.select(col("id").as("l_id"), col("hs").as("sa"),
+        col("sig").as("ga")), "l_id")
+      .join(rightSets.select(col("id").as("r_id"), col("r_nu"),
+        col("hs").as("sb"), col("sig").as("gb")), Seq("r_id", "r_nu"))
+      .where(sigMatchFrac(col("ga"), col("gb")) >= estTau)
+      .where(jaccardHashedU(col("sa"), col("sb")) >= tau)
+      .select(when(col("r_nu"), col("r_id")).otherwise(col("l_id"))
+        .as("id"))
+      .distinct()
+  }
+
   /** The surviving half of [[crossCorpusDupPairs]]: `incoming` rows
     * whose document does NOT near-duplicate the existing corpus — a
     * left-anti join on the pair set, all distributed.

@@ -80,27 +80,21 @@ object NearDupStream {
     // crash: its rows would otherwise flag the batch against itself
     val priorDirs = listBatchDirs(spark, outDir).filter(
       _ < f"batch_id=$batchId%012d")
-    val crossDups =
-      if (priorDirs.isEmpty) si.select(col("id")).limit(0)
-      else {
-        // only the 3 signature columns are selected, so the parquet
-        // scan prunes the document payload out of the read entirely
-        val se = spark.read.parquet(
-            priorDirs.map(d => s"$outDir/$d"): _*)
-          .where(col("_graft_sig").isNotNull)
-          .select(col(idCol).as("id"), col("_graft_hs").as("hs"),
-            col("_graft_sig").as("sig"))
-        Dedup.dupPairsFromSets(si, se, "new_id", "old_id",
-          numHashes, bands, tau, selfJoin = false,
-          maxBandDocFreq = Some(Dedup.DefaultMaxBandDocFreq))
-          .select(col("new_id").as("id")).distinct()
-      }
-    // within-batch: keep the smaller id of every near-dup pair
-    val withinDups = Dedup.dupPairsFromSets(si, si, "i", "j",
-      numHashes, bands, tau, selfJoin = true,
-      maxBandDocFreq = Some(Dedup.DefaultMaxBandDocFreq))
-      .select(col("j").as("id")).distinct()
-    val dupIds = crossDups.union(withinDups).distinct()
+    // only the 3 signature columns are selected, so the parquet
+    // scan prunes the document payload out of the read entirely
+    val priorSets =
+      if (priorDirs.isEmpty)
+        si.select(col("id"), col("hs"), col("sig")).limit(0)
+      else spark.read.parquet(priorDirs.map(d => s"$outDir/$d"): _*)
+        .where(col("_graft_sig").isNotNull)
+        .select(col(idCol).as("id"), col("_graft_hs").as("hs"),
+          col("_graft_sig").as("sig"))
+    // within-batch pairs (keep the smaller id) and new-vs-resident
+    // pairs in one fused band pass — see Dedup.streamDupIds for the
+    // pair-for-pair equivalence argument to the former two
+    // dupPairsFromSets calls
+    val dupIds = Dedup.streamDupIds(si, priorSets, numHashes, bands,
+      tau, Some(Dedup.DefaultMaxBandDocFreq))
     try {
       val survivors = batch.join(
         dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
