@@ -261,6 +261,71 @@ class GraphOpsSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("triangles past the broadcast gate shuffled-hash-joins the " +
+      "wedge pipeline (never sorts the wedge stream) and matches the " +
+      "pinned-broadcast output row for row") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: expanded.flatMap(allNodes)
+    }
+    val edges = spark.range(0, 4000).selectExpr(
+      "pmod(xxhash64(id), 500) AS a",
+      "pmod(xxhash64(id * 31 + 7), 500) AS b")
+    val pinned = GraphOps.triangles(edges, "a", "b")
+      .orderBy(col("node")).collect().toSeq
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    spark.conf.set("spark.graft.triangles.broadcastMaxBytes", "1")
+    try {
+      val gated = GraphOps.triangles(edges, "a", "b")
+        .orderBy(col("node")).collect().toSeq
+      assert(gated === pinned,
+        "gated (shuffled-hash) census diverged from the broadcast one")
+      import scala.jdk.CollectionConverters._
+      def refsDv(n: SparkPlan): Boolean =
+        n.expressions.exists(_.references.exists(_.name == "dv"))
+      def triNodes: Seq[SparkPlan] = captured.asScala.toSeq
+        .map(qe => allNodes(qe.executedPlan))
+        .filter(_.exists(refsDv))
+        .flatten
+      def wedgeShj: Seq[SparkPlan] = triNodes.collect {
+        case s: ShuffledHashJoinExec if refsDv(s) => s
+      }
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline && wedgeShj.isEmpty)
+        Thread.sleep(100)
+      assert(wedgeShj.nonEmpty,
+        "no shuffled-hash wedge join captured past the gate")
+      val smj = triNodes.collect { case s: SortMergeJoinExec => s }
+      assert(smj.isEmpty,
+        s"wedge pipeline sort-merged past the broadcast gate:\n" +
+          smj.map(_.toString).mkString("\n").take(4000))
+    } finally {
+      spark.conf.unset("spark.graft.triangles.broadcastMaxBytes")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("modularity matches the hand formula; one-community graph " +
       "scores 0; unlabeled nodes fall back to singletons") {
     // triangle {1,2,3} + disjoint edge {4,5}: m=4, all intra, degree
