@@ -780,8 +780,14 @@ object Dedup {
     // the guard's cap semantics are untouched.
     val rRel = if (bloomPruneRight && !selfJoin) {
       val bandKey = xxhash64(col("band"), col("bkey"))
+      // build from the UNGUARDED left band relation: the filter-build
+      // action then skips the guard's window sort entirely (one full
+      // pass less over the incoming band rows). Keys the guard would
+      // drop merely stay in the bloom — resident buckets they admit
+      // meet no surviving left row in the equi-join, so pair output
+      // is unchanged (the bloom is a superset filter either way).
       val bloom = graft.functions.BloomFunctions.build(
-        lRel.select(bandKey.as("bb")), "bb",
+        bandRel(left, leftIdOut).select(bandKey.as("bb")), "bb",
         expectedItems = left.count() * bands)
       guard(rRelRaw.where(
         graft.functions.BloomFunctions.mightContain(bandKey, bloom)))
